@@ -1,0 +1,214 @@
+"""CloudWatch-alarm semantics as reusable DataFrame operators.
+
+The reference's only declarative "query" is its alarm
+(KinesisHealthCheckStack.java:165-183): 1-minute tumbling ``max`` over the
+lag metric grouped by the StreamName dimension, breach when ``> threshold``
+(``:175,177``), missing datapoints treated as BREACHING (``:179``),
+N-of-M datapoint evaluation (``:176,181`` — degenerate 1-of-1 there, general
+here), and actions that fire only on state *transition* (``:178,183``).
+
+All operators are pure DataFrame->DataFrame compositions of built-in
+functions — no UDFs, no collect. Scale notes:
+
+- the tumbling aggregation is the only wide stage over raw data; it partial-
+  aggregates map-side before the shuffle (Catalyst does this for max/count),
+- everything after it operates on ``keys x periods`` rows (tiny relative to
+  input at any scale), so the grid join and the window functions are cheap;
+  AQE broadcasts the aggregated side at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Alarm threshold (KinesisHealthCheckStack.java:175) and comparison
+#: GREATER_THAN_THRESHOLD (:177) — breach iff value > threshold, strictly.
+DEFAULT_THRESHOLD = 1.0
+
+STATE_OK = "OK"
+STATE_ALARM = "ALARM"
+STATE_INSUFFICIENT = "INSUFFICIENT_DATA"
+
+
+def tumbling_max(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "stream_name",
+    value_col: str = "value",
+    period: str = "1 minute",
+) -> DataFrame:
+    """A1/A2: tumbling-window MAX per dimension key.
+
+    Reference: ``Metric.period(1 min), statistic("max")``, dimension map
+    ``{StreamName}`` (KinesisHealthCheckStack.java:165-171).
+
+    Output: ``key_col, window_start, window_end, max_value, n_datapoints``.
+    """
+    w = F.window(F.col(ts_col), period)
+    return (
+        df.groupBy(F.col(key_col), w.alias("w"))
+        .agg(
+            F.max(value_col).alias("max_value"),
+            F.count(F.lit(1)).alias("n_datapoints"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "max_value",
+            "n_datapoints",
+        )
+    )
+
+
+def with_period_grid(
+    metrics: DataFrame,
+    key_col: str = "stream_name",
+    period: str = "1 minute",
+) -> DataFrame:
+    """F3: densify to the full period grid so absent datapoints surface.
+
+    CloudWatch evaluates *every* period; a period with no datapoint is what
+    ``TreatMissingData`` governs (KinesisHealthCheckStack.java:179). Batch
+    analogue of the streaming state-timeout (SURVEY.md W4): generate
+    ``sequence(min_window, max_window, period)`` x distinct keys and left-join
+    observed metrics onto it; unmatched rows carry NULL ``max_value``.
+
+    The grid is ``periods x keys`` rows — small at any data scale; the join
+    keys are the aggregated metric keys, so AQE broadcast-joins it.
+    """
+    bounds = metrics.agg(
+        F.min("window_start").alias("lo"), F.max("window_start").alias("hi")
+    )
+    iv = F.expr(f"interval {period}")
+    periods = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), iv)).alias("window_start")
+    )
+    keys = metrics.select(key_col).distinct()
+    grid = periods.crossJoin(F.broadcast(keys)).select(
+        key_col,
+        "window_start",
+        (F.col("window_start") + iv).alias("window_end"),
+    )
+    return grid.join(
+        metrics.select(key_col, "window_start", "max_value", "n_datapoints"),
+        [key_col, "window_start"],
+        "left",
+    ).withColumn("n_datapoints", F.coalesce("n_datapoints", F.lit(0)))
+
+
+def evaluate_alarm(
+    gridded: DataFrame,
+    threshold: float = DEFAULT_THRESHOLD,
+    key_col: str = "stream_name",
+    treat_missing: str = "breaching",
+    evaluation_periods: int = 1,
+    datapoints_to_alarm: int = 1,
+) -> DataFrame:
+    """F2 + A3 + WF1/WF2 + W6: threshold -> N-of-M -> state -> transitions.
+
+    - breach iff ``max_value > threshold`` (strict; KinesisHealthCheckStack.java:175,177)
+      or missing-and-``treat_missing='breaching'`` (:179),
+    - ALARM when >= ``datapoints_to_alarm`` of the trailing
+      ``evaluation_periods`` periods breach (:176,181),
+    - ``treat_missing``: 'breaching' | 'notBreaching' | 'ignore' (missing
+      periods inherit the previous resolved state) | 'missing'
+      (INSUFFICIENT_DATA when every period in the eval window is absent),
+    - ``transitioned`` true when state differs from the previous period's
+      state (actions fire only on transition, :178,183).
+    """
+    if treat_missing not in {"breaching", "notBreaching", "ignore", "missing"}:
+        raise ValueError(f"unknown treat_missing: {treat_missing}")
+
+    missing = F.col("max_value").isNull()
+    over_threshold = F.col("max_value") > F.lit(threshold)
+    if treat_missing == "breaching":
+        breaching = F.when(missing, F.lit(True)).otherwise(over_threshold)
+    elif treat_missing == "notBreaching":
+        breaching = F.when(missing, F.lit(False)).otherwise(over_threshold)
+    else:  # ignore / missing: absent periods don't vote
+        breaching = over_threshold
+
+    order = Window.partitionBy(key_col).orderBy("window_start")
+    trailing = order.rowsBetween(-(evaluation_periods - 1), 0)
+
+    df = gridded.withColumn("breaching", breaching)
+    df = df.withColumn(
+        "breach_count",
+        F.sum(F.coalesce(F.col("breaching").cast("int"), F.lit(0))).over(trailing),
+    ).withColumn(
+        "present_count",
+        F.sum((~missing).cast("int")).over(trailing),
+    )
+
+    raw_state = F.when(
+        F.col("breach_count") >= F.lit(datapoints_to_alarm), F.lit(STATE_ALARM)
+    ).otherwise(F.lit(STATE_OK))
+
+    if treat_missing == "missing":
+        raw_state = F.when(F.col("present_count") == 0, F.lit(STATE_INSUFFICIENT)).otherwise(
+            raw_state
+        )
+        df = df.withColumn("state", raw_state)
+    elif treat_missing == "ignore":
+        # Missing periods inherit the last resolved state (CloudWatch "keep
+        # current state"); leading missing periods resolve to OK.
+        df = df.withColumn("state_pt", F.when(~missing, raw_state))
+        df = df.withColumn(
+            "state",
+            F.coalesce(
+                F.last("state_pt", ignorenulls=True).over(
+                    order.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                F.lit(STATE_OK),
+            ),
+        ).drop("state_pt")
+    else:
+        df = df.withColumn("state", raw_state)
+
+    df = df.withColumn("prev_state", F.lag("state").over(order))
+    df = df.withColumn(
+        "transitioned", ~F.col("state").eqNullSafe(F.col("prev_state"))
+    )
+    return df.drop("breaching", "breach_count", "present_count")
+
+
+def alarm_pipeline(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "stream_name",
+    value_col: str = "value",
+    period: str = "1 minute",
+    threshold: float = DEFAULT_THRESHOLD,
+    treat_missing: str = "breaching",
+    evaluation_periods: int = 1,
+    datapoints_to_alarm: int = 1,
+) -> DataFrame:
+    """metric rows -> alert rows (FIXTURES.md section 5 shape)."""
+    metrics = tumbling_max(df, ts_col, key_col, value_col, period)
+    gridded = with_period_grid(metrics, key_col, period)
+    evaluated = evaluate_alarm(
+        gridded,
+        threshold=threshold,
+        key_col=key_col,
+        treat_missing=treat_missing,
+        evaluation_periods=evaluation_periods,
+        datapoints_to_alarm=datapoints_to_alarm,
+    )
+    return evaluated.select(
+        "window_start",
+        "window_end",
+        key_col,
+        F.col("max_value").cast("double").alias("max_lag"),
+        F.col("n_datapoints"),
+        "state",
+        "prev_state",
+        "transitioned",
+    )
+
+
+def transitions_only(alerts: DataFrame) -> DataFrame:
+    """K3: the SNS leg — emit only state-transition rows
+    (SnsAction on the alarm, KinesisHealthCheckStack.java:183)."""
+    return alerts.filter(F.col("transitioned"))

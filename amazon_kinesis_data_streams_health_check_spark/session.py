@@ -1,0 +1,76 @@
+"""SparkSession construction tuned for the engine.
+
+All timestamps in the engine are UTC instants (the reference works purely in
+UTC: ``Instant.now()`` / ``SimpleDateFormat(...UTC...)``, see
+HealthCheckConsumerHandler.java:102-107). ``configure_session`` is applied to
+externally-provided sessions (the driver owns the session in verify runs) so
+oracle comparisons against DuckDB's naive timestamps are stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied even to sessions we did not build.
+#: ANSI off: the reference swallows every malformed-input error and drops the
+#: record (HealthCheckConsumerHandler.java:87-93); null-on-error parse
+#: semantics reproduce that (and match the DuckDB oracle's TRY_CAST twins).
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+    # The driver's parquet carries TIMESTAMP(NANOS) which the vectorized
+    # reader rejects; read as nano-longs and let the table loader restore
+    # TimestampType (sources/tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+#: Build-time confs for sessions we own (tests, bench).
+BUILD_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for the few pandas_udf / applyInPandas paths.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet scans: keep pushdown on (default, but pinned explicitly since
+    # the oracle-parity contract depends on reading the driver's parquet).
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this deployment; engine still works, tests pin UTC
+    return spark
+
+
+def get_spark(
+    app_name: str = "kinesis-healthcheck-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (fallback ``local[*]``)
+    so bench and tests share one entry point. Shuffle partitions default to the
+    core count — right-sized for local mode; a real cluster deployment would
+    rely on AQE coalescing from a larger initial value.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in BUILD_CONFS.items():
+        builder = builder.config(k, v)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else 32
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    spark = builder.getOrCreate()
+    return configure_session(spark)

@@ -1,0 +1,46 @@
+"""Parquet table loaders for the driver-generated testdata.
+
+At 100 TB these reads are the dominant cost: loaders stay declarative
+(``spark.read.parquet``) so Catalyst keeps predicate pushdown / column pruning
+/ partition pruning on the scan; nothing here materializes or caches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from amazon_kinesis_data_streams_health_check_spark.schemas import TESTDATA_TABLES
+from amazon_kinesis_data_streams_health_check_spark.session import configure_session
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Columns stored as parquet TIMESTAMP(NANOS). Spark's reader rejects nanos;
+#: with spark.sql.legacy.parquet.nanosAsLong they surface as LongType and are
+#: restored to TimestampType here. Integer ``div`` (not /1000.0) — a double
+#: can't hold a nanosecond epoch (~1.7e18 > 2^53) without precision loss.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table (TESTDATA.md: ``{sf_dir}/{name}.parquet``)."""
+    configure_session(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _NANOS_TS_COLS.get(name, ()):
+        if c in df.columns and isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables; defaults to all of them."""
+    use = names or TESTDATA_TABLES
+    return {n: load_table(spark, sf_dir, n) for n in use}
