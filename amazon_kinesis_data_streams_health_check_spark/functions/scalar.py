@@ -49,10 +49,20 @@ def utf8_encode(s: Column) -> Column:
     return F.encode(s, "UTF-8")
 
 
+#: Structurally valid standard base64 (optional padding, no line breaks).
+_B64_RE = "^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+
+
 # -- P5: base64 decode (kinesis-event.json:8 -> HealthCheckConsumerHandler.java:65) --
 def b64_decode(s: Column) -> Column:
-    """Wire base64 text -> payload bytes."""
-    return F.unbase64(s)
+    """Wire base64 text -> payload bytes; malformed input -> NULL.
+
+    Spark's ``unbase64`` throws (JVM Base64 decoder) on structurally invalid
+    input regardless of ANSI mode; the reference instead catches and drops the
+    record (F4, HealthCheckConsumerHandler.java:87-89). A regex validity gate
+    keeps the null-on-corrupt contract while staying inside codegen.
+    """
+    return F.when(s.rlike(_B64_RE), F.unbase64(s))
 
 
 def b64_encode(b: Column) -> Column:

@@ -168,8 +168,12 @@ def evaluate_alarm(
         df = df.withColumn("state", raw_state)
 
     df = df.withColumn("prev_state", F.lag("state").over(order))
+    # Actions fire only on a real transition; the first evaluated period has
+    # no previous state and does NOT count (FIXTURES.md edge case 6: an
+    # OK->ALARM->ALARM->OK flap yields exactly two transitions).
     df = df.withColumn(
-        "transitioned", ~F.col("state").eqNullSafe(F.col("prev_state"))
+        "transitioned",
+        F.col("prev_state").isNotNull() & (F.col("state") != F.col("prev_state")),
     )
     return df.drop("breaching", "breach_count", "present_count")
 

@@ -1,0 +1,228 @@
+"""[EXT] Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+North-star training-data-pipeline scope (SURVEY.md section 2.10 E1) — no
+reference citations. Design constraints:
+
+- **Determinism across engines**: every hash is md5 (bit-identical in Spark
+  and DuckDB); min-hash signatures are lexicographic minima over md5 hex
+  strings, so no engine-specific hash function leaks into results.
+- **Scale**: the LSH path is the 100 TB design — per-doc signature work is
+  narrow (codegen'd array exprs over the scan); the only shuffles are the
+  band-key self-join (candidates ~ linear in corpus for reasonable band
+  widths) and the pair-verification joins. Brute-force all-pairs never
+  happens. Banding keys are md5s => uniformly distributed join keys; skew
+  only arises from genuinely giant duplicate classes (salt the band key with
+  a doc-hash suffix if a class exceeds a partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_streams_health_check_spark.operators.textstats import TOKEN_RE
+
+#: MinHash configuration: 12 permutations in 4 bands of 3 rows.
+#: P(candidate) = 1 - (1 - J^3)^4 — the classic S-curve centered near J~0.6.
+MINHASH_PERMS = 12
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_PERMS // LSH_BANDS
+
+#: SimHash: 16 bits (hex-digit parity of md5), compared in 4 bands of 4 bits.
+SIMHASH_BITS = 16
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+_HEX = "0123456789abcdef"
+
+
+def _tok(text_col: str) -> str:
+    return f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)"
+
+
+def shingles_expr(text_col: str = "text", n: int = 3) -> str:
+    """Distinct word n-gram shingles as a Spark SQL expression."""
+    t = _tok(text_col)
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({t}) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice({t}, i, {n}))))"
+    )
+
+
+def with_shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("sh", F.expr(shingles_expr(text_col)))
+
+
+def with_minhash(df: DataFrame) -> DataFrame:
+    """mh_j = lexicographic min of md5('<j>|' || shingle) — one column per
+    permutation. Narrow, codegen'd; no shuffle."""
+    return df.withColumns(
+        {
+            f"mh_{j}": F.expr(f"array_min(transform(sh, s -> md5(concat('{j}|', s))))")
+            for j in range(MINHASH_PERMS)
+        }
+    )
+
+
+def with_bands(df: DataFrame) -> DataFrame:
+    """band_b = md5(concat of that band's minhash rows)."""
+    return df.withColumns(
+        {
+            f"band_{b}": F.expr(
+                "md5(concat("
+                + ", ".join(f"mh_{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+                + "))"
+            )
+            for b in range(LSH_BANDS)
+        }
+    )
+
+
+def lsh_candidate_pairs(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Docs sharing >=1 band -> distinct (doc_a < doc_b) candidate pairs.
+
+    The self-join shuffles on (band_idx, band_key) — uniformly-distributed
+    md5 keys, so partition balance holds at scale.
+    """
+    bands_long = banded.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(LSH_BANDS)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    x, y = bands_long.alias("x"), bands_long.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def verified_jaccard(pairs: DataFrame, shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Join shingle sets back onto candidate pairs and compute exact Jaccard."""
+    a = shingled.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = shingled.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.expr("size(array_intersect(sh_a, sh_b))").cast("double")
+                / F.expr("size(array_union(sh_a, sh_b))"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc 16-bit SimHash as a '0'/'1' string.
+
+    Bit i's vote is the parity of md5(token)'s i-th hex digit, summed +1/-1
+    over tokens WITH multiplicity (explode -> groupBy: one shuffle on doc_id,
+    partial-aggregated map-side).
+    """
+    toks = df.select(F.col(id_col), F.explode(F.expr(_tok(text_col))).alias("tok"))
+    votes = [
+        F.sum(
+            F.when(
+                F.expr(
+                    f"(instr('{_HEX}', substr(md5(tok), {i + 1}, 1)) - 1) % 2"
+                )
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = F.concat(
+        *[
+            F.when(F.col(f"v_{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    return agg.select(F.col(id_col), sig.alias("sig"))
+
+
+def simhash_near_pairs(sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 4) -> DataFrame:
+    """Band-join on 4-bit sig substrings, then exact Hamming distance filter.
+
+    Any pair within Hamming distance 4 of a 16-bit sig shares at least one of
+    the 4 bands (pigeonhole), so banding loses no true positives.
+    """
+    bands = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"substr(sig, {b * SIMHASH_BAND_BITS + 1}, {SIMHASH_BAND_BITS})")
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"),
+            F.col(f"y.{id_col}").alias("doc_b"),
+            F.col("x.sig").alias("sig_a"),
+            F.col("y.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = sum(
+        F.when(
+            F.expr(f"substr(sig_a, {i + 1}, 1)") != F.expr(f"substr(sig_b, {i + 1}, 1)"), 1
+        ).otherwise(0)
+        for i in range(SIMHASH_BITS)
+    )
+    return (
+        pairs.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twin fragments.
+# ---------------------------------------------------------------------------
+def duck_shingles(text_col: str = "text", n: int = 3) -> str:
+    t = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}')"
+    return (
+        f"list_distinct([array_to_string(({t})[i:i+{n - 1}], ' ')"
+        f" for i in range(1, greatest(len({t}) - {n - 1}, 1) + 1)])"
+    )
+
+
+def duck_minhash_cols() -> str:
+    return ",\n         ".join(
+        f"list_min(list_transform(sh, s -> md5('{j}|' || s))) AS mh_{j}"
+        for j in range(MINHASH_PERMS)
+    )
+
+
+def duck_band_union() -> str:
+    selects = []
+    for b in range(LSH_BANDS):
+        key = " || ".join(f"mh_{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        selects.append(f"SELECT doc_id, {b} AS band_idx, md5({key}) AS band_key FROM mh")
+    return "\n  UNION ALL\n  ".join(selects)

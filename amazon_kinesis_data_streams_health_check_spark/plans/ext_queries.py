@@ -1,2 +1,463 @@
-"""[EXT] dedup / similarity / text-analysis queries (populated in later
-milestones; the registry import requires the module to exist)."""
+"""[EXT] queries: text analysis, dedup, similarity search (SURVEY.md
+section 2.10, north-star training-data-pipeline scope).
+
+Cross-engine determinism: token counts are exact integers, ratios are single
+double divisions of exact integers, hashes are md5 (identical in both
+engines), and cosine similarities are computed element-sequentially in double
+precision with identical association order, then rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_streams_health_check_spark.operators import textstats
+from amazon_kinesis_data_streams_health_check_spark.operators.textstats import (
+    BPE_RE,
+    LANG_PRIORITY,
+    TOKEN_RE,
+    duck_lang_arr,
+    duck_stop_list,
+    with_fingerprints,
+    with_lang_guess,
+    with_quality_score,
+    with_token_stats,
+)
+from amazon_kinesis_data_streams_health_check_spark.plans.registry import register
+from amazon_kinesis_data_streams_health_check_spark.session import configure_session
+from amazon_kinesis_data_streams_health_check_spark.sources.tables import load_table
+
+_DUCK_TOK = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+
+# ---------------------------------------------------------------------------
+# E3: per-document quality metrics.
+# ---------------------------------------------------------------------------
+_QUALITY_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang, source,
+         CAST(len({_DUCK_TOK}) AS BIGINT) AS n_tokens,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+         CAST(len(list_distinct({_DUCK_TOK})) AS BIGINT) AS n_distinct_tokens,
+         CAST(list_sum(list_transform({_DUCK_TOK}, x -> length(x))) AS BIGINT) AS total_token_chars,
+         CAST(len(list_filter({_DUCK_TOK}, x -> list_contains({duck_stop_list()}, x))) AS BIGINT) AS n_stopword_tokens
+  FROM documents
+)
+SELECT doc_id, lang, source, n_tokens, n_ws_tokens, n_distinct_tokens,
+       total_token_chars, n_stopword_tokens,
+       CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS ttr,
+       CAST(total_token_chars AS DOUBLE) / n_tokens AS avg_token_len,
+       CAST(n_stopword_tokens AS DOUBLE) / n_tokens AS stopword_ratio,
+       round(0.4 * (CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+             + 0.3 * least(1.0, n_tokens / 100.0)
+             + 0.3 * (1.0 - CAST(n_stopword_tokens AS DOUBLE) / n_tokens), 6) AS quality_score
+FROM s
+"""
+
+
+@register(
+    "text_quality",
+    oracle=_QUALITY_SQL,
+    doc="E3: per-doc token stats + composite quality score (codegen-only array exprs)",
+    tags=("ext", "text", "bench"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = with_quality_score(with_token_stats(docs))
+    return out.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_tokens").cast("long"),
+        F.col("n_ws_tokens").cast("long"),
+        F.col("n_distinct_tokens").cast("long"),
+        F.col("total_token_chars").cast("long"),
+        F.col("n_stopword_tokens").cast("long"),
+        "ttr",
+        "avg_token_len",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+# ---------------------------------------------------------------------------
+# E3: stopword-hit language ID, confusion summary vs the labeled lang.
+# ---------------------------------------------------------------------------
+_score_sql = ",\n         ".join(
+    f"CAST(len(list_intersect({_DUCK_TOK}, {duck_lang_arr(lang)})) AS BIGINT) AS score_{lang}"
+    for lang in LANG_PRIORITY
+)
+_mx = "greatest(" + ", ".join(f"score_{lang}" for lang in LANG_PRIORITY) + ")"
+_case = "CASE " + " ".join(
+    f"WHEN score_{lang} = {_mx} THEN '{lang}'" for lang in LANG_PRIORITY
+) + " END"
+
+_LANGID_SQL = f"""
+WITH scored AS (
+  SELECT lang,
+         {_score_sql}
+  FROM documents
+)
+SELECT lang, {_case} AS lang_guess, count(*) AS n
+FROM scored
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "lang_id_confusion",
+    oracle=_LANGID_SQL,
+    doc="E3: n-gram/stopword language-ID heuristic, label-vs-guess confusion counts",
+    tags=("ext", "text"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    guessed = with_lang_guess(docs)
+    return guessed.groupBy("lang", "lang_guess").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# E3: token counting under both token models, per source.
+# ---------------------------------------------------------------------------
+_TOKCOUNT_SQL = f"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len({_DUCK_TOK})) AS BIGINT) AS total_word_tokens,
+       CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(len(regexp_extract_all(lower(text), '{BPE_RE}'))) AS BIGINT) AS total_bpe_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source
+"""
+
+
+@register(
+    "token_counts_by_source",
+    oracle=_TOKCOUNT_SQL,
+    doc="E3: whitespace + word-regex + BPE-ish token counts per source",
+    tags=("ext", "text"),
+)
+def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    # Spark SQL string literals are backslash-escaped (DuckDB's are not):
+    # regex backslashes must be doubled on this side only.
+    bpe_spark = BPE_RE.replace("\\", "\\\\")
+    word = f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"
+    ws = "split(trim(text), '\\\\s+')"
+    bpe = f"regexp_extract_all(lower(text), '{bpe_spark}', 0)"
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr(f"size({word})")).cast("long").alias("total_word_tokens"),
+        F.sum(F.expr(f"size({ws})")).cast("long").alias("total_ws_tokens"),
+        F.sum(F.expr(f"size({bpe})")).cast("long").alias("total_bpe_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E3: document fingerprints (content hash + char-5-gram hash extremes).
+# ---------------------------------------------------------------------------
+_FP_SQL = """
+SELECT doc_id,
+       md5(text) AS content_hash,
+       list_min(list_transform(range(1, greatest(length(lower(text)) - 4, 1) + 1),
+                               i -> md5(substr(lower(text), i, 5)))) AS min_gram_hash,
+       list_max(list_transform(range(1, greatest(length(lower(text)) - 4, 1) + 1),
+                               i -> md5(substr(lower(text), i, 5)))) AS max_gram_hash
+FROM documents
+"""
+
+
+@register(
+    "doc_fingerprints",
+    oracle=_FP_SQL,
+    doc="E3: md5 content hash + min/max char-5-gram rolling hashes per doc",
+    tags=("ext", "text"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return with_fingerprints(docs).select(
+        "doc_id", "content_hash", "min_gram_hash", "max_gram_hash"
+    )
+
+
+# ===========================================================================
+# E1: deduplication suite
+# ===========================================================================
+from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (  # noqa: E402
+    duck_band_union,
+    duck_minhash_cols,
+    duck_shingles,
+    lsh_candidate_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+    verified_jaccard,
+    with_bands,
+    with_minhash,
+    with_shingles,
+    SIMHASH_BITS,
+    SIMHASH_BANDS,
+    SIMHASH_BAND_BITS,
+)
+
+_EXACT_SUMMARY_SQL = """
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_distinct_texts,
+       count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+FROM documents
+GROUP BY source
+"""
+
+
+@register(
+    "dedup_exact_summary",
+    oracle=_EXACT_SUMMARY_SQL,
+    doc="E1: exact-duplicate accounting per source (hash-groupBy distinct)",
+    tags=("ext", "dedup"),
+)
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dup_docs"),
+    )
+
+
+_EXACT_GROUPS_SQL = """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@register(
+    "dedup_exact_groups",
+    oracle=_EXACT_GROUPS_SQL,
+    doc="E1: exact dedup groups — canonical keeper (min doc_id) per content hash",
+    tags=("ext", "dedup"),
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+_MINHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {duck_shingles()} AS sh FROM documents
+),
+mh AS (
+  SELECT doc_id, sh,
+         {duck_minhash_cols()}
+  FROM tok
+),
+bands AS (
+  {duck_band_union()}
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x
+  JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              AND x.doc_id < y.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       round(CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+             / len(list_distinct(ta.sh || tb.sh)), 6) AS jaccard
+FROM pairs p
+JOIN tok ta ON ta.doc_id = p.doc_a
+JOIN tok tb ON tb.doc_id = p.doc_b
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_SQL,
+    doc="E1: MinHash(12)+LSH(4x3) candidate pairs with exact Jaccard verification",
+    tags=("ext", "dedup", "bench"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = with_shingles(docs).select("doc_id", "sh")
+    banded = with_bands(with_minhash(shingled))
+    pairs = lsh_candidate_pairs(banded)
+    return verified_jaccard(pairs, shingled)
+
+
+_SIMHASH_BANDS_UNION = "\n  UNION ALL\n  ".join(
+    f"SELECT doc_id, sig, {b} AS band_idx, substr(sig, {b * SIMHASH_BAND_BITS + 1}, {SIMHASH_BAND_BITS}) AS band_key FROM sigs"
+    for b in range(SIMHASH_BANDS)
+)
+_SIMHASH_VOTES = ",\n         ".join(
+    f"sum(CASE WHEN (instr('0123456789abcdef', substr(md5(tok), {i + 1}, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END) AS v_{i}"
+    for i in range(SIMHASH_BITS)
+)
+_SIMHASH_SIG = " || ".join(
+    f"(CASE WHEN v_{i} > 0 THEN '1' ELSE '0' END)" for i in range(SIMHASH_BITS)
+)
+_SIMHASH_HAMMING = " + ".join(
+    f"(CASE WHEN substr(x.sig, {i + 1}, 1) <> substr(y.sig, {i + 1}, 1) THEN 1 ELSE 0 END)"
+    for i in range(SIMHASH_BITS)
+)
+
+_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+votes AS (
+  SELECT doc_id,
+         {_SIMHASH_VOTES}
+  FROM toks GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, {_SIMHASH_SIG} AS sig FROM votes
+),
+bands AS (
+  {_SIMHASH_BANDS_UNION}
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         CAST({_SIMHASH_HAMMING} AS BIGINT) AS hamming
+  FROM bands x
+  JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 4
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=_SIMHASH_SQL,
+    doc="E1: 16-bit SimHash near-dup pairs (4-bit band join, Hamming <= 4)",
+    tags=("ext", "dedup"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash_signatures(docs)
+    return simhash_near_pairs(sigs, max_hamming=4)
+
+
+# ===========================================================================
+# E2/E4: embedding similarity suite
+# ===========================================================================
+from amazon_kinesis_data_streams_health_check_spark.operators.similarity import (  # noqa: E402
+    brute_force_topk,
+    cosine_expr,
+    duck_bucket,
+    duck_cosine,
+    with_lsh_bucket,
+)
+
+_NEARDUP_COS_THRESHOLD = 0.3
+
+_EMB_NEARDUP_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       round({duck_cosine('a.embedding', 'b.embedding')}, 6) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {duck_cosine('a.embedding', 'b.embedding')} >= {_NEARDUP_COS_THRESHOLD}
+"""
+
+
+@register(
+    "embedding_near_dups",
+    oracle=_EMB_NEARDUP_SQL,
+    doc="E1/E2: same-label embedding pairs above a cosine threshold (blocked all-pairs)",
+    tags=("ext", "similarity"),
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("emb_b"))
+    cos = cosine_expr("emb_a", "emb_b")
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= _NEARDUP_COS_THRESHOLD)
+        .select("vec_a", "vec_b", "label", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+_ANN_QUERY_LIMIT = 50
+_ANN_K = 10
+
+_ANN_BRUTE_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         {duck_cosine('q.embedding', 'v.embedding')} AS cos_raw
+  FROM embeddings q
+  JOIN embeddings v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id < {_ANN_QUERY_LIMIT}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
+FROM ranked WHERE rank <= {_ANN_K}
+"""
+
+
+@register(
+    "ann_topk_bruteforce",
+    oracle=_ANN_BRUTE_SQL,
+    doc="E2: exact cosine top-10 neighbors for a broadcast query set (baseline ANN)",
+    tags=("ext", "similarity", "bench"),
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _ANN_QUERY_LIMIT)
+    return brute_force_topk(emb, queries, k=_ANN_K)
+
+
+_ANN_LSH_SQL = f"""
+WITH buckets AS (
+  SELECT vec_id, label, embedding, {duck_bucket('embedding')} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+       round({duck_cosine('a.embedding', 'b.embedding')}, 6) AS cosine
+FROM buckets a
+JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+"""
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=_ANN_LSH_SQL,
+    doc="E2: random-hyperplane LSH buckets (md5-derived planes) -> in-bucket candidate pairs",
+    tags=("ext", "similarity"),
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = with_lsh_bucket(emb)
+    a = bucketed.select(F.col("vec_id").alias("vec_a"), F.col("bucket"), F.col("embedding").alias("emb_a"))
+    b = bucketed.select(F.col("vec_id").alias("vec_b"), F.col("bucket"), F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", "bucket",
+            F.round(cosine_expr("emb_a", "emb_b"), 6).alias("cosine"),
+        )
+    )

@@ -18,8 +18,20 @@ from amazon_kinesis_data_streams_health_check_spark.operators.alarm import (
     evaluate_alarm,
     with_period_grid,
 )
+from amazon_kinesis_data_streams_health_check_spark.operators.consumer import (
+    decoded_records,
+    metric_rows,
+)
 from amazon_kinesis_data_streams_health_check_spark.operators.lag import (
     staleness_at_window_close,
+)
+from amazon_kinesis_data_streams_health_check_spark.operators.producer import (
+    tracer_records,
+)
+from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_events import (
+    ARN_PREFIX,
+    explode_records,
+    synthesize_from_events,
 )
 from amazon_kinesis_data_streams_health_check_spark.plans.registry import register
 from amazon_kinesis_data_streams_health_check_spark.session import configure_session
@@ -75,7 +87,7 @@ SELECT stream_name, window_start, window_end,
        n_datapoints,
        state,
        lag(state) OVER w AS prev_state,
-       state IS DISTINCT FROM (lag(state) OVER w) AS transitioned
+       (lag(state) OVER w) IS NOT NULL AND state <> (lag(state) OVER w) AS transitioned
 FROM states
 WINDOW w AS (PARTITION BY stream_name ORDER BY window_start)
 """
@@ -107,3 +119,303 @@ def health_lag_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_state",
         "transitioned",
     )
+
+
+# ---------------------------------------------------------------------------
+# Producer leg: tracer record generation (P1-P4, X1; SURVEY.md section 3.1)
+# ---------------------------------------------------------------------------
+_TRACER_SQL = """
+SELECT event_type AS stream_name,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS partition_key,
+       '{"currentInstant":"' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') || '"}' AS data_json,
+       to_base64(encode('{"currentInstant":"' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') || '"}')) AS data_b64
+FROM events
+"""
+
+
+@register(
+    "tracer_produce",
+    oracle=_TRACER_SQL,
+    doc="Producer leg: ISO instant -> tracer JSON -> UTF-8 -> base64; partition key = instant",
+    tags=("core",),
+)
+def tracer_produce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    return tracer_records(events, F.col("ts"), F.col("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Consumer leg: wire-faithful round trip (S2-as-synthesized -> explode ->
+# P5-P14 -> metric rows; SURVEY.md section 3.2). Deterministic "now" = max
+# event time in the table.
+# ---------------------------------------------------------------------------
+_CONSUMER_SQL = """
+WITH now_t AS (SELECT max(ts) AS now_ts FROM events),
+syn AS (
+  SELECT 'arn:aws:kinesis:us-east-1:123456789012:stream/' || event_type AS arn,
+         to_base64(encode('{"currentInstant":"' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') || '"}')) AS data,
+         ts AS arrival
+  FROM events
+),
+dec AS (
+  SELECT arn, arrival,
+         COALESCE(
+           TRY_CAST(json_extract_string(decode(from_base64(data)), '$.currentInstant') AS TIMESTAMP),
+           arrival
+         ) AS ev
+  FROM syn
+)
+SELECT date_trunc('second', ev) AS ts,
+       'KinesisServiceHealthCheck' AS namespace,
+       'HealthCheckSinceSeconds' AS metric_name,
+       split_part(split_part(arn, ':', 6), '/', 2) AS stream_name,
+       CAST(CAST(epoch(date_trunc('second', now_ts)) AS BIGINT)
+            - CAST(epoch(date_trunc('second', ev)) AS BIGINT) AS DOUBLE) AS value
+FROM dec, now_t
+WHERE ev IS NOT NULL
+"""
+
+
+@register(
+    "consumer_metrics",
+    oracle=_CONSUMER_SQL,
+    doc="Consumer leg: base64/UTF-8 decode -> payload instant parse -> ARN parse -> lag metric rows",
+    tags=("core", "bench"),
+)
+def consumer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    records = explode_records(synthesize_from_events(events))
+    decoded = decoded_records(records)
+    now_df = events.agg(F.max("ts").alias("now_ts"))
+    decoded = decoded.crossJoin(F.broadcast(now_df))
+    return metric_rows(decoded, F.col("now_ts"), event_time_source="coalesce")
+
+
+# ---------------------------------------------------------------------------
+# F1 parity: first-record-per-group selection (the consumer loop returns after
+# record 0; HealthCheckConsumerHandler.java:61,64-86).
+# ---------------------------------------------------------------------------
+_FIRST_RECORD_SQL = """
+SELECT event_type AS stream_name,
+       date_trunc('minute', ts) AS window_start,
+       event_id, value
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY event_type, date_trunc('minute', ts) ORDER BY event_id
+         ) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@register(
+    "first_record_parity",
+    oracle=_FIRST_RECORD_SQL,
+    doc="F1: only the first record of each (stream, period) group is processed",
+    tags=("core",),
+)
+def first_record_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "1 minute")
+    df = events.withColumn("window_start", w["start"])
+    rn = F.row_number().over(
+        Window.partitionBy("event_type", "window_start").orderBy("event_id")
+    )
+    return (
+        df.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("event_type").alias("stream_name"),
+            "window_start",
+            "event_id",
+            "value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P13: ARN parsing incl. the extra-'/'-segments variant (FIXTURES.md edge 7).
+# ---------------------------------------------------------------------------
+# List indexing (not split_part): out-of-range yields NULL in both engines,
+# matching the reference's thrown-and-swallowed ArrayIndexOutOfBounds (F4).
+_ARN_SQL = """
+WITH t AS (SELECT DISTINCT event_type FROM events)
+SELECT event_type,
+       (string_split((string_split('arn:aws:kinesis:us-east-1:123456789012:stream/' || event_type, ':'))[6], '/'))[2] AS stream_std,
+       (string_split((string_split('arn:aws:kinesis:us-east-1:123456789012:stream/' || event_type || '/consumer/extra', ':'))[6], '/'))[2] AS stream_deep,
+       COALESCE((string_split((string_split('arn:aws:kinesis:short', ':'))[6], '/'))[2], '<invalid>') AS stream_short
+FROM t
+"""
+
+
+@register(
+    "arn_parse",
+    oracle=_ARN_SQL,
+    doc="P13: stream name out of eventSourceARN; extra-segment and short-ARN variants",
+    tags=("core",),
+)
+def arn_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_streams_health_check_spark.functions import scalar
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    t = events.select("event_type").distinct()
+    std = F.concat(F.lit(ARN_PREFIX), F.col("event_type"))
+    deep = F.concat(std, F.lit("/consumer/extra"))
+    return t.select(
+        "event_type",
+        scalar.stream_name_from_arn(std).alias("stream_std"),
+        scalar.stream_name_from_arn(deep).alias("stream_deep"),
+        # Coalesced to a sentinel: an all-NULL column round-trips through
+        # pandas as float64 NaN on the DuckDB side — a false schema mismatch.
+        F.coalesce(
+            scalar.stream_name_from_arn(F.lit("arn:aws:kinesis:short")), F.lit("<invalid>")
+        ).alias("stream_short"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generalized alarm: N-of-M evaluation on an arbitrary metric (A3 general
+# form; the reference pins 1-of-1 at KinesisHealthCheckStack.java:176,181).
+# Metric here: events.value, threshold 150, ALARM when >=3 of trailing 5
+# periods breach, missing periods don't vote (notBreaching).
+# ---------------------------------------------------------------------------
+_NOFM_SQL = """
+WITH metrics AS (
+  SELECT event_type AS stream_name, date_trunc('minute', ts) AS window_start,
+         max(value) AS max_value, count(*) AS n_datapoints
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(window_start) AS lo, max(window_start) AS hi FROM metrics),
+grid AS (
+  SELECT k.stream_name, g.window_start
+  FROM (SELECT DISTINCT stream_name FROM metrics) k
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS window_start FROM bounds) g
+),
+joined AS (
+  SELECT g.stream_name, g.window_start,
+         g.window_start + INTERVAL 1 MINUTE AS window_end,
+         m.max_value, COALESCE(m.n_datapoints, 0) AS n_datapoints
+  FROM grid g
+  LEFT JOIN metrics m ON m.stream_name = g.stream_name AND m.window_start = g.window_start
+),
+ev AS (
+  SELECT *,
+         sum(CASE WHEN max_value > 150.0 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY stream_name ORDER BY window_start
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+         ) AS breach_count
+  FROM joined
+),
+states AS (
+  SELECT stream_name, window_start, window_end,
+         CAST(max_value AS DOUBLE) AS max_lag, n_datapoints,
+         CASE WHEN breach_count >= 3 THEN 'ALARM' ELSE 'OK' END AS state
+  FROM ev
+)
+SELECT *,
+       lag(state) OVER w AS prev_state,
+       (lag(state) OVER w) IS NOT NULL AND state <> (lag(state) OVER w) AS transitioned
+FROM states
+WINDOW w AS (PARTITION BY stream_name ORDER BY window_start)
+"""
+
+
+@register(
+    "alarm_nofm",
+    oracle=_NOFM_SQL,
+    doc="A3/WF1 general N-of-M: ALARM when >=3 of trailing 5 periods breach threshold 150",
+    tags=("core",),
+)
+def alarm_nofm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_streams_health_check_spark.operators.alarm import (
+        alarm_pipeline,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    renamed = events.select(
+        F.col("ts"), F.col("event_type").alias("stream_name"), F.col("value")
+    )
+    return alarm_pipeline(
+        renamed,
+        threshold=150.0,
+        treat_missing="notBreaching",
+        evaluation_periods=5,
+        datapoints_to_alarm=3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3 isolated: the missing-period anti-join — emit only the gaps.
+# ---------------------------------------------------------------------------
+_MISSING_SQL = """
+WITH metrics AS (
+  SELECT event_type AS stream_name, date_trunc('minute', ts) AS window_start
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(window_start) AS lo, max(window_start) AS hi FROM metrics),
+grid AS (
+  SELECT k.stream_name, g.window_start
+  FROM (SELECT DISTINCT stream_name FROM metrics) k
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS window_start FROM bounds) g
+)
+SELECT g.stream_name, g.window_start,
+       g.window_start + INTERVAL 1 MINUTE AS window_end
+FROM grid g
+ANTI JOIN metrics m
+  ON m.stream_name = g.stream_name AND m.window_start = g.window_start
+"""
+
+
+@register(
+    "missing_periods",
+    oracle=_MISSING_SQL,
+    doc="F3: period-grid anti-join; periods with no datapoint (heartbeat gaps)",
+    tags=("core",),
+)
+def missing_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    metrics = (
+        events.groupBy(
+            F.col("event_type").alias("stream_name"),
+            F.window("ts", "1 minute")["start"].alias("window_start"),
+        )
+        .count()
+        .drop("count")
+    )
+    bounds = metrics.agg(F.min("window_start").alias("lo"), F.max("window_start").alias("hi"))
+    iv = F.expr("interval 1 minute")
+    periods = bounds.select(F.explode(F.sequence("lo", "hi", iv)).alias("window_start"))
+    keys = metrics.select("stream_name").distinct()
+    grid = periods.crossJoin(F.broadcast(keys))
+    gaps = grid.join(metrics, ["stream_name", "window_start"], "left_anti")
+    return gaps.select(
+        "stream_name", "window_start", (F.col("window_start") + iv).alias("window_end")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K3: transition-only rows — the SNS action leg of the flagship.
+# ---------------------------------------------------------------------------
+_TRANSITIONS_SQL = f"SELECT * FROM ({_FLAGSHIP_SQL}) WHERE transitioned"
+
+
+@register(
+    "alarm_transitions",
+    oracle=_TRANSITIONS_SQL,
+    doc="WF2/K3: flagship alerts filtered to state transitions (SNS publish rows)",
+    tags=("core",),
+)
+def alarm_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_streams_health_check_spark.operators.alarm import (
+        transitions_only,
+    )
+
+    return transitions_only(health_lag_alarm(spark, sf_dir))

@@ -1,2 +1,362 @@
-"""Relational coverage queries on the TPC-H-ish tables (populated in later
-milestones; the registry import requires the module to exist)."""
+"""Relational coverage queries on the TPC-H-ish testdata tables.
+
+The reference has no relational surface at all (SURVEY.md section 2.9 — no
+joins, sorts, set ops, or grouping sets); these queries exist so the engine is
+a complete analytics substrate, and they double as the bench workload's
+shuffle/join-heavy leg.
+
+Cross-engine determinism rule: every monetary aggregate is computed in exact
+DECIMAL arithmetic (associative — immune to partial-aggregation order) and
+cast to DOUBLE only in the final projection, so Spark and DuckDB emit
+bit-identical doubles regardless of partitioning. Plain double sums are used
+only where the addends are integral (exact in IEEE754 below 2^53).
+
+Scale notes per query are inline; the common theme: dimension tables
+(region/nation/supplier, and customer after filters) are broadcast so the
+only shuffles left are the orders<->lineitem co-partitioning and the final
+aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_streams_health_check_spark.plans.registry import register
+from amazon_kinesis_data_streams_health_check_spark.session import configure_session
+from amazon_kinesis_data_streams_health_check_spark.sources.tables import load_table
+
+# Exact-decimal building blocks (Spark side).
+_PRICE = "CAST(l_extendedprice AS DECIMAL(18,2))"
+_DISC = "CAST(l_discount AS DECIMAL(4,2))"
+_TAX = "CAST(l_tax AS DECIMAL(4,2))"
+_REVENUE = f"{_PRICE} * (CAST(1 AS DECIMAL(3,2)) - {_DISC})"
+_CHARGE = f"{_REVENUE} * (CAST(1 AS DECIMAL(3,2)) + {_TAX})"
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary: the scan+aggregate stress query.
+# ---------------------------------------------------------------------------
+_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum({_PRICE}) AS DOUBLE) AS sum_base_price,
+       CAST(sum({_REVENUE}) AS DOUBLE) AS sum_disc_price,
+       CAST(sum({_CHARGE}) AS DOUBLE) AS sum_charge,
+       sum(l_quantity) / count(*) AS avg_qty,
+       CAST(sum({_PRICE}) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum({_DISC}) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=_Q1_SQL,
+    doc="Scan+aggregate: grouped sums/averages over lineitem with pushed-down date filter",
+    tags=("relational", "bench"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum(F.expr(_PRICE)).cast("double").alias("sum_base_price"),
+        F.sum(F.expr(_REVENUE)).cast("double").alias("sum_disc_price"),
+        F.sum(F.expr(_CHARGE)).cast("double").alias("sum_charge"),
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+        (F.sum(F.expr(_PRICE)).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+        (F.sum(F.expr(_DISC)).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3-style shipping priority: 3-way join + top-k.
+# ---------------------------------------------------------------------------
+_Q3_SQL = f"""
+SELECT l_orderkey,
+       CAST(sum({_REVENUE}) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND l_shipdate  > TIMESTAMP '1997-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=_Q3_SQL,
+    doc="3-way join (broadcast filtered customer) + grouped revenue + deterministic top-10",
+    tags=("relational", "bench"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
+    )
+    # customer is ~1/5 of an already-small table after the segment filter:
+    # broadcast it into orders, leaving one shuffle (orders<->lineitem).
+    joined = li.join(
+        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.expr(_REVENUE)).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5-style local-supplier revenue: 6-way join, dimension broadcast chain.
+# ---------------------------------------------------------------------------
+_Q5_SQL = f"""
+SELECT n_name, CAST(sum({_REVENUE}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+@register(
+    "q5_local_supplier",
+    oracle=_Q5_SQL,
+    doc="6-way join: broadcast region/nation/supplier dims, customer-nation co-membership",
+    tags=("relational", "bench"),
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # Dims (region->nation->supplier) collapse to a broadcastable supplier set;
+    # the only large shuffle is orders<->lineitem.
+    dims = supp.join(
+        F.broadcast(nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            cust,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(F.expr(_REVENUE)).cast("double").alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window ranking: top-3 suppliers per nation by account balance.
+# ---------------------------------------------------------------------------
+_TOPSUPP_SQL = """
+SELECT n_name, s_name, s_acctbal, rk
+FROM (
+  SELECT n_name, s_name, s_acctbal,
+         row_number() OVER (PARTITION BY n_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rk
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+) WHERE rk <= 3
+"""
+
+
+@register(
+    "top_suppliers_per_nation",
+    oracle=_TOPSUPP_SQL,
+    doc="Window ranking (row_number, deterministic tiebreak) + broadcast dim join",
+    tags=("relational",),
+)
+def top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "s_name", "s_acctbal", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets: ROLLUP over returnflag/linestatus.
+# ---------------------------------------------------------------------------
+_ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum({_REVENUE}) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register(
+    "revenue_rollup",
+    oracle=_ROLLUP_SQL,
+    doc="ROLLUP grouping sets with exact-decimal revenue",
+    tags=("relational",),
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.expr(_REVENUE)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations on the events table: (view ∩ purchase) − error users.
+# ---------------------------------------------------------------------------
+_SETOPS_SQL = """
+SELECT user_id FROM (
+  (SELECT user_id FROM events WHERE event_type = 'view'
+   INTERSECT
+   SELECT user_id FROM events WHERE event_type = 'purchase')
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'error'
+)
+"""
+
+
+@register(
+    "user_funnel_setops",
+    oracle=_SETOPS_SQL,
+    doc="INTERSECT / EXCEPT set operations over event-type user sets",
+    tags=("relational",),
+)
+def user_funnel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    by = lambda t: ev.filter(F.col("event_type") == t).select("user_id")  # noqa: E731
+    return by("view").intersect(by("purchase")).subtract(by("error"))
+
+
+# ---------------------------------------------------------------------------
+# Anti join: customers with no orders, summarized by segment.
+# ---------------------------------------------------------------------------
+_NOORDERS_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+ANTI JOIN orders ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "customers_without_orders",
+    oracle=_NOORDERS_SQL,
+    doc="Anti join (left_anti) + grouped exact-decimal aggregate",
+    tags=("relational",),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.expr("CAST(c_acctbal AS DECIMAL(18,2))")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi join: orders having a deeply discounted line, counted by priority.
+# ---------------------------------------------------------------------------
+_SEMI_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+SEMI JOIN lineitem ON l_orderkey = o_orderkey AND l_discount >= 0.06
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "discounted_orders_by_priority",
+    oracle=_SEMI_SQL,
+    doc="Semi join (left_semi existence test) + grouped aggregate",
+    tags=("relational",),
+)
+def discounted_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") >= 0.06)
+    return (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))")).cast("double").alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot: per-user event-type counts (FILTER-aggregate twin on the SQL side).
+# ---------------------------------------------------------------------------
+_PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'view')     AS view,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'error')    AS error
+FROM events
+GROUP BY user_id
+"""
+
+_EVENT_TYPES = ["view", "click", "signup", "purchase", "error"]
+
+
+@register(
+    "user_event_pivot",
+    oracle=_PIVOT_SQL,
+    doc="Pivot (groupBy.pivot with pinned key list) == conditional FILTER aggregates",
+    tags=("relational",),
+)
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    # Pinned pivot values: no extra distinct-collection job, stable schema.
+    out = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return out.fillna(0, subset=_EVENT_TYPES)

@@ -1,0 +1,151 @@
+"""Structured Streaming lifts of the batch cores (SURVEY.md W1-W3, W5).
+
+Every streaming query reuses the exact batch transform functions — the
+streaming layer only swaps sources (``readStream``) and sinks
+(``writeStream``/``foreachBatch``), so the DuckDB-oracle-checked batch
+semantics carry over unchanged.
+
+Production source mapping (S1/S2): the producer leg reads
+``rate-micro-batch`` (EventBridge 1/min schedule analogue,
+KinesisHealthCheckStack.java:109-117); the consumer leg reads a Kinesis
+connector or — hermetically — a file stream of kinesis-event JSON with
+``maxFilesPerTrigger=1`` reproducing ESM ``batchSize(1)``
+(KinesisHealthCheckStack.java:157). ``startingposition=LATEST`` (W2,
+``:160``) corresponds to starting a file stream against an empty directory /
+the connector's latest offset, with checkpointed offsets thereafter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_streams_health_check_spark.functions import scalar
+from amazon_kinesis_data_streams_health_check_spark.operators.consumer import (
+    decoded_records,
+    metric_rows,
+)
+from amazon_kinesis_data_streams_health_check_spark.operators.producer import tracer_records
+from amazon_kinesis_data_streams_health_check_spark.schemas import (
+    KINESIS_EVENT_SCHEMA_PERMISSIVE,
+)
+from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_events import (
+    explode_records,
+)
+
+
+def producer_stream(
+    spark: SparkSession,
+    stream_name: str = "health-check-stream",
+    interval_ms: int = 60_000,
+) -> DataFrame:
+    """S1/W1: scheduled constant-row source -> tracer records.
+
+    ``rate-micro-batch`` emits exactly ``rowsPerBatch`` rows per trigger with
+    a stable per-batch timestamp — the EventBridge 1/min constant-input rule.
+    The batch timestamp plays ``Instant.now()`` (deterministic per batch,
+    replayable from the checkpoint).
+    """
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 1)
+        .option("advanceMillisPerBatch", interval_ms)
+        .load()
+    )
+    return tracer_records(src, F.col("timestamp"), F.lit(stream_name))
+
+
+def consumer_stream(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int = 1,
+    event_time_source: str = "coalesce",
+) -> DataFrame:
+    """S2/S3: kinesis-event JSON file stream -> decoded metric rows.
+
+    ``maxFilesPerTrigger=1`` reproduces ESM batchSize=1. The metric "now" is
+    the processing-time clock, exactly like the consumer Lambda
+    (HealthCheckConsumerHandler.java:71) — acceptable here because streaming
+    outputs are not oracle-compared (the batch twin is).
+    """
+    batches = (
+        spark.readStream.schema(KINESIS_EVENT_SCHEMA_PERMISSIVE)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("mode", "PERMISSIVE")
+        .json(events_dir)
+    )
+    decoded = decoded_records(explode_records(batches))
+    return metric_rows(decoded, F.current_timestamp(), event_time_source=event_time_source)
+
+
+def windowed_max_stream(
+    metrics: DataFrame,
+    period: str = "1 minute",
+    watermark: str = "2 minutes",
+    dedup_ids: bool = False,
+) -> DataFrame:
+    """W3/W5: watermarked tumbling MAX per stream — the CloudWatch period
+    aggregation (A1) lifted to streaming. ``dedup_ids`` adds
+    ``dropDuplicatesWithinWatermark`` for the ESM at-least-once redelivery
+    (SURVEY.md W5; requires an ``event_id`` column)."""
+    df = metrics.withWatermark("ts", watermark)
+    if dedup_ids:
+        df = df.dropDuplicatesWithinWatermark(["event_id"])
+    w = F.window(F.col("ts"), period)
+    return (
+        df.groupBy(F.col("stream_name"), w.alias("w"))
+        .agg(F.max("value").alias("max_value"), F.count(F.lit(1)).alias("n_datapoints"))
+        .select(
+            "stream_name",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "max_value",
+            "n_datapoints",
+        )
+    )
+
+
+def write_metrics_sink(
+    metrics: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """K2: append-mode parquet metrics sink (the CloudWatch stand-in).
+    One vectorized write per micro-batch — the reference's per-record
+    PutMetricData HTTP call (HealthCheckConsumerHandler.java:64-84) batched
+    away, as SURVEY.md section 4 prescribes."""
+    writer = (
+        metrics.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def alerts_foreach_batch_sink(
+    alerts: DataFrame,
+    alerts_path: str,
+    checkpoint: str,
+):
+    """K3: alarm-transition rows appended via foreachBatch (the SNS publish
+    stand-in). foreachBatch reuses the batch transition filter so alert
+    semantics stay oracle-checked."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.filter(F.col("transitioned"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(alerts_path)
+        )
+
+    return (
+        alerts.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

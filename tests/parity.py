@@ -31,9 +31,13 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 
 
 def _norm_cell(v: Any) -> str:
+    import numpy as np
+
+    if isinstance(v, np.generic):
+        v = v.item()
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "<NULL>"
-    if pd.isna(v):
+    if not isinstance(v, (list, tuple, np.ndarray)) and pd.isna(v):
         return "<NULL>"
     if isinstance(v, float):
         if v == int(v) and abs(v) < 2**53:

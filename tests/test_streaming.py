@@ -1,0 +1,181 @@
+"""Streaming lifts: producer rate source, file-stream consumer, watermarked
+window agg, checkpoint restart (W2), stateful heartbeat-timeout alarm (W4/W6).
+
+All hermetic: file sources + memory/parquet sinks, availableNow triggers
+where possible (the verify recipe's preferred drive mode)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_streams_health_check_spark.streaming.pipeline import (
+    consumer_stream,
+    producer_stream,
+    windowed_max_stream,
+    write_metrics_sink,
+)
+
+GOLDEN_EVENT = {
+    "records": [
+        {
+            "kinesis": {
+                "kinesisSchemaVersion": "1.0",
+                "partitionKey": "2022-10-17T10:00:00Z",
+                "sequenceNumber": "49545115243490985018280067714973144582180062593244200961",
+                "data": "eyJjdXJyZW50SW5zdGFudCI6IjIwMjItMTAtMTdUMTA6MDA6MDBaIn0=",
+                "approximateArrivalTimestamp": 1666014770.0,
+            },
+            "eventSource": "aws:kinesis",
+            "eventVersion": "1.0",
+            "eventID": "shardId-000000000000:49545115243490985018280067714973144582180062593244200961",
+            "eventName": "aws:kinesis:record",
+            "invokeIdentityArn": "arn:aws:iam::123456789012:role/lambda-role",
+            "awsRegion": "us-east-2",
+            "eventSourceARN": "arn:aws:kinesis:us-east-2:123456789012:stream/lambda-stream",
+        }
+    ]
+}
+
+
+def _write_event(dirpath, name: str, arrival: float, seq: str = "01") -> None:
+    e = json.loads(json.dumps(GOLDEN_EVENT))
+    e["records"][0]["kinesis"]["approximateArrivalTimestamp"] = arrival
+    e["records"][0]["kinesis"]["sequenceNumber"] = seq
+    (dirpath / name).write_text(json.dumps(e))
+
+
+def test_producer_stream_emits_tracers(spark, tmp_path):
+    q = (
+        producer_stream(spark, "health-check-stream")
+        .writeStream.format("memory")
+        .queryName("tracers")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.table("tracers").collect()
+    assert len(rows) >= 1
+    r = rows[0]
+    assert r.stream_name == "health-check-stream"
+    # Wire contract: payload json round-trips, partition key == the instant.
+    assert json.loads(r.data_json)["currentInstant"] == r.partition_key
+    assert r.partition_key.endswith("Z")
+
+
+def test_consumer_stream_file_source(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    _write_event(src, "e1.json", 1666014770.0)
+    metrics = consumer_stream(spark, str(src), event_time_source="arrival")
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName("consumer_metrics_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.table("consumer_metrics_stream").collect()
+    assert len(rows) == 1
+    assert rows[0].stream_name == "lambda-stream"
+    assert rows[0].metric_name == "HealthCheckSinceSeconds"
+    assert rows[0].value > 0  # arrival 2022 vs wall clock now
+
+
+def test_windowed_max_stream_complete_mode(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    _write_event(src, "e1.json", 1666014770.0, "01")
+    _write_event(src, "e2.json", 1666014775.5, "02")
+    _write_event(src, "e3.json", 1666014830.0, "03")  # next minute window
+    metrics = consumer_stream(
+        spark, str(src), max_files_per_trigger=10, event_time_source="arrival"
+    )
+    agg = windowed_max_stream(metrics)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("windowed_metrics")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r.window_start.isoformat(): r for r in spark.table("windowed_metrics").collect()}
+    assert len(rows) == 2  # 13:52 and 13:53 windows
+    counts = sorted(r.n_datapoints for r in rows.values())
+    assert counts == [1, 2]
+
+
+def test_metrics_sink_checkpoint_restart(spark, tmp_path):
+    # W2: restart from checkpoint does not reprocess already-committed files.
+    src = tmp_path / "events"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _write_event(src, "e1.json", 1666014770.0, "01")
+    q = write_metrics_sink(
+        consumer_stream(spark, str(src), event_time_source="arrival"), out, ckpt
+    )
+    q.awaitTermination(60)
+    assert spark.read.parquet(out).count() == 1
+    # new file arrives; restart the query from the same checkpoint
+    _write_event(src, "e2.json", 1666014771.0, "02")
+    q2 = write_metrics_sink(
+        consumer_stream(spark, str(src), event_time_source="arrival"), out, ckpt
+    )
+    q2.awaitTermination(60)
+    df = spark.read.parquet(out)
+    assert df.count() == 2  # exactly-once per file: no duplicates of e1
+    assert df.select("stream_name").distinct().collect()[0][0] == "lambda-stream"
+
+
+@pytest.mark.slow
+def test_stateful_alarm_timeout_fires(spark, tmp_path):
+    """W4: heartbeats stop -> processing-time timeout -> synthetic ALARM row."""
+    from amazon_kinesis_data_streams_health_check_spark.streaming.stateful_alarm import (
+        alarm_state_stream,
+    )
+
+    # Heartbeat metrics from the rate source; rows stop after value >= 3 —
+    # the stream keeps triggering (rate source), but the key sees no data,
+    # so its 2s timeout must fire.
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .filter(F.col("value") < 3)
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.lit("hb-stream").alias("stream_name"),
+            F.lit(0.5).alias("value"),
+        )
+    )
+    alarms = alarm_state_stream(rate, threshold=1.0, timeout_ms=2000)
+    q = (
+        alarms.writeStream.format("memory")
+        .queryName("alarm_states")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        seen_timeout = False
+        while time.time() < deadline and not seen_timeout:
+            time.sleep(2)
+            rows = spark.table("alarm_states").collect()
+            seen_timeout = any(r.reason == "timeout" and r.state == "ALARM" for r in rows)
+    finally:
+        q.stop()
+    rows = spark.table("alarm_states").collect()
+    assert any(r.reason == "data" and r.state == "OK" for r in rows), rows
+    assert seen_timeout, f"no timeout ALARM observed: {rows}"
+    # Transition fired exactly when state flipped OK->ALARM.
+    trans = [r for r in rows if r.transitioned]
+    assert any(r.state == "ALARM" for r in trans)
