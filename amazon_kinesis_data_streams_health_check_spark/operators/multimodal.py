@@ -1,0 +1,136 @@
+"""[EXT] Multimodal columns: image/audio/video as opaque binary + typed
+metadata (SURVEY.md section 2.10 E4; north-star training-data scope).
+
+The Spark-side plumbing is real and tested — schemas, Arrow-batched
+``mapInPandas`` iteration, partition-preserving feature extraction. The
+actual media codecs are NOT in this environment, so the codec step is
+isolated behind ``decode_media``:
+
+- ``decoder="real"`` imports PIL/av lazily and raises ``NotImplementedError``
+  with a clear message when absent (clearly-marked stub),
+- ``decoder="fake"`` (default for tests) derives a deterministic byte-level
+  feature vector from the payload — same batch shape, schema, and
+  partitioning as the real path would have.
+
+Scale notes: feature extraction is ``mapInPandas`` (Arrow batches, no
+shuffle, no driver traffic); payload bytes stay columnar end-to-end. Batch
+size is governed by ``spark.sql.execution.arrow.maxRecordsPerBatch`` — at
+real image sizes set it low (e.g. 64) to bound executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_streams_health_check_spark.schemas import MEDIA_FEATURE_SCHEMA
+
+#: Fixed feature width for the fake byte-level featurizer.
+FEATURE_DIM = 8
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Build a media-shaped table from ``documents`` (no media testdata
+    exists): payload = UTF-8 bytes of the text standing in for encoded media;
+    kind cycles image/audio/video; metadata derived deterministically."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.concat(F.lit("application/x-fake-"), kind).alias("mime_type"),
+        (F.col("n_chars") % 640 + 1).alias("width"),
+        (F.col("n_chars") % 480 + 1).alias("height"),
+        (F.col("n_chars") * 10).alias("duration_ms"),
+    )
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in featurizer: mean byte value of FEATURE_DIM
+    equal chunks (float32-rounded for a stable array<float> column)."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return [0.0] * FEATURE_DIM
+    chunks = np.array_split(arr, FEATURE_DIM)
+    return [float(np.float32(c.mean())) if c.size else 0.0 for c in chunks]
+
+
+def _real_decode(payload: bytes, kind: str):
+    if kind == "image":
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "real image decode requires Pillow, which is not installed in "
+                "this environment; use decoder='fake' for the deterministic "
+                "plumbing path"
+            ) from e
+    else:
+        try:
+            import av  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                f"real {kind} decode requires PyAV, which is not installed in "
+                "this environment; use decoder='fake'"
+            ) from e
+    raise NotImplementedError("real decode path not implemented in this build")
+
+
+def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
+    """media rows -> (media_id, kind, feature array<float>, n_bytes).
+
+    Arrow-batched ``mapInPandas``; one output row per input row, schema pinned
+    to MEDIA_FEATURE_SCHEMA regardless of decoder.
+    """
+    if decoder not in {"fake", "real"}:
+        raise ValueError(f"unknown decoder: {decoder}")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                raw = bytes(payload) if payload is not None else b""
+                if decoder == "real":
+                    _real_decode(raw, kind)
+                feats.append(_fake_features(raw))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feature": feats,
+                    "n_bytes": [len(bytes(p)) if p is not None else 0 for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(extract, schema=MEDIA_FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Video-style frame sampling on the opaque payload: one synthetic
+    "frame" per ``every_n_bytes`` offset (capped). Pure column expressions —
+    the sampling plumbing (explode to frame rows, offset bookkeeping) is the
+    real part; frame decode would plug into ``decode_media``."""
+    n = F.least(
+        F.greatest((F.length("payload") / every_n_bytes).cast("long"), F.lit(1)),
+        F.lit(max_frames),
+    )
+    return (
+        media.filter(F.col("kind") == "video")
+        .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), n - 1)))
+        .select(
+            "media_id",
+            "frame_idx",
+            (F.col("frame_idx") * every_n_bytes).alias("byte_offset"),
+            F.expr(f"substring(payload, frame_idx * {every_n_bytes} + 1, {every_n_bytes})").alias(
+                "frame_bytes"
+            ),
+        )
+    )

@@ -461,3 +461,76 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine_expr("emb_a", "emb_b"), 6).alias("cosine"),
         )
     )
+
+
+# ===========================================================================
+# E4: multimodal columns (opaque binary payload + typed metadata; decode is
+# a clearly-marked stub — the Spark plumbing is the deliverable).
+# ===========================================================================
+from amazon_kinesis_data_streams_health_check_spark.operators.multimodal import (  # noqa: E402
+    decode_media,
+    frame_sample,
+    synthesize_media,
+)
+
+_MEDIA_STATS_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         encode(text) AS payload,
+         n_chars % 640 + 1 AS width,
+         n_chars % 480 + 1 AS height,
+         n_chars * 10 AS duration_ms
+  FROM documents
+)
+SELECT kind,
+       count(*) AS n_media,
+       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+       CAST(min(width) AS BIGINT) AS min_width,
+       CAST(max(height) AS BIGINT) AS max_height,
+       CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms
+FROM media
+GROUP BY kind
+"""
+
+
+@register(
+    "media_stats",
+    oracle=_MEDIA_STATS_SQL,
+    doc="E4: binary media columns + typed metadata, grouped byte/dimension stats",
+    tags=("ext", "multimodal"),
+)
+def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.length("payload")).cast("long").alias("total_bytes"),
+        F.min("width").cast("long").alias("min_width"),
+        F.max("height").cast("long").alias("max_height"),
+        F.sum("duration_ms").cast("long").alias("total_duration_ms"),
+    )
+
+
+@register(
+    "media_features",
+    oracle=None,  # Pandas-UDF featurizer: rows-only check (mapInPandas path)
+    doc="E4: Arrow-batched mapInPandas feature extraction over binary payloads (fake decoder)",
+    tags=("ext", "multimodal"),
+)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    return decode_media(media, decoder="fake")
+
+
+@register(
+    "media_frame_sample",
+    oracle=None,  # binary substring output: rows-only check
+    doc="E4: video frame sampling plumbing (explode to frame rows with byte offsets)",
+    tags=("ext", "multimodal"),
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    return frame_sample(media)

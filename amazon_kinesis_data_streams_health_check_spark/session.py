@@ -10,6 +10,9 @@ oracle comparisons against DuckDB's naive timestamps are stable.
 from __future__ import annotations
 
 import os
+import pathlib
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -41,6 +44,37 @@ BUILD_CONFS = {
 }
 
 
+#: applicationIds the package zip has already been shipped to.
+_SHIPPED_APPS: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Pandas-UDF closures (mapInPandas/applyInPandas paths) reference this
+    package by module name, so workers must be able to import it. The driver
+    may own the session and run from any cwd, so we ship a zip of the package
+    via ``addPyFile`` — the same mechanism a real cluster submit would use
+    (``--py-files``).
+    """
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _SHIPPED_APPS:
+        return
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"{pkg_dir.name}-pyfiles-{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for py in sorted(pkg_dir.rglob("*.py")):
+            zf.write(py, arcname=str(pathlib.Path(pkg_dir.name) / py.relative_to(pkg_dir)))
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass  # e.g. Spark Connect sessions without addPyFile support
+    _SHIPPED_APPS.add(app_id)
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an existing session."""
     for k, v in RUNTIME_CONFS.items():
@@ -48,6 +82,7 @@ def configure_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # immutable in this deployment; engine still works, tests pin UTC
+    _ship_package(spark)
     return spark
 
 
