@@ -26,7 +26,7 @@ from amazon_kinesis_data_streams_health_check_spark.operators.textstats import (
 )
 from amazon_kinesis_data_streams_health_check_spark.plans.registry import register
 from amazon_kinesis_data_streams_health_check_spark.session import configure_session
-from amazon_kinesis_data_streams_health_check_spark.sources.tables import load_table
+from amazon_kinesis_data_streams_health_check_spark.sources.tables import load_table, parallel_scan
 
 _DUCK_TOK = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
 
@@ -63,7 +63,7 @@ FROM s
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallel_scan(spark, sf_dir, "documents")
     out = with_quality_score(with_token_stats(docs))
     return out.select(
         "doc_id",
@@ -113,7 +113,7 @@ GROUP BY 1, 2
 )
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallel_scan(spark, sf_dir, "documents")
     guessed = with_lang_guess(docs)
     return guessed.groupBy("lang", "lang_guess").agg(F.count(F.lit(1)).alias("n"))
 
@@ -141,7 +141,7 @@ GROUP BY source
 )
 def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallel_scan(spark, sf_dir, "documents")
     # Spark SQL string literals are backslash-escaped (DuckDB's are not):
     # regex backslashes must be doubled on this side only.
     bpe_spark = BPE_RE.replace("\\", "\\\\")
@@ -179,7 +179,7 @@ FROM documents
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallel_scan(spark, sf_dir, "documents")
     return with_fingerprints(docs).select(
         "doc_id", "content_hash", "min_gram_hash", "max_gram_hash"
     )
@@ -222,7 +222,7 @@ GROUP BY source
 )
 def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallel_scan(spark, sf_dir, "documents")
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
@@ -247,7 +247,7 @@ GROUP BY 1
 )
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallel_scan(spark, sf_dir, "documents")
     return docs.groupBy(F.md5("text").alias("content_hash")).agg(
         F.min("doc_id").alias("keeper_doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
@@ -289,7 +289,7 @@ JOIN tok tb ON tb.doc_id = p.doc_b
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallel_scan(spark, sf_dir, "documents")
     shingled = with_shingles(docs).select("doc_id", "sh")
     banded = with_bands(with_minhash(shingled))
     pairs = lsh_candidate_pairs(banded)
@@ -347,9 +347,54 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 4
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallel_scan(spark, sf_dir, "documents")
     sigs = simhash_signatures(docs)
     return simhash_near_pairs(sigs, max_hamming=4)
+
+
+_NGRAM_JACCARD_THRESHOLD = 0.2
+
+_NGRAM_JACCARD_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, {duck_shingles()} AS sh FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.source,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+FROM tok a
+JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(a.sh || b.sh)) >= {_NGRAM_JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_NGRAM_JACCARD_SQL,
+    doc="E1: exact word-3-gram Jaccard near-dups, source-blocked pairwise "
+    "(blocking bounds the pair count; the LSH query is the unblocked scale path)",
+    tags=("ext", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    shingled = with_shingles(docs).select("doc_id", "source", "sh")
+    a = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("source"), F.col("sh").alias("sh_a")
+    )
+    b = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("source"), F.col("sh").alias("sh_b")
+    )
+    jac = F.expr("size(array_intersect(sh_a, sh_b))").cast("double") / F.expr(
+        "size(array_union(sh_a, sh_b))"
+    )
+    return (
+        a.join(b, "source")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jac_raw", jac)
+        .filter(F.col("jac_raw") >= _NGRAM_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "source", F.round("jac_raw", 6).alias("jaccard"))
+    )
 
 
 # ===========================================================================
@@ -382,7 +427,7 @@ WHERE {duck_cosine('a.embedding', 'b.embedding')} >= {_NEARDUP_COS_THRESHOLD}
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = parallel_scan(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("emb_a"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("emb_b"))
     cos = cosine_expr("emb_a", "emb_b")
@@ -424,7 +469,7 @@ FROM ranked WHERE rank <= {_ANN_K}
 )
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = parallel_scan(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _ANN_QUERY_LIMIT)
     return brute_force_topk(emb, queries, k=_ANN_K)
 
@@ -449,7 +494,7 @@ JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = parallel_scan(spark, sf_dir, "embeddings")
     bucketed = with_lsh_bucket(emb)
     a = bucketed.select(F.col("vec_id").alias("vec_a"), F.col("bucket"), F.col("embedding").alias("emb_a"))
     b = bucketed.select(F.col("vec_id").alias("vec_b"), F.col("bucket"), F.col("embedding").alias("emb_b"))
@@ -502,7 +547,7 @@ GROUP BY kind
 )
 def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
-    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    media = synthesize_media(parallel_scan(spark, sf_dir, "documents"))
     return media.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n_media"),
         F.sum(F.length("payload")).cast("long").alias("total_bytes"),
@@ -520,7 +565,7 @@ def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
-    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    media = synthesize_media(parallel_scan(spark, sf_dir, "documents"))
     return decode_media(media, decoder="fake")
 
 
@@ -532,5 +577,5 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
-    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    media = synthesize_media(parallel_scan(spark, sf_dir, "documents"))
     return frame_sample(media)

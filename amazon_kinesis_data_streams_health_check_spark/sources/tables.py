@@ -44,3 +44,25 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     """Load several tables; defaults to all of them."""
     use = names or TESTDATA_TABLES
     return {n: load_table(spark, sf_dir, n) for n in use}
+
+
+def parallel_scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load_table`` + repartition when the scan under-parallelizes.
+
+    A small parquet file with one row group scans as ONE task, so CPU-heavy
+    per-row expression work (tokenize/shingle/hash over ``documents``, cosine
+    over ``embeddings``) serializes onto a single core regardless of cluster
+    size. At real scale (100 TB => thousands of splits) the scan already has
+    more partitions than cores and this is a no-op; the round-robin exchange
+    only fires for the unsplittable-small-file case, where shuffling the
+    table is cheap by construction.
+
+    Use for compute-bound per-row pipelines only — scan-bound relational
+    queries should stay on ``load_table`` (an extra exchange there is pure
+    loss).
+    """
+    df = load_table(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
