@@ -77,7 +77,14 @@ def with_period_grid(
 
     The grid is ``periods x keys`` rows — small at any data scale; the join
     keys are the aggregated metric keys, so AQE broadcast-joins it.
+
+    ``metrics`` is consumed three times (bounds, key list, the grid join).
+    Without materialization Catalyst's RemoveRedundantAggregates rewrites the
+    min/max/distinct-over-aggregate branches into aggregates over the RAW
+    input, tripling the scan of the big table; persisting the tiny aggregated
+    relation pins it to one scan (the idiomatic fan-out-reuse pattern).
     """
+    metrics = metrics.persist()
     bounds = metrics.agg(
         F.min("window_start").alias("lo"), F.max("window_start").alias("hi")
     )
@@ -86,13 +93,21 @@ def with_period_grid(
         F.explode(F.sequence(F.col("lo"), F.col("hi"), iv)).alias("window_start")
     )
     keys = metrics.select(key_col).distinct()
-    grid = periods.crossJoin(F.broadcast(keys)).select(
-        key_col,
-        "window_start",
-        (F.col("window_start") + iv).alias("window_end"),
+    # The sequence-explode starts from a single row, so the raw grid is one
+    # partition; repartition by key so the downstream per-key window-function
+    # tail distributes (AQE re-coalesces when the grid really is tiny). The
+    # broadcast grid-metrics join preserves this partitioning.
+    grid = (
+        periods.crossJoin(F.broadcast(keys))
+        .repartition(F.col(key_col))
+        .select(
+            key_col,
+            "window_start",
+            (F.col("window_start") + iv).alias("window_end"),
+        )
     )
     return grid.join(
-        metrics.select(key_col, "window_start", "max_value", "n_datapoints"),
+        F.broadcast(metrics.select(key_col, "window_start", "max_value", "n_datapoints")),
         [key_col, "window_start"],
         "left",
     ).withColumn("n_datapoints", F.coalesce("n_datapoints", F.lit(0)))
