@@ -35,7 +35,7 @@ from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_events impor
 )
 from amazon_kinesis_data_streams_health_check_spark.plans.registry import register
 from amazon_kinesis_data_streams_health_check_spark.session import configure_session
-from amazon_kinesis_data_streams_health_check_spark.sources.tables import load_table
+from amazon_kinesis_data_streams_health_check_spark.sources.tables import load_table, parallel_scan
 
 #: Alarm threshold for the flagship on the driver's ``events`` table. The
 #: reference uses 1s against sub-second Kinesis lag (KinesisHealthCheckStack.java:175);
@@ -101,7 +101,7 @@ WINDOW w AS (PARTITION BY stream_name ORDER BY window_start)
 )
 def health_lag_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
-    events = load_table(spark, sf_dir, "events")
+    events = parallel_scan(spark, sf_dir, "events")
     lagged = staleness_at_window_close(events, ts_col="ts", payload_col="props", key_col="event_type")
     metrics = lagged.groupBy("stream_name", "window_start", "window_end").agg(
         F.max("lag_seconds").alias("max_value"),
@@ -141,7 +141,7 @@ FROM events
 )
 def tracer_produce(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
-    events = load_table(spark, sf_dir, "events")
+    events = parallel_scan(spark, sf_dir, "events")
     return tracer_records(events, F.col("ts"), F.col("event_type"))
 
 
@@ -185,7 +185,7 @@ WHERE ev IS NOT NULL
 )
 def consumer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
-    events = load_table(spark, sf_dir, "events")
+    events = parallel_scan(spark, sf_dir, "events")
     records = explode_records(synthesize_from_events(events))
     decoded = decoded_records(records)
     now_df = events.agg(F.max("ts").alias("now_ts"))
@@ -220,7 +220,7 @@ def first_record_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     configure_session(spark)
-    events = load_table(spark, sf_dir, "events")
+    events = parallel_scan(spark, sf_dir, "events")
     w = F.window(F.col("ts"), "1 minute")
     df = events.withColumn("window_start", w["start"])
     rn = F.row_number().over(
@@ -263,7 +263,7 @@ def arn_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_kinesis_data_streams_health_check_spark.functions import scalar
 
     configure_session(spark)
-    events = load_table(spark, sf_dir, "events")
+    events = parallel_scan(spark, sf_dir, "events")
     t = events.select("event_type").distinct()
     std = F.concat(F.lit(ARN_PREFIX), F.col("event_type"))
     deep = F.concat(std, F.lit("/consumer/extra"))
@@ -338,7 +338,7 @@ def alarm_nofm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     configure_session(spark)
-    events = load_table(spark, sf_dir, "events")
+    events = parallel_scan(spark, sf_dir, "events")
     renamed = events.select(
         F.col("ts"), F.col("event_type").alias("stream_name"), F.col("value")
     )
@@ -381,7 +381,7 @@ ANTI JOIN metrics m
 )
 def missing_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
-    events = load_table(spark, sf_dir, "events")
+    events = parallel_scan(spark, sf_dir, "events")
     metrics = (
         events.groupBy(
             F.col("event_type").alias("stream_name"),
