@@ -1,0 +1,109 @@
+"""Structured Streaming entries for the driver surface (rows-only checks).
+
+Streaming results are inherently wall-clock / trigger dependent, so these are
+registered WITHOUT DuckDB oracles (the batch twins of the same transforms are
+oracle-checked); the driver records a rows-only check, and tests pin the
+semantics (tests/test_streaming.py).
+
+Each builder drives a real streaming query to completion hermetically —
+``availableNow`` trigger + memory sink — and returns the sink's DataFrame.
+That is the verify recipe's preferred drive mode and also exactly how a
+backfill of the production pipeline runs: identical code, bounded input.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_events import (
+    synthesize_from_events,
+)
+from amazon_kinesis_data_streams_health_check_spark.plans.registry import register
+from amazon_kinesis_data_streams_health_check_spark.session import configure_session
+from amazon_kinesis_data_streams_health_check_spark.sources.tables import load_table
+from amazon_kinesis_data_streams_health_check_spark.streaming.pipeline import (
+    consumer_stream,
+    producer_stream,
+    windowed_max_stream,
+)
+
+
+def _run_to_memory(stream: DataFrame, name_prefix: str, output_mode: str = "append") -> DataFrame:
+    """Drive a bounded stream to completion into a memory sink; return it."""
+    spark = stream.sparkSession
+    qname = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name_prefix}_")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover - defensive against a hung source
+        q.stop()
+    return spark.table(qname)
+
+
+@register(
+    "streaming_tracer_produce",
+    oracle=None,  # trigger-clock dependent: rows-only
+    doc="S1/W1 streaming: rate-micro-batch schedule -> tracer records (producer leg lift)",
+    tags=("core", "streaming"),
+)
+def streaming_tracer_produce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    return _run_to_memory(producer_stream(spark, "health-check-stream"), "tracers")
+
+
+@register(
+    "streaming_consumer_metrics",
+    oracle=None,  # processing-time 'now': rows-only
+    doc="S2/S3 streaming: kinesis-event JSON file stream -> decoded lag metric rows",
+    tags=("core", "streaming"),
+)
+def streaming_consumer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesizes kinesis-event JSON from the events table (bounded), then
+    runs the REAL consumer file-stream over it — schema, PERMISSIVE parse,
+    explode, decode, metric projection all exercised under streaming."""
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").limit(200)
+    src_dir = tempfile.mkdtemp(prefix="kinesis_events_")
+    synthesize_from_events(events).write.mode("overwrite").json(src_dir)
+    metrics = consumer_stream(
+        spark, src_dir, max_files_per_trigger=8, event_time_source="coalesce"
+    )
+    return _run_to_memory(metrics, "consumer_metrics_stream")
+
+
+@register(
+    "streaming_window_max",
+    oracle=None,  # watermark/trigger dependent emission: rows-only
+    doc="W3/W5 streaming: watermarked 1-min tumbling max over the events stream",
+    tags=("core", "streaming"),
+)
+def streaming_window_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-streams the events parquet (bounded backfill) through the
+    watermarked tumbling-max aggregation (A1/W3). Append mode: only
+    watermark-closed windows emit, exactly the production behavior."""
+    configure_session(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource wants a directory; the table is a single file — expose
+    # it through a temp dir symlink (zero-copy).
+    src_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(path, os.path.join(src_dir, "events.parquet"))
+    raw = spark.readStream.schema(schema).parquet(src_dir)
+    metrics = raw.select(
+        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+        F.col("event_type").alias("stream_name"),
+        F.col("value"),
+    )
+    return _run_to_memory(windowed_max_stream(metrics), "windowed_max_stream")
