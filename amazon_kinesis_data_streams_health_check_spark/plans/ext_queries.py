@@ -579,3 +579,122 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
     media = synthesize_media(parallel_scan(spark, sf_dir, "documents"))
     return frame_sample(media)
+
+
+# ---------------------------------------------------------------------------
+# E2: ANN quality + IVF scale path.
+# ---------------------------------------------------------------------------
+_LSH_RECALL_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         {duck_cosine('q.embedding', 'v.embedding')} AS cos_raw
+  FROM embeddings q
+  JOIN embeddings v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id < {_ANN_QUERY_LIMIT}
+),
+topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= {_ANN_K}
+),
+buckets AS (
+  SELECT vec_id, {duck_bucket('embedding')} AS bucket FROM embeddings
+),
+cand AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets v ON q.bucket = v.bucket AND v.vec_id <> q.vec_id
+  WHERE q.vec_id < {_ANN_QUERY_LIMIT}
+)
+SELECT t.query_id,
+       count(*) AS n_topk,
+       CAST(sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       round(CAST(sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS recall
+FROM topk t
+LEFT JOIN cand c ON t.query_id = c.query_id AND t.neighbor_id = c.neighbor_id
+GROUP BY t.query_id
+"""
+
+
+@register(
+    "ann_lsh_recall",
+    oracle=_LSH_RECALL_SQL,
+    doc="E2: per-query recall of LSH bucket candidates vs exact top-k "
+    "(self-measurement of the approximate path)",
+    tags=("ext", "similarity"),
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _ANN_QUERY_LIMIT)
+    topk = brute_force_topk(emb, queries, k=_ANN_K).select("query_id", "neighbor_id")
+    bucketed = with_lsh_bucket(emb).select("vec_id", "bucket")
+    cand = (
+        bucketed.filter(F.col("vec_id") < _ANN_QUERY_LIMIT)
+        .select(F.col("vec_id").alias("query_id"), "bucket")
+        .join(bucketed.select(F.col("vec_id").alias("neighbor_id"), "bucket"), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .withColumn("is_cand", F.lit(1))
+    )
+    merged = topk.join(cand, ["query_id", "neighbor_id"], "left")
+    return merged.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_topk"),
+        F.sum(F.coalesce("is_cand", F.lit(0))).cast("long").alias("n_hits"),
+        F.round(
+            F.sum(F.coalesce("is_cand", F.lit(0))).cast("double") / F.count(F.lit(1)), 6
+        ).alias("recall"),
+    )
+
+
+@register(
+    "ann_ivf",
+    oracle=None,  # KMeans training is not SQL-expressible: rows-only
+    doc="E2: IVF ANN — KMeans coarse quantizer (pyspark.ml), nprobe=1 cluster "
+    "probe, exact cosine re-rank within the probed cluster",
+    tags=("ext", "similarity"),
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: train the quantizer on a sample, broadcast the centroids
+    (model.transform is a JVM-side map), partition the corpus by cluster id;
+    a query then touches ~1/k of the data instead of all of it. Here
+    nprobe=1 and full-corpus training keep the example small."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    feat = emb.select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=16, seed=42, maxIter=5).fit(feat)
+    assigned = model.transform(feat).select(
+        "vec_id", "embedding", F.col("prediction").alias("cluster")
+    )
+    queries = assigned.filter(F.col("vec_id") < _ANN_QUERY_LIMIT).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_q"),
+        "cluster",
+    )
+    cands = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_n"),
+        "cluster",
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        queries.join(cands, "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_raw", cosine_expr("emb_q", "emb_n"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _ANN_K)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank")
+    )

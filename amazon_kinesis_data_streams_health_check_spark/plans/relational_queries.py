@@ -360,3 +360,152 @@ def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pinned pivot values: no extra distinct-collection job, stable schema.
     out = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
     return out.fillna(0, subset=_EVENT_TYPES)
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins the reference lacks (SURVEY.md section 2.9 explicit
+# absences): as-of join, sessionization, range join. Timestamps are emitted
+# as floored epoch seconds so both engines hash identically regardless of
+# sub-second storage precision.
+# ---------------------------------------------------------------------------
+from amazon_kinesis_data_streams_health_check_spark.operators.temporal import (  # noqa: E402
+    asof_join,
+    range_join_buckets,
+)
+
+_ASOF_SQL = """
+WITH v AS (
+  SELECT user_id, ts, event_id, value FROM (
+    SELECT user_id, ts, event_id, value,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'view'
+  ) WHERE rn = 1
+),
+p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch_s,
+       v.event_id AS view_id,
+       CAST(floor(epoch(v.ts)) AS BIGINT) AS view_epoch_s,
+       CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) AS gap_s
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
+@register(
+    "asof_view_before_purchase",
+    oracle=_ASOF_SQL,
+    doc="As-of join: most recent prior 'view' per 'purchase' (union+window, "
+    "one shuffle, no range explosion; DuckDB ASOF JOIN twin)",
+    tags=("relational", "temporal"),
+)
+def asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    # Deterministic right side: one row per (user, ts), keep max event_id.
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    )
+    views = views.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join(
+        purchases, views, on=["user_id"], right_cols=["event_id"]
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("purchase_epoch_s"),
+        F.col("asof_event_id").alias("view_id"),
+        F.unix_timestamp("asof_ts").alias("view_epoch_s"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("asof_ts")).alias("gap_s"),
+    )
+
+
+_SESSIONS_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS session_last_s,
+       count(*) AS n_events
+FROM s
+GROUP BY user_id, sid
+"""
+
+
+@register(
+    "user_sessions",
+    oracle=_SESSIONS_SQL,
+    doc="Sessionization: session_window(30 min gap) per user; DuckDB "
+    "gaps-and-islands twin (streaming-liftable as-is)",
+    tags=("relational", "temporal"),
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("session_start_s"),
+            F.unix_timestamp(F.max("ts")).alias("session_last_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start_s", "session_last_s", "n_events")
+    )
+
+
+_RANGE_FUNNEL_SQL = """
+SELECT v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       v.user_id,
+       CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) AS gap_s
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+
+@register(
+    "range_join_funnel",
+    oracle=_RANGE_FUNNEL_SQL,
+    doc="Range join: view->purchase conversions within 10 min, bucketized "
+    "equi-join (linear shuffle; Spark's native fallback is nested-loop)",
+    tags=("relational", "temporal"),
+)
+def range_join_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("event_id").alias("view_id")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("purchase_id")
+    )
+    joined = range_join_buckets(
+        views, purchases, on=["user_id"], left_ts="vts", right_ts="pts", window_seconds=600
+    )
+    return joined.select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_timestamp("pts") - F.unix_timestamp("vts")).alias("gap_s"),
+    )
