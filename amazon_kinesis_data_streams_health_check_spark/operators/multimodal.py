@@ -28,7 +28,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from amazon_kinesis_data_streams_health_check_spark.schemas import MEDIA_FEATURE_SCHEMA
+from amazon_kinesis_data_streams_health_check_spark.schemas import (
+    MEDIA_FEATURE_SCHEMA,
+    MEDIA_RESIZE_SCHEMA,
+)
 
 #: Fixed feature width for the fake byte-level featurizer.
 FEATURE_DIM = 8
@@ -111,6 +114,51 @@ def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
             )
 
     return media.mapInPandas(extract, schema=MEDIA_FEATURE_SCHEMA)
+
+
+def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
+    """Image-style resize plumbing: target dims computed JVM-side (aspect-
+    preserving fit into ``max_dim``), payload transformed in an Arrow-batched
+    ``mapInPandas`` whose real-codec slot is the same stub seam as
+    ``decode_media`` (the fake path deterministically subsamples bytes to
+    ``new_width * new_height`` so output size tracks the computed dims)."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_dim) / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    )
+    sized = media.filter(F.col("kind") == "image").select(
+        "media_id",
+        "payload",
+        "width",
+        "height",
+        # floor, not cast: cast-to-int truncates in Spark but ROUNDS in some
+        # engines (DuckDB) — floor is unambiguous on both sides of the oracle.
+        F.greatest(F.floor(F.col("width") * scale).cast("int"), F.lit(1)).alias("new_width"),
+        F.greatest(F.floor(F.col("height") * scale).cast("int"), F.lit(1)).alias("new_height"),
+    )
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_bytes = []
+            for payload, nw, nh in zip(pdf["payload"], pdf["new_width"], pdf["new_height"]):
+                raw = bytes(payload) if payload is not None else b""
+                target = max(int(nw) * int(nh), 1)
+                if len(raw) <= target:
+                    out_bytes.append(raw)
+                else:  # deterministic stride subsample
+                    stride = len(raw) / target
+                    out_bytes.append(bytes(raw[int(i * stride)] for i in range(target)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "new_width": pdf["new_width"],
+                    "new_height": pdf["new_height"],
+                    "payload": out_bytes,
+                    "n_bytes": [len(b) for b in out_bytes],
+                }
+            )
+
+    return sized.mapInPandas(shrink, schema=MEDIA_RESIZE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:

@@ -698,3 +698,42 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _ANN_K)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank")
     )
+
+
+from amazon_kinesis_data_streams_health_check_spark.operators.multimodal import (  # noqa: E402
+    resize_media,
+)
+
+_MEDIA_RESIZE_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         encode(text) AS payload,
+         n_chars % 640 + 1 AS width,
+         n_chars % 480 + 1 AS height,
+         least(1.0, 64.0 / greatest(n_chars % 640 + 1, n_chars % 480 + 1)) AS scale
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT media_id,
+       CAST(greatest(floor(width * scale), 1) AS INTEGER) AS new_width,
+       CAST(greatest(floor(height * scale), 1) AS INTEGER) AS new_height,
+       CAST(least(octet_length(payload),
+                  greatest(CAST(greatest(floor(width * scale), 1) AS INTEGER)
+                           * CAST(greatest(floor(height * scale), 1) AS INTEGER), 1))
+            AS BIGINT) AS n_bytes
+FROM media
+"""
+
+
+@register(
+    "media_resize",
+    oracle=_MEDIA_RESIZE_SQL,
+    doc="E4: aspect-preserving resize plumbing — dims JVM-side, byte transform "
+    "in Arrow-batched mapInPandas (fake subsample; real codec is the stub seam)",
+    tags=("ext", "multimodal"),
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    media = synthesize_media(parallel_scan(spark, sf_dir, "documents"))
+    return resize_media(media, max_dim=64).select(
+        "media_id", "new_width", "new_height", "n_bytes"
+    )

@@ -399,7 +399,7 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
     oracle=_ASOF_SQL,
     doc="As-of join: most recent prior 'view' per 'purchase' (union+window, "
     "one shuffle, no range explosion; DuckDB ASOF JOIN twin)",
-    tags=("relational", "temporal"),
+    tags=("relational", "temporal", "bench"),
 )
 def asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
@@ -455,7 +455,7 @@ GROUP BY user_id, sid
     oracle=_SESSIONS_SQL,
     doc="Sessionization: session_window(30 min gap) per user; DuckDB "
     "gaps-and-islands twin (streaming-liftable as-is)",
-    tags=("relational", "temporal"),
+    tags=("relational", "temporal", "bench"),
 )
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)

@@ -16,6 +16,7 @@ from pyspark.sql.types import (
     BooleanType,
     DoubleType,
     FloatType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -138,6 +139,16 @@ MEDIA_FEATURE_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("kind", StringType()),
         StructField("feature", ArrayType(FloatType())),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+MEDIA_RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("new_width", IntegerType()),
+        StructField("new_height", IntegerType()),
+        StructField("payload", BinaryType()),
         StructField("n_bytes", LongType()),
     ]
 )
