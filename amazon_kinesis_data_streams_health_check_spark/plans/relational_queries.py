@@ -509,3 +509,58 @@ def range_join_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_timestamp("pts") - F.unix_timestamp("vts")).alias("gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered-statistic aggregation: exact interpolated percentiles (identical
+# linear-interpolation definition in Spark `percentile` and DuckDB
+# `quantile_cont`) + a sketch twin (approx_count_distinct) kept rows-only
+# because HLL implementations differ across engines.
+# ---------------------------------------------------------------------------
+_PCTL_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.90), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "value_percentiles",
+    oracle=_PCTL_SQL,
+    doc="Exact interpolated percentiles per event type (sort-based ordered-set "
+    "aggregate; the approx sketch path is event_sketches)",
+    tags=("relational",),
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.90)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
+    "event_sketches",
+    oracle=None,  # HLL/quantile-sketch algorithms differ per engine: rows-only
+    doc="Sketch aggregates: approx_count_distinct (HLL++) and approx_percentile "
+    "(the constant-memory scale path for the exact ops above)",
+    tags=("relational",),
+)
+def event_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB the exact percentile sort is the bottleneck; these sketches
+    are mergeable, constant-memory, and partial-aggregate map-side."""
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.expr("approx_percentile(value, array(0.5, 0.99), 10000)").alias("approx_p50_p99"),
+    )
