@@ -1,0 +1,152 @@
+"""Property-based semantic pins (hypothesis) against independent oracles:
+
+- asof_join vs pandas.merge_asof (independent reference implementation),
+- the CloudWatch alarm pipeline (grid + treat-missing + N-of-M + transitions)
+  vs a direct Python state-machine model.
+
+Example counts are kept small: each example drives real Spark jobs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from amazon_kinesis_data_streams_health_check_spark.operators.alarm import (
+    evaluate_alarm,
+    with_period_grid,
+)
+from amazon_kinesis_data_streams_health_check_spark.operators.temporal import asof_join
+
+UTC = dt.timezone.utc
+T0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
+
+
+def _t(minutes: int) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+# ---------------------------------------------------------------------------
+# asof_join == pandas merge_asof
+# ---------------------------------------------------------------------------
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    left=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 50)),
+        min_size=1,
+        max_size=12,
+    ),
+    right=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 50)),
+        max_size=12,
+        unique=True,  # unique (key, ts): ties among identical right rows are
+    ),             # resolved by pre-dedup in real queries
+)
+def test_asof_matches_pandas_merge_asof(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(k, _t(m), i) for i, (k, m) in enumerate(left)],
+        "k string, ts timestamp, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _t(m), i) for i, (k, m) in enumerate(right)],
+        "k string, ts timestamp, rid long",
+    ) if right else spark.createDataFrame([], "k string, ts timestamp, rid long")
+
+    got = {
+        r.lid: r.asof_rid
+        for r in asof_join(ldf, rdf, on=["k"], right_cols=["rid"]).collect()
+    }
+
+    lp = pd.DataFrame(
+        {"k": [k for k, _ in left], "ts": [_t(m) for _, m in left],
+         "lid": range(len(left))}
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        {"k": [k for k, _ in right], "ts": [_t(m) for _, m in right],
+         "rid": range(len(right))}
+    ).sort_values("ts", kind="stable")
+    if rp.empty:
+        expected = {lid: None for lid in lp["lid"]}
+    else:
+        m = pd.merge_asof(
+            lp, rp, on="ts", by="k", direction="backward", allow_exact_matches=True
+        )
+        expected = {
+            int(row.lid): (None if pd.isna(row.rid) else int(row.rid))
+            for row in m.itertuples()
+        }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# alarm pipeline == Python state-machine model
+# ---------------------------------------------------------------------------
+def _alarm_model(observed, threshold, M, N, policy):
+    lo, hi = min(observed), max(observed)
+    out = {}
+    last_resolved = None
+    prev = None
+    for t in range(lo, hi + 1):
+        breaches = present = 0
+        for u in range(t - M + 1, t + 1):
+            if u < lo or u > hi:
+                continue
+            v = observed.get(u)
+            if v is None:
+                if policy == "breaching":
+                    breaches += 1
+            else:
+                present += 1
+                if v > threshold:
+                    breaches += 1
+        raw = "ALARM" if breaches >= N else "OK"
+        if policy == "missing" and present == 0:
+            state = "INSUFFICIENT_DATA"
+        elif policy == "ignore":
+            if observed.get(t) is not None:
+                last_resolved = raw
+                state = raw
+            else:
+                state = last_resolved if last_resolved is not None else "OK"
+        else:
+            state = raw
+        out[t] = (state, prev, prev is not None and state != prev)
+        prev = state
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    points=st.dictionaries(
+        st.integers(0, 12), st.sampled_from([0.5, 1.5, 3.0]), min_size=1, max_size=8
+    ),
+    m=st.integers(1, 3),
+    policy=st.sampled_from(["breaching", "notBreaching", "ignore", "missing"]),
+    data=st.data(),
+)
+def test_alarm_matches_model(spark, points, m, policy, data):
+    n = data.draw(st.integers(1, m))
+    metrics = spark.createDataFrame(
+        [("s", _t(i), _t(i + 1), float(v), 1) for i, v in points.items()],
+        "stream_name string, window_start timestamp, window_end timestamp, "
+        "max_value double, n_datapoints long",
+    )
+    evaluated = evaluate_alarm(
+        with_period_grid(metrics),
+        threshold=1.0,
+        treat_missing=policy,
+        evaluation_periods=m,
+        datapoints_to_alarm=n,
+    )
+    got = {
+        int((r.window_start.replace(tzinfo=UTC) - T0).total_seconds() // 60): (
+            r.state,
+            r.prev_state,
+            bool(r.transitioned),
+        )
+        for r in evaluated.collect()
+    }
+    assert got == _alarm_model(points, 1.0, m, n, policy)
