@@ -564,3 +564,43 @@ def event_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.expr("approx_percentile(value, array(0.5, 0.99), 10000)").alias("approx_p50_p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-resilient aggregation: salted two-phase count-distinct (identical
+# results to the direct aggregation — the oracle IS the direct form).
+# ---------------------------------------------------------------------------
+from amazon_kinesis_data_streams_health_check_spark.functions.skew import (  # noqa: E402
+    salted_agg,
+    salted_count_distinct,
+)
+
+_SKEW_SQL = """
+SELECT event_type,
+       count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "skew_resilient_user_counts",
+    oracle=_SKEW_SQL,
+    doc="Salted two-phase aggregation: hot keys spread over 64 salt buckets "
+    "before the per-key merge; results identical to the direct group-by",
+    tags=("relational",),
+)
+def skew_resilient_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    counts = salted_agg(
+        events.select("event_type"),
+        ["event_type"],
+        [F.count(F.lit(1)).alias("c")],
+        [F.sum("c").cast("long").alias("n_rows")],
+    )
+    distinct = salted_count_distinct(
+        events.select("event_type", "user_id"), ["event_type"], "user_id", "n_users"
+    )
+    return counts.join(distinct, "event_type")

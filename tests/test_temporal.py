@@ -118,3 +118,37 @@ def test_resize_dims_and_bytes(spark):
     assert len(bytes(rows[1].payload)) == 64 * 48
     assert (rows[2].new_width, rows[2].new_height) == (32, 16)
     assert rows[2].n_bytes == 10  # payload smaller than target: untouched
+
+
+def test_salted_aggregation_matches_direct(spark):
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_data_streams_health_check_spark.functions.skew import (
+        salted_agg,
+        salted_count_distinct,
+    )
+
+    # Pathological skew: one key holds 90% of rows.
+    rows = [("hot", i % 7) for i in range(900)] + [
+        (f"k{i % 20}", i % 13) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k string, v int")
+
+    direct = {
+        (r.k): (r.n, r.d)
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("v").alias("d"))
+        .collect()
+    }
+    salted_counts = {
+        r.k: r.n
+        for r in salted_agg(
+            df, ["k"], [F.count(F.lit(1)).alias("c")], [F.sum("c").alias("n")]
+        ).collect()
+    }
+    salted_distinct = {
+        r.k: r.n_distinct
+        for r in salted_count_distinct(df, ["k"], "v").collect()
+    }
+    assert salted_counts == {k: n for k, (n, _) in direct.items()}
+    assert salted_distinct == {k: d for k, (_, d) in direct.items()}
