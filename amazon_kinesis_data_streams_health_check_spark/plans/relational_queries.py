@@ -604,3 +604,47 @@ def skew_resilient_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.select("event_type", "user_id"), ["event_type"], "user_id", "n_users"
     )
     return counts.join(distinct, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (TPC-H Q17 shape): lineitems below 20% of their
+# part's average quantity. Spark expresses the decorrelated form directly —
+# a per-part aggregate broadcast back onto the fact table — which is exactly
+# what a subquery decorrelator would produce.
+# ---------------------------------------------------------------------------
+_Q17_SQL = f"""
+SELECT l.l_partkey AS partkey,
+       count(*) AS n_small,
+       CAST(sum({_PRICE.replace('l_', 'l.l_')}) AS DOUBLE) AS small_revenue
+FROM lineitem l
+WHERE l.l_quantity * 5 * (
+  SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+) < (
+  SELECT sum(l3.l_quantity) FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey
+)
+GROUP BY l.l_partkey
+"""
+
+
+@register(
+    "small_quantity_revenue",
+    oracle=_Q17_SQL,
+    doc="Correlated scalar subquery (Q17 shape), decorrelated to a broadcast "
+    "per-key aggregate join",
+    tags=("relational",),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    # Exact-rational threshold: avg as sum/count decimals, compare
+    # l_quantity * 5 * count < sum (integer-ish cross-multiplication) to
+    # avoid double rounding at the boundary in either engine.
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("qty_sum"), F.count(F.lit(1)).alias("qty_n")
+    )
+    joined = lineitem.join(F.broadcast(per_part), "l_partkey")
+    small = joined.filter(F.col("l_quantity") * 5 * F.col("qty_n") < F.col("qty_sum"))
+    return small.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.sum(F.expr(_PRICE)).cast("double").alias("small_revenue"),
+    )
