@@ -179,3 +179,36 @@ def test_stateful_alarm_timeout_fires(spark, tmp_path):
     # Transition fired exactly when state flipped OK->ALARM.
     trans = [r for r in rows if r.transitioned]
     assert any(r.state == "ALARM" for r in trans)
+
+
+def test_watermark_dedup_drops_redelivered(spark, tmp_path):
+    """W5: ESM is at-least-once — a redelivered record (same eventID) must
+    not double-count once dedup_ids is on."""
+    src = tmp_path / "metrics_src"
+    src.mkdir()
+    r1 = {"event_id": "e1", "ts": "2024-01-01T00:00:10.000Z", "stream_name": "s", "value": 2.0}
+    r2 = {"event_id": "e2", "ts": "2024-01-01T00:00:40.000Z", "stream_name": "s", "value": 1.0}
+    (src / "f1.json").write_text(json.dumps(r1))
+    # f2 redelivers r1 alongside the new r2.
+    (src / "f2.json").write_text(json.dumps(r1) + "\n" + json.dumps(r2))
+    stream = (
+        spark.readStream.schema(
+            "event_id string, ts timestamp, stream_name string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    agg = windowed_max_stream(stream, dedup_ids=True)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("dedup_windowed")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.table("dedup_windowed").collect()
+    assert len(rows) == 1
+    assert rows[0].n_datapoints == 2  # e1 once + e2, not e1 twice
+    assert rows[0].max_value == 2.0
