@@ -1,0 +1,79 @@
+"""Date-partitioned metrics sink: partition pruning asserted on the plan,
+dynamic-overwrite idempotence, and the K3 alerts foreachBatch leg."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_streams_health_check_spark.sources.partitioned import (
+    read_metrics_range,
+    write_metrics_partitioned,
+)
+
+
+def _metrics(spark, day: int, value: float):
+    return spark.createDataFrame(
+        [(f"2024-03-{day:02d} 12:00:00", "ns", "m", "s1", value)],
+        "ts string, namespace string, metric_name string, stream_name string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_partition_pruning_and_dynamic_overwrite(spark, tmp_path):
+    path = str(tmp_path / "metrics")
+    for day in (1, 2, 3):
+        write_metrics_partitioned(_metrics(spark, day, 1.0), path)
+
+    ranged = read_metrics_range(spark, path, "2024-03-02", "2024-03-03")
+    assert ranged.count() == 2
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ranged.explain("formatted")
+    plan = buf.getvalue()
+    # The date predicates prune partitions at listing time, not via parquet
+    # row-group filters.
+    assert "PartitionFilters" in plan
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "metric_date" in pf_line
+
+    # Dynamic overwrite replaces exactly the touched day.
+    write_metrics_partitioned(_metrics(spark, 2, 9.0), path, mode="overwrite")
+    after = {
+        (str(r.metric_date), r.value)
+        for r in spark.read.parquet(path).select("metric_date", "value").collect()
+    }
+    assert after == {("2024-03-01", 1.0), ("2024-03-02", 9.0), ("2024-03-03", 1.0)}
+
+
+def test_alerts_foreach_batch_sink(spark, tmp_path):
+    """K3: only transition rows reach the alerts table."""
+    from amazon_kinesis_data_streams_health_check_spark.streaming.pipeline import (
+        alerts_foreach_batch_sink,
+    )
+
+    src = tmp_path / "alerts_src"
+    src.mkdir()
+    rows = [
+        {"stream_name": "s", "window_start": "2024-01-01T00:00:00Z", "state": "ALARM",
+         "prev_state": "OK", "transitioned": True},
+        {"stream_name": "s", "window_start": "2024-01-01T00:01:00Z", "state": "ALARM",
+         "prev_state": "ALARM", "transitioned": False},
+    ]
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.schema(
+        "stream_name string, window_start timestamp, state string, "
+        "prev_state string, transitioned boolean"
+    ).json(str(src))
+    out = str(tmp_path / "alerts")
+    q = alerts_foreach_batch_sink(stream, out, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    alerts = spark.read.parquet(out).collect()
+    assert len(alerts) == 1
+    assert alerts[0].state == "ALARM" and alerts[0].prev_state == "OK"
