@@ -648,3 +648,63 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_small"),
         F.sum(F.expr(_PRICE)).cast("double").alias("small_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape: large-volume orders — HAVING subquery as a semi-join of an
+# aggregate, then customer/orders/lineitem join and a fully tie-broken
+# deterministic top-100.
+# ---------------------------------------------------------------------------
+_Q18_QTY = 250
+
+_Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > {_Q18_QTY}
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS order_epoch_s,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       sum(l.l_quantity) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY o_totalprice DESC, order_epoch_s, o.o_orderkey
+LIMIT 100
+"""
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle=_Q18_SQL,
+    doc="Q18 shape: HAVING-subquery semi-join + 3-way join + deterministic "
+    "top-100 (TakeOrderedAndProject, no global sort)",
+    tags=("relational", "bench"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > _Q18_QTY)
+        .select("l_orderkey")
+    )
+    joined = (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    agg = joined.groupBy(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("order_epoch_s"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    ).agg(F.sum("l_quantity").alias("total_qty"))
+    return agg.orderBy(
+        F.desc("o_totalprice"), F.asc("order_epoch_s"), F.asc("o_orderkey")
+    ).limit(100)
