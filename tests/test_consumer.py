@@ -129,3 +129,31 @@ def test_permissive_json_source_corrupt_record(spark, tmp_path):
     ok = [r for r in rows if r.records is not None]
     assert len(ok) == 1
     assert ok[0].records[0].eventSourceARN.endswith("lambda-stream")
+
+
+def test_produce_consume_round_trip_lag_exact(spark):
+    """SURVEY 7.3.3: producer bytes -> wire -> consumer decode -> lag, with
+    the P9 second-truncation pinned end-to-end. Event produced at
+    .900s, 'now' at +4.2s wall (=.100s) => lag is 5, not 4."""
+    import datetime as dt
+
+    from amazon_kinesis_data_streams_health_check_spark.operators.consumer import (
+        decoded_records,
+        metric_rows,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_events import (
+        explode_records,
+        synthesize_from_events,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0, 900_000, tzinfo=dt.timezone.utc)
+    now = dt.datetime(2024, 1, 1, 12, 0, 5, 100_000, tzinfo=dt.timezone.utc)
+    events = spark.createDataFrame(
+        [(1, t0, "stream-a")], "event_id long, ts timestamp, event_type string"
+    )
+    decoded = decoded_records(explode_records(synthesize_from_events(events)))
+    row = metric_rows(decoded, F.lit(now), event_time_source="payload").collect()[0]
+    assert row.stream_name == "stream-a"
+    assert row.value == 5.0  # floor(now) - floor(payload instant), not 4.2
+    # and the payload genuinely round-tripped through base64/JSON
+    assert row.ts == dt.datetime(2024, 1, 1, 12, 0, 0)  # second-truncated
