@@ -708,3 +708,77 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(
         F.desc("o_totalprice"), F.asc("order_epoch_s"), F.asc("o_orderkey")
     ).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape (adapted: no commit/receipt dates in this schema — "late" is
+# shipping >60 days after the order date): suppliers who were the SOLE late
+# shipper of a multi-supplier order. Exercises correlated EXISTS (semi self-
+# join) + NOT EXISTS (anti self-join) on the fact table.
+# ---------------------------------------------------------------------------
+_Q21_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey,
+         bool_or(l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS is_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM pairs p1
+JOIN supplier s ON s.s_suppkey = p1.l_suppkey
+WHERE p1.is_late
+  AND EXISTS (SELECT 1 FROM pairs p2
+              WHERE p2.l_orderkey = p1.l_orderkey AND p2.l_suppkey <> p1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM pairs p3
+                  WHERE p3.l_orderkey = p1.l_orderkey
+                    AND p3.l_suppkey <> p1.l_suppkey AND p3.is_late)
+GROUP BY s.s_name
+"""
+
+
+@register(
+    "q21_sole_late_suppliers",
+    oracle=_Q21_SQL,
+    doc="Q21 shape: semi (EXISTS) + anti (NOT EXISTS) self-joins on the fact "
+    "table — sole late shipper of multi-supplier orders",
+    tags=("relational",),
+)
+def q21_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        lineitem.join(
+            F.broadcast(orders.select("o_orderkey", "o_orderdate")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            ).alias("is_late")
+        )
+    )
+    p1 = pairs.filter(F.col("is_late")).select("l_orderkey", "l_suppkey")
+    p2 = pairs.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    p3 = pairs.filter(F.col("is_late")).select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    multi = p1.join(
+        p2,
+        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    sole_late = multi.join(
+        p3,
+        (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
