@@ -107,3 +107,32 @@ def streaming_window_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value"),
     )
     return _run_to_memory(windowed_max_stream(metrics), "windowed_max_stream")
+
+
+@register(
+    "streaming_stateful_alarm",
+    oracle=None,  # stateful processing-time semantics: rows-only
+    doc="W4/W6 streaming: applyInPandasWithState alarm state machine over a "
+    "bounded metric stream (timeout leg exercised in tests/test_streaming.py)",
+    tags=("core", "streaming"),
+)
+def streaming_stateful_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded drive of the one genuinely stateful operator: per-stream alarm
+    state (OK/ALARM + transition flags) maintained in the state store. A
+    bounded availableNow run exercises the data path deterministically; the
+    heartbeat-timeout path needs wall-clock gaps and is pinned in tests."""
+    from amazon_kinesis_data_streams_health_check_spark.streaming.stateful_alarm import (
+        alarm_state_stream,
+    )
+
+    configure_session(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    src_dir = tempfile.mkdtemp(prefix="alarm_stream_")
+    os.symlink(path, os.path.join(src_dir, "events.parquet"))
+    raw = spark.readStream.schema(schema).parquet(src_dir)
+    metrics = raw.select(
+        F.col("event_type").alias("stream_name"), F.col("value")
+    )
+    alarms = alarm_state_stream(metrics, threshold=50.0, timeout_ms=60_000)
+    return _run_to_memory(alarms, "stateful_alarm", output_mode="update")
