@@ -50,6 +50,7 @@ def all_queries() -> dict[str, Query]:
     from amazon_kinesis_data_streams_health_check_spark.plans import (  # noqa: F401
         healthcheck_queries,
         relational_queries,
+        tpch_queries,
         ext_queries,
         streaming_queries,
     )
