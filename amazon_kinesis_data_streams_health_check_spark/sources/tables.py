@@ -30,13 +30,26 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
+#: Logical-plan cache: (applicationId, sf_dir, name) -> DataFrame. A DataFrame
+#: is an immutable plan handle, so reuse is safe; this skips the repeated
+#: driver-side footer/schema read (~75 ms per table per query — the dominant
+#: fixed cost of small queries). Keyed by applicationId so a stopped session's
+#: plans are never resurrected.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (TESTDATA.md: ``{sf_dir}/{name}.parquet``)."""
     configure_session(spark)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANOS_TS_COLS.get(name, ()):
         if c in df.columns and isinstance(df.schema[c].dataType, LongType):
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    _TABLE_CACHE[key] = df
     return df
 
 
@@ -61,8 +74,13 @@ def parallel_scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     queries should stay on ``load_table`` (an extra exchange there is pure
     loss).
     """
+    key = (spark.sparkContext.applicationId, sf_dir, f"{name}#parallel")
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = load_table(spark, sf_dir, name)
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
+    _TABLE_CACHE[key] = df
     return df
