@@ -1,0 +1,228 @@
+"""[EXT] Training-data curation queries: deterministic stratified sampling,
+mixture planning, sequence packing, duplicate-cluster resolution.
+
+The post-dedup half of an LLM data pipeline (SURVEY.md section 2.10 scope).
+Everything is reproducible by construction — md5-keyed decisions, exact
+integer thresholds — so a 1000-executor rerun selects byte-identical
+training sets (operators/curation.py documents the idiom).
+
+Oracle parity notes: the md5-uint32 idiom is bit-identical in both engines;
+window cumsums order by (md5-shuffle, doc_id) with the tiebreak making the
+frame total-ordered; connected components uses a DuckDB recursive CTE as the
+oracle for the Spark label-propagation loop (same fixpoint, different
+algorithm — exactly what an oracle should be).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+    HASH_SPACE,
+    connected_components,
+    duck_hash_uniform,
+    hash_uniform,
+    mixture_plan,
+    pack_sequences,
+    stratified_sample,
+)
+from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (
+    duck_shingles,
+    with_shingles,
+)
+from amazon_kinesis_data_streams_health_check_spark.operators.textstats import TOKEN_RE
+from amazon_kinesis_data_streams_health_check_spark.plans.registry import register
+from amazon_kinesis_data_streams_health_check_spark.session import configure_session
+from amazon_kinesis_data_streams_health_check_spark.sources.tables import (
+    load_table,
+    parallel_scan,
+)
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling: rebalance languages (downsample the
+# dominant one, keep the rare ones) — the canonical curation move.
+# ---------------------------------------------------------------------------
+_SAMPLE_RATES: dict[str, int] = {"en": 25, "de": 75, "fr": 50, "es": 50, "zh": 100}
+
+_DUCK_RATE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{s}' THEN {p}" for s, p in _SAMPLE_RATES.items())
+    + " ELSE 0 END"
+)
+
+_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {duck_hash_uniform('doc_id')} * 100 < ({_DUCK_RATE}) * {HASH_SPACE}
+"""
+
+
+@register(
+    "curation_stratified_sample",
+    oracle=_STRATIFIED_SQL,
+    doc="EXT curation: md5-keyed stratified sampling by language "
+    "(reproducible under repartitioning/retries, unlike rand()-based sample)",
+    tags=("ext", "curation"),
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", "doc_id", _SAMPLE_RATES).select(
+        "doc_id", "lang", "source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixture planning: largest token budget honoring target language weights.
+# ---------------------------------------------------------------------------
+_MIX_WEIGHTS: dict[str, int] = {"en": 5, "de": 2, "fr": 1, "es": 1, "zh": 1}
+_MIX_W_TOTAL = sum(_MIX_WEIGHTS.values())
+
+_DUCK_TOK = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+
+_MIX_VALUES = ", ".join(f"('{s}', {p})" for s, p in _MIX_WEIGHTS.items())
+
+_MIXTURE_SQL = f"""
+WITH avail AS (
+  SELECT lang AS stratum, CAST(sum(len({_DUCK_TOK})) AS BIGINT) AS avail
+  FROM documents GROUP BY lang
+),
+w(stratum, weight) AS (VALUES {_MIX_VALUES}),
+per AS (SELECT a.stratum, avail, weight FROM avail a JOIN w USING (stratum)),
+cap AS (SELECT min(floor(avail * {_MIX_W_TOTAL} / weight)) AS t_max FROM per)
+SELECT stratum, avail, weight,
+       CAST(floor(weight * t_max / {_MIX_W_TOTAL}) AS BIGINT) AS take_tokens,
+       round(CAST(floor(weight * t_max / {_MIX_W_TOTAL}) AS DOUBLE) / avail, 6)
+         AS utilization
+FROM per, cap
+"""
+
+
+@register(
+    "curation_mixture_plan",
+    oracle=_MIXTURE_SQL,
+    doc="EXT curation: integer mixture planner — max token budget T with "
+    "w_s/W * T <= available_s, per-language takes and utilization",
+    tags=("ext", "curation"),
+)
+def curation_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    avail = docs.groupBy(F.col("lang").alias("stratum")).agg(
+        F.sum(F.expr(f"size(regexp_extract_all(lower(text), '{TOKEN_RE}', 0))"))
+        .cast("long")
+        .alias("avail")
+    )
+    return mixture_plan(avail, _MIX_WEIGHTS)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: md5-shuffled per-source greedy concat into token bins.
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 512
+
+_PACK_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, CAST(len({_DUCK_TOK}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY source
+           ORDER BY {duck_hash_uniform('doc_id')}, doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum_tokens
+  FROM tok
+)
+SELECT source, CAST(floor((cum_tokens - 1) / {_PACK_BUDGET}) AS BIGINT) AS bin,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+FROM packed
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "curation_pack_sequences",
+    oracle=_PACK_SQL,
+    doc=f"EXT curation: deterministic-shuffle greedy packing into "
+    f"{_PACK_BUDGET}-token bins per source (window cumsum; per-source "
+    "partitioning keeps the window parallel at scale)",
+    tags=("ext", "curation"),
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.expr(f"size(regexp_extract_all(lower(text), '{TOKEN_RE}', 0))")
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    packed = pack_sequences(tok, _PACK_BUDGET)
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution: near-dup pairs -> connected components ->
+# canonical keep-doc per cluster. Oracle = recursive-CTE transitive closure
+# (a different algorithm arriving at the same fixpoint).
+# ---------------------------------------------------------------------------
+_CLUSTER_JACCARD = 0.2
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, source, {duck_shingles()} AS sh FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM tok a
+  JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(a.sh || b.sh)) >= {_CLUSTER_JACCARD}
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+reach(src, dst) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, min(dst) AS cluster_id
+FROM reach GROUP BY src
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=_CLUSTERS_SQL,
+    doc="EXT dedup: connected components over n-gram-Jaccard near-dup pairs "
+    "(distributed min-label propagation vs a recursive-CTE closure oracle); "
+    "cluster_id = canonical min doc_id to keep",
+    tags=("ext", "dedup"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    shingled = with_shingles(docs).select("doc_id", "source", "sh")
+    a = shingled.select(
+        F.col("doc_id").alias("a"), F.col("source"), F.col("sh").alias("sh_a")
+    )
+    b = shingled.select(
+        F.col("doc_id").alias("b"), F.col("source"), F.col("sh").alias("sh_b")
+    )
+    jac = F.expr("size(array_intersect(sh_a, sh_b))").cast("double") / F.expr(
+        "size(array_union(sh_a, sh_b))"
+    )
+    pairs = (
+        a.join(b, "source")
+        .filter(F.col("a") < F.col("b"))
+        .filter(jac >= _CLUSTER_JACCARD)
+        .select("a", "b")
+    )
+    return connected_components(pairs)

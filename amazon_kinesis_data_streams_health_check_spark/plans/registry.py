@@ -51,6 +51,7 @@ def all_queries() -> dict[str, Query]:
         healthcheck_queries,
         relational_queries,
         tpch_queries,
+        curation_queries,
         ext_queries,
         streaming_queries,
     )

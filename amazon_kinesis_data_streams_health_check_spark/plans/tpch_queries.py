@@ -750,6 +750,108 @@ GROUP BY c_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Q13: customer order-count distribution — the one LEFT OUTER shape in the
+# suite (zero-order customers must appear with c_count = 0).
+# ---------------------------------------------------------------------------
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+@register(
+    "q13_customer_distribution",
+    oracle=_Q13_SQL,
+    doc="Q13: order-count histogram via left outer join with an ON-clause "
+    "filter (NULL-preserving count) and a re-aggregation",
+    tags=("relational",),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    # The priority predicate must live in the ON clause: a WHERE would turn
+    # the outer join inner and drop zero-order customers.
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Q20: potential part promotion — suppliers who moved heavy volume of a
+# matching part in one year (HAVING-aggregate inside an IN; testdata has no
+# partsupp, so shipped volume per (supplier, part) stands in for availqty).
+# ---------------------------------------------------------------------------
+_Q20_QTY = 45
+
+_Q20_SQL = f"""
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+SEMI JOIN (
+  SELECT l_suppkey
+  FROM lineitem
+  SEMI JOIN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%') p
+    ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > {_Q20_QTY}
+) heavy ON heavy.l_suppkey = s_suppkey
+"""
+
+
+@register(
+    "q20_heavy_volume_suppliers",
+    oracle=_Q20_SQL,
+    doc="Q20 shape: IN over a HAVING-filtered grouped subquery (semi join "
+    "chain: part filter -> per-(supplier,part) volume -> supplier)",
+    tags=("relational",),
+)
+def q20_heavy_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    red_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    heavy = (
+        li.join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > _Q20_QTY)
+        .select("l_suppkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supplier.join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(heavy), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
 @register(
     "q22_idle_rich_customers",
     oracle=_Q22_SQL,
