@@ -110,6 +110,67 @@ def streaming_window_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_delivery_audit",
+    oracle=None,  # watermark/trigger-dependent outer-join emission: rows-only
+    doc="W-join streaming: watermarked left-outer stream-stream interval join "
+    "(producer tracers vs consumer receipts -> per-record delivery lag / loss)",
+    tags=("core", "streaming"),
+)
+def streaming_delivery_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the real delivery-audit join over two bounded legs built from
+    the events table: tracers (event-time instants) vs receipts decoded from
+    synthesized kinesis-event JSON of the same rows. Lost-record emission
+    needs watermark movement past each bound and is pinned hermetically in
+    tests/test_streaming.py."""
+    from amazon_kinesis_data_streams_health_check_spark.streaming.pipeline import (
+        delivery_audit_join,
+    )
+
+    from amazon_kinesis_data_streams_health_check_spark.functions import scalar
+    from amazon_kinesis_data_streams_health_check_spark.operators.consumer import (
+        decoded_records,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.schemas import (
+        KINESIS_EVENT_SCHEMA_PERMISSIVE,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_events import (
+        explode_records,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").limit(500)
+
+    # Receipts leg: kinesis-event JSON on disk -> the real consumer decode
+    # (pre-metric stage: the audit needs partitionKey + arrival_ts).
+    src_dir = tempfile.mkdtemp(prefix="audit_receipts_")
+    synthesize_from_events(events).write.mode("overwrite").json(src_dir)
+    batches = (
+        spark.readStream.schema(KINESIS_EVENT_SCHEMA_PERMISSIVE)
+        .option("maxFilesPerTrigger", 8)
+        .option("mode", "PERMISSIVE")
+        .json(src_dir)
+    )
+    receipts = decoded_records(explode_records(batches)).select(
+        "partitionKey", "arrival_ts"
+    )
+
+    # Tracer leg: the same instants as a parquet-backed stream (partition
+    # key formatted exactly as the producer would, P1 instant_iso).
+    tdir = tempfile.mkdtemp(prefix="audit_tracers_")
+    events.select(
+        F.col("event_type").alias("stream_name"),
+        scalar.instant_iso(F.col("ts")).alias("partition_key"),
+        F.col("ts").alias("sent_ts"),
+    ).write.mode("overwrite").parquet(tdir)
+    tracers = spark.readStream.schema(
+        "stream_name string, partition_key string, sent_ts timestamp"
+    ).parquet(tdir)
+
+    audited = delivery_audit_join(tracers, receipts)
+    return _run_to_memory(audited, "delivery_audit", output_mode="append")
+
+
+@register(
     "streaming_stateful_alarm",
     oracle=None,  # stateful processing-time semantics: rows-only
     doc="W4/W6 streaming: applyInPandasWithState alarm state machine over a "

@@ -105,6 +105,53 @@ def windowed_max_stream(
     )
 
 
+def delivery_audit_join(
+    tracers_ts: DataFrame,
+    receipts: DataFrame,
+    max_delay: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked left-outer stream-stream join: which produced tracers were
+    actually delivered, at what lag — and which were LOST.
+
+    The reference's consumer only sees records that arrive; a tracer Kinesis
+    drops is invisible to it (its alarm catches the silence indirectly via
+    TreatMissingData). Joining the producer leg against the consumer leg
+    closes that gap: a tracer with no receipt in ``[sent_ts, sent_ts +
+    max_delay]`` emits with NULL ``arrival_ts`` (``delivered = false``) once
+    both watermarks pass the bound — per-record loss attribution, not just
+    "metrics went quiet".
+
+    Scale: both sides shuffle on ``partition_key``; the interval bound +
+    watermarks let Spark evict join state after ``watermark + max_delay``,
+    so state is O(in-flight records), independent of stream history.
+
+    ``tracers_ts``: (stream_name, partition_key, sent_ts) — the producer leg
+    with its batch instant as event time. ``receipts``: any frame with
+    (partitionKey, arrival_ts) — e.g. ``decoded_records`` output.
+    """
+    t = tracers_ts.withWatermark("sent_ts", watermark)
+    r = receipts.select(
+        F.col("partitionKey").alias("partition_key_r"),
+        F.col("arrival_ts"),
+    ).withWatermark("arrival_ts", watermark)
+    cond = (
+        (F.col("partition_key") == F.col("partition_key_r"))
+        & (F.col("arrival_ts") >= F.col("sent_ts"))
+        & (F.col("arrival_ts") <= F.col("sent_ts") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return t.join(r, cond, "leftOuter").select(
+        "stream_name",
+        "partition_key",
+        "sent_ts",
+        "arrival_ts",
+        (F.unix_timestamp("arrival_ts") - F.unix_timestamp("sent_ts")).alias(
+            "lag_seconds"
+        ),
+        F.col("arrival_ts").isNotNull().alias("delivered"),
+    )
+
+
 def write_metrics_sink(
     metrics: DataFrame,
     path: str,

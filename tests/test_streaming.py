@@ -212,3 +212,67 @@ def test_watermark_dedup_drops_redelivered(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].n_datapoints == 2  # e1 once + e2, not e1 twice
     assert rows[0].max_value == 2.0
+
+
+def test_delivery_audit_join_finds_lost_tracer(spark, tmp_path):
+    """Stream-stream left-outer interval join: delivered tracers carry their
+    lag; the undelivered one emits (delivered=false) after both watermarks
+    pass its bound. Sentinel rows an hour later advance the watermarks so
+    the availableNow drive can flush outer-join state."""
+    from amazon_kinesis_data_streams_health_check_spark.streaming.pipeline import (
+        delivery_audit_join,
+    )
+
+    tdir = tmp_path / "tracers"
+    rdir = tmp_path / "receipts"
+    tdir.mkdir()
+    rdir.mkdir()
+    base = "2024-01-01T12:00:{:02d}Z"
+    # Three tracers at :00/:10/:20; receipts for the first two only.
+    (tdir / "t1.json").write_text(
+        "\n".join(
+            json.dumps({"stream_name": "s", "partition_key": base.format(s), "sent_ts": base.format(s)})
+            for s in (0, 10, 20)
+        )
+    )
+    (rdir / "r1.json").write_text(
+        "\n".join(
+            json.dumps({"partitionKey": base.format(s), "arrival_ts": f"2024-01-01T12:00:{s + d:02d}Z"})
+            for s, d in ((0, 2), (10, 1))
+        )
+    )
+    # Sentinels far past everything: advance both side's watermarks.
+    (tdir / "t2.json").write_text(
+        json.dumps({"stream_name": "s", "partition_key": "sentinel-t", "sent_ts": "2024-01-01T14:00:00Z"})
+    )
+    (rdir / "r2.json").write_text(
+        json.dumps({"partitionKey": "sentinel-r", "arrival_ts": "2024-01-01T14:00:00Z"})
+    )
+    tracers = (
+        spark.readStream.schema("stream_name string, partition_key string, sent_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tdir))
+    )
+    receipts = (
+        spark.readStream.schema("partitionKey string, arrival_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(rdir))
+    )
+    audited = delivery_audit_join(
+        tracers, receipts, max_delay="1 minute", watermark="1 minute"
+    )
+    q = (
+        audited.writeStream.format("memory")
+        .queryName("delivery_audit")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.partition_key: r for r in spark.table("delivery_audit").collect()
+            if not r.partition_key.startswith("sentinel")}
+    assert rows["2024-01-01T12:00:00Z"].delivered and rows["2024-01-01T12:00:00Z"].lag_seconds == 2
+    assert rows["2024-01-01T12:00:10Z"].delivered and rows["2024-01-01T12:00:10Z"].lag_seconds == 1
+    lost = rows["2024-01-01T12:00:20Z"]
+    assert not lost.delivered and lost.arrival_ts is None and lost.lag_seconds is None
