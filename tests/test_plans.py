@@ -1,0 +1,96 @@
+"""Physical-plan regression tests — the 100 TB scale contract.
+
+Correctness tests prove the numbers; these prove the SHAPE: filters reach the
+parquet scan, projections prune columns, dimensions broadcast instead of
+shuffling, and aggregates don't rescan the fact table. A regression here is
+invisible at sf0.01 and catastrophic at 100 TB, which is exactly why it's
+pinned.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from amazon_kinesis_data_streams_health_check_spark.plans.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def plan_of(spark, sf, name: str) -> str:
+    df = QUERIES[name].builder(spark, sf)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q6_pushdown_and_pruning(spark, sf_small):
+    """The pure scan query: every predicate pushed, 4-column read schema."""
+    plan = plan_of(spark, sf_small, "q6_forecast_revenue")
+    pushed = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert pushed, plan
+    for col in ("l_discount", "l_quantity"):
+        assert col in pushed.group(1), f"{col} not pushed: {pushed.group(1)}"
+    read = re.search(r"ReadSchema: struct<(.*?)>", plan)
+    assert read, plan
+    cols = {c.split(":")[0] for c in read.group(1).split(",") if c}
+    # Projection pruning: only the columns the query touches, not all 7+.
+    assert cols <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, cols
+
+
+def test_q9_dimensions_broadcast_single_fact_shuffle(spark, sf_small):
+    """Fact-to-dim joins must broadcast; only orders<->lineitem may shuffle."""
+    plan = plan_of(spark, sf_small, "q9_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_q7_nation_pair_broadcasts(spark, sf_small):
+    plan = plan_of(spark, sf_small, "q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_q1_single_aggregation_exchange(spark, sf_small):
+    """Scan -> partial agg -> one exchange -> final agg. More exchanges means
+    the partial aggregation (map-side combine) was lost."""
+    plan = plan_of(spark, sf_small, "q1_pricing_summary")
+    # Exactly one Exchange node (the formatted dump names each node twice:
+    # once in the tree, once as a "(n) Exchange" detail header — count the
+    # headers).
+    n_exchange_nodes = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange_nodes == 1, plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2, plan
+
+
+def test_q11_no_second_fact_scan(spark, sf_small):
+    """The global-total scalar must reuse the persisted per-nation aggregate,
+    not rescan lineitem (RemoveRedundantAggregates hazard)."""
+    plan = plan_of(spark, sf_small, "q11_important_nations")
+    n_li_scans = len(re.findall(r"Scan parquet .*?lineitem|lineitem\.parquet", plan))
+    assert n_li_scans <= 1, plan
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+
+
+def test_stratified_sample_is_scan_plus_filter(spark, sf_small):
+    """Sampling must stay a narrow scan+filter: no exchange, no aggregate."""
+    plan = plan_of(spark, sf_small, "curation_stratified_sample")
+    assert "Exchange" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+
+
+def test_pack_sequences_window_partitions_by_source(spark, sf_small):
+    """The packing window must hash-partition by source (parallel at scale),
+    never a single global window."""
+    plan = plan_of(spark, sf_small, "curation_pack_sequences")
+    assert "SinglePartition" not in plan, plan
+    assert re.search(r"hashpartitioning\(source", plan), plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q4_order_priority", "q12_late_lines_by_flag", "q16_supplier_part_counts"],
+)
+def test_semi_anti_queries_have_no_cartesian(spark, sf_small, name):
+    plan = plan_of(spark, sf_small, name)
+    assert "CartesianProduct" not in plan, plan
