@@ -29,6 +29,58 @@ def write_metrics_partitioned(metrics: DataFrame, path: str, mode: str = "append
     )
 
 
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+    version_col: str,
+    partition_col: str = "metric_date",
+) -> None:
+    """Delta-style MERGE (latest-wins upsert by key) on a plain parquet lake.
+
+    Partition-scoped read-merge-rewrite:
+
+    1. prune the existing table to ONLY the partitions the update batch
+       touches (collect of the batch's distinct partition values — a handful
+       of dates, never data rows);
+    2. union + per-key latest-wins (max ``version_col``, deterministic
+       tiebreak on current-vs-incoming) via one window;
+    3. dynamic-partition-overwrite exactly those partitions.
+
+    Cost scales with the touched partitions, not the table — the same
+    contract a Delta/Iceberg MERGE gives, minus the transaction log (single
+    writer assumed; the streaming checkpoint provides the idempotence story
+    end-to-end). Re-running the same batch is a no-op by construction.
+    """
+    from pyspark.sql import Window
+
+    updates = updates.withColumn(partition_col, F.to_date("ts"))
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:  # first write: nothing to merge
+        updates.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(partition_col).parquet(path)
+        return
+    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    current = existing.filter(F.col(partition_col).isin(touched)).withColumn(
+        "_is_new", F.lit(0)
+    )
+    merged = current.unionByName(updates.withColumn("_is_new", F.lit(1)))
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(version_col), F.desc("_is_new")
+    )
+    resolved = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_is_new")
+    )
+    resolved.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy(partition_col).parquet(path)
+
+
 def read_metrics_range(
     spark: SparkSession, path: str, start_date: str, end_date: str
 ) -> DataFrame:

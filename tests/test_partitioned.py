@@ -77,3 +77,52 @@ def test_alerts_foreach_batch_sink(spark, tmp_path):
     alerts = spark.read.parquet(out).collect()
     assert len(alerts) == 1
     assert alerts[0].state == "ALARM" and alerts[0].prev_state == "OK"
+
+
+def test_merge_upsert_latest_wins_and_partition_scoped(spark, tmp_path):
+    """MERGE contract: per-key latest version wins, incoming wins version
+    ties, untouched partitions are not rewritten."""
+    import os
+    import pyspark.sql.functions as F
+
+    from amazon_kinesis_data_streams_health_check_spark.sources.partitioned import (
+        merge_upsert_partitioned,
+    )
+
+    path = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [
+            ("k1", "2024-01-01 10:00:00", 1, "v1-old"),
+            ("k2", "2024-01-01 11:00:00", 1, "keep-me"),
+            ("k3", "2024-01-02 10:00:00", 1, "other-day"),
+        ],
+        "key string, ts string, version int, payload string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    merge_upsert_partitioned(spark, base, path, ["key"], "version")
+
+    day2_files = set(os.listdir(os.path.join(path, "metric_date=2024-01-02")))
+
+    updates = spark.createDataFrame(
+        [
+            ("k1", "2024-01-01 10:00:00", 2, "v2-new"),   # higher version wins
+            ("k2", "2024-01-01 11:00:00", 0, "stale"),    # lower version loses
+            ("k4", "2024-01-01 12:00:00", 1, "insert"),   # brand-new key
+        ],
+        "key string, ts string, version int, payload string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    merge_upsert_partitioned(spark, updates, path, ["key"], "version")
+
+    got = {r.key: (r.version, r.payload) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        "k1": (2, "v2-new"),
+        "k2": (1, "keep-me"),
+        "k3": (1, "other-day"),
+        "k4": (1, "insert"),
+    }
+    # Day-2 partition untouched by a day-1-only batch: same files on disk.
+    assert set(os.listdir(os.path.join(path, "metric_date=2024-01-02"))) == day2_files
+
+    # Idempotence: re-running the same batch changes nothing.
+    merge_upsert_partitioned(spark, updates, path, ["key"], "version")
+    again = {r.key: (r.version, r.payload) for r in spark.read.parquet(path).collect()}
+    assert again == got
