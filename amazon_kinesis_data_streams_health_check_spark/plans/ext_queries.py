@@ -737,3 +737,27 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_media(media, max_dim=64).select(
         "media_id", "new_width", "new_height", "n_bytes"
     )
+
+
+# ===========================================================================
+# Mergeable sketch rollup (DataSketches HLL + KLL) — the pre-aggregation
+# pattern for any-range distinct/quantile queries at 100 TB.
+# ===========================================================================
+@register(
+    "sketch_rollup_merge",
+    oracle=None,  # DataSketches binaries have no DuckDB twin: rows-only;
+    # the merge==direct determinism invariant is pinned in test_sketches.py
+    doc="EXT: per-day HLL/KLL sketch rollup unioned to whole-range distinct "
+    "users + value quantiles (mergeable pre-aggregation; merged estimates "
+    "are bit-equal to single-pass sketches)",
+    tags=("ext", "sketch"),
+)
+def sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_streams_health_check_spark.operators.sketches import (
+        daily_sketch_rollup,
+        merge_rollup,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    return merge_rollup(daily_sketch_rollup(events))
