@@ -569,16 +569,45 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media, decoder="fake")
 
 
+_FRAME_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         text, octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+video AS (
+  SELECT media_id, text,
+         least(greatest(n_bytes // 64, 1), 8) AS n
+  FROM media WHERE kind = 'video'
+)
+SELECT media_id,
+       unnest(range(0, n)) AS frame_idx,
+       unnest(range(0, n)) * 64 AS byte_offset,
+       md5(substring(text, unnest(range(0, n)) * 64 + 1, 64)) AS frame_md5
+FROM video
+"""
+
+
 @register(
     "media_frame_sample",
-    oracle=None,  # binary substring output: rows-only check
-    doc="E4: video frame sampling plumbing (explode to frame rows with byte offsets)",
+    # The oracle slices VARCHAR where Spark slices BINARY: equivalent because
+    # the corpus is ASCII (byte n == char n) — a property the hash-compare
+    # itself would catch if the testdata ever grew multibyte text.
+    oracle=_FRAME_SQL,
+    doc="E4: video frame sampling plumbing (explode to frame rows with byte "
+    "offsets; frames projected as md5 for the cross-engine hash check)",
     tags=("ext", "multimodal"),
 )
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
     media = synthesize_media(parallel_scan(spark, sf_dir, "documents"))
-    return frame_sample(media)
+    return frame_sample(media).select(
+        "media_id",
+        "frame_idx",
+        "byte_offset",
+        F.md5("frame_bytes").alias("frame_md5"),
+    )
 
 
 # ---------------------------------------------------------------------------
