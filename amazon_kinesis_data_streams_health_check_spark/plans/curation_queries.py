@@ -31,7 +31,7 @@ from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (
     duck_shingles,
     with_shingles,
 )
-from amazon_kinesis_data_streams_health_check_spark.operators.textstats import TOKEN_RE
+from amazon_kinesis_data_streams_health_check_spark.operators.textstats import TOKEN_RE, duck_stop_list
 from amazon_kinesis_data_streams_health_check_spark.plans.registry import register
 from amazon_kinesis_data_streams_health_check_spark.session import configure_session
 from amazon_kinesis_data_streams_health_check_spark.sources.tables import (
@@ -226,3 +226,84 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
     )
     return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline: quality gate -> deterministic stratified
+# sample -> per-source packing -> bin summary. One composed plan (single
+# documents scan, narrow ops until the final tiny aggregation) proving the
+# stages fuse — at 100 TB this whole pipeline is a scan + one window + one
+# aggregation exchange.
+# ---------------------------------------------------------------------------
+_PIPE_MIN_QUALITY = 0.55
+_PIPE_BUDGET = 512
+
+_PIPELINE_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang, source,
+         CAST(len({_DUCK_TOK}) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct({_DUCK_TOK})) AS BIGINT) AS n_distinct_tokens,
+         CAST(len(list_filter({_DUCK_TOK}, x -> list_contains({duck_stop_list()}, x)))
+           AS BIGINT) AS n_stopword_tokens
+  FROM documents
+),
+scored AS (
+  SELECT *,
+         round(0.4 * (CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+               + 0.3 * least(1.0, n_tokens / 100.0)
+               + 0.3 * (1.0 - CAST(n_stopword_tokens AS DOUBLE) / n_tokens), 6)
+           AS quality_score
+  FROM s WHERE n_tokens > 0
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE quality_score >= {_PIPE_MIN_QUALITY}
+    AND {duck_hash_uniform('doc_id')} * 100 < ({_DUCK_RATE}) * {HASH_SPACE}
+),
+packed AS (
+  SELECT source, quality_score, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY source
+           ORDER BY {duck_hash_uniform('doc_id')}, doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum_tokens
+  FROM kept
+)
+SELECT source,
+       CAST(floor((cum_tokens - 1) / {_PIPE_BUDGET}) AS BIGINT) AS bin,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       round(avg(quality_score), 6) AS avg_quality
+FROM packed
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "curation_pipeline",
+    oracle=_PIPELINE_SQL,
+    doc="EXT curation: composed quality-gate -> md5 stratified sample -> "
+    "per-source packing pipeline (single scan, one window, one agg exchange)",
+    tags=("ext", "curation"),
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_streams_health_check_spark.operators.textstats import (
+        with_quality_score,
+        with_token_stats,
+    )
+
+    configure_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    scored = with_quality_score(with_token_stats(docs)).filter(F.col("n_tokens") > 0)
+    kept = stratified_sample(
+        scored.filter(F.col("quality_score") >= _PIPE_MIN_QUALITY),
+        "lang",
+        "doc_id",
+        _SAMPLE_RATES,
+    ).select("doc_id", "source", "n_tokens", "quality_score")
+    packed = pack_sequences(kept, _PIPE_BUDGET)
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
