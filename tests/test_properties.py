@@ -150,3 +150,70 @@ def test_alarm_matches_model(spark, points, m, policy, data):
         for r in evaluated.collect()
     }
     assert got == _alarm_model(points, 1.0, m, n, policy)
+
+
+# ---------------------------------------------------------------------------
+# Curation operators vs direct Python models.
+# ---------------------------------------------------------------------------
+import hashlib
+
+
+def _md5_u32(key) -> int:
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 10_000), st.sampled_from(["en", "zh", "xx"])),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    rates=st.fixed_dictionaries(
+        {"en": st.integers(0, 100), "zh": st.integers(0, 100)}
+    ),
+)
+def test_stratified_sample_matches_python_model(spark, docs, rates):
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, lang string")
+    got = {r.doc_id for r in stratified_sample(df, "lang", "doc_id", rates).collect()}
+    want = {
+        d
+        for d, lang in docs
+        if _md5_u32(d) * 100 < rates.get(lang, 0) * 4_294_967_296
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 700)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    budget=st.sampled_from([64, 256, 1000]),
+)
+def test_pack_sequences_matches_python_model(spark, docs, budget):
+    """Packing == greedy cumsum binning over the md5-shuffled order, per the
+    direct model; bins are dense from 0 and tokens are conserved."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(d, "s", t) for d, t in docs], "doc_id long, source string, n_tokens long"
+    )
+    got = {r.doc_id: r.bin for r in pack_sequences(df, budget).collect()}
+
+    order = sorted(docs, key=lambda t: (_md5_u32(t[0]), t[0]))
+    cum, want = 0, {}
+    for d, tok in order:
+        cum += tok
+        want[d] = (cum - 1) // budget
+    assert got == want
