@@ -197,3 +197,105 @@ def streaming_stateful_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     alarms = alarm_state_stream(metrics, threshold=50.0, timeout_ms=60_000)
     return _run_to_memory(alarms, "stateful_alarm", output_mode="update")
+
+
+# ---------------------------------------------------------------------------
+# Custom Python Data Source: the simulated Kinesis connector (S1/S2 without
+# AWS). Batch scan is pure arithmetic -> DuckDB generate_series oracle; the
+# streaming drive decodes through the real consumer column ops.
+# ---------------------------------------------------------------------------
+_KS_SHARDS = 4
+_KS_PER_SHARD = 250
+_KS_EPOCH = 1_700_000_000
+_KS_IVL_MS = 60_000
+
+_KS_SCAN_SQL = f"""
+WITH g AS (
+  SELECT s.range AS shard, q.range AS seq
+  FROM range(0, {_KS_SHARDS}) s, range(0, {_KS_PER_SHARD}) q
+)
+SELECT 'shardId-' || lpad(CAST(shard AS VARCHAR), 12, '0') AS shard_id,
+       CAST(seq AS BIGINT) AS seq,
+       lpad(CAST(CAST(shard AS HUGEINT) * 100000000000000000000 + seq AS VARCHAR),
+            56, '0') AS sequence_number,
+       strftime(to_timestamp({_KS_EPOCH} + seq * {_KS_IVL_MS} // 1000),
+                '%Y-%m-%dT%H:%M:%SZ') AS partition_key,
+       CAST({_KS_EPOCH} + seq * {_KS_IVL_MS} // 1000 AS BIGINT) AS payload_epoch_s,
+       CAST(octet_length(encode('{{"currentInstant": "' ||
+            strftime(to_timestamp({_KS_EPOCH} + seq * {_KS_IVL_MS} // 1000),
+                     '%Y-%m-%dT%H:%M:%SZ') || '"}}')) AS BIGINT) AS payload_len
+FROM g
+"""
+
+
+@register(
+    "kinesis_sim_scan",
+    oracle=_KS_SCAN_SQL,
+    doc="S1/S2: custom Python DataSource batch scan (simulated Kinesis wire: "
+    "shards, 56-digit sequences, tracer payload bytes) vs a generate_series "
+    "oracle — one partition per shard, fully deterministic",
+    tags=("core", "source"),
+)
+def kinesis_sim_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_sim import (
+        register_kinesis_sim,
+    )
+
+    configure_session(spark)
+    register_kinesis_sim(spark)
+    raw = (
+        spark.read.format("kinesis_sim")
+        .option("numShards", _KS_SHARDS)
+        .option("recordsPerShard", _KS_PER_SHARD)
+        .option("startEpochS", _KS_EPOCH)
+        .option("intervalMs", _KS_IVL_MS)
+        .load()
+    )
+    payload = F.decode("data", "UTF-8")
+    return raw.select(
+        "shard_id",
+        F.substring("sequence_number", 37, 20).cast("long").alias("seq"),
+        "sequence_number",
+        "partition_key",
+        F.unix_timestamp(
+            F.to_timestamp(F.get_json_object(payload, "$.currentInstant"))
+        ).alias("payload_epoch_s"),
+        F.octet_length("data").cast("long").alias("payload_len"),
+    )
+
+
+@register(
+    "streaming_kinesis_sim_consume",
+    oracle=None,  # micro-batch boundaries are trigger-dependent: rows-only
+    doc="S2/W1 streaming: custom Python DataSource stream drained with "
+    "availableNow through the consumer decode to metric rows",
+    tags=("core", "streaming", "source"),
+)
+def streaming_kinesis_sim_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_streams_health_check_spark.functions import scalar
+    from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_sim import (
+        register_kinesis_sim,
+    )
+
+    configure_session(spark)
+    register_kinesis_sim(spark)
+    raw = (
+        spark.readStream.format("kinesis_sim")
+        .option("numShards", 2)
+        .option("recordsPerShard", 200)
+        .load()
+    )
+    # Native-connector decode: binary payload (no base64 on this wire),
+    # arrival from epoch seconds — the same P5-P9 column ops as the JSON leg.
+    payload = F.decode("data", "UTF-8")
+    payload_ts = scalar.parse_instant(F.get_json_object(payload, "$.currentInstant"))
+    metrics = raw.select(
+        scalar.truncate_to_second(payload_ts).alias("ts"),
+        F.regexp_extract("event_source_arn", r"stream/(.+)$", 1).alias("stream_name"),
+        scalar.as_metric_value(
+            scalar.lag_seconds(
+                payload_ts, scalar.epoch_seconds_to_ts(F.col("approximate_arrival_ts"))
+            )
+        ).alias("value"),
+    )
+    return _run_to_memory(metrics, "kinesis_sim_consume")
