@@ -33,11 +33,13 @@ import datetime as dt
 import json
 from collections.abc import Iterator
 
+from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -115,27 +117,22 @@ class KinesisSimBatchReader(DataSourceReader):
 
 
 class KinesisSimStreamReader(DataSourceStreamReader):
+    """Drain-mode streaming: expose the whole backlog (the availableNow
+    backfill path) with one InputPartition per shard — full scan parallelism.
+
+    A fresh instance's ``latestOffset`` is the constant cap, so it can never
+    regress below a checkpointed offset: restart-safe by construction.
+    """
+
     def __init__(self, options: dict):
         self.opts = _options(options)
-        self._latest = {str(s): 0 for s in range(self.opts["num_shards"])}
 
     def initialOffset(self) -> dict:
         return {str(s): 0 for s in range(self.opts["num_shards"])}
 
     def latestOffset(self) -> dict:
-        # drain=true (default): expose the whole backlog — right for
-        # availableNow backfills, which consult latestOffset ONCE. With
-        # drain=false each trigger admits recordsPerBatch more per shard
-        # (processing-time pacing, the live-stream simulation).
         cap = self.opts["records_per_shard"]
-        if self.opts["drain"]:
-            self._latest = {s: cap for s in self._latest}
-        else:
-            self._latest = {
-                s: min(v + self.opts["records_per_batch"], cap)
-                for s, v in self._latest.items()
-            }
-        return dict(self._latest)
+        return {str(s): cap for s in range(self.opts["num_shards"])}
 
     def partitions(self, start: dict, end: dict):
         return [
@@ -151,6 +148,51 @@ class KinesisSimStreamReader(DataSourceStreamReader):
         pass  # synthetic source: nothing to ack
 
     def stop(self) -> None:
+        pass
+
+
+class KinesisSimSimpleReader(SimpleDataSourceStreamReader):
+    """Paced-mode streaming (``drain=false``): each trigger admits
+    ``recordsPerBatch`` more per shard — the live-stream simulation.
+
+    Built on ``SimpleDataSourceStreamReader`` because pacing needs the
+    AUTHORITATIVE start offset each batch: ``read(start)`` receives it, so a
+    post-restart reader resumes exactly at the checkpointed position (a
+    stateful ``latestOffset`` on a fresh partitioned reader would regress
+    and re-emit committed ranges — the classic custom-source restart bug).
+    Driver-side reads are the documented trade-off of the simple API; paced
+    batches are small by definition, and the drain/batch paths keep full
+    shard parallelism.
+    """
+
+    def __init__(self, options: dict):
+        self.opts = _options(options)
+
+    def initialOffset(self) -> dict:
+        return {str(s): 0 for s in range(self.opts["num_shards"])}
+
+    def _rows(self, start: dict, end: dict) -> list[tuple]:
+        # Materialized (not a generator): the simple-reader wrapper pickles
+        # the prefetched rows across the runner boundary.
+        o = self.opts
+        return [
+            _record(int(s), seq, o["start_epoch_s"], o["interval_ms"], o["stream"])
+            for s in sorted(end)
+            for seq in range(start.get(s, 0), end[s])
+        ]
+
+    def read(self, start: dict):
+        cap = self.opts["records_per_shard"]
+        end = {
+            s: min(v + self.opts["records_per_batch"], cap)
+            for s, v in start.items()
+        }
+        return (iter(self._rows(start, end)), end)
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter(self._rows(start, end))  # deterministic replay (W2)
+
+    def commit(self, end: dict) -> None:
         pass
 
 
@@ -173,7 +215,18 @@ class KinesisSimDataSource(DataSource):
         return KinesisSimBatchReader(self.options)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
-        return KinesisSimStreamReader(self.options)
+        # drain mode: shard-partitioned reader. Paced mode: raise the
+        # sentinel Spark's dispatcher catches to fall back to
+        # simpleStreamReader (pyspark datasource_internal._streamReader).
+        if _options(self.options)["drain"]:
+            return KinesisSimStreamReader(self.options)
+        raise PySparkNotImplementedError(
+            errorClass="NOT_IMPLEMENTED",
+            messageParameters={"feature": "paced mode uses simpleStreamReader"},
+        )
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return KinesisSimSimpleReader(self.options)
 
 
 def register_kinesis_sim(spark) -> None:

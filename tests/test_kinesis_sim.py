@@ -101,3 +101,60 @@ def test_stream_paced_mode_advances_per_trigger(spark, tmp_path):
     # Paced admission: several triggers' worth, not the whole 100-row backlog
     # in one gulp (first trigger = 5/shard).
     assert 10 <= n <= 100 and n % 10 == 0, n
+
+
+def test_stream_checkpoint_restart_no_dups_no_gaps(spark, tmp_path):
+    """W2: kill the paced stream mid-backlog, restart from the checkpoint —
+    the union of both runs is exactly the backlog, no dup/no gap (offsets are
+    the only state; read() re-derives rows from offsets deterministically).
+    Parquet sink: the memory sink refuses checkpoint recovery by design."""
+    import time
+
+    register_kinesis_sim(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def start():
+        return (
+            spark.readStream.format("kinesis_sim")
+            .option("numShards", 2)
+            .option("recordsPerShard", 30)
+            .option("recordsPerBatch", 3)
+            .option("drain", "false")
+            .load()
+            .select("shard_id", "sequence_number")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    def sink_rows():
+        try:
+            return {tuple(r) for r in spark.read.parquet(out).collect()}
+        except Exception:
+            return set()
+
+    q1 = start()
+    deadline = time.time() + 60
+    while time.time() < deadline and len(sink_rows()) < 6:
+        time.sleep(1)
+    q1.stop()
+    first = sink_rows()
+    assert 0 < len(first) < 60  # genuinely mid-backlog (60-row backlog)
+
+    q2 = start()
+    deadline = time.time() + 120
+    while time.time() < deadline and len(sink_rows()) < 60:
+        time.sleep(1)
+    q2.stop()
+    final = sink_rows()
+
+    # Exactly-once sink contract across restart: the union is the complete
+    # backlog with no duplicates (a dup would collapse in the set; row COUNT
+    # must equal the distinct count too).
+    assert len(final) == 60, len(final)
+    assert spark.read.parquet(out).count() == 60  # no physical duplicates
+    assert first <= final
