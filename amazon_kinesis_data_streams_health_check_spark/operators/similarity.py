@@ -75,9 +75,18 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k per query vector (broadcast the query side)."""
-    from pyspark.sql import Window
+    """Exact cosine top-k per query vector (broadcast the query side).
 
+    Two-phase top-k: each scan partition keeps only its local top-k per query
+    (groupBy ``(query_id, spark_partition_id)`` -> sorted-slice of a
+    ``collect_list``), then a tiny global merge over ``partitions x k``
+    candidates per query. A single ``row_number`` window per query_id would
+    route EVERY scored corpus row for a query onto one task — |corpus| rows
+    per partition at 100 TB; here the wide stages only ever move
+    ``O(partitions * k)`` rows per query. Ordering matches the window form
+    exactly: descending cosine, ascending ``neighbor_id`` tie-break (encoded
+    as an ascending struct sort on ``(-cosine, neighbor_id)``).
+    """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("emb_q")
     )
@@ -89,11 +98,24 @@ def brute_force_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos_raw", cosine_expr("emb_q", "emb_n"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank")
+    # Ascending struct order == (cos desc, neighbor_id asc); doubles negate
+    # losslessly so the tie-break semantics are identical to the window form.
+    cand = F.struct(
+        (-F.col("cos_raw")).alias("neg_cos"), F.col("neighbor_id").alias("nid")
+    )
+    local = scored.groupBy("query_id", F.spark_partition_id().alias("_pid")).agg(
+        F.slice(F.array_sort(F.collect_list(cand)), 1, k).alias("cands")
+    )
+    merged = local.groupBy("query_id").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("cands"))), 1, k).alias("topk")
+    )
+    return merged.select(
+        "query_id", F.posexplode("topk").alias("pos", "c")
+    ).select(
+        "query_id",
+        F.col("c.nid").alias("neighbor_id"),
+        F.round(-F.col("c.neg_cos"), 6).alias("cosine"),
+        (F.col("pos") + 1).cast("long").alias("rank"),
     )
 
 

@@ -94,3 +94,14 @@ def test_pack_sequences_window_partitions_by_source(spark, sf_small):
 def test_semi_anti_queries_have_no_cartesian(spark, sf_small, name):
     plan = plan_of(spark, sf_small, name)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ann_topk_has_no_per_query_window(spark, sf_small):
+    """Brute-force top-k must be two-phase (local top-k then merge): a
+    row_number window partitioned only by query_id routes the entire scored
+    corpus for one query onto one task — the r01-flagged 100 TB scale-killer."""
+    plan = plan_of(spark, sf_small, "ann_topk_bruteforce")
+    assert not re.findall(r"^\(\d+\) Window", plan, re.M), plan
+    assert "row_number" not in plan, plan
+    # Both phases partially aggregate before their exchange.
+    assert len(re.findall(r"^\(\d+\) (?:Object)?HashAggregate", plan, re.M)) >= 4, plan
