@@ -11,8 +11,12 @@ reference citations. Design constraints:
   band-key self-join (candidates ~ linear in corpus for reasonable band
   widths) and the pair-verification joins. Brute-force all-pairs never
   happens. Banding keys are md5s => uniformly distributed join keys; skew
-  only arises from genuinely giant duplicate classes (salt the band key with
-  a doc-hash suffix if a class exceeds a partition).
+  only arises from genuinely giant duplicate classes — the band self-joins
+  are therefore salted (``BAND_SALT``): the smaller-id side of each pair
+  takes one of ``salt`` deterministic buckets, the other side replicates to
+  all buckets, so one m-doc duplicate class generates its m^2 candidates
+  across ``salt`` reducers instead of one. The pair set is bit-identical
+  with or without salt (each a<b pair matches exactly once, in a's bucket).
 """
 
 from __future__ import annotations
@@ -34,6 +38,46 @@ SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 
 _HEX = "0123456789abcdef"
+
+#: Salt width for the band self-joins: caps per-reducer pair generation of a
+#: giant duplicate class at ~m^2/BAND_SALT. Replication cost is BAND_SALT x
+#: the (narrow) band rows on one join side — noise next to the pair work it
+#: spreads. 1 disables salting.
+BAND_SALT = 8
+
+
+def _salted_band_self_join(
+    bands_long: DataFrame, id_col: str, extra_cols: tuple[str, ...] = (), salt: int = BAND_SALT
+) -> DataFrame:
+    """Self-join band rows on (band_idx, band_key) into (doc_a < doc_b) pairs,
+    spreading each hot band key over ``salt`` shuffle buckets.
+
+    ``bands_long``: one row per (doc, band) with columns ``id_col, band_idx,
+    band_key, *extra_cols``. The x (smaller-id) side gets a deterministic
+    bucket from its doc id; the y side explodes to every bucket, so each true
+    pair matches exactly once and the result is independent of ``salt``.
+    Output: ``doc_a, doc_b`` plus ``<c>_a / <c>_b`` for each extra column.
+    """
+    x, y = bands_long, bands_long
+    keys = ["band_idx", "band_key"]
+    if salt > 1:
+        x = x.withColumn("_salt", F.pmod(F.hash(F.col(id_col)), F.lit(salt)))
+        y = y.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        keys.append("_salt")
+    x, y = x.alias("x"), y.alias("y")
+    cond = (F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+    for kcol in keys:
+        cond &= F.col(f"x.{kcol}") == F.col(f"y.{kcol}")
+    return (
+        x.join(y, cond)
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"),
+            F.col(f"y.{id_col}").alias("doc_b"),
+            *[F.col(f"x.{c}").alias(f"{c}_a") for c in extra_cols],
+            *[F.col(f"y.{c}").alias(f"{c}_b") for c in extra_cols],
+        )
+        .distinct()
+    )
 
 
 def _tok(text_col: str) -> str:
@@ -78,11 +122,14 @@ def with_bands(df: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    banded: DataFrame, id_col: str = "doc_id", salt: int = BAND_SALT
+) -> DataFrame:
     """Docs sharing >=1 band -> distinct (doc_a < doc_b) candidate pairs.
 
-    The self-join shuffles on (band_idx, band_key) — uniformly-distributed
-    md5 keys, so partition balance holds at scale.
+    The self-join shuffles on (band_idx, band_key[, salt bucket]) —
+    uniformly-distributed md5 keys, with the salt bounding the giant-
+    duplicate-class hot key (see module docstring).
     """
     bands_long = banded.select(
         F.col(id_col),
@@ -90,17 +137,7 @@ def lsh_candidate_pairs(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
             "band_idx", "band_key"
         ),
     )
-    x, y = bands_long.alias("x"), bands_long.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
-        )
-        .select(F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b"))
-        .distinct()
-    )
+    return _salted_band_self_join(bands_long, id_col, salt=salt)
 
 
 def verified_jaccard(pairs: DataFrame, shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -155,11 +192,15 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return agg.select(F.col(id_col), sig.alias("sig"))
 
 
-def simhash_near_pairs(sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 4) -> DataFrame:
+def simhash_near_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 4, salt: int = BAND_SALT
+) -> DataFrame:
     """Band-join on 4-bit sig substrings, then exact Hamming distance filter.
 
     Any pair within Hamming distance 4 of a 16-bit sig shares at least one of
-    the 4 bands (pigeonhole), so banding loses no true positives.
+    the 4 bands (pigeonhole), so banding loses no true positives. 4-bit band
+    keys have only 16 values — inherently hot at scale — so the salted
+    self-join matters even more here than on the md5-keyed MinHash path.
     """
     bands = sigs.select(
         F.col(id_col),
@@ -173,22 +214,7 @@ def simhash_near_pairs(sigs: DataFrame, id_col: str = "doc_id", max_hamming: int
             )
         ).alias("band_idx", "band_key"),
     )
-    x, y = bands.alias("x"), bands.alias("y")
-    pairs = (
-        x.join(
-            y,
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
-        )
-        .select(
-            F.col(f"x.{id_col}").alias("doc_a"),
-            F.col(f"y.{id_col}").alias("doc_b"),
-            F.col("x.sig").alias("sig_a"),
-            F.col("y.sig").alias("sig_b"),
-        )
-        .distinct()
-    )
+    pairs = _salted_band_self_join(bands, id_col, extra_cols=("sig",), salt=salt)
     hamming = sum(
         F.when(
             F.expr(f"substr(sig_a, {i + 1}, 1)") != F.expr(f"substr(sig_b, {i + 1}, 1)"), 1
