@@ -557,16 +557,60 @@ def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_feature_chunk_sql(i: int) -> str:
+    """DuckDB twin of one ``np.array_split(bytes, 8)`` chunk mean: l = n//8,
+    r = n%8; chunk i is size l+1 starting at i*(l+1) for i<r, else size l
+    starting at r + i*l. ascii() == byte value because the corpus is ASCII
+    (same documented equivalence as the media_frame_sample oracle)."""
+    sz = f"(CASE WHEN {i} < (n % 8) THEN n // 8 + 1 ELSE n // 8 END)"
+    st = f"(CASE WHEN {i} < (n % 8) THEN {i} * (n // 8 + 1) ELSE (n % 8) + {i} * (n // 8) END)"
+    return (
+        f"CASE WHEN {sz} = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+        f"round(CAST(CAST(list_avg(list_transform(range({st} + 1, {st} + {sz} + 1),"
+        f" j -> ascii(substr(text, j, 1)))) AS REAL) AS DOUBLE), 6) END AS f{i}"
+    )
+
+
+_MEDIA_FEATURES_SQL = (
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS n,
+         text
+  FROM documents
+)
+SELECT media_id, kind, CAST(n AS BIGINT) AS n_bytes,
+       """
+    + ",\n       ".join(_media_feature_chunk_sql(i) for i in range(8))
+    + "\nFROM m"
+)
+
+
 @register(
     "media_features",
-    oracle=None,  # Pandas-UDF featurizer: rows-only check (mapInPandas path)
-    doc="E4: Arrow-batched mapInPandas feature extraction over binary payloads (fake decoder)",
+    # The fake featurizer (mean byte of 8 np.array_split chunks, float32-
+    # rounded) is deterministic and expressible over the ASCII corpus, so the
+    # mapInPandas path gets a full value-hash oracle, not just a rows check.
+    oracle=_MEDIA_FEATURES_SQL,
+    doc="E4: Arrow-batched mapInPandas feature extraction over binary payloads "
+    "(fake decoder; feature vector projected to scalar f0..f7 for the "
+    "cross-engine hash)",
     tags=("ext", "multimodal"),
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
     media = synthesize_media(parallel_scan(spark, sf_dir, "documents"))
-    return decode_media(media, decoder="fake")
+    feats = decode_media(media, decoder="fake")
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        *[
+            F.round(F.element_at("feature", i + 1).cast("double"), 6).alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
 
 
 _FRAME_SQL = """
