@@ -63,10 +63,47 @@ def streaming_tracer_produce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(producer_stream(spark, "health-check-stream"), "tracers")
 
 
+#: Deterministic subset for the oracle-compared streaming drives: the row set
+#: must not depend on scan order (``limit`` would), only on values.
+_STREAM_FILTER = "event_id % 50 = 0"
+
+_STREAM_CONSUMER_SQL = f"""
+WITH sub AS (SELECT * FROM events WHERE {_STREAM_FILTER}),
+now_t AS (SELECT max(ts) AS now_ts FROM sub),
+syn AS (
+  SELECT 'arn:aws:kinesis:us-east-1:123456789012:stream/' || event_type AS arn,
+         to_base64(encode('{{"currentInstant":"' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') || '"}}')) AS data,
+         ts AS arrival
+  FROM sub
+),
+dec AS (
+  SELECT arn, arrival,
+         COALESCE(
+           TRY_CAST(json_extract_string(decode(from_base64(data)), '$.currentInstant') AS TIMESTAMP),
+           arrival
+         ) AS ev
+  FROM syn
+)
+SELECT date_trunc('second', ev) AS ts,
+       'KinesisServiceHealthCheck' AS namespace,
+       'HealthCheckSinceSeconds' AS metric_name,
+       split_part(split_part(arn, ':', 6), '/', 2) AS stream_name,
+       CAST(CAST(epoch(date_trunc('second', now_ts)) AS BIGINT)
+            - CAST(epoch(date_trunc('second', ev)) AS BIGINT) AS DOUBLE) AS value
+FROM dec, now_t
+WHERE ev IS NOT NULL
+"""
+
+
 @register(
     "streaming_consumer_metrics",
-    oracle=None,  # processing-time 'now': rows-only
-    doc="S2/S3 streaming: kinesis-event JSON file stream -> decoded lag metric rows",
+    # Deterministic drive: value-filtered input subset + pinned "now" (max
+    # event time of the subset), so the batch consumer oracle applies verbatim
+    # to the streaming run — the stateless transform chain is identical by
+    # construction (streaming/pipeline.py reuses the batch column ops).
+    oracle=_STREAM_CONSUMER_SQL,
+    doc="S2/S3 streaming: kinesis-event JSON file stream -> decoded lag metric "
+    "rows (availableNow drain, pinned now => full value-hash oracle)",
     tags=("core", "streaming"),
 )
 def streaming_consumer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,25 +111,45 @@ def streaming_consumer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs the REAL consumer file-stream over it — schema, PERMISSIVE parse,
     explode, decode, metric projection all exercised under streaming."""
     configure_session(spark)
-    events = load_table(spark, sf_dir, "events").limit(200)
+    events = load_table(spark, sf_dir, "events").filter(F.expr(_STREAM_FILTER))
+    now_val = events.agg(F.max("ts")).collect()[0][0]
     src_dir = tempfile.mkdtemp(prefix="kinesis_events_")
     synthesize_from_events(events).write.mode("overwrite").json(src_dir)
     metrics = consumer_stream(
-        spark, src_dir, max_files_per_trigger=8, event_time_source="coalesce"
+        spark,
+        src_dir,
+        max_files_per_trigger=8,
+        event_time_source="coalesce",
+        now=F.lit(now_val),
     )
     return _run_to_memory(metrics, "consumer_metrics_stream")
 
 
+_STREAM_WINDOW_SQL = """
+SELECT event_type AS stream_name,
+       date_trunc('minute', ts) AS window_start,
+       date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
+       max(value) AS max_value,
+       count(*) AS n_datapoints
+FROM events
+GROUP BY 1, 2
+"""
+
+
 @register(
     "streaming_window_max",
-    oracle=None,  # watermark/trigger dependent emission: rows-only
-    doc="W3/W5 streaming: watermarked 1-min tumbling max over the events stream",
+    # Complete-mode drain of a bounded backfill: the sink holds every window's
+    # final aggregate regardless of trigger boundaries, so the batch tumbling
+    # oracle applies verbatim. Append-mode (watermark-gated) emission is
+    # trigger-dependent by design and stays pinned in tests/test_streaming.py.
+    oracle=_STREAM_WINDOW_SQL,
+    doc="W3/W5 streaming: watermarked 1-min tumbling max over the events "
+    "stream (availableNow + complete-mode sink => full value-hash oracle)",
     tags=("core", "streaming"),
 )
 def streaming_window_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-streams the events parquet (bounded backfill) through the
-    watermarked tumbling-max aggregation (A1/W3). Append mode: only
-    watermark-closed windows emit, exactly the production behavior."""
+    watermarked tumbling-max aggregation (A1/W3)."""
     configure_session(spark)
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
@@ -106,7 +163,9 @@ def streaming_window_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("stream_name"),
         F.col("value"),
     )
-    return _run_to_memory(windowed_max_stream(metrics), "windowed_max_stream")
+    return _run_to_memory(
+        windowed_max_stream(metrics), "windowed_max_stream", output_mode="complete"
+    )
 
 
 @register(

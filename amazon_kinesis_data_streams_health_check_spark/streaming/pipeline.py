@@ -60,13 +60,14 @@ def consumer_stream(
     events_dir: str,
     max_files_per_trigger: int = 1,
     event_time_source: str = "coalesce",
+    now: F.Column | None = None,
 ) -> DataFrame:
     """S2/S3: kinesis-event JSON file stream -> decoded metric rows.
 
-    ``maxFilesPerTrigger=1`` reproduces ESM batchSize=1. The metric "now" is
-    the processing-time clock, exactly like the consumer Lambda
-    (HealthCheckConsumerHandler.java:71) — acceptable here because streaming
-    outputs are not oracle-compared (the batch twin is).
+    ``maxFilesPerTrigger=1`` reproduces ESM batchSize=1. The metric "now"
+    defaults to the processing-time clock, exactly like the consumer Lambda
+    (HealthCheckConsumerHandler.java:71); a deterministic backfill (or an
+    oracle-compared drive) injects a pinned ``now`` literal instead.
     """
     batches = (
         spark.readStream.schema(KINESIS_EVENT_SCHEMA_PERMISSIVE)
@@ -75,7 +76,11 @@ def consumer_stream(
         .json(events_dir)
     )
     decoded = decoded_records(explode_records(batches))
-    return metric_rows(decoded, F.current_timestamp(), event_time_source=event_time_source)
+    return metric_rows(
+        decoded,
+        now if now is not None else F.current_timestamp(),
+        event_time_source=event_time_source,
+    )
 
 
 def windowed_max_stream(
