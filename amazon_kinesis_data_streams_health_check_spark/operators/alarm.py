@@ -81,10 +81,14 @@ def with_period_grid(
     ``metrics`` is consumed three times (bounds, key list, the grid join).
     Without materialization Catalyst's RemoveRedundantAggregates rewrites the
     min/max/distinct-over-aggregate branches into aggregates over the RAW
-    input, tripling the scan of the big table; persisting the tiny aggregated
-    relation pins it to one scan (the idiomatic fan-out-reuse pattern).
+    input, tripling the scan of the big table. A lazy ``localCheckpoint``
+    pins the tiny aggregated relation to one scan like ``persist`` would,
+    but WITHOUT the CacheManager leak: checkpoint storage is released by the
+    ContextCleaner when the plan is garbage-collected, so repeated pipeline
+    invocations (bench loops, the 73-query verify run) don't accumulate
+    cached relations for the session lifetime.
     """
-    metrics = metrics.persist()
+    metrics = metrics.localCheckpoint(eager=False)
     bounds = metrics.agg(
         F.min("window_start").alias("lo"), F.max("window_start").alias("hi")
     )
@@ -128,7 +132,10 @@ def evaluate_alarm(
     - ALARM when >= ``datapoints_to_alarm`` of the trailing
       ``evaluation_periods`` periods breach (:176,181),
     - ``treat_missing``: 'breaching' | 'notBreaching' | 'ignore' (missing
-      periods inherit the previous resolved state) | 'missing'
+      periods inherit the previous resolved state, and present periods
+      evaluate M-of-N over the most recent N PRESENT datapoints — missing
+      periods neither vote nor occupy evaluation slots, matching CloudWatch
+      and the transformWithState twin in streaming/tws_alarm.py) | 'missing'
       (INSUFFICIENT_DATA when every period in the eval window is absent),
     - ``transitioned`` true when state differs from the previous period's
       state (actions fire only on transition, :178,183).
@@ -168,8 +175,34 @@ def evaluate_alarm(
         df = df.withColumn("state", raw_state)
     elif treat_missing == "ignore":
         # Missing periods inherit the last resolved state (CloudWatch "keep
-        # current state"); leading missing periods resolve to OK.
-        df = df.withColumn("state_pt", F.when(~missing, raw_state))
+        # current state"); leading missing periods resolve to OK. Present
+        # periods evaluate over the last N PRESENT datapoints — a trailing
+        # window on the grid would let empty slots dilute the breach count
+        # (r01 advice: batch disagreed with the TWS twin on gappy data).
+        trailing_present = (
+            Window.partitionBy(key_col)
+            .orderBy("window_start")
+            .rowsBetween(-(evaluation_periods - 1), 0)
+        )
+        pres = (
+            gridded.filter(F.col("max_value").isNotNull())
+            .withColumn(
+                "_breach_p",
+                F.sum((F.col("max_value") > F.lit(threshold)).cast("int")).over(
+                    trailing_present
+                ),
+            )
+            .select(
+                F.col(key_col),
+                F.col("window_start"),
+                F.when(
+                    F.col("_breach_p") >= F.lit(datapoints_to_alarm), F.lit(STATE_ALARM)
+                )
+                .otherwise(F.lit(STATE_OK))
+                .alias("state_pt"),
+            )
+        )
+        df = df.join(pres, [key_col, "window_start"], "left")
         df = df.withColumn(
             "state",
             F.coalesce(

@@ -147,39 +147,46 @@ def connected_components(
     Near-dup graphs are overwhelmingly tiny cliques/chains (diameter <= 3-4
     in practice), so the loop exits almost immediately; ``max_iterations``
     bounds adversarial chains.
+
+    Each round's labels are pinned with an EAGER ``localCheckpoint``: it
+    materializes the round (the convergence count then reads cached data,
+    exactly what the old per-round ``persist`` bought) *and* truncates
+    lineage, so an adversarial long chain never accumulates an r-deep join
+    tree in the driver. Unlike SQL-level ``persist`` — which parks every
+    round's relation in the CacheManager until an explicit unpersist (the
+    r01-flagged session-lifetime leak) — checkpoint blocks are freed by the
+    ContextCleaner as soon as the previous round's DataFrame is
+    garbage-collected.
     """
     sym = (
         edges.selectExpr("a", "b")
         .union(edges.selectExpr("b AS a", "a AS b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("a").alias("v"))
         .distinct()
         .withColumn("label", F.col("v"))
+        .localCheckpoint(eager=True)
     )
-    sym = sym.persist()
-    labels = labels.persist()
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.b == labels.v)
             .groupBy(sym.a.alias("v2"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.v == F.col("v2"), "left")
             .select(
                 F.col("v"),
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
                 (F.least(F.col("label"), F.coalesce("nbr_label", "label")) != F.col("label")).alias("changed"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        any_changed = new_labels.filter("changed").limit(1).count() > 0
-        old = labels
-        labels = new_labels.select("v", "label").persist()
-        old.unpersist()
-        new_labels.unpersist()
+        any_changed = stepped.filter("changed").limit(1).count() > 0
+        labels = stepped.select("v", "label")
         if not any_changed:
             break
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -116,7 +116,10 @@ def range_join_buckets(
     ]
 
     l2 = left.withColumn("_bkt", F.explode(F.array(lb, lb + 1)))
-    r2 = right.select(*rsel).withColumn("_bkt", rb)
+    # Bucket BEFORE the collision rename: with the (default) shared timestamp
+    # name, selecting the renamed columns first would leave ``rb``'s
+    # F.col(right_ts) unresolvable.
+    r2 = right.withColumn("_bkt", rb).select(*rsel, F.col("_bkt"))
 
     rts = f"{right_ts}_r" if right_ts in overlap else right_ts
     # Full-precision bound (epoch-floor comparison would admit rows up to

@@ -41,17 +41,25 @@ def merge_upsert_partitioned(
 
     Partition-scoped read-merge-rewrite:
 
-    1. prune the existing table to ONLY the partitions the update batch
-       touches (collect of the batch's distinct partition values — a handful
-       of dates, never data rows);
-    2. union + per-key latest-wins (max ``version_col``, deterministic
-       tiebreak on current-vs-incoming) via one window;
-    3. dynamic-partition-overwrite exactly those partitions.
+    1. find the touched partitions: the update batch's own partition values
+       UNION the partitions of existing rows whose keys the batch updates —
+       an update that moves a key to a new ``to_date(ts)`` must retire the
+       stored row in its OLD partition, or the lake silently keeps two rows
+       per key (r01 advice). The key probe is one semi-join of the table
+       against the (small, broadcast) distinct update keys — the same
+       source-matches-target lookup a real Delta/Iceberg MERGE performs,
+       where file-level key stats would prune it further;
+    2. union the touched slice with the updates + per-key latest-wins (max
+       ``version_col``, deterministic tiebreak on current-vs-incoming) via
+       one window;
+    3. dynamic-partition-overwrite the touched partitions; a touched
+       partition whose rows ALL migrated elsewhere has no output rows for
+       the dynamic overwrite to replace, so it is deleted explicitly.
 
-    Cost scales with the touched partitions, not the table — the same
-    contract a Delta/Iceberg MERGE gives, minus the transaction log (single
-    writer assumed; the streaming checkpoint provides the idempotence story
-    end-to-end). Re-running the same batch is a no-op by construction.
+    Only the collected partition VALUES (a handful of dates) and the final
+    resolved rows of touched partitions move through the driver/shuffle —
+    never untouched data. Re-running the same batch is a no-op by
+    construction.
     """
     from pyspark.sql import Window
 
@@ -63,7 +71,17 @@ def merge_upsert_partitioned(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy(partition_col).parquet(path)
         return
-    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    upd_keys = updates.select(*key_cols).distinct()
+    touched_df = (
+        updates.select(partition_col)
+        .unionByName(
+            existing.join(F.broadcast(upd_keys), key_cols, "leftsemi").select(
+                partition_col
+            )
+        )
+        .distinct()
+    )
+    touched = [r[0] for r in touched_df.collect()]
     current = existing.filter(F.col(partition_col).isin(touched)).withColumn(
         "_is_new", F.lit(0)
     )
@@ -75,10 +93,20 @@ def merge_upsert_partitioned(
         merged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_is_new")
-    )
+    ).localCheckpoint(eager=True)  # the writes below must not re-read `path` mid-rewrite
+    kept = {r[0] for r in resolved.select(partition_col).distinct().collect()}
     resolved.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy(partition_col).parquet(path)
+    # Partitions emptied by key migration: no output rows => dynamic
+    # overwrite left them behind; drop their directories.
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for v in touched:
+        if v not in kept:
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/{partition_col}={v}")
+            fs = p.getFileSystem(hconf)
+            fs.delete(p, True)
 
 
 def read_metrics_range(

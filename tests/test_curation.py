@@ -63,6 +63,24 @@ def test_pack_sequences_bins_respect_budget(spark):
     assert sum(len(rs) for rs in by_bin.values()) == len(rows)
 
 
+def test_connected_components_long_chain_truncates_lineage(spark):
+    """An adversarial 30-edge chain: every round must checkpoint, so the
+    returned plan is a projection over a materialized RDD — not a 30-deep
+    join tree — and convergence still reaches the full component."""
+    n = 31
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    labels = connected_components(edges, max_iterations=n)
+    plan = labels._sc._jvm.PythonSQLUtils.explainString(
+        labels._jdf.queryExecution(), "formatted"
+    )
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Join" not in plan, plan  # lineage truncated at the last round
+    rows = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert set(rows.values()) == {0} and len(rows) == n
+
+
 def test_connected_components_chain_and_islands(spark):
     # Components: {1,2,3,4} (chain), {10,11} (pair); isolated docs have no
     # edges and therefore no row (nothing to deduplicate).

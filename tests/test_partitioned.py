@@ -126,3 +126,49 @@ def test_merge_upsert_latest_wins_and_partition_scoped(spark, tmp_path):
     merge_upsert_partitioned(spark, updates, path, ["key"], "version")
     again = {r.key: (r.version, r.payload) for r in spark.read.parquet(path).collect()}
     assert again == got
+
+
+def test_merge_upsert_key_moving_partitions_retires_stale_row(spark, tmp_path):
+    """An update that carries a key to a NEW date must retire the stored row
+    in its old partition (r01 advice: it silently survived), including when
+    the old partition empties entirely."""
+    import os
+    import pyspark.sql.functions as F
+
+    from amazon_kinesis_data_streams_health_check_spark.sources.partitioned import (
+        merge_upsert_partitioned,
+    )
+
+    path = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [
+            ("k1", "2024-01-01 10:00:00", 1, "old-day1"),
+            ("k2", "2024-01-02 10:00:00", 1, "day2"),
+        ],
+        "key string, ts string, version int, payload string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    merge_upsert_partitioned(spark, base, path, ["key"], "version")
+
+    # k1 moves 01-01 -> 01-03; 01-01 becomes empty and must disappear.
+    updates = spark.createDataFrame(
+        [("k1", "2024-01-03 09:00:00", 2, "new-day3")],
+        "key string, ts string, version int, payload string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    merge_upsert_partitioned(spark, updates, path, ["key"], "version")
+
+    rows = spark.read.parquet(path).collect()
+    got = {(r.key, str(r.metric_date), r.version, r.payload) for r in rows}
+    assert got == {
+        ("k1", "2024-01-03", 2, "new-day3"),
+        ("k2", "2024-01-02", 1, "day2"),
+    }
+    assert not os.path.exists(os.path.join(path, "metric_date=2024-01-01"))
+
+    # Stale (lower-version) cross-partition update must NOT move the row.
+    stale = spark.createDataFrame(
+        [("k2", "2024-01-05 09:00:00", 0, "stale-move")],
+        "key string, ts string, version int, payload string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    merge_upsert_partitioned(spark, stale, path, ["key"], "version")
+    after = {(r.key, str(r.metric_date), r.version) for r in spark.read.parquet(path).collect()}
+    assert ("k2", "2024-01-02", 1) in after and len(after) == 2

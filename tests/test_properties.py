@@ -107,8 +107,16 @@ def _alarm_model(observed, threshold, M, N, policy):
             state = "INSUFFICIENT_DATA"
         elif policy == "ignore":
             if observed.get(t) is not None:
-                last_resolved = raw
-                state = raw
+                # Evaluate over the most recent M PRESENT datapoints
+                # (missing periods neither vote nor occupy slots).
+                recent = [
+                    observed[u]
+                    for u in range(lo, t + 1)
+                    if observed.get(u) is not None
+                ][-M:]
+                raw_p = "ALARM" if sum(1 for v in recent if v > threshold) >= N else "OK"
+                last_resolved = raw_p
+                state = raw_p
             else:
                 state = last_resolved if last_resolved is not None else "OK"
         else:

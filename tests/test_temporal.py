@@ -98,6 +98,27 @@ def test_range_join_no_duplicate_pairs_across_buckets(spark):
     assert len(out) == 1
 
 
+def test_range_join_shared_timestamp_column_name(spark):
+    """The default left_ts=right_ts='ts' path: the right bucket must be
+    computed before the collision rename (r01 advice: it resolved against the
+    renamed column and failed with AnalysisException)."""
+    left = spark.createDataFrame(
+        [("u1", _ts(10), "l1")], "k string, ts timestamp, lid string"
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts(12), "r_in"),
+            ("u1", _ts(25), "r_out"),
+        ],
+        "k string, ts timestamp, rid string",
+    )
+    out = range_join_buckets(left, right, on=["k"], window_seconds=600)
+    rows = out.collect()
+    assert [r.rid for r in rows] == ["r_in"]
+    # Collision rename preserved both timestamps.
+    assert {"ts", "ts_r"} <= set(out.columns)
+
+
 def test_resize_dims_and_bytes(spark):
     from amazon_kinesis_data_streams_health_check_spark.operators.multimodal import (
         resize_media,
