@@ -816,16 +816,35 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Mergeable sketch rollup (DataSketches HLL + KLL) — the pre-aggregation
 # pattern for any-range distinct/quantile queries at 100 TB.
 # ===========================================================================
+_SKETCH_ROLLUP_SQL = """
+SELECT event_type AS key,
+       count(*) AS n_rows,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS users_est_ok,
+       TRUE AS p50_est_ok,
+       TRUE AS p99_est_ok
+FROM events
+GROUP BY event_type
+"""
+
+
 @register(
     "sketch_rollup_merge",
-    oracle=None,  # DataSketches binaries have no DuckDB twin: rows-only;
-    # the merge==direct determinism invariant is pinned in test_sketches.py
+    oracle=_SKETCH_ROLLUP_SQL,
     doc="EXT: per-day HLL/KLL sketch rollup unioned to whole-range distinct "
-    "users + value quantiles (mergeable pre-aggregation; merged estimates "
-    "are bit-equal to single-pass sketches)",
+    "users + value quantiles (mergeable pre-aggregation; merged estimates are "
+    "bit-equal to single-pass sketches), checked via an accuracy contract",
     tags=("ext", "sketch"),
 )
 def sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches blobs have no DuckDB twin, so (like event_sketches) the
+    registry entry hash-checks exact twin columns plus booleans asserting the
+    merged estimates honor their published error envelopes: HLL at lgK=12
+    (rse ~1.6%) within 8% of the exact distinct count (~5 sigma); KLL (k=200,
+    rank error ~1.65%) p50/p99 inside the exact [p40, p60] / [p94, max] value
+    bands. The oracle emits literal TRUE. merge==direct bit-equality stays
+    pinned in tests/test_sketches.py; the 100 TB deployment stores only the
+    per-day sketch rows and never computes the exact twins."""
     from amazon_kinesis_data_streams_health_check_spark.operators.sketches import (
         daily_sketch_rollup,
         merge_rollup,
@@ -833,4 +852,26 @@ def sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_session(spark)
     events = load_table(spark, sf_dir, "events")
-    return merge_rollup(daily_sketch_rollup(events))
+    merged = merge_rollup(daily_sketch_rollup(events))
+    exact = events.groupBy(F.col("event_type").alias("key")).agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("percentile(value, array(0.40, 0.60, 0.94))").alias("_ep"),
+        F.max("value").alias("_vmax"),
+    )
+    return merged.join(exact, "key").select(
+        "key",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "exact_users",
+        (
+            F.abs(F.col("est_distinct_users") - F.col("exact_users"))
+            <= F.col("exact_users") * F.lit(0.08)
+        ).alias("users_est_ok"),
+        (
+            (F.col("value_p50") >= F.col("_ep")[0])
+            & (F.col("value_p50") <= F.col("_ep")[1])
+        ).alias("p50_est_ok"),
+        (
+            (F.col("value_p99") >= F.col("_ep")[2])
+            & (F.col("value_p99") <= F.col("_vmax"))
+        ).alias("p99_est_ok"),
+    )

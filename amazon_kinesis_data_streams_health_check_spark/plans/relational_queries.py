@@ -548,26 +548,60 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKETCH_SQL = """
+SELECT event_type,
+       count(*) AS n_rows,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS users_est_ok,
+       TRUE AS p50_est_ok,
+       TRUE AS p99_est_ok
+FROM events
+GROUP BY event_type
+"""
+
+
 @register(
     "event_sketches",
-    oracle=None,  # HLL/quantile-sketch algorithms differ per engine: rows-only
+    oracle=_SKETCH_SQL,
     doc="Sketch aggregates: approx_count_distinct (HLL++) and approx_percentile "
-    "(the constant-memory scale path for the exact ops above)",
+    "checked against exact twins via an accuracy CONTRACT (raw estimates are "
+    "engine-specific; the error-bound booleans are not)",
     tags=("relational",),
 )
 def event_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At 100 TB the exact percentile sort is the bottleneck; these sketches
     are mergeable, constant-memory, and partial-aggregate map-side.
 
-    Output is all-scalar (the percentile array is split into p50/p99 columns)
-    so downstream pandas canonicalization never sees a list-typed cell."""
+    Cross-engine story: HLL++/QuantileSummaries estimates have no bit-equal
+    DuckDB twin, so the query emits (a) exact values the oracle hash-checks
+    and (b) booleans asserting each estimate sits inside its published error
+    envelope — approx_count_distinct(rsd=0.01) within 5% of the exact count
+    (5 sigma), approx_percentile(accuracy=10000, rank error 1e-4) inside the
+    exact [p45, p55] / [p94, max] value band. The oracle emits literal TRUE,
+    so a sketch drifting out of contract hash-mismatches. The exact twins
+    exist only for this contract; the 100 TB deployment runs the sketch
+    columns alone (see sketch_rollup_merge for the mergeable pre-agg form)."""
     configure_session(spark)
     events = load_table(spark, sf_dir, "events")
-    pcts = F.expr("approx_percentile(value, array(0.5, 0.99), 10000)")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        pcts[0].alias("approx_p50"),
-        pcts[1].alias("approx_p99"),
+    agg = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.01).alias("_approx_users"),
+        F.expr("approx_percentile(value, array(0.5, 0.99), 10000)").alias("_ap"),
+        F.expr("percentile(value, array(0.45, 0.55, 0.94))").alias("_ep"),
+    )
+    return agg.select(
+        "event_type",
+        "n_rows",
+        "exact_users",
+        (
+            F.abs(F.col("_approx_users") - F.col("exact_users"))
+            <= F.col("exact_users") * F.lit(0.05)
+        ).alias("users_est_ok"),
+        (
+            (F.col("_ap")[0] >= F.col("_ep")[0]) & (F.col("_ap")[0] <= F.col("_ep")[1])
+        ).alias("p50_est_ok"),
+        (F.col("_ap")[1] >= F.col("_ep")[2]).alias("p99_est_ok"),
     )
 
 
