@@ -68,38 +68,21 @@ def with_lsh_bucket(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("bucket", F.concat(*bits))
 
 
-def brute_force_topk(
-    vectors: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Exact cosine top-k per query vector (broadcast the query side).
+def topk_per_query(scored: DataFrame, k: int = 10) -> DataFrame:
+    """Two-phase top-k over a scored candidate set
+    (``query_id, neighbor_id, cos_raw``).
 
-    Two-phase top-k: each scan partition keeps only its local top-k per query
-    (groupBy ``(query_id, spark_partition_id)`` -> sorted-slice of a
+    Each scan partition keeps only its local top-k per query (groupBy
+    ``(query_id, spark_partition_id)`` -> sorted-slice of a
     ``collect_list``), then a tiny global merge over ``partitions x k``
     candidates per query. A single ``row_number`` window per query_id would
-    route EVERY scored corpus row for a query onto one task — |corpus| rows
-    per partition at 100 TB; here the wide stages only ever move
+    route EVERY scored candidate row for a query onto one task — |corpus|
+    rows per partition at 100 TB; here the wide stages only ever move
     ``O(partitions * k)`` rows per query. Ordering matches the window form
     exactly: descending cosine, ascending ``neighbor_id`` tie-break (encoded
-    as an ascending struct sort on ``(-cosine, neighbor_id)``).
+    as an ascending struct sort on ``(-cosine, neighbor_id)``; doubles
+    negate losslessly so the semantics are identical).
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("emb_q")
-    )
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("emb_n")
-    )
-    scored = (
-        v.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_raw", cosine_expr("emb_q", "emb_n"))
-    )
-    # Ascending struct order == (cos desc, neighbor_id asc); doubles negate
-    # losslessly so the tie-break semantics are identical to the window form.
     cand = F.struct(
         (-F.col("cos_raw")).alias("neg_cos"), F.col("neighbor_id").alias("nid")
     )
@@ -116,6 +99,76 @@ def brute_force_topk(
         F.col("c.nid").alias("neighbor_id"),
         F.round(-F.col("c.neg_cos"), 6).alias("cosine"),
         (F.col("pos") + 1).cast("long").alias("rank"),
+    )
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector (broadcast the query side) — the
+    right baseline when |queries| << |corpus|; one narrow scan pass feeding
+    the two-phase :func:`topk_per_query` merge."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("emb_q")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("emb_n")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_raw", cosine_expr("emb_q", "emb_n"))
+    )
+    return topk_per_query(scored, k)
+
+
+def assign_ivf_flat_clusters(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: ``(vec_id, cluster)`` for every
+    vector.
+
+    Centroids are the ``n_centroids`` vectors with the smallest
+    ``md5(vec_id)`` — a reproducible pseudo-random sample any engine can
+    recompute (no trained state), numbered 1..n in md5 order. Every vector
+    joins the broadcast centroid set and takes the argmax-cosine centroid
+    (tie-break: smaller centroid id) via a map-side ``min(struct)`` partial
+    aggregation — no per-vector window, no skewed shuffle key; the only wide
+    stage groups on ``vec_id`` (uniform).
+    """
+    from pyspark.sql import Window
+
+    cent = (
+        vectors.select(
+            F.col(id_col).alias("_cid_src"), F.col(vec_col).alias("emb_c")
+        )
+        .withColumn("_h", F.md5(F.col("_cid_src").cast("string")))
+        .orderBy("_h")
+        .limit(n_centroids)
+        # n_centroids rows: the single-partition window is a no-op at scale.
+        .withColumn(
+            "centroid_id", F.row_number().over(Window.orderBy("_h")).cast("long")
+        )
+        .select("centroid_id", "emb_c")
+    )
+    return (
+        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_emb"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("_neg_cos", -cosine_expr("_emb", "emb_c"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(F.col("_neg_cos").alias("neg"), F.col("centroid_id").alias("cid"))
+            ).alias("_best")
+        )
+        .select("vec_id", F.col("_best.cid").alias("cluster"))
     )
 
 

@@ -401,10 +401,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E2/E4: embedding similarity suite
 # ===========================================================================
 from amazon_kinesis_data_streams_health_check_spark.operators.similarity import (  # noqa: E402
+    assign_ivf_flat_clusters,
     brute_force_topk,
     cosine_expr,
     duck_bucket,
     duck_cosine,
+    topk_per_query,
     with_lsh_bucket,
 )
 
@@ -758,19 +760,90 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_n"),
         "cluster",
     )
-    from pyspark.sql import Window
-
     scored = (
         queries.join(cands, "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos_raw", cosine_expr("emb_q", "emb_n"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _ANN_K)
-        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank")
+    return topk_per_query(scored, k=_ANN_K)
+
+
+_IVF_FLAT_NC = 16
+
+_IVF_FLAT_SQL = f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS centroid_id,
+         embedding AS emb_c
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT {_IVF_FLAT_NC}
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id AS cluster FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {duck_cosine('e.embedding', 'c.emb_c')} DESC, c.centroid_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT q.vec_id AS query_id, q.cluster, v.vec_id AS neighbor_id,
+         {duck_cosine('q.embedding', 'v.embedding')} AS cos_raw
+  FROM assigned q
+  JOIN assigned v ON v.cluster = q.cluster AND v.vec_id <> q.vec_id
+  WHERE q.vec_id < {_ANN_QUERY_LIMIT}
+)
+SELECT query_id, cluster, neighbor_id, round(cos_raw, 6) AS cosine, rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+  ) AS rank
+  FROM cand
+) WHERE rank <= {_ANN_K}
+"""
+
+
+@register(
+    "ann_ivf_flat",
+    oracle=_IVF_FLAT_SQL,
+    doc="E2: IVF ANN with a deterministic coarse quantizer (centroids = the "
+    f"{_IVF_FLAT_NC} md5-smallest vectors, argmax-cosine assignment) — the "
+    "fully reproducible, SQL-expressible twin of the KMeans ann_ivf, so the "
+    "whole IVF mechanism (assign, nprobe=1 probe, exact re-rank) is "
+    "value-hash-checked against DuckDB",
+    tags=("ext", "similarity"),
+)
+def ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the centroid set is tiny and broadcast; assignment is a
+    map-side min(struct) partial agg (no window); the probe join shuffles on
+    ``cluster`` (bounded fan-out, uniform for pseudo-random centroids) and
+    the re-rank is the two-phase :func:`topk_per_query` merge. KMeans gives
+    better centroids but is not cross-engine reproducible; the quantizer is
+    pluggable — everything downstream of ``(vec_id, cluster)`` is identical."""
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    assigned = (
+        assign_ivf_flat_clusters(emb, n_centroids=_IVF_FLAT_NC)
+        .join(emb, "vec_id")
+        .select("vec_id", "cluster", "embedding")
     )
+    queries = assigned.filter(F.col("vec_id") < _ANN_QUERY_LIMIT).select(
+        F.col("vec_id").alias("query_id"), "cluster", F.col("embedding").alias("emb_q")
+    )
+    cands = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), "cluster", F.col("embedding").alias("emb_n")
+    )
+    scored = (
+        queries.join(cands, "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_raw", cosine_expr("emb_q", "emb_n"))
+    )
+    topk = topk_per_query(scored, k=_ANN_K)
+    return topk.join(
+        assigned.select(F.col("vec_id").alias("query_id"), "cluster"), "query_id"
+    ).select("query_id", "cluster", "neighbor_id", "cosine", "rank")
 
 
 from amazon_kinesis_data_streams_health_check_spark.operators.multimodal import (  # noqa: E402

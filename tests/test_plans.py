@@ -105,3 +105,12 @@ def test_ann_topk_has_no_per_query_window(spark, sf_small):
     assert "row_number" not in plan, plan
     # Both phases partially aggregate before their exchange.
     assert len(re.findall(r"^\(\d+\) (?:Object)?HashAggregate", plan, re.M)) >= 4, plan
+
+
+@pytest.mark.parametrize("name", ["ann_ivf", "ann_ivf_flat"])
+def test_ivf_rerank_has_no_per_query_window(spark, sf_small, name):
+    """The IVF re-rank shares topk_per_query with brute-force: no window may
+    partition on query_id (ann_ivf_flat's only window numbers the 16-row
+    centroid set — a constant-size single-partition op, which is fine)."""
+    plan = plan_of(spark, sf_small, name)
+    assert "windowspecdefinition(query_id" not in plan, plan
