@@ -1,0 +1,321 @@
+"""Snapshot-isolated (Iceberg-style) table on a plain parquet lake.
+
+``merge_upsert_partitioned`` (sources/partitioned.py) rewrites partitions in
+place — correct, but destructive: a reader concurrent with a rewrite can see
+a half-replaced partition, and yesterday's table is gone. This module adds
+the metadata layer that fixes both, the way Iceberg/Delta do, with nothing
+but parquet files and tiny JSON manifests:
+
+- data files are **append-only** under ``{path}/data/`` (hive-partitioned);
+  a writer never deletes or rewrites a committed file;
+- each commit writes manifest ``{path}/_snapshots/v{N:08d}.json`` listing
+  exactly the files that make up that version (grouped by partition).
+  Readers resolve a manifest first, then read only its files — so every
+  version stays readable (time travel) and an in-flight writer is invisible
+  until its manifest lands (snapshot isolation). A crash before the manifest
+  write leaves only orphan data files, which ``vacuum_snapshots`` removes;
+- MERGE = read the live snapshot, resolve latest-wins per key, append the
+  resolved touched partitions as NEW files, and publish a manifest that maps
+  touched partitions to the new files while untouched partitions keep their
+  old entries. No partition directory is ever deleted: a partition emptied by
+  key migration simply has no files in the new manifest.
+
+Single-writer assumption: commits are serialized by the caller (a real
+multi-writer deployment would swap the manifest publish for an atomic
+compare-and-rename, which is exactly Iceberg's commit protocol). All IO goes
+through the Hadoop FileSystem API, so the layout works on any Spark-supported
+storage, not just the local FS.
+
+At 100 TB the manifest is the scan planner's friend: ``read_snapshot`` hands
+Spark the precise file list, so partition pruning happens at manifest time —
+zero listing calls against the (potentially huge) data directory.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_MANIFEST_DIR = "_snapshots"
+_DATA_DIR = "data"
+
+
+def _jpath(spark: SparkSession, path: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _fs(spark: SparkSession, path: str):
+    return _jpath(spark, path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _list_data_files(spark: SparkSession, path: str) -> set[str]:
+    """Recursive listing of ``{path}/data`` as relative paths ('' if absent)."""
+    data_dir = f"{path}/{_DATA_DIR}"
+    fs = _fs(spark, data_dir)
+    dp = _jpath(spark, data_dir)
+    if not fs.exists(dp):
+        return set()
+    prefix = str(fs.makeQualified(dp).toString()) + "/"
+    out: set[str] = set()
+    it = fs.listFiles(dp, True)
+    while it.hasNext():
+        f = it.next()
+        name = str(f.getPath().toString())
+        if name.startswith(prefix):
+            rel = name[len(prefix):]
+            base = rel.rsplit("/", 1)[-1]
+            if not base.startswith(("_", ".")):  # skip _SUCCESS / hidden
+                out.add(rel)
+    return out
+
+
+def _read_json(spark: SparkSession, path: str) -> dict[str, Any]:
+    fs = _fs(spark, path)
+    stream = fs.open(_jpath(spark, path))
+    try:
+        return json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+    finally:
+        stream.close()
+
+
+def _write_json(spark: SparkSession, path: str, payload: dict[str, Any]) -> None:
+    fs = _fs(spark, path)
+    tmp = _jpath(spark, path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(json.dumps(payload, sort_keys=True).encode("utf-8"))
+    finally:
+        out.close()
+    fs.delete(_jpath(spark, path), False)
+    fs.rename(tmp, _jpath(spark, path))
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return f"{path}/{_MANIFEST_DIR}/v{version:08d}.json"
+
+
+def snapshot_history(spark: SparkSession, path: str) -> list[dict[str, Any]]:
+    """All retained manifests, oldest first."""
+    mdir = f"{path}/{_MANIFEST_DIR}"
+    fs = _fs(spark, mdir)
+    dp = _jpath(spark, mdir)
+    if not fs.exists(dp):
+        return []
+    versions = []
+    for st in fs.listStatus(dp):
+        name = str(st.getPath().getName())
+        if name.startswith("v") and name.endswith(".json"):
+            versions.append(int(name[1:-5]))
+    return [_read_json(spark, _manifest_path(path, v)) for v in sorted(versions)]
+
+
+def _resolve_manifest(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    as_of: float | None = None,
+) -> dict[str, Any]:
+    hist = snapshot_history(spark, path)
+    if not hist:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    if version is not None:
+        for m in hist:
+            if m["version"] == version:
+                return m
+        raise FileNotFoundError(
+            f"snapshot v{version} not found at {path} "
+            f"(retained: {[m['version'] for m in hist]} — vacuumed?)"
+        )
+    if as_of is not None:
+        live = [m for m in hist if m["committed_at"] <= as_of]
+        if not live:
+            raise FileNotFoundError(f"no snapshot at or before {as_of} at {path}")
+        return live[-1]
+    return hist[-1]
+
+
+def _commit(
+    spark: SparkSession,
+    path: str,
+    files: dict[str, list[str]],
+    operation: str,
+    schema_json: str,
+    parent: int | None,
+) -> int:
+    version = (parent or 0) + 1
+    _write_json(
+        spark,
+        _manifest_path(path, version),
+        {
+            "version": version,
+            "parent": parent,
+            "operation": operation,
+            "committed_at": time.time(),
+            "schema": schema_json,
+            "files": {k: sorted(v) for k, v in files.items() if v},
+        },
+    )
+    return version
+
+
+def _append_data(
+    spark: SparkSession, df: DataFrame, path: str, partition_col: str
+) -> dict[str, list[str]]:
+    """Append ``df`` as new files; return {partition_dir: [new relpaths]}."""
+    before = _list_data_files(spark, path)
+    df.write.mode("append").partitionBy(partition_col).parquet(f"{path}/{_DATA_DIR}")
+    new = _list_data_files(spark, path) - before
+    grouped: dict[str, list[str]] = {}
+    for rel in new:
+        part = rel.split("/", 1)[0] if "/" in rel else ""
+        grouped.setdefault(part, []).append(rel)
+    return grouped
+
+
+def snapshot_overwrite(
+    spark: SparkSession, df: DataFrame, path: str, partition_col: str = "metric_date"
+) -> int:
+    """Publish a full replacement snapshot (previous versions stay readable).
+
+    ``df`` may already carry ``partition_col``; otherwise it is derived as
+    ``to_date(ts)`` (the metrics-lake convention of sources/partitioned.py).
+    """
+    if partition_col not in df.columns:
+        df = df.withColumn(partition_col, F.to_date("ts"))
+    latest = None
+    try:
+        latest = _resolve_manifest(spark, path)
+    except FileNotFoundError:
+        pass
+    files = _append_data(spark, df, path, partition_col)
+    return _commit(
+        spark,
+        path,
+        files,
+        "overwrite",
+        df.schema.json(),
+        latest["version"] if latest else None,
+    )
+
+
+def snapshot_merge(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+    version_col: str,
+    partition_col: str = "metric_date",
+) -> int:
+    """Latest-wins MERGE as a new snapshot (same semantics as
+    ``merge_upsert_partitioned``, including cross-partition key migration —
+    the stored row in the old partition is retired because its partition is
+    touched and rewritten without it).
+
+    Only the touched partitions are resolved and rewritten; untouched
+    partitions are carried into the new manifest by reference — zero IO.
+    """
+    from pyspark.sql import Window
+
+    updates = updates.withColumn(partition_col, F.to_date("ts"))
+    try:
+        current_manifest = _resolve_manifest(spark, path)
+    except FileNotFoundError:
+        files = _append_data(spark, updates, path, partition_col)
+        return _commit(spark, path, files, "merge", updates.schema.json(), None)
+
+    existing = read_snapshot(spark, path, version=current_manifest["version"])
+    upd_keys = updates.select(*key_cols).distinct()
+    touched_df = (
+        updates.select(partition_col)
+        .unionByName(
+            existing.join(F.broadcast(upd_keys), key_cols, "leftsemi").select(
+                partition_col
+            )
+        )
+        .distinct()
+    )
+    touched = [r[0] for r in touched_df.collect()]
+    current = existing.filter(F.col(partition_col).isin(touched)).withColumn(
+        "_is_new", F.lit(0)
+    )
+    merged = current.unionByName(updates.withColumn("_is_new", F.lit(1)))
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(version_col), F.desc("_is_new"))
+    resolved = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_is_new")
+    )
+    new_files = _append_data(spark, resolved, path, partition_col)
+    touched_dirs = {f"{partition_col}={v}" for v in touched}
+    files = {
+        part: rels
+        for part, rels in current_manifest["files"].items()
+        if part not in touched_dirs
+    }
+    files.update(new_files)
+    return _commit(
+        spark,
+        path,
+        files,
+        "merge",
+        resolved.schema.json(),
+        current_manifest["version"],
+    )
+
+
+def read_snapshot(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    as_of: float | None = None,
+) -> DataFrame:
+    """The table as of ``version`` / ``as_of`` timestamp (default: latest)."""
+    m = _resolve_manifest(spark, path, version=version, as_of=as_of)
+    rels = [rel for group in m["files"].values() for rel in group]
+    data_dir = f"{path}/{_DATA_DIR}"
+    if not rels:
+        return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
+    # basePath keeps the hive partition column; the explicit file list is the
+    # manifest-level pruning — Spark never lists the data directory.
+    return spark.read.option("basePath", data_dir).parquet(
+        *[f"{data_dir}/{rel}" for rel in rels]
+    )
+
+
+def rollback_snapshot(spark: SparkSession, path: str, version: int) -> int:
+    """Publish a NEW version whose content is snapshot ``version`` (history
+    is never rewritten — Iceberg-style rollback-by-commit)."""
+    target = _resolve_manifest(spark, path, version=version)
+    latest = _resolve_manifest(spark, path)
+    return _commit(
+        spark,
+        path,
+        dict(target["files"]),
+        f"rollback(v{version})",
+        target["schema"],
+        latest["version"],
+    )
+
+
+def vacuum_snapshots(spark: SparkSession, path: str, keep_last: int = 2) -> int:
+    """Drop all but the newest ``keep_last`` manifests and delete data files
+    no retained manifest references; returns the number of files deleted.
+    Also removes orphans from crashed (never-committed) writes."""
+    hist = snapshot_history(spark, path)
+    keep, drop = hist[-keep_last:], hist[:-keep_last]
+    referenced = {
+        rel for m in keep for group in m["files"].values() for rel in group
+    }
+    fs = _fs(spark, path)
+    deleted = 0
+    for rel in _list_data_files(spark, path) - referenced:
+        fs.delete(_jpath(spark, f"{path}/{_DATA_DIR}/{rel}"), False)
+        deleted += 1
+    for m in drop:
+        fs.delete(_jpath(spark, _manifest_path(path, m["version"])), False)
+    return deleted
