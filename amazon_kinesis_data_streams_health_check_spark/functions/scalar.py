@@ -71,12 +71,27 @@ def b64_encode(b: Column) -> Column:
 
 
 # -- P6: UTF-8 decode (HealthCheckConsumerHandler.java:41,65) --
-def utf8_decode(b: Column) -> Column:
-    """bytes -> string. NOTE strictness difference (SURVEY.md P6): the
-    reference's CharsetDecoder throws on invalid UTF-8; Spark substitutes
-    U+FFFD. Corrupt-payload handling relies on downstream null-out (F4 parity)
-    rather than a throw."""
-    return F.decode(b, "UTF-8")
+def utf8_decode(b: Column, strict: bool = False) -> Column:
+    """bytes -> string.
+
+    Default is permissive: invalid UTF-8 yields NULL, which downstream
+    null-out turns into the reference's catch-and-drop of the record
+    (F4, HealthCheckConsumerHandler.java:87-89). ``strict=True`` restores
+    the raw decoder contract instead (UTF_8.newDecoder() REPORTs on
+    malformed input): the first invalid payload fails the job.
+
+    Spark 4's ``decode(..., 'UTF-8')`` throws MALFORMED_CHARACTER_CODING on
+    invalid bytes regardless of ANSI mode, so neither semantic can use it
+    directly. ``cast(binary AS string)`` is a byte-preserving reinterpret
+    that never throws; gating it on ``is_valid_utf8`` gives null-on-invalid
+    entirely inside whole-stage codegen — no UDF, no second scan.
+    """
+    s = b.cast("string")
+    if not strict:
+        return F.when(F.is_valid_utf8(s), s)  # no otherwise => NULL
+    return F.when(b.isNull() | F.is_valid_utf8(s), s).otherwise(
+        F.raise_error(F.concat(F.lit("MALFORMED_UTF8_PAYLOAD base64="), F.base64(b)))
+    )
 
 
 # -- P7: JSON path extraction — the disabled-but-correct event-time path

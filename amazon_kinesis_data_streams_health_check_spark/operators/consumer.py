@@ -27,9 +27,13 @@ from amazon_kinesis_data_streams_health_check_spark.schemas import (
 )
 
 
-def decoded_records(records: DataFrame) -> DataFrame:
-    """Add decoded payload + timestamp columns to flattened records."""
-    payload = scalar.utf8_decode(scalar.b64_decode(F.col("data")))
+def decoded_records(records: DataFrame, strict_utf8: bool = False) -> DataFrame:
+    """Add decoded payload + timestamp columns to flattened records.
+
+    ``strict_utf8=True`` opts into the reference's throw-on-invalid decode
+    contract (HealthCheckConsumerHandler.java:41,65); the default keeps the
+    PERMISSIVE drop-the-record stance (F4)."""
+    payload = scalar.utf8_decode(scalar.b64_decode(F.col("data")), strict=strict_utf8)
     arrival = scalar.epoch_seconds_to_ts(F.col("approximateArrivalTimestamp"))
     payload_ts = scalar.parse_instant(scalar.payload_instant(payload))
     return records.withColumns(

@@ -67,6 +67,57 @@ def test_corrupt_payloads_null_not_crash(spark):
     assert rows.bad_ts is None
 
 
+def test_strict_utf8_decode_throws_like_reference(spark):
+    """P6 opt-in strict mode: the reference's UTF_8.newDecoder() REPORTs on
+    malformed input (HealthCheckConsumerHandler.java:41,65); strict=True
+    must fail the job on the first invalid payload, and be a no-op on valid
+    ones (including payloads that legitimately contain U+FFFD)."""
+    import pytest
+    from pyspark.errors.exceptions.base import PySparkException
+
+    valid = spark.createDataFrame(
+        [(bytearray("plain".encode()),), (bytearray("repl � ok".encode()),), (None,)],
+        "b binary",
+    )
+    got = [
+        r.s for r in valid.select(scalar.utf8_decode(F.col("b"), strict=True).alias("s")).collect()
+    ]
+    assert got == ["plain", "repl � ok", None]
+
+    corrupt = spark.createDataFrame(
+        [(bytearray(b"ok"),), (bytearray(b"\xff\xfe broken"),)], "b binary"
+    )
+    # Permissive: NULL on invalid (downstream null-out = the reference's
+    # per-record catch-and-drop), never a throw, valid rows untouched.
+    perm = {r.s for r in corrupt.select(scalar.utf8_decode(F.col("b")).alias("s")).collect()}
+    assert perm == {"ok", None}
+    with pytest.raises(PySparkException, match="MALFORMED_UTF8_PAYLOAD"):
+        corrupt.select(scalar.utf8_decode(F.col("b"), strict=True).alias("s")).collect()
+
+
+def test_strict_utf8_flows_through_decoded_records(spark):
+    """The consumer decode leg exposes the strict switch end-to-end."""
+    import base64
+
+    import pytest
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from amazon_kinesis_data_streams_health_check_spark.operators.consumer import (
+        decoded_records,
+    )
+
+    bad_b64 = base64.b64encode(b"\xff\xfe").decode()
+    records = spark.createDataFrame(
+        [(bad_b64, 1666000000.0, "arn:aws:kinesis:us-east-1:123:stream/s")],
+        "data string, approximateArrivalTimestamp double, eventSourceARN string",
+    )
+    # Default stays permissive: row survives with a NULL payload (F4 drop).
+    decoded = decoded_records(records).select("payload_json").collect()
+    assert len(decoded) == 1 and decoded[0].payload_json is None
+    with pytest.raises(PySparkException, match="MALFORMED_UTF8_PAYLOAD"):
+        decoded_records(records, strict_utf8=True).select("payload_json").collect()
+
+
 def test_second_truncation_before_subtraction(spark):
     # FIXTURES.md edge 2: arrival 10:00:00.900, now 10:00:01.100 — true delta
     # is 0.2s, but the reference truncates arrival to 10:00:00 FIRST
