@@ -192,6 +192,7 @@ from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (  # 
     duck_band_union,
     duck_minhash_cols,
     duck_shingles,
+    shingles_expr,
     lsh_candidate_pairs,
     simhash_near_pairs,
     simhash_signatures,
@@ -947,4 +948,175 @@ def sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value_p99") >= F.col("_ep")[2])
             & (F.col("value_p99") <= F.col("_vmax"))
         ).alias("p99_est_ok"),
+    )
+
+
+# ===========================================================================
+# Corpus vocabulary: the tokenizer-building / frequency-pruning pass every
+# training-data pipeline runs before BPE training.
+# ===========================================================================
+_VOCAB_TOP = 100
+
+_VOCAB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+  FROM documents
+),
+per_doc AS (
+  SELECT token, doc_id, count(*) AS c FROM toks GROUP BY token, doc_id
+),
+vocab AS (
+  SELECT token, CAST(sum(c) AS BIGINT) AS n_occurrences, count(*) AS n_docs
+  FROM per_doc GROUP BY token
+),
+total AS (SELECT count(*) AS n FROM documents)
+SELECT token, n_occurrences, n_docs,
+       round(CAST(n_docs AS DOUBLE) / n, 6) AS doc_freq
+FROM vocab, total
+ORDER BY n_occurrences DESC, token
+LIMIT {_VOCAB_TOP}
+"""
+
+
+@register(
+    "vocab_stats",
+    oracle=_VOCAB_SQL,
+    doc="EXT/E3: corpus vocabulary — occurrence and document frequency per "
+    f"token, top {_VOCAB_TOP} (the tokenizer-training / min-frequency-pruning "
+    "pass of an LLM data pipeline)",
+    tags=("ext", "text"),
+)
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: token explode -> two-phase aggregation. The first groupBy
+    keys on (token, doc_id) — far finer than token alone — so the stop-word
+    skew that would hammer a direct groupBy(token) + countDistinct(doc_id)
+    (one reducer per hot word, plus Spark's distinct expand) is spread across
+    doc_ids; the second groupBy then only merges pre-counted (token, doc)
+    rows: sum(c) = occurrences, count(*) = document frequency, exactly."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")).alias("token")
+    )
+    per_doc = toks.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    vocab = per_doc.groupBy("token").agg(
+        F.sum("c").cast("long").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        vocab.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "n_occurrences",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("n"), 6).alias("doc_freq"),
+        )
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(_VOCAB_TOP)
+    )
+
+
+# ===========================================================================
+# Per-label embedding centroids, exploded to scalar (label, dim) cells.
+# Cross-engine determinism: float sums are order-sensitive, so components are
+# summed in exact integer micro-units (round(x*1e6) -> BIGINT) — order-free —
+# and divided back once at the end.
+# ===========================================================================
+_CENTROID_SQL = """
+WITH cells AS (
+  SELECT label, i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS micro
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+)
+SELECT label, CAST(dim AS INTEGER) AS dim,
+       count(*) AS n_vecs,
+       round(CAST(sum(micro) AS DOUBLE) / (count(*) * 1000000.0), 6) AS centroid
+FROM cells
+GROUP BY label, dim
+"""
+
+
+@register(
+    "embedding_centroids",
+    oracle=_CENTROID_SQL,
+    doc="EXT/E2: per-label embedding centroids as scalar (label, dim, value) "
+    "cells — class prototypes for similarity routing / cluster seeding, "
+    "summed in exact integer micro-units for engine-identical doubles",
+    tags=("ext", "similarity"),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: posexplode -> single keyed agg on (label, dim) — uniform
+    ~|labels|x|dims| key space, map-side partial sums, no window, no UDF.
+    The integer-micro-unit trick keeps the reduction associative-exact, so
+    partial aggregation order (and engine) cannot change the result."""
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("x").cast("double") * 1e6).cast("long").alias("micro"),
+    )
+    return cells.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum("micro").cast("double") / (F.count(F.lit(1)) * F.lit(1000000.0)), 6
+        ).alias("centroid"),
+    )
+
+
+# ===========================================================================
+# Benchmark decontamination: which training documents share long n-grams
+# with the held-out eval slice.
+# ===========================================================================
+_CONTAM_NGRAM = 8
+_CONTAM_EVAL_MOD = 23
+_CONTAM_MIN_SHARED = 2
+
+_CONTAM_SQL = f"""
+WITH ev AS (
+  SELECT doc_id AS eval_id, unnest({duck_shingles('text', _CONTAM_NGRAM)}) AS g
+  FROM documents WHERE doc_id % {_CONTAM_EVAL_MOD} = 0
+),
+tr AS (
+  SELECT doc_id AS train_id, unnest({duck_shingles('text', _CONTAM_NGRAM)}) AS g
+  FROM documents WHERE doc_id % {_CONTAM_EVAL_MOD} <> 0
+)
+SELECT train_id, eval_id, count(*) AS shared_ngrams
+FROM tr JOIN ev USING (g)
+GROUP BY train_id, eval_id
+HAVING count(*) >= {_CONTAM_MIN_SHARED}
+"""
+
+
+@register(
+    "contamination_check",
+    oracle=_CONTAM_SQL,
+    doc=f"EXT/E1: benchmark decontamination — training docs sharing >= "
+    f"{_CONTAM_MIN_SHARED} word-{_CONTAM_NGRAM}-grams with the held-out eval "
+    f"slice (doc_id % {_CONTAM_EVAL_MOD} == 0), the pre-training leakage scan",
+    tags=("ext", "dedup"),
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the eval corpus is the small side by construction, so its
+    exploded n-gram set is BROADCAST and the training scan never shuffles —
+    one narrow pass over training text, partial-aggregated counts on
+    (train_id, eval_id). Shingles are distinct per doc (shingles_expr), so
+    count(*) counts distinct shared n-grams."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    sh = shingles_expr("text", _CONTAM_NGRAM)
+    ev = docs.filter(F.col("doc_id") % _CONTAM_EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"), F.explode(F.expr(sh)).alias("g")
+    )
+    tr = docs.filter(F.col("doc_id") % _CONTAM_EVAL_MOD != 0).select(
+        F.col("doc_id").alias("train_id"), F.explode(F.expr(sh)).alias("g")
+    )
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= _CONTAM_MIN_SHARED)
     )
