@@ -168,6 +168,61 @@ def streaming_window_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_SESSIONS_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS session_last_s,
+       count(*) AS n_events
+FROM s
+GROUP BY user_id, sid
+"""
+
+
+@register(
+    "streaming_user_sessions",
+    # Complete-mode drain of a bounded backfill: session windows merge to
+    # their final extents in the state store regardless of micro-batch
+    # boundaries, so the batch gaps-and-islands oracle applies verbatim.
+    oracle=_STREAM_SESSIONS_SQL,
+    doc="W3 streaming: session_window(30 min gap) sessionization over the "
+    "events stream (availableNow + complete-mode sink => full value-hash "
+    "oracle; the stateful merging-window path, vs the tumbling W3 drive)",
+    tags=("core", "streaming"),
+)
+def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-streams the events parquet through the merging session-window
+    aggregation — the variable-length stateful window the batch
+    ``user_sessions`` query computes with gaps-and-islands."""
+    from amazon_kinesis_data_streams_health_check_spark.streaming.pipeline import (
+        sessionized_stream,
+    )
+
+    configure_session(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    src_dir = tempfile.mkdtemp(prefix="sessions_stream_")
+    os.symlink(path, os.path.join(src_dir, "events.parquet"))
+    raw = spark.readStream.schema(schema).parquet(src_dir)
+    events = raw.select(
+        F.expr("timestamp_micros(ts div 1000)").alias("ts"), "user_id"
+    )
+    return _run_to_memory(
+        sessionized_stream(events), "sessionized_stream", output_mode="complete"
+    )
+
+
 @register(
     "streaming_delivery_audit",
     oracle=None,  # watermark/trigger-dependent outer-join emission: rows-only

@@ -110,6 +110,27 @@ def windowed_max_stream(
     )
 
 
+def sessionized_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Sessionization lifted to streaming: ``session_window`` (variable-length
+    merging windows held in the state store) per user with a ``gap``
+    inactivity bound. Identical aggregate list to the batch ``user_sessions``
+    query, so a bounded complete-mode drain satisfies the same oracle."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("session_start_s"),
+            F.unix_timestamp(F.max("ts")).alias("session_last_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start_s", "session_last_s", "n_events")
+    )
+
+
 def delivery_audit_join(
     tracers_ts: DataFrame,
     receipts: DataFrame,
