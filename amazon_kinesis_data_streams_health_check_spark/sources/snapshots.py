@@ -203,6 +203,26 @@ def snapshot_overwrite(
     )
 
 
+def snapshot_append(
+    spark: SparkSession, df: DataFrame, path: str, partition_col: str = "metric_date"
+) -> int:
+    """Append-only ingest commit (no keys, no rewrite): new files simply join
+    their partitions' existing entries in the manifest. The natural op for
+    immutable fact streams (metrics, events); repeated appends fragment
+    partitions, which ``compact_snapshot`` later folds."""
+    if partition_col not in df.columns:
+        df = df.withColumn(partition_col, F.to_date("ts"))
+    try:
+        current = _resolve_manifest(spark, path)
+        files = {part: list(rels) for part, rels in current["files"].items()}
+        parent = current["version"]
+    except FileNotFoundError:
+        files, parent = {}, None
+    for part, rels in _append_data(spark, df, path, partition_col).items():
+        files.setdefault(part, []).extend(rels)
+    return _commit(spark, path, files, "append", df.schema.json(), parent)
+
+
 def snapshot_merge(
     spark: SparkSession,
     updates: DataFrame,
@@ -299,6 +319,56 @@ def rollback_snapshot(spark: SparkSession, path: str, version: int) -> int:
         f"rollback(v{version})",
         target["schema"],
         latest["version"],
+    )
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    path: str,
+    min_files: int = 2,
+    partition_col: str = "metric_date",
+) -> int:
+    """Rewrite every partition holding >= ``min_files`` fragments into one
+    file and publish the result as a new snapshot (content-identical,
+    ``operation='compact'``).
+
+    Append-only MERGE commits accumulate small files per touched partition —
+    the classic lake small-file problem: at 100 TB a scan pays per-file open
+    cost and the manifest grows without bound. Compaction is itself just a
+    commit, so readers are never disturbed, old versions stay readable, and
+    the superseded fragments are reclaimed by the next ``vacuum_snapshots``.
+    Partitions below the threshold are carried over by reference (zero IO).
+    ``repartition(n, partition_col)`` routes each partition value to exactly
+    one task, so the partitionBy writer emits one file per value; ``n`` only
+    caps how many partitions compact concurrently."""
+    current = _resolve_manifest(spark, path)
+    fragmented = {
+        part: rels
+        for part, rels in current["files"].items()
+        if len(rels) >= min_files
+    }
+    if not fragmented:
+        return current["version"]
+    data_dir = f"{path}/{_DATA_DIR}"
+    rels = [rel for group in fragmented.values() for rel in group]
+    slice_df = spark.read.option("basePath", data_dir).parquet(
+        *[f"{data_dir}/{rel}" for rel in rels]
+    )
+    n_tasks = max(1, min(len(fragmented), spark.sparkContext.defaultParallelism))
+    new_files = _append_data(
+        spark,
+        slice_df.repartition(n_tasks, partition_col),
+        path,
+        partition_col,
+    )
+    files = {
+        part: rels
+        for part, rels in current["files"].items()
+        if part not in fragmented
+    }
+    files.update(new_files)
+    return _commit(
+        spark, path, files, "compact", current["schema"], current["version"]
     )
 
 

@@ -138,3 +138,98 @@ def test_reader_gets_manifest_file_list_not_directory_listing(spark, tmp_path):
     assert len(parquet_files) > 1  # append-only: old + rewritten files coexist
     live = read_snapshot(spark, path)
     assert live.filter(F.col("metric_date") == "2024-01-01").count() == 3  # k1 k2 k4
+
+
+def test_compaction_is_content_identical_and_reduces_files(spark, tmp_path):
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        compact_snapshot,
+    )
+
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        snapshot_append,
+    )
+
+    path = str(tmp_path / "snap")
+    snapshot_append(spark, _df(spark, BASE), path)
+    snapshot_append(spark, _df(spark, UPD1), path)
+    before = _content(read_snapshot(spark, path))
+    assert len(before) == len(BASE) + len(UPD1)  # append keeps every row
+    day1 = "metric_date=2024-01-01"
+    hist_files = snapshot_history(spark, path)[-1]["files"]
+    assert len(hist_files[day1]) >= 2  # fragmented by the two appends
+
+    v = compact_snapshot(spark, path)
+    assert v == 3
+    m = snapshot_history(spark, path)[-1]
+    assert m["operation"] == "compact"
+    # One file per compacted partition; content identical; history intact.
+    assert all(len(rels) == 1 for rels in m["files"].values()), m["files"]
+    assert _content(read_snapshot(spark, path)) == before
+    assert _content(read_snapshot(spark, path, version=2)) == before
+    # Already-compact table: no-op commit (same version returned).
+    assert compact_snapshot(spark, path) == 3
+    # Vacuum reclaims the superseded fragments; live content unchanged.
+    vacuum_snapshots(spark, path, keep_last=1)
+    assert _content(read_snapshot(spark, path)) == before
+
+
+def test_snapshot_lake_matches_dict_model_over_random_batches(spark, tmp_path):
+    """Model check: a random sequence of MERGE batches must leave every
+    snapshot equal to a plain latest-wins dict replay of its prefix."""
+    import itertools
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    counter = itertools.count()
+
+    batch = st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2", "k3"]),      # key
+            st.integers(1, 3),                        # day
+            st.integers(0, 5),                        # version
+        ),
+        min_size=1,
+        max_size=4,
+    )
+
+    @settings(
+        max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+    )
+    @given(batches=st.lists(batch, min_size=1, max_size=3))
+    def run(batches):
+        path = str(tmp_path / f"snap_{next(counter)}")
+        model: dict[str, tuple] = {}
+        expected_by_snap = []
+        for rows in batches:
+            # Dedup keys inside a batch the way the window tie-break does:
+            # highest version wins; among ties the later row is arbitrary but
+            # both resolve identically because rows are (key, version)-unique
+            # after this reduction.
+            per_key: dict[str, tuple] = {}
+            for key, day, ver in rows:
+                cur = per_key.get(key)
+                if cur is None or ver >= cur[2]:
+                    per_key[key] = (key, day, ver)
+            df = _df(
+                spark,
+                [
+                    (k, f"2024-01-0{d} 10:00:00", v, f"{k}@{v}")
+                    for k, d, v in per_key.values()
+                ],
+            )
+            snapshot_merge(spark, df, path, ["key"], "version")
+            for k, d, v in per_key.values():
+                cur = model.get(k)
+                # Incoming wins ties (the MERGE's _is_new tie-break).
+                if cur is None or v >= cur[2]:
+                    model[k] = (k, d, v)
+            expected_by_snap.append(dict(model))
+        for i, expected in enumerate(expected_by_snap, start=1):
+            got = {
+                r.key: (r.key, int(str(r.metric_date)[9]), r.version)
+                for r in read_snapshot(spark, path, version=i).collect()
+            }
+            assert got == expected, (i, got, expected)
+
+    run()
