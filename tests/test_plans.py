@@ -114,3 +114,28 @@ def test_ivf_rerank_has_no_per_query_window(spark, sf_small, name):
     centroid set — a constant-size single-partition op, which is fine)."""
     plan = plan_of(spark, sf_small, name)
     assert "windowspecdefinition(query_id" not in plan, plan
+
+
+def test_contamination_eval_side_broadcasts(spark, sf_small):
+    """The eval slice must be the broadcast side: the training-corpus n-gram
+    explode may never shuffle (at 100 TB that shuffle IS the job)."""
+    plan = plan_of(spark, sf_small, "contamination_check")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_vocab_stats_two_phase_no_expand(spark, sf_small):
+    """vocab_stats computes doc frequency via (token, doc_id) pre-aggregation,
+    not countDistinct: no Expand node, and the hot-token key never feeds a
+    single-reducer distinct."""
+    plan = plan_of(spark, sf_small, "vocab_stats")
+    assert not re.findall(r"^\(\d+\) Expand", plan, re.M), plan
+
+
+def test_embedding_centroids_single_shuffle_partial_agg(spark, sf_small):
+    """posexplode -> one keyed agg: a single hash-partitioned shuffle (the
+    other exchange is parallel_scan's round-robin spread of the single-file
+    test table) with a map-side partial aggregate before it."""
+    plan = plan_of(spark, sf_small, "embedding_centroids")
+    assert len(re.findall(r"hashpartitioning\(label", plan)) == 1, plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 2, plan
