@@ -276,3 +276,47 @@ def test_delivery_audit_join_finds_lost_tracer(spark, tmp_path):
     assert rows["2024-01-01T12:00:10Z"].delivered and rows["2024-01-01T12:00:10Z"].lag_seconds == 1
     lost = rows["2024-01-01T12:00:20Z"]
     assert not lost.delivered and lost.arrival_ts is None and lost.lag_seconds is None
+
+
+def test_event_time_alarm_gap_detected_deterministically(spark, tmp_path):
+    """W4 (event-time variant): a stream that stops is alarmed when the
+    WATERMARK passes its last event + gap — no wall-clock dependence, so a
+    bounded availableNow replay always produces the same alarms."""
+    from amazon_kinesis_data_streams_health_check_spark.streaming.stateful_alarm import (
+        alarm_state_stream_event_time,
+    )
+
+    src = tmp_path / "et_alarm_src"
+    src.mkdir()
+    row = lambda s, t, v: json.dumps(
+        {"stream_name": s, "ts": f"2024-01-01T00:{t}:00.000Z", "value": v}
+    )
+    # dead-stream's last heartbeat at 00:00; live-stream keeps the watermark
+    # moving (00:00 -> 00:10 -> 00:20), carrying it past 00:00 + 2min gap.
+    (src / "f1.json").write_text(row("dead-stream", "00", 0.5) + "\n" + row("live-stream", "00", 0.5))
+    (src / "f2.json").write_text(row("live-stream", "10", 0.5))
+    (src / "f3.json").write_text(row("live-stream", "20", 0.5))
+
+    metrics = (
+        spark.readStream.schema("stream_name string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    alarms = alarm_state_stream_event_time(metrics, threshold=1.0, gap_ms=120_000)
+    q = (
+        alarms.writeStream.format("memory")
+        .queryName("et_alarm_states")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "et_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.table("et_alarm_states").collect()
+
+    gaps = [r for r in rows if r.reason == "gap"]
+    assert gaps and all(r.stream_name == "dead-stream" for r in gaps), rows
+    assert any(r.state == "ALARM" and r.transitioned for r in gaps), rows
+    # The live stream never alarms; both streams emitted OK data rows first.
+    assert all(r.state == "OK" for r in rows if r.stream_name == "live-stream"), rows
+    assert any(r.reason == "data" and r.stream_name == "dead-stream" for r in rows)
