@@ -821,3 +821,72 @@ def q21_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window family: interval-based moving aggregates over a daily
+# series (gaps matter: a rows-frame would be wrong on missing days).
+# Revenue is summed in exact integer cents so every engine's partial-sum
+# order produces identical doubles after the single final division.
+# ---------------------------------------------------------------------------
+_MOVING_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority,
+         CAST(floor(epoch(date_trunc('day', o_orderdate))) AS BIGINT) AS day_s,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+         count(*) AS n_orders
+  FROM orders
+  GROUP BY 1, 2
+)
+SELECT priority, day_s, n_orders,
+       round(cents / 100.0, 2) AS revenue,
+       round(CAST(sum(cents) OVER w AS DOUBLE)
+             / (100.0 * count(*) OVER w), 6) AS revenue_7d_ma,
+       count(*) OVER w AS n_days_in_window
+FROM daily
+WINDOW w AS (PARTITION BY priority ORDER BY day_s
+             RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "revenue_moving_window",
+    oracle=_MOVING_SQL,
+    doc="RANGE-frame (interval) window: per-priority 7-day moving average of "
+    "daily revenue — gap-correct (unlike a rows frame), integer-cents exact",
+    tags=("relational", "temporal"),
+)
+def revenue_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one keyed daily pre-aggregation (map-side partial), then a
+    range-frame window PARTITIONED by priority — each key's series sorts
+    independently; nothing ever lands on a single global partition. The frame
+    is expressed over epoch seconds, which both engines range-compare
+    identically."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.unix_timestamp(F.date_trunc("day", "o_orderdate")).alias("day_s"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("day_s")
+        .rangeBetween(-6 * 86400, Window.currentRow)
+    )
+    return daily.select(
+        "priority",
+        "day_s",
+        "n_orders",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(
+            F.sum("cents").over(w).cast("double")
+            / (F.lit(100.0) * F.count(F.lit(1)).over(w)),
+            6,
+        ).alias("revenue_7d_ma"),
+        F.count(F.lit(1)).over(w).alias("n_days_in_window"),
+    )
