@@ -146,20 +146,20 @@ def _commit(
     operation: str,
     schema_json: str,
     parent: int | None,
+    txn: dict[str, Any] | None = None,
 ) -> int:
     version = (parent or 0) + 1
-    _write_json(
-        spark,
-        _manifest_path(path, version),
-        {
-            "version": version,
-            "parent": parent,
-            "operation": operation,
-            "committed_at": time.time(),
-            "schema": schema_json,
-            "files": {k: sorted(v) for k, v in files.items() if v},
-        },
-    )
+    payload: dict[str, Any] = {
+        "version": version,
+        "parent": parent,
+        "operation": operation,
+        "committed_at": time.time(),
+        "schema": schema_json,
+        "files": {k: sorted(v) for k, v in files.items() if v},
+    }
+    if txn:
+        payload["txn"] = txn
+    _write_json(spark, _manifest_path(path, version), payload)
     return version
 
 
@@ -221,6 +221,73 @@ def snapshot_append(
     for part, rels in _append_data(spark, df, path, partition_col).items():
         files.setdefault(part, []).extend(rels)
     return _commit(spark, path, files, "append", df.schema.json(), parent)
+
+
+def last_committed_txn(
+    spark: SparkSession, path: str, app_id: str
+) -> int:
+    """Highest micro-batch id this ``app_id`` has committed (-1 if none) —
+    the Delta-style idempotent-writer lookup."""
+    latest = -1
+    for m in snapshot_history(spark, path):
+        txn = m.get("txn")
+        if txn and txn.get("app_id") == app_id:
+            latest = max(latest, int(txn["batch_id"]))
+    return latest
+
+
+def snapshot_stream_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    app_id: str = "snapshot-sink",
+    partition_col: str = "metric_date",
+):
+    """Exactly-once streaming ingest into the snapshot lake.
+
+    ``foreachBatch`` gives at-least-once batch delivery: after a crash
+    between sink write and checkpoint advance, the SAME (app_id, batch_id)
+    is re-delivered. Stamping every commit's manifest with that transaction
+    id and skipping batches at or below the last committed one makes the
+    append idempotent — the same mechanism as Delta's ``txnAppId`` /
+    ``txnVersion`` writer dedup. One manifest read per batch (tiny), one
+    append commit per batch; compaction folds the per-batch files later.
+
+    Returns the started StreamingQuery (availableNow-compatible; caller
+    awaits/stops).
+    """
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_id <= last_committed_txn(spark, path, app_id):
+            return  # replayed batch: already durable in some manifest
+        df = batch_df
+        if partition_col not in df.columns:
+            df = df.withColumn(partition_col, F.to_date("ts"))
+        try:
+            current = _resolve_manifest(spark, path)
+            files = {p: list(r) for p, r in current["files"].items()}
+            parent = current["version"]
+        except FileNotFoundError:
+            files, parent = {}, None
+        for part, rels in _append_data(spark, df, path, partition_col).items():
+            files.setdefault(part, []).extend(rels)
+        _commit(
+            spark,
+            path,
+            files,
+            "stream-append",
+            df.schema.json(),
+            parent,
+            txn={"app_id": app_id, "batch_id": batch_id},
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def snapshot_merge(

@@ -233,3 +233,55 @@ def test_snapshot_lake_matches_dict_model_over_random_batches(spark, tmp_path):
             assert got == expected, (i, got, expected)
 
     run()
+
+
+def test_streaming_exactly_once_into_snapshot_lake(spark, tmp_path):
+    """foreachBatch ingest stamps (app_id, batch_id) into each manifest and
+    skips re-delivered batches: a full replay from a fresh checkpoint adds
+    ZERO rows, while a genuine restart picks up only new input."""
+    import json as _json
+
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        last_committed_txn,
+        snapshot_stream_sink,
+    )
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    path = str(tmp_path / "lake")
+    row = lambda k, d, v: _json.dumps(
+        {"key": k, "ts": f"2024-01-0{d}T10:00:00.000Z", "version": v, "payload": k}
+    )
+    (src / "f1.json").write_text(row("a", 1, 1) + "\n" + row("b", 1, 1))
+    (src / "f2.json").write_text(row("c", 2, 1))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(
+                "key string, ts timestamp, version int, payload string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = snapshot_stream_sink(stream, path, str(tmp_path / ckpt), app_id="ingest-a")
+        q.awaitTermination(300)
+
+    run("ckpt1")
+    assert read_snapshot(spark, path).count() == 3
+    assert last_committed_txn(spark, path, "ingest-a") == 1
+    hist = snapshot_history(spark, path)
+    assert [m["txn"]["batch_id"] for m in hist if "txn" in m] == [0, 1]
+
+    # Crash-replay simulation: fresh checkpoint re-delivers batches 0 and 1
+    # with the same ids -> the txn guard must drop both.
+    run("ckpt2")
+    assert read_snapshot(spark, path).count() == 3
+    assert len(snapshot_history(spark, path)) == len(hist)
+
+    # Genuine restart on the original checkpoint: only the new file lands.
+    (src / "f3.json").write_text(row("d", 3, 1))
+    run("ckpt1")
+    assert read_snapshot(spark, path).count() == 4
+    assert last_committed_txn(spark, path, "ingest-a") == 2
+    # A different writer identity is NOT deduped against this one.
+    assert last_committed_txn(spark, path, "ingest-b") == -1
