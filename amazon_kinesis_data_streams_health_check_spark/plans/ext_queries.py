@@ -1120,3 +1120,84 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") >= _CONTAM_MIN_SHARED)
     )
+
+
+_IVF_RECALL_SQL = f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS centroid_id,
+         embedding AS emb_c
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT {_IVF_FLAT_NC}
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id AS cluster FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {duck_cosine('e.embedding', 'c.emb_c')} DESC, c.centroid_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         {duck_cosine('q.embedding', 'v.embedding')} AS cos_raw
+  FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id < {_ANN_QUERY_LIMIT}
+),
+topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= {_ANN_K}
+),
+cand AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id
+  FROM assigned q JOIN assigned v ON v.cluster = q.cluster AND v.vec_id <> q.vec_id
+  WHERE q.vec_id < {_ANN_QUERY_LIMIT}
+)
+SELECT t.query_id,
+       count(*) AS n_topk,
+       CAST(sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       round(CAST(sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS recall
+FROM topk t
+LEFT JOIN cand c ON t.query_id = c.query_id AND t.neighbor_id = c.neighbor_id
+GROUP BY t.query_id
+"""
+
+
+@register(
+    "ann_ivf_recall",
+    oracle=_IVF_RECALL_SQL,
+    doc="E2: per-query recall of the deterministic IVF nprobe=1 candidate set "
+    "vs exact top-k (self-measurement of the quantizer's pruning loss, the "
+    "IVF counterpart of ann_lsh_recall)",
+    tags=("ext", "similarity"),
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _ANN_QUERY_LIMIT)
+    topk = brute_force_topk(emb, queries, k=_ANN_K).select("query_id", "neighbor_id")
+    assigned = assign_ivf_flat_clusters(emb, n_centroids=_IVF_FLAT_NC)
+    cand = (
+        assigned.filter(F.col("vec_id") < _ANN_QUERY_LIMIT)
+        .select(F.col("vec_id").alias("query_id"), "cluster")
+        .join(
+            assigned.select(F.col("vec_id").alias("neighbor_id"), "cluster"), "cluster"
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .withColumn("is_cand", F.lit(1))
+    )
+    merged = topk.join(cand, ["query_id", "neighbor_id"], "left")
+    return merged.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_topk"),
+        F.sum(F.coalesce("is_cand", F.lit(0))).cast("long").alias("n_hits"),
+        F.round(
+            F.sum(F.coalesce("is_cand", F.lit(0))).cast("double") / F.count(F.lit(1)), 6
+        ).alias("recall"),
+    )
