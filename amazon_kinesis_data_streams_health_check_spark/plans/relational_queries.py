@@ -238,6 +238,43 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CUBE_SQL = f"""
+SELECT o_orderpriority, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       GROUPING(o_orderpriority) + 2 * GROUPING(year(o_orderdate)) AS gid,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderpriority, year(o_orderdate))
+"""
+
+
+@register(
+    "revenue_cube",
+    oracle=_CUBE_SQL,
+    doc="CUBE grouping sets over (priority, year) with grouping_id "
+    "disambiguation — the full 2^k Expand family (ROLLUP's is the prefix "
+    "chain; see revenue_rollup)",
+    tags=("relational",),
+)
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan, one Expand (4 grouping sets), one shuffle — subtotals of
+    every dimension combination without re-scanning, which at 100 TB replaces
+    four separate aggregation jobs."""
+    configure_session(spark)
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    return orders.cube("o_orderpriority", "order_year").agg(
+        (
+            F.grouping("o_orderpriority") + F.lit(2) * F.grouping("order_year")
+        ).cast("long").alias("gid"),
+        F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    ).select("o_orderpriority", "order_year", "gid", "revenue", "n_orders")
+
+
 # ---------------------------------------------------------------------------
 # Set operations on the events table: (view ∩ purchase) − error users.
 # ---------------------------------------------------------------------------
