@@ -365,12 +365,19 @@ def read_snapshot(
     m = _resolve_manifest(spark, path, version=version, as_of=as_of)
     rels = [rel for group in m["files"].values() for rel in group]
     data_dir = f"{path}/{_DATA_DIR}"
+    schema = StructType.fromJson(json.loads(m["schema"]))
     if not rels:
-        return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
+        return spark.createDataFrame([], schema)
     # basePath keeps the hive partition column; the explicit file list is the
-    # manifest-level pruning — Spark never lists the data directory.
-    return spark.read.option("basePath", data_dir).parquet(
-        *[f"{data_dir}/{rel}" for rel in rels]
+    # manifest-level pruning — Spark never lists the data directory. The
+    # manifest's DECLARED schema governs the read (Iceberg-style schema
+    # tracking): files from commits that predate an added column surface it
+    # as NULL, and each historical version reads with the schema it was
+    # committed under — no mergeSchema footer sweep needed.
+    return (
+        spark.read.schema(schema)
+        .option("basePath", data_dir)
+        .parquet(*[f"{data_dir}/{rel}" for rel in rels])
     )
 
 

@@ -285,3 +285,23 @@ def test_streaming_exactly_once_into_snapshot_lake(spark, tmp_path):
     assert last_committed_txn(spark, path, "ingest-a") == 2
     # A different writer identity is NOT deduped against this one.
     assert last_committed_txn(spark, path, "ingest-b") == -1
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """The manifest's declared schema governs each read: a commit that adds a
+    column surfaces NULL for pre-existing rows, and older versions still read
+    with the schema they were committed under."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        snapshot_append,
+    )
+
+    path = str(tmp_path / "snap")
+    snapshot_append(spark, _df(spark, BASE), path)
+    widened = _df(spark, UPD2).withColumn("extra", F.lit(7))
+    snapshot_append(spark, widened, path)
+
+    live = read_snapshot(spark, path)
+    assert "extra" in live.columns
+    rows = {(r.key, r.extra) for r in live.select("key", "extra").collect()}
+    assert rows == {("k1", None), ("k2", None), ("k3", None), ("k3", 7)}
+    assert "extra" not in read_snapshot(spark, path, version=1).columns
