@@ -927,3 +927,41 @@ def revenue_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue_7d_ma"),
         F.count(F.lit(1)).over(w).alias("n_days_in_window"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations: declarative rules -> violation metrics (the
+# Delta-Live-expectations / ingest-gate pattern; operators/quality.py).
+# ---------------------------------------------------------------------------
+_DQ_RULES_SQL = {
+    "value_in_unit_range": "value >= 0 AND value <= 50",
+    "user_present": "user_id IS NOT NULL",
+    "known_event_type": "event_type IN ('click','signup','error','view','purchase')",
+    "ts_in_jan_2024": "ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'",
+}
+
+_DQ_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS rule, count(*) AS n_rows,
+       CAST(sum(CASE WHEN COALESCE(({pred}), FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+       round(CAST(sum(CASE WHEN COALESCE(({pred}), FALSE) THEN 0 ELSE 1 END) AS DOUBLE)
+             / count(*), 6) AS violation_rate
+FROM events"""
+    for name, pred in _DQ_RULES_SQL.items()
+)
+
+
+@register(
+    "dq_violations",
+    oracle=_DQ_SQL,
+    doc="Data-quality expectations over events: per-rule violation counts and "
+    "rates in one scan-bound pass (operators/quality.check_expectations)",
+    tags=("relational", "quality"),
+)
+def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_streams_health_check_spark.operators.quality import (
+        check_expectations,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    return check_expectations(events, dict(_DQ_RULES_SQL))
