@@ -77,3 +77,37 @@ def salted_count_distinct(
         F.countDistinct(value_col).alias("_d")
     )
     return per_bucket.groupBy(*keys).agg(F.sum("_d").cast("long").alias(out_col))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof shuffle join: spread each hot join key over
+    ``salt_buckets`` reducers by salting the fact side and REPLICATING the
+    dim side across every salt value.
+
+    For a dim too large to broadcast but far smaller than the fact (the only
+    regime where this wins: replication costs |dim| x salt_buckets), a plain
+    shuffle join sends every fact row of a hot key to one task; salting
+    re-keys the shuffle to (key, salt) so the hot key parallelizes
+    ``salt_buckets`` ways. The join RESULT is identical to the unsalted join
+    for any salt assignment — each fact row still meets exactly one replica
+    of its dim row — so correctness is independent of the salt expression.
+    AQE's skew split covers sort-merge joins at runtime; explicit salting
+    also covers shuffled-hash joins and pre-partitioned reuse.
+    """
+    on = list(on)
+    f = fact.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets)),
+    )
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    # shuffle_hash hint: without it Catalyst would broadcast a small dim and
+    # the salt would be dead weight (broadcast joins don't shuffle at all).
+    return f.join(d.hint("shuffle_hash"), on + ["_salt"], how).drop("_salt")

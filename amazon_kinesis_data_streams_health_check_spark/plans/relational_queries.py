@@ -965,3 +965,34 @@ def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
     events = load_table(spark, sf_dir, "events")
     return check_expectations(events, dict(_DQ_RULES_SQL))
+
+
+_SKEW_JOIN_SQL = """
+WITH profile AS (
+  SELECT user_id, count(*) AS n_events_user FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.event_type, p.n_events_user
+FROM events e JOIN profile p USING (user_id)
+"""
+
+
+@register(
+    "skew_salted_join",
+    oracle=_SKEW_JOIN_SQL,
+    doc="Salted shuffle join: fact side salted, dim side replicated per salt "
+    "(functions/skew.salted_join) — hot join keys spread over N reducers; "
+    "result identical to the plain join (the oracle IS the plain join)",
+    tags=("relational", "skew"),
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amazon_kinesis_data_streams_health_check_spark.functions.skew import (
+        salted_join,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    profile = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events_user"))
+    fact = events.select("event_id", "user_id", "event_type")
+    return salted_join(fact, profile, ["user_id"]).select(
+        "event_id", "user_id", "event_type", "n_events_user"
+    )

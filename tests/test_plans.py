@@ -139,3 +139,13 @@ def test_embedding_centroids_single_shuffle_partial_agg(spark, sf_small):
     plan = plan_of(spark, sf_small, "embedding_centroids")
     assert len(re.findall(r"hashpartitioning\(label", plan)) == 1, plan
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 2, plan
+
+
+def test_salted_join_shuffles_on_salt_no_broadcast(spark, sf_small):
+    """salted_join must materialize as a shuffled join keyed by
+    (user_id, _salt) — a broadcast would make the salt dead weight, and an
+    unsalted shuffle would re-concentrate hot keys."""
+    plan = plan_of(spark, sf_small, "skew_salted_join")
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert re.search(r"hashpartitioning\(user_id#\d+L?, _salt", plan), plan
