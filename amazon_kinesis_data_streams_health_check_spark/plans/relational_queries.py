@@ -996,3 +996,51 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(fact, profile, ["user_id"]).select(
         "event_id", "user_id", "event_type", "n_events_user"
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured round trip: build nested JSON documents (one per user, items
+# sorted for determinism), then SHRED them back to relational rows with
+# from_json + explode. The oracle is the identity — the flat rows themselves —
+# so any loss or corruption in serialize->parse->flatten hash-mismatches.
+# ---------------------------------------------------------------------------
+_SHRED_SQL = """
+SELECT user_id, event_id, event_type, value FROM events
+"""
+
+_SHRED_SCHEMA = (
+    "uid bigint, "
+    "items array<struct<event_id:bigint,event_type:string,value:double>>"
+)
+
+
+@register(
+    "json_shred_roundtrip",
+    oracle=_SHRED_SQL,
+    doc="Semi-structured: nested JSON docs (user -> sorted item array) shredded "
+    "back to rows via from_json + explode; oracle = the identity, so the whole "
+    "serialize->parse->flatten path must be lossless",
+    tags=("relational", "json"),
+)
+def json_shred_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: doc assembly is one keyed collect (bounded per user),
+    shredding is narrow per-doc work (from_json + explode stay in codegen's
+    generated parser) — the standard log-ingest pattern where upstream hands
+    you documents and the lake wants columns. Doubles round-trip exactly
+    (Jackson shortest-repr print, exact parse)."""
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    docs = events.groupBy("user_id").agg(
+        F.to_json(
+            F.struct(
+                F.col("user_id").alias("uid"),
+                F.array_sort(
+                    F.collect_list(F.struct("event_id", "event_type", "value"))
+                ).alias("items"),
+            )
+        ).alias("doc")
+    )
+    shred = docs.select(F.from_json("doc", _SHRED_SCHEMA).alias("j"))
+    return shred.select(
+        F.col("j.uid").alias("user_id"), F.explode("j.items").alias("it")
+    ).select("user_id", "it.event_id", "it.event_type", "it.value")
