@@ -120,6 +120,7 @@ def all_queries() -> dict[str, Query]:
         tpch_queries,
         curation_queries,
         ext_queries,
+        textpipe_queries,
         streaming_queries,
     )
 

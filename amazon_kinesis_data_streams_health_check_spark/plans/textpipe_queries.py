@@ -1,0 +1,330 @@
+"""[EXT] Text-pipeline queries: chunking, scrubbing, term statistics, index
+building, and length bucketing over the ``documents`` table (SURVEY.md
+section 2.10 north-star scope — the preprocessing stages of an LLM
+training-data pipeline that sit between dedup and packing).
+
+Cross-engine determinism: chunk boundaries are integer arithmetic, scrub
+counts are exact regex-match counts (same RE syntax subset in Java regex and
+RE2), term scores are pure BIGINT products (a deliberately integer-exact
+tf-idf surrogate ``tf * (N - df)`` — monotone in tf, antitone in df — so no
+``ln()`` ULP divergence between engines), and bucket assignment is standard
+``ntile`` over a unique total order.
+
+Scale stance (100 TB):
+
+- chunking and scrubbing are fully narrow — zero shuffles, scan-bound,
+  whole-stage codegen'd string work; they parallelize with the input splits.
+- term stats shuffle on ``(source, term)`` / ``(term, doc_id)`` — uniform
+  high-cardinality keys — and the final per-group top-k / capped-postings
+  use the two-phase local-then-merge pattern (never a single-key window
+  over an unbounded group).
+- ``ntile`` partitions by ``source`` (bounded corpus-catalog cardinality,
+  same stance as ``top_suppliers_per_nation``); a global ntile would be a
+  single-partition sort and is deliberately not offered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_streams_health_check_spark.operators.textstats import TOKEN_RE
+from amazon_kinesis_data_streams_health_check_spark.plans.registry import register
+from amazon_kinesis_data_streams_health_check_spark.session import configure_session
+from amazon_kinesis_data_streams_health_check_spark.sources.tables import load_table, parallel_scan
+
+_DUCK_TOK = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+_SPARK_TOK = f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"
+
+# ---------------------------------------------------------------------------
+# Overlapping document chunking (context-window preparation).
+# ---------------------------------------------------------------------------
+CHUNK_SIZE = 160
+CHUNK_STRIDE = 120
+
+_CHUNKS_SQL = f"""
+WITH offs AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, greatest(length(text) - 1, 0), {CHUNK_STRIDE})) AS off
+  FROM documents
+)
+SELECT doc_id,
+       CAST(off / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(length(substr(text, off + 1, {CHUNK_SIZE})) AS BIGINT) AS chunk_len,
+       md5(substr(text, off + 1, {CHUNK_SIZE})) AS chunk_md5
+FROM offs
+"""
+
+
+@register(
+    "doc_chunks",
+    oracle=_CHUNKS_SQL,
+    doc="Overlapping fixed-window chunking (size 160, stride 120) for "
+    "context-window preparation; emits per-chunk length + content hash",
+    tags=("ext", "textpipe"),
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ZERO shuffles — offsets come from ``sequence`` + explode
+    (codegen'd generator, no Python), the substring/md5 are narrow string
+    ops; at 100 TB this runs scan-bound across however many input splits
+    the lake provides. Chunk ids are ``offset / stride`` so downstream
+    packing can reconstruct adjacency without re-reading the parent doc."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    offs = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.length("text") - 1, F.lit(0)),
+                F.lit(CHUNK_STRIDE),
+            )
+        ).alias("off"),
+    )
+    chunk = F.expr(f"substring(text, off + 1, {CHUNK_SIZE})")
+    return offs.select(
+        "doc_id",
+        (F.col("off") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk.cast("binary")).alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Denylist scrubbing (PII-lexicon shaped redaction).
+# ---------------------------------------------------------------------------
+#: Terms scrubbed from training text (stand-in for a PII / banned-term
+#: lexicon; the synthetic corpus has no digit/email shapes, so the denylist
+#: uses corpus-present words to keep the operator observable end-to-end).
+DENYLIST = ("customer", "vector", "stream")
+_DENY_RE = r"\b(?:" + "|".join(DENYLIST) + r")\b"
+
+_SCRUB_SQL = f"""
+SELECT doc_id, source,
+       CAST(len(regexp_extract_all(text, '{_DENY_RE}')) AS BIGINT) AS n_hits,
+       CAST(length(regexp_replace(text, '{_DENY_RE}', '<TERM>', 'g')) AS BIGINT) AS scrubbed_len,
+       md5(regexp_replace(text, '{_DENY_RE}', '<TERM>', 'g')) AS scrubbed_md5
+FROM documents
+"""
+
+
+@register(
+    "denylist_scrub",
+    oracle=_SCRUB_SQL,
+    doc="Denylist term scrub (PII-lexicon pattern): word-boundary regex "
+    "redaction with per-doc hit counts and scrubbed-content hash",
+    tags=("ext", "textpipe"),
+)
+def denylist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: fully narrow regex work (Java regex, codegen'd) — the
+    pattern subset used (alternation, non-capturing group, ``\\b``) behaves
+    identically in Java regex and RE2, so the DuckDB twin hash-matches the
+    scrubbed bytes, not just the counts."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace("text", F.lit(_DENY_RE), F.lit("<TERM>"))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(_DENY_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_hits"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact tf-idf surrogate: top distinctive terms per source.
+# ---------------------------------------------------------------------------
+TOP_TERMS_K = 5
+
+_TOP_TERMS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({_DUCK_TOK}) AS term FROM documents
+),
+tf AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY source, term
+),
+docfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY term
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.source, tf.term, tf.tf, docfreq.df,
+         tf.tf * (n.n_docs - docfreq.df) AS score
+  FROM tf JOIN docfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS rnk
+  FROM scored
+)
+SELECT source, term, tf, df, score, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= {TOP_TERMS_K}
+"""
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=_TOP_TERMS_SQL,
+    doc="Top distinctive terms per source by the integer-exact tf-idf "
+    "surrogate tf*(N-df) — term frequency weighted against document "
+    "frequency without cross-engine float log drift",
+    tags=("ext", "textpipe"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: tokenize narrow; two keyed aggregations shuffle on the
+    uniform high-cardinality keys ``(source, term)`` and ``term``; the term
+    join is term-keyed (vocabulary-sized sides). The per-source top-k is the
+    two-phase local-then-merge slice — never ``row_number`` over a full
+    per-source candidate set, whose partitions would hold the whole
+    vocabulary per source at 100 TB."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.expr(_SPARK_TOK)).alias("term")
+    )
+    tf = tok.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    docfreq = (
+        tok.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = docs.groupBy().agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * (F.col("n_docs") - F.col("df")))
+    )
+    # Two-phase per-source top-k (struct sort on (-score, term) == the
+    # window's ORDER BY score DESC, term ASC; tf/df ride along — they are
+    # functions of (source, term) so they never influence the order).
+    cand = F.struct(
+        (-F.col("score")).alias("neg"),
+        F.col("term").alias("term"),
+        F.col("tf").alias("tf"),
+        F.col("df").alias("df"),
+    )
+    local = scored.groupBy("source", F.spark_partition_id().alias("_pid")).agg(
+        F.slice(F.array_sort(F.collect_list(cand)), 1, TOP_TERMS_K).alias("c")
+    )
+    merged = local.groupBy("source").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("c"))), 1, TOP_TERMS_K
+        ).alias("topk")
+    )
+    return merged.select("source", F.posexplode("topk").alias("pos", "c")).select(
+        "source",
+        F.col("c.term").alias("term"),
+        F.col("c.tf").alias("tf"),
+        F.col("c.df").alias("df"),
+        (-F.col("c.neg")).alias("score"),
+        (F.col("pos") + 1).cast("long").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index with capped postings lists.
+# ---------------------------------------------------------------------------
+POSTINGS_CAP = 10
+
+_INVIDX_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, unnest({_DUCK_TOK}) AS term FROM documents
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       array_to_string(list_sort(array_agg(doc_id))[1:{POSTINGS_CAP}], ',') AS postings
+FROM pairs GROUP BY term
+"""
+
+
+@register(
+    "inverted_index",
+    oracle=_INVIDX_SQL,
+    doc="Inverted index build: term -> document frequency + capped sorted "
+    "postings sample (search-engine / contamination-lookup building block)",
+    tags=("ext", "textpipe"),
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: distinct ``(term, doc_id)`` pairs shuffle once on the
+    uniform compound key; postings are capped with the two-phase pattern —
+    per input partition a sorted slice of at most ``POSTINGS_CAP`` ids, then
+    a merge over ``partitions x cap`` ids per term. An uncapped
+    ``collect_list`` per term would hold a stopword's entire posting list
+    (billions of ids at 100 TB) in one aggregation buffer; this never
+    materializes more than ``cap`` ids per (term, partition)."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id", F.explode(F.expr(_SPARK_TOK)).alias("term")
+    ).distinct()
+    local = pairs.groupBy("term", F.spark_partition_id().alias("_pid")).agg(
+        F.count("*").alias("cnt"),
+        F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTINGS_CAP).alias("p"),
+    )
+    merged = local.groupBy("term").agg(
+        F.sum("cnt").alias("df"),
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("p"))), 1, POSTINGS_CAP
+        ).alias("postings_arr"),
+    )
+    return merged.select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.concat_ws(",", F.col("postings_arr").cast("array<string>")).alias(
+            "postings"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source length quartiles (curriculum / batch-shape analysis).
+# ---------------------------------------------------------------------------
+_QUARTILES_SQL = """
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+         ntile(4) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS q
+  FROM documents
+)
+SELECT source, CAST(q AS BIGINT) AS quartile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM r GROUP BY source, q
+"""
+
+
+@register(
+    "length_quartiles",
+    oracle=_QUARTILES_SQL,
+    doc="Per-source document-length quartiles via ntile over the unique "
+    "(n_chars, doc_id) order — length-distribution profiling for batch "
+    "shaping and curriculum design",
+    tags=("ext", "textpipe"),
+)
+def length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the ntile window partitions by ``source`` (bounded
+    corpus-catalog cardinality — same stance as ``top_suppliers_per_nation``;
+    a GLOBAL ntile would force a single-partition total sort and is
+    deliberately not offered). Both engines assign ntile identically over
+    the unique total order (n_chars, doc_id)."""
+    configure_session(spark)
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return (
+        docs.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .groupBy("source", "quartile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )

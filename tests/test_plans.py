@@ -149,3 +149,46 @@ def test_salted_join_shuffles_on_salt_no_broadcast(spark, sf_small):
     assert "ShuffledHashJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
     assert re.search(r"hashpartitioning\(user_id#\d+L?, _salt", plan), plan
+
+
+def test_doc_chunks_is_shuffle_free(spark, sf_small):
+    """Chunking is pure narrow work: sequence-explode + substring never
+    justify an exchange (parallel_scan's round-robin spread of the single
+    test file is the only permitted one)."""
+    plan = plan_of(spark, sf_small, "doc_chunks")
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) <= 1, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "Generate" in plan, plan  # the sequence-explode stayed codegen'd
+
+
+def test_denylist_scrub_is_shuffle_free(spark, sf_small):
+    plan = plan_of(spark, sf_small, "denylist_scrub")
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_tfidf_topk_is_two_phase_no_source_window(spark, sf_small):
+    """The per-source top-k must be local-slice + merge: a row_number window
+    partitioned by source would hold the whole vocabulary of a source in one
+    task at 100 TB."""
+    plan = plan_of(spark, sf_small, "tfidf_top_terms")
+    assert "windowspecdefinition(source" not in plan, plan
+    assert "row_number" not in plan, plan
+    # n_docs scalar joins as broadcast, never a shuffle.
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_inverted_index_postings_capped_two_phase(spark, sf_small):
+    """Postings must be capped per (term, partition) BEFORE the term-level
+    merge — the plan shows slice(...) inside the partial aggregate, so no
+    stopword ever materializes its full posting list in one buffer."""
+    plan = plan_of(spark, sf_small, "inverted_index")
+    assert "windowspecdefinition" not in plan, plan
+    assert plan.count("slice") >= 2, plan
+
+
+def test_length_quartiles_window_partitions_by_source(spark, sf_small):
+    """ntile must partition by source (bounded cardinality) — an empty
+    partition spec would be a single-task global sort."""
+    plan = plan_of(spark, sf_small, "length_quartiles")
+    assert "windowspecdefinition(source" in plan, plan
