@@ -198,6 +198,26 @@ FROM reach GROUP BY src
 """
 
 
+def _near_dup_pairs(docs: DataFrame) -> DataFrame:
+    """Source-blocked exact-Jaccard near-dup pairs (a < b) over shingles."""
+    shingled = with_shingles(docs).select("doc_id", "source", "sh")
+    a = shingled.select(
+        F.col("doc_id").alias("a"), F.col("source"), F.col("sh").alias("sh_a")
+    )
+    b = shingled.select(
+        F.col("doc_id").alias("b"), F.col("source"), F.col("sh").alias("sh_b")
+    )
+    jac = F.expr("size(array_intersect(sh_a, sh_b))").cast("double") / F.expr(
+        "size(array_union(sh_a, sh_b))"
+    )
+    return (
+        a.join(b, "source")
+        .filter(F.col("a") < F.col("b"))
+        .filter(jac >= _CLUSTER_JACCARD)
+        .select("a", "b")
+    )
+
+
 @register(
     "dedup_clusters",
     oracle=_CLUSTERS_SQL,
@@ -209,23 +229,7 @@ FROM reach GROUP BY src
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
     docs = parallel_scan(spark, sf_dir, "documents")
-    shingled = with_shingles(docs).select("doc_id", "source", "sh")
-    a = shingled.select(
-        F.col("doc_id").alias("a"), F.col("source"), F.col("sh").alias("sh_a")
-    )
-    b = shingled.select(
-        F.col("doc_id").alias("b"), F.col("source"), F.col("sh").alias("sh_b")
-    )
-    jac = F.expr("size(array_intersect(sh_a, sh_b))").cast("double") / F.expr(
-        "size(array_union(sh_a, sh_b))"
-    )
-    pairs = (
-        a.join(b, "source")
-        .filter(F.col("a") < F.col("b"))
-        .filter(jac >= _CLUSTER_JACCARD)
-        .select("a", "b")
-    )
-    return connected_components(pairs)
+    return connected_components(_near_dup_pairs(docs))
 
 
 # ---------------------------------------------------------------------------
@@ -306,4 +310,110 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("bin_tokens"),
         F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full dedup DECISION list: every document (singletons included) gets its
+# cluster, the cluster size, and a keep/drop verdict — canonical member =
+# highest quality score, doc_id tie-break. This is the artifact a training
+# pipeline actually consumes ("which rows survive dedup"), completing the
+# pair-finding -> clustering -> resolution chain.
+# ---------------------------------------------------------------------------
+_KEEP_QSCORE = f"""
+CASE WHEN len({{tok}}) = 0 THEN 0.0 ELSE
+  round(0.4 * (CAST(len(list_distinct({{tok}})) AS DOUBLE) / len({{tok}}))
+        + 0.3 * least(1.0, len({{tok}}) / 100.0)
+        + 0.3 * (1.0 - CAST(len(list_filter({{tok}}, x -> list_contains({{stop}}, x)))
+                       AS DOUBLE) / len({{tok}})), 6)
+END
+""".strip()
+
+_KEEP_LIST_SQL = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, source, {duck_shingles()} AS sh FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM tok a
+  JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(a.sh || b.sh)) >= {_CLUSTER_JACCARD}
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+reach(src, dst) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+labels AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+q AS (
+  SELECT doc_id,
+         {_KEEP_QSCORE.format(tok=f"regexp_extract_all(lower(text), '{TOKEN_RE}')", stop=duck_stop_list())} AS qscore
+  FROM documents
+),
+alld AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id, q.qscore
+  FROM documents d
+  LEFT JOIN labels l ON d.doc_id = l.doc_id
+  JOIN q ON q.doc_id = d.doc_id
+),
+best AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+         min({{'nq': -qscore, 'id': doc_id}}) AS b
+  FROM alld GROUP BY cluster_id
+)
+SELECT a.doc_id, a.cluster_id, best.cluster_size, a.qscore,
+       a.doc_id = best.b.id AS keep
+FROM alld a JOIN best ON a.cluster_id = best.cluster_id
+"""
+
+
+@register(
+    "dedup_keep_list",
+    oracle=_KEEP_LIST_SQL,
+    doc="EXT dedup: full keep/drop decision list — every doc (singletons "
+    "included) with cluster id, cluster size, quality score, and a keep "
+    "flag for the highest-quality member (doc_id tie-break)",
+    tags=("ext", "dedup"),
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: pairs/labels cost scales with the near-dup EDGE set
+    (connected_components contract); singleton docs never enter the loop —
+    they join in with a left join and label themselves. The canonical pick
+    is one keyed min-aggregation over ``struct(-qscore, doc_id)`` (partial-
+    aggregatable — a giant cluster never concentrates rows on one task),
+    and cluster metadata flows back via a cluster_id-keyed shuffle join."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.textstats import (
+        with_quality_score,
+        with_token_stats,
+    )
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    labels = connected_components(_near_dup_pairs(docs))
+    scored = with_quality_score(with_token_stats(docs))
+    q = scored.select(
+        "doc_id",
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(F.col("quality_score"))
+        .alias("qscore"),
+    )
+    alld = (
+        q.join(labels, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+        .select("doc_id", "cluster_id", "qscore")
+    )
+    best = alld.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min(
+            F.struct((-F.col("qscore")).alias("nq"), F.col("doc_id").alias("id"))
+        ).alias("b"),
+    )
+    return alld.join(best, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "qscore",
+        (F.col("doc_id") == F.col("b.id")).alias("keep"),
     )
