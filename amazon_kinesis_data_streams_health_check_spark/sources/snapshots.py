@@ -178,7 +178,11 @@ def _append_data(
 
 
 def snapshot_overwrite(
-    spark: SparkSession, df: DataFrame, path: str, partition_col: str = "metric_date"
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_col: str = "metric_date",
+    txn: dict[str, Any] | None = None,
 ) -> int:
     """Publish a full replacement snapshot (previous versions stay readable).
 
@@ -200,6 +204,7 @@ def snapshot_overwrite(
         "overwrite",
         df.schema.json(),
         latest["version"] if latest else None,
+        txn=txn,
     )
 
 
@@ -355,17 +360,12 @@ def snapshot_merge(
     )
 
 
-def read_snapshot(
-    spark: SparkSession,
-    path: str,
-    version: int | None = None,
-    as_of: float | None = None,
+def _read_manifest_files(
+    spark: SparkSession, path: str, schema_json: str, rels: list[str]
 ) -> DataFrame:
-    """The table as of ``version`` / ``as_of`` timestamp (default: latest)."""
-    m = _resolve_manifest(spark, path, version=version, as_of=as_of)
-    rels = [rel for group in m["files"].values() for rel in group]
+    """Read an explicit manifest file subset under the declared schema."""
     data_dir = f"{path}/{_DATA_DIR}"
-    schema = StructType.fromJson(json.loads(m["schema"]))
+    schema = StructType.fromJson(json.loads(schema_json))
     if not rels:
         return spark.createDataFrame([], schema)
     # basePath keeps the hive partition column; the explicit file list is the
@@ -379,6 +379,18 @@ def read_snapshot(
         .option("basePath", data_dir)
         .parquet(*[f"{data_dir}/{rel}" for rel in rels])
     )
+
+
+def read_snapshot(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    as_of: float | None = None,
+) -> DataFrame:
+    """The table as of ``version`` / ``as_of`` timestamp (default: latest)."""
+    m = _resolve_manifest(spark, path, version=version, as_of=as_of)
+    rels = sorted(rel for group in m["files"].values() for rel in group)
+    return _read_manifest_files(spark, path, m["schema"], rels)
 
 
 def rollback_snapshot(spark: SparkSession, path: str, version: int) -> int:
@@ -463,3 +475,105 @@ def vacuum_snapshots(spark: SparkSession, path: str, keep_last: int = 2) -> int:
     for m in drop:
         fs.delete(_jpath(spark, _manifest_path(path, m["version"])), False)
     return deleted
+
+
+def refresh_incremental_agg(
+    spark: SparkSession,
+    lake_path: str,
+    state_path: str,
+    keys: list[str],
+    sums: list[str],
+    state_partition_col: str,
+) -> dict[str, Any]:
+    """Incrementally maintain ``SELECT keys, count(*), sum(sums...)`` over the
+    lake at ``lake_path`` — the materialized-view-maintenance move that makes
+    a 100 TB nightly rollup cost one DELTA scan instead of one table scan.
+
+    The maintained state (a snapshot table at ``state_path``) stores one row
+    per key group: ``n_rows`` plus ``sum_{c}`` for each requested column (the
+    caller pre-converts measures to exact integer units, so partial sums are
+    associative-exact). Each refresh:
+
+    1. diffs the lake's live manifest file set against the ``absorbed`` list
+       recorded in the state's own commit metadata (``txn``) — the same
+       manifest-level bookkeeping Iceberg's incremental scan uses;
+    2. if files the state already absorbed have DISAPPEARED from the live
+       manifest (compaction, rollback, merge rewrites), count/sum deltas are
+       no longer derivable — it falls back to one full recompute and
+       re-baselines (``mode='full'``);
+    3. otherwise it aggregates ONLY the new files (``mode='incremental'``,
+       zero work when no new files — ``mode='noop'``) and folds them into the
+       state with a union + re-aggregate, which is exact because count/sum
+       are mergeable.
+
+    Returns ``{mode, files_read, state_version, source_version}``.
+    """
+    lake = _resolve_manifest(spark, lake_path)
+    live = sorted(rel for group in lake["files"].values() for rel in group)
+    prior: dict[str, Any] | None = None
+    try:
+        prior = _resolve_manifest(spark, state_path)
+    except FileNotFoundError:
+        pass
+    absorbed: list[str] = list((prior or {}).get("txn", {}).get("absorbed", []))
+
+    agg_cols = [F.count(F.lit(1)).cast("long").alias("n_rows")] + [
+        F.sum(c).cast("long").alias(f"sum_{c}") for c in sums
+    ]
+    merge_cols = [F.sum("n_rows").cast("long").alias("n_rows")] + [
+        F.sum(f"sum_{c}").cast("long").alias(f"sum_{c}") for c in sums
+    ]
+
+    if prior is not None and set(absorbed) - set(live):
+        # Absorbed files vanished (compact/rollback/merge): deltas are
+        # unrecoverable — re-baseline from the live snapshot.
+        full = _read_manifest_files(spark, lake_path, lake["schema"], live)
+        state = full.groupBy(*keys).agg(*agg_cols)
+        v = snapshot_overwrite(
+            spark,
+            state,
+            state_path,
+            state_partition_col,
+            txn={"absorbed": live, "source_version": lake["version"]},
+        )
+        return {
+            "mode": "full",
+            "files_read": len(live),
+            "state_version": v,
+            "source_version": lake["version"],
+        }
+
+    new = sorted(set(live) - set(absorbed))
+    if prior is not None and not new:
+        return {
+            "mode": "noop",
+            "files_read": 0,
+            "state_version": prior["version"],
+            "source_version": lake["version"],
+        }
+
+    delta = _read_manifest_files(spark, lake_path, lake["schema"], new)
+    partial = delta.groupBy(*keys).agg(*agg_cols)
+    if prior is None:
+        merged = partial
+    else:
+        prev = _read_manifest_files(
+            spark,
+            state_path,
+            prior["schema"],
+            sorted(r for g in prior["files"].values() for r in g),
+        ).select(*keys, "n_rows", *[f"sum_{c}" for c in sums])
+        merged = prev.unionByName(partial).groupBy(*keys).agg(*merge_cols)
+    v = snapshot_overwrite(
+        spark,
+        merged,
+        state_path,
+        state_partition_col,
+        txn={"absorbed": live, "source_version": lake["version"]},
+    )
+    return {
+        "mode": "incremental",
+        "files_read": len(new),
+        "state_version": v,
+        "source_version": lake["version"],
+    }

@@ -305,3 +305,69 @@ def test_schema_evolution_add_column(spark, tmp_path):
     rows = {(r.key, r.extra) for r in live.select("key", "extra").collect()}
     assert rows == {("k1", None), ("k2", None), ("k3", None), ("k3", 7)}
     assert "extra" not in read_snapshot(spark, path, version=1).columns
+
+
+def test_incremental_agg_refresh_modes_and_parity(spark, tmp_path):
+    """Refresh reads only delta files; noop when nothing new; the state
+    always equals a direct one-pass aggregate of the live lake."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        compact_snapshot,
+        refresh_incremental_agg,
+        snapshot_append,
+    )
+
+    lake = str(tmp_path / "lake")
+    state = str(tmp_path / "state")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k string, grp string, v long")
+
+    def direct():
+        return {
+            (r.k, r.grp, r.n_rows, r.sum_v)
+            for r in read_snapshot(spark, lake)
+            .groupBy("k", "grp")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v"))
+            .collect()
+        }
+
+    def maintained():
+        return {
+            (r.k, r.grp, r.n_rows, r.sum_v)
+            for r in read_snapshot(spark, state)
+            .select("k", "grp", "n_rows", F.col("sum_v").alias("sum_v"))
+            .collect()
+        }
+
+    args = dict(keys=["k", "grp"], sums=["v"], state_partition_col="grp")
+
+    snapshot_append(spark, mk([("a", "g1", 1), ("b", "g2", 10)]), lake, "grp")
+    i1 = refresh_incremental_agg(spark, lake, state, **args)
+    assert i1["mode"] == "incremental" and i1["files_read"] >= 1
+    assert maintained() == direct()
+
+    # Second append: only the new files are read.
+    lake_files_before = i1["files_read"]
+    snapshot_append(spark, mk([("a", "g1", 5), ("c", "g1", 7)]), lake, "grp")
+    i2 = refresh_incremental_agg(spark, lake, state, **args)
+    assert i2["mode"] == "incremental"
+    assert maintained() == direct()
+
+    # Nothing new -> noop, state version unchanged.
+    i3 = refresh_incremental_agg(spark, lake, state, **args)
+    assert i3["mode"] == "noop" and i3["state_version"] == i2["state_version"]
+
+    # Compaction rewrites absorbed files -> deltas unrecoverable -> full
+    # re-baseline, still exact.
+    compact_snapshot(spark, lake, min_files=2, partition_col="grp")
+    snapshot_append(spark, mk([("b", "g2", -3)]), lake, "grp")
+    i4 = refresh_incremental_agg(spark, lake, state, **args)
+    assert i4["mode"] == "full"
+    assert maintained() == direct()
+
+    # And incremental resumes after the re-baseline.
+    snapshot_append(spark, mk([("d", "g2", 2)]), lake, "grp")
+    i5 = refresh_incremental_agg(spark, lake, state, **args)
+    assert i5["mode"] == "incremental"
+    assert maintained() == direct()
+    del lake_files_before
