@@ -192,3 +192,12 @@ def test_length_quartiles_window_partitions_by_source(spark, sf_small):
     partition spec would be a single-task global sort."""
     plan = plan_of(spark, sf_small, "length_quartiles")
     assert "windowspecdefinition(source" in plan, plan
+
+
+def test_embedding_quantization_broadcasts_dim_stats(spark, sf_small):
+    """Per-dim stats (64 keys, partial-aggregated) broadcast back to the
+    vector scan; quantize/reconstruct stay narrow — no second wide stage."""
+    plan = plan_of(spark, sf_small, "embedding_quantization")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert len(re.findall(r"hashpartitioning\(dim", plan)) == 1, plan
