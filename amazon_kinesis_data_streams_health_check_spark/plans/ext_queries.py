@@ -1249,23 +1249,13 @@ FROM rc
 """
 
 
-@register(
-    "embedding_quantization",
-    oracle=_QUANT_SQL,
-    doc="E2 scale path: per-dimension min/max int8 scalar quantization of "
-    "the embedding column, with reconstruction error and original-vs-"
-    "reconstructed cosine per vector — full value-hash oracle",
-    tags=("ext", "similarity"),
-)
-def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: per-dim min/max is one shuffle over 64 keys with map-side
-    partial aggregation (each task emits <= n_dims rows regardless of input
-    size); the dim-stats row broadcasts back (BroadcastNestedLoopJoin of a
-    1-row side); quantize/reconstruct/error are narrow codegen'd array
-    transforms. The int8 codes are what a 100 TB deployment would store —
-    4x smaller, rescannable for re-ranking via the kept (min, max) pair."""
-    configure_session(spark)
-    emb = parallel_scan(spark, sf_dir, "embeddings")
+def _with_quantized_recon(emb: DataFrame) -> DataFrame:
+    """Append int8 codes ``qv`` and dequantized ``recon`` to a vector frame.
+
+    Per-dim min/max is one shuffle over n_dims keys with map-side partial
+    aggregation (each task emits <= n_dims rows regardless of input size);
+    the dim-stats row broadcasts back (BroadcastNestedLoopJoin of a 1-row
+    side); quantize/reconstruct are narrow codegen'd array transforms."""
     dims = emb.select(F.posexplode("embedding").alias("pos", "x")).select(
         (F.col("pos") + 1).alias("dim"), F.col("x").cast("double").alias("x")
     )
@@ -1288,7 +1278,7 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"/ (element_at(maxarr, i) - element_at(minarr, i)) * {L}.0) as int) END)"
         ),
     )
-    recon = quant.withColumn(
+    return quant.withColumn(
         "recon",
         F.expr(
             f"transform(sequence(1, size(qv)), i -> "
@@ -1296,6 +1286,24 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"* (element_at(maxarr, i) - element_at(minarr, i)))"
         ),
     )
+
+
+@register(
+    "embedding_quantization",
+    oracle=_QUANT_SQL,
+    doc="E2 scale path: per-dimension min/max int8 scalar quantization of "
+    "the embedding column, with reconstruction error and original-vs-"
+    "reconstructed cosine per vector — full value-hash oracle",
+    tags=("ext", "similarity"),
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: see :func:`_with_quantized_recon` — one 64-key partial-
+    aggregated shuffle + broadcast-back, then narrow array work. The int8
+    codes are what a 100 TB deployment would store — 4x smaller,
+    rescannable for re-ranking via the kept (min, max) pair."""
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    recon = _with_quantized_recon(emb)
     return recon.select(
         "vec_id",
         F.md5(F.concat_ws(",", F.col("qv").cast("array<string>")).cast("binary")).alias(
@@ -1309,4 +1317,108 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("max_abs_err"),
         F.round(cosine_expr("embedding", "recon"), 6).alias("cos_sim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recall of top-k search over DEQUANTIZED vectors vs exact top-k — the
+# quality measurement that justifies shipping the 4x-smaller codes.
+# ---------------------------------------------------------------------------
+_QREC_RECON_CTES = f"""
+dims AS (
+  SELECT i AS dim,
+         min(CAST(embedding[i] AS DOUBLE)) AS mn,
+         max(CAST(embedding[i] AS DOUBLE)) AS mx
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+  GROUP BY i
+),
+arrs AS (
+  SELECT list(mn ORDER BY dim) AS minarr, list(mx ORDER BY dim) AS maxarr
+  FROM dims
+),
+rc AS (
+  SELECT vec_id, embedding,
+         list_transform(range(1, len(embedding) + 1), i ->
+           CASE WHEN maxarr[i] = minarr[i] THEN minarr[i]
+           ELSE minarr[i]
+                + CAST(CAST(round((CAST(embedding[i] AS DOUBLE) - minarr[i])
+                      / (maxarr[i] - minarr[i]) * {_QUANT_LEVELS}.0) AS INT) AS DOUBLE)
+                  / {_QUANT_LEVELS}.0 * (maxarr[i] - minarr[i])
+           END) AS recon
+  FROM embeddings, arrs
+)
+"""
+
+_QUANT_RECALL_SQL = f"""
+WITH {_QREC_RECON_CTES},
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {duck_cosine('q.embedding', 'v.embedding')} DESC, v.vec_id
+           ) AS rank
+    FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+    WHERE q.vec_id < {_ANN_QUERY_LIMIT}
+  ) WHERE rank <= {_ANN_K}
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {duck_cosine('q.recon', 'v.recon')} DESC, v.vec_id
+           ) AS rank
+    FROM rc q JOIN rc v ON v.vec_id <> q.vec_id
+    WHERE q.vec_id < {_ANN_QUERY_LIMIT}
+  ) WHERE rank <= {_ANN_K}
+)
+SELECT e.query_id,
+       count(*) AS n_topk,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS recall
+FROM exact e
+LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "ann_quantized_recall",
+    oracle=_QUANT_RECALL_SQL,
+    doc="E2: per-query recall@k of cosine top-k over int8-dequantized "
+    "vectors vs exact top-k — the quantization-quality measurement "
+    "(both rankings via the two-phase top-k, never a per-query window)",
+    tags=("ext", "similarity"),
+)
+def ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: both rankings reuse brute_force_topk (broadcast query
+    side, two-phase local/merge top-k); the quantize/dequantize adds one
+    64-key partial-agg shuffle + broadcast-back. The intersection join is
+    keyed on (query_id, neighbor_id) — k rows per query per side."""
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < _ANN_QUERY_LIMIT), k=_ANN_K
+    ).select("query_id", "neighbor_id")
+    rq = _with_quantized_recon(emb).select("vec_id", "recon")
+    approx = (
+        brute_force_topk(
+            rq,
+            rq.filter(F.col("vec_id") < _ANN_QUERY_LIMIT),
+            k=_ANN_K,
+            vec_col="recon",
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("is_hit", F.lit(1))
+    )
+    merged = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return merged.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_topk"),
+        F.sum(F.coalesce("is_hit", F.lit(0))).cast("long").alias("n_hits"),
+        F.round(
+            F.sum(F.coalesce("is_hit", F.lit(0))).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("recall"),
     )
