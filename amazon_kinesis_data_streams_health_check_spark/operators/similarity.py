@@ -43,6 +43,21 @@ def cosine_expr(a: str = "emb_a", b: str = "emb_b") -> Column:
     )
 
 
+def with_sq_norm(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    """Append the raw self-dot (squared norm, no sqrt) — computed once per
+    row so pair stages stop recomputing it per candidate."""
+    return df.withColumn(out_col, F.expr(dot_expr(vec_col, vec_col)))
+
+
+def cosine_precomp(a: str, b: str, na2: str, nb2: str) -> Column:
+    """``dot(a,b) / sqrt(na2 * nb2)`` with the self-dots read from columns.
+
+    Bit-identical to :func:`cosine_expr` (same IEEE expression tree over the
+    same self-dot doubles — sqrt of their product), but the pair stage does
+    1 dot instead of 3."""
+    return F.expr(dot_expr(a, b)) / F.sqrt(F.col(na2) * F.col(nb2))
+
+
 def hyperplane_dot_expr(vec: str, plane: int) -> str:
     """Dot of ``vec`` with deterministic pseudo-random hyperplane ``plane``.
 
@@ -112,16 +127,24 @@ def brute_force_topk(
     """Exact cosine top-k per query vector (broadcast the query side) — the
     right baseline when |queries| << |corpus|; one narrow scan pass feeding
     the two-phase :func:`topk_per_query` merge."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("emb_q")
+    q = with_sq_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("emb_q")
+        ),
+        "emb_q",
+        "nq2",
     )
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("emb_n")
+    v = with_sq_norm(
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("emb_n")
+        ),
+        "emb_n",
+        "nn2",
     )
     scored = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_raw", cosine_expr("emb_q", "emb_n"))
+        .withColumn("cos_raw", cosine_precomp("emb_q", "emb_n", "nq2", "nn2"))
     )
     return topk_per_query(scored, k)
 
@@ -157,11 +180,18 @@ def assign_ivf_flat_clusters(
             "centroid_id", F.row_number().over(Window.orderBy("_h")).cast("long")
         )
         .select("centroid_id", "emb_c")
+        .withColumn("nc2", F.expr(dot_expr("emb_c", "emb_c")))
     )
     return (
-        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_emb"))
+        with_sq_norm(
+            vectors.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_emb")
+            ),
+            "_emb",
+            "nv2",
+        )
         .crossJoin(F.broadcast(cent))
-        .withColumn("_neg_cos", -cosine_expr("_emb", "emb_c"))
+        .withColumn("_neg_cos", -cosine_precomp("_emb", "emb_c", "nv2", "nc2"))
         .groupBy("vec_id")
         .agg(
             F.min(

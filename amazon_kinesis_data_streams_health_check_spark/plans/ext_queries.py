@@ -405,10 +405,12 @@ from amazon_kinesis_data_streams_health_check_spark.operators.similarity import 
     assign_ivf_flat_clusters,
     brute_force_topk,
     cosine_expr,
+    cosine_precomp,
     duck_bucket,
     duck_cosine,
     topk_per_query,
     with_lsh_bucket,
+    with_sq_norm,
 )
 
 _NEARDUP_COS_THRESHOLD = 0.3
@@ -762,9 +764,10 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster",
     )
     scored = (
-        queries.join(cands, "cluster")
+        with_sq_norm(queries, "emb_q", "nq2")
+        .join(with_sq_norm(cands, "emb_n", "nn2"), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_raw", cosine_expr("emb_q", "emb_n"))
+        .withColumn("cos_raw", cosine_precomp("emb_q", "emb_n", "nq2", "nn2"))
     )
     return topk_per_query(scored, k=_ANN_K)
 
@@ -837,9 +840,10 @@ def ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), "cluster", F.col("embedding").alias("emb_n")
     )
     scored = (
-        queries.join(cands, "cluster")
+        with_sq_norm(queries, "emb_q", "nq2")
+        .join(with_sq_norm(cands, "emb_n", "nn2"), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_raw", cosine_expr("emb_q", "emb_n"))
+        .withColumn("cos_raw", cosine_precomp("emb_q", "emb_n", "nq2", "nn2"))
     )
     topk = topk_per_query(scored, k=_ANN_K)
     return topk.join(
