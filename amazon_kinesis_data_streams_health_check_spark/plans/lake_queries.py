@@ -89,3 +89,82 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value"
         ),
     )
+
+
+@register(
+    "streaming_incremental_agg",
+    oracle=_INC_AGG_SQL,
+    doc="Streaming ingest -> snapshot lake -> incremental aggregate: a "
+    "3-micro-batch file stream foreachBatch-appends to the lake and "
+    "refreshes the materialized count/sum from each commit's delta files; "
+    "final state must equal a one-pass recompute (full value-hash oracle)",
+    tags=("lake", "streaming"),
+)
+def streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployment shape for a 100 TB metrics rollup: Structured
+    Streaming drives ingest cadence (availableNow drain of a bounded
+    backfill, maxFilesPerTrigger=1 => one lake commit per micro-batch), the
+    manifest layer makes each commit atomic, and the maintained aggregate
+    only ever reads delta files. The foreachBatch hook raises if any refresh
+    silently degrades to a full rescan."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 1e6).cast("long").alias("val_micros"),
+    )
+    src_dir = tempfile.mkdtemp(prefix="incagg_stream_src_")
+    for i in range(_INGEST_BATCHES):
+        part_dir = tempfile.mkdtemp(prefix=f"incagg_stream_part{i}_")
+        batch = events.filter(
+            F.pmod(F.col("event_id"), F.lit(_INGEST_BATCHES)) == i
+        ).select("user_id", "event_type", "val_micros")
+        batch.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        part = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = _os.path.join(src_dir, f"b{i}.parquet")
+        _shutil.move(part, dst)
+        # Strictly increasing mtimes pin the FileStreamSource batch order.
+        _os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+    lake = tempfile.mkdtemp(prefix="incagg_stream_lake_")
+    state = tempfile.mkdtemp(prefix="incagg_stream_state_")
+
+    def _ingest(batch_df, batch_id: int) -> None:
+        snapshot_append(spark, batch_df, lake, partition_col="event_type")
+        info = refresh_incremental_agg(
+            spark,
+            lake,
+            state,
+            keys=["user_id", "event_type"],
+            sums=["val_micros"],
+            state_partition_col="event_type",
+        )
+        if info["mode"] != "incremental":
+            raise RuntimeError(
+                f"batch {batch_id} refresh was {info['mode']}: {info}"
+            )
+
+    stream = (
+        spark.readStream.schema("user_id bigint, event_type string, val_micros bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="incagg_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_snapshot(spark, state).select(
+        "user_id",
+        "event_type",
+        F.col("n_rows").alias("n_events"),
+        F.round(F.col("sum_val_micros").cast("double") / 1e6, 6).alias(
+            "sum_value"
+        ),
+    )
