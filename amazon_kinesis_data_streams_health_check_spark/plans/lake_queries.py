@@ -23,6 +23,7 @@ from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
     read_snapshot,
     refresh_incremental_agg,
     snapshot_append,
+    snapshot_overwrite,
 )
 from amazon_kinesis_data_streams_health_check_spark.sources.tables import load_table
 
@@ -167,4 +168,93 @@ def streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_val_micros").cast("double") / 1e6, 6).alias(
             "sum_value"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-travel diff: what changed between two snapshot versions.
+# ---------------------------------------------------------------------------
+_DIFF_SQL = """
+WITH v1 AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS s
+  FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+),
+v2 AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY user_id
+)
+SELECT coalesce(v2.user_id, v1.user_id) AS user_id,
+       CASE WHEN v1.user_id IS NULL THEN 'added'
+            WHEN v2.user_id IS NULL THEN 'removed'
+            WHEN v1.n <> v2.n OR v1.s <> v2.s THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       v1.n AS n_before, v2.n AS n_after,
+       round(CAST(v1.s AS DOUBLE) / 1000000.0, 6) AS sum_before,
+       round(CAST(v2.s AS DOUBLE) / 1000000.0, 6) AS sum_after
+FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id
+"""
+
+
+@register(
+    "snapshot_diff",
+    oracle=_DIFF_SQL,
+    doc="Time-travel diff: per-key added/removed/changed/unchanged status "
+    "between snapshot v1 (half the events) and v2 (all events) of a keyed "
+    "rollup table, read via the manifest layer's version pinning",
+    tags=("lake",),
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: both versions resolve to explicit manifest file lists
+    (no directory listing, no re-aggregation of the source); the diff is one
+    full-outer shuffle join on the rollup key — state-sized, not
+    fact-sized. The audit query every lake needs: 'what did last night's
+    load change?'."""
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 1e6).cast("long").alias("val_micros"),
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("val_micros").cast("long").alias("s"),
+            )
+            .withColumn("pbucket", F.pmod(F.col("user_id"), F.lit(8)))
+        )
+
+    lake = tempfile.mkdtemp(prefix="diff_lake_")
+    v1 = snapshot_overwrite(
+        spark,
+        rollup(events.filter(F.col("event_id") % 2 == 0)),
+        lake,
+        partition_col="pbucket",
+    )
+    v2 = snapshot_overwrite(spark, rollup(events), lake, partition_col="pbucket")
+    a = read_snapshot(spark, lake, version=v1).select(
+        F.col("user_id").alias("uid_a"), F.col("n").alias("n_before"), F.col("s").alias("s_a")
+    )
+    b = read_snapshot(spark, lake, version=v2).select(
+        F.col("user_id").alias("uid_b"), F.col("n").alias("n_after"), F.col("s").alias("s_b")
+    )
+    joined = a.join(b, a.uid_a == b.uid_b, "full_outer")
+    return joined.select(
+        F.coalesce("uid_b", "uid_a").alias("user_id"),
+        F.when(F.col("uid_a").isNull(), "added")
+        .when(F.col("uid_b").isNull(), "removed")
+        .when(
+            (F.col("n_before") != F.col("n_after")) | (F.col("s_a") != F.col("s_b")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("status"),
+        "n_before",
+        "n_after",
+        F.round(F.col("s_a").cast("double") / 1e6, 6).alias("sum_before"),
+        F.round(F.col("s_b").cast("double") / 1e6, 6).alias("sum_after"),
     )

@@ -1044,3 +1044,61 @@ def json_shred_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shred.select(
         F.col("j.uid").alias("user_id"), F.explode("j.items").alias("it")
     ).select("user_id", "it.event_id", "it.event_type", "it.value")
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (wide -> long) via stack(): the melt operation reshaping a measure
+# matrix into (measure, value) rows — summarized per measure in exact cents.
+# ---------------------------------------------------------------------------
+_UNPIVOT_SQL = """
+WITH long AS (
+  SELECT 'quantity' AS measure, CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+  UNION ALL
+  SELECT 'extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+  UNION ALL
+  SELECT 'discount', CAST(l_discount AS DOUBLE) FROM lineitem
+  UNION ALL
+  SELECT 'tax', CAST(l_tax AS DOUBLE) FROM lineitem
+)
+SELECT measure,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(val), 2) AS min_val,
+       round(max(val), 2) AS max_val,
+       round(CAST(sum(CAST(round(val * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)
+         AS sum_val
+FROM long GROUP BY measure
+"""
+
+
+@register(
+    "lineitem_measures_unpivot",
+    oracle=_UNPIVOT_SQL,
+    doc="UNPIVOT family: stack() melts 4 lineitem measures into long form, "
+    "then per-measure stats (integer-cents sums keep engines identical); "
+    "oracle is the UNION ALL formulation",
+    tags=("relational",),
+)
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ``stack`` is a Generate (narrow, codegen'd) — the fact
+    table is scanned ONCE for all four measures, where the UNION ALL oracle
+    formulation scans it four times; the only shuffle is the 4-key final
+    aggregation with map-side partials."""
+    configure_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select(
+        F.expr(
+            "stack(4, 'quantity', CAST(l_quantity AS DOUBLE), "
+            "'extendedprice', CAST(l_extendedprice AS DOUBLE), "
+            "'discount', CAST(l_discount AS DOUBLE), "
+            "'tax', CAST(l_tax AS DOUBLE)) AS (measure, val)"
+        )
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.min("val"), 2).alias("min_val"),
+        F.round(F.max("val"), 2).alias("max_val"),
+        F.round(
+            F.sum(F.round(F.col("val") * 100).cast("long")).cast("double") / 100.0,
+            2,
+        ).alias("sum_val"),
+    )

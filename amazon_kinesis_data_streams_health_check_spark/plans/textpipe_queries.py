@@ -328,3 +328,44 @@ def length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("sum_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-position rankings (percent_rank / cume_dist) per source.
+# ---------------------------------------------------------------------------
+_RANKINGS_SQL = """
+SELECT doc_id, source, n_chars,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd
+FROM documents
+WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+"""
+
+
+@register(
+    "doc_length_rankings",
+    oracle=_RANKINGS_SQL,
+    doc="Ranking-function family: percent_rank + cume_dist of each doc's "
+    "length within its source (curriculum position signals); unique "
+    "(n_chars, doc_id) order makes both exact integer ratios",
+    tags=("ext", "textpipe"),
+)
+def doc_length_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one window partitioned by ``source`` (bounded corpus-
+    catalog cardinality); over a unique total order percent_rank and
+    cume_dist are (rank-1)/(n-1) and rank/n — exact integer ratios, so the
+    doubles are engine-identical."""
+    configure_session(spark)
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
