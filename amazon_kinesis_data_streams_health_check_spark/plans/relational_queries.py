@@ -1102,3 +1102,77 @@ def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("sum_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed correlation: Pearson r per (returnflag, linestatus) from
+# DECIMAL(38) sums of integer cents — the float-free way to make a
+# reduction-order-sensitive statistic engine-identical. Spark's corr() (and
+# DuckDB's) accumulate doubles in partition order, so their last bits differ
+# run to run; here every aggregate is an exact integer, and the only float
+# math is one final fixed-shape expression over those integers.
+# ---------------------------------------------------------------------------
+_CORR_SQL = """
+WITH s AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(count(*) AS DECIMAL(38,0)) AS n,
+         sum(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS sx,
+         sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS sy,
+         sum(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS sxx,
+         sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS syy,
+         sum(CAST(CAST(l_quantity AS BIGINT)
+                  * CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS sxy
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(n AS BIGINT) AS n_rows,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_qty_price,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * n AS DOUBLE) / 100.0, 6) AS cov_pop_qty_price
+FROM s
+"""
+
+
+@register(
+    "lineitem_corr_exact",
+    oracle=_CORR_SQL,
+    doc="Correlation/covariance family with EXACT distributed math: Pearson "
+    "r and population covariance of (quantity, price) per flag/status from "
+    "DECIMAL(38) sums of integer cents — reduction-order-free, so both "
+    "engines produce identical doubles (built-in corr() cannot promise that)",
+    tags=("relational",),
+)
+def lineitem_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one partial-aggregatable keyed aggregation (decimal sums
+    combine exactly in any order — that is the point), 4-key group; the
+    final r/cov expressions are per-group scalar math. The idiom generalizes
+    to any moment statistic a 1000-executor job must reproduce bit-for-bit
+    across retries and partitionings."""
+    configure_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    dec = "decimal(38,0)"
+    s = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(x.cast(dec)).alias("sx"),
+        F.sum(y.cast(dec)).alias("sy"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+        F.sum((y * y).cast(dec)).alias("syy"),
+        F.sum((x * y).cast(dec)).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(num / F.sqrt(denx * deny), 6).alias("corr_qty_price"),
+        F.round(
+            num / (F.col("n") * F.col("n")).cast("double") / 100.0, 6
+        ).alias("cov_pop_qty_price"),
+    )
