@@ -1176,3 +1176,93 @@ def lineitem_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             num / (F.col("n") * F.col("n")).cast("double") / 100.0, 6
         ).alias("cov_pop_qty_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-bucketed histogram: hour-of-day x fixed-width value buckets — the
+# profiling rollup behind ingestion dashboards. All-integer bucketing.
+# ---------------------------------------------------------------------------
+_HIST_BUCKET_WIDTH = 50
+
+_TIME_HIST_SQL = f"""
+SELECT event_type,
+       CAST(hour(ts) AS BIGINT) AS hr,
+       CAST(floor(value / {_HIST_BUCKET_WIDTH}) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000.0, 6) AS sum_value
+FROM events
+GROUP BY event_type, hr, bucket
+"""
+
+
+@register(
+    "event_time_histogram",
+    oracle=_TIME_HIST_SQL,
+    doc="Histogram family: hour-of-day x fixed-width value-bucket counts "
+    "per event type (integer bucketing, micro-unit exact sums) — the "
+    "ingestion-profiling rollup",
+    tags=("relational",),
+)
+def event_time_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: scan -> one keyed aggregation with map-side partials;
+    bucket keys are bounded (types x 24 x value-range/width) so the final
+    exchange moves a constant-size result regardless of input size."""
+    configure_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.hour("ts").cast("long").alias("hr"),
+        F.floor(F.col("value") / _HIST_BUCKET_WIDTH).cast("long").alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.round(F.col("value") * 1e6).cast("long")).cast("double") / 1e6,
+            6,
+        ).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (the general form rollup/cube specialize).
+# ---------------------------------------------------------------------------
+_GSETS_SQL = """
+SELECT o_orderpriority,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(grouping(o_orderpriority) * 2 + grouping(year(o_orderdate)) AS BIGINT)
+         AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (year(o_orderdate)), ())
+"""
+
+
+@register(
+    "revenue_grouping_sets",
+    oracle=_GSETS_SQL,
+    doc="Explicit GROUPING SETS ((priority), (year), ()) with grouping() "
+    "flags — the general aggregation-lattice form that rollup/cube "
+    "specialize; integer-cents exact",
+    tags=("relational",),
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one Expand (3 grouping sets) + one keyed aggregation —
+    same single-shuffle structure as rollup/cube; output cardinality is the
+    sum of the lattice levels, not their product."""
+    configure_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(grouping(o_orderpriority) * 2
+                    + grouping(year(o_orderdate)) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (year(o_orderdate)), ())
+        """
+    )
