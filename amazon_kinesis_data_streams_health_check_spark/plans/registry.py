@@ -49,49 +49,49 @@ _PRIORITY: tuple[str, ...] = (
     # LLM-pipeline: text / dedup / ANN / multimodal / sketches
     "text_quality",
     "lang_id_confusion",
-    "token_counts_by_source",
     "doc_fingerprints",
     "dedup_exact_summary",
-    "dedup_exact_groups",
+    "dedup_keep_list",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "embedding_near_dups",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
-    "ann_lsh_recall",
+    "embedding_quantization",
+    "ann_quantized_recall",
     "media_stats",
     "media_features",
     "media_frame_sample",
-    "media_resize",
     "sketch_rollup_merge",
+    "doc_chunks",
+    "tfidf_top_terms",
+    "inverted_index",
     # relational shapes (each a distinct plan family)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier",
     "top_suppliers_per_nation",
     "revenue_rollup",
     "user_funnel_setops",
     "customers_without_orders",
-    "discounted_orders_by_priority",
     "user_event_pivot",
     "asof_view_before_purchase",
     "user_sessions",
     "range_join_funnel",
-    "value_percentiles",
     "event_sketches",
     "skew_resilient_user_counts",
-    "small_quantity_revenue",
+    "lineitem_corr_exact",
     # curation
     "curation_stratified_sample",
     "curation_mixture_plan",
     "curation_pack_sequences",
     "dedup_clusters",
-    "curation_pipeline",
+    "incremental_agg_maintenance",
     # custom source + oracle-checked streaming drives
     "kinesis_sim_scan",
     "streaming_consumer_metrics",
     "streaming_window_max",
+    "streaming_incremental_agg",
 )
 
 

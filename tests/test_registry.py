@@ -19,24 +19,34 @@ DRIVER_WINDOW = 50
 #: Queries that MUST have a driver CORRECTNESS row (round-1 verdict gap:
 #: the whole LLM-pipeline block sat past index 50 and went unverified).
 MUST_BE_CHECKED = {
+    # reference-parity core
     "health_lag_alarm",
     "consumer_metrics",
+    # LLM-pipeline block (r01 verdict gap: sat past index 50 unverified)
     "doc_fingerprints",
     "dedup_exact_summary",
-    "dedup_exact_groups",
+    "dedup_keep_list",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "embedding_near_dups",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
-    "ann_lsh_recall",
+    "embedding_quantization",
+    "ann_quantized_recall",
     "media_stats",
     "media_features",
     "media_frame_sample",
-    "media_resize",
     "sketch_rollup_merge",
     "event_sketches",
+    # r02 engine features
+    "doc_chunks",
+    "tfidf_top_terms",
+    "inverted_index",
+    "lineitem_corr_exact",
+    "incremental_agg_maintenance",
+    "streaming_incremental_agg",
+    # custom source + oracle-checked streaming drives
     "kinesis_sim_scan",
     "streaming_consumer_metrics",
     "streaming_window_max",
