@@ -201,3 +201,26 @@ def test_embedding_quantization_broadcasts_dim_stats(spark, sf_small):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert len(re.findall(r"hashpartitioning\(dim", plan)) == 1, plan
+
+
+def test_unpivot_single_fact_scan_no_union(spark, sf_small):
+    """stack() must melt in one Generate over ONE lineitem scan — the
+    4-scan UNION ALL formulation (the oracle's) is what we refuse to plan."""
+    plan = plan_of(spark, sf_small, "lineitem_measures_unpivot")
+    assert "Union" not in plan, plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark, sf_small):
+    """GROUPING SETS = one Expand + one keyed aggregation exchange."""
+    plan = plan_of(spark, sf_small, "revenue_grouping_sets")
+    assert len(re.findall(r"^\(\d+\) Expand", plan, re.M)) == 1, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+def test_event_time_histogram_partial_agg(spark, sf_small):
+    """Bounded-key histogram: map-side partial aggregate before the single
+    exchange."""
+    plan = plan_of(spark, sf_small, "event_time_histogram")
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 2, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
