@@ -369,3 +369,77 @@ def doc_length_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier flags via grouped Arrow pandas (applyInPandas): per-source
+# median/MAD over doc lengths. Median and MAD over integers are exact
+# (worst case a .5 — exactly representable), so the grouped-pandas path gets
+# a FULL value-hash oracle, which pins the Arrow batch semantics themselves.
+# ---------------------------------------------------------------------------
+_MAD_K = 3.0
+
+_OUTLIER_SQL = f"""
+WITH med AS (
+  SELECT source, median(CAST(n_chars AS DOUBLE)) AS med
+  FROM documents GROUP BY source
+),
+dev AS (
+  SELECT d.doc_id, d.source, d.n_chars, med.med,
+         abs(CAST(d.n_chars AS DOUBLE) - med.med) AS adev
+  FROM documents d JOIN med ON d.source = med.source
+),
+mad AS (
+  SELECT source, median(adev) AS mad FROM dev GROUP BY source
+)
+SELECT dev.doc_id, dev.source, CAST(dev.n_chars AS BIGINT) AS n_chars,
+       dev.med, mad.mad,
+       dev.adev > {_MAD_K} * mad.mad AS is_outlier
+FROM dev JOIN mad ON dev.source = mad.source
+"""
+
+
+@register(
+    "doc_length_outliers_mad",
+    oracle=_OUTLIER_SQL,
+    doc="Grouped-pandas (applyInPandas) robust outliers: per-source "
+    "median/MAD of doc length, |x - med| > 3*MAD flags — integer medians "
+    "are exact, so the Arrow path carries a full value-hash oracle",
+    tags=("ext", "textpipe"),
+)
+def doc_length_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately the ``applyInPandas`` formulation (a window/percentile
+    composition could express it too): this pins the grouped-Arrow batch
+    path — group = one pandas frame, vectorized numpy math, schema-declared
+    output — which the multimodal ops rely on. Scale shape: one shuffle on
+    ``source`` (bounded groups by the corpus-catalog stance); each group is
+    processed in one Arrow batch, no driver collection."""
+    import numpy as np
+    import pandas as pd
+
+    configure_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+
+    def _mad(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["n_chars"].to_numpy(dtype="float64")
+        med = float(np.median(x))
+        adev = np.abs(x - med)
+        mad = float(np.median(adev))
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                "n_chars": pdf["n_chars"],
+                "med": med,
+                "mad": mad,
+                "is_outlier": adev > _MAD_K * mad,
+            }
+        )
+
+    return docs.groupBy("source").applyInPandas(
+        _mad,
+        schema="doc_id long, source string, n_chars long, med double, "
+        "mad double, is_outlier boolean",
+    )
