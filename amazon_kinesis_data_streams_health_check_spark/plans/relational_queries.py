@@ -1266,3 +1266,90 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderpriority), (year(o_orderdate)), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional window family: first_value / last_value / nth_value + min_by /
+# max_by over a unique per-user event order.
+# ---------------------------------------------------------------------------
+_FIRST_LAST_SQL = """
+WITH w AS (
+  SELECT user_id, event_type, event_id, value,
+         first_value(event_type) OVER uw AS first_type,
+         last_value(event_type) OVER uw AS last_type,
+         nth_value(event_type, 2) OVER uw AS second_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+           AS rn
+  FROM events
+  WINDOW uw AS (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+  )
+),
+mm AS (
+  -- DuckDB's min_by/max_by lack struct order keys; the struct-min idiom is
+  -- the same argmin-with-unique-tie-break, expressed orderably.
+  SELECT user_id,
+         min({'v': value, 'i': event_id}).i AS min_value_event,
+         max({'v': value, 'i': event_id}).i AS max_value_event,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT w.user_id, w.first_type, w.last_type, w.second_type,
+       mm.min_value_event, mm.max_value_event, mm.n_events
+FROM w JOIN mm ON w.user_id = mm.user_id
+WHERE w.rn = 1
+"""
+
+
+@register(
+    "user_first_last_events",
+    oracle=_FIRST_LAST_SQL,
+    doc="Positional window family: first/last/nth event type per user over "
+    "the unique (ts, event_id) order, plus min_by/max_by with a unique "
+    "struct order key (the tie-break that makes argmin/argmax deterministic)",
+    tags=("relational",),
+)
+def user_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one window + one aggregation, both keyed on user_id
+    (uniform key); the unbounded frame materializes per-partition ordered
+    state exactly once. min_by/max_by use struct(value, event_id) order keys
+    — without the unique tie-break, ties make argmin nondeterministic on ANY
+    engine, which is the bug this query's oracle would catch."""
+    configure_session(spark)
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    uw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    rw = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    w = ev.select(
+        "user_id",
+        F.first("event_type").over(uw).alias("first_type"),
+        F.last("event_type").over(uw).alias("last_type"),
+        F.nth_value("event_type", 2).over(uw).alias("second_type"),
+        F.row_number().over(rw).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    mm = ev.groupBy("user_id").agg(
+        F.min_by("event_id", F.struct("value", "event_id")).alias(
+            "min_value_event"
+        ),
+        F.max_by("event_id", F.struct("value", "event_id")).alias(
+            "max_value_event"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return w.join(mm, "user_id").select(
+        "user_id",
+        "first_type",
+        "last_type",
+        "second_type",
+        "min_value_event",
+        "max_value_event",
+        "n_events",
+    )
