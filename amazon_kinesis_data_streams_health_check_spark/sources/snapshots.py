@@ -577,3 +577,72 @@ def refresh_incremental_agg(
         "state_version": v,
         "source_version": lake["version"],
     }
+
+
+def snapshot_changed_partitions(
+    spark: SparkSession, path: str, v_old: int, v_new: int
+) -> list[str]:
+    """Partitions whose manifest file lists differ between two versions.
+
+    Pure metadata — no data files are opened. A partition with an identical
+    file list is byte-identical content (files are immutable), so any
+    version-to-version comparison may skip it entirely.
+    """
+    m1 = _resolve_manifest(spark, path, version=v_old)
+    m2 = _resolve_manifest(spark, path, version=v_new)
+    f1 = {p: sorted(rels) for p, rels in m1["files"].items()}
+    f2 = {p: sorted(rels) for p, rels in m2["files"].items()}
+    return sorted(p for p in set(f1) | set(f2) if f1.get(p) != f2.get(p))
+
+
+def snapshot_cdc(
+    spark: SparkSession,
+    path: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Row-level change feed between two snapshot versions: one row per key
+    that was inserted, deleted, or updated (same-key rows whose non-key
+    content hash matches are dropped as unchanged).
+
+    The scan is pruned at MANIFEST level: only partitions whose file lists
+    changed are read on either side (``snapshot_changed_partitions``) — at
+    100 TB a nightly merge touching 1% of partitions makes the change feed
+    cost 1% of a table scan, not 200%. Emits ``*key_cols, change
+    ('insert'|'delete'|'update'), old_hash, new_hash``.
+    """
+    changed = set(snapshot_changed_partitions(spark, path, v_old, v_new))
+    m1 = _resolve_manifest(spark, path, version=v_old)
+    m2 = _resolve_manifest(spark, path, version=v_new)
+
+    def side(m: dict[str, Any]) -> DataFrame:
+        rels = sorted(
+            rel
+            for part, group in m["files"].items()
+            if part in changed
+            for rel in group
+        )
+        df = _read_manifest_files(spark, path, m["schema"], rels)
+        rest = [c for c in df.columns if c not in key_cols]
+        return df.select(
+            *key_cols,
+            F.md5(F.to_json(F.struct(*sorted(rest))).cast("binary")).alias("_h"),
+        )
+
+    old = side(m1).withColumnsRenamed({"_h": "old_hash"})
+    new = side(m2).withColumnsRenamed({"_h": "new_hash"})
+    joined = old.join(new, key_cols, "full_outer")
+    return joined.select(
+        *key_cols,
+        F.when(F.col("old_hash").isNull(), "insert")
+        .when(F.col("new_hash").isNull(), "delete")
+        .otherwise("update")
+        .alias("change"),
+        "old_hash",
+        "new_hash",
+    ).filter(
+        F.col("old_hash").isNull()
+        | F.col("new_hash").isNull()
+        | (F.col("old_hash") != F.col("new_hash"))
+    )

@@ -371,3 +371,40 @@ def test_incremental_agg_refresh_modes_and_parity(spark, tmp_path):
     assert i5["mode"] == "incremental"
     assert maintained() == direct()
     del lake_files_before
+
+
+def test_snapshot_cdc_prunes_to_changed_partitions(spark, tmp_path):
+    """CDC between versions reads only manifest-changed partitions and
+    reports exactly the inserted/deleted/updated keys (latest-wins no-op
+    updates excluded)."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        snapshot_cdc,
+        snapshot_changed_partitions,
+    )
+
+    lake = str(tmp_path / "cdc_lake")
+    v1 = snapshot_merge(spark, _df(spark, BASE), lake, ["key"], "version")
+    v2 = snapshot_merge(spark, _df(spark, UPD1), lake, ["key"], "version")
+
+    changed = snapshot_changed_partitions(spark, lake, v1, v2)
+    # UPD1 touches only 2024-01-01; the 01-02 partition must be pruned.
+    assert changed == ["metric_date=2024-01-01"], changed
+
+    rows = {
+        r.key: r.change
+        for r in snapshot_cdc(spark, lake, v1, v2, ["key"]).collect()
+    }
+    # k1 upgraded (v2 wins), k2's stale update lost (no change row),
+    # k4 inserted, k3 lives in the pruned partition (no row).
+    assert rows == {"k1": "update", "k4": "insert"}, rows
+
+    # Key migration: k3 moves 01-02 -> 01-03; both partitions now change.
+    v3 = snapshot_merge(spark, _df(spark, UPD2), lake, ["key"], "version")
+    changed23 = snapshot_changed_partitions(spark, lake, v2, v3)
+    assert "metric_date=2024-01-02" in changed23
+    assert "metric_date=2024-01-03" in changed23
+    rows23 = {
+        (r.key, r.change)
+        for r in snapshot_cdc(spark, lake, v2, v3, ["key"]).collect()
+    }
+    assert rows23 == {("k3", "update")}, rows23
