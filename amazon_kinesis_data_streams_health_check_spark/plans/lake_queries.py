@@ -258,3 +258,62 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s_a").cast("double") / 1e6, 6).alias("sum_before"),
         F.round(F.col("s_b").cast("double") / 1e6, 6).alias("sum_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruned scan: manifest column metrics skip files before any IO.
+# ---------------------------------------------------------------------------
+_PRUNE_LO, _PRUNE_HI = 100.0, 150.0
+
+_PRUNED_SCAN_SQL = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000.0, 6) AS sum_value
+FROM events
+WHERE value BETWEEN {_PRUNE_LO} AND {_PRUNE_HI}
+GROUP BY event_type
+"""
+
+
+@register(
+    "lake_pruned_scan",
+    oracle=_PRUNED_SCAN_SQL,
+    doc="Zone-map file skipping: events range-clustered on value into the "
+    "snapshot lake with per-file min/max metrics in the manifest; a range "
+    "scan reads only overlapping files (builder raises if nothing was "
+    "pruned) and must equal the full-scan filter",
+    tags=("lake",),
+)
+def lake_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ``repartitionByRange`` on the ingest side gives files
+    disjoint value ranges; the manifest stores each file's [min, max] so the
+    reader prunes from metadata alone — at 100 TB a selective range scan
+    touches the handful of overlapping files, not the table. The residual
+    row filter keeps results exact even for the files that do overlap."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        read_snapshot_pruned,
+        snapshot_append_with_stats,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    lake = tempfile.mkdtemp(prefix="zonemap_lake_")
+    clustered = events.repartitionByRange(8, "value").withColumn(
+        "shard", F.lit("all")
+    )
+    snapshot_append_with_stats(
+        spark, clustered, lake, partition_col="shard", stats_cols=["value"]
+    )
+    df, info = read_snapshot_pruned(spark, lake, "value", _PRUNE_LO, _PRUNE_HI)
+    if not info["files_read"] < info["files_total"]:
+        raise RuntimeError(f"zone maps pruned nothing: {info}")
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.round(F.col("value") * 1e6).cast("long")).cast("double") / 1e6,
+            6,
+        ).alias("sum_value"),
+    )

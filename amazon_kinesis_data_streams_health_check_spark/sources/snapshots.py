@@ -646,3 +646,102 @@ def snapshot_cdc(
         | F.col("new_hash").isNull()
         | (F.col("old_hash") != F.col("new_hash"))
     )
+
+
+def _footer_stats(
+    data_dir: str, rels: list[str], cols: list[str]
+) -> dict[str, dict[str, list[Any]]]:
+    """Per-file [min, max] of ``cols`` from parquet footers (row-group stats
+    folded to file level). Local-FS path here; on object stores the same
+    footers are what a real table format's metrics collector reads."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list[Any]]] = {}
+    for rel in rels:
+        md = pq.ParquetFile(_os.path.join(data_dir, rel)).metadata
+        arrow = md.schema.to_arrow_schema()
+        per: dict[str, list[Any]] = {}
+        for col in cols:
+            idx = arrow.get_field_index(col)
+            if idx < 0:
+                continue
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    mins.append(st.min)
+                    maxs.append(st.max)
+            if mins:
+                per[col] = [min(mins), max(maxs)]
+        if per:
+            out[rel] = per
+    return out
+
+
+def snapshot_append_with_stats(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    stats_cols: list[str],
+) -> int:
+    """``snapshot_append`` that also records per-file zone maps (min/max of
+    ``stats_cols``) in the manifest — Iceberg-style column metrics. Readers
+    (``read_snapshot_pruned``) can then skip files from METADATA alone,
+    before any data IO."""
+    if partition_col not in df.columns:
+        df = df.withColumn(partition_col, F.to_date("ts"))
+    try:
+        current = _resolve_manifest(spark, path)
+        files = {part: list(rels) for part, rels in current["files"].items()}
+        stats = dict(current.get("stats", {}))
+        parent = current["version"]
+    except FileNotFoundError:
+        files, stats, parent = {}, {}, None
+    new = _append_data(spark, df, path, partition_col)
+    new_rels = [rel for group in new.values() for rel in group]
+    stats.update(_footer_stats(f"{path}/{_DATA_DIR}", new_rels, stats_cols))
+    for part, rels in new.items():
+        files.setdefault(part, []).extend(rels)
+    version = (parent or 0) + 1
+    payload: dict[str, Any] = {
+        "version": version,
+        "parent": parent,
+        "operation": "append",
+        "committed_at": time.time(),
+        "schema": df.schema.json(),
+        "files": {k: sorted(v) for k, v in files.items() if v},
+        "stats": stats,
+    }
+    _write_json(spark, _manifest_path(path, version), payload)
+    return version
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo: Any,
+    hi: Any,
+    version: int | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Read ``col BETWEEN lo AND hi`` skipping every file whose manifest
+    zone map proves it cannot match (files without stats are kept —
+    pruning is conservative). Returns (filtered df, {files_total,
+    files_read}); the residual filter still applies row-level, so results
+    equal a full-scan filter exactly."""
+    m = _resolve_manifest(spark, path, version=version)
+    stats = m.get("stats", {})
+    rels_all = sorted(rel for group in m["files"].values() for rel in group)
+    keep = []
+    for rel in rels_all:
+        s = stats.get(rel, {}).get(col)
+        if s is None or not (s[1] < lo or s[0] > hi):
+            keep.append(rel)
+    df = _read_manifest_files(spark, path, m["schema"], keep)
+    return (
+        df.filter((F.col(col) >= lo) & (F.col(col) <= hi)),
+        {"files_total": len(rels_all), "files_read": len(keep)},
+    )

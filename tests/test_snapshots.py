@@ -408,3 +408,33 @@ def test_snapshot_cdc_prunes_to_changed_partitions(spark, tmp_path):
         for r in snapshot_cdc(spark, lake, v2, v3, ["key"]).collect()
     }
     assert rows23 == {("k3", "update")}, rows23
+
+
+def test_zone_map_pruning_skips_files_and_stays_exact(spark, tmp_path):
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        read_snapshot_pruned,
+        snapshot_append_with_stats,
+    )
+
+    lake = str(tmp_path / "zone_lake")
+    rows = [(i, float(i)) for i in range(1000)]
+    df = (
+        spark.createDataFrame(rows, "id long, v double")
+        .repartitionByRange(10, "v")
+        .withColumn("shard", F.lit("all"))
+    )
+    snapshot_append_with_stats(spark, df, lake, "shard", stats_cols=["v"])
+
+    pruned, info = read_snapshot_pruned(spark, lake, "v", 250.0, 349.0)
+    assert info["files_read"] < info["files_total"], info
+    got = sorted(r.id for r in pruned.collect())
+    assert got == list(range(250, 350))
+
+    # Appending unclustered data keeps pruning conservative but correct.
+    extra = spark.createDataFrame(
+        [(2000, 300.5)], "id long, v double"
+    ).withColumn("shard", F.lit("all"))
+    snapshot_append_with_stats(spark, extra, lake, "shard", stats_cols=["v"])
+    pruned2, info2 = read_snapshot_pruned(spark, lake, "v", 250.0, 349.0)
+    assert {r.id for r in pruned2.collect()} == set(range(250, 350)) | {2000}
+    assert info2["files_read"] < info2["files_total"]
