@@ -224,3 +224,12 @@ def test_event_time_histogram_partial_agg(spark, sf_small):
     plan = plan_of(spark, sf_small, "event_time_histogram")
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 2, plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+def test_topn_plans_as_take_ordered_not_full_sort(spark, sf_small):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    top-N + driver merge of N) — a global range-partitioned sort of the
+    whole join output to keep 10 rows is the scale bug this pins out."""
+    plan = plan_of(spark, sf_small, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
