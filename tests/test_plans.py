@@ -233,3 +233,41 @@ def test_topn_plans_as_take_ordered_not_full_sort(spark, sf_small):
     plan = plan_of(spark, sf_small, "q3_shipping_priority")
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_fact_scan(spark, sf_small):
+    """The 100 TB regime where the dim does NOT fit a broadcast: Spark's
+    runtime bloom filter must inject (bloom_filter_agg on the filtered dim,
+    might_contain on the fact scan) so the shuffle join still prunes fact
+    rows before the exchange. Pinned with broadcast disabled to model the
+    big-dim case; confs restored after."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_small}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_extendedprice"
+        )
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
