@@ -62,7 +62,9 @@ def synthesize_from_events(
             instant.alias("partitionKey"),
             seq.alias("sequenceNumber"),
             scalar.b64_encode(scalar.utf8_encode(payload)).alias("data"),
-            F.col(ts_col).cast("double").alias("approximateArrivalTimestamp"),
+            # via TIMESTAMP first: parquet may carry TIMESTAMP_NTZ, which has
+            # no direct NTZ->DOUBLE cast (session tz is UTC, so this is exact)
+            F.col(ts_col).cast("timestamp").cast("double").alias("approximateArrivalTimestamp"),
         ).alias("kinesis"),
         F.lit("aws:kinesis").alias("eventSource"),
         F.lit("1.0").alias("eventVersion"),
