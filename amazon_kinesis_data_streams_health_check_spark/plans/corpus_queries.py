@@ -1,0 +1,509 @@
+"""[EXT] Corpus-hygiene queries: intra-document repetition metrics,
+cross-document substring duplication, deterministic dataset splits, and a
+bucketed kNN graph (SURVEY.md section 2.10 north-star scope — the data-audit
+stages an LLM training-data pipeline runs between ingestion and sampling).
+
+Cross-engine determinism: token/n-gram construction is pure integer indexing
+over ``regexp_extract_all`` arrays (same RE subset in Java regex and RE2);
+fractions are exact-integer ratios divided as IEEE doubles (correctly-rounded
+op, engine-identical) then rounded to 6 places; membership checksums sum the
+md5-uint32 of row keys (exact BIGINT arithmetic, order-free).
+
+Scale stance (100 TB):
+
+- repetition metrics shuffle on ``(doc_id, gram)`` — a uniform compound key;
+  nothing ever groups an unbounded set onto one task (per-doc groups are
+  bounded by document length).
+- substring duplication first distincts shingles *within* the document
+  narrowly (``array_distinct`` before explode — no shuffle spent
+  deduplicating what a single row already knows), then shuffles once on the
+  uniform shingle-md5 key.
+- split assignment is a pure narrow map over the scan (the decision is a
+  function of the row key alone, so it is stable under repartitioning,
+  retries, and scale-out) followed by one tiny keyed aggregation.
+- the kNN graph only pairs vectors sharing an LSH bucket (candidate count
+  ~ n^2 / 2^planes) and merges per-query top-k with the two-phase
+  local-then-merge pattern — never a single-key window over a full
+  candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+    duck_hash_uniform,
+    hash_uniform,
+)
+from amazon_kinesis_data_streams_health_check_spark.operators.similarity import (
+    cosine_precomp,
+    duck_bucket,
+    duck_cosine,
+    topk_per_query,
+    with_lsh_bucket,
+    with_sq_norm,
+)
+from amazon_kinesis_data_streams_health_check_spark.operators.textstats import TOKEN_RE
+from amazon_kinesis_data_streams_health_check_spark.plans.registry import register
+from amazon_kinesis_data_streams_health_check_spark.session import configure_session
+from amazon_kinesis_data_streams_health_check_spark.sources.tables import (
+    load_table,
+    parallel_scan,
+)
+
+_SPARK_TOK = f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"
+_DUCK_TOK = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+
+
+def _spark_ngrams(tok_col: str, n: int) -> str:
+    """Word n-grams of a token-array column as a string array (narrow).
+
+    Guarded: Spark's ``sequence(1, 0)`` DESCENDS instead of returning empty,
+    so short docs explicitly map to an empty array.
+    """
+    parts = ", ".join(f"element_at({tok_col}, i + {j})" for j in range(n))
+    return (
+        f"if(size({tok_col}) >= {n},"
+        f" transform(sequence(1, size({tok_col}) - {n - 1}),"
+        f" i -> concat_ws(' ', {parts})),"
+        f" cast(array() as array<string>))"
+    )
+
+
+def _duck_ngrams(tok_col: str, n: int) -> str:
+    """DuckDB twin of :func:`_spark_ngrams` (1-based list indexing; ``range``
+    already returns empty when start >= stop)."""
+    parts = " || ' ' || ".join(f"{tok_col}[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({tok_col}) >= {n}"
+        f" THEN list_transform(range(1, len({tok_col}) - {n - 2}), i -> {parts})"
+        f" ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition metrics (Gopher-style quality rules).
+# ---------------------------------------------------------------------------
+_REPETITION_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, {_DUCK_TOK} AS t FROM documents
+),
+g AS (
+  SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens,
+         {_duck_ngrams('t', 2)} AS g2,
+         {_duck_ngrams('t', 3)} AS g3
+  FROM base
+),
+c2 AS (
+  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY doc_id, gram
+),
+a2 AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS nd2, max(c) AS top2
+  FROM c2 GROUP BY doc_id
+),
+a3 AS (
+  SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS nd3
+  FROM (SELECT doc_id, unnest(g3) AS gram FROM g) GROUP BY doc_id
+)
+SELECT g.doc_id, g.source, g.n_tokens,
+       CAST(len(g.g2) AS BIGINT) AS n_2grams,
+       coalesce(a2.nd2, 0) AS n_distinct_2grams,
+       coalesce(a2.top2, 0) AS top_2gram_n,
+       CASE WHEN len(g.g2) > 0 THEN round(
+         CAST(len(g.g2) - coalesce(a2.nd2, 0) AS DOUBLE) / CAST(len(g.g2) AS DOUBLE), 6)
+         ELSE 0.0 END AS dup_2gram_frac,
+       CASE WHEN len(g.g2) > 0 THEN round(
+         CAST(coalesce(a2.top2, 0) AS DOUBLE) / CAST(len(g.g2) AS DOUBLE), 6)
+         ELSE 0.0 END AS top_2gram_frac,
+       CASE WHEN len(g.g3) > 0 THEN round(
+         CAST(len(g.g3) - coalesce(a3.nd3, 0) AS DOUBLE) / CAST(len(g.g3) AS DOUBLE), 6)
+         ELSE 0.0 END AS dup_3gram_frac
+FROM g LEFT JOIN a2 ON g.doc_id = a2.doc_id LEFT JOIN a3 ON g.doc_id = a3.doc_id
+"""
+
+
+@register(
+    "repetition_stats",
+    oracle=_REPETITION_SQL,
+    doc="Gopher-style intra-document repetition metrics: duplicate 2/3-gram "
+    "fractions and most-frequent-2-gram share — the standard quality rules "
+    "that down-weight looping / boilerplate-heavy documents",
+    tags=("ext", "corpus"),
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: n-gram arrays are built narrowly per row (no
+    self-join/window over positions); the only wide stages group on the
+    uniform compound key ``(doc_id, gram)`` and then on ``doc_id``. Totals
+    (``n_2grams``) come free from ``size()`` on the narrow side, so the
+    aggregation only carries distinct/max."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        "source",
+        F.expr(f"size({_SPARK_TOK})").cast("long").alias("n_tokens"),
+        F.expr(_spark_ngrams(_SPARK_TOK, 2)).alias("g2"),
+        F.expr(_spark_ngrams(_SPARK_TOK, 3)).alias("g3"),
+    )
+    base = g.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.size("g2").cast("long").alias("n_2grams"),
+        F.size("g3").cast("long").alias("n_3grams"),
+    )
+    a2 = (
+        g.select("doc_id", F.explode("g2").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nd2"), F.max("c").alias("top2"))
+    )
+    a3 = (
+        g.select("doc_id", F.explode("g3").alias("gram"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nd3"))
+    )
+    out = (
+        base.join(a2, "doc_id", "left")
+        .join(a3, "doc_id", "left")
+        .withColumn("n_distinct_2grams", F.coalesce("nd2", F.lit(0)).cast("long"))
+        .withColumn("top_2gram_n", F.coalesce("top2", F.lit(0)).cast("long"))
+        .withColumn("nd3c", F.coalesce("nd3", F.lit(0)).cast("long"))
+    )
+
+    def _frac(num: F.Column, den: str) -> F.Column:
+        return F.when(
+            F.col(den) > 0,
+            F.round(num.cast("double") / F.col(den).cast("double"), 6),
+        ).otherwise(F.lit(0.0))
+
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "n_2grams",
+        "n_distinct_2grams",
+        "top_2gram_n",
+        _frac(F.col("n_2grams") - F.col("n_distinct_2grams"), "n_2grams").alias(
+            "dup_2gram_frac"
+        ),
+        _frac(F.col("top_2gram_n"), "n_2grams").alias("top_2gram_frac"),
+        _frac(F.col("n_3grams") - F.col("nd3c"), "n_3grams").alias(
+            "dup_3gram_frac"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document substring duplication (exact-substring dedup signal).
+# ---------------------------------------------------------------------------
+_SHINGLE_N = 8
+
+_SUBSTR_DUP_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, {_DUCK_TOK} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         CASE WHEN len(t) >= {_SHINGLE_N}
+           THEN list_distinct(list_transform(range(1, len(t) - {_SHINGLE_N - 2}),
+                i -> md5(array_to_string(t[i:i + {_SHINGLE_N - 1}], ' '))))
+           ELSE CAST([] AS VARCHAR[]) END AS shs
+  FROM base
+),
+pairs AS (
+  SELECT doc_id, unnest(shs) AS sh FROM sh
+),
+gram_docs AS (
+  SELECT sh, CAST(count(*) AS BIGINT) AS n_docs FROM pairs GROUP BY sh
+),
+per_doc AS (
+  SELECT p.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN g.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+  FROM pairs p JOIN gram_docs g ON p.sh = g.sh
+  GROUP BY p.doc_id
+)
+SELECT sh.doc_id, sh.source,
+       coalesce(per_doc.n_shingles, 0) AS n_shingles,
+       coalesce(per_doc.n_shared, 0) AS n_shared,
+       CASE WHEN coalesce(per_doc.n_shingles, 0) > 0 THEN round(
+         CAST(per_doc.n_shared AS DOUBLE) / CAST(per_doc.n_shingles AS DOUBLE), 6)
+         ELSE 0.0 END AS shared_frac
+FROM sh LEFT JOIN per_doc ON sh.doc_id = per_doc.doc_id
+"""
+
+
+@register(
+    "substring_dup_frac",
+    oracle=_SUBSTR_DUP_SQL,
+    doc="Exact-substring duplication signal: fraction of each document's "
+    "word-8-gram shingles that also appear in at least one other document "
+    "(the per-doc audit behind substring-level train-set dedup)",
+    tags=("ext", "corpus", "dedup"),
+)
+def substring_dup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: shingles are md5'd and ``array_distinct``'d narrowly per
+    row BEFORE the explode, so the shuffle dedup work a distinct would do is
+    already done row-locally; one shuffle groups the uniform shingle key, one
+    joins it back, one groups per doc. Join keys are 32-hex md5 — short and
+    uniform regardless of shingle text length."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    parts = ", ".join(f"element_at(t, i + {j})" for j in range(_SHINGLE_N))
+    sh = docs.select(
+        "doc_id", "source", F.expr(_SPARK_TOK).alias("t")
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"if(size(t) >= {_SHINGLE_N},"
+            f" array_distinct(transform(sequence(1, size(t) - {_SHINGLE_N - 1}),"
+            f" i -> md5(concat_ws(' ', {parts})))),"
+            f" cast(array() as array<string>))"
+        ).alias("shs"),
+    )
+    pairs = sh.select("doc_id", F.explode("shs").alias("sh"))
+    gram_docs = pairs.groupBy("sh").agg(F.count("*").alias("n_docs"))
+    per_doc = (
+        pairs.join(gram_docs, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_shared"),
+        )
+    )
+    out = sh.select("doc_id", "source").join(per_doc, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "source",
+        F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+        F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        F.when(
+            F.coalesce("n_shingles", F.lit(0)) > 0,
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("shared_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split assignment.
+# ---------------------------------------------------------------------------
+_TRAIN_PCT, _VAL_PCT = 90, 5  # test gets the remainder
+
+_SPLIT_SQL = f"""
+WITH assigned AS (
+  SELECT source, n_chars,
+         {duck_hash_uniform('doc_id')} AS h,
+         CASE WHEN {duck_hash_uniform('doc_id')} % 100 < {_TRAIN_PCT} THEN 'train'
+              WHEN {duck_hash_uniform('doc_id')} % 100 < {_TRAIN_PCT + _VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT source, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(h) AS BIGINT) AS membership_sum
+FROM assigned GROUP BY source, split
+"""
+
+
+@register(
+    "split_assign",
+    oracle=_SPLIT_SQL,
+    doc="Deterministic 90/5/5 train/val/test split by md5-uint32 of the doc "
+    "key — repartition/retry/scale-invariant assignment with an exact "
+    "membership checksum per (source, split) cell",
+    tags=("ext", "corpus", "curation"),
+)
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the split decision is a pure function of the row key —
+    a narrow map over the scan (same stance as ``stratified_sample``; never
+    ``rand()``, whose draw depends on partition layout) — then ONE keyed
+    aggregation on the tiny (source, split) key space. ``membership_sum``
+    (exact BIGINT sum of the per-row hash) pins assignment identity, not
+    just counts."""
+    configure_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    h = hash_uniform("doc_id")
+    bucket = h % 100
+    assigned = docs.select(
+        "source",
+        "n_chars",
+        h.alias("h"),
+        F.when(bucket < _TRAIN_PCT, F.lit("train"))
+        .when(bucket < _TRAIN_PCT + _VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return assigned.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("h").cast("long").alias("membership_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed kNN graph over the embedding table.
+# ---------------------------------------------------------------------------
+_KNN_K = 5
+
+_KNN_SQL = f"""
+WITH buckets AS (
+  SELECT vec_id, embedding, {duck_bucket('embedding')} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {duck_cosine('a.embedding', 'b.embedding')} AS cos_raw
+  FROM buckets a
+  JOIN buckets b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_KNN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hybrid search: metadata filter + exact cosine top-k over the survivors.
+# ---------------------------------------------------------------------------
+_HYBRID_K = 5
+_HYBRID_QUERIES = 10
+_HYBRID_MIN_CHARS = 150
+
+_HYBRID_SQL = f"""
+WITH corpus AS (
+  SELECT e.vec_id, e.embedding, d.source
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE d.lang = 'en' AND d.n_chars >= {_HYBRID_MIN_CHARS}
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qemb FROM embeddings
+  WHERE vec_id < {_HYBRID_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.source,
+         {duck_cosine('q.qemb', 'c.embedding')} AS cos_raw
+  FROM corpus c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, source, round(cos_raw, 6) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_HYBRID_K}
+"""
+
+
+@register(
+    "hybrid_search",
+    oracle=_HYBRID_SQL,
+    doc="Hybrid retrieval: metadata predicate (lang + min length, pushed to "
+    "the parquet scan) restricts the corpus, then exact cosine top-5 per "
+    "broadcast query vector over the survivors — the filtered-vector-search "
+    "pattern of RAG / curation pipelines",
+    tags=("ext", "corpus", "similarity"),
+)
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the metadata predicate is applied on the ``documents``
+    scan (pushdown-eligible: plain comparisons on top-level columns) BEFORE
+    any vector math, so the expensive cosine work runs only on survivors;
+    the doc->vector join is id-keyed; the query side broadcasts; top-k is
+    the shared two-phase merge. Plan-pinned: filters reach PushedFilters,
+    no per-query window."""
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= _HYBRID_MIN_CHARS)
+    )
+    corpus = with_sq_norm(
+        emb.join(
+            docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id"
+        ).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("emb_n"),
+            "source",
+        ),
+        "emb_n",
+        "nn2",
+    )
+    q = with_sq_norm(
+        emb.filter(F.col("vec_id") < _HYBRID_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_q")
+        ),
+        "emb_q",
+        "nq2",
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_raw", cosine_precomp("emb_q", "emb_n", "nq2", "nn2"))
+    )
+    topk = topk_per_query(
+        scored.select("query_id", "neighbor_id", "cos_raw"), _HYBRID_K
+    )
+    # Re-attach the (tiny) survivor metadata to the q*k result rows.
+    side = corpus.select("neighbor_id", "source")
+    return topk.join(F.broadcast(side), "neighbor_id").select(
+        "query_id", "neighbor_id", "source", "cosine", "rank"
+    )
+
+
+@register(
+    "knn_graph_lsh",
+    oracle=_KNN_SQL,
+    doc="Bucketed kNN graph: top-5 cosine neighbors per vector among "
+    "LSH-bucket mates (the candidate-generation step of semantic dedup / "
+    "cluster-based curation over the full corpus)",
+    tags=("ext", "corpus", "similarity"),
+)
+def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the self-join pairs only bucket mates (uniform
+    sign-pattern key, candidate count ~ n^2 / 2^planes, tunable by plane
+    count) — never the full n^2; squared norms are computed once per row on
+    the narrow side; the per-query top-k is the two-phase local-then-merge
+    pattern shared with the ANN queries. This is the whole-corpus analogue
+    of ``ann_lsh_bucketed`` (every vector is a query, directed edges)."""
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    bucketed = with_sq_norm(with_lsh_bucket(emb), "embedding", "n2")
+    a = bucketed.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bucket"),
+        F.col("embedding").alias("emb_q"),
+        F.col("n2").alias("nq2"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("bucket"),
+        F.col("embedding").alias("emb_n"),
+        F.col("n2").alias("nn2"),
+    )
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_raw", cosine_precomp("emb_q", "emb_n", "nq2", "nn2"))
+    )
+    return topk_per_query(scored, _KNN_K)

@@ -121,6 +121,7 @@ def all_queries() -> dict[str, Query]:
         curation_queries,
         ext_queries,
         textpipe_queries,
+        corpus_queries,
         lake_queries,
         streaming_queries,
     )

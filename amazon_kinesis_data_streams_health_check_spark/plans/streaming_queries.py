@@ -25,7 +25,10 @@ from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_events impor
 )
 from amazon_kinesis_data_streams_health_check_spark.plans.registry import register
 from amazon_kinesis_data_streams_health_check_spark.session import configure_session
-from amazon_kinesis_data_streams_health_check_spark.sources.tables import load_table
+from amazon_kinesis_data_streams_health_check_spark.sources.tables import (
+    load_table,
+    restore_timestamp,
+)
 from amazon_kinesis_data_streams_health_check_spark.streaming.pipeline import (
     consumer_stream,
     producer_stream,
@@ -157,9 +160,9 @@ def streaming_window_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it through a temp dir symlink (zero-copy).
     src_dir = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(path, os.path.join(src_dir, "events.parquet"))
-    raw = spark.readStream.schema(schema).parquet(src_dir)
+    raw = restore_timestamp(spark.readStream.schema(schema).parquet(src_dir), "ts")
     metrics = raw.select(
-        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+        "ts",
         F.col("event_type").alias("stream_name"),
         F.col("value"),
     )
@@ -214,10 +217,8 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(path).schema
     src_dir = tempfile.mkdtemp(prefix="sessions_stream_")
     os.symlink(path, os.path.join(src_dir, "events.parquet"))
-    raw = spark.readStream.schema(schema).parquet(src_dir)
-    events = raw.select(
-        F.expr("timestamp_micros(ts div 1000)").alias("ts"), "user_id"
-    )
+    raw = restore_timestamp(spark.readStream.schema(schema).parquet(src_dir), "ts")
+    events = raw.select("ts", "user_id")
     return _run_to_memory(
         sessionized_stream(events), "sessionized_stream", output_mode="complete"
     )

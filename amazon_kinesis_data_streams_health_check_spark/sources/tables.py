@@ -12,7 +12,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from amazon_kinesis_data_streams_health_check_spark.schemas import TESTDATA_TABLES
 from amazon_kinesis_data_streams_health_check_spark.session import configure_session
@@ -38,6 +38,19 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def restore_timestamp(df: DataFrame, col: str) -> DataFrame:
+    """Restore a driver timestamp column to session-zone TimestampType
+    regardless of testdata vintage: TIMESTAMP(NANOS) read as nano-longs
+    (``nanosAsLong``), plain TIMESTAMP_NTZ(MICROS), or already TIMESTAMP.
+    Session tz is pinned UTC, so the NTZ cast changes type, not instant."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (TESTDATA.md: ``{sf_dir}/{name}.parquet``)."""
     configure_session(spark)
@@ -47,8 +60,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANOS_TS_COLS.get(name, ()):
-        if c in df.columns and isinstance(df.schema[c].dataType, LongType):
-            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        if c in df.columns:
+            df = restore_timestamp(df, c)
+    # Normalize any remaining NTZ column too, so every downstream operator
+    # sees one timestamp type across testdata vintages.
+    for f_ in df.schema.fields:
+        if isinstance(f_.dataType, TimestampNTZType):
+            df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
 

@@ -235,6 +235,54 @@ def test_topn_plans_as_take_ordered_not_full_sort(spark, sf_small):
     assert "rangepartitioning" not in plan, plan
 
 
+def test_repetition_stats_no_window_no_cartesian(spark, sf_small):
+    """Per-doc n-gram metrics group on (doc_id, gram) — never a positional
+    window (whose per-doc partitions would serialize long docs) and never a
+    cross join."""
+    plan = plan_of(spark, sf_small, "repetition_stats")
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_substring_dup_dedups_shingles_narrowly(spark, sf_small):
+    """Within-doc shingle dedup must happen row-locally (array_distinct
+    before the explode) so the shuffle never carries duplicate shingles a
+    single row already knew about."""
+    plan = plan_of(spark, sf_small, "substring_dup_frac")
+    assert "array_distinct" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_split_assign_is_narrow_plus_one_exchange(spark, sf_small):
+    """Split assignment is a pure key-hash map; the only wide stage is the
+    tiny (source, split) aggregation, partially aggregated map-side."""
+    plan = plan_of(spark, sf_small, "split_assign")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 2, plan
+
+
+def test_knn_graph_no_per_query_window_no_cartesian(spark, sf_small):
+    """The kNN graph joins on the LSH bucket key (hash join, never a
+    cartesian n^2) and merges top-k two-phase — no row_number window over
+    query_id."""
+    plan = plan_of(spark, sf_small, "knn_graph_lsh")
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "row_number" not in plan, plan
+    assert plan.count("slice") >= 2, plan
+
+
+def test_hybrid_search_pushes_metadata_filters(spark, sf_small):
+    """The metadata predicate must reach the documents parquet scan
+    (PushedFilters) so at 100 TB the vector math runs only on survivors;
+    top-k stays two-phase (no per-query window)."""
+    plan = plan_of(spark, sf_small, "hybrid_search")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("lang" in p and "n_chars" in p for p in pushed), plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "row_number" not in plan, plan
+
+
 def test_runtime_bloom_filter_prunes_shuffle_join_fact_scan(spark, sf_small):
     """The 100 TB regime where the dim does NOT fit a broadcast: Spark's
     runtime bloom filter must inject (bloom_filter_agg on the filtered dim,
