@@ -507,3 +507,104 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_raw", cosine_precomp("emb_q", "emb_n", "nq2", "nn2"))
     )
     return topk_per_query(scored, _KNN_K)
+
+
+# ---------------------------------------------------------------------------
+# Single-pass table profiling (data-catalog column statistics).
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = (
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+)
+
+# Space-separated (not ISO 'T') so the pattern nests cleanly inside the
+# stack() SQL string; still lexicographically == chronologically ordered.
+_ISO = "yyyy-MM-dd HH:mm:ss"
+
+
+def _profile_oracle() -> str:
+    """The oracle states per-column truths independently (6 scans is fine for
+    DuckDB at sf0.01); the Spark side must produce them in ONE scan."""
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            key = f"printf('%.6f', CAST({c} AS DOUBLE))"
+            min_num = f"round(min(CAST({c} AS DOUBLE)), 6)"
+            max_num = f"round(max(CAST({c} AS DOUBLE)), 6)"
+            min_str, max_str = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        else:
+            key = c if kind == "str" else f"strftime({c}, '%Y-%m-%d %H:%M:%S')"
+            min_num, max_num = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            min_str, max_str = f"min({key})", f"max({key})"
+        parts.append(
+            f"SELECT '{c}' AS col_name,"
+            f" CAST(count(*) AS BIGINT) AS n_rows,"
+            f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,"
+            f" CAST(count(DISTINCT {key}) AS BIGINT) AS n_distinct,"
+            f" {min_num} AS min_num, {max_num} AS max_num,"
+            f" {min_str} AS min_str, {max_str} AS max_str"
+            f" FROM lineitem"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "table_profile",
+    oracle=_profile_oracle(),
+    doc="Single-pass multi-column profile of lineitem (row/null/distinct "
+    "counts, typed min/max) — the data-catalog statistics pass, exact "
+    "distincts via melt + two-phase aggregation, never an Expand",
+    tags=("ext", "corpus", "profile"),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ONE scan of the fact table; ``stack`` melts the profiled
+    columns into (col_name, value_key) rows (a Generate — the row
+    multiplication any exact multi-column distinct pays, made explicit and
+    partial-aggregatable, unlike multi-countDistinct's Expand); phase 1
+    groups on the uniform (col_name, value_key) pair carrying count + typed
+    extrema, phase 2 folds per column. Both shuffles partial-aggregate
+    map-side; no column ever concentrates on one task."""
+    configure_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            key = f"format_string('%.6f', CAST({c} AS DOUBLE))"
+            num = f"CAST({c} AS DOUBLE)"
+        else:
+            key = c if kind == "str" else f"date_format({c}, '{_ISO}')"
+            num = "CAST(NULL AS DOUBLE)"
+        rows.append(f"'{c}', {key}, {num}")
+    melt = li.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, "
+            + ", ".join(rows)
+            + ") as (col_name, value_key, value_num)"
+        )
+    )
+    # Phase 1 carries NO string aggregates (a string min/max buffer would
+    # demote the whole aggregate to SortAggregate over the raw melted rows);
+    # string extrema come free in phase 2 from value_key, which phase 1
+    # groups on.
+    phase1 = melt.groupBy("col_name", "value_key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value_num").alias("mn"),
+        F.max("value_num").alias("mx"),
+    )
+    str_cols = [c for c, kind in _PROFILE_COLS if kind != "num"]
+    str_key = F.when(F.col("col_name").isin(str_cols), F.col("value_key"))
+    return phase1.groupBy("col_name").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("value_key").isNull(), F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_nulls"),
+        F.count(F.col("value_key")).cast("long").alias("n_distinct"),
+        F.round(F.min("mn"), 6).alias("min_num"),
+        F.round(F.max("mx"), 6).alias("max_num"),
+        F.min(str_key).alias("min_str"),
+        F.max(str_key).alias("max_str"),
+    )

@@ -224,6 +224,49 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_DEDUP_SQL = f"""
+SELECT event_id, ts, event_type, value
+FROM events WHERE {_STREAM_FILTER}
+"""
+
+
+@register(
+    "streaming_dedup_events",
+    # Exact streaming dedup is micro-batch-order independent: state holds every
+    # seen key, each key emits exactly once (its copies are identical rows), so
+    # the batch DISTINCT oracle applies whatever the trigger slicing was.
+    oracle=_STREAM_DEDUP_SQL,
+    doc="W5 streaming: at-least-once duplicate suppression — a doubled event "
+    "feed file-streamed through dropDuplicates(event_id) emits each record "
+    "exactly once (full value-hash oracle vs the distinct batch twin)",
+    tags=("core", "streaming"),
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feeds every event TWICE (the ESM at-least-once redelivery model,
+    KinesisHealthCheckStack.java:158 ``bisectBatchOnError(false)`` — retries
+    redeliver whole batches) split across several files/micro-batches, then
+    dedups on the unique record key inside the stream. Unbounded-state exact
+    dedup keeps the drive deterministic; the watermark-bounded variant
+    (``dropDuplicatesWithinWatermark``, state that evicts) is semantically
+    trigger-dependent and stays pinned in tests/test_streaming.py."""
+    configure_session(spark)
+    sub = load_table(spark, sf_dir, "events").filter(F.expr(_STREAM_FILTER)).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    src_dir = tempfile.mkdtemp(prefix="dedup_stream_")
+    # Two copies, spread over 8 files so duplicates cross micro-batches.
+    sub.unionAll(sub).repartition(8).write.mode("overwrite").parquet(src_dir)
+    raw = restore_timestamp(
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir),
+        "ts",
+    )
+    return _run_to_memory(raw.dropDuplicates(["event_id"]), "dedup_stream")
+
+
 @register(
     "streaming_delivery_audit",
     oracle=None,  # watermark/trigger-dependent outer-join emission: rows-only

@@ -27,6 +27,12 @@ RUNTIME_CONFS = {
     # reader rejects; read as nano-longs and let the table loader restore
     # TimestampType (sources/tables.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Newer testdata vintages ship TIMESTAMP_NTZ(MICROS). Inferring them as
+    # session-zone TIMESTAMP at the reader (legacy behavior) keeps one
+    # timestamp type engine-wide with ZERO per-row casts and intact
+    # timestamp predicate pushdown; sources/tables.restore_timestamp stays
+    # as the fallback for deployments where this conf is immutable.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 #: Build-time confs for sessions we own (tests, bench).

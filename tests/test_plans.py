@@ -283,6 +283,19 @@ def test_hybrid_search_pushes_metadata_filters(spark, sf_small):
     assert "row_number" not in plan, plan
 
 
+def test_table_profile_single_scan_no_expand(spark, sf_small):
+    """Multi-column profiling must melt (Generate) over ONE fact scan and
+    two-phase its distincts — multi-countDistinct's Expand (plan-wide row
+    multiplication inside the aggregate) is the shape this refuses."""
+    plan = plan_of(spark, sf_small, "table_profile")
+    assert not re.findall(r"^\(\d+\) Expand", plan, re.M), plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    # Phase 1 (over the raw melted rows — the volume that matters) must hash-
+    # aggregate; only the tiny per-column fold may sort-aggregate (its string
+    # extrema buffers force SortAggregate, over 6 groups).
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 2, plan
+
+
 def test_runtime_bloom_filter_prunes_shuffle_join_fact_scan(spark, sf_small):
     """The 100 TB regime where the dim does NOT fit a broadcast: Spark's
     runtime bloom filter must inject (bloom_filter_agg on the filtered dim,

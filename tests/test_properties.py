@@ -225,3 +225,60 @@ def test_pack_sequences_matches_python_model(spark, docs, budget):
         cum += tok
         want[d] = (cum - 1) // budget
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats == direct Counter model over generated corpora
+# ---------------------------------------------------------------------------
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["spark", "row", "scan", "agg", "a"]),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_repetition_stats_matches_counter_model(spark, tmp_path_factory, texts):
+    import collections
+    import re
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    sf_dir = str(tmp_path_factory.mktemp("repcorpus"))
+    rows = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in get("repetition_stats").builder(spark, sf_dir).collect()
+    }
+    assert set(got) == set(range(len(texts)))
+    for i, t in enumerate(texts):
+        toks = re.findall("[a-z0-9]+", t.lower())
+        g2 = collections.Counter(
+            " ".join(toks[j : j + 2]) for j in range(len(toks) - 1)
+        )
+        g3 = collections.Counter(
+            " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+        )
+        n2, n3 = sum(g2.values()), sum(g3.values())
+        row = got[i]
+        assert row["n_tokens"] == len(toks)
+        assert row["n_2grams"] == n2
+        assert row["n_distinct_2grams"] == len(g2)
+        assert row["top_2gram_n"] == (max(g2.values()) if g2 else 0)
+        assert row["dup_2gram_frac"] == (
+            round((n2 - len(g2)) / n2, 6) if n2 else 0.0
+        )
+        assert row["top_2gram_frac"] == (
+            round(max(g2.values()) / n2, 6) if g2 else 0.0
+        )
+        assert row["dup_3gram_frac"] == (
+            round((n3 - len(g3)) / n3, 6) if n3 else 0.0
+        )
