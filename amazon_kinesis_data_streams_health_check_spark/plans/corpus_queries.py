@@ -608,3 +608,86 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(str_key).alias("min_str"),
         F.max(str_key).alias("max_str"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the kNN graph — iterative algorithm, integer-exact.
+# ---------------------------------------------------------------------------
+_PR_ITERS = 3
+_PR_SCALE = 1_000_000  # rank micro-units
+_PR_BASE = 150_000     # 0.15 * scale
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    """One integer-exact PageRank step: contrib = (r*85) // (100*outdeg)
+    (floor division of positive BIGINTs — engine-identical), summed
+    order-free as BIGINTs."""
+    return f"""
+{out} AS (
+  SELECT n.vec_id,
+         {_PR_BASE} + coalesce(sum((p.r * 85) // (100 * od.d)), 0) AS r
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.vec_id
+  LEFT JOIN {prev} p ON p.vec_id = e.src
+  LEFT JOIN outdeg od ON od.vec_id = e.src
+  GROUP BY n.vec_id
+)"""
+
+
+_PAGERANK_SQL = (
+    f"""
+WITH knn AS ({_KNN_SQL}),
+edges AS (SELECT query_id AS src, neighbor_id AS dst FROM knn),
+nodes AS (SELECT vec_id FROM embeddings),
+outdeg AS (SELECT src AS vec_id, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+r0 AS (SELECT vec_id, CAST({_PR_SCALE} AS BIGINT) AS r FROM nodes),"""
+    + ",".join(_pr_iter_sql(f"r{i}", f"r{i + 1}") for i in range(_PR_ITERS))
+    + f"""
+SELECT vec_id, CAST(r AS BIGINT) AS rank_micros,
+       round(CAST(r AS DOUBLE) / {_PR_SCALE}.0, 6) AS rank
+FROM r{_PR_ITERS}
+"""
+)
+
+
+@register(
+    "pagerank_knn",
+    oracle=_PAGERANK_SQL,
+    doc="PageRank (3 iterations, damping 0.85) over the LSH-kNN neighbor "
+    "graph — document-centrality scoring for curation; integer micro-unit "
+    "arithmetic makes the iteration order-free and engine-exact",
+    tags=("ext", "corpus", "graph"),
+)
+def pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the edge set is computed ONCE (lazy ``localCheckpoint``
+    pins it, same stance as connected_components — without it every
+    iteration would replay the LSH + top-k pipeline and the lineage would
+    grow per round); each iteration is one uniform-key join + one keyed sum
+    whose contributions are BIGINT micro-units — order-free, so the result
+    is independent of partitioning and identical to the unrolled SQL."""
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    edges = (
+        knn_graph_lsh(spark, sf_dir)
+        .select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = emb.select("vec_id")
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    ew = edges.join(outdeg, "src")
+    ranks = nodes.withColumn("r", F.lit(_PR_SCALE).cast("long"))
+    for _ in range(_PR_ITERS):
+        contrib = ew.join(
+            ranks.select(F.col("vec_id").alias("src"), "r"), "src"
+        ).select("dst", F.expr("(r * 85) div (100 * d)").alias("c"))
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(
+            sums.withColumnRenamed("dst", "vec_id"), "vec_id", "left"
+        ).select(
+            "vec_id",
+            (F.lit(_PR_BASE) + F.coalesce("s", F.lit(0))).cast("long").alias("r"),
+        )
+    return ranks.select(
+        "vec_id",
+        F.col("r").alias("rank_micros"),
+        F.round(F.col("r").cast("double") / _PR_SCALE, 6).alias("rank"),
+    )
