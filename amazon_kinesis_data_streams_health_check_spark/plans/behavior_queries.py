@@ -1,0 +1,295 @@
+"""[EXT] Behavioral-analytics queries over the ``events`` table: cohort
+retention, strict-order funnel conversion, and SCD2-style state history.
+These are the warehouse shapes a stream-health/product team runs on the same
+event stream the healthcheck pipeline feeds (SURVEY.md section 2.9 notes the
+reference has no analytics surface; these extend the engine's §2.10 scope).
+
+Cross-engine determinism: week truncation is ISO-Monday in both engines
+(``date_trunc('week', ...)``), offsets/fractions are exact-integer ratios,
+emitted timestamps are epoch seconds (BIGINT) so no engine-specific timestamp
+formatting is compared.
+
+Scale stance (100 TB):
+
+- cohort retention: two keyed aggregations on ``user_id`` / distinct
+  ``(user, week)`` pairs (uniform keys), then a join back on the bounded
+  cohort key — never a distinct-count window.
+- funnel stages: each stage is a keyed min-aggregation joined user-to-user
+  (uniform key); stage order composes joins, not windows, so no per-user
+  event list ever sits in one buffer.
+- SCD2 history: windows partition by ``user_id`` ordered by the unique
+  ``(ts, event_id)`` — per-user partitions are bounded by user activity, the
+  standard assumption of every sessionization; the change detection is one
+  lag + one running sum over that window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from amazon_kinesis_data_streams_health_check_spark.plans.registry import register
+from amazon_kinesis_data_streams_health_check_spark.session import configure_session
+from amazon_kinesis_data_streams_health_check_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention.
+# ---------------------------------------------------------------------------
+_COHORT_SQL = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+),
+cohort_size AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+  FROM first_seen GROUP BY cohort_week
+),
+cells AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, a.active_week) // 7 AS BIGINT)
+           AS week_offset,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM first_seen f JOIN active a ON f.user_id = a.user_id
+  GROUP BY 1, 2
+)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+       c.week_offset, c.n_active, s.n_cohort,
+       round(CAST(c.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE), 6)
+         AS retention
+FROM cells c JOIN cohort_size s ON c.cohort_week = s.cohort_week
+"""
+
+
+@register(
+    "cohort_retention",
+    oracle=_COHORT_SQL,
+    doc="Weekly cohort retention: users grouped by first-seen week, "
+    "fraction still active N weeks later — the standard retention triangle",
+    tags=("ext", "behavior"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: first-seen is one keyed min-agg on ``user_id``; activity
+    is a distinct over ``(user_id, week)`` (both uniform); the cells join is
+    user-keyed and the final fold groups on the bounded (cohort, offset)
+    key. Exact distinct users per cell comes from the pair-distinct, never
+    a countDistinct window."""
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    cohort_size = first_seen.groupBy("cohort_week").agg(
+        F.count("*").alias("n_cohort")
+    )
+    cells = (
+        first_seen.join(active, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    return cells.join(F.broadcast(cohort_size), "cohort_week").select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        F.round(
+            F.col("n_active").cast("double") / F.col("n_cohort").cast("double"), 6
+        ).alias("retention"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Strict-order funnel conversion.
+# ---------------------------------------------------------------------------
+_FUNNEL_WINDOW_DAYS = 7
+_FUNNEL_STAGES = ("signup", "view", "purchase")
+
+_FUNNEL_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = '{_FUNNEL_STAGES[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = '{_FUNNEL_STAGES[1]}'
+    AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = '{_FUNNEL_STAGES[2]}'
+    AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY
+  GROUP BY e.user_id
+),
+counts AS (
+  SELECT 1 AS stage_no, '{_FUNNEL_STAGES[0]}' AS stage,
+         CAST(count(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, '{_FUNNEL_STAGES[1]}', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, '{_FUNNEL_STAGES[2]}', CAST(count(*) AS BIGINT) FROM s3
+),
+base AS (SELECT n_users AS n0 FROM counts WHERE stage_no = 1)
+SELECT counts.stage_no, counts.stage, counts.n_users,
+       round(CAST(counts.n_users AS DOUBLE) / CAST(base.n0 AS DOUBLE), 6)
+         AS conversion
+FROM counts CROSS JOIN base
+"""
+
+
+@register(
+    "funnel_stages",
+    oracle=_FUNNEL_SQL,
+    doc="Strict-order funnel: signup -> view -> purchase, each stage within "
+    "7 days of the previous stage's first completion; per-stage user counts "
+    "and conversion vs stage 1",
+    tags=("ext", "behavior"),
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: each stage is a filtered keyed min-agg (predicate on the
+    bounded ``event_type`` column pushes to the scan) joined on the uniform
+    ``user_id`` key — sequence matching by join composition, not by
+    collecting per-user event lists. The final conversion fold is 3 rows
+    joined to a 1-row broadcast."""
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+
+    def first_event(kind: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == kind)
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+
+    def next_stage(prev: DataFrame, kind: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == kind)
+            .join(prev.select("user_id", F.col("t").alias("pt")), "user_id")
+            .filter(
+                (F.col("ts") > F.col("pt"))
+                & (
+                    F.col("ts")
+                    <= F.col("pt") + F.expr(f"interval {_FUNNEL_WINDOW_DAYS} days")
+                )
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+
+    s1 = first_event(_FUNNEL_STAGES[0])
+    s2 = next_stage(s1, _FUNNEL_STAGES[1])
+    s3 = next_stage(s2, _FUNNEL_STAGES[2])
+    counts = None
+    for i, (name, df) in enumerate(
+        zip(_FUNNEL_STAGES, (s1, s2, s3)), start=1
+    ):
+        c = df.agg(F.count("*").alias("n_users")).select(
+            F.lit(i).alias("stage_no"), F.lit(name).alias("stage"), "n_users"
+        )
+        counts = c if counts is None else counts.unionAll(c)
+    base = counts.filter(F.col("stage_no") == 1).select(
+        F.col("n_users").alias("n0")
+    )
+    return counts.join(F.broadcast(base)).select(
+        "stage_no",
+        "stage",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / F.col("n0").cast("double"), 6)
+        .alias("conversion"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2-style state history (gaps-and-islands over state changes).
+# ---------------------------------------------------------------------------
+_SCD2_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM o
+),
+collapsed AS (
+  SELECT user_id, run_id, event_type,
+         min(ts) AS valid_from, max(ts) AS last_event,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY user_id, run_id, event_type
+)
+SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type AS state,
+       CAST(floor(epoch(valid_from)) AS BIGINT) AS valid_from_s,
+       CAST(floor(epoch(coalesce(
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id),
+         last_event))) AS BIGINT) AS valid_to_s,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL
+         AS is_current,
+       n_events
+FROM collapsed
+"""
+
+
+@register(
+    "scd2_state_history",
+    oracle=_SCD2_SQL,
+    doc="SCD2-style state history: consecutive same-type event runs per user "
+    "collapsed to validity intervals (valid_from/valid_to, is_current) — "
+    "the dimension-history build every warehouse maintains",
+    tags=("ext", "behavior"),
+)
+def scd2_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: change detection is lag + running sum over the per-user
+    window ordered by the unique ``(ts, event_id)`` key (bounded per-user
+    partitions — the standard sessionization assumption); runs collapse via
+    one keyed agg; interval close-out is a lead over the already-collapsed
+    (small) run set."""
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
+    ).cast("long")
+    runs = events.withColumn("chg", chg).withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    collapsed = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.max("ts").alias("last_event"),
+        F.count("*").alias("n_events"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("run_id")
+    nxt = F.lead("valid_from").over(wr)
+    return collapsed.select(
+        "user_id",
+        F.col("run_id").cast("long").alias("run_id"),
+        F.col("event_type").alias("state"),
+        F.floor(F.unix_timestamp("valid_from")).cast("long").alias("valid_from_s"),
+        F.floor(F.unix_timestamp(F.coalesce(nxt, F.col("last_event"))))
+        .cast("long")
+        .alias("valid_to_s"),
+        nxt.isNull().alias("is_current"),
+        "n_events",
+    )

@@ -122,6 +122,7 @@ def all_queries() -> dict[str, Query]:
         ext_queries,
         textpipe_queries,
         corpus_queries,
+        behavior_queries,
         lake_queries,
         streaming_queries,
     )

@@ -296,6 +296,31 @@ def test_table_profile_single_scan_no_expand(spark, sf_small):
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 2, plan
 
 
+def test_funnel_pushes_stage_filters(spark, sf_small):
+    """Every funnel stage filters on event_type at the scan (PushedFilters)
+    and composes keyed aggregations — no per-user window over event lists."""
+    plan = plan_of(spark, sf_small, "funnel_stages")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("event_type" in p for p in pushed), plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_cohort_retention_no_expand_no_countdistinct_window(spark, sf_small):
+    """Distinct (user, week) pairs feed a plain count — never an Expand
+    (multi-countDistinct) or a distinct-count window."""
+    plan = plan_of(spark, sf_small, "cohort_retention")
+    assert not re.findall(r"^\(\d+\) Expand", plan, re.M), plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_scd2_windows_partition_by_user(spark, sf_small):
+    """Both SCD2 windows must partition by user_id — an empty partition spec
+    would serialize the whole event stream through one task."""
+    plan = plan_of(spark, sf_small, "scd2_state_history")
+    assert "windowspecdefinition(user_id" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
 def test_runtime_bloom_filter_prunes_shuffle_join_fact_scan(spark, sf_small):
     """The 100 TB regime where the dim does NOT fit a broadcast: Spark's
     runtime bloom filter must inject (bloom_filter_agg on the filtered dim,
