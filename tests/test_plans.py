@@ -321,6 +321,16 @@ def test_scd2_windows_partition_by_user(spark, sf_small):
     assert "SinglePartition" not in plan, plan
 
 
+def test_gap_interpolation_uses_growing_frames_only(spark, sf_small):
+    """Neighbor search must be growing frames (unbounded-preceding ->
+    current, forward via DESC order): a current->unbounded-following frame
+    re-scans per row — O(n^2) per partition, measured 100x slower on the
+    month-long grid."""
+    plan = plan_of(spark, sf_small, "metric_gap_interpolation")
+    assert "unboundedfollowing" not in plan.lower(), plan
+    assert "windowspecdefinition(stream_name" in plan, plan
+
+
 def test_runtime_bloom_filter_prunes_shuffle_join_fact_scan(spark, sf_small):
     """The 100 TB regime where the dim does NOT fit a broadcast: Spark's
     runtime bloom filter must inject (bloom_filter_agg on the filtered dim,
