@@ -549,3 +549,87 @@ def metric_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_value").isNull().alias("is_interpolated"),
         F.floor(interp * 1_000_000).cast("long").alias("value_filled_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Anomaly flags: trailing z-score test in exact integer arithmetic.
+# ---------------------------------------------------------------------------
+_ANOM_WIN = 60   # trailing periods
+_ANOM_MIN = 30   # minimum datapoints before flagging
+_ANOM_K2 = 9     # flag when (x - mean)^2 > K2 * var  (3-sigma)
+
+_ANOMALY_SQL = f"""
+WITH metrics AS (
+  SELECT event_type AS stream_name, date_trunc('minute', ts) AS window_start,
+         CAST(floor(max(value) * 1000) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT stream_name, window_start, x,
+         CAST(count(*) OVER w AS BIGINT) AS n,
+         CAST(sum(x) OVER w AS BIGINT) AS s,
+         CAST(sum(x * x) OVER w AS BIGINT) AS ss
+  FROM metrics
+  WINDOW w AS (PARTITION BY stream_name ORDER BY window_start
+               ROWS BETWEEN {_ANOM_WIN - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT stream_name, window_start, x AS value_milli,
+       n >= {_ANOM_MIN}
+         AND (n - 1) * (x * n - s) * (x * n - s)
+             > {_ANOM_K2} * n * (n * ss - s * s) AS is_anomaly
+FROM win
+"""
+
+
+@register(
+    "metric_anomaly_flags",
+    oracle=_ANOMALY_SQL,
+    doc="Anomaly detection on the 1-min metric series: trailing-60-period "
+    "3-sigma test evaluated ENTIRELY in BIGINT milli-units — "
+    "(n-1)(xn-s)^2 > 9n(n*ss - s^2) is the z-score test cleared of "
+    "division/sqrt, so it is order-free and engine-exact",
+    tags=("core", "timeseries"),
+)
+def metric_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one keyed aggregation to the 1-min series, then one
+    sliding window per stream (bounded key cardinality; constant 60-row
+    frame => O(n) sliding evaluation). Exact integers sidestep the float
+    pitfall of windowed variance: incremental float sums accumulate in
+    frame order, which no cross-engine (or cross-partitioning) contract
+    guarantees — BIGINT sums cannot drift."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    metrics = (
+        events.groupBy(
+            F.col("event_type").alias("stream_name"),
+            F.window("ts", "1 minute")["start"].alias("window_start"),
+        )
+        .agg(F.floor(F.max("value") * 1000).cast("long").alias("x"))
+    )
+    w = (
+        Window.partitionBy("stream_name")
+        .orderBy("window_start")
+        .rowsBetween(-(_ANOM_WIN - 1), 0)
+    )
+    win = metrics.select(
+        "stream_name",
+        "window_start",
+        "x",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("ss"),
+    )
+    lhs = (F.col("n") - 1) * (F.col("x") * F.col("n") - F.col("s")) * (
+        F.col("x") * F.col("n") - F.col("s")
+    )
+    rhs = F.lit(_ANOM_K2) * F.col("n") * (
+        F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    )
+    return win.select(
+        "stream_name",
+        "window_start",
+        F.col("x").alias("value_milli"),
+        ((F.col("n") >= _ANOM_MIN) & (lhs > rhs)).alias("is_anomaly"),
+    )
