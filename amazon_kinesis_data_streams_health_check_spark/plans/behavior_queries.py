@@ -293,3 +293,88 @@ def scd2_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling active users (1-day and trailing-7-day distinct counts).
+# ---------------------------------------------------------------------------
+_ROLLING_DAYS = 7
+
+_ROLLING_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+),
+bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM pairs),
+grid AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+covered AS (
+  SELECT DISTINCT user_id,
+         CAST(unnest(generate_series(d, d + INTERVAL {_ROLLING_DAYS - 1} DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM pairs
+),
+rolling AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n FROM covered GROUP BY day
+),
+daily AS (
+  SELECT d AS day, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY d
+)
+SELECT strftime(g.day, '%Y-%m-%d') AS day,
+       coalesce(daily.n, 0) AS n_active_1d,
+       coalesce(rolling.n, 0) AS n_active_7d
+FROM grid g
+LEFT JOIN daily ON daily.day = g.day
+LEFT JOIN rolling ON rolling.day = g.day
+"""
+
+
+@register(
+    "rolling_active_users",
+    oracle=_ROLLING_SQL,
+    doc="DAU + trailing-7-day active users per calendar day — the rolling "
+    "distinct-count series computed by pair explosion, not a range join",
+    tags=("ext", "behavior"),
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: activity collapses to distinct ``(user, day)`` pairs
+    first (one uniform-key shuffle does all the dedup); each pair then
+    explodes NARROWLY to the exactly-7 rolling days it covers — no
+    day-range join, whose comparison cost grows with the calendar span —
+    and a second pair-distinct + keyed count finishes. The calendar grid is
+    a broadcast left-join so silent drop-out days appear as zeros."""
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    pairs = events.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    bounds = pairs.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    covered = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                "d",
+                F.date_add("d", _ROLLING_DAYS - 1),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+    ).distinct()
+    rolling = covered.groupBy("day").agg(F.count("*").alias("rn"))
+    daily = pairs.groupBy(F.col("d").alias("day")).agg(
+        F.count("*").alias("dn")
+    )
+    return (
+        grid.join(daily, "day", "left")
+        .join(rolling, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("dn", F.lit(0)).cast("long").alias("n_active_1d"),
+            F.coalesce("rn", F.lit(0)).cast("long").alias("n_active_7d"),
+        )
+    )
