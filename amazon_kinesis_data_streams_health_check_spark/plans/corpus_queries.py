@@ -691,3 +691,84 @@ def pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("rank_micros"),
         F.round(F.col("r").cast("double") / _PR_SCALE, 6).alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram co-occurrence pairs (word2vec-style context preparation).
+# ---------------------------------------------------------------------------
+_SKIP_WINDOW = 2   # positions ahead paired with each token
+_SKIP_TOP_K = 20
+
+_SKIPGRAM_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_TOK} AS t FROM documents
+),
+prs AS (
+  SELECT unnest(flatten(list_transform(range(1, len(t) + 1), i ->
+           list_transform(range(i + 1, least(i + {_SKIP_WINDOW}, len(t)) + 1), j ->
+             CASE WHEN t[i] <= t[j] THEN t[i] || ' ' || t[j]
+                  ELSE t[j] || ' ' || t[i] END)))) AS pair
+  FROM base WHERE len(t) >= 2
+),
+counted AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS n FROM prs GROUP BY pair
+),
+ranked AS (
+  SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rnk
+  FROM counted
+)
+SELECT pair, n, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= {_SKIP_TOP_K}
+"""
+
+
+@register(
+    "skipgram_pairs",
+    oracle=_SKIPGRAM_SQL,
+    doc="Skip-gram co-occurrence: unordered token pairs within a +/-2 "
+    "position window (word2vec context prep), global top-20 by count — "
+    "pair construction narrow, counting keyed, top-k two-phase",
+    tags=("ext", "corpus"),
+)
+def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: context pairs are built narrowly per row from the token
+    array (position window = array indexing, no positional self-join);
+    counting shuffles once on the uniform pair key; the global top-k is the
+    two-phase slice — the only single-task stage merges ``partitions x k``
+    candidate rows, never the full pair-count table."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    # i stops at size-1: for i = size, Spark's sequence(size+1, size)
+    # DESCENDS instead of returning empty and fabricates null pairs from
+    # out-of-bounds element_at — the same guard rule as _spark_ngrams.
+    pair_expr = (
+        f"flatten(transform(sequence(1, size(t) - 1), i ->"
+        f" transform(sequence(i + 1, least(i + {_SKIP_WINDOW}, size(t))), j ->"
+        f" if(element_at(t, i) <= element_at(t, j),"
+        f" concat(element_at(t, i), ' ', element_at(t, j)),"
+        f" concat(element_at(t, j), ' ', element_at(t, i))))))"
+    )
+    prs = (
+        docs.select(F.expr(_SPARK_TOK).alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("pair"))
+    )
+    counted = prs.groupBy("pair").agg(F.count("*").alias("n"))
+    cand = F.struct((-F.col("n")).alias("neg"), F.col("pair").alias("pair"))
+    local = counted.groupBy(F.spark_partition_id().alias("_pid")).agg(
+        F.slice(F.array_sort(F.collect_list(cand)), 1, _SKIP_TOP_K).alias("c")
+    )
+    merged = local.select(F.explode("c").alias("c")).select(
+        F.col("c.pair").alias("pair"), (-F.col("c.neg")).alias("n")
+    )
+    from pyspark.sql import Window
+
+    # Final merge: bounded partitions x k rows — the single-partition window
+    # here numbers a constant-size set (same stance as ann_ivf_flat's
+    # centroid numbering).
+    w = Window.orderBy(F.desc("n"), "pair")
+    return (
+        merged.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _SKIP_TOP_K)
+        .select("pair", "n", "rank")
+    )

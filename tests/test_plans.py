@@ -331,6 +331,28 @@ def test_gap_interpolation_uses_growing_frames_only(spark, sf_small):
     assert "windowspecdefinition(stream_name" in plan, plan
 
 
+def test_anomaly_flags_window_partitions_by_stream(spark, sf_small):
+    """The sliding 60-row frame must partition by stream_name — and the test
+    itself must stay integer-only (no float aggregate in the window)."""
+    plan = plan_of(spark, sf_small, "metric_anomaly_flags")
+    assert "windowspecdefinition(stream_name" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_rolling_actives_explode_not_range_join(spark, sf_small):
+    """Rolling coverage comes from a narrow 7-day explode per pair — a
+    day-range join (nested-loop compare against the calendar) is the shape
+    this refuses."""
+    plan = plan_of(spark, sf_small, "rolling_active_users")
+    assert "Generate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pagerank_no_cartesian(spark, sf_small):
+    plan = plan_of(spark, sf_small, "pagerank_knn")
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_runtime_bloom_filter_prunes_shuffle_join_fact_scan(spark, sf_small):
     """The 100 TB regime where the dim does NOT fit a broadcast: Spark's
     runtime bloom filter must inject (bloom_filter_agg on the filtered dim,
