@@ -386,3 +386,63 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("hfp").isNotNull().cast("long")).alias("n_dup_vs_history"),
         F.sum(F.col("hfp").isNull().cast("long")).alias("n_fresh"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-level erasure (right-to-be-forgotten) with manifest pruning.
+# ---------------------------------------------------------------------------
+_ERASE_SOURCES = ("src0", "src1", "src2")
+
+_ERASE_IN = "(" + ", ".join(f"'{s}'" for s in _ERASE_SOURCES) + ")"
+
+_ERASURE_SQL = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE NOT (doc_id % 13 = 0 AND source IN {_ERASE_IN})
+GROUP BY source
+"""
+
+
+@register(
+    "lake_user_erasure",
+    oracle=_ERASURE_SQL,
+    doc="Right-to-be-forgotten: snapshot_delete rewrites ONLY the partitions "
+    "holding erased keys (3 of 20 here — the rest carry by manifest "
+    "reference, zero IO) and the surviving table hash-matches the filtered "
+    "oracle",
+    tags=("lake",),
+)
+def lake_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the erase-key set broadcasts into one semi-join (find
+    touched partitions) and one anti-join (rewrite survivors); the builder
+    self-checks the pruning contract — a delete that silently rewrote
+    untouched partitions raises instead of returning."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_delete,
+        snapshot_history,
+    )
+
+    configure_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    lake = tempfile.mkdtemp(prefix="erasure_lake_")
+    snapshot_append(spark, docs, lake, partition_col="source")
+    keys = docs.filter(
+        (F.pmod("doc_id", F.lit(13)) == 0)
+        & F.col("source").isin(*_ERASE_SOURCES)
+    ).select("doc_id")
+    snapshot_delete(spark, lake, keys, ["doc_id"], partition_col="source")
+    hist = snapshot_history(spark, lake)
+    m1, m2 = hist[-2]["files"], hist[-1]["files"]
+    untouched = {p for p in m1 if p.split("=", 1)[1] not in _ERASE_SOURCES}
+    rewritten = {p for p in untouched if m1[p] != m2.get(p)}
+    if rewritten:
+        raise RuntimeError(f"erasure rewrote untouched partitions: {rewritten}")
+    return read_snapshot(spark, lake).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

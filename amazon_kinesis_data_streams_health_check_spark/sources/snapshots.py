@@ -745,3 +745,45 @@ def read_snapshot_pruned(
         df.filter((F.col(col) >= lo) & (F.col(col) <= hi)),
         {"files_total": len(rels_all), "files_read": len(keep)},
     )
+
+
+def snapshot_delete(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    partition_col: str = "metric_date",
+) -> int:
+    """Row-level delete (right-to-be-forgotten erasure) as a new snapshot
+    commit: partitions holding ANY matching key are rewritten without those
+    rows (anti-join against the broadcast key set); every other partition is
+    carried into the new manifest by reference — zero IO. A touched
+    partition whose every row matches simply disappears from the manifest.
+
+    At 100 TB an erasure batch touching 1% of partitions costs a 1% rewrite,
+    the same manifest-pruning contract as :func:`snapshot_merge`; the old
+    version remains readable via time travel until :func:`vacuum_snapshots`
+    retires it (retention policy decides when erasure becomes physical).
+    """
+    m = _resolve_manifest(spark, path)
+    existing = read_snapshot(spark, path, version=m["version"])
+    k = keys.select(*key_cols).distinct()
+    touched = [
+        r[0]
+        for r in existing.join(F.broadcast(k), key_cols, "leftsemi")
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    kept = existing.filter(F.col(partition_col).isin(touched)).join(
+        F.broadcast(k), key_cols, "left_anti"
+    )
+    new_files = _append_data(spark, kept, path, partition_col)
+    touched_dirs = {f"{partition_col}={v}" for v in touched}
+    files = {
+        part: rels
+        for part, rels in m["files"].items()
+        if part not in touched_dirs
+    }
+    files.update(new_files)
+    return _commit(spark, path, files, "delete", existing.schema.json(), m["version"])

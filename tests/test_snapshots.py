@@ -438,3 +438,37 @@ def test_zone_map_pruning_skips_files_and_stays_exact(spark, tmp_path):
     pruned2, info2 = read_snapshot_pruned(spark, lake, "v", 250.0, 349.0)
     assert {r.id for r in pruned2.collect()} == set(range(250, 350)) | {2000}
     assert info2["files_read"] < info2["files_total"]
+
+
+def test_snapshot_delete_prunes_and_time_travels(spark, tmp_path):
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        snapshot_delete,
+    )
+
+    path = str(tmp_path / "snap")
+    base = [
+        ("k1", "2024-01-01 10:00:00", 1, "a"),
+        ("k2", "2024-01-01 11:00:00", 1, "b"),
+        ("k3", "2024-01-02 10:00:00", 1, "c"),
+        ("k4", "2024-01-03 10:00:00", 1, "d"),
+    ]
+    v1 = snapshot_overwrite(spark, _df(spark, base), path)
+    keys = spark.createDataFrame([("k1",), ("k3",)], "key string")
+    v2 = snapshot_delete(spark, path, keys, ["key"])
+
+    # Survivors only; the 01-02 partition (every row erased) disappears.
+    after = read_snapshot(spark, path)
+    assert {r.key for r in after.collect()} == {"k2", "k4"}
+    hist = snapshot_history(spark, path)
+    m1 = next(m for m in hist if m["version"] == v1)["files"]
+    m2 = next(m for m in hist if m["version"] == v2)["files"]
+    assert "metric_date=2024-01-02" not in m2
+    # Untouched partition carried by reference (identical file list).
+    assert m2["metric_date=2024-01-03"] == m1["metric_date=2024-01-03"]
+    # Erasure is logical until vacuum: time travel still sees v1.
+    assert {r.key for r in read_snapshot(spark, path, version=v1).collect()} == {
+        "k1",
+        "k2",
+        "k3",
+        "k4",
+    }
