@@ -1353,3 +1353,41 @@ def user_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_value_event",
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Raw-SQL surface: the same engine through spark.sql over registered views.
+# ---------------------------------------------------------------------------
+_SQL_SURFACE = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(min(l_quantity) AS BIGINT) AS min_qty,
+       CAST(max(l_quantity) AS BIGINT) AS max_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "sql_surface_revenue",
+    # The SAME SQL text runs on both engines — the oracle IS the query.
+    oracle=_SQL_SURFACE,
+    doc="Raw-SQL user surface: spark.sql() over registered temp views runs "
+    "the identical ANSI text DuckDB runs (engine-portable SQL in, "
+    "hash-identical answers out) — integer-cents revenue keeps the sum "
+    "order-free",
+    tags=("relational", "sql"),
+)
+def sql_surface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY.md section 2.9: the reference exposes no SQL surface; this
+    engine gets one free — ``load_table`` + ``createOrReplaceTempView`` +
+    ``spark.sql`` with the exact oracle text. Catalyst still owns pushdown/
+    pruning (the WHERE reaches the parquet scan like the DataFrame twin
+    q6's does)."""
+    configure_session(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SQL_SURFACE)
