@@ -149,26 +149,21 @@ def brute_force_topk(
     return topk_per_query(scored, k)
 
 
-def assign_ivf_flat_clusters(
+def ivf_flat_centroids(
     vectors: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Deterministic IVF coarse quantizer: ``(vec_id, cluster)`` for every
-    vector.
-
-    Centroids are the ``n_centroids`` vectors with the smallest
-    ``md5(vec_id)`` — a reproducible pseudo-random sample any engine can
-    recompute (no trained state), numbered 1..n in md5 order. Every vector
-    joins the broadcast centroid set and takes the argmax-cosine centroid
-    (tie-break: smaller centroid id) via a map-side ``min(struct)`` partial
-    aggregation — no per-vector window, no skewed shuffle key; the only wide
-    stage groups on ``vec_id`` (uniform).
+    """Deterministic IVF centroid set: the ``n_centroids`` vectors with the
+    smallest ``md5(id)`` — a reproducible pseudo-random sample any engine can
+    recompute (no trained state), numbered 1..n in md5 order. Freeze this at
+    index-build time to keep later assignments incremental (the real IVF
+    maintenance contract: centroids retrain rarely, assignment is per-vector).
     """
     from pyspark.sql import Window
 
-    cent = (
+    return (
         vectors.select(
             F.col(id_col).alias("_cid_src"), F.col(vec_col).alias("emb_c")
         )
@@ -182,6 +177,20 @@ def assign_ivf_flat_clusters(
         .select("centroid_id", "emb_c")
         .withColumn("nc2", F.expr(dot_expr("emb_c", "emb_c")))
     )
+
+
+def assign_to_centroids(
+    vectors: DataFrame,
+    cent: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, cluster)`` for every vector against a given (frozen)
+    centroid set: broadcast centroids, argmax-cosine via a map-side
+    ``min(struct)`` partial aggregation (tie-break: smaller centroid id) —
+    no per-vector window, no skewed shuffle key; the only wide stage groups
+    on ``vec_id`` (uniform). Per-vector independence is what makes index
+    maintenance incremental: assigning a new batch never touches old rows."""
     return (
         with_sq_norm(
             vectors.select(
@@ -200,6 +209,19 @@ def assign_ivf_flat_clusters(
         )
         .select("vec_id", F.col("_best.cid").alias("cluster"))
     )
+
+
+def assign_ivf_flat_clusters(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: ``(vec_id, cluster)`` for every
+    vector (centroids derived from the same set — see
+    :func:`ivf_flat_centroids` / :func:`assign_to_centroids`)."""
+    cent = ivf_flat_centroids(vectors, n_centroids, id_col, vec_col)
+    return assign_to_centroids(vectors, cent, id_col, vec_col)
 
 
 # ---------------------------------------------------------------------------

@@ -446,3 +446,125 @@ def lake_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index with incremental maintenance (vector index on the lake).
+# ---------------------------------------------------------------------------
+from amazon_kinesis_data_streams_health_check_spark.operators.similarity import (  # noqa: E402
+    assign_to_centroids,
+    cosine_precomp,
+    duck_cosine,
+    ivf_flat_centroids,
+    topk_per_query,
+    with_sq_norm,
+)
+
+_IVFP_NC = 16
+_IVFP_QUERIES = 10
+_IVFP_K = 10
+
+_IVFP_SQL = f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS centroid_id,
+         embedding AS emb_c
+  FROM embeddings WHERE vec_id % 2 = 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT {_IVFP_NC}
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id AS cluster FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {duck_cosine('e.embedding', 'c.emb_c')} DESC, c.centroid_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT q.vec_id AS query_id, q.cluster, v.vec_id AS neighbor_id,
+         {duck_cosine('q.embedding', 'v.embedding')} AS cos_raw
+  FROM assigned q
+  JOIN assigned v ON v.cluster = q.cluster AND v.vec_id <> q.vec_id
+  WHERE q.vec_id < {_IVFP_QUERIES}
+)
+SELECT query_id, cluster, neighbor_id, round(cos_raw, 6) AS cosine, rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+  ) AS rank
+  FROM cand
+) WHERE rank <= {_IVFP_K}
+"""
+
+
+@register(
+    "ann_ivf_persisted",
+    oracle=_IVFP_SQL,
+    doc="Vector index as a lake table: IVF assignments built for batch 1, "
+    "frozen centroids, batch 2 added by INCREMENTAL append (only new "
+    "vectors assigned, old partitions untouched — self-checked); probe + "
+    "exact re-rank runs against the persisted cluster-partitioned index "
+    "and hash-matches the all-at-once oracle",
+    tags=("lake", "similarity"),
+)
+def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: index maintenance is per-vector independent (frozen
+    centroids), so each ingest batch assigns ONLY its own vectors — the
+    incremental == full-rebuild equivalence the oracle checks is the whole
+    point of an IVF index at 100 TB. The persisted index partitions by
+    ``cluster``; the probe is a cluster-keyed join against broadcast
+    queries; re-rank is the shared two-phase top-k."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_history,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.sources.tables import (
+        parallel_scan,
+    )
+
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    batch1 = emb.filter(F.pmod("vec_id", F.lit(2)) == 0)
+    batch2 = emb.filter(F.pmod("vec_id", F.lit(2)) == 1)
+    cent = ivf_flat_centroids(batch1, _IVFP_NC).localCheckpoint(eager=False)
+
+    lake = tempfile.mkdtemp(prefix="ivf_index_")
+    for batch in (batch1, batch2):
+        rows = assign_to_centroids(batch, cent).join(batch, "vec_id").select(
+            "vec_id", "cluster", "embedding"
+        )
+        snapshot_append(spark, rows, lake, partition_col="cluster")
+
+    # Incremental contract: the second commit may only ADD files — every
+    # batch-1 file must survive in place in the v2 manifest.
+    h1, h2 = snapshot_history(spark, lake)[-2:]
+    for part, rels in h1["files"].items():
+        if not set(rels) <= set(h2["files"].get(part, [])):
+            raise RuntimeError(f"incremental append rewrote {part}")
+
+    index = with_sq_norm(read_snapshot(spark, lake), "embedding", "nn2").select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cluster",
+        F.col("embedding").alias("emb_n"),
+        "nn2",
+    )
+    queries = with_sq_norm(
+        emb.filter(F.col("vec_id") < _IVFP_QUERIES), "embedding", "nq2"
+    )
+    q = assign_to_centroids(queries, cent).join(queries, "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        "cluster",
+        F.col("embedding").alias("emb_q"),
+        "nq2",
+    )
+    scored = (
+        index.join(F.broadcast(q), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_raw", cosine_precomp("emb_q", "emb_n", "nq2", "nn2"))
+    )
+    topk = topk_per_query(scored.select("query_id", "cos_raw", "neighbor_id"), _IVFP_K)
+    return topk.join(
+        F.broadcast(q.select("query_id", "cluster")), "query_id"
+    ).select("query_id", "cluster", "neighbor_id", "cosine", "rank")
