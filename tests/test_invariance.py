@@ -1,0 +1,48 @@
+"""Partition-layout invariance: the 100 TB reproducibility contract.
+
+A correct distributed query returns byte-identical results whatever the
+physical layout — shuffle-partition count, input split sizing, executor
+count. Every decision in these queries is keyed on data (md5 hashes,
+integer arithmetic, unique sort keys), never on partition ids or float
+accumulation order, so re-running under a different layout must reproduce
+the exact rows. This is the property that makes training-data pipelines
+re-runnable: a cluster resize can't silently change the corpus.
+
+Representative queries across the mechanism families:
+- two-phase top-k merges (locals differ per layout, merge must not),
+- iterative integer PageRank (sum order changes, BIGINTs don't care),
+- deterministic-shuffle packing (md5 order, not scan order),
+- windowed interpolation (growing frames over explicit sort keys).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from amazon_kinesis_data_streams_health_check_spark.plans.registry import all_queries
+
+QUERIES = all_queries()
+
+INVARIANT = [
+    "skipgram_pairs",
+    "pagerank_knn",
+    "curation_pack_sequences",
+    "metric_anomaly_flags",
+    "substring_dup_frac",
+]
+
+
+def _rows(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", INVARIANT)
+def test_result_invariant_under_partitioning(spark, sf_small, name):
+    q = QUERIES[name]
+    baseline = _rows(q.builder(spark, sf_small))
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        assert _rows(q.builder(spark, sf_small)) == baseline
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
