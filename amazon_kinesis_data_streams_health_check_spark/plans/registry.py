@@ -59,7 +59,11 @@ _PRIORITY: tuple[str, ...] = (
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
     "embedding_quantization",
-    "ann_quantized_recall",
+    "repetition_stats",
+    "substring_dup_frac",
+    "split_assign",
+    "knn_graph_lsh",
+    "hybrid_search",
     "media_stats",
     "media_features",
     "media_frame_sample",
@@ -71,16 +75,12 @@ _PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "top_suppliers_per_nation",
-    "revenue_rollup",
-    "user_funnel_setops",
-    "customers_without_orders",
     "user_event_pivot",
     "asof_view_before_purchase",
     "user_sessions",
     "range_join_funnel",
     "event_sketches",
     "skew_resilient_user_counts",
-    "lineitem_corr_exact",
     # curation
     "curation_stratified_sample",
     "curation_mixture_plan",

@@ -33,7 +33,6 @@ MUST_BE_CHECKED = {
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
     "embedding_quantization",
-    "ann_quantized_recall",
     "media_stats",
     "media_features",
     "media_frame_sample",
@@ -43,9 +42,14 @@ MUST_BE_CHECKED = {
     "doc_chunks",
     "tfidf_top_terms",
     "inverted_index",
-    "lineitem_corr_exact",
     "incremental_agg_maintenance",
     "streaming_incremental_agg",
+    # r02 training-pipeline corpus suite (first-class per the build brief)
+    "repetition_stats",
+    "substring_dup_frac",
+    "split_assign",
+    "knn_graph_lsh",
+    "hybrid_search",
     # custom source + oracle-checked streaming drives
     "kinesis_sim_scan",
     "streaming_consumer_metrics",
