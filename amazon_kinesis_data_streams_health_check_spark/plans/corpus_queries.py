@@ -772,3 +772,91 @@ def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _SKIP_TOP_K)
         .select("pair", "n", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch model inference: deterministic linear scorer over embeddings.
+# ---------------------------------------------------------------------------
+_SCORE_CLASSES = 4
+
+#: Weight component i of class c is md5-derived in {-7.5 ... 7.5} — the same
+#: reproducible-pseudo-random device as the LSH hyperplanes, so any engine
+#: recomputes the identical model.
+_HEX_DIGITS = "0123456789abcdef"
+
+
+def _duck_score(cls: int) -> str:
+    h = f"(instr('{_HEX_DIGITS}', substr(md5('w{cls}_' || i), 1, 1)) - 1) - 7.5"
+    return (
+        f"list_sum(list_transform(range(1, len(embedding) + 1),"
+        f" i -> CAST(embedding[i] AS DOUBLE) * ({h})))"
+    )
+
+
+_LINEAR_SCORES_SQL = f"""
+WITH scored AS (
+  SELECT vec_id, label,
+         {', '.join(f'{_duck_score(c)} AS s{c}' for c in range(_SCORE_CLASSES))}
+  FROM embeddings
+),
+pred AS (
+  SELECT vec_id, label, s0, s1, s2, s3,
+         CASE greatest(s0, s1, s2, s3)
+           WHEN s0 THEN 0 WHEN s1 THEN 1 WHEN s2 THEN 2 ELSE 3 END AS predicted
+  FROM scored
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(predicted AS BIGINT) AS predicted,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(greatest(s0, s1, s2, s3) * 1000) AS BIGINT)) AS BIGINT)
+         AS sum_margin_milli
+FROM pred GROUP BY label, predicted
+"""
+
+
+@register(
+    "embedding_linear_scores",
+    oracle=_LINEAR_SCORES_SQL,
+    doc="Batch model inference: a 4-class linear scorer (md5-derived frozen "
+    "weights) applied to every embedding JVM-side; confusion cells "
+    "(label x argmax-class) with floor-milli margin sums — the 'score the "
+    "whole corpus with a small model' stage of a curation pipeline",
+    tags=("ext", "corpus", "similarity"),
+)
+def embedding_linear_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: scoring is a narrow codegen'd expression per row (one
+    ``aggregate(zip_with(...))`` per class — no Python, no shuffle); the
+    only wide stage is the bounded (label x class) confusion aggregation.
+    A real model swaps the weight expression for a broadcast weight array;
+    the plan shape is identical."""
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+
+    def spark_score(cls: int) -> str:
+        h = f"(instr('{_HEX_DIGITS}', substr(md5(concat('w{cls}_', i)), 1, 1)) - 1) - 7.5"
+        return (
+            f"aggregate(zip_with(embedding, sequence(1, size(embedding)),"
+            f" (x, i) -> CAST(x AS DOUBLE) * ({h})),"
+            f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    scored = emb.select(
+        "vec_id",
+        "label",
+        *[F.expr(spark_score(c)).alias(f"s{c}") for c in range(_SCORE_CLASSES)],
+    )
+    best = F.greatest(*[F.col(f"s{c}") for c in range(_SCORE_CLASSES)])
+    pred = F.when(best == F.col("s0"), 0)
+    for c in range(1, _SCORE_CLASSES - 1):
+        pred = pred.when(best == F.col(f"s{c}"), c)
+    pred = pred.otherwise(_SCORE_CLASSES - 1)
+    return (
+        scored.withColumn("predicted", pred)
+        .groupBy(
+            F.col("label").cast("long").alias("label"),
+            F.col("predicted").cast("long").alias("predicted"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(best * 1000).cast("long")).alias("sum_margin_milli"),
+        )
+    )
