@@ -568,3 +568,65 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.join(
         F.broadcast(q.select("query_id", "cluster")), "query_id"
     ).select("query_id", "cluster", "neighbor_id", "cosine", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction on the driver surface.
+# ---------------------------------------------------------------------------
+_COMPACT_BATCHES = 4
+
+_COMPACT_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS sum_value_micros
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "lake_compaction_effect",
+    oracle=_COMPACT_SQL,
+    doc="Small-file compaction: 4 fragmenting append commits -> "
+    "compact_snapshot folds every partition to one file (self-checked "
+    "file-count drop) and the compacted table hash-matches the one-pass "
+    "oracle — content-identical, readers undisturbed",
+    tags=("lake",),
+)
+def lake_compaction_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: compaction reads ONLY fragmented partitions (others carry
+    by manifest reference) and routes each partition value to one writer
+    task; it is itself a commit, so time travel still reaches the
+    fragmented versions until vacuum. The builder raises if compaction
+    failed to reduce the file count — the operational contract, not just
+    the data contract."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        compact_snapshot,
+        snapshot_append,
+        snapshot_history,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1e6).cast("long").alias("value_micros"),
+    )
+    lake = tempfile.mkdtemp(prefix="compact_lake_")
+    for i in range(_COMPACT_BATCHES):
+        snapshot_append(
+            spark,
+            events.filter(F.pmod("event_id", F.lit(_COMPACT_BATCHES)) == i),
+            lake,
+            partition_col="event_type",
+        )
+    compact_snapshot(spark, lake, min_files=2, partition_col="event_type")
+    h = snapshot_history(spark, lake)
+    before = sum(len(r) for r in h[-2]["files"].values())
+    after = sum(len(r) for r in h[-1]["files"].values())
+    if not after < before:
+        raise RuntimeError(f"compaction did not reduce files: {before} -> {after}")
+    return read_snapshot(spark, lake).groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value_micros").cast("long").alias("sum_value_micros"),
+    )
