@@ -353,6 +353,27 @@ def test_pagerank_no_cartesian(spark, sf_small):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_driver_window_has_no_scale_red_flags(spark, sf_small):
+    """Sweep EVERY batch query in the driver's 50-entry window: no
+    CartesianProduct anywhere, and no global range-partitioned sort outside
+    a TakeOrderedAndProject (per-query pins catch specifics; this catches a
+    regression sneaking into any window query we didn't pin individually)."""
+    names = list(QUERIES)[:50]
+    flags = {}
+    for name in names:
+        if name.startswith("streaming_"):
+            continue  # streaming drives execute on build; plans pinned elsewhere
+        plan = plan_of(spark, sf_small, name)
+        hits = []
+        if "CartesianProduct" in plan:
+            hits.append("cartesian")
+        if "rangepartitioning" in plan and "TakeOrderedAndProject" not in plan:
+            hits.append("global-sort")
+        if hits:
+            flags[name] = hits
+    assert not flags, flags
+
+
 def test_runtime_bloom_filter_prunes_shuffle_join_fact_scan(spark, sf_small):
     """The 100 TB regime where the dim does NOT fit a broadcast: Spark's
     runtime bloom filter must inject (bloom_filter_agg on the filtered dim,
