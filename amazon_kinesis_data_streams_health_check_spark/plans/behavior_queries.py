@@ -378,3 +378,55 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("rn", F.lit(0)).cast("long").alias("n_active_7d"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MapType surface: per-user event-type count maps, deterministically
+# serialized.
+# ---------------------------------------------------------------------------
+_TYPE_MAP_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       '{' || string_agg('"' || event_type || '":' || n, ',' ORDER BY event_type)
+           || '}' AS type_counts,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN n END), 0)
+            AS BIGINT) AS clicks
+FROM c GROUP BY user_id
+"""
+
+
+@register(
+    "user_event_type_map",
+    oracle=_TYPE_MAP_SQL,
+    doc="MapType surface: per-user event_type -> count as a first-class map "
+    "column (map_from_entries over key-sorted entries => deterministic "
+    "to_json), cardinality via map size, lookup via element_at",
+    tags=("ext", "behavior"),
+)
+def user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one keyed count on the uniform (user, type) pair, then a
+    per-user fold whose collect_list is bounded by the event-type vocabulary
+    (5 here; a map column is only the right shape when the key domain is
+    bounded). Entries sort by key BEFORE map_from_entries, so to_json is
+    byte-deterministic — unsorted map serialization is engine- and
+    partitioning-dependent and would never hash-match."""
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    entries = F.array_sort(
+        F.collect_list(F.struct(F.col("event_type").alias("k"), F.col("n").alias("v")))
+    )
+    m = F.map_from_entries(entries)
+    return counts.groupBy("user_id").agg(
+        F.to_json(m).alias("type_counts"),
+        F.size(m).cast("long").alias("n_types"),
+        F.coalesce(F.element_at(m, F.lit("click")), F.lit(0))
+        .cast("long")
+        .alias("clicks"),
+    )
