@@ -860,3 +860,72 @@ def embedding_linear_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(best * 1000).cast("long")).alias("sum_margin_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling without replacement (per-source top-k).
+# ---------------------------------------------------------------------------
+_WSAMPLE_K = 3
+
+_WSAMPLE_SQL = f"""
+WITH pri AS (
+  SELECT source, doc_id, n_chars,
+         CAST({duck_hash_uniform('doc_id')} AS DOUBLE) / CAST(n_chars AS DOUBLE)
+           AS p
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, n_chars,
+         CAST(floor(p * 1000) AS BIGINT) AS priority_milli,
+         row_number() OVER (PARTITION BY source ORDER BY p, doc_id) AS rnk
+  FROM pri
+)
+SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       priority_milli, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= {_WSAMPLE_K}
+"""
+
+
+@register(
+    "curation_weighted_sample",
+    oracle=_WSAMPLE_SQL,
+    doc="Weighted sampling without replacement: priority = md5-uniform(key) "
+    "/ weight (longer docs more likely to win), k=3 smallest priorities per "
+    "source via the two-phase slice — reproducible under repartitioning, "
+    "retries, and scale-out, unlike any rand()-based draw",
+    tags=("ext", "corpus", "curation"),
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the priority is a pure narrow function of (key, weight)
+    — IEEE division of the same integers is bit-identical in every engine —
+    and the per-source selection is the two-phase local-slice + merge, so
+    no source's full candidate set ever sits in one task. This is the
+    weight-proportional analogue of ``stratified_sample``'s rate-based
+    filter (both: data-keyed decisions, zero randomness)."""
+    configure_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    pri = docs.withColumn(
+        "p", hash_uniform("doc_id").cast("double") / F.col("n_chars").cast("double")
+    )
+    cand = F.struct(
+        F.col("p").alias("p"),
+        F.col("doc_id").alias("doc_id"),
+        F.col("n_chars").alias("n_chars"),
+    )
+    local = pri.groupBy("source", F.spark_partition_id().alias("_pid")).agg(
+        F.slice(F.array_sort(F.collect_list(cand)), 1, _WSAMPLE_K).alias("c")
+    )
+    merged = local.groupBy("source").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("c"))), 1, _WSAMPLE_K).alias(
+            "topk"
+        )
+    )
+    return merged.select("source", F.posexplode("topk").alias("pos", "c")).select(
+        "source",
+        F.col("c.doc_id").alias("doc_id"),
+        F.col("c.n_chars").cast("long").alias("n_chars"),
+        F.floor(F.col("c.p") * 1000).cast("long").alias("priority_milli"),
+        (F.col("pos") + 1).cast("long").alias("rank"),
+    )
