@@ -23,6 +23,9 @@ from pyspark.sql import functions as F
 from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_events import (
     synthesize_from_events,
 )
+from amazon_kinesis_data_streams_health_check_spark.plans.healthcheck_queries import (
+    _FLAGSHIP_SQL,
+)
 from amazon_kinesis_data_streams_health_check_spark.plans.registry import register
 from amazon_kinesis_data_streams_health_check_spark.session import configure_session
 from amazon_kinesis_data_streams_health_check_spark.sources.tables import (
@@ -330,31 +333,115 @@ def streaming_delivery_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_stateful_alarm",
-    oracle=None,  # stateful processing-time semantics: rows-only
-    doc="W4/W6 streaming: applyInPandasWithState alarm state machine over a "
-    "bounded metric stream (timeout leg exercised in tests/test_streaming.py)",
-    tags=("core", "streaming"),
+    # The period-walk state machine emits exactly one row per (stream, grid
+    # period) whatever the micro-batch slicing, so the batch flagship oracle
+    # (tumbling max -> global period grid -> BREACHING-on-missing -> strict
+    # threshold -> transition-only actions) applies verbatim. Import, not
+    # copy: the two entries must stay semantically identical.
+    oracle=_FLAGSHIP_SQL,
+    doc="W4/W6 streaming: applyInPandasWithState alarm state machine — "
+    "per-period max feed walked in order with missing=>BREACHING synthesis "
+    "and cross-batch state; full value-hash oracle vs the batch flagship",
+    tags=("core", "streaming", "flagship"),
 )
 def streaming_stateful_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded drive of the one genuinely stateful operator: per-stream alarm
-    state (OK/ALARM + transition flags) maintained in the state store. A
-    bounded availableNow run exercises the data path deterministically; the
-    heartbeat-timeout path needs wall-clock gaps and is pinned in tests."""
+    """Oracle-checked drive of the one genuinely stateful operator
+    (KinesisHealthCheckStack.java:165-183 semantics, streaming form).
+
+    The stateless front end (event-time choice -> P9-truncated lag -> 1-min
+    tumbling max) is precomputed batch-side into a bounded per-period feed —
+    those stages are oracle-checked under streaming by
+    ``streaming_consumer_metrics`` / ``streaming_window_max`` already. What
+    runs INSIDE the stream is the stateful tail no window aggregation can
+    express: the per-stream alarm state machine with BREACHING synthesis for
+    absent periods and transition detection, its state carried across
+    micro-batches (4 feed files, mtime-ordered, one per trigger).
+
+    The wall-clock heartbeat-timeout leg (processing-/event-time timeouts)
+    stays pinned hermetically in tests/test_streaming.py.
+    """
+    import shutil
+
+    from amazon_kinesis_data_streams_health_check_spark.operators.lag import (
+        staleness_at_window_close,
+    )
     from amazon_kinesis_data_streams_health_check_spark.streaming.stateful_alarm import (
-        alarm_state_stream,
+        period_alarm_stream,
     )
 
     configure_session(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    src_dir = tempfile.mkdtemp(prefix="alarm_stream_")
-    os.symlink(path, os.path.join(src_dir, "events.parquet"))
-    raw = spark.readStream.schema(schema).parquet(src_dir)
-    metrics = raw.select(
-        F.col("event_type").alias("stream_name"), F.col("value")
+    events = load_table(spark, sf_dir, "events")
+    lagged = staleness_at_window_close(
+        events, ts_col="ts", payload_col="props", key_col="event_type"
     )
-    alarms = alarm_state_stream(metrics, threshold=50.0, timeout_ms=60_000)
-    return _run_to_memory(alarms, "stateful_alarm", output_mode="update")
+    metrics = (
+        lagged.groupBy("stream_name", "window_start")
+        .agg(
+            F.max("lag_seconds").alias("lag_max"),
+            F.count(F.lit(1)).alias("n_datapoints"),
+        )
+        .select(
+            "stream_name",
+            F.unix_timestamp("window_start").alias("ws_s"),
+            F.col("lag_max").cast("double").alias("max_value"),
+            F.col("n_datapoints").cast("long").alias("n_datapoints"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    b = metrics.agg(F.min("ws_s").alias("lo"), F.max("ws_s").alias("hi")).collect()[0]
+    lo_s, hi_s = int(b["lo"]), int(b["hi"])
+
+    # Per-stream flush sentinels (ws past the grid) so trailing missing
+    # periods are evaluated; they live in the LAST feed file.
+    sentinels = metrics.select("stream_name").distinct().select(
+        "stream_name",
+        F.lit(hi_s + 60).cast("long").alias("ws_s"),
+        F.lit(None).cast("double").alias("max_value"),
+        F.lit(0).cast("long").alias("n_datapoints"),
+    )
+
+    # 4 single-file chunks by period range, mtimes strictly ascending:
+    # maxFilesPerTrigger=1 then replays periods in order across 4 real
+    # micro-batches, exercising cross-batch state persistence.
+    feed_dir = tempfile.mkdtemp(prefix="alarm_feed_")
+    n_chunks = 4
+    span = hi_s - lo_s + 60
+    step = max(60, (span // n_chunks // 60) * 60)
+    cuts = [lo_s + i * step for i in range(n_chunks)] + [hi_s + 120]
+    for i in range(n_chunks):
+        chunk = metrics.filter(
+            (F.col("ws_s") >= cuts[i]) & (F.col("ws_s") < cuts[i + 1])
+        )
+        if i == n_chunks - 1:
+            chunk = chunk.unionByName(sentinels)
+        tmp = tempfile.mkdtemp(prefix=f"alarm_chunk{i}_")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in sorted(os.listdir(tmp)) if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = os.path.join(feed_dir, f"chunk_{i:02d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    feed = (
+        spark.readStream.schema(
+            "stream_name string, ws_s long, max_value double, n_datapoints long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    alarms = period_alarm_stream(feed, threshold=30.0, lo_s=lo_s, hi_s=hi_s)
+    sunk = _run_to_memory(alarms, "stateful_alarm", output_mode="update")
+    return sunk.select(
+        "stream_name",
+        F.timestamp_seconds("ws_s").alias("window_start"),
+        F.timestamp_seconds(F.col("ws_s") + 60).alias("window_end"),
+        "max_lag",
+        "n_datapoints",
+        "state",
+        "prev_state",
+        "transitioned",
+    )
 
 
 # ---------------------------------------------------------------------------

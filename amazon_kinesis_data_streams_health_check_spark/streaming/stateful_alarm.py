@@ -195,6 +195,125 @@ def make_event_time_alarm_fn(threshold: float = 1.0, gap_ms: int = 60_000):
     return alarm_fn
 
 
+#: Period-walk variant output: one row per (stream, period) — the streaming
+#: twin of the batch alarm pipeline's alert shape (epoch seconds, not
+#: timestamps, so the Arrow round trip carries no timezone semantics; the
+#: caller projects ``timestamp_seconds`` after the sink).
+PERIOD_ALARM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("stream_name", StringType()),
+        StructField("ws_s", LongType()),
+        StructField("max_lag", DoubleType()),
+        StructField("n_datapoints", LongType()),
+        StructField("state", StringType()),
+        StructField("prev_state", StringType()),
+        StructField("transitioned", BooleanType()),
+    ]
+)
+
+#: Period-walk state: last resolved alarm state + last evaluated period.
+PERIOD_ALARM_STATE_SCHEMA = StructType(
+    [
+        StructField("cur_state", StringType()),
+        StructField("last_ws_s", LongType()),
+    ]
+)
+
+
+def make_period_alarm_fn(
+    threshold: float, lo_s: int, hi_s: int, period_s: int = 60
+):
+    """Build the applyInPandasWithState function that walks the period grid.
+
+    The reference alarm evaluates EVERY period in order
+    (KinesisHealthCheckStack.java:165-183: 1-min max -> ``> threshold`` ->
+    ``TreatMissingData.BREACHING`` -> actions on transition only). The state
+    machine here consumes per-(stream, period) max rows sorted by period and
+    synthesizes the BREACHING evaluation for every period the feed skipped —
+    so its output is one row per grid period, byte-identical to the batch
+    ``alarm_pipeline`` whatever the micro-batch slicing was, as long as
+    periods arrive in nondecreasing order per key (the bounded drive orders
+    its feed files by modification time).
+
+    A row with ``ws_s > hi_s`` is a flush sentinel: it walks the remaining
+    missing periods out to ``hi_s`` and emits nothing for itself.
+
+    State is one (state, last-period) pair per stream — O(streams),
+    independent of event volume.
+    """
+
+    def alarm_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        stream_name = key[0]
+        if state.exists:
+            cur_state, last_ws = state.get
+        else:
+            cur_state, last_ws = None, lo_s - period_s
+
+        out: dict[str, list] = {
+            "stream_name": [],
+            "ws_s": [],
+            "max_lag": [],
+            "n_datapoints": [],
+            "state": [],
+            "prev_state": [],
+            "transitioned": [],
+        }
+
+        def emit(ws: int, max_v, n: int) -> None:
+            nonlocal cur_state, last_ws
+            breaching = max_v is None or max_v > threshold
+            new_state = "ALARM" if breaching else "OK"
+            out["stream_name"].append(stream_name)
+            out["ws_s"].append(ws)
+            out["max_lag"].append(max_v)
+            out["n_datapoints"].append(n)
+            out["state"].append(new_state)
+            out["prev_state"].append(cur_state)
+            out["transitioned"].append(cur_state is not None and new_state != cur_state)
+            cur_state = new_state
+            last_ws = ws
+
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("ws_s")
+        for ws, max_v, n in zip(pdf["ws_s"], pdf["max_value"], pdf["n_datapoints"]):
+            ws = int(ws)
+            if ws > hi_s:
+                # Flush sentinel: evaluate trailing missing periods to hi.
+                for g in range(last_ws + period_s, hi_s + period_s, period_s):
+                    emit(g, None, 0)
+                continue
+            for g in range(last_ws + period_s, ws, period_s):
+                emit(g, None, 0)
+            emit(ws, None if pd.isna(max_v) else float(max_v), int(n))
+
+        state.update((cur_state, last_ws))
+        yield pd.DataFrame(out)
+
+    return alarm_fn
+
+
+def period_alarm_stream(
+    feed: DataFrame,
+    threshold: float,
+    lo_s: int,
+    hi_s: int,
+    period_s: int = 60,
+) -> DataFrame:
+    """(stream_name, ws_s, max_value, n_datapoints) metric stream -> one
+    alarm-state row per grid period, with missing-period BREACHING synthesis
+    and transition detection carried in the state store across batches."""
+    return feed.groupBy("stream_name").applyInPandasWithState(
+        make_period_alarm_fn(threshold=threshold, lo_s=lo_s, hi_s=hi_s, period_s=period_s),
+        outputStructType=PERIOD_ALARM_OUTPUT_SCHEMA,
+        stateStructType=PERIOD_ALARM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def alarm_state_stream_event_time(
     metrics: DataFrame,
     threshold: float = 1.0,

@@ -320,3 +320,110 @@ def test_event_time_alarm_gap_detected_deterministically(spark, tmp_path):
     # The live stream never alarms; both streams emitted OK data rows first.
     assert all(r.state == "OK" for r in rows if r.stream_name == "live-stream"), rows
     assert any(r.reason == "data" and r.stream_name == "dead-stream" for r in rows)
+
+
+def test_period_alarm_slicing_invariant_vs_batch(spark, tmp_path):
+    """The period-walk stateful alarm (W4/W6 oracle form) emits identical
+    rows whether the feed arrives as one micro-batch or four, and both match
+    the batch alarm_pipeline evaluation on the same metrics."""
+    import os
+
+    from amazon_kinesis_data_streams_health_check_spark.operators.alarm import (
+        evaluate_alarm,
+        with_period_grid,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.streaming.stateful_alarm import (
+        period_alarm_stream,
+    )
+
+    base = 1_700_000_000 - (1_700_000_000 % 60)
+    # Two streams, gappy periods (missing => BREACHING), values around thr=10.
+    feed_rows = [
+        ("a", base + 0 * 60, 5.0, 2),
+        ("a", base + 1 * 60, 15.0, 1),  # ALARM (over threshold)
+        # a: periods 2-3 missing -> ALARM
+        ("a", base + 4 * 60, 3.0, 1),  # back to OK
+        ("b", base + 1 * 60, 1.0, 3),  # b missing at period 0 -> ALARM first
+        ("b", base + 2 * 60, 2.0, 1),
+        ("b", base + 5 * 60, 30.0, 2),  # gap then over-threshold
+    ]
+    lo_s, hi_s = base, base + 5 * 60
+    ddl = "stream_name string, ws_s long, max_value double, n_datapoints long"
+    feed_df = spark.createDataFrame(feed_rows, ddl)
+    sentinels = spark.createDataFrame(
+        [("a", hi_s + 60, None, 0), ("b", hi_s + 60, None, 0)], ddl
+    )
+
+    def drive(split: bool, tag: str):
+        src = tmp_path / f"feed_{tag}"
+        os.makedirs(src)
+        if split:
+            chunks = [
+                feed_df.filter(F.col("ws_s") < lo_s + 120),
+                feed_df.filter(
+                    (F.col("ws_s") >= lo_s + 120) & (F.col("ws_s") < lo_s + 240)
+                ),
+                feed_df.filter(F.col("ws_s") >= lo_s + 240).unionByName(sentinels),
+            ]
+        else:
+            chunks = [feed_df.unionByName(sentinels)]
+        for i, c in enumerate(chunks):
+            d = tmp_path / f"w_{tag}_{i}"
+            c.coalesce(1).write.parquet(str(d))
+            part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+            dst = src / f"chunk_{i:02d}.parquet"
+            os.rename(d / part, dst)
+            os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+        stream = (
+            spark.readStream.schema(
+                "stream_name string, ws_s long, max_value double, n_datapoints long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        alarms = period_alarm_stream(stream, threshold=10.0, lo_s=lo_s, hi_s=hi_s)
+        q = (
+            alarms.writeStream.format("memory")
+            .queryName(f"pw_{tag}")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return sorted(
+            spark.table(f"pw_{tag}").collect(),
+            key=lambda r: (r.stream_name, r.ws_s),
+        )
+
+    one = drive(False, "one")
+    four = drive(True, "four")
+    assert [tuple(r) for r in one] == [tuple(r) for r in four]
+
+    # Batch twin: same metrics through grid + evaluate_alarm.
+    metrics = feed_df.select(
+        "stream_name",
+        F.timestamp_seconds("ws_s").alias("window_start"),
+        F.timestamp_seconds(F.col("ws_s") + 60).alias("window_end"),
+        "max_value",
+        "n_datapoints",
+    )
+    batch = evaluate_alarm(
+        with_period_grid(metrics), threshold=10.0, treat_missing="breaching"
+    ).select(
+        "stream_name",
+        F.unix_timestamp("window_start").cast("long").alias("ws_s"),
+        F.col("max_value").cast("double").alias("max_lag"),
+        "n_datapoints",
+        "state",
+        "prev_state",
+        "transitioned",
+    )
+    brows = sorted(batch.collect(), key=lambda r: (r.stream_name, r.ws_s))
+    assert [tuple(r) for r in brows] == [tuple(r) for r in one]
+    # Semantics spot-checks: missing periods breach; transitions only on change.
+    by = {(r.stream_name, (r.ws_s - brows[0].ws_s) // 60): r for r in one}
+    assert by[("a", 2)].state == "ALARM" and by[("a", 2)].max_lag is None
+    assert by[("b", 0)].state == "ALARM" and by[("b", 0)].prev_state is None
+    assert not by[("b", 0)].transitioned  # first period never "transitions"
+    assert by[("a", 4)].state == "OK" and by[("a", 4)].transitioned
