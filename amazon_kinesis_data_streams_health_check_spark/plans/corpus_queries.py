@@ -573,7 +573,14 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for c, kind in _PROFILE_COLS:
         if kind == "num":
-            key = f"format_string('%.6f', CAST({c} AS DOUBLE))"
+            # NULL guard: format_string renders SQL NULL as the string
+            # 'null' (unlike DuckDB's printf, which propagates NULL) — a
+            # NULL-bearing numeric column would under-count n_nulls and
+            # count a phantom 'null' distinct key without it.
+            key = (
+                f"if({c} is null, null,"
+                f" format_string('%.6f', CAST({c} AS DOUBLE)))"
+            )
             num = f"CAST({c} AS DOUBLE)"
         else:
             key = c if kind == "str" else f"date_format({c}, '{_ISO}')"

@@ -558,10 +558,18 @@ _ANOM_WIN = 60   # trailing periods
 _ANOM_MIN = 30   # minimum datapoints before flagging
 _ANOM_K2 = 9     # flag when (x - mean)^2 > K2 * var  (3-sigma)
 
+# Exact-arithmetic precondition: the BIGINT 3-sigma test peaks at
+# ~2e6 * x^2, so |x| (milli-units) must stay <= ~2.1e6 to fit in int64.
+# Both engines guard it with a lazy error branch — overflow fails LOUDLY
+# and identically instead of Spark wrapping silently where DuckDB raises.
+_ANOM_X_MAX = 2_000_000
+
 _ANOMALY_SQL = f"""
 WITH metrics AS (
   SELECT event_type AS stream_name, date_trunc('minute', ts) AS window_start,
-         CAST(floor(max(value) * 1000) AS BIGINT) AS x
+         CASE WHEN abs(floor(max(value) * 1000)) > {_ANOM_X_MAX}
+              THEN CAST(error('metric_anomaly_flags: |value_milli| exceeds exact-arithmetic bound') AS BIGINT)
+              ELSE CAST(floor(max(value) * 1000) AS BIGINT) END AS x
   FROM events GROUP BY 1, 2
 ),
 win AS (
@@ -601,12 +609,25 @@ def metric_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_session(spark)
     events = parallel_scan(spark, sf_dir, "events")
+    x_raw = F.floor(F.max("value") * 1000).cast("long")
     metrics = (
         events.groupBy(
             F.col("event_type").alias("stream_name"),
             F.window("ts", "1 minute")["start"].alias("window_start"),
         )
-        .agg(F.floor(F.max("value") * 1000).cast("long").alias("x"))
+        .agg(
+            F.when(
+                F.abs(x_raw) > _ANOM_X_MAX,
+                F.raise_error(
+                    F.lit(
+                        "metric_anomaly_flags: |value_milli| exceeds "
+                        "exact-arithmetic bound"
+                    )
+                ).cast("long"),
+            )
+            .otherwise(x_raw)
+            .alias("x")
+        )
     )
     w = (
         Window.partitionBy("stream_name")

@@ -9,6 +9,8 @@ overwrite so a re-run of one day replaces exactly that day.
 
 from __future__ import annotations
 
+import urllib.parse
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -95,18 +97,36 @@ def merge_upsert_partitioned(
         .drop("_rn", "_is_new")
     ).localCheckpoint(eager=True)  # the writes below must not re-read `path` mid-rewrite
     kept = {r[0] for r in resolved.select(partition_col).distinct().collect()}
+    # Partitions emptied by key migration: no output rows => dynamic
+    # overwrite will leave them behind; resolve their ON-DISK directory
+    # names now (file-metadata column — Spark escapes special characters in
+    # partition paths, so hand-formatting f"{col}={value}" would miss them)
+    # while the files still exist, and drop the directories after the write.
+    emptied = [v for v in touched if v not in kept]
+    emptied_dirs = (
+        [
+            urllib.parse.unquote(r[0])
+            for r in existing.withColumn(
+                "_pdir",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -2),
+            )
+            .filter(F.col(partition_col).isin(emptied))
+            .select("_pdir")
+            .distinct()
+            .collect()
+        ]
+        if emptied
+        else []
+    )
     resolved.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy(partition_col).parquet(path)
-    # Partitions emptied by key migration: no output rows => dynamic
-    # overwrite left them behind; drop their directories.
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    for v in touched:
-        if v not in kept:
-            p = jvm.org.apache.hadoop.fs.Path(f"{path}/{partition_col}={v}")
-            fs = p.getFileSystem(hconf)
-            fs.delete(p, True)
+    for d in emptied_dirs:
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{d}")
+        fs = p.getFileSystem(hconf)
+        fs.delete(p, True)
 
 
 def read_metrics_range(

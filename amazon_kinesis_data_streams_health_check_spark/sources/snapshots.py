@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import time
+import urllib.parse
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -322,16 +323,30 @@ def snapshot_merge(
 
     existing = read_snapshot(spark, path, version=current_manifest["version"])
     upd_keys = updates.select(*key_cols).distinct()
-    touched_df = (
-        updates.select(partition_col)
+    upd_parts = updates.select(partition_col).distinct()
+    # A manifest partition is rewritten when (a) updates land in it (typed
+    # VALUE-level semi-join, so no hand-formatting of partition paths) or
+    # (b) it holds a row whose key migrates. Its on-disk directory name is
+    # taken from the file-metadata column — Spark escapes special characters
+    # in partition paths, so formatting f"{col}={value}" by hand would miss
+    # the manifest key and leave stale files referenced (duplicate rows).
+    with_dir = existing.withColumn(
+        "_pdir", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -2)
+    )
+    touched_rows = (
+        with_dir.join(F.broadcast(upd_parts), [partition_col], "leftsemi")
+        .select(partition_col, "_pdir")
         .unionByName(
-            existing.join(F.broadcast(upd_keys), key_cols, "leftsemi").select(
-                partition_col
+            with_dir.join(F.broadcast(upd_keys), key_cols, "leftsemi").select(
+                partition_col, "_pdir"
             )
         )
         .distinct()
+        .collect()
     )
-    touched = [r[0] for r in touched_df.collect()]
+    touched = list({r[0] for r in touched_rows})
+    # file_path is a URI — one unquote restores the on-disk manifest key.
+    touched_dirs = {urllib.parse.unquote(r[1]) for r in touched_rows}
     current = existing.filter(F.col(partition_col).isin(touched)).withColumn(
         "_is_new", F.lit(0)
     )
@@ -343,7 +358,6 @@ def snapshot_merge(
         .drop("_rn", "_is_new")
     )
     new_files = _append_data(spark, resolved, path, partition_col)
-    touched_dirs = {f"{partition_col}={v}" for v in touched}
     files = {
         part: rels
         for part, rels in current_manifest["files"].items()
@@ -768,18 +782,30 @@ def snapshot_delete(
     m = _resolve_manifest(spark, path)
     existing = read_snapshot(spark, path, version=m["version"])
     k = keys.select(*key_cols).distinct()
-    touched = [
+    # Touched partitions are identified by their ON-DISK directory name
+    # (via the file-metadata column), not by formatting partition VALUES —
+    # Spark escapes special characters (space, ':', '/') in partition paths,
+    # so a hand-built f"{col}={value}" string would miss the manifest key
+    # and leave the old files referenced alongside the rewritten rows.
+    # ``file_path`` is a URI (one extra percent-encoding layer over the
+    # on-disk name); one unquote restores the manifest key exactly.
+    with_dir = existing.withColumn(
+        "_pdir", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -2)
+    )
+    touched_uri_dirs = {
         r[0]
-        for r in existing.join(F.broadcast(k), key_cols, "leftsemi")
-        .select(partition_col)
+        for r in with_dir.join(F.broadcast(k), key_cols, "leftsemi")
+        .select("_pdir")
         .distinct()
         .collect()
-    ]
-    kept = existing.filter(F.col(partition_col).isin(touched)).join(
-        F.broadcast(k), key_cols, "left_anti"
+    }
+    touched_dirs = {urllib.parse.unquote(d) for d in touched_uri_dirs}
+    kept = (
+        with_dir.filter(F.col("_pdir").isin(list(touched_uri_dirs)))
+        .drop("_pdir")
+        .join(F.broadcast(k), key_cols, "left_anti")
     )
     new_files = _append_data(spark, kept, path, partition_col)
-    touched_dirs = {f"{partition_col}={v}" for v in touched}
     files = {
         part: rels
         for part, rels in m["files"].items()

@@ -472,3 +472,36 @@ def test_snapshot_delete_prunes_and_time_travels(spark, tmp_path):
         "k3",
         "k4",
     }
+
+
+def test_snapshot_delete_with_escaped_partition_values(spark, tmp_path):
+    """Partition values needing Spark's partition-path escaping (space, ':')
+    must still be erased cleanly: touched directories are resolved from the
+    on-disk file paths, not from hand-formatted f"{col}={value}" strings —
+    the latter would miss the escaped manifest key and leave the old files
+    referenced alongside the rewritten survivors (duplicate rows)."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        snapshot_delete,
+    )
+
+    path = str(tmp_path / "snap_esc")
+    df = spark.createDataFrame(
+        [
+            ("k1", "grp a:1", "x"),
+            ("k2", "grp a:1", "y"),
+            ("k3", "grp/b 2", "z"),
+        ],
+        "key string, grp string, payload string",
+    )
+    v1 = snapshot_overwrite(spark, df, path, partition_col="grp")
+    keys = spark.createDataFrame([("k1",), ("k3",)], "key string")
+    snapshot_delete(spark, path, keys, ["key"], partition_col="grp")
+
+    after = read_snapshot(spark, path)
+    rows = [(r.key, r.grp, r.payload) for r in after.collect()]
+    # No duplicates, no resurrected rows: exactly the one survivor.
+    assert rows == [("k2", "grp a:1", "y")]
+    # The fully-erased escaped partition is gone from the manifest.
+    hist = snapshot_history(spark, path)
+    m2 = hist[0]["files"] if hist[0]["version"] != v1 else hist[1]["files"]
+    assert not any("b 2" in part or "b%202" in part for part in m2), m2
