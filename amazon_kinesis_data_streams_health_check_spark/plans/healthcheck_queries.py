@@ -654,3 +654,77 @@ def metric_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").alias("value_milli"),
         ((F.col("n") >= _ANOM_MIN) & (lhs > rhs)).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P6 strict-mode parity: the reference's raw UTF-8 decoder REPORTs on
+# malformed input (UTF_8.newDecoder(), HealthCheckConsumerHandler.java:41,65)
+# and the handler's catch drops the record (:87-93). This query pins the
+# drop-vs-keep accounting of both decode modes against injection ground truth.
+# ---------------------------------------------------------------------------
+_UTF8_STRICT_SQL = """
+WITH t AS (
+  SELECT event_type,
+         '{"currentInstant":"' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') || '"}' AS js,
+         (event_id % 7 = 0) AS corrupt
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_strict_match,
+       CAST(sum(CASE WHEN corrupt THEN 0 ELSE length(js) END) AS BIGINT) AS payload_chars
+FROM t GROUP BY event_type
+"""
+
+
+@register(
+    "utf8_strict_parity",
+    oracle=_UTF8_STRICT_SQL,
+    doc="P6: permissive vs strict UTF-8 decode over a feed with injected "
+    "malformed payloads — permissive drops (NULL) exactly the records the "
+    "strict reference decoder would throw on; strict equals permissive on "
+    "every valid record",
+    tags=("core",),
+)
+def utf8_strict_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 7th record's payload bytes get an invalid UTF-8 byte appended
+    (deterministic injection). The engine's validity classification
+    (``is_valid_utf8`` inside codegen) must agree with the injection ground
+    truth the oracle states: misclassifying even one row shifts
+    n_dropped/n_kept/payload_chars and fails the hash. The strict decoder
+    (``utf8_decode(strict=True)`` — raise_error branch) runs on the valid
+    rows only, proving it is byte-identical to the permissive path wherever
+    it does not throw; its throw leg is pinned in tests/test_scalar_ops.py.
+    Scale shape: narrow per-row expressions + one keyed aggregation."""
+    from amazon_kinesis_data_streams_health_check_spark.functions import scalar
+
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    js = scalar.tracer_json(scalar.instant_iso(F.col("ts")))
+    corrupt = F.col("event_id") % 7 == 0
+    b = F.when(
+        corrupt, F.concat(scalar.utf8_encode(js), F.unhex(F.lit("FF")))
+    ).otherwise(scalar.utf8_encode(js))
+    dec = scalar.utf8_decode(b)
+    strict = F.when(dec.isNotNull(), scalar.utf8_decode(b, strict=True))
+    return (
+        events.select(F.col("event_type"), dec.alias("dec"), strict.alias("strict"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.sum(F.when(F.col("dec").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("dec").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("strict") == F.col("dec"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_strict_match"),
+            F.sum(F.coalesce(F.length("dec"), F.lit(0)))
+            .cast("long")
+            .alias("payload_chars"),
+        )
+    )
