@@ -40,29 +40,63 @@ SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 _HEX = "0123456789abcdef"
 
 #: Salt width for the band self-joins: caps per-reducer pair generation of a
-#: giant duplicate class at ~m^2/BAND_SALT. Replication cost is BAND_SALT x
-#: the (narrow) band rows on one join side — noise next to the pair work it
-#: spreads. 1 disables salting.
+#: giant duplicate class at ~m^2/BAND_SALT. 1 disables salting.
 BAND_SALT = 8
+
+#: A band key is "hot" (worth salting) when more docs than this share it —
+#: 64 docs = ~4k pairs from one reducer unsalted, the break-even where the
+#: y-side replication cost starts paying for itself. Everything colder joins
+#: on bucket 0 with zero replication.
+HOT_BAND_THRESHOLD = 64
 
 
 def _salted_band_self_join(
-    bands_long: DataFrame, id_col: str, extra_cols: tuple[str, ...] = (), salt: int = BAND_SALT
+    bands_long: DataFrame,
+    id_col: str,
+    extra_cols: tuple[str, ...] = (),
+    salt: int = BAND_SALT,
+    hot_threshold: int = HOT_BAND_THRESHOLD,
 ) -> DataFrame:
     """Self-join band rows on (band_idx, band_key) into (doc_a < doc_b) pairs,
-    spreading each hot band key over ``salt`` shuffle buckets.
+    spreading each HOT band key over ``salt`` shuffle buckets.
 
     ``bands_long``: one row per (doc, band) with columns ``id_col, band_idx,
-    band_key, *extra_cols``. The x (smaller-id) side gets a deterministic
-    bucket from its doc id; the y side explodes to every bucket, so each true
-    pair matches exactly once and the result is independent of ``salt``.
+    band_key, *extra_cols``. Salting is adaptive (two-pass): a cheap count
+    pass finds band keys shared by more than ``hot_threshold`` docs; only
+    those are salted — the x (smaller-id) side takes a deterministic bucket
+    from its doc id, the y side replicates to every bucket. Cold keys (the
+    common path) join on bucket 0 with NO y-side replication — the round-2
+    unconditional x``salt`` blowup is gone. Each true pair still matches
+    exactly once (hot: in a's bucket; cold: in bucket 0), so the pair set is
+    independent of both ``salt`` and ``hot_threshold``.
     Output: ``doc_a, doc_b`` plus ``<c>_a / <c>_b`` for each extra column.
     """
     x, y = bands_long, bands_long
     keys = ["band_idx", "band_key"]
     if salt > 1:
-        x = x.withColumn("_salt", F.pmod(F.hash(F.col(id_col)), F.lit(salt)))
-        y = y.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        # Pin the band rows once: the hot-count pass plus both join legs
+        # would otherwise re-derive the signature chain three times.
+        bands_long = bands_long.localCheckpoint(eager=False)
+        hot = (
+            bands_long.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > hot_threshold)
+            .select("band_idx", "band_key", F.lit(True).alias("_hot"))
+        )
+        x = bands_long.join(F.broadcast(hot), ["band_idx", "band_key"], "left").withColumn(
+            "_salt",
+            F.when(
+                F.col("_hot").isNotNull(), F.pmod(F.hash(F.col(id_col)), F.lit(salt))
+            ).otherwise(F.lit(0)),
+        ).drop("_hot")
+        y = bands_long.join(F.broadcast(hot), ["band_idx", "band_key"], "left").withColumn(
+            "_salt",
+            F.explode(
+                F.when(
+                    F.col("_hot").isNotNull(), F.sequence(F.lit(0), F.lit(salt - 1))
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        ).drop("_hot")
         keys.append("_salt")
     x, y = x.alias("x"), y.alias("y")
     cond = (F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
