@@ -58,15 +58,47 @@ def _run_to_memory(stream: DataFrame, name_prefix: str, output_mode: str = "appe
     return spark.table(qname)
 
 
+#: Pinned schedule for the oracle-compared producer drive: an availableNow
+#: drain of rate-micro-batch with a fixed startTimestamp yields exactly one
+#: batch of ``rowsPerBatch`` rows at that timestamp (verified deterministic
+#: across runs) — the EventBridge schedule replayed from a known instant.
+_TRACER_START_MS = 1_700_000_000_000
+_TRACER_ROWS = 5
+
+_STREAM_TRACER_SQL = f"""
+WITH b AS (
+  SELECT make_timestamp({_TRACER_START_MS} * 1000) AS t
+  FROM range(0, {_TRACER_ROWS})
+)
+SELECT 'health-check-stream' AS stream_name,
+       strftime(t, '%Y-%m-%dT%H:%M:%S.%fZ') AS partition_key,
+       '{{"currentInstant":"' || strftime(t, '%Y-%m-%dT%H:%M:%S.%fZ') || '"}}' AS data_json,
+       to_base64(encode('{{"currentInstant":"' || strftime(t, '%Y-%m-%dT%H:%M:%S.%fZ') || '"}}')) AS data_b64
+FROM b
+"""
+
+
 @register(
     "streaming_tracer_produce",
-    oracle=None,  # trigger-clock dependent: rows-only
-    doc="S1/W1 streaming: rate-micro-batch schedule -> tracer records (producer leg lift)",
+    # The drained batch timestamp is pinned (startTimestamp option), so the
+    # producer-leg transform chain (P1-P4: instant -> tracer JSON -> UTF-8 ->
+    # base64, partition key = instant) is value-hash-checked under streaming.
+    oracle=_STREAM_TRACER_SQL,
+    doc="S1/W1 streaming: rate-micro-batch schedule with pinned start "
+    "timestamp -> tracer records (full value-hash oracle)",
     tags=("core", "streaming"),
 )
 def streaming_tracer_produce(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
-    return _run_to_memory(producer_stream(spark, "health-check-stream"), "tracers")
+    return _run_to_memory(
+        producer_stream(
+            spark,
+            "health-check-stream",
+            rows_per_batch=_TRACER_ROWS,
+            start_timestamp_ms=_TRACER_START_MS,
+        ),
+        "tracers",
+    )
 
 
 #: Deterministic subset for the oracle-compared streaming drives: the row set
@@ -270,65 +302,119 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(raw.dropDuplicates(["event_id"]), "dedup_stream")
 
 
+_AUDIT_SQL = f"""
+WITH sub AS (SELECT * FROM events WHERE {_STREAM_FILTER}),
+t AS (
+  SELECT event_type AS stream_name,
+         strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS partition_key,
+         ts AS sent_ts
+  FROM sub
+),
+r AS (
+  SELECT strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS partition_key,
+         ts + (event_id % 3) * INTERVAL 1 SECOND AS arrival_ts
+  FROM sub WHERE event_id % 250 <> 0
+)
+SELECT t.stream_name, t.partition_key, t.sent_ts, r.arrival_ts,
+       CAST(epoch(r.arrival_ts) AS BIGINT) - CAST(epoch(t.sent_ts) AS BIGINT)
+         AS lag_seconds,
+       r.arrival_ts IS NOT NULL AS delivered
+FROM t LEFT JOIN r
+  ON r.partition_key = t.partition_key
+ AND r.arrival_ts >= t.sent_ts
+ AND r.arrival_ts <= t.sent_ts + INTERVAL 5 MINUTE
+"""
+
+
 @register(
     "streaming_delivery_audit",
-    oracle=None,  # watermark/trigger-dependent outer-join emission: rows-only
+    # Bounded two-leg drive with far-future watermark sentinels: every
+    # matched AND lost tracer row is flushed before the drain ends, so the
+    # left-outer interval join's final row set equals the batch join — the
+    # emission ORDER is trigger-dependent, the SET is not.
+    oracle=_AUDIT_SQL,
     doc="W-join streaming: watermarked left-outer stream-stream interval join "
-    "(producer tracers vs consumer receipts -> per-record delivery lag / loss)",
+    "(producer tracers vs consumer receipts -> per-record delivery lag and "
+    "loss attribution; full value-hash oracle vs the batch interval join)",
     tags=("core", "streaming"),
 )
 def streaming_delivery_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drives the real delivery-audit join over two bounded legs built from
-    the events table: tracers (event-time instants) vs receipts decoded from
-    synthesized kinesis-event JSON of the same rows. Lost-record emission
-    needs watermark movement past each bound and is pinned hermetically in
-    tests/test_streaming.py."""
+    a value-filtered events subset: tracers (event-time instants) vs
+    receipts whose arrival is the event time skewed by ``event_id % 3``
+    seconds, with every 250th receipt dropped — so the oracle checks real
+    nonzero lags AND ``delivered = false`` loss rows. Sentinel rows one hour
+    past the data (filtered from the result) advance both watermarks so the
+    availableNow drain flushes all outer-join state deterministically."""
+    from amazon_kinesis_data_streams_health_check_spark.functions import scalar
     from amazon_kinesis_data_streams_health_check_spark.streaming.pipeline import (
         delivery_audit_join,
     )
 
-    from amazon_kinesis_data_streams_health_check_spark.functions import scalar
-    from amazon_kinesis_data_streams_health_check_spark.operators.consumer import (
-        decoded_records,
-    )
-    from amazon_kinesis_data_streams_health_check_spark.schemas import (
-        KINESIS_EVENT_SCHEMA_PERMISSIVE,
-    )
-    from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_events import (
-        explode_records,
-    )
-
     configure_session(spark)
-    events = load_table(spark, sf_dir, "events").limit(500)
+    sub = load_table(spark, sf_dir, "events").filter(F.expr(_STREAM_FILTER))
+    hi = sub.agg(F.max("ts")).collect()[0][0]
 
-    # Receipts leg: kinesis-event JSON on disk -> the real consumer decode
-    # (pre-metric stage: the audit needs partitionKey + arrival_ts).
-    src_dir = tempfile.mkdtemp(prefix="audit_receipts_")
-    synthesize_from_events(events).write.mode("overwrite").json(src_dir)
-    batches = (
-        spark.readStream.schema(KINESIS_EVENT_SCHEMA_PERMISSIVE)
-        .option("maxFilesPerTrigger", 8)
-        .option("mode", "PERMISSIVE")
-        .json(src_dir)
-    )
-    receipts = decoded_records(explode_records(batches)).select(
-        "partitionKey", "arrival_ts"
-    )
+    def _two_files(df, sentinel_df, prefix: str) -> str:
+        """Write df then sentinel as two mtime-ordered single files."""
+        import shutil
 
-    # Tracer leg: the same instants as a parquet-backed stream (partition
-    # key formatted exactly as the producer would, P1 instant_iso).
-    tdir = tempfile.mkdtemp(prefix="audit_tracers_")
-    events.select(
+        out = tempfile.mkdtemp(prefix=prefix)
+        for i, part_df in enumerate((df, sentinel_df)):
+            tmp = tempfile.mkdtemp(prefix=f"{prefix}{i}_")
+            part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                p for p in sorted(os.listdir(tmp))
+                if p.startswith("part-") and p.endswith(".parquet")
+            )
+            dst = os.path.join(out, f"chunk_{i:02d}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+        return out
+
+    tracer_rows = sub.select(
         F.col("event_type").alias("stream_name"),
         scalar.instant_iso(F.col("ts")).alias("partition_key"),
         F.col("ts").alias("sent_ts"),
-    ).write.mode("overwrite").parquet(tdir)
-    tracers = spark.readStream.schema(
-        "stream_name string, partition_key string, sent_ts timestamp"
-    ).parquet(tdir)
+    )
+    tracer_sentinel = spark.range(1).select(
+        F.lit("_sentinel").alias("stream_name"),
+        F.lit("_sentinel").alias("partition_key"),
+        (F.lit(hi) + F.expr("INTERVAL 1 HOUR")).alias("sent_ts"),
+    )
+    receipt_rows = (
+        sub.filter(F.col("event_id") % 250 != 0)
+        .select(
+            scalar.instant_iso(F.col("ts")).alias("partitionKey"),
+            (
+                F.col("ts")
+                + (F.col("event_id") % 3).cast("int") * F.expr("INTERVAL 1 SECOND")
+            ).alias("arrival_ts"),
+        )
+    )
+    receipt_sentinel = spark.range(1).select(
+        F.lit("_sentinel").alias("partitionKey"),
+        (F.lit(hi) + F.expr("INTERVAL 1 HOUR")).alias("arrival_ts"),
+    )
+
+    tdir = _two_files(tracer_rows, tracer_sentinel, "audit_tracers_")
+    rdir = _two_files(receipt_rows, receipt_sentinel, "audit_receipts_")
+    tracers = (
+        spark.readStream.schema(
+            "stream_name string, partition_key string, sent_ts timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tdir)
+    )
+    receipts = (
+        spark.readStream.schema("partitionKey string, arrival_ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(rdir)
+    )
 
     audited = delivery_audit_join(tracers, receipts)
-    return _run_to_memory(audited, "delivery_audit", output_mode="append")
+    sunk = _run_to_memory(audited, "delivery_audit", output_mode="append")
+    return sunk.filter(F.col("stream_name") != "_sentinel")
 
 
 @register(
@@ -509,11 +595,38 @@ def kinesis_sim_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KSC_SHARDS = 2
+_KSC_PER_SHARD = 200
+
+_KS_CONSUME_SQL = f"""
+WITH g AS (
+  SELECT s.range AS shard, q.range AS seq
+  FROM range(0, {_KSC_SHARDS}) s, range(0, {_KSC_PER_SHARD}) q
+),
+e AS (
+  SELECT shard, seq,
+         {_KS_EPOCH} + seq * {_KS_IVL_MS} // 1000 AS pay_s,
+         {_KS_EPOCH} + seq * {_KS_IVL_MS} // 1000 AS arr_s
+  FROM g
+)
+SELECT lpad(CAST(CAST(shard AS HUGEINT) * 100000000000000000000 + seq AS VARCHAR),
+            56, '0') AS sequence_number,
+       make_timestamp(CAST(pay_s AS BIGINT) * 1000000) AS ts,
+       'health-check-stream' AS stream_name,
+       CAST(CAST(arr_s AS BIGINT) - CAST(pay_s AS BIGINT) AS DOUBLE) AS value
+FROM e
+"""
+
+
 @register(
     "streaming_kinesis_sim_consume",
-    oracle=None,  # micro-batch boundaries are trigger-dependent: rows-only
+    # The transform is stateless (per-record decode), so the drained row SET
+    # is micro-batch-slicing independent; the source's records are pure
+    # arithmetic — a generate_series oracle checks the whole wire decode.
+    oracle=_KS_CONSUME_SQL,
     doc="S2/W1 streaming: custom Python DataSource stream drained with "
-    "availableNow through the consumer decode to metric rows",
+    "availableNow through the consumer decode to metric rows (full "
+    "value-hash oracle vs a generate_series twin)",
     tags=("core", "streaming", "source"),
 )
 def streaming_kinesis_sim_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,8 +639,8 @@ def streaming_kinesis_sim_consume(spark: SparkSession, sf_dir: str) -> DataFrame
     register_kinesis_sim(spark)
     raw = (
         spark.readStream.format("kinesis_sim")
-        .option("numShards", 2)
-        .option("recordsPerShard", 200)
+        .option("numShards", _KSC_SHARDS)
+        .option("recordsPerShard", _KSC_PER_SHARD)
         .load()
     )
     # Native-connector decode: binary payload (no base64 on this wire),
@@ -535,6 +648,7 @@ def streaming_kinesis_sim_consume(spark: SparkSession, sf_dir: str) -> DataFrame
     payload = F.decode("data", "UTF-8")
     payload_ts = scalar.parse_instant(F.get_json_object(payload, "$.currentInstant"))
     metrics = raw.select(
+        F.col("sequence_number"),
         scalar.truncate_to_second(payload_ts).alias("ts"),
         F.regexp_extract("event_source_arn", r"stream/(.+)$", 1).alias("stream_name"),
         scalar.as_metric_value(

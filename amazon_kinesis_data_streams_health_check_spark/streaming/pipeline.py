@@ -38,20 +38,26 @@ def producer_stream(
     spark: SparkSession,
     stream_name: str = "health-check-stream",
     interval_ms: int = 60_000,
+    rows_per_batch: int = 1,
+    start_timestamp_ms: int | None = None,
 ) -> DataFrame:
     """S1/W1: scheduled constant-row source -> tracer records.
 
     ``rate-micro-batch`` emits exactly ``rowsPerBatch`` rows per trigger with
     a stable per-batch timestamp — the EventBridge 1/min constant-input rule.
     The batch timestamp plays ``Instant.now()`` (deterministic per batch,
-    replayable from the checkpoint).
+    replayable from the checkpoint). Pinning ``start_timestamp_ms`` makes a
+    bounded drain fully value-deterministic (oracle-comparable); production
+    leaves it unset and takes the wall clock.
     """
-    src = (
+    reader = (
         spark.readStream.format("rate-micro-batch")
-        .option("rowsPerBatch", 1)
+        .option("rowsPerBatch", rows_per_batch)
         .option("advanceMillisPerBatch", interval_ms)
-        .load()
     )
+    if start_timestamp_ms is not None:
+        reader = reader.option("startTimestamp", start_timestamp_ms)
+    src = reader.load()
     return tracer_records(src, F.col("timestamp"), F.lit(stream_name))
 
 
