@@ -630,3 +630,85 @@ def lake_compaction_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum("value_micros").cast("long").alias("sum_value_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lake + layout composition: clustered snapshot commits published as
+# bucketed catalog tables -> the orders<->lineitem join runs shuffle-free.
+# ---------------------------------------------------------------------------
+_BUCKETED_JOIN_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS sum_price
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "lake_bucketed_join",
+    oracle=_BUCKETED_JOIN_SQL,
+    doc="Lake + layout: orders/lineitem snapshot commits (range-clustered on "
+    "the join key) published as same-bucket-count catalog tables; the join "
+    "runs with NO shuffle exchange (builder raises otherwise) and must equal "
+    "the plain join aggregate",
+    tags=("lake", "layout"),
+)
+def lake_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the fact-to-fact equi-join is the dominant recurring
+    exchange at 100 TB. Publishing both snapshot versions into the bucketed
+    serving layout pays that hash shuffle ONCE per version; every subsequent
+    join or keyed aggregation on the bucket key is exchange-free (asserted
+    on the physical plan here — a silent layout regression fails the query,
+    not just a benchmark). Clustered snapshot commits double as zone-map
+    sources for range scans on the same key."""
+    import contextlib
+    import io
+
+    from amazon_kinesis_data_streams_health_check_spark.sources.bucketed import (
+        co_located_join,
+        snapshot_as_bucketed_table,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        snapshot_overwrite_clustered,
+    )
+
+    configure_session(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    ).withColumn("shard", F.lit("all"))
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice"
+    ).withColumn("shard", F.lit("all"))
+
+    opath = tempfile.mkdtemp(prefix="lake_orders_")
+    lpath = tempfile.mkdtemp(prefix="lake_lineitem_")
+    snapshot_overwrite_clustered(
+        spark, orders, opath, cluster_cols=["orderkey"], partition_col="shard"
+    )
+    snapshot_overwrite_clustered(
+        spark, lineitem, lpath, cluster_cols=["orderkey"], partition_col="shard"
+    )
+    spark.sql("DROP TABLE IF EXISTS lake_orders_b")
+    spark.sql("DROP TABLE IF EXISTS lake_lineitem_b")
+    snapshot_as_bucketed_table(
+        spark, opath, "lake_orders_b", ["orderkey"], 8, sort_cols=["orderkey"]
+    )
+    snapshot_as_bucketed_table(
+        spark, lpath, "lake_lineitem_b", ["orderkey"], 8, sort_cols=["orderkey"]
+    )
+    joined = co_located_join(spark, "lake_orders_b", "lake_lineitem_b", ["orderkey"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain()
+    if "Exchange hashpartitioning" in buf.getvalue():
+        raise RuntimeError("bucketed lake join plan contains a shuffle exchange")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("double")
+            / 100.0,
+            2,
+        ).alias("sum_price"),
+    )

@@ -44,3 +44,37 @@ def co_located_join(
     """Equi-join two same-bucket-count tables on their bucket key: the plan
     contains no shuffle Exchange on either side."""
     return spark.table(left_table).join(spark.table(right_table), list(on))
+
+
+def snapshot_as_bucketed_table(
+    spark: SparkSession,
+    path: str,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    version: int | None = None,
+) -> None:
+    """Publish a snapshot-lake version (sources/snapshots.py) into the
+    catalog as a bucketed table — the lake + layout composition for the
+    JOIN axis.
+
+    The snapshot lake optimizes for isolation/time travel (explicit file
+    lists); Spark's native bucketing needs catalog metadata the manifest
+    cannot carry. Publishing is an explicit one-shuffle materialization:
+    every subsequent equi-join or keyed aggregation between same-bucketed
+    publishes runs with NO exchange. At 100 TB this is the serving-layout
+    step a warehouse runs after ingest compaction — pay the hash shuffle
+    once per published version, never again per query.
+    """
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        read_snapshot,
+    )
+
+    write_bucketed(
+        read_snapshot(spark, path, version=version),
+        table,
+        bucket_cols,
+        num_buckets=num_buckets,
+        sort_cols=sort_cols,
+    )

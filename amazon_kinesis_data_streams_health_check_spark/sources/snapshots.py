@@ -148,6 +148,7 @@ def _commit(
     schema_json: str,
     parent: int | None,
     txn: dict[str, Any] | None = None,
+    stats: dict[str, Any] | None = None,
 ) -> int:
     version = (parent or 0) + 1
     payload: dict[str, Any] = {
@@ -160,6 +161,8 @@ def _commit(
     }
     if txn:
         payload["txn"] = txn
+    if stats:
+        payload["stats"] = stats
     _write_json(spark, _manifest_path(path, version), payload)
     return version
 
@@ -206,6 +209,53 @@ def snapshot_overwrite(
         df.schema.json(),
         latest["version"] if latest else None,
         txn=txn,
+    )
+
+
+def snapshot_overwrite_clustered(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    partition_col: str = "metric_date",
+    stats_cols: list[str] | None = None,
+    num_files: int | None = None,
+) -> int:
+    """Full-replacement snapshot whose data files are RANGE-CLUSTERED on
+    ``cluster_cols`` — the lake + layout composition (sources/layout.py
+    applied inside a manifest commit).
+
+    ``repartitionByRange`` over (partition, cluster keys) gives each output
+    file a disjoint key slice; ``sortWithinPartitions`` orders row groups
+    inside it. The manifest records per-file min/max of ``stats_cols``
+    (default: the cluster columns), so :func:`read_snapshot_pruned` skips
+    every file whose zone map misses the predicate — at 100 TB a range query
+    on the cluster key reads O(matching files), not O(table), with zero
+    directory listing. Previous versions stay readable (time travel);
+    re-clustering is just another commit.
+    """
+    if partition_col not in df.columns:
+        df = df.withColumn(partition_col, F.to_date("ts"))
+    n = num_files or spark.sparkContext.defaultParallelism
+    cols = [F.col(partition_col)] + [F.col(c) for c in cluster_cols]
+    clustered = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    try:
+        parent = _resolve_manifest(spark, path)["version"]
+    except FileNotFoundError:
+        parent = None
+    files = _append_data(spark, clustered, path, partition_col)
+    rels = [rel for group in files.values() for rel in group]
+    stats = _footer_stats(
+        f"{path}/{_DATA_DIR}", rels, list(stats_cols or cluster_cols)
+    )
+    return _commit(
+        spark,
+        path,
+        files,
+        "overwrite-clustered",
+        df.schema.json(),
+        parent,
+        stats=stats,
     )
 
 
