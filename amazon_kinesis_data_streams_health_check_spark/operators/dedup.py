@@ -236,9 +236,13 @@ def simhash_near_pairs(
     keys have only 16 values — inherently hot at scale — so the salted
     self-join matters even more here than on the md5-keyed MinHash path.
     """
+    # Carry the signature as a 16-bit integer through the join: the exact
+    # Hamming verify is then one XOR + popcount per candidate pair instead
+    # of 16 per-character string compares — the verify runs over O(pairs)
+    # rows (millions at scale), so constant factors here dominate the op.
     bands = sigs.select(
         F.col(id_col),
-        F.col("sig"),
+        F.expr("cast(conv(sig, 2, 10) as bigint)").alias("sig_int"),
         F.posexplode(
             F.array(
                 *[
@@ -248,15 +252,11 @@ def simhash_near_pairs(
             )
         ).alias("band_idx", "band_key"),
     )
-    pairs = _salted_band_self_join(bands, id_col, extra_cols=("sig",), salt=salt)
-    hamming = sum(
-        F.when(
-            F.expr(f"substr(sig_a, {i + 1}, 1)") != F.expr(f"substr(sig_b, {i + 1}, 1)"), 1
-        ).otherwise(0)
-        for i in range(SIMHASH_BITS)
-    )
+    pairs = _salted_band_self_join(bands, id_col, extra_cols=("sig_int",), salt=salt)
     return (
-        pairs.withColumn("hamming", hamming.cast("long"))
+        pairs.withColumn(
+            "hamming", F.expr("bit_count(sig_int_a ^ sig_int_b)").cast("long")
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
