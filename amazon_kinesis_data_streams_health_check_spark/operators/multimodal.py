@@ -182,3 +182,74 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8)
             ),
         )
     )
+
+
+#: Audio windowing defaults: 1 fake sample per ms of metadata duration
+#: (capped), 256-sample windows, 128-sample hop (50% overlap) — the standard
+#: STFT framing geometry.
+AUDIO_WINDOW = 256
+AUDIO_HOP = 128
+AUDIO_CAP_SAMPLES = 4000
+
+AUDIO_WINDOW_SCHEMA = (
+    "media_id long, widx long, start_ms long, n_samples long, "
+    "sum_sq long, peak long"
+)
+
+
+def _fake_pcm(media_id: int, total: int) -> np.ndarray:
+    """Deterministic stand-in decoder: sample i of media m is
+    ``(m*31 + i*7) % 256 - 128`` — pure integer arithmetic, so an engine
+    with no audio codec (or a SQL oracle) reproduces it exactly. A real
+    deployment swaps this for the codec behind ``_real_decode``."""
+    i = np.arange(total, dtype=np.int64)
+    return (media_id * 31 + i * 7) % 256 - 128
+
+
+def audio_windows(
+    media: DataFrame,
+    window: int = AUDIO_WINDOW,
+    hop: int = AUDIO_HOP,
+    cap_samples: int = AUDIO_CAP_SAMPLES,
+) -> DataFrame:
+    """Audio rows -> overlapping fixed-size analysis windows with
+    integer-exact energy stats (sum of squares, peak amplitude).
+
+    The framing geometry (window/hop bookkeeping, tail handling: only FULL
+    windows emit) and the Arrow batch shape are the real engineering; the
+    PCM itself comes from the deterministic fake decoder. Scale shape: one
+    ``mapInPandas`` pass, no shuffle — each media row expands to its own
+    windows inside the partition; numpy does the framing with a strided
+    view, so per-window cost is O(window) arithmetic, not Python loops.
+    Stats are BIGINT-exact: no float accumulation order can diverge across
+    partitionings or engines.
+    """
+
+    def frame(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "widx": [],
+                "start_ms": [],
+                "n_samples": [],
+                "sum_sq": [],
+                "peak": [],
+            }
+            for media_id, dur in zip(pdf["media_id"], pdf["duration_ms"]):
+                total = int(min(int(dur), cap_samples))
+                if total < window:
+                    continue
+                pcm = _fake_pcm(int(media_id), total)
+                frames = np.lib.stride_tricks.sliding_window_view(pcm, window)[::hop]
+                n = frames.shape[0]
+                out["media_id"].extend([int(media_id)] * n)
+                out["widx"].extend(range(n))
+                out["start_ms"].extend((np.arange(n) * hop).tolist())
+                out["n_samples"].extend([window] * n)
+                out["sum_sq"].extend((frames.astype(np.int64) ** 2).sum(axis=1).tolist())
+                out["peak"].extend(np.abs(frames).max(axis=1).astype(np.int64).tolist())
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "duration_ms"
+    ).mapInPandas(frame, schema=AUDIO_WINDOW_SCHEMA)

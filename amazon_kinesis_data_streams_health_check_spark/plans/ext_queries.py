@@ -659,6 +659,58 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUDIO_WINDOWS_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, least(n_chars * 10, 4000) AS total
+  FROM documents WHERE doc_id % 3 = 1
+),
+w AS (
+  SELECT media_id, unnest(range(0, (total - 256) // 128 + 1)) AS widx
+  FROM m WHERE total >= 256
+),
+s AS (SELECT media_id, widx, unnest(range(0, 256)) AS k FROM w),
+v AS (
+  SELECT media_id, widx,
+         (media_id * 31 + (widx * 128 + k) * 7) % 256 - 128 AS sv
+  FROM s
+)
+SELECT media_id,
+       CAST(widx AS BIGINT) AS widx,
+       CAST(widx * 128 AS BIGINT) AS start_ms,
+       CAST(256 AS BIGINT) AS n_samples,
+       CAST(sum(sv * sv) AS BIGINT) AS sum_sq,
+       CAST(max(abs(sv)) AS BIGINT) AS peak
+FROM v GROUP BY media_id, widx
+"""
+
+
+@register(
+    "media_audio_windows",
+    # The fake PCM is pure integer arithmetic over (media_id, sample index),
+    # so generate_series reproduces every sample; the stats are BIGINT-exact
+    # (no float accumulation order anywhere).
+    oracle=_AUDIO_WINDOWS_SQL,
+    doc="E4: audio analysis-window framing — overlapping 256-sample windows "
+    "at 128-sample hop over deterministic fake PCM, integer-exact energy "
+    "(sum of squares) and peak per window, full-window-only tail handling",
+    tags=("ext", "multimodal"),
+)
+def media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one Arrow ``mapInPandas`` pass, zero shuffle — each
+    audio row expands to its windows inside its partition, numpy frames the
+    PCM with a strided view (no Python per-sample loop). The windowing
+    geometry, Arrow batch shape, and full-window tail rule are the real
+    engineering; a production build swaps the fake decoder for the codec
+    behind ``_real_decode``."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.multimodal import (
+        audio_windows,
+    )
+
+    configure_session(spark)
+    media = synthesize_media(parallel_scan(spark, sf_dir, "documents"))
+    return audio_windows(media)
+
+
 # ---------------------------------------------------------------------------
 # E2: ANN quality + IVF scale path.
 # ---------------------------------------------------------------------------

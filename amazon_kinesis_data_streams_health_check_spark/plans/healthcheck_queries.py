@@ -728,3 +728,71 @@ def utf8_strict_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("payload_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F4 driver parity: error-row suppression. The reference wraps the whole
+# record handler in catch-and-continue (HealthCheckConsumerHandler.java:87-93)
+# — malformed base64, invalid UTF-8, and unparseable payloads each drop ONLY
+# the offending record. Three corruption classes are injected deterministically
+# and the engine's null-gate chain must classify exactly them.
+# ---------------------------------------------------------------------------
+_ERROR_SUPPRESSION_SQL = """
+WITH now_t AS (SELECT max(ts) AS now_ts FROM events),
+c AS (SELECT event_type, ts, event_id % 11 AS cls FROM events)
+SELECT event_type AS stream_name,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(CASE WHEN cls >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN cls < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN cls >= 3 THEN
+           CAST(epoch(date_trunc('second', now_ts)) AS BIGINT)
+           - CAST(epoch(date_trunc('second', ts)) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS sum_lag_s
+FROM c, now_t GROUP BY event_type
+"""
+
+
+@register(
+    "consumer_error_suppression",
+    oracle=_ERROR_SUPPRESSION_SQL,
+    doc="F4: per-record error suppression — malformed base64, invalid UTF-8, "
+    "and non-JSON payloads (injected by event_id class) each null out and "
+    "drop exactly their own record; kept-record lag sums must match the "
+    "injection ground truth",
+    tags=("core",),
+)
+def consumer_error_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event_id%11 in {0,1,2} gets one corruption class: 0 => base64
+    alphabet violation (the regex gate nulls it before unbase64 can throw),
+    1 => structurally valid base64 of invalid UTF-8 bytes (is_valid_utf8
+    gate), 2 => valid UTF-8 that is not the tracer JSON (payload-instant
+    parse gate). Strict event-time mode ('payload') then drops exactly those
+    three classes — any gate misfiring shifts n_kept/n_dropped/sum_lag_s and
+    fails the hash. Scale shape: narrow per-row decode + one keyed agg."""
+    from amazon_kinesis_data_streams_health_check_spark.functions import scalar
+
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    records = explode_records(synthesize_from_events(events))
+    cls = F.pmod(F.col("sequenceNumber").cast("long"), F.lit(11))
+    corrupted = records.withColumn(
+        "data",
+        F.when(cls == 0, F.concat(F.lit("!!!"), F.col("data")))
+        .when(cls == 1, F.base64(F.unhex(F.lit("FF88"))))
+        .when(cls == 2, F.base64(scalar.utf8_encode(F.lit("oops not json"))))
+        .otherwise(F.col("data")),
+    )
+    decoded = decoded_records(corrupted)
+    now_df = events.agg(F.max("ts").alias("now_ts"))
+    decoded = decoded.crossJoin(F.broadcast(now_df))
+    lag_s = F.unix_timestamp(
+        scalar.truncate_to_second(F.col("now_ts"))
+    ) - F.unix_timestamp(scalar.truncate_to_second(F.col("payload_ts")))
+    return decoded.groupBy("stream_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.count("payload_ts").cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("payload_ts").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum(F.coalesce(lag_s, F.lit(0))).cast("long").alias("sum_lag_s"),
+    )

@@ -690,8 +690,19 @@ def lake_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot_overwrite_clustered(
         spark, lineitem, lpath, cluster_cols=["orderkey"], partition_col="shard"
     )
-    spark.sql("DROP TABLE IF EXISTS lake_orders_b")
-    spark.sql("DROP TABLE IF EXISTS lake_lineitem_b")
+    for tbl in ("lake_orders_b", "lake_lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        # A previous SESSION's managed-table directory survives in the
+        # warehouse while the in-memory catalog starts empty — DROP above
+        # is then a no-op and saveAsTable fails with LOCATION_ALREADY_EXISTS.
+        # Clear the stale location explicitly.
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "file:./spark-warehouse"
+        )
+        p = spark._jvm.org.apache.hadoop.fs.Path(f"{wh}/{tbl}")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
     snapshot_as_bucketed_table(
         spark, opath, "lake_orders_b", ["orderkey"], 8, sort_cols=["orderkey"]
     )

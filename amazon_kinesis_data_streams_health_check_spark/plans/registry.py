@@ -29,15 +29,18 @@ _REGISTRY: dict[str, Query] = {}
 
 #: Explicit surfacing order for the registry. The driver's correctness gate
 #: checks the FIRST 50 entries of ``queries()``; registration order is a
-#: byproduct of module import order, so the high-signal suites (healthcheck
-#: core, the LLM-pipeline dedup/ANN/media block, relational shapes, curation,
-#: and the oracle-checked streaming drives) are pinned here ahead of the
-#: TPC-H plan-diversity suite (whose shapes are already covered by the
-#: relational block and stayed driver-green in round 1). Names not listed
+#: byproduct of module import order, so the window is pinned here.
+#:
+#: Round-3 rotation policy: the reference-parity healthcheck core and the
+#: LLM-pipeline block stay pinned every round (32 slots); the remaining 18
+#: slots cycle through queries that have never had a driver CORRECTNESS row,
+#: so cumulative driver coverage grows round over round. Everything rotated
+#: OUT stayed green in round 2 and remains covered by the sf0.001/sf0.01
+#: oracle-parity suites (tests/test_oracle_parity.py). Names not listed
 #: follow in registration order; a listed-but-unregistered name is an error
-#: caught by tests/test_layout.py.
+#: caught by tests/test_registry.py.
 _PRIORITY: tuple[str, ...] = (
-    # healthcheck core (reference parity)
+    # healthcheck core (reference parity) — pinned permanently
     "health_lag_alarm",
     "tracer_produce",
     "consumer_metrics",
@@ -46,7 +49,7 @@ _PRIORITY: tuple[str, ...] = (
     "alarm_nofm",
     "missing_periods",
     "alarm_transitions",
-    # LLM-pipeline: text / dedup / ANN / multimodal / sketches
+    # LLM-pipeline: text / dedup / ANN / multimodal / sketches — pinned
     "text_quality",
     "lang_id_confusion",
     "doc_fingerprints",
@@ -71,27 +74,29 @@ _PRIORITY: tuple[str, ...] = (
     "doc_chunks",
     "tfidf_top_terms",
     "inverted_index",
-    # relational shapes (each a distinct plan family)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "top_suppliers_per_nation",
-    "user_event_pivot",
-    "asof_view_before_purchase",
-    "user_sessions",
-    "range_join_funnel",
-    "event_sketches",
-    "skew_resilient_user_counts",
-    # curation
-    "curation_stratified_sample",
-    "curation_mixture_plan",
-    "curation_pack_sequences",
-    "dedup_clusters",
-    "incremental_agg_maintenance",
-    # custom source + oracle-checked streaming drives
-    "kinesis_sim_scan",
-    "streaming_consumer_metrics",
-    "streaming_window_max",
-    "streaming_incremental_agg",
+    # --- round-3 rotation (18 slots, all first-ever driver rows) ---
+    # streaming drives promoted to full oracles this round
+    "streaming_stateful_alarm",
+    "utf8_strict_parity",
+    "streaming_tracer_produce",
+    "streaming_delivery_audit",
+    "streaming_kinesis_sim_consume",
+    "streaming_user_sessions",
+    "streaming_dedup_events",
+    # snapshot lake / incremental maintenance
+    "ann_ivf_persisted",
+    "snapshot_diff",
+    "lake_pruned_scan",
+    "incremental_dedup",
+    "lake_user_erasure",
+    "lake_compaction_effect",
+    # reference-semantics rows first driver-checked this round (F4, K2)
+    "consumer_error_suppression",
+    "metrics_sink_roundtrip",
+    # behavioral analytics tail
+    "cohort_retention",
+    "scd2_state_history",
+    "pagerank_knn",
 )
 
 

@@ -658,3 +658,46 @@ def streaming_kinesis_sim_consume(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("value"),
     )
     return _run_to_memory(metrics, "kinesis_sim_consume")
+
+
+@register(
+    "metrics_sink_roundtrip",
+    # Same deterministic drive as streaming_consumer_metrics, but sunk
+    # through the real K2 parquet sink (checkpointed append) and read BACK
+    # from the sink files — the consumer oracle applies to the round trip.
+    oracle=_STREAM_CONSUMER_SQL,
+    doc="K2 streaming: consumer metric stream -> checkpointed parquet "
+    "metrics sink -> read-back; the sink round trip must preserve every "
+    "metric row byte-for-byte (full value-hash oracle)",
+    tags=("core", "streaming", "sink"),
+)
+def metrics_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the K2 sink (the CloudWatch stand-in: one vectorized parquet
+    append per micro-batch instead of the reference's per-record
+    PutMetricData call) end-to-end: synthesize wire JSON, file-stream it
+    through the consumer decode, append to the sink with a checkpoint, then
+    read the sink's files back as the result. Checkpointed exactly-once
+    delivery under kill/restart is pinned in tests/test_streaming.py."""
+    from amazon_kinesis_data_streams_health_check_spark.streaming.pipeline import (
+        write_metrics_sink,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").filter(F.expr(_STREAM_FILTER))
+    now_val = events.agg(F.max("ts")).collect()[0][0]
+    src_dir = tempfile.mkdtemp(prefix="kinesis_events_sink_")
+    synthesize_from_events(events).write.mode("overwrite").json(src_dir)
+    metrics = consumer_stream(
+        spark,
+        src_dir,
+        max_files_per_trigger=8,
+        event_time_source="coalesce",
+        now=F.lit(now_val),
+    )
+    sink_dir = tempfile.mkdtemp(prefix="metrics_sink_")
+    ckpt = tempfile.mkdtemp(prefix="metrics_sink_ckpt_")
+    q = write_metrics_sink(metrics, sink_dir, ckpt)
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover - defensive against a hung source
+        q.stop()
+    return spark.read.parquet(sink_dir)

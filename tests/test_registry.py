@@ -16,13 +16,24 @@ from amazon_kinesis_data_streams_health_check_spark.plans.registry import (
 
 DRIVER_WINDOW = 50
 
-#: Queries that MUST have a driver CORRECTNESS row (round-1 verdict gap:
-#: the whole LLM-pipeline block sat past index 50 and went unverified).
+#: Queries that MUST have a driver CORRECTNESS row. Round-3 policy: the
+#: reference-parity core and the LLM-pipeline block are pinned permanently;
+#: the rest of the window rotates through never-driver-checked queries each
+#: round (cumulative coverage growth — rotated-out queries keep their green
+#: rows from earlier rounds and stay covered by the oracle-parity suites).
 MUST_BE_CHECKED = {
-    # reference-parity core
+    # reference-parity core (pinned permanently)
     "health_lag_alarm",
+    "tracer_produce",
     "consumer_metrics",
-    # LLM-pipeline block (r01 verdict gap: sat past index 50 unverified)
+    "first_record_parity",
+    "arn_parse",
+    "alarm_nofm",
+    "missing_periods",
+    "alarm_transitions",
+    # LLM-pipeline block (pinned permanently; r01 verdict gap)
+    "text_quality",
+    "lang_id_confusion",
     "doc_fingerprints",
     "dedup_exact_summary",
     "dedup_keep_list",
@@ -33,27 +44,38 @@ MUST_BE_CHECKED = {
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
     "embedding_quantization",
-    "media_stats",
-    "media_features",
-    "media_frame_sample",
-    "sketch_rollup_merge",
-    "event_sketches",
-    # r02 engine features
-    "doc_chunks",
-    "tfidf_top_terms",
-    "inverted_index",
-    "incremental_agg_maintenance",
-    "streaming_incremental_agg",
-    # r02 training-pipeline corpus suite (first-class per the build brief)
     "repetition_stats",
     "substring_dup_frac",
     "split_assign",
     "knn_graph_lsh",
     "hybrid_search",
-    # custom source + oracle-checked streaming drives
-    "kinesis_sim_scan",
-    "streaming_consumer_metrics",
-    "streaming_window_max",
+    "media_stats",
+    "media_features",
+    "media_frame_sample",
+    "sketch_rollup_merge",
+    "doc_chunks",
+    "tfidf_top_terms",
+    "inverted_index",
+    # round-3 rotation: first-ever driver rows (incl. the W4/W6 stateful
+    # alarm oracle and the three streaming drives promoted this round)
+    "streaming_stateful_alarm",
+    "utf8_strict_parity",
+    "streaming_tracer_produce",
+    "streaming_delivery_audit",
+    "streaming_kinesis_sim_consume",
+    "streaming_user_sessions",
+    "streaming_dedup_events",
+    "ann_ivf_persisted",
+    "snapshot_diff",
+    "lake_pruned_scan",
+    "incremental_dedup",
+    "lake_user_erasure",
+    "lake_compaction_effect",
+    "consumer_error_suppression",
+    "metrics_sink_roundtrip",
+    "cohort_retention",
+    "scd2_state_history",
+    "pagerank_knn",
 }
 
 
