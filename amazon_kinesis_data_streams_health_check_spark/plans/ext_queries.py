@@ -1478,3 +1478,141 @@ def ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E1 at ingest time: incremental MinHash-LSH index maintenance. At 100 TB a
+# new ingest batch must NOT re-LSH the corpus: the band index is persisted
+# once, each batch probes it and appends its own bands.
+# ---------------------------------------------------------------------------
+_INC_MINHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, {duck_shingles()} AS sh FROM documents
+),
+mh AS (
+  SELECT doc_id, sh,
+         {duck_minhash_cols()}
+  FROM tok
+),
+bands AS (
+  {duck_band_union()}
+),
+hist AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+inc AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+pairs AS (
+  SELECT DISTINCT i.doc_id AS new_doc, h.doc_id AS hist_doc
+  FROM inc i JOIN hist h
+    ON h.band_idx = i.band_idx AND h.band_key = i.band_key
+),
+ver AS (
+  SELECT p.new_doc,
+         CAST(len(list_intersect(ti.sh, th.sh)) AS DOUBLE)
+           / len(list_distinct(ti.sh || th.sh)) AS j
+  FROM pairs p
+  JOIN tok ti ON ti.doc_id = p.new_doc
+  JOIN tok th ON th.doc_id = p.hist_doc
+),
+cand AS (
+  SELECT new_doc, count(*) AS n_cand,
+         max(CASE WHEN j >= 0.6 THEN 1 ELSE 0 END) AS dup
+  FROM ver GROUP BY new_doc
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_new_docs,
+       CAST(coalesce(sum(c.n_cand), 0) AS BIGINT) AS n_candidate_links,
+       CAST(coalesce(sum(c.dup), 0) AS BIGINT) AS n_near_dup_docs
+FROM documents d LEFT JOIN cand c ON c.new_doc = d.doc_id
+WHERE d.doc_id % 2 = 1
+GROUP BY d.source
+"""
+
+
+@register(
+    "incremental_minhash_index",
+    oracle=_INC_MINHASH_SQL,
+    doc="E1 ingest path: MinHash band index persisted in the snapshot lake; "
+    "a new batch probes the STORED index for near-dups vs history (exact "
+    "Jaccard verify, tau=0.6) and appends its own bands — index "
+    "maintenance, not corpus recompute",
+    tags=("ext", "dedup", "lake"),
+)
+def incremental_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the probe joins the batch's band rows against the
+    persisted index on uniformly-distributed md5 band keys — cost scales
+    with the BATCH, not the corpus; a genuinely giant duplicate class makes
+    a band key hot on both sides, which AQE skew-join splits at runtime.
+    The verify join touches candidates only. Maintenance is an append-only
+    lake commit (new band files join the manifest), so the index version
+    history doubles as an ingest audit log.
+
+    The history/increment split is doc_id parity (deterministic); the probe
+    reads the bands BACK from the lake, so a persistence bug changes the
+    counts and fails the oracle hash."""
+    import tempfile as _tf
+
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_append,
+        snapshot_overwrite,
+    )
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    shingled = with_shingles(docs).select("doc_id", "source", "sh")
+    banded = with_bands(with_minhash(shingled.select("doc_id", "sh")))
+    bands_long = banded.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"band_{b}") for b in range(4)])
+        ).alias("band_idx", "band_key"),
+    ).withColumn("pband", F.concat(F.lit("b"), F.col("band_idx")))
+
+    lake = _tf.mkdtemp(prefix="minhash_index_")
+    hist_bands = bands_long.filter(F.col("doc_id") % 2 == 0)
+    inc_bands = bands_long.filter(F.col("doc_id") % 2 == 1)
+    snapshot_overwrite(spark, hist_bands, lake, partition_col="pband")
+
+    # Probe the PERSISTED index (manifest-listed files, not the lineage df).
+    index = read_snapshot(spark, lake)
+    pairs = (
+        inc_bands.alias("i")
+        .join(
+            index.alias("h"),
+            (F.col("h.band_idx") == F.col("i.band_idx"))
+            & (F.col("h.band_key") == F.col("i.band_key")),
+        )
+        .select(
+            F.col("i.doc_id").alias("new_doc"), F.col("h.doc_id").alias("hist_doc")
+        )
+        .distinct()
+    )
+    sh_i = shingled.select(F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_i"))
+    sh_h = shingled.select(F.col("doc_id").alias("hist_doc"), F.col("sh").alias("sh_h"))
+    ver = (
+        pairs.join(sh_i, "new_doc")
+        .join(sh_h, "hist_doc")
+        .select(
+            "new_doc",
+            (
+                F.expr("size(array_intersect(sh_i, sh_h))").cast("double")
+                / F.expr("size(array_union(sh_i, sh_h))")
+            ).alias("j"),
+        )
+    )
+    cand = ver.groupBy("new_doc").agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.max(F.when(F.col("j") >= 0.6, 1).otherwise(0)).alias("dup"),
+    )
+    # Maintenance: the batch's bands join the index (append-only commit).
+    snapshot_append(spark, inc_bands, lake, partition_col="pband")
+
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source")
+    return (
+        new_docs.join(cand, new_docs.doc_id == cand.new_doc, "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_new_docs"),
+            F.coalesce(F.sum("n_cand"), F.lit(0)).cast("long").alias("n_candidate_links"),
+            F.coalesce(F.sum("dup"), F.lit(0)).cast("long").alias("n_near_dup_docs"),
+        )
+    )

@@ -410,3 +410,14 @@ def test_runtime_bloom_filter_prunes_shuffle_join_fact_scan(spark, sf_small):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_audio_windows_is_single_pass_no_shuffle(spark, sf_small):
+    """E4 audio framing: one Arrow mapInPandas pass over the scan — a keyed
+    shuffle (or a second scan) in this plan means the framing stopped being
+    partition-local. (parallel_scan's round-robin exchange is the expected
+    small-file parallelization, not a keyed shuffle.)"""
+    plan = plan_of(spark, sf_small, "media_audio_windows")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
