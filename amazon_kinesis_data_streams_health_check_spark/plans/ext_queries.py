@@ -1616,3 +1616,116 @@ def incremental_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("dup"), F.lit(0)).cast("long").alias("n_near_dup_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min heavy hitters: the mergeable frequency-estimation sketch
+# (HLL = distincts, KLL = quantiles, CM = counts — this completes the set).
+# ---------------------------------------------------------------------------
+_CM_ROWS = 4
+_CM_WIDTH = 256
+_CM_TOPK = 20
+
+_CM_BUCKET = (
+    "('0x' || substr(md5(CAST({r} AS VARCHAR) || '|' "
+    "|| CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % {w}"
+)
+
+_CM_SQL = f"""
+WITH e AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+rows_e AS (
+  SELECT d, user_id, r.range AS r,
+         {_CM_BUCKET.format(r='r.range', w=_CM_WIDTH)} AS bucket
+  FROM e, range(0, {_CM_ROWS}) r
+),
+daily AS (
+  SELECT d, r, bucket, count(*) AS c FROM rows_e GROUP BY d, r, bucket
+),
+merged AS (
+  SELECT r, bucket, sum(c) AS c FROM daily GROUP BY r, bucket
+),
+truth AS (SELECT user_id, count(*) AS true_count FROM e GROUP BY user_id),
+probe AS (
+  SELECT t.user_id, t.true_count, r.range AS r,
+         {_CM_BUCKET.format(r='r.range', w=_CM_WIDTH)} AS bucket
+  FROM truth t, range(0, {_CM_ROWS}) r
+),
+est AS (
+  SELECT p.user_id,
+         CAST(max(p.true_count) AS BIGINT) AS true_count,
+         CAST(min(m.c) AS BIGINT) AS est_count
+  FROM probe p JOIN merged m ON m.r = p.r AND m.bucket = p.bucket
+  GROUP BY p.user_id
+)
+SELECT user_id, est_count, true_count, est_count - true_count AS overestimate
+FROM est
+ORDER BY est_count DESC, user_id
+LIMIT {_CM_TOPK}
+"""
+
+
+def _cm_bucket_col(r) -> F.Column:
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(r.cast("string"), F.lit("|"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(_CM_WIDTH),
+    )
+
+
+@register(
+    "sketch_heavy_hitters",
+    oracle=_CM_SQL,
+    doc="Mergeable Count-Min sketch: per-day (row, bucket) count grids "
+    "merged by addition across days, point estimates = min over rows, "
+    "top-20 heavy hitters with their (never-negative) overestimate vs "
+    "exact truth",
+    tags=("ext", "sketch"),
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the sketch is the aggregation state — per day it is a
+    fixed 4x256 integer grid whatever the event volume, so the daily build
+    partial-aggregates map-side and the cross-day merge moves O(days *
+    1024) rows. Point estimation probes only the (tiny) merged grid,
+    broadcast-joined against the candidate keys. md5-derived bucket hashes
+    keep the grid bit-identical across engines; all counts are BIGINT-exact.
+    The CM guarantee (estimate >= truth) is part of the checked output via
+    the overestimate column."""
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    r = F.explode(F.sequence(F.lit(0), F.lit(_CM_ROWS - 1))).alias("r")
+    rows_e = events.select("d", "user_id", r).withColumn(
+        "bucket", _cm_bucket_col(F.col("r"))
+    )
+    daily = rows_e.groupBy("d", "r", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    merged = daily.groupBy("r", "bucket").agg(F.sum("c").alias("c"))
+    truth = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    probe = truth.select("user_id", "true_count", r).withColumn(
+        "bucket", _cm_bucket_col(F.col("r"))
+    )
+    est = (
+        probe.join(F.broadcast(merged), ["r", "bucket"])
+        .groupBy("user_id")
+        .agg(
+            F.max("true_count").cast("long").alias("true_count"),
+            F.min("c").cast("long").alias("est_count"),
+        )
+    )
+    return (
+        est.select(
+            "user_id",
+            "est_count",
+            "true_count",
+            (F.col("est_count") - F.col("true_count")).alias("overestimate"),
+        )
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(_CM_TOPK)
+    )
