@@ -936,3 +936,95 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("c.p") * 1000).cast("long").alias("priority_milli"),
         (F.col("pos") + 1).cast("long").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle census of the kNN graph — the third graph primitive (with
+# connected components and PageRank): triangle density separates tight
+# semantic clusters from hub-and-spoke noise in curation graphs.
+# ---------------------------------------------------------------------------
+_TRIANGLE_SQL = f"""
+WITH knn AS ({_KNN_SQL}),
+und AS (
+  SELECT DISTINCT least(query_id, neighbor_id) AS a,
+                  greatest(query_id, neighbor_id) AS b
+  FROM knn
+),
+deg AS (
+  SELECT v, count(*) AS d
+  FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+  GROUP BY v
+),
+tri AS (
+  SELECT count(*) AS t
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+w AS (SELECT sum(d * (d - 1) // 2) AS wedges FROM deg)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+       CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+       CAST((SELECT wedges FROM w) AS BIGINT) AS n_wedges,
+       CAST(3000000 * (SELECT t FROM tri) // (SELECT wedges FROM w) AS BIGINT)
+         AS clustering_micro
+"""
+
+
+@register(
+    "triangle_count_knn",
+    oracle=_TRIANGLE_SQL,
+    doc="Graph: exact triangle census of the undirected kNN graph "
+    "(canonical a<b<c edge-join closure) + global clustering coefficient "
+    "in integer micro-units",
+    tags=("ext", "corpus", "graph"),
+)
+def triangle_count_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: edges are canonicalized (a<b), so each triangle is
+    counted exactly once by the two-hop join a->b->c closed by (a,c) — the
+    standard distributed triangle count. Joins shuffle on vertex ids; at
+    real scale the classic refinement is orienting edges by degree so the
+    wedge build fans out from low-degree endpoints, which this canonical
+    form approximates for kNN graphs (bounded out-degree k). All outputs
+    integer-exact; the coefficient is floor micro-units (engine-identical
+    BIGINT division)."""
+    configure_session(spark)
+    edges = knn_graph_lsh(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("query_id", "neighbor_id").alias("a"),
+            F.greatest("query_id", "neighbor_id").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    nedges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    wedges = deg.agg(F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"))
+    return (
+        nodes.crossJoin(F.broadcast(nedges))
+        .crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wedges))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("t").cast("long").alias("n_triangles"),
+            F.col("n_wedges").cast("long").alias("n_wedges"),
+            F.expr("3000000 * t div n_wedges").cast("long").alias("clustering_micro"),
+        )
+    )
