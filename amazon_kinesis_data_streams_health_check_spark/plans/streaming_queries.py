@@ -23,6 +23,9 @@ from pyspark.sql import functions as F
 from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_events import (
     synthesize_from_events,
 )
+from amazon_kinesis_data_streams_health_check_spark.plans.ext_queries import (
+    _QUALITY_SQL,
+)
 from amazon_kinesis_data_streams_health_check_spark.plans.healthcheck_queries import (
     _FLAGSHIP_SQL,
 )
@@ -701,3 +704,51 @@ def metrics_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if q.isActive:  # pragma: no cover - defensive against a hung source
         q.stop()
     return spark.read.parquet(sink_dir)
+
+
+@register(
+    "streaming_corpus_quality",
+    # Stateless per-document scoring: the drained row SET is micro-batch-
+    # slicing independent, so the batch corpus-quality oracle applies
+    # verbatim (import, not copy — the two surfaces must stay identical).
+    oracle=_QUALITY_SQL,
+    doc="E3 streaming: ingest-time corpus quality gating — the per-document "
+    "token-stats + quality-score chain run over a document file stream "
+    "(availableNow drain, full value-hash oracle vs the batch twin)",
+    tags=("ext", "streaming", "text"),
+)
+def streaming_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production shape for training-data ingest: documents are scored AS
+    THEY ARRIVE (one codegen'd projection per micro-batch, no state, no
+    shuffle), so low-quality docs can be filtered before they ever land in
+    the corpus lake. 4 files / maxFilesPerTrigger=1 exercises multi-batch
+    draining; the transform chain is the exact batch operator
+    (operators/textstats.py), swapped sources only."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.textstats import (
+        with_quality_score,
+        with_token_stats,
+    )
+
+    configure_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    src = tempfile.mkdtemp(prefix="docs_stream_")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out = with_quality_score(with_token_stats(stream)).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_tokens").cast("long"),
+        F.col("n_ws_tokens").cast("long"),
+        F.col("n_distinct_tokens").cast("long"),
+        F.col("total_token_chars").cast("long"),
+        F.col("n_stopword_tokens").cast("long"),
+        "ttr",
+        "avg_token_len",
+        "stopword_ratio",
+        "quality_score",
+    )
+    return _run_to_memory(out, "corpus_quality_stream")

@@ -29,6 +29,12 @@ INVARIANT = [
     "curation_pack_sequences",
     "metric_anomaly_flags",
     "substring_dup_frac",
+    # round-3 additions: lake-probe dedup (persisted index + verify joins),
+    # mergeable CM sketch (bucket-grid sums), graph census (edge-join
+    # closure) — each a distinct mechanism family
+    "incremental_minhash_index",
+    "sketch_heavy_hitters",
+    "triangle_count_knn",
 ]
 
 
