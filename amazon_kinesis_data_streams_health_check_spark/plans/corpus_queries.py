@@ -497,7 +497,12 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     of ``ann_lsh_bucketed`` (every vector is a query, directed edges)."""
     configure_session(spark)
     emb = parallel_scan(spark, sf_dir, "embeddings")
-    bucketed = with_sq_norm(with_lsh_bucket(emb), "embedding", "n2")
+    # Both self-join legs consume the bucket+norm projection; pin it once
+    # (lazy localCheckpoint) so the sign-pattern and squared-norm arithmetic
+    # is not re-derived per leg.
+    bucketed = with_sq_norm(with_lsh_bucket(emb), "embedding", "n2").localCheckpoint(
+        eager=False
+    )
     a = bucketed.select(
         F.col("vec_id").alias("query_id"),
         F.col("bucket"),

@@ -1558,14 +1558,25 @@ def incremental_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_session(spark)
     docs = parallel_scan(spark, sf_dir, "documents")
-    shingled = with_shingles(docs).select("doc_id", "source", "sh")
+    # Shingle sets feed the minhash chain AND both verify-join legs; band
+    # rows feed the history write and the increment probe. Pin each once —
+    # without it Catalyst re-derives the tokenize/md5 work per consumer.
+    shingled = (
+        with_shingles(docs)
+        .select("doc_id", "source", "sh")
+        .localCheckpoint(eager=False)
+    )
     banded = with_bands(with_minhash(shingled.select("doc_id", "sh")))
-    bands_long = banded.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[F.col(f"band_{b}") for b in range(4)])
-        ).alias("band_idx", "band_key"),
-    ).withColumn("pband", F.concat(F.lit("b"), F.col("band_idx")))
+    bands_long = (
+        banded.select(
+            "doc_id",
+            F.posexplode(
+                F.array(*[F.col(f"band_{b}") for b in range(4)])
+            ).alias("band_idx", "band_key"),
+        )
+        .withColumn("pband", F.concat(F.lit("b"), F.col("band_idx")))
+        .localCheckpoint(eager=False)
+    )
 
     lake = _tf.mkdtemp(prefix="minhash_index_")
     hist_bands = bands_long.filter(F.col("doc_id") % 2 == 0)
