@@ -140,13 +140,16 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation only carries distinct/max."""
     configure_session(spark)
     docs = parallel_scan(spark, sf_dir, "documents")
+    # The n-gram arrays feed three consumers (narrow totals + the 2-gram and
+    # 3-gram aggregations); pin the tokenize+ngram stage once so Catalyst
+    # does not re-derive it per consumer.
     g = docs.select(
         "doc_id",
         "source",
         F.expr(f"size({_SPARK_TOK})").cast("long").alias("n_tokens"),
         F.expr(_spark_ngrams(_SPARK_TOK, 2)).alias("g2"),
         F.expr(_spark_ngrams(_SPARK_TOK, 3)).alias("g3"),
-    )
+    ).localCheckpoint(eager=False)
     base = g.select(
         "doc_id",
         "source",

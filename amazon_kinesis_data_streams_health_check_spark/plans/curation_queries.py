@@ -399,10 +399,14 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("quality_score"))
         .alias("qscore"),
     )
+    # ``alld`` feeds the per-cluster pick AND the final join; pin it once so
+    # the tokenize/quality chain and the CC labels are not re-derived per
+    # consumer.
     alld = (
         q.join(labels, "doc_id", "left")
         .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
         .select("doc_id", "cluster_id", "qscore")
+        .localCheckpoint(eager=False)
     )
     best = alld.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size"),
