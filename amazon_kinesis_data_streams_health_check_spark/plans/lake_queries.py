@@ -723,3 +723,70 @@ def lake_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered lake scan: multi-column zone-map pruning from ONE layout.
+# ---------------------------------------------------------------------------
+_Z_LO, _Z_HI = 100.0, 150.0
+
+_ZORDER_SCAN_SQL = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000.0, 6) AS sum_value
+FROM events
+WHERE value BETWEEN {_Z_LO} AND {_Z_HI}
+GROUP BY event_type
+"""
+
+
+@register(
+    "lake_zorder_scan",
+    oracle=_ZORDER_SCAN_SQL,
+    doc="Z-order (Morton) clustered snapshot commit over (user_id, value): "
+    "a range scan on the SECOND cluster column still skips files via the "
+    "manifest zone maps (builder raises if nothing was pruned) and must "
+    "equal the full-scan filter",
+    tags=("lake", "layout"),
+)
+def lake_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: lexicographic clustering only prunes the leading
+    column; the Morton key keeps locality in EVERY dimension, so one layout
+    serves range predicates on any cluster column (the OPTIMIZE ZORDER
+    contract). Files own compact curve segments, the manifest stores tight
+    per-file min/max for both columns, and the reader skips from metadata
+    alone; the residual row filter keeps results exact."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.layout import (
+        zorder_key,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        read_snapshot_pruned,
+        snapshot_append_with_stats,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    keyed = (
+        zorder_key(events, ["user_id", "value"])
+        .repartitionByRange(8, F.col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .withColumn("shard", F.lit("all"))
+    )
+    lake = tempfile.mkdtemp(prefix="zorder_lake_")
+    snapshot_append_with_stats(
+        spark, keyed, lake, partition_col="shard", stats_cols=["user_id", "value"]
+    )
+    df, info = read_snapshot_pruned(spark, lake, "value", _Z_LO, _Z_HI)
+    if not info["files_read"] < info["files_total"]:
+        raise RuntimeError(f"z-order zone maps pruned nothing on 'value': {info}")
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.round(F.col("value") * 1e6).cast("long")).cast("double") / 1e6,
+            6,
+        ).alias("sum_value"),
+    )

@@ -83,3 +83,63 @@ def overlap_count(report: list[tuple[str, object, object]]) -> int:
             if lo <= hi:
                 n += 1
     return n
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 16, key_col: str = "_zkey"
+) -> DataFrame:
+    """Add a Z-order (Morton) key: per-column min-max rank scaled to
+    ``bits`` bits, then bit-interleaved across columns.
+
+    Lexicographic range clustering only prunes predicates on the LEADING
+    column; the Morton curve keeps locality in every dimension, so a range
+    predicate on ANY of ``cols`` maps to a bounded set of key ranges — the
+    property behind Delta/Iceberg OPTIMIZE ZORDER. All arithmetic is
+    integer expressions inside codegen; the per-column min/max is one tiny
+    aggregate broadcast back (at 100 TB: a metadata-only pass when footers
+    are available).
+    """
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    bounds = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(bounds))
+    scaled = []
+    for c in cols:
+        span = F.col(f"_mx_{c}").cast("double") - F.col(f"_mn_{c}").cast("double")
+        frac = F.when(span > 0, (F.col(c).cast("double") - F.col(f"_mn_{c}")) / span).otherwise(
+            F.lit(0.0)
+        )
+        scaled.append(F.floor(frac * ((1 << bits) - 1)).cast("long"))
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            z = z + F.shiftleft(
+                F.shiftright(s, b).bitwiseAND(F.lit(1)), b * n + i
+            )
+    return out.withColumn(key_col, z).drop(
+        *[f"_mn_{c}" for c in cols], *[f"_mx_{c}" for c in cols]
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int | None = None,
+    bits: int = 16,
+) -> None:
+    """Write parquet Z-order-clustered on ``cluster_cols``: range-partition
+    and sort by the Morton key, so every file owns a compact curve segment
+    and its footer min/max for EACH cluster column is tight — multi-column
+    zone-map pruning from one layout."""
+    keyed = zorder_key(df, cluster_cols, bits=bits)
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        keyed.repartitionByRange(n, F.col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -53,3 +53,44 @@ def test_clustered_scan_prunes_files(spark, sf_small, tmp_path):
     assert "PushedFilters" in plan and "user_id" in plan.split("PushedFilters")[1][:200]
     # ...and row-group stats keep the result exact (sanity on values).
     assert all(r.user_id == lo for r in rows)
+
+
+def test_zorder_prunes_on_every_cluster_column(spark, tmp_path):
+    """Z-order vs lexicographic: a range predicate on the SECOND cluster
+    column prunes files under the Morton layout but touches (nearly) every
+    file under leading-column range clustering — the multi-dimensional
+    locality claim, measured from parquet footers."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.layout import (
+        write_zordered,
+    )
+
+    n = 64
+    grid = spark.range(0, n * n).select(
+        (F.col("id") % n).alias("x"),
+        (F.col("id") / n).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+
+    def touching(path: str, col: str, lo: int, hi: int) -> tuple[int, int]:
+        rep = clustering_report(path, col)
+        hit = sum(1 for _, mn, mx in rep if not (mx < lo or mn > hi))
+        return hit, len(rep)
+
+    linear = str(tmp_path / "linear")
+    write_clustered(grid, linear, ["x", "y"], num_files=16)
+    zord = str(tmp_path / "zorder")
+    write_zordered(grid, zord, ["x", "y"], num_files=16)
+
+    lo, hi = 4, 11  # a y-slab covering 1/8 of the domain
+    lin_hit, lin_total = touching(linear, "y", lo, hi)
+    z_hit, z_total = touching(zord, "y", lo, hi)
+    assert lin_total >= 12 and z_total >= 12
+    # Leading-column clustering can't skip on y; the Morton curve can.
+    assert lin_hit == lin_total, (lin_hit, lin_total)
+    assert z_hit <= z_total // 2, (z_hit, z_total)
+    # And the x axis still prunes under z-order too.
+    zx_hit, zx_total = touching(zord, "x", lo, hi)
+    assert zx_hit <= zx_total // 2, (zx_hit, zx_total)
+    # Layout changes bytes placement, never results.
+    zdf = spark.read.parquet(zord).filter(F.col("y").between(lo, hi))
+    assert zdf.count() == n * (hi - lo + 1)
