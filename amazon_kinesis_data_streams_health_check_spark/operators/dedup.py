@@ -32,10 +32,19 @@ MINHASH_PERMS = 12
 LSH_BANDS = 4
 LSH_ROWS = MINHASH_PERMS // LSH_BANDS
 
-#: SimHash: 16 bits (hex-digit parity of md5), compared in 4 bands of 4 bits.
-SIMHASH_BITS = 16
+#: SimHash: 32 bits (hex-digit parity of md5 — one bit per md5 hex digit),
+#: compared in 4 bands of 8 bits. 8-bit band keys give 256 values per band;
+#: at 16 values (the old 4-bit config) every band bucket was hot at any
+#: realistic corpus size and candidate generation went quadratic.
+SIMHASH_BITS = 32
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+#: With B bands, any pair within Hamming distance B-1 leaves at least one
+#: band untouched (pigeonhole) — banding is exactly lossless at this
+#: threshold. Distance-B pairs could flip one bit in every band, so a
+#: threshold of B would silently lose recall; keep it at B-1.
+SIMHASH_MAX_HAMMING = SIMHASH_BANDS - 1
 
 _HEX = "0123456789abcdef"
 
@@ -227,14 +236,17 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def simhash_near_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 4, salt: int = BAND_SALT
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    salt: int = BAND_SALT,
 ) -> DataFrame:
-    """Band-join on 4-bit sig substrings, then exact Hamming distance filter.
+    """Band-join on 8-bit sig substrings, then exact Hamming distance filter.
 
-    Any pair within Hamming distance 4 of a 16-bit sig shares at least one of
-    the 4 bands (pigeonhole), so banding loses no true positives. 4-bit band
-    keys have only 16 values — inherently hot at scale — so the salted
-    self-join matters even more here than on the md5-keyed MinHash path.
+    Any pair within Hamming distance ``SIMHASH_BANDS - 1`` of a 32-bit sig
+    shares at least one of the 4 bands (pigeonhole), so banding loses no
+    true positives at the default threshold. Band keys still concentrate on
+    common signature patterns at scale, so the self-join stays salted.
     """
     # Carry the signature as a 16-bit integer through the join: the exact
     # Hamming verify is then one XOR + popcount per candidate pair instead

@@ -203,6 +203,7 @@ from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (  # 
     SIMHASH_BITS,
     SIMHASH_BANDS,
     SIMHASH_BAND_BITS,
+    SIMHASH_MAX_HAMMING,
 )
 
 _EXACT_SUMMARY_SQL = """
@@ -336,21 +337,21 @@ pairs AS (
   JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
               AND x.doc_id < y.doc_id
 )
-SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 4
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {SIMHASH_MAX_HAMMING}
 """
 
 
 @register(
     "dedup_simhash",
     oracle=_SIMHASH_SQL,
-    doc="E1: 16-bit SimHash near-dup pairs (4-bit band join, Hamming <= 4)",
+    doc=f"E1: {SIMHASH_BITS}-bit SimHash near-dup pairs ({SIMHASH_BAND_BITS}-bit band join, Hamming <= {SIMHASH_MAX_HAMMING} — lossless by pigeonhole)",
     tags=("ext", "dedup"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
     docs = parallel_scan(spark, sf_dir, "documents")
     sigs = simhash_signatures(docs)
-    return simhash_near_pairs(sigs, max_hamming=4)
+    return simhash_near_pairs(sigs)
 
 
 _NGRAM_JACCARD_THRESHOLD = 0.2
