@@ -617,16 +617,26 @@ def event_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact [p45, p55] / [p94, max] value band. The oracle emits literal TRUE,
     so a sketch drifting out of contract hash-mismatches. The exact twins
     exist only for this contract; the 100 TB deployment runs the sketch
-    columns alone (see sketch_rollup_merge for the mergeable pre-agg form)."""
+    columns alone (see sketch_rollup_merge for the mergeable pre-agg form).
+
+    Plan note: count(DISTINCT) must NOT share a groupBy with the typed-
+    imperative sketch aggregates — Spark rewrites that mix as a pre-group on
+    (event_type, user_id) and then MERGES a percentile/HLL state per
+    distinct user (~|users| sketch merges, 8x slower here). The distinct
+    count runs in its own two-phase aggregation and joins back on the tiny
+    event_type key set."""
     configure_session(spark)
     events = load_table(spark, sf_dir, "events")
-    agg = events.groupBy("event_type").agg(
+    sketches = events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", 0.01).alias("_approx_users"),
         F.expr("approx_percentile(value, array(0.5, 0.99), 10000)").alias("_ap"),
         F.expr("percentile(value, array(0.45, 0.55, 0.94))").alias("_ep"),
     )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    agg = sketches.join(exact, "event_type")
     return agg.select(
         "event_type",
         "n_rows",
