@@ -984,11 +984,17 @@ def sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
     events = load_table(spark, sf_dir, "events")
     merged = merge_rollup(daily_sketch_rollup(events))
-    exact = events.groupBy(F.col("event_type").alias("key")).agg(
-        F.countDistinct("user_id").alias("exact_users"),
+    # count(DISTINCT) kept out of the percentile groupBy — mixing them makes
+    # Spark pre-group on (key, user_id) and merge a percentile state per
+    # distinct user (see event_sketches plan note); split + tiny-key join.
+    pct = events.groupBy(F.col("event_type").alias("key")).agg(
         F.expr("percentile(value, array(0.40, 0.60, 0.94))").alias("_ep"),
         F.max("value").alias("_vmax"),
     )
+    cd = events.groupBy(F.col("event_type").alias("key")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    exact = pct.join(cd, "key")
     return merged.join(exact, "key").select(
         "key",
         F.col("n_rows").cast("long").alias("n_rows"),
