@@ -1045,3 +1045,228 @@ def triangle_count_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("3000000 * t div n_wedges").cast("long").alias("clustering_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle with a GLOBAL training position — the "write
+# the training order" step of a data pipeline. Spark has no scalable global
+# row_number (an empty-over window collapses to one partition); the standard
+# distributed form is prefix-bucket + per-bucket rank + broadcast cumulative
+# offsets, which this implements declaratively.
+# ---------------------------------------------------------------------------
+_EPOCH_SEED = "epoch1"
+_EPOCH_SQL = f"""
+SELECT doc_id, source,
+       CAST(row_number() OVER (
+         ORDER BY md5('{_EPOCH_SEED}|' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS global_pos
+FROM documents
+"""
+
+
+@register(
+    "epoch_global_index",
+    oracle=_EPOCH_SQL,
+    doc="Curation: deterministic epoch shuffle with exact global training "
+    "position — hash-keyed order, 65536 prefix buckets, per-bucket rank + "
+    "broadcast cumulative offsets (no single-partition global sort)",
+    tags=("ext", "corpus", "curation"),
+)
+def epoch_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the shuffle key is the first 4 hex chars of the order
+    key, so ordering by (bucket, key) IS ordering by key; the data-plane
+    work is one 65536-way hash shuffle + per-bucket ``row_number`` (bounded
+    partitions, uniform md5 buckets). The ONLY unpartitioned stage is the
+    cumulative-sum window over the <=65536-row bucket-count aggregate —
+    control-plane sized at any corpus scale — whose offsets broadcast back.
+    Epoch reshuffle = change the seed; the order is reproducible under
+    repartitioning, retries, and cluster size by construction."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.concat(F.lit(f"{_EPOCH_SEED}|"), F.col("doc_id").cast("string"))).alias(
+            "_k"
+        ),
+    ).withColumn("_bucket", F.substring("_k", 1, 4))
+    offsets = (
+        keyed.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_bucket", "_offset")
+    )
+    ranked = keyed.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("_bucket").orderBy("_k", "doc_id")
+        ),
+    )
+    return ranked.join(F.broadcast(offsets), "_bucket").select(
+        "doc_id",
+        "source",
+        (F.col("_offset") + F.col("_rn")).cast("long").alias("global_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise corpus overlap between sources: exact Jaccard over distinct
+# document-text hashes — the "how much do my crawls overlap" audit that
+# decides whether two sources should be deduplicated jointly or sampled
+# independently.
+# ---------------------------------------------------------------------------
+_OVERLAP_SQL = """
+WITH h AS (
+  SELECT DISTINCT source, md5(text) AS h FROM documents
+),
+sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY source
+),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT sa.source AS source_a, sb.source AS source_b,
+       sa.n AS n_a, sb.n AS n_b,
+       coalesce(i.n_common, 0) AS n_common,
+       round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+             / (sa.n + sb.n - coalesce(i.n_common, 0)), 6) AS jaccard
+FROM sizes sa
+JOIN sizes sb ON sa.source < sb.source
+LEFT JOIN inter i ON i.source_a = sa.source AND i.source_b = sb.source
+"""
+
+
+@register(
+    "source_overlap_jaccard",
+    oracle=_OVERLAP_SQL,
+    doc="Corpus audit: exact pairwise Jaccard overlap between sources over "
+    "distinct doc-text hashes (md5-keyed equi-join, zero-overlap pairs "
+    "included via the broadcast source grid)",
+    tags=("ext", "corpus", "dedup"),
+)
+def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the data-plane work is one distinct on (source, md5) and
+    one self-equi-join on the uniform md5 key — linear shuffle volume, no
+    all-pairs anything. The per-source sizes and the source-pair grid are
+    |sources|-bounded and broadcast; zero-overlap pairs surface from the
+    grid's left join rather than being silently dropped by the inner join."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    h = docs.select("source", F.md5("text").alias("h")).distinct()
+    h = h.localCheckpoint(eager=False)  # feeds sizes AND both join legs
+    sizes = h.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = h.alias("a"), h.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    grid = sa.join(
+        F.broadcast(sb), F.col("sa.source") < F.col("sb.source")
+    ).select(
+        F.col("sa.source").alias("source_a"),
+        F.col("sb.source").alias("source_b"),
+        F.col("sa.n").alias("n_a"),
+        F.col("sb.n").alias("n_b"),
+    )
+    return (
+        grid.join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive per-source quality gate: the filter threshold is LEARNED from the
+# distribution (p10 of doc length per source) instead of hard-coded — the
+# two-pass "profile, broadcast, filter" shape every corpus-specific quality
+# gate at scale uses.
+# ---------------------------------------------------------------------------
+_ADAPTIVE_Q = 0.10
+_ADAPTIVE_SQL = f"""
+WITH thr AS (
+  SELECT source, quantile_cont(n_chars, {_ADAPTIVE_Q}) AS thr
+  FROM documents GROUP BY source
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN d.n_chars >= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN d.n_chars < t.thr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       round(max(t.thr), 6) AS thr_chars
+FROM documents d JOIN thr t ON d.source = t.source
+GROUP BY d.source
+"""
+
+
+@register(
+    "adaptive_quality_filter",
+    oracle=_ADAPTIVE_SQL,
+    doc=f"Corpus hygiene: adaptive per-source length gate — the p{int(_ADAPTIVE_Q * 100)} "
+    "threshold is learned per source, broadcast, and applied in a second "
+    "narrow pass (profile -> broadcast -> filter)",
+    tags=("ext", "corpus", "quality"),
+)
+def adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: pass 1 is a keyed percentile over (source) — exact here
+    so the DuckDB twin (quantile_cont, same linear interpolation) hash-
+    matches; the 100 TB deployment swaps in approx_percentile, which is
+    mergeable and map-side partial. The |sources|-row threshold table
+    broadcasts; pass 2 is a narrow scan + broadcast join + counting
+    aggregation. No data-sized shuffle carries document text anywhere."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    thr = docs.groupBy("source").agg(
+        F.expr(f"percentile(n_chars, {_ADAPTIVE_Q})").alias("thr")
+    )
+    return (
+        docs.join(F.broadcast(thr), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_chars") >= F.col("thr")).cast("int"))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum((F.col("n_chars") < F.col("thr")).cast("int"))
+            .cast("long")
+            .alias("n_dropped"),
+            F.round(F.max("thr"), 6).alias("thr_chars"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "n_kept",
+            "n_dropped",
+            "thr_chars",
+        )
+    )
