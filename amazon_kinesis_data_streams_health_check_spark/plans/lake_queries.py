@@ -790,3 +790,74 @@ def lake_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: a later commit widens the table; files written before the
+# column existed surface it as NULL under the latest declared schema, while
+# time travel to the old version still reads the old shape. This is the
+# Iceberg-style schema-tracking contract _read_manifest_files implements —
+# here it goes on the driver-verified surface.
+# ---------------------------------------------------------------------------
+_SCHEMA_EVO_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_val,
+       CAST(sum(CASE WHEN event_id % 2 = 1
+                     THEN CAST(round(value * 1000000) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS val_micros_sum
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "lake_schema_evolution",
+    oracle=_SCHEMA_EVO_SQL,
+    doc="Snapshot-lake schema evolution: commit 1 writes (user,type), commit "
+    "2 appends a val_micros column; the latest read back-fills NULL for "
+    "pre-evolution files and time travel to v1 still reads the old shape "
+    "(builder self-checks both)",
+    tags=("lake",),
+)
+def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: schema changes are manifest metadata — no data rewrite,
+    no mergeSchema footer sweep over the table (the read plans every file
+    under the DECLARED schema of the version being read). The widening
+    commit costs exactly its own data; history stays readable because old
+    manifests keep their own schema JSON."""
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 1e6).cast("long").alias("val_micros"),
+    )
+    lake = tempfile.mkdtemp(prefix="schema_evo_lake_")
+    v1 = snapshot_overwrite(
+        spark,
+        events.filter(F.col("event_id") % 2 == 0).select("user_id", "event_type"),
+        lake,
+        partition_col="event_type",
+    )
+    snapshot_append(
+        spark,
+        events.filter(F.col("event_id") % 2 == 1).select(
+            "user_id", "event_type", "val_micros"
+        ),
+        lake,
+        partition_col="event_type",
+    )
+    old = read_snapshot(spark, lake, version=v1)
+    if "val_micros" in old.columns:
+        raise RuntimeError("time-travel read leaked the evolved column into v1")
+    cur = read_snapshot(spark, lake)
+    if "val_micros" not in cur.columns:
+        raise RuntimeError("latest read lost the evolved column")
+    return cur.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("val_micros").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_with_val"),
+        F.sum(F.coalesce("val_micros", F.lit(0))).cast("long").alias("val_micros_sum"),
+    )
