@@ -752,3 +752,81 @@ def streaming_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score",
     )
     return _run_to_memory(out, "corpus_quality_stream")
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window trending: OVERLAPPING event-time windows (30 min window,
+# 10 min slide) — the one windowing mode the other streaming drives don't
+# cover (tumbling: streaming_window_max; session: streaming_user_sessions).
+# ---------------------------------------------------------------------------
+_TREND_WINDOW_S = 1800
+_TREND_SLIDE_S = 600
+_TREND_TOP_K = 3
+
+_TRENDING_SQL = f"""
+WITH e AS (
+  SELECT event_type,
+         {_TREND_SLIDE_S} * CAST(floor(epoch(ts) / {_TREND_SLIDE_S}) AS BIGINT) AS b
+  FROM events
+),
+win AS (
+  SELECT event_type, b - {_TREND_SLIDE_S} * k.k AS ws
+  FROM e, (SELECT unnest(range({_TREND_WINDOW_S // _TREND_SLIDE_S})) AS k) k
+),
+counts AS (
+  SELECT ws, event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM win GROUP BY ws, event_type
+),
+ranked AS (
+  SELECT ws, event_type, n_events,
+         row_number() OVER (PARTITION BY ws ORDER BY n_events DESC, event_type)
+           AS rnk
+  FROM counts
+)
+SELECT ws AS window_start_s, event_type, n_events, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= {_TREND_TOP_K}
+"""
+
+
+@register(
+    "streaming_trending_terms",
+    # Complete-mode drain of a bounded backfill => final counts per sliding
+    # window; each event lands in exactly window/slide overlapping windows,
+    # which the oracle reproduces by generating the k window starts per row.
+    oracle=_TRENDING_SQL,
+    doc="W3 streaming: sliding-window trending — overlapping 30-min windows "
+    "sliding by 10 min over the event stream, top-3 types per window "
+    "(availableNow drain + complete-mode sink => full value-hash oracle)",
+    tags=("core", "streaming"),
+)
+def streaming_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-streams the events parquet through a sliding ``F.window``
+    aggregation. Scale shape: the streaming state is (window x type) counts
+    — each arriving event updates window/slide = 3 state rows, constant
+    work per event; the post-drain top-k ranks within each window key over
+    the |windows| x |types| count table (aggregate-sized, never raw
+    events)."""
+    from pyspark.sql import Window as W
+
+    configure_session(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    src_dir = tempfile.mkdtemp(prefix="trending_stream_")
+    os.symlink(path, os.path.join(src_dir, "events.parquet"))
+    raw = restore_timestamp(spark.readStream.schema(schema).parquet(src_dir), "ts")
+    counts = raw.groupBy(
+        F.window(F.col("ts"), f"{_TREND_WINDOW_S} seconds", f"{_TREND_SLIDE_S} seconds").alias("w"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    drained = _run_to_memory(counts, "trending_stream", output_mode="complete")
+    ranked = drained.select(
+        F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+    ).withColumn(
+        "rank",
+        F.row_number()
+        .over(W.partitionBy("window_start_s").orderBy(F.desc("n_events"), "event_type"))
+        .cast("long"),
+    )
+    return ranked.filter(F.col("rank") <= _TREND_TOP_K)
