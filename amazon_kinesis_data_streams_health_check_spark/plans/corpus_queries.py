@@ -1270,3 +1270,70 @@ def adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "thr_chars",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram surprisal scoring — the CCNet-style "language-model quality" gate,
+# made integer-exact: cross-engine ln() differs in the last ulp (measured),
+# so the per-token surprisal is floor(log2(N / c)) bits computed as
+# length(bin(N div c)) - 1 — pure integer arithmetic, bit-identical
+# everywhere, and monotone in the true -log p.
+# ---------------------------------------------------------------------------
+_SURPRISAL_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOK}) AS t FROM documents
+),
+vocab AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok),
+scored AS (
+  SELECT tok.doc_id,
+         CAST(length(bin(n.total // vocab.c)) - 1 AS BIGINT) AS bits
+  FROM tok JOIN vocab ON tok.t = vocab.t CROSS JOIN n
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(bits) AS BIGINT) AS sum_bits,
+       CAST(1000000 * sum(bits) // count(*) AS BIGINT) AS score_micro_bits
+FROM scored GROUP BY doc_id
+"""
+
+
+@register(
+    "doc_surprisal_score",
+    oracle=_SURPRISAL_SQL,
+    doc="Corpus quality: integer-exact unigram surprisal score — per-token "
+    "floor(log2(N/c)) bits against the corpus-wide unigram table, averaged "
+    "per doc in micro-units (the LM-perplexity gate without cross-engine "
+    "float log)",
+    tags=("ext", "corpus", "quality"),
+)
+def doc_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: pass 1 builds the unigram table (one token-keyed
+    aggregation, map-side partial); pass 2 re-scans tokens and joins the
+    table BROADCAST — the vocabulary is orders of magnitude smaller than
+    the corpus (Heaps' law), and broadcasting it keeps the scoring pass
+    narrow: no token-keyed shuffle, so the 'the'-sized hot keys never
+    concentrate on one reducer. (A vocabulary too big to broadcast would
+    fall back to an AQE skew join.) The total-count scalar rides the same
+    broadcast. Per-doc aggregation shuffles on doc_id — uniform."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.expr(_SPARK_TOK)).alias("t"))
+    tok = tok.localCheckpoint(eager=False)  # feeds vocab AND the scoring pass
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    scored = (
+        tok.join(F.broadcast(vocab), "t")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (F.length(F.expr("bin(total div c)")) - 1).cast("long").alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("bits").cast("long").alias("sum_bits"),
+        F.expr("1000000 * sum(bits) div count(1)").cast("long").alias("score_micro_bits"),
+    )

@@ -204,6 +204,7 @@ from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (  # 
     SIMHASH_BANDS,
     SIMHASH_BAND_BITS,
     SIMHASH_MAX_HAMMING,
+    _salted_band_self_join,
 )
 
 _EXACT_SUMMARY_SQL = """
@@ -1746,4 +1747,86 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("est_count"), "user_id")
         .limit(_CM_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy near-dup via EDIT DISTANCE — the character-level dedup mode (typo
+# families, OCR noise) that set-based Jaccard/Hamming misses. Blocking comes
+# from the SimHash bands (cheap, already salted); the verify is exact
+# Levenshtein over a fixed text prefix.
+# ---------------------------------------------------------------------------
+_FUZZY_PREFIX = 80
+_FUZZY_MAX_EDITS = 20
+
+_FUZZY_EDIT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+votes AS (
+  SELECT doc_id,
+         {_SIMHASH_VOTES}
+  FROM toks GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, {_SIMHASH_SIG} AS sig FROM votes
+),
+bands AS (
+  {_SIMHASH_BANDS_UNION}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x
+  JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              AND x.doc_id < y.doc_id
+  WHERE {_SIMHASH_HAMMING} <= {SIMHASH_MAX_HAMMING}
+),
+pfx AS (
+  SELECT doc_id, substr(text, 1, {_FUZZY_PREFIX}) AS p FROM documents
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS edit_dist
+FROM cand c
+JOIN pfx pa ON pa.doc_id = c.doc_a
+JOIN pfx pb ON pb.doc_id = c.doc_b
+WHERE abs(length(pa.p) - length(pb.p)) <= {_FUZZY_MAX_EDITS}
+  AND levenshtein(pa.p, pb.p) <= {_FUZZY_MAX_EDITS}
+"""
+
+
+@register(
+    "dedup_fuzzy_edit",
+    oracle=_FUZZY_EDIT_SQL,
+    doc=f"E1: character-level fuzzy near-dup — SimHash-near blocking, exact "
+    f"Levenshtein verify on the {_FUZZY_PREFIX}-char prefix, keep pairs "
+    f"within {_FUZZY_MAX_EDITS} edits",
+    tags=("ext", "dedup"),
+)
+def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: candidates come from the salted SimHash band self-join
+    (never all-pairs); the O(prefix^2) Levenshtein DP runs only on candidate
+    pairs and only over a fixed-width prefix, so verify cost is bounded per
+    pair regardless of document length. Prefixes ride the candidate pair
+    via two doc_id-keyed joins — full text never enters the band shuffle."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    # Candidates = SimHash-near pairs (the cheap XOR+popcount Hamming gate
+    # culls the band collisions BEFORE any quadratic string work); verify =
+    # exact Levenshtein, guarded by the |len_a - len_b| <= d lower bound so
+    # the DP only runs where it could possibly pass.
+    sigs = simhash_signatures(docs)
+    cand = simhash_near_pairs(sigs).select("doc_a", "doc_b")
+    pfx = docs.select("doc_id", F.substring("text", 1, _FUZZY_PREFIX).alias("p"))
+    pa = pfx.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"))
+    pb = pfx.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"))
+    return (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .filter(
+            F.abs(F.length("pa") - F.length("pb")) <= F.lit(_FUZZY_MAX_EDITS)
+        )
+        .withColumn("edit_dist", F.levenshtein("pa", "pb").cast("long"))
+        .filter(F.col("edit_dist") <= _FUZZY_MAX_EDITS)
+        .select("doc_a", "doc_b", "edit_dist")
     )
