@@ -1830,3 +1830,117 @@ def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= _FUZZY_MAX_EDITS)
         .select("doc_a", "doc_b", "edit_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup over media payloads: a dHash-style 32-bit gradient
+# signature on stride-sampled payload bytes, compared by banded Hamming
+# distance — the image-dedup stage of a multimodal pipeline, runnable on the
+# opaque-binary representation (the real pixel decoder slots in at the same
+# seam as decode_media).
+# ---------------------------------------------------------------------------
+_PHASH_BITS = 32
+_PHASH_STRIDE = 2
+#: Prefix covered by the probes: 1 + 32*2 = 65 bytes; shorter payloads skip.
+_PHASH_MIN_BYTES = 1 + _PHASH_BITS * _PHASH_STRIDE + _PHASH_STRIDE
+_PHASH_MAX_HAMMING = 3
+
+
+def _phash_pos(k: str | int) -> str:
+    """1-based sample position k (0..32): FIXED stride over the payload
+    prefix, not length-relative — an edit near the tail of a near-dup then
+    leaves every probe untouched (length-relative strides shift all 33
+    probes on any insertion, which destroyed recall on real near-dups)."""
+    return f"(1 + ({k}) * {_PHASH_STRIDE})"
+
+
+_PHASH_SPARK_SIG = " + ".join(
+    f"(CASE WHEN ascii(substr(text, {_phash_pos(k + 1)}, 1)) > "
+    f"ascii(substr(text, {_phash_pos(k)}, 1)) THEN {1 << (_PHASH_BITS - 1 - k)} ELSE 0 END)"
+    for k in range(_PHASH_BITS)
+)
+
+_PHASH_DUCK_SIG = " + ".join(
+    f"(CASE WHEN ascii(substr(text, {_phash_pos(k + 1)}, 1)) > "
+    f"ascii(substr(text, {_phash_pos(k)}, 1)) THEN {1 << (_PHASH_BITS - 1 - k)} ELSE 0 END)"
+    for k in range(_PHASH_BITS)
+).replace(" div ", " // ")
+
+_PHASH_DUCK_BANDS = "\n  UNION ALL\n  ".join(
+    f"SELECT media_id, sig, {b} AS band_idx, (sig // {1 << (8 * b)}) % 256 AS band_key FROM sigs"
+    for b in range(4)
+)
+
+_PHASH_SQL = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text,
+         octet_length(encode(text)) AS n
+  FROM documents
+  WHERE octet_length(encode(text)) >= {_PHASH_MIN_BYTES}
+),
+sigs AS (
+  SELECT media_id, CAST({_PHASH_DUCK_SIG} AS BIGINT) AS sig FROM m
+),
+bands AS (
+  {_PHASH_DUCK_BANDS}
+),
+pairs AS (
+  SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
+         CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+  FROM bands x
+  JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              AND x.media_id < y.media_id
+)
+SELECT media_a, media_b, hamming FROM pairs
+WHERE hamming <= {_PHASH_MAX_HAMMING}
+"""
+
+
+@register(
+    "media_phash_dedup",
+    oracle=_PHASH_SQL,
+    doc=f"E4/E1: perceptual-hash media dedup — {_PHASH_BITS}-bit dHash-style "
+    f"gradient signature over stride-sampled payload bytes, banded Hamming "
+    f"join (<= {_PHASH_MAX_HAMMING} bit flips) over fixed-stride prefix probes",
+    tags=("ext", "multimodal", "dedup"),
+)
+def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the signature is one narrow codegen'd expression per row
+    (33 byte probes, fixed cost regardless of payload size); pairing reuses
+    the salted 8-bit band self-join, and the exact Hamming verify is one
+    XOR + popcount per candidate. Byte probes address the text column under
+    the documented ASCII-corpus equivalence (ascii(substr) == payload byte,
+    as in the media_features oracle); a real pixel decoder would produce
+    the same integer rows from decoded luma instead."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    media = docs.filter(
+        F.length(F.encode("text", "UTF-8")) >= _PHASH_MIN_BYTES
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        "text",
+        F.length(F.encode("text", "UTF-8")).alias("n"),
+    )
+    sigs = media.select(
+        "media_id", F.expr(_PHASH_SPARK_SIG).cast("long").alias("sig")
+    )
+    bands = sigs.select(
+        "media_id",
+        F.col("sig").alias("sig_int"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"(sig div {1 << (8 * b)}) % 256").cast("long")
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    pairs = _salted_band_self_join(
+        bands, "media_id", extra_cols=("sig_int",)
+    ).select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        F.expr("bit_count(sig_int_a ^ sig_int_b)").cast("long").alias("hamming"),
+    )
+    return pairs.filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
