@@ -830,3 +830,62 @@ def streaming_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long"),
     )
     return ranked.filter(F.col("rank") <= _TREND_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Stream-STATIC join: enrich a live stream against a batch-computed profile
+# table — the remaining join mode in the streaming suite (stream-stream:
+# streaming_delivery_audit; here the dimension is static per the run and
+# broadcasts into every micro-batch).
+# ---------------------------------------------------------------------------
+_ENRICHED_SQL = """
+WITH f AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN e.ts >= f.first_ts + INTERVAL 1 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_veteran
+FROM events e JOIN f ON e.user_id = f.user_id
+GROUP BY e.event_type
+"""
+
+
+@register(
+    "streaming_enriched_events",
+    oracle=_ENRICHED_SQL,
+    doc="Streaming stream-static join: each event enriched against the "
+    "batch-computed per-user first-seen profile (broadcast into every "
+    "micro-batch), counting veteran activity (>1 day after first seen) per "
+    "type — availableNow drain, complete-mode sink, full value-hash oracle",
+    tags=("core", "streaming"),
+)
+def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the profile table is one keyed min-aggregation over the
+    batch store, broadcast into the stream (no per-batch shuffle of the
+    stream side, no stream-side state for the join); the running aggregate
+    keeps |event_type| state rows. The deployment shape for 'enrich ingest
+    against yesterday's user table'."""
+    configure_session(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    src_dir = tempfile.mkdtemp(prefix="enrich_stream_")
+    os.symlink(path, os.path.join(src_dir, "events.parquet"))
+    profile = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    raw = restore_timestamp(spark.readStream.schema(schema).parquet(src_dir), "ts")
+    enriched = raw.select("ts", "user_id", "event_type").join(
+        F.broadcast(profile), "user_id"
+    )
+    out = enriched.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            (F.col("ts") >= F.col("first_ts") + F.expr("INTERVAL 1 DAY")).cast("int")
+        )
+        .cast("long")
+        .alias("n_veteran"),
+    )
+    return _run_to_memory(out, "enriched_stream", output_mode="complete")
