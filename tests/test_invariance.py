@@ -35,6 +35,12 @@ INVARIANT = [
     "incremental_minhash_index",
     "sketch_heavy_hitters",
     "triangle_count_knn",
+    # this session's additions: prefix-bucket global indexing (per-bucket
+    # ranks + broadcast offsets must recompose identically under any
+    # layout), banded phash pairing, integer surprisal scoring
+    "epoch_global_index",
+    "media_phash_dedup",
+    "doc_surprisal_score",
 ]
 
 
