@@ -63,3 +63,53 @@ def test_salted_join_shuffles_on_salt_bucket(spark):
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     parts = re.findall(r"hashpartitioning\([^)]*\)", plan)
     assert any("_salt" in p for p in parts), plan
+
+
+def test_phash_prefix_probes_ignore_tail_edits(spark):
+    """The fixed-stride probes cover only the payload prefix: two docs that
+    share the first _PHASH_MIN_BYTES bytes but diverge afterwards must hash
+    identically (Hamming 0) — the robustness property the length-relative
+    stride lacked."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.ext_queries import (
+        _PHASH_MIN_BYTES,
+        _PHASH_SPARK_SIG,
+    )
+
+    base = "a quick brown fox jumps over the lazy dog " * 3  # > prefix bytes
+    assert len(base) >= _PHASH_MIN_BYTES
+    docs = spark.createDataFrame(
+        [(1, base + "original tail content"), (2, base + "completely different ending XYZXYZ")],
+        "doc_id long, text string",
+    ).withColumn("n", F.length(F.encode("text", "UTF-8")))
+    sigs = [r.sig for r in docs.selectExpr(f"cast(({_PHASH_SPARK_SIG}) as bigint) as sig").collect()]
+    assert sigs[0] == sigs[1]
+
+
+def test_fuzzy_edit_finds_typo_pair_and_skips_distinct_docs(spark):
+    """A near-identical typo pair must survive blocking + verify; unrelated
+    docs must not pair."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (
+        simhash_near_pairs as snp,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (
+        simhash_signatures as ss,
+    )
+
+    a = "the training corpus contains exactly this sentence with shared words " * 8
+    b = a.replace("exactly", "exactlq", 1)  # one typo in ~90 tokens: sig moves
+    # 2 bits (verified), inside the <=3 blocking gate
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, "entirely unrelated text about astronomy and chemistry topics")],
+        "doc_id long, text string",
+    )
+    cand = snp(ss(docs)).select("doc_a", "doc_b")
+    pfx = docs.select("doc_id", F.substring("text", 1, 80).alias("p"))
+    pairs = (
+        cand.join(pfx.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa")), "doc_a")
+        .join(pfx.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb")), "doc_b")
+        .withColumn("d", F.levenshtein("pa", "pb"))
+        .filter(F.col("d") <= 20)
+    )
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
