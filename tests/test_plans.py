@@ -448,3 +448,39 @@ def test_audio_windows_is_single_pass_no_shuffle(spark, sf_small):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_surprisal_vocab_broadcasts_no_token_shuffle_join(spark, sf_small):
+    """The scoring pass joins tokens to the vocabulary BROADCAST — a token-
+    keyed shuffle join would put every 'the' on one reducer."""
+    plan = plan_of(spark, sf_small, "doc_surprisal_score")
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_epoch_index_no_data_plane_global_sort(spark, sf_small):
+    """Only the bucket-count aggregate (<=65536 rows) may cross a single
+    partition; the document-bearing side must shuffle by bucket hash and
+    join the offsets broadcast."""
+    plan = plan_of(spark, sf_small, "epoch_global_index")
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "CartesianProduct" not in plan, plan
+    # The single-partition exchange exists exactly once (offset cumsum).
+    assert plan.count("SinglePartition") == 1, plan
+
+
+def test_adaptive_filter_threshold_broadcasts(spark, sf_small):
+    plan = plan_of(spark, sf_small, "adaptive_quality_filter")
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_phash_dedup_no_cartesian_banded_join(spark, sf_small):
+    plan = plan_of(spark, sf_small, "media_phash_dedup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_source_overlap_grid_broadcasts(spark, sf_small):
+    plan = plan_of(spark, sf_small, "source_overlap_jaccard")
+    assert "CartesianProduct" not in plan, plan
