@@ -861,3 +861,68 @@ def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_with_val"),
         F.sum(F.coalesce("val_micros", F.lit(0))).cast("long").alias("val_micros_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE upsert on the driver surface: snapshot_merge was previously
+# exercised only by tests; this puts the latest-wins key resolution —
+# including cross-partition key migration and carried-by-reference
+# untouched partitions — behind a value-hash oracle.
+# ---------------------------------------------------------------------------
+_MERGE_SQL = """
+SELECT user_id, event_type,
+       CAST(event_id AS BIGINT) AS last_event_id,
+       CAST(round(value * 1000000) AS BIGINT) AS val_micros
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY event_id DESC
+  ) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@register(
+    "lake_merge_upsert",
+    oracle=_MERGE_SQL,
+    doc="Snapshot-lake MERGE: events applied in two latest-wins upsert "
+    "commits keyed on (user_id, event_type) with event_id as the version; "
+    "the final table must equal a one-pass keep-latest over all events "
+    "(full value-hash oracle)",
+    tags=("lake",),
+)
+def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: each MERGE resolves only the partitions its updates
+    touch (typed semi-join against the update keys/partitions — untouched
+    partitions carry into the new manifest by reference, zero IO), and the
+    latest-wins pick is a per-key window over touched rows only. The
+    version column (event_id) is globally unique, so resolution is
+    deterministic under any batch slicing."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        snapshot_merge,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 1e6).cast("long").alias("val_micros"),
+    )
+    lake = tempfile.mkdtemp(prefix="merge_lake_")
+    for i in range(2):
+        batch = events.filter(F.pmod(F.col("event_id"), F.lit(2)) == i)
+        snapshot_merge(
+            spark,
+            batch,
+            lake,
+            key_cols=["user_id", "event_type"],
+            version_col="event_id",
+        )
+    return read_snapshot(spark, lake).select(
+        "user_id",
+        "event_type",
+        F.col("event_id").cast("long").alias("last_event_id"),
+        F.col("val_micros").alias("val_micros"),
+    )
