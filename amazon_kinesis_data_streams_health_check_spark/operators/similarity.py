@@ -252,3 +252,86 @@ def duck_bucket(vec: str) -> str:
         for p in range(LSH_PLANES)
     )
     return "(" + bits + ")"
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the FAISS-style codebook compression — split
+# the vector into M subspaces, quantize each against its own K-entry
+# codebook, store M small codes per vector.
+# ---------------------------------------------------------------------------
+def _sub_sq_dist(vec: str, cent: str, lo: int, hi: int) -> str:
+    """Exact-order squared L2 distance over 1-based dims [lo, hi]."""
+    d = f"(CAST(element_at({vec}, i) AS DOUBLE) - CAST(element_at({cent}, i) AS DOUBLE))"
+    return (
+        f"aggregate(sequence({lo}, {hi}), CAST(0 AS DOUBLE),"
+        f" (acc, i) -> acc + {d} * {d})"
+    )
+
+
+def pq_codes(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, code_0..code_{m-1}, recon)`` — per-subspace argmin-L2
+    codes against deterministic codebooks (the md5-smallest ``k`` vectors'
+    subvectors, the same frozen-sample scheme as the IVF coarse quantizer)
+    plus the reconstructed vector.
+
+    Scale shape: codebooks are k rows and BROADCAST; assignment is one
+    cross-join against the broadcast set folded into a single map-side
+    ``min(struct)`` partial aggregation per subspace — no per-vector
+    window, no skewed shuffle (the only wide stage groups on the uniform
+    ``vec_id``). Reconstruction joins each code to its broadcast codebook
+    slice. Per-vector independence keeps index maintenance incremental.
+    """
+    from pyspark.sql import Window
+
+    sub = dim // m
+    cent = (
+        vectors.select(
+            F.col(vec_col).alias("emb_c"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(k)
+        # k rows: the single-partition window is a no-op at scale.
+        .withColumn("centroid_id", F.row_number().over(Window.orderBy("_h")).cast("long"))
+        .select("centroid_id", "emb_c")
+    )
+    pairs = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_emb")
+    ).crossJoin(F.broadcast(cent))
+    dists = pairs.select(
+        "vec_id",
+        "centroid_id",
+        *[
+            F.expr(_sub_sq_dist("_emb", "emb_c", s * sub + 1, (s + 1) * sub)).alias(
+                f"d{s}"
+            )
+            for s in range(m)
+        ],
+    )
+    codes = dists.groupBy("vec_id").agg(
+        *[
+            F.min(
+                F.struct(F.col(f"d{s}").alias("d"), F.col("centroid_id").alias("cid"))
+            )["cid"].alias(f"code_{s}")
+            for s in range(m)
+        ]
+    )
+    recon = codes
+    for s in range(m):
+        sl = F.broadcast(
+            cent.select(
+                F.col("centroid_id").alias(f"code_{s}"),
+                F.slice("emb_c", s * sub + 1, sub).alias(f"_sub{s}"),
+            )
+        )
+        recon = recon.join(sl, f"code_{s}")
+    return recon.withColumn(
+        "recon", F.concat(*[F.col(f"_sub{s}") for s in range(m)])
+    ).select("vec_id", *[f"code_{s}" for s in range(m)], "recon")

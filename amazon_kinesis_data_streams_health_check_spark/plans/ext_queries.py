@@ -1944,3 +1944,103 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_count(sig_int_a ^ sig_int_b)").cast("long").alias("hamming"),
     )
     return pairs.filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: the FAISS-style ANN compression completing the
+# vector-compression family (int8 scalar quantization: embedding_quantization
+# / ann_quantized_recall). M subspace codebooks of K entries => M bytes per
+# vector instead of 4*dim.
+# ---------------------------------------------------------------------------
+_PQ_M = 4
+_PQ_K = 16
+_PQ_DIM = 64
+_PQ_SUB = _PQ_DIM // _PQ_M
+
+
+def _pq_duck_dist(s: int) -> str:
+    lo, hi = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB
+    d = f"(CAST(e.embedding[i] AS DOUBLE) - CAST(c.emb_c[i] AS DOUBLE))"
+    return f"list_sum(list_transform(range({lo}, {hi} + 1), i -> {d} * {d}))"
+
+
+_PQ_SQL = f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS centroid_id,
+         embedding AS emb_c
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT {_PQ_K}
+),
+dists AS (
+  SELECT e.vec_id, c.centroid_id, c.emb_c,
+         {", ".join(f"{_pq_duck_dist(s)} AS d{s}" for s in range(_PQ_M))}
+  FROM embeddings e CROSS JOIN cent c
+),
+long AS (
+  {" UNION ALL ".join(f"SELECT vec_id, {s} AS s, centroid_id, d{s} AS d FROM dists" for s in range(_PQ_M))}
+),
+best AS (
+  SELECT vec_id, s, centroid_id FROM (
+    SELECT vec_id, s, centroid_id,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, centroid_id) AS rn
+    FROM long
+  ) WHERE rn = 1
+),
+codes AS (
+  SELECT vec_id,
+         {", ".join(f"max(CASE WHEN s = {s} THEN centroid_id END) AS code_{s}" for s in range(_PQ_M))}
+  FROM best GROUP BY vec_id
+),
+recon AS (
+  SELECT codes.vec_id,
+         {", ".join(f"codes.code_{s}" for s in range(_PQ_M))},
+         {" || ".join(f"c{s}.emb_c[{s * _PQ_SUB + 1}:{(s + 1) * _PQ_SUB}]" for s in range(_PQ_M))} AS r
+  FROM codes
+  {" ".join(f"JOIN cent c{s} ON c{s}.centroid_id = codes.code_{s}" for s in range(_PQ_M))}
+)
+SELECT r.vec_id,
+       {", ".join(f"CAST(r.code_{s} AS BIGINT) AS code_{s}" for s in range(_PQ_M))},
+       round(list_max(list_transform(range(1, {_PQ_DIM} + 1),
+             i -> abs(CAST(e.embedding[i] AS DOUBLE) - CAST(r.r[i] AS DOUBLE)))), 6)
+         AS max_abs_err,
+       round({duck_cosine("e.embedding", "r.r")}, 6) AS cos_sim
+FROM recon r JOIN embeddings e ON e.vec_id = r.vec_id
+"""
+
+
+@register(
+    "ann_pq_codes",
+    oracle=_PQ_SQL,
+    doc=f"E2 scale path: product quantization — {_PQ_M} subspace codebooks "
+    f"of {_PQ_K} deterministic entries (md5-smallest vectors), argmin-L2 "
+    f"codes + reconstruction error + original-vs-recon cosine; "
+    f"{_PQ_M} bytes/vector vs {4 * _PQ_DIM} raw",
+    tags=("ext", "similarity"),
+)
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: see :func:`pq_codes` — broadcast codebooks, map-side
+    min(struct) assignment, uniform vec_id shuffle only. The codes are what
+    a 100 TB deployment stores; asymmetric-distance search (query vs
+    codebook lookup tables) reads them without touching raw vectors."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.similarity import (
+        pq_codes,
+    )
+
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    pq = pq_codes(emb, m=_PQ_M, k=_PQ_K, dim=_PQ_DIM)
+    orig = emb.select("vec_id", "embedding")
+    return pq.join(orig, "vec_id").select(
+        "vec_id",
+        *[F.col(f"code_{s}").cast("long").alias(f"code_{s}") for s in range(_PQ_M)],
+        F.round(
+            F.expr(
+                f"array_max(transform(sequence(1, {_PQ_DIM}), i -> "
+                "abs(cast(element_at(embedding, i) as double)"
+                " - cast(element_at(recon, i) as double))))"
+            ),
+            6,
+        ).alias("max_abs_err"),
+        F.round(cosine_expr("embedding", "recon"), 6).alias("cos_sim"),
+    )
