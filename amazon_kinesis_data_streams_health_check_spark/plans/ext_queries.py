@@ -1953,19 +1953,18 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vector instead of 4*dim.
 # ---------------------------------------------------------------------------
 _PQ_M = 4
-_PQ_K = 16
+_PQ_K = 64
 _PQ_DIM = 64
 _PQ_SUB = _PQ_DIM // _PQ_M
 
 
-def _pq_duck_dist(s: int) -> str:
+def _pq_duck_dist(s: int, a: str = "e.embedding", b: str = "c.emb_c") -> str:
     lo, hi = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB
-    d = f"(CAST(e.embedding[i] AS DOUBLE) - CAST(c.emb_c[i] AS DOUBLE))"
+    d = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
     return f"list_sum(list_transform(range({lo}, {hi} + 1), i -> {d} * {d}))"
 
 
-_PQ_SQL = f"""
-WITH cent AS (
+_PQ_CODES_CTES = f"""cent AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS centroid_id,
          embedding AS emb_c
   FROM embeddings
@@ -1991,7 +1990,10 @@ codes AS (
   SELECT vec_id,
          {", ".join(f"max(CASE WHEN s = {s} THEN centroid_id END) AS code_{s}" for s in range(_PQ_M))}
   FROM best GROUP BY vec_id
-),
+)"""
+
+_PQ_SQL = f"""
+WITH {_PQ_CODES_CTES},
 recon AS (
   SELECT codes.vec_id,
          {", ".join(f"codes.code_{s}" for s in range(_PQ_M))},
@@ -2043,4 +2045,159 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("max_abs_err"),
         F.round(cosine_expr("embedding", "recon"), 6).alias("cos_sim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance search (ADC): queries build an M x K lookup table
+# of subspace distances against the codebooks; candidate distance is M table
+# lookups summed — the raw vectors are never read at search time. Recall@k
+# vs exact L2 measures what the compression costs.
+# ---------------------------------------------------------------------------
+def _pq_l2_full(a: str, b: str) -> str:
+    d = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return f"list_sum(list_transform(range(1, {_PQ_DIM} + 1), i -> {d} * {d}))"
+
+
+_PQ_ADC_SQL = f"""
+WITH {_PQ_CODES_CTES},
+q AS (
+  SELECT vec_id AS query_id, embedding AS emb_q FROM embeddings
+  WHERE vec_id < {_ANN_QUERY_LIMIT}
+),
+lut AS (
+  SELECT q.query_id, c.centroid_id AS cid,
+         {", ".join(f"{_pq_duck_dist(s, 'q.emb_q', 'c.emb_c')} AS d{s}" for s in range(_PQ_M))}
+  FROM q CROSS JOIN cent c
+),
+adc AS (
+  SELECT l0.query_id, codes.vec_id,
+         ((l0.d0 + l1.d1) + l2.d2) + l3.d3 AS dist
+  FROM codes
+  JOIN lut l0 ON l0.cid = codes.code_0
+  JOIN lut l1 ON l1.cid = codes.code_1 AND l1.query_id = l0.query_id
+  JOIN lut l2 ON l2.cid = codes.code_2 AND l2.query_id = l0.query_id
+  JOIN lut l3 ON l3.cid = codes.code_3 AND l3.query_id = l0.query_id
+  WHERE codes.vec_id <> l0.query_id
+),
+approx AS (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= {_ANN_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, v.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_pq_l2_full('q.emb_q', 'v.embedding')}, v.vec_id
+           ) AS rn
+    FROM q JOIN embeddings v ON v.vec_id <> q.query_id
+  ) WHERE rn <= {_ANN_K}
+)
+SELECT e.query_id,
+       count(*) AS n_topk,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS recall
+FROM exact e
+LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "ann_pq_adc_recall",
+    oracle=_PQ_ADC_SQL,
+    doc=f"E2: PQ asymmetric-distance search — per-query {_PQ_M}x{_PQ_K} "
+    "subspace lookup tables, candidate distance = table-lookup sums (codes "
+    "only, raw vectors never read at search time), recall@k vs exact L2",
+    tags=("ext", "similarity"),
+)
+def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the lookup table is |queries| x K rows and BROADCAST;
+    the search pass reads only the M-small-int code columns (the 100 TB
+    point of PQ: the scan is codes, not floats), sums M lookups per
+    (candidate, query), and ranks through the two-phase topk_per_query
+    merge. The exact-L2 baseline is the broadcast brute-force pass over the
+    same fixed-order squared-difference fold the oracle uses."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.similarity import (
+        _sub_sq_dist,
+        ivf_flat_centroids,
+        pq_codes,
+        topk_per_query,
+    )
+
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    cent = ivf_flat_centroids(emb, _PQ_K).select("centroid_id", "emb_c")
+    codes = pq_codes(emb, m=_PQ_M, k=_PQ_K, dim=_PQ_DIM).select(
+        "vec_id", *[f"code_{s}" for s in range(_PQ_M)]
+    )
+    queries = emb.filter(F.col("vec_id") < _ANN_QUERY_LIMIT).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_q")
+    )
+    lut = queries.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "centroid_id",
+        *[
+            F.expr(
+                _sub_sq_dist("emb_q", "emb_c", s * _PQ_SUB + 1, (s + 1) * _PQ_SUB)
+            ).alias(f"d{s}")
+            for s in range(_PQ_M)
+        ],
+    )
+    lut = lut.localCheckpoint(eager=False)  # tiny; feeds 4 join legs
+    adc = codes.join(
+        F.broadcast(
+            lut.select(
+                "query_id", F.col("centroid_id").alias("code_0"), F.col("d0").alias("t0")
+            )
+        ),
+        "code_0",
+    )
+    for s in range(1, _PQ_M):
+        adc = adc.join(
+            F.broadcast(
+                lut.select(
+                    "query_id",
+                    F.col("centroid_id").alias(f"code_{s}"),
+                    F.col(f"d{s}").alias(f"t{s}"),
+                )
+            ),
+            ["query_id", f"code_{s}"],
+        )
+    scored = adc.filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            -(
+                (F.col("t0") + F.col("t1")) + F.col("t2") + F.col("t3")
+            )
+        ).alias("cos_raw"),
+    )
+    approx = topk_per_query(scored, k=_ANN_K).select("query_id", "neighbor_id")
+    ex_scored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_n"))
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (-F.expr(_sub_sq_dist("emb_q", "emb_n", 1, _PQ_DIM))).alias("cos_raw"),
+        )
+    )
+    exact = topk_per_query(ex_scored, k=_ANN_K).select("query_id", "neighbor_id")
+    merged = exact.join(
+        approx.withColumn("is_hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    return merged.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_topk"),
+        F.sum(F.coalesce("is_hit", F.lit(0))).cast("long").alias("n_hits"),
+        F.round(
+            F.sum(F.coalesce("is_hit", F.lit(0))).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("recall"),
     )
