@@ -443,3 +443,215 @@ def doc_length_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, source string, n_chars long, med double, "
         "mad double, is_outlier boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level retrieval with document rollup — the RAG indexing composition:
+# chunk (the doc_chunks windows) -> deterministic feature-hash embedding
+# (signed token counts in 32 md5-addressed buckets, integer-exact) ->
+# chunk-vs-chunk cosine -> best-chunk score per document pair -> top-3
+# similar documents per query doc.
+# ---------------------------------------------------------------------------
+_CR_DIM = 32
+_CR_QUERY_DOCS = 20
+_CR_TOP = 3
+_HEXD = "0123456789abcdef"
+
+
+def _cr_bucket(h: str) -> str:
+    """Bucket 0..31 from the first two hex digits of a precomputed md5
+    column (pure instr math — portable; Spark's conv() returns strings and
+    DuckDB lacks conv; hashing once per token instead of per-use matters:
+    md5 dominates the embedding pass)."""
+    c1 = f"(instr('{_HEXD}', substr({h}, 1, 1)) - 1)"
+    c2 = f"(instr('{_HEXD}', substr({h}, 2, 1)) - 1)"
+    return f"(({c1} * 16 + {c2}) % {_CR_DIM})"
+
+
+def _cr_sign(h: str) -> str:
+    return (
+        f"(CASE WHEN (instr('{_HEXD}', substr({h}, 3, 1)) - 1) % 2 = 1 "
+        f"THEN 1 ELSE -1 END)"
+    )
+
+
+def _cr_votes() -> str:
+    return ",\n         ".join(
+        f"CAST(sum(CASE WHEN b = {i} THEN s ELSE 0 END) AS BIGINT) AS v{i}"
+        for i in range(_CR_DIM)
+    )
+
+
+_CR_VEC = "[" + ", ".join(f"v{i}" for i in range(_CR_DIM)) + "]"
+_CR_DOT_QC = (
+    f"list_sum(list_transform(range(1, {_CR_DIM} + 1),"
+    " i -> CAST(q.vec[i] AS DOUBLE) * CAST(c.vec[i] AS DOUBLE)))"
+)
+
+_CHUNK_RETRIEVAL_SQL = f"""
+WITH offs AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, greatest(length(text) - 1, 0), {CHUNK_STRIDE})) AS off
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(off / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+         substr(text, off + 1, {CHUNK_SIZE}) AS ctext
+  FROM offs
+),
+th AS (
+  SELECT doc_id, chunk_id, md5(t.tok) AS h
+  FROM chunks, unnest(regexp_extract_all(lower(ctext), '{TOKEN_RE}')) AS t(tok)
+),
+tok AS (
+  SELECT doc_id, chunk_id,
+         {_cr_bucket('h')} AS b, {_cr_sign('h')} AS s
+  FROM th
+),
+votes AS (
+  SELECT doc_id, chunk_id,
+         {_cr_votes()}
+  FROM tok GROUP BY doc_id, chunk_id
+),
+vecs AS (
+  SELECT doc_id, chunk_id, {_CR_VEC} AS vec,
+         list_sum(list_transform({_CR_VEC}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS n2
+  FROM votes
+),
+nz AS (SELECT * FROM vecs WHERE n2 > 0),
+scored AS (
+  SELECT q.doc_id AS query_doc, c.doc_id AS cand_doc,
+         {_CR_DOT_QC} / sqrt(q.n2 * c.n2) AS cos_raw
+  FROM nz q JOIN nz c ON c.doc_id <> q.doc_id
+  WHERE q.doc_id < {_CR_QUERY_DOCS}
+),
+best AS (
+  SELECT query_doc, cand_doc, max(cos_raw) AS score
+  FROM scored GROUP BY query_doc, cand_doc
+)
+SELECT query_doc, cand_doc, round(score, 6) AS score, CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_doc ORDER BY score DESC, cand_doc
+  ) AS rnk
+  FROM best
+) WHERE rnk <= {_CR_TOP}
+"""
+
+
+@register(
+    "chunk_retrieval_rollup",
+    oracle=_CHUNK_RETRIEVAL_SQL,
+    doc=f"RAG indexing composition: overlapping chunks -> {_CR_DIM}-bucket "
+    "signed feature-hash embeddings (integer-exact) -> chunk cosine -> "
+    f"best-chunk score per doc pair -> top-{_CR_TOP} similar docs per "
+    f"query doc (doc_id < {_CR_QUERY_DOCS})",
+    tags=("ext", "textpipe", "similarity"),
+)
+def chunk_retrieval_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: embeddings are one narrow pass (chunk explode + token
+    explode) into a single keyed aggregation of 32 conditional sums —
+    integer-exact, so vectors are bit-identical cross-engine; the retrieval
+    pass broadcasts the (small) query-chunk side, the doc-pair rollup is a
+    keyed max, and the final ranking is the two-phase top-k merge. At
+    100 TB the all-chunk candidate leg would first gate through an LSH
+    bucket (knn_graph_lsh) — the rollup and ranking stages are unchanged."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.similarity import (
+        topk_per_query,
+    )
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    chunks = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.expr(
+                    f"sequence(0, greatest(length(text) - 1, 0), {CHUNK_STRIDE})"
+                )
+            ).alias("off"),
+        )
+        .select(
+            "doc_id",
+            (F.col("off") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.expr(f"substr(text, off + 1, {CHUNK_SIZE})").alias("ctext"),
+        )
+    )
+    tok = chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.explode(F.expr(f"regexp_extract_all(lower(ctext), '{TOKEN_RE}', 0)")).alias(
+            "tok"
+        ),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.md5(F.col("tok").cast("binary")).alias("h"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.expr(_cr_bucket("h")).alias("b"),
+        F.expr(_cr_sign("h")).alias("s"),
+    )
+    votes = tok.groupBy("doc_id", "chunk_id").agg(
+        *[
+            F.sum(F.when(F.col("b") == i, F.col("s")).otherwise(0))
+            .cast("long")
+            .alias(f"v{i}")
+            for i in range(_CR_DIM)
+        ]
+    )
+    vecs = votes.select(
+        "doc_id",
+        "chunk_id",
+        F.array(*[F.col(f"v{i}") for i in range(_CR_DIM)]).alias("vec"),
+    ).withColumn(
+        "n2",
+        F.expr(
+            "aggregate(vec, CAST(0 AS DOUBLE),"
+            " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+        ),
+    ).filter(F.col("n2") > 0)
+    vecs = vecs.localCheckpoint(eager=False)  # feeds both join legs
+    q = vecs.filter(F.col("doc_id") < _CR_QUERY_DOCS).select(
+        F.col("doc_id").alias("query_doc"),
+        F.col("vec").alias("vec_q"),
+        F.col("n2").alias("nq2"),
+    )
+    c = vecs.select(
+        F.col("doc_id").alias("cand_doc"),
+        F.col("vec").alias("vec_c"),
+        F.col("n2").alias("nc2"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_doc") != F.col("query_doc"))
+        .select(
+            "query_doc",
+            "cand_doc",
+            (
+                F.expr(
+                    "aggregate(zip_with(vec_q, vec_c, (x, y) ->"
+                    " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+                )
+                / F.sqrt(F.col("nq2") * F.col("nc2"))
+            ).alias("cos_raw"),
+        )
+    )
+    best = scored.groupBy("query_doc", "cand_doc").agg(F.max("cos_raw").alias("cos_raw"))
+    ranked = topk_per_query(
+        best.select(
+            F.col("query_doc").alias("query_id"),
+            F.col("cand_doc").alias("neighbor_id"),
+            "cos_raw",
+        ),
+        k=_CR_TOP,
+    )
+    return ranked.select(
+        F.col("query_id").alias("query_doc"),
+        F.col("neighbor_id").alias("cand_doc"),
+        F.col("cosine").alias("score"),
+        "rank",
+    )
