@@ -2201,3 +2201,76 @@ def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup: the ASYMMETRIC overlap measure |A∩B| / min(|A|,|B|).
+# A short document quoted inside a long one scores near 1.0 here while its
+# Jaccard stays low — the quote-inclusion dup class the symmetric measures
+# miss (the reason corpus pipelines run containment alongside Jaccard).
+# ---------------------------------------------------------------------------
+_CONTAINMENT_THRESHOLD = 0.5
+
+_CONTAINMENT_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, {duck_shingles()} AS sh FROM documents
+)
+SELECT doc_a, doc_b, source,
+       round(containment, 6) AS containment, round(jaccard, 6) AS jaccard
+FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.source,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / least(len(a.sh), len(b.sh)) AS containment,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / len(list_distinct(a.sh || b.sh)) AS jaccard
+  FROM tok a
+  JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+WHERE containment >= {_CONTAINMENT_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_containment",
+    oracle=_CONTAINMENT_SQL,
+    doc="E1: asymmetric containment near-dups — |A∩B| / min(|A|,|B|) over "
+    "word-3-gram shingles, source-blocked; catches quote-inclusion dups "
+    "whose symmetric Jaccard stays low",
+    tags=("ext", "dedup"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: identical to dedup_ngram_jaccard — shingles distinct
+    narrowly within the doc, source blocking bounds the pair count (the
+    unblocked scale path gates through MinHash bands first; containment's
+    S-curve needs the same band keys). Both measures come from one
+    intersect per pair."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    shingled = with_shingles(docs).select("doc_id", "source", "sh")
+    a = shingled.select(
+        F.col("doc_id").alias("doc_a"), "source", F.col("sh").alias("sh_a")
+    )
+    b = shingled.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("source").alias("source_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    paired = a.join(
+        b,
+        (F.col("source") == F.col("source_b")) & (F.col("doc_a") < F.col("doc_b")),
+    ).withColumn("_inter", F.expr("size(array_intersect(sh_a, sh_b))").cast("double"))
+    return (
+        paired.withColumn(
+            "containment",
+            F.col("_inter") / F.least(F.expr("size(sh_a)"), F.expr("size(sh_b)")),
+        )
+        .withColumn("jaccard", F.col("_inter") / F.expr("size(array_union(sh_a, sh_b))"))
+        .filter(F.col("containment") >= _CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            "source",
+            F.round("containment", 6).alias("containment"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
