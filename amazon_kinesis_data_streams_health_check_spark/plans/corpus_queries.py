@@ -1337,3 +1337,98 @@ def doc_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bits").cast("long").alias("sum_bits"),
         F.expr("1000000 * sum(bits) div count(1)").cast("long").alias("score_micro_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift per source: EXACT total-variation distance between each
+# source's unigram distribution and the rest of the corpus — the "did this
+# crawl shift?" audit. TVD instead of KL because it needs no logarithm:
+# cross-engine ln() differs in the last ulp (doc_surprisal_score note), while
+# TVD is one |integer cross-product| sum in DECIMAL(38) and a single
+# correctly-rounded double division at the end.
+# ---------------------------------------------------------------------------
+_DRIFT_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest({_DUCK_TOK}) AS t FROM documents
+),
+cst AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY source, t
+),
+vocab AS (
+  SELECT t, CAST(sum(c) AS BIGINT) AS ct FROM cst GROUP BY t
+),
+srcs AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS ns,
+         CAST(count(*) AS BIGINT) AS vocab_src
+  FROM cst GROUP BY source
+),
+tot AS (SELECT CAST(sum(ns) AS BIGINT) AS n FROM srcs),
+grid AS (
+  SELECT s.source, v.t, v.ct, s.ns, s.vocab_src, (tot.n - s.ns) AS nr,
+         coalesce(c.c, 0) AS c
+  FROM vocab v
+  CROSS JOIN srcs s
+  CROSS JOIN tot
+  LEFT JOIN cst c ON c.source = s.source AND c.t = v.t
+)
+SELECT source, ns AS n_tokens_src, vocab_src,
+       round(CAST(sum(CAST(abs(c * nr - (ct - c) * ns) AS DECIMAL(38, 0))) AS DOUBLE)
+             / (2.0 * CAST(ns AS DOUBLE) * CAST(nr AS DOUBLE)), 6) AS tvd
+FROM grid
+GROUP BY source, ns, nr, vocab_src
+"""
+
+
+@register(
+    "source_token_drift",
+    oracle=_DRIFT_SQL,
+    doc="Corpus audit: exact total-variation distance between each source's "
+    "unigram distribution and the rest of the corpus — integer cross-"
+    "products summed in DECIMAL(38), one correctly-rounded double division "
+    "at the end (no cross-engine float log)",
+    tags=("ext", "corpus", "quality"),
+)
+def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one (source, token) keyed count, a token-keyed vocab
+    rollup, and a |vocab| x |sources| grid built by cross-joining the
+    BROADCAST |sources|-row totals onto the vocabulary — linear in vocab,
+    never in corpus. Zero-count cells are materialized by the grid (a
+    source missing a token still contributes |0 - c_rest * N_s|), which a
+    naive join-only formulation silently drops. DECIMAL(38) sums make the
+    reduction order-free."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.expr(_SPARK_TOK)).alias("t"))
+    cst = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    cst = cst.localCheckpoint(eager=False)  # feeds vocab, srcs, and the grid
+    vocab = cst.groupBy("t").agg(F.sum("c").cast("long").alias("ct"))
+    srcs = cst.groupBy("source").agg(
+        F.sum("c").cast("long").alias("ns"),
+        F.count(F.lit(1)).cast("long").alias("vocab_src"),
+    )
+    tot = srcs.agg(F.sum("ns").cast("long").alias("n"))
+    srcs_n = srcs.crossJoin(F.broadcast(tot)).select(
+        "source", "ns", "vocab_src", (F.col("n") - F.col("ns")).alias("nr")
+    )
+    grid = (
+        vocab.crossJoin(F.broadcast(srcs_n))
+        .join(cst, ["source", "t"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+    )
+    term = F.abs(
+        F.col("c") * F.col("nr") - (F.col("ct") - F.col("c")) * F.col("ns")
+    ).cast("decimal(38,0)")
+    return (
+        grid.groupBy("source", "ns", "nr", "vocab_src")
+        .agg(F.sum(term).alias("s"))
+        .select(
+            "source",
+            F.col("ns").alias("n_tokens_src"),
+            "vocab_src",
+            F.round(
+                F.col("s").cast("double")
+                / (F.lit(2.0) * F.col("ns").cast("double") * F.col("nr").cast("double")),
+                6,
+            ).alias("tvd"),
+        )
+    )
