@@ -796,3 +796,78 @@ def consumer_error_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_dropped"),
         F.sum(F.coalesce(lag_s, F.lit(0))).cast("long").alias("sum_lag_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-baseline anomaly flags: the CloudWatch anomaly-detection analog —
+# instead of a trailing-window z-score (metric_anomaly_flags), the baseline
+# is LEARNED per (stream, hour-of-day) and each minute is compared against
+# its own season's median.
+# ---------------------------------------------------------------------------
+_SEAS_MULT = 1.5
+
+_SEASONAL_SQL = f"""
+WITH m AS (
+  SELECT event_type AS stream_name,
+         60 * CAST(floor(epoch(ts) / 60) AS BIGINT) AS ws,
+         CAST(floor(max(value) * 1000) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+h AS (
+  SELECT stream_name, ws, x,
+         CAST(floor(ws / 3600) % 24 AS BIGINT) AS hod
+  FROM m
+),
+base AS (
+  SELECT stream_name, hod, quantile_cont(x, 0.5) AS med
+  FROM h GROUP BY stream_name, hod
+)
+SELECT h.stream_name, h.ws AS window_start_s, h.x AS value_milli, h.hod,
+       round(b.med, 6) AS median_milli,
+       CAST(h.x AS DOUBLE) > {_SEAS_MULT} * b.med AS is_spike
+FROM h JOIN base b ON b.stream_name = h.stream_name AND b.hod = h.hod
+"""
+
+
+@register(
+    "seasonal_baseline_flags",
+    oracle=_SEASONAL_SQL,
+    doc=f"Anomaly detection with a LEARNED seasonal baseline: per-minute "
+    f"stream maxima vs their own (stream, hour-of-day) median, spike = "
+    f"value > {_SEAS_MULT}x seasonal median — the CloudWatch anomaly-"
+    "detection analog of the fixed-threshold alarm",
+    tags=("core", "timeseries"),
+)
+def seasonal_baseline_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: profile pass = one keyed exact median over
+    (stream, hour) — 24 x |streams| groups, swapped for approx_percentile
+    at 100 TB; the baseline table broadcasts back onto the minute series
+    (narrow second pass, no re-shuffle of the data plane). Hour-of-day
+    derives from integer epoch division, so both engines season
+    identically. The spike compare runs on exact milli integers against
+    1.5 x an exactly-representable median."""
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    m = events.groupBy(
+        F.col("event_type").alias("stream_name"),
+        (
+            F.lit(60) * F.floor(F.unix_timestamp("ts") / 60)
+        ).cast("long").alias("ws"),
+    ).agg(F.floor(F.max("value") * 1000).cast("long").alias("x"))
+    h = m.withColumn("hod", (F.floor(F.col("ws") / 3600) % 24).cast("long"))
+    base = h.groupBy("stream_name", "hod").agg(
+        F.expr("percentile(x, 0.5)").alias("med")
+    )
+    return (
+        h.join(F.broadcast(base), ["stream_name", "hod"])
+        .select(
+            "stream_name",
+            F.col("ws").alias("window_start_s"),
+            F.col("x").alias("value_milli"),
+            "hod",
+            F.round("med", 6).alias("median_milli"),
+            (F.col("x").cast("double") > F.lit(_SEAS_MULT) * F.col("med")).alias(
+                "is_spike"
+            ),
+        )
+    )
