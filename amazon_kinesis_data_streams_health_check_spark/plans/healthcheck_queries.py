@@ -871,3 +871,120 @@ def seasonal_baseline_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite alarm: CloudWatch composite-alarm semantics — two child alarms
+# with DIFFERENT missing-data policies (lag breach with notBreaching,
+# insufficient-data detector) OR-combined into one state series whose
+# transitions are what pages. The flagship folds missing into one child;
+# the composite keeps the causes separable, which is how operators actually
+# configure "alarm if lag is high OR the canary stopped reporting".
+# ---------------------------------------------------------------------------
+_COMPOSITE_SQL = """
+WITH lagged AS (
+  SELECT event_type AS stream_name,
+         time_bucket(INTERVAL 1 MINUTE, ts) AS window_start,
+         value AS lag_seconds
+  FROM events
+),
+metrics AS (
+  SELECT stream_name, window_start,
+         max(lag_seconds) AS max_value,
+         count(*) AS n_datapoints
+  FROM lagged GROUP BY 1, 2
+),
+bounds AS (SELECT min(window_start) AS lo, max(window_start) AS hi FROM metrics),
+grid AS (
+  SELECT k.stream_name, g.window_start
+  FROM (SELECT DISTINCT stream_name FROM metrics) k
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS window_start FROM bounds) g
+),
+joined AS (
+  SELECT g.stream_name, g.window_start,
+         m.max_value,
+         COALESCE(m.n_datapoints, 0) AS n_datapoints
+  FROM grid g
+  LEFT JOIN metrics m
+    ON m.stream_name = g.stream_name AND m.window_start = g.window_start
+),
+states AS (
+  SELECT stream_name, window_start,
+         CAST(max_value AS DOUBLE) AS max_lag,
+         n_datapoints,
+         CASE WHEN max_value IS NOT NULL AND max_value > 30.0
+              THEN 'ALARM' ELSE 'OK' END AS lag_state,
+         CASE WHEN n_datapoints = 0 THEN 'ALARM' ELSE 'OK' END AS data_state
+  FROM joined
+),
+comp AS (
+  SELECT *,
+         CASE WHEN lag_state = 'ALARM' OR data_state = 'ALARM'
+              THEN 'ALARM' ELSE 'OK' END AS state
+  FROM states
+)
+SELECT stream_name, window_start, max_lag, n_datapoints,
+       lag_state, data_state, state,
+       (lag(state) OVER w) IS NOT NULL AND state <> (lag(state) OVER w)
+         AS transitioned
+FROM comp
+WINDOW w AS (PARTITION BY stream_name ORDER BY window_start)
+"""
+
+
+@register(
+    "composite_alarm",
+    oracle=_COMPOSITE_SQL,
+    doc="Composite alarm: lag-breach child (missing=notBreaching) OR "
+    "insufficient-data child, combined CloudWatch-composite style with "
+    "transition detection on the composite state",
+    tags=("core",),
+)
+def composite_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one keyed window aggregation to the metric series, the
+    broadcast period grid, and ONE pass computing both child states (they
+    read the same gridded row — no second scan, no join between children);
+    the transition window partitions on the bounded stream key."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    metrics = (
+        events.select(
+            F.col("event_type").alias("stream_name"),
+            F.window("ts", "1 minute")["start"].alias("window_start"),
+            F.col("value").alias("lag_seconds"),
+        )
+        .groupBy("stream_name", "window_start")
+        .agg(
+            F.max("lag_seconds").alias("max_value"),
+            F.count(F.lit(1)).alias("n_datapoints"),
+        )
+    )
+    gridded = with_period_grid(metrics)
+    lag_state = F.when(
+        F.col("max_value").isNotNull() & (F.col("max_value") > FLAGSHIP_THRESHOLD),
+        F.lit("ALARM"),
+    ).otherwise(F.lit("OK"))
+    data_state = F.when(F.col("n_datapoints") == 0, F.lit("ALARM")).otherwise(
+        F.lit("OK")
+    )
+    comp = gridded.select(
+        "stream_name",
+        "window_start",
+        F.col("max_value").cast("double").alias("max_lag"),
+        "n_datapoints",
+        lag_state.alias("lag_state"),
+        data_state.alias("data_state"),
+    ).withColumn(
+        "state",
+        F.when(
+            (F.col("lag_state") == "ALARM") | (F.col("data_state") == "ALARM"),
+            F.lit("ALARM"),
+        ).otherwise(F.lit("OK")),
+    )
+    w = Window.partitionBy("stream_name").orderBy("window_start")
+    prev = F.lag("state").over(w)
+    return comp.withColumn(
+        "transitioned", prev.isNotNull() & (F.col("state") != prev)
+    )
