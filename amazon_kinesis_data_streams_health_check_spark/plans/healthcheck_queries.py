@@ -988,3 +988,114 @@ def composite_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.withColumn(
         "transitioned", prev.isNotNull() & (F.col("state") != prev)
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-window SLO burn-rate alarm (the SRE alerting pattern): page only
+# when BOTH the fast window (5 min) and the slow window (60 min) burn the
+# error budget — fast-only = blips page, slow-only = pages long after
+# recovery; the AND is the point. Entirely integer arithmetic: the budget
+# compare 4*err > total avoids rate floats altogether.
+# ---------------------------------------------------------------------------
+_SLO_FAST = 5
+_SLO_SLOW = 60
+_SLO_SHARDS = 4
+
+_SLO_SQL = f"""
+WITH m AS (
+  SELECT CAST(user_id % {_SLO_SHARDS} AS BIGINT) AS shard,
+         60 * CAST(floor(epoch(ts) / 60) AS BIGINT) AS ws,
+         CAST(count(*) AS BIGINT) AS tot,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(ws) AS lo, max(ws) AS hi FROM m),
+grid AS (
+  SELECT s.shard, g.ws
+  FROM (SELECT DISTINCT shard FROM m) s
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi, 60)) AS ws FROM bounds) g
+),
+j AS (
+  SELECT g.shard, g.ws,
+         COALESCE(m.tot, 0) AS tot, COALESCE(m.err, 0) AS err
+  FROM grid g LEFT JOIN m ON m.shard = g.shard AND m.ws = g.ws
+),
+w AS (
+  SELECT shard, ws, tot, err,
+         CAST(sum(tot) OVER f AS BIGINT) AS tot_fast,
+         CAST(sum(err) OVER f AS BIGINT) AS err_fast,
+         CAST(sum(tot) OVER s AS BIGINT) AS tot_slow,
+         CAST(sum(err) OVER s AS BIGINT) AS err_slow
+  FROM j
+  WINDOW f AS (PARTITION BY shard ORDER BY ws
+               ROWS BETWEEN {_SLO_FAST - 1} PRECEDING AND CURRENT ROW),
+         s AS (PARTITION BY shard ORDER BY ws
+               ROWS BETWEEN {_SLO_SLOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT shard, ws AS window_start_s,
+       tot_fast, err_fast, tot_slow, err_slow,
+       tot_fast > 0 AND tot_slow > 0
+         AND 4 * err_fast > tot_fast
+         AND 4 * err_slow > tot_slow AS burn_alarm
+FROM w
+"""
+
+
+@register(
+    "slo_burn_rate_alarm",
+    oracle=_SLO_SQL,
+    doc=f"Multi-window SLO burn-rate alarm: page when BOTH the {_SLO_FAST}-min "
+    f"and {_SLO_SLOW}-min error rates burn the 25% budget (integer compare "
+    "4*err > total — no rate floats), per user shard over the densified "
+    "minute grid",
+    tags=("core", "timeseries"),
+)
+def slo_burn_rate_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one keyed minute aggregation, the broadcast period grid
+    (shards x minutes — bounded), then two ROWS frames over the same
+    ordered pass (Spark evaluates both in one Window node — O(n) sliding
+    sums, no rescan). Integer sums make the frames order-free; the budget
+    compare never leaves BIGINT."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    m = events.groupBy(
+        (F.col("user_id") % _SLO_SHARDS).cast("long").alias("shard"),
+        (F.lit(60) * F.floor(F.unix_timestamp("ts") / 60)).cast("long").alias("ws"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("tot"),
+        F.sum((F.col("event_type") == "error").cast("int")).cast("long").alias("err"),
+    )
+    bounds = m.agg(F.min("ws").alias("lo"), F.max("ws").alias("hi"))
+    grid = (
+        m.select("shard")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "shard", F.explode(F.expr("sequence(lo, hi, 60)")).alias("ws")
+        )
+    )
+    j = (
+        grid.join(m, ["shard", "ws"], "left")
+        .withColumn("tot", F.coalesce("tot", F.lit(0)))
+        .withColumn("err", F.coalesce("err", F.lit(0)))
+    )
+    order = Window.partitionBy("shard").orderBy("ws")
+    fast = order.rowsBetween(-(_SLO_FAST - 1), 0)
+    slow = order.rowsBetween(-(_SLO_SLOW - 1), 0)
+    w = j.select(
+        "shard",
+        F.col("ws").alias("window_start_s"),
+        F.sum("tot").over(fast).cast("long").alias("tot_fast"),
+        F.sum("err").over(fast).cast("long").alias("err_fast"),
+        F.sum("tot").over(slow).cast("long").alias("tot_slow"),
+        F.sum("err").over(slow).cast("long").alias("err_slow"),
+    )
+    return w.withColumn(
+        "burn_alarm",
+        (F.col("tot_fast") > 0)
+        & (F.col("tot_slow") > 0)
+        & (4 * F.col("err_fast") > F.col("tot_fast"))
+        & (4 * F.col("err_slow") > F.col("tot_slow")),
+    )
