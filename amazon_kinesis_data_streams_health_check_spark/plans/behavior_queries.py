@@ -529,3 +529,56 @@ def session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("minute"),
         F.sum("delta").over(wg).cast("long").alias("n_concurrent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix: first-order Markov counts over each user's
+# time-ordered event stream — the "what happens after a signup" path
+# analysis that feeds next-action models and funnel design.
+# ---------------------------------------------------------------------------
+_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+
+@register(
+    "event_transition_matrix",
+    oracle=_TRANSITION_SQL,
+    doc="Behavioral path analysis: first-order Markov transition counts "
+    "(from_type -> to_type) over each user's time-ordered events, with the "
+    "distinct-user reach of every edge",
+    tags=("ext", "behavior"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one user-keyed window (uniform key, per-user frames are
+    session-sized) and one 25-cell keyed aggregation. The (ts, event_id)
+    compound order key makes the sequence — and therefore every count —
+    deterministic under ties."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    return seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )

@@ -1401,3 +1401,79 @@ def sql_surface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_SQL_SURFACE)
+
+
+# ---------------------------------------------------------------------------
+# Cross-table reconciliation: does the order header's total match the sum of
+# its line items? The classic warehouse DQ invariant (dq_violations covers
+# single-table rules; this is the join-shaped audit). Per-LINE cent
+# conversion makes the aggregation order-free — summing raw doubles per
+# order would be partition-order-dependent and could never hash-match.
+# ---------------------------------------------------------------------------
+_RECON_SQL = """
+WITH line_cents AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+                       AS BIGINT)) AS BIGINT) AS computed_cents
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                          <> lc.computed_cents THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mismatch,
+       CAST(max(abs(CAST(round(o.o_totalprice * 100) AS BIGINT)
+                    - lc.computed_cents)) AS BIGINT) AS max_drift_cents,
+       CAST(sum(abs(CAST(round(o.o_totalprice * 100) AS BIGINT)
+                    - lc.computed_cents)) AS BIGINT) AS sum_drift_cents
+FROM orders o JOIN line_cents lc ON lc.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "order_reconciliation",
+    oracle=_RECON_SQL,
+    doc="Cross-table DQ reconciliation: order-header total vs cent-exact "
+    "sum of its line items (per-line rounding, order-free BIGINT sums), "
+    "mismatch counts and drift magnitude per priority",
+    tags=("relational", "quality"),
+)
+def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one keyed BIGINT aggregation over lineitem, one shuffle
+    join on the uniform order key, one small keyed rollup. Every arithmetic
+    step is either a correctly-rounded single double op (identical on any
+    engine) or BIGINT — the reconciliation verdict cannot flip with
+    partitioning, retries, or cluster size."""
+    configure_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    line_cents = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("computed_cents")
+    )
+    o_cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    joined = orders.join(
+        line_cents, orders["o_orderkey"] == line_cents["l_orderkey"]
+    ).select(
+        "o_orderpriority",
+        o_cents.alias("header_cents"),
+        "computed_cents",
+    )
+    drift = F.abs(F.col("header_cents") - F.col("computed_cents"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum((F.col("header_cents") != F.col("computed_cents")).cast("int"))
+        .cast("long")
+        .alias("n_mismatch"),
+        F.max(drift).cast("long").alias("max_drift_cents"),
+        F.sum(drift).cast("long").alias("sum_drift_cents"),
+    )
