@@ -84,7 +84,17 @@ def _read_json(spark: SparkSession, path: str) -> dict[str, Any]:
         stream.close()
 
 
-def _write_json(spark: SparkSession, path: str, payload: dict[str, Any]) -> None:
+class SnapshotConflictError(RuntimeError):
+    """Another writer committed the same version first (optimistic
+    concurrency): re-resolve the latest manifest and retry the commit."""
+
+
+def _write_json(
+    spark: SparkSession,
+    path: str,
+    payload: dict[str, Any],
+    if_absent: bool = False,
+) -> None:
     fs = _fs(spark, path)
     tmp = _jpath(spark, path + ".tmp")
     out = fs.create(tmp, True)
@@ -92,6 +102,18 @@ def _write_json(spark: SparkSession, path: str, payload: dict[str, Any]) -> None
         out.write(json.dumps(payload, sort_keys=True).encode("utf-8"))
     finally:
         out.close()
+    if if_absent:
+        # Manifest publish must be atomic-if-absent: rename onto an existing
+        # target returns False (HDFS/local semantics) instead of clobbering,
+        # which is exactly the losing writer's signal. Without this, two
+        # writers resolving the same parent would both "commit" vN+1 and the
+        # first one's files would be silently orphaned — a lost update.
+        if fs.exists(_jpath(spark, path)) or not fs.rename(tmp, _jpath(spark, path)):
+            fs.delete(tmp, False)
+            raise SnapshotConflictError(
+                f"concurrent commit detected: {path} already exists"
+            )
+        return
     fs.delete(_jpath(spark, path), False)
     fs.rename(tmp, _jpath(spark, path))
 
@@ -163,7 +185,7 @@ def _commit(
         payload["txn"] = txn
     if stats:
         payload["stats"] = stats
-    _write_json(spark, _manifest_path(path, version), payload)
+    _write_json(spark, _manifest_path(path, version), payload, if_absent=True)
     return version
 
 

@@ -505,3 +505,31 @@ def test_snapshot_delete_with_escaped_partition_values(spark, tmp_path):
     hist = snapshot_history(spark, path)
     m2 = hist[0]["files"] if hist[0]["version"] != v1 else hist[1]["files"]
     assert not any("b 2" in part or "b%202" in part for part in m2), m2
+
+
+def test_concurrent_commit_from_same_parent_raises_conflict(spark, tmp_path):
+    """Optimistic concurrency: two writers resolving the same parent must
+    not both publish vN+1 — the second rename-if-absent loses and gets a
+    SnapshotConflictError instead of silently orphaning the winner's commit."""
+    import pytest as _pytest
+
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        SnapshotConflictError,
+        _commit,
+        _resolve_manifest,
+        snapshot_overwrite,
+    )
+
+    lake = str(tmp_path / "conflict_lake")
+    df = spark.range(10).select(
+        F.col("id").alias("user_id"), F.lit("a").alias("part")
+    )
+    v1 = snapshot_overwrite(spark, df, lake, partition_col="part")
+    m = _resolve_manifest(spark, lake)
+    # Writer A commits v2 from parent v1.
+    _commit(spark, lake, dict(m["files"]), "append", m["schema"], v1)
+    # Writer B, still holding parent v1, must conflict instead of clobbering.
+    with _pytest.raises(SnapshotConflictError):
+        _commit(spark, lake, dict(m["files"]), "append", m["schema"], v1)
+    # The winning v2 survived and the lake still resolves.
+    assert _resolve_manifest(spark, lake)["version"] == 2
