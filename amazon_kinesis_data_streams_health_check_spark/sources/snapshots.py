@@ -290,15 +290,28 @@ def snapshot_append(
     partitions, which ``compact_snapshot`` later folds."""
     if partition_col not in df.columns:
         df = df.withColumn(partition_col, F.to_date("ts"))
-    try:
-        current = _resolve_manifest(spark, path)
-        files = {part: list(rels) for part, rels in current["files"].items()}
-        parent = current["version"]
-    except FileNotFoundError:
-        files, parent = {}, None
-    for part, rels in _append_data(spark, df, path, partition_col).items():
-        files.setdefault(part, []).extend(rels)
-    return _commit(spark, path, files, "append", df.schema.json(), parent)
+    new_rels = _append_data(spark, df, path, partition_col)
+    # Optimistic-concurrency retry: the data files are already durable and
+    # private to this writer (unique part-file names), so losing the
+    # manifest race costs one re-resolve + re-commit — never a data
+    # rewrite. Appends from concurrent writers are commutative, which is
+    # why blind retry is safe here (MERGE/overwrite are coordinated ops
+    # and deliberately surface the conflict instead).
+    for attempt in range(3):
+        try:
+            current = _resolve_manifest(spark, path)
+            files = {part: list(rels) for part, rels in current["files"].items()}
+            parent = current["version"]
+        except FileNotFoundError:
+            files, parent = {}, None
+        for part, rels in new_rels.items():
+            files.setdefault(part, []).extend(rels)
+        try:
+            return _commit(spark, path, files, "append", df.schema.json(), parent)
+        except SnapshotConflictError:
+            if attempt == 2:
+                raise
+    raise AssertionError("unreachable")
 
 
 def last_committed_txn(

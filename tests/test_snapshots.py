@@ -533,3 +533,39 @@ def test_concurrent_commit_from_same_parent_raises_conflict(spark, tmp_path):
         _commit(spark, lake, dict(m["files"]), "append", m["schema"], v1)
     # The winning v2 survived and the lake still resolves.
     assert _resolve_manifest(spark, lake)["version"] == 2
+
+
+def test_append_retries_past_conflicting_writer(spark, tmp_path, monkeypatch):
+    """snapshot_append loses the manifest race once, re-resolves, and lands
+    its files in the NEXT version — appends are commutative so both
+    writers' rows survive."""
+    from amazon_kinesis_data_streams_health_check_spark.sources import snapshots as sn
+
+    lake = str(tmp_path / "retry_lake")
+    base = spark.range(5).select(F.col("id").alias("user_id"), F.lit("a").alias("part"))
+    sn.snapshot_overwrite(spark, base, lake, partition_col="part")
+
+    real_commit = sn._commit
+    calls = {"n": 0}
+
+    def racing_commit(spark_, path_, files_, op_, schema_, parent_, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # An INDEPENDENT writer lands v2 first (its manifest carries only
+            # the files it can see — never this writer's still-private ones);
+            # this writer's commit then collides for real.
+            current = sn._resolve_manifest(spark_, path_)
+            real_commit(
+                spark_, path_, dict(current["files"]), "append", schema_, parent_
+            )
+            raise sn.SnapshotConflictError("simulated race")
+        return real_commit(spark_, path_, files_, op_, schema_, parent_, **kw)
+
+    monkeypatch.setattr(sn, "_commit", racing_commit)
+    extra = spark.range(100, 103).select(
+        F.col("id").alias("user_id"), F.lit("a").alias("part")
+    )
+    v = sn.snapshot_append(spark, extra, lake, partition_col="part")
+    assert v == 3  # retried past the conflicting v2
+    rows = [r.user_id for r in sn.read_snapshot(spark, lake).collect()]
+    assert sorted(rows) == [0, 1, 2, 3, 4, 100, 101, 102]  # exact — no dup reads
