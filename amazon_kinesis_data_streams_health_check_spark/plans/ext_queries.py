@@ -2274,3 +2274,106 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jaccard", 6).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EXACT all-pairs Jaccard join via prefix filtering (the AllPairs/PPJoin
+# family): MinHash-LSH trades recall for speed; this is the LOSSLESS scale
+# path. Order every doc's shingles by global rarity; a pair with Jaccard
+# >= t MUST share a token inside both prefixes of length
+# |X| - ceil(t*|X|) + 1 (if a doc's whole prefix were non-shared it would
+# have too many non-common tokens to reach t), so joining on prefix tokens
+# generates every qualifying pair — no bands, no blocking, no misses.
+# ---------------------------------------------------------------------------
+_APJ_T_NUM, _APJ_T_DEN = 1, 2  # threshold t = 1/2 as an exact rational
+
+_APJ_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {duck_shingles()} AS sh FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+FROM tok a
+JOIN tok b ON a.doc_id < b.doc_id
+WHERE {_APJ_T_DEN} * len(list_intersect(a.sh, b.sh))
+      >= {_APJ_T_NUM} * len(list_distinct(a.sh || b.sh))
+"""
+
+
+@register(
+    "dedup_jaccard_allpairs",
+    oracle=_APJ_SQL,
+    doc=f"E1: EXACT all-pairs Jaccard >= {_APJ_T_NUM}/{_APJ_T_DEN} via "
+    "lossless prefix filtering (AllPairs/PPJoin) — rarity-ordered shingles, "
+    "candidates share a prefix token, exact verify; no blocking, no LSH "
+    "recall loss (oracle is the brute-force join)",
+    tags=("ext", "dedup"),
+)
+def dedup_jaccard_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the rarity order means prefix tokens are the RARE ones,
+    so the candidate join key distribution is anti-skewed by construction —
+    the frequent shingles that would explode a naive token join never enter
+    a prefix unless the doc is tiny. Stages: one shingle-keyed frequency
+    count, one doc-keyed regroup into rarity-sorted arrays, prefix explode
+    (narrow), candidate self-join on the uniform (rare-token) key, exact
+    verify on the candidate set only. The threshold compare stays in
+    integers (2*|intersect| >= |union|)."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    # Pin the shingle arrays once: they feed the frequency pass, the regroup,
+    # AND both verify legs — Catalyst would otherwise re-tokenize per
+    # consumer (the multi-consumer recompute pattern from round 3's sweep).
+    sh = with_shingles(docs).select("doc_id", "sh").localCheckpoint(eager=False)
+    exploded = sh.select("doc_id", F.explode("sh").alias("g"))
+    freq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("f"))
+    ranked = (
+        exploded.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(f, g))), x -> x.g)"
+            ).alias("osh")
+        )
+    )
+    # L = n - ceil(t*n) + 1 in pure integers for t = NUM/DEN:
+    # ceil(NUM*n/DEN) = (NUM*n + DEN - 1) div DEN.
+    pfx = ranked.select(
+        "doc_id",
+        F.expr("size(osh)").alias("n"),
+        F.expr(
+            f"slice(osh, 1, size(osh) - (({_APJ_T_NUM} * size(osh) + {_APJ_T_DEN} - 1)"
+            f" div {_APJ_T_DEN}) + 1)"
+        ).alias("pfx"),
+    ).select("doc_id", "n", F.explode("pfx").alias("g"))
+    # Length filter (AllPairs): J(A,B) <= min/max of the set sizes, so a
+    # candidate can only qualify when DEN*min >= NUM*max — culled inside the
+    # join before the distinct, not after the expensive verify.
+    cand = (
+        pfx.alias("x")
+        .join(
+            pfx.alias("y"),
+            (F.col("x.g") == F.col("y.g"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (
+                _APJ_T_DEN * F.least(F.col("x.n"), F.col("y.n"))
+                >= _APJ_T_NUM * F.greatest(F.col("x.n"), F.col("y.n"))
+            ),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("_i", F.expr("size(array_intersect(sh_a, sh_b))"))
+        .withColumn("_u", F.expr("size(array_union(sh_a, sh_b))"))
+        .filter(_APJ_T_DEN * F.col("_i") >= _APJ_T_NUM * F.col("_u"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("_i").cast("double") / F.col("_u"), 6).alias("jaccard"),
+        )
+    )
