@@ -41,6 +41,9 @@ INVARIANT = [
     "epoch_global_index",
     "media_phash_dedup",
     "doc_surprisal_score",
+    # lossless prefix-filter join: rarity regroup (array_sort over structs)
+    # and candidate distinct must reproduce under any shuffle layout
+    "dedup_jaccard_allpairs",
 ]
 
 

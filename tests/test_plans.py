@@ -484,3 +484,9 @@ def test_phash_dedup_no_cartesian_banded_join(spark, sf_small):
 def test_source_overlap_grid_broadcasts(spark, sf_small):
     plan = plan_of(spark, sf_small, "source_overlap_jaccard")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_allpairs_no_cartesian_no_nested_loop(spark, sf_small):
+    plan = plan_of(spark, sf_small, "dedup_jaccard_allpairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
