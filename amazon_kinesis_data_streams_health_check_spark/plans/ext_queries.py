@@ -2377,3 +2377,189 @@ def dedup_jaccard_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_i").cast("double") / F.col("_u"), 6).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the canonical production ANN index — coarse IVF probe narrows the
+# candidate set to one cluster, PQ asymmetric distance ranks inside it from
+# codes alone. Composes the two oracle-verified mechanisms (ann_ivf_flat's
+# coarse quantizer, ann_pq_adc_recall's lookup-table search); recall@k vs
+# global exact L2 measures what probe + compression cost together.
+# ---------------------------------------------------------------------------
+_IVFPQ_SQL = f"""
+WITH {_PQ_CODES_CTES},
+coarse AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS centroid_id,
+         embedding AS emb_c
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT {_IVF_FLAT_NC}
+),
+assigned AS (
+  SELECT vec_id, centroid_id AS cluster FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {duck_cosine('e.embedding', 'c.emb_c')} DESC, c.centroid_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN coarse c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS emb_q FROM embeddings
+  WHERE vec_id < {_ANN_QUERY_LIMIT}
+),
+lut AS (
+  SELECT q.query_id, c.centroid_id AS cid,
+         {", ".join(f"{_pq_duck_dist(s, 'q.emb_q', 'c.emb_c')} AS d{s}" for s in range(_PQ_M))}
+  FROM q CROSS JOIN cent c
+),
+adc AS (
+  SELECT l0.query_id, codes.vec_id, aq.cluster,
+         ((l0.d0 + l1.d1) + l2.d2) + l3.d3 AS dist
+  FROM codes
+  JOIN assigned av ON av.vec_id = codes.vec_id
+  JOIN q ON TRUE
+  JOIN assigned aq ON aq.vec_id = q.query_id AND aq.cluster = av.cluster
+  JOIN lut l0 ON l0.cid = codes.code_0 AND l0.query_id = q.query_id
+  JOIN lut l1 ON l1.cid = codes.code_1 AND l1.query_id = q.query_id
+  JOIN lut l2 ON l2.cid = codes.code_2 AND l2.query_id = q.query_id
+  JOIN lut l3 ON l3.cid = codes.code_3 AND l3.query_id = q.query_id
+  WHERE codes.vec_id <> q.query_id
+),
+approx AS (
+  SELECT query_id, cluster, vec_id AS neighbor_id FROM (
+    SELECT query_id, cluster, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= {_ANN_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, v.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_pq_l2_full('q.emb_q', 'v.embedding')}, v.vec_id
+           ) AS rn
+    FROM q JOIN embeddings v ON v.vec_id <> q.query_id
+  ) WHERE rn <= {_ANN_K}
+)
+SELECT e.query_id,
+       max(a2.cluster) AS cluster,
+       count(*) AS n_topk,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS recall
+FROM exact e
+JOIN assigned a2 ON a2.vec_id = e.query_id
+LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "ann_ivfpq_recall",
+    oracle=_IVFPQ_SQL,
+    doc=f"E2: IVF-PQ — nprobe=1 coarse probe ({_IVF_FLAT_NC} clusters) + "
+    f"asymmetric-distance ranking from {_PQ_M}-byte codes inside the probed "
+    "cluster; recall@k vs global exact L2 (the production FAISS config, "
+    "both mechanisms composed and value-hash oracled)",
+    tags=("ext", "similarity"),
+)
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the coarse assignment is the broadcast argmax pass of
+    ann_ivf_flat (per-vector independence keeps maintenance incremental);
+    the search pass reads codes + cluster ids only, joins the broadcast
+    per-query lookup tables, and restricts candidates to the query's
+    cluster BEFORE any distance math — candidate volume is |cluster|, not
+    |corpus|. Ranking and recall reuse the two-phase top-k merge."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.similarity import (
+        _sub_sq_dist,
+        assign_ivf_flat_clusters,
+        ivf_flat_centroids,
+        pq_codes,
+        topk_per_query,
+    )
+
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    assigned = assign_ivf_flat_clusters(emb, n_centroids=_IVF_FLAT_NC)
+    cent = ivf_flat_centroids(emb, _PQ_K).select("centroid_id", "emb_c")
+    codes = pq_codes(emb, m=_PQ_M, k=_PQ_K, dim=_PQ_DIM).select(
+        "vec_id", *[f"code_{s}" for s in range(_PQ_M)]
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < _ANN_QUERY_LIMIT)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_q"))
+        .join(
+            assigned.select(
+                F.col("vec_id").alias("query_id"), F.col("cluster").alias("q_cluster")
+            ),
+            "query_id",
+        )
+    )
+    lut = queries.select("query_id", "emb_q").crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "centroid_id",
+        *[
+            F.expr(
+                _sub_sq_dist("emb_q", "emb_c", s * _PQ_SUB + 1, (s + 1) * _PQ_SUB)
+            ).alias(f"d{s}")
+            for s in range(_PQ_M)
+        ],
+    )
+    lut = lut.localCheckpoint(eager=False)
+    cand = codes.join(assigned.select("vec_id", "cluster"), "vec_id").join(
+        F.broadcast(queries.select("query_id", F.col("q_cluster").alias("cluster"))),
+        "cluster",
+    )
+    adc = cand.join(
+        F.broadcast(
+            lut.select(
+                "query_id", F.col("centroid_id").alias("code_0"), F.col("d0").alias("t0")
+            )
+        ),
+        ["query_id", "code_0"],
+    )
+    for s in range(1, _PQ_M):
+        adc = adc.join(
+            F.broadcast(
+                lut.select(
+                    "query_id",
+                    F.col("centroid_id").alias(f"code_{s}"),
+                    F.col(f"d{s}").alias(f"t{s}"),
+                )
+            ),
+            ["query_id", f"code_{s}"],
+        )
+    scored = adc.filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (-((F.col("t0") + F.col("t1")) + F.col("t2") + F.col("t3"))).alias("cos_raw"),
+    )
+    approx = topk_per_query(scored, k=_ANN_K).select("query_id", "neighbor_id")
+    ex_scored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_n"))
+        .crossJoin(F.broadcast(queries.select("query_id", "emb_q")))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (-F.expr(_sub_sq_dist("emb_q", "emb_n", 1, _PQ_DIM))).alias("cos_raw"),
+        )
+    )
+    exact = topk_per_query(ex_scored, k=_ANN_K).select("query_id", "neighbor_id")
+    merged = exact.join(
+        approx.withColumn("is_hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    ).join(
+        queries.select("query_id", F.col("q_cluster").alias("cluster")), "query_id"
+    )
+    return merged.groupBy("query_id").agg(
+        F.max("cluster").cast("long").alias("cluster"),
+        F.count(F.lit(1)).alias("n_topk"),
+        F.sum(F.coalesce("is_hit", F.lit(0))).cast("long").alias("n_hits"),
+        F.round(
+            F.sum(F.coalesce("is_hit", F.lit(0))).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("recall"),
+    )
