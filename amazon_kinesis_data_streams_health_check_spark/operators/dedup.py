@@ -298,3 +298,71 @@ def duck_band_union() -> str:
         key = " || ".join(f"mh_{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
         selects.append(f"SELECT doc_id, {b} AS band_idx, md5({key}) AS band_key FROM mh")
     return "\n  UNION ALL\n  ".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# Exact all-pairs Jaccard join via lossless prefix filtering (AllPairs).
+# ---------------------------------------------------------------------------
+def jaccard_allpairs_pairs(
+    docs: DataFrame,
+    t_num: int = 1,
+    t_den: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All (doc_a < doc_b, jaccard) pairs with word-3-gram Jaccard
+    >= t_num/t_den — EXACT (no LSH recall loss): shingles are ordered by
+    global rarity, and any pair at the threshold must share a token inside
+    both docs' prefixes of length n - ceil(t*n) + 1, so the prefix-token
+    self-join (plus the AllPairs length filter) generates every qualifying
+    candidate. See plans/ext_queries.dedup_jaccard_allpairs for the scale
+    rationale and the brute-force DuckDB oracle that pins losslessness.
+    """
+    sh = with_shingles(docs).select(F.col(id_col).alias("doc_id"), "sh")
+    sh = sh.localCheckpoint(eager=False)  # feeds freq, regroup, and verify
+    exploded = sh.select("doc_id", F.explode("sh").alias("g"))
+    freq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("f"))
+    ranked = (
+        exploded.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(f, g))), x -> x.g)"
+            ).alias("osh")
+        )
+    )
+    pfx = ranked.select(
+        "doc_id",
+        F.expr("size(osh)").alias("n"),
+        F.expr(
+            f"slice(osh, 1, size(osh) - (({t_num} * size(osh) + {t_den} - 1)"
+            f" div {t_den}) + 1)"
+        ).alias("pfx"),
+    ).select("doc_id", "n", F.explode("pfx").alias("g"))
+    cand = (
+        pfx.alias("x")
+        .join(
+            pfx.alias("y"),
+            (F.col("x.g") == F.col("y.g"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (
+                t_den * F.least(F.col("x.n"), F.col("y.n"))
+                >= t_num * F.greatest(F.col("x.n"), F.col("y.n"))
+            ),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("_i", F.expr("size(array_intersect(sh_a, sh_b))"))
+        .withColumn("_u", F.expr("size(array_union(sh_a, sh_b))"))
+        .filter(t_den * F.col("_i") >= t_num * F.col("_u"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("_i").cast("double") / F.col("_u"), 6).alias("jaccard"),
+        )
+    )

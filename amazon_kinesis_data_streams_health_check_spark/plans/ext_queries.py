@@ -205,6 +205,7 @@ from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (  # 
     SIMHASH_BAND_BITS,
     SIMHASH_MAX_HAMMING,
     _salted_band_self_join,
+    jaccard_allpairs_pairs,
 )
 
 _EXACT_SUMMARY_SQL = """
@@ -2321,62 +2322,7 @@ def dedup_jaccard_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers (2*|intersect| >= |union|)."""
     configure_session(spark)
     docs = parallel_scan(spark, sf_dir, "documents")
-    # Pin the shingle arrays once: they feed the frequency pass, the regroup,
-    # AND both verify legs — Catalyst would otherwise re-tokenize per
-    # consumer (the multi-consumer recompute pattern from round 3's sweep).
-    sh = with_shingles(docs).select("doc_id", "sh").localCheckpoint(eager=False)
-    exploded = sh.select("doc_id", F.explode("sh").alias("g"))
-    freq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("f"))
-    ranked = (
-        exploded.join(freq, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(f, g))), x -> x.g)"
-            ).alias("osh")
-        )
-    )
-    # L = n - ceil(t*n) + 1 in pure integers for t = NUM/DEN:
-    # ceil(NUM*n/DEN) = (NUM*n + DEN - 1) div DEN.
-    pfx = ranked.select(
-        "doc_id",
-        F.expr("size(osh)").alias("n"),
-        F.expr(
-            f"slice(osh, 1, size(osh) - (({_APJ_T_NUM} * size(osh) + {_APJ_T_DEN} - 1)"
-            f" div {_APJ_T_DEN}) + 1)"
-        ).alias("pfx"),
-    ).select("doc_id", "n", F.explode("pfx").alias("g"))
-    # Length filter (AllPairs): J(A,B) <= min/max of the set sizes, so a
-    # candidate can only qualify when DEN*min >= NUM*max — culled inside the
-    # join before the distinct, not after the expensive verify.
-    cand = (
-        pfx.alias("x")
-        .join(
-            pfx.alias("y"),
-            (F.col("x.g") == F.col("y.g"))
-            & (F.col("x.doc_id") < F.col("y.doc_id"))
-            & (
-                _APJ_T_DEN * F.least(F.col("x.n"), F.col("y.n"))
-                >= _APJ_T_NUM * F.greatest(F.col("x.n"), F.col("y.n"))
-            ),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn("_i", F.expr("size(array_intersect(sh_a, sh_b))"))
-        .withColumn("_u", F.expr("size(array_union(sh_a, sh_b))"))
-        .filter(_APJ_T_DEN * F.col("_i") >= _APJ_T_NUM * F.col("_u"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(F.col("_i").cast("double") / F.col("_u"), 6).alias("jaccard"),
-        )
-    )
+    return jaccard_allpairs_pairs(docs, t_num=_APJ_T_NUM, t_den=_APJ_T_DEN)
 
 
 # ---------------------------------------------------------------------------

@@ -282,3 +282,50 @@ def test_repetition_stats_matches_counter_model(spark, tmp_path_factory, texts):
         assert row["dup_3gram_frac"] == (
             round((n3 - len(g3)) / n3, 6) if n3 else 0.0
         )
+
+
+# ---------------------------------------------------------------------------
+# AllPairs prefix filtering == Python brute force (losslessness property)
+# ---------------------------------------------------------------------------
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    import re as _re
+
+    toks = _re.findall(r"[a-z0-9]+", text.lower())
+    upper = max(len(toks) - (n - 1), 1)
+    return {" ".join(toks[i : i + n]) for i in range(upper)}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=10).map(" ".join),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_jaccard_allpairs_prefix_filter_is_lossless(spark, docs):
+    """The prefix filter must generate EVERY pair at Jaccard >= 1/2 — the
+    losslessness theorem checked against a brute-force Python model on
+    adversarially small token sets (where prefixes are shortest)."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (
+        jaccard_allpairs_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_allpairs_pairs(df, t_num=1, t_den=2).collect()
+    }
+    sh = [_py_shingles(t) for t in docs]
+    want = {
+        (a, b)
+        for a in range(len(docs))
+        for b in range(a + 1, len(docs))
+        if 2 * len(sh[a] & sh[b]) >= len(sh[a] | sh[b])
+    }
+    assert got == want
