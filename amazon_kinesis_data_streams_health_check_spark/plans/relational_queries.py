@@ -1477,3 +1477,316 @@ def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(drift).cast("long").alias("max_drift_cents"),
         F.sum(drift).cast("long").alias("sum_drift_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules: pairwise co-occurrence with support /
+# confidence / lift over per-order part baskets.
+# ---------------------------------------------------------------------------
+_BASKET_MIN_SUPPORT = 2
+_BASKET_TOP = 50
+
+_BASKET_SQL = f"""
+WITH di AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM di),
+ic AS (SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS c FROM di GROUP BY 1),
+pc AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS c_ab
+  FROM di a JOIN di b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {_BASKET_MIN_SUPPORT}
+)
+SELECT part_a, part_b, ia.c AS c_a, ib.c AS c_b, c_ab, n.n_baskets,
+       round(CAST(c_ab AS DOUBLE) / n.n_baskets, 6) AS support,
+       round(CAST(c_ab AS DOUBLE) / ia.c, 6) AS conf_a_to_b,
+       round(CAST(c_ab AS DOUBLE) / ib.c, 6) AS conf_b_to_a,
+       round(CAST(c_ab AS DOUBLE) * n.n_baskets
+             / (CAST(ia.c AS DOUBLE) * ib.c), 6) AS lift
+FROM pc
+JOIN ic ia ON ia.p = part_a
+JOIN ic ib ON ib.p = part_b
+CROSS JOIN n
+ORDER BY lift DESC, part_a, part_b
+LIMIT {_BASKET_TOP}
+"""
+
+
+@register(
+    "market_basket_rules",
+    oracle=_BASKET_SQL,
+    doc="Market-basket association rules: per-order part baskets -> pairwise "
+    f"co-occurrence counts (support >= {_BASKET_MIN_SUPPORT}) -> support / "
+    f"confidence both ways / lift, top {_BASKET_TOP} by lift",
+    tags=("relational",),
+)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: pair generation is NARROW — baskets are collected per
+    order (bounded by order size, ~4-7 lines in this schema) and in-order
+    pairs come from one array comprehension, so there is no item-level
+    self-join shuffle; the DuckDB twin uses the textbook self-join instead,
+    which proves the narrow rewrite semantically. Item counts are a
+    |parts|-row dimension joined onto pair counts (broadcast-eligible), the
+    basket total is a broadcast scalar, and the final top-N is
+    TakeOrderedAndProject — every metric derives from exact BIGINT counts,
+    so support/confidence/lift are single IEEE ops with one rounding,
+    bit-identical cross-engine."""
+    configure_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    di = li.select("l_orderkey", "l_partkey").distinct()
+    baskets = di.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) ->"
+                " transform(slice(parts, i + 2, size(parts)),"
+                " y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("pr")
+    ).select("pr.part_a", "pr.part_b")
+    pc = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= _BASKET_MIN_SUPPORT)
+    )
+    ic = di.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    enriched = (
+        pc.join(
+            F.broadcast(ic.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(ic.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    c_ab_d = F.col("c_ab").cast("double")
+    return (
+        enriched.select(
+            "part_a",
+            "part_b",
+            "c_a",
+            "c_b",
+            "c_ab",
+            "n_baskets",
+            F.round(c_ab_d / F.col("n_baskets"), 6).alias("support"),
+            F.round(c_ab_d / F.col("c_a"), 6).alias("conf_a_to_b"),
+            F.round(c_ab_d / F.col("c_b"), 6).alias("conf_b_to_a"),
+            F.round(
+                c_ab_d * F.col("n_baskets")
+                / (F.col("c_a").cast("double") * F.col("c_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(_BASKET_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch set-algebra: audience-overlap estimation via HLL inclusion-exclusion,
+# accuracy-contract checked against the exact intersection.
+# ---------------------------------------------------------------------------
+_INTERSECT_SQL = """
+WITH di AS (SELECT DISTINCT user_id, event_type FROM events),
+ic AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM di GROUP BY 1),
+xi AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS exact_int
+  FROM di a JOIN di b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT xi.type_a, xi.type_b,
+       ia.c AS exact_a, ib.c AS exact_b,
+       ia.c + ib.c - xi.exact_int AS exact_union,
+       xi.exact_int,
+       TRUE AS union_est_ok,
+       TRUE AS int_est_ok
+FROM xi
+JOIN ic ia ON ia.event_type = xi.type_a
+JOIN ic ib ON ib.event_type = xi.type_b
+"""
+
+
+@register(
+    "sketch_set_intersection",
+    oracle=_INTERSECT_SQL,
+    doc="Sketch set algebra: per-event-type audience sketches (HLL++, "
+    "rsd=0.01) combined by inclusion-exclusion into a pairwise-overlap "
+    "estimate, contract-checked against the exact intersection (the oracle "
+    "hash-checks the exact values; the estimate must sit within 5% of the "
+    "exact union size)",
+    tags=("relational", "sketch"),
+)
+def sketch_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: at 100 TB the per-type audience sketches are mergeable
+    constant-memory states maintained per ingest partition (see
+    sketch_rollup_merge); |A intersect B| = est(A) + est(B) - est(A union B)
+    needs only one extra sketch per PAIR of types — the pair space is
+    |types|^2, a dimension-sized aggregate, never a user-level join. The
+    exact twins here exist only to enforce the error contract: the
+    user-level self-join the oracle runs is exactly the query the sketch
+    path makes unnecessary. Estimate rows fan out |types|-1 ways from the
+    distinct (user, type) pass — a narrow broadcast-join explode, keys
+    uniform."""
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    di = events.select("user_id", "event_type").distinct().localCheckpoint(eager=False)
+    # Exact sides (the oracle's values).
+    ic = di.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    xi = (
+        di.alias("a")
+        .join(
+            di.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_int"))
+    )
+    # Sketch sides: per-type estimates and a per-pair union estimate.
+    est_type = di.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("est")
+    )
+    pair_list = xi.select("type_a", "type_b")
+    unions = (
+        di.join(
+            F.broadcast(pair_list),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("est_union"))
+    )
+    agg = (
+        xi.join(F.broadcast(ic.select(F.col("event_type").alias("type_a"), F.col("c").alias("exact_a"))), "type_a")
+        .join(F.broadcast(ic.select(F.col("event_type").alias("type_b"), F.col("c").alias("exact_b"))), "type_b")
+        .join(F.broadcast(est_type.select(F.col("event_type").alias("type_a"), F.col("est").alias("est_a"))), "type_a")
+        .join(F.broadcast(est_type.select(F.col("event_type").alias("type_b"), F.col("est").alias("est_b"))), "type_b")
+        .join(F.broadcast(unions), ["type_a", "type_b"])
+    )
+    exact_union = F.col("exact_a") + F.col("exact_b") - F.col("exact_int")
+    est_int = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    bound = exact_union.cast("double") * F.lit(0.05)
+    return agg.select(
+        "type_a",
+        "type_b",
+        "exact_a",
+        "exact_b",
+        exact_union.alias("exact_union"),
+        "exact_int",
+        (F.abs(F.col("est_union") - exact_union) <= bound).alias("union_est_ok"),
+        (F.abs(est_int - F.col("exact_int")) <= bound).alias("int_est_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental join-view maintenance: Delta(A JOIN B) folded into a base
+# aggregate, checked against a one-pass full recompute.
+# ---------------------------------------------------------------------------
+_IVM_SPLIT_DATE = "1996-01-01"
+_IVM_DELTA_MOD = 10
+
+_IVM_SQL = f"""
+WITH j AS (
+  SELECT c.c_nationkey,
+         o.o_orderdate < TIMESTAMP '{_IVM_SPLIT_DATE} 00:00:00'
+           AND c.c_custkey % {_IVM_DELTA_MOD} <> 0 AS in_base,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_nationkey,
+       CAST(sum(CASE WHEN in_base THEN 1 ELSE 0 END) AS BIGINT) AS base_orders,
+       CAST(sum(CASE WHEN in_base THEN 0 ELSE 1 END) AS BIGINT) AS delta_orders,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN in_base THEN cents ELSE 0 END) AS BIGINT)
+         AS base_revenue_cents,
+       CAST(sum(CASE WHEN in_base THEN 0 ELSE cents END) AS BIGINT)
+         AS delta_revenue_cents,
+       round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS total_revenue
+FROM j GROUP BY c_nationkey
+"""
+
+
+@register(
+    "incremental_join_maintenance",
+    oracle=_IVM_SQL,
+    doc="Incremental JOIN-view maintenance: per-nation order revenue kept as "
+    "base(A_old JOIN B_old) + Delta, where Delta = dA JOIN B_new UNION "
+    "A_old JOIN dB (dA = orders on/after the split date, dB = every 10th "
+    "customer); the folded state must hash-match a one-pass recompute",
+    tags=("relational", "lake"),
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-view analog of incremental_agg_maintenance: the view
+    V = agg(orders JOIN customer) is NEVER recomputed from scratch — the
+    builder materializes the base aggregate from old data, then folds in the
+    standard two-term join delta  d(A JOIN B) = dA JOIN B_new  UNION
+    A_old JOIN dB  (B_new = B_old union dB, so no pair is counted twice),
+    re-aggregated and summed into the base state by nation key. Scale shape:
+    at 100 TB the base is a stored aggregate (bounded by |nations|) and both
+    delta legs scan ONLY delta partitions; each leg is one broadcast join
+    (customer side bounded) plus a partial-aggregatable BIGINT rollup, so a
+    nightly refresh costs O(|delta|), not O(|history|). All sums are exact
+    cents — folding order cannot change the result, which is what makes
+    incremental maintenance safe under retries."""
+    configure_session(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    split = F.lit(_IVM_SPLIT_DATE).cast("timestamp")
+    a_old = orders.filter(F.col("o_orderdate") < split)
+    d_a = orders.filter(~(F.col("o_orderdate") < split))
+    b_old = customer.filter(F.col("c_custkey") % _IVM_DELTA_MOD != 0)
+    d_b = customer.filter(F.col("c_custkey") % _IVM_DELTA_MOD == 0)
+
+    def _agg(df: DataFrame, base: bool) -> DataFrame:
+        one = F.lit(1) if base else F.lit(0)
+        return df.groupBy("c_nationkey").agg(
+            (F.count(F.lit(1)) * one).cast("long").alias("base_orders"),
+            (F.count(F.lit(1)) * (1 - one)).cast("long").alias("delta_orders"),
+            (F.sum("cents") * one).cast("long").alias("base_revenue_cents"),
+            (F.sum("cents") * (1 - one)).cast("long").alias("delta_revenue_cents"),
+        )
+
+    base_state = _agg(a_old.join(F.broadcast(b_old), a_old.o_custkey == b_old.c_custkey), base=True)
+    # Two-term delta: dA joins the NEW customer dimension; old A joins dB.
+    delta_rows = a_old.join(
+        F.broadcast(d_b), a_old.o_custkey == d_b.c_custkey
+    ).unionByName(
+        d_a.join(F.broadcast(customer), d_a.o_custkey == customer.c_custkey)
+    )
+    delta_state = _agg(delta_rows, base=False)
+    folded = base_state.unionByName(delta_state).groupBy("c_nationkey").agg(
+        F.sum("base_orders").cast("long").alias("base_orders"),
+        F.sum("delta_orders").cast("long").alias("delta_orders"),
+        F.sum("base_revenue_cents").cast("long").alias("base_revenue_cents"),
+        F.sum("delta_revenue_cents").cast("long").alias("delta_revenue_cents"),
+    )
+    return folded.select(
+        "c_nationkey",
+        "base_orders",
+        "delta_orders",
+        (F.col("base_orders") + F.col("delta_orders")).alias("n_orders"),
+        "base_revenue_cents",
+        "delta_revenue_cents",
+        F.round(
+            (F.col("base_revenue_cents") + F.col("delta_revenue_cents")).cast("double")
+            / 100.0,
+            2,
+        ).alias("total_revenue"),
+    )

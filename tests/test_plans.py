@@ -490,3 +490,31 @@ def test_allpairs_no_cartesian_no_nested_loop(spark, sf_small):
     plan = plan_of(spark, sf_small, "dedup_jaccard_allpairs")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_market_basket_narrow_pairs_broadcast_dims_topn(spark, sf_small):
+    """Pair generation must be the narrow array comprehension (no item-level
+    self-join), item counts broadcast, and the final top-N must be
+    TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(spark, sf_small, "market_basket_rules")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_sketch_intersection_broadcasts_pair_dimension(spark, sf_small):
+    """The pair fan-out and every enrichment join ride broadcasts; the only
+    shuffles are keyed aggregations (no SortMergeJoin on user rows)."""
+    plan = plan_of(spark, sf_small, "sketch_set_intersection")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_incremental_join_maintenance_broadcasts_customer_legs(spark, sf_small):
+    """Every delta leg joins a broadcast customer side — the delta refresh
+    must never shuffle the fact table on the join key."""
+    plan = plan_of(spark, sf_small, "incremental_join_maintenance")
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
