@@ -2509,3 +2509,182 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+# ===========================================================================
+# SemDeDup-style semantic dedup: cluster-blocked cosine pairs with a
+# keep-the-member-closest-to-the-centroid drop rule.
+# ===========================================================================
+_SEM_TAU = 0.35
+#: Quantized-centroid integer division, truncation-toward-zero spelled
+#: portably (Spark `div` truncates, DuckDB `//` floors — they agree only on
+#: nonnegative operands, so the sign is factored out).
+_SEM_CMICRO_DUCK = "CASE WHEN csum >= 0 THEN csum // n ELSE -((-csum) // n) END"
+_SEM_CMICRO_SPARK = "CASE WHEN csum >= 0 THEN csum div n ELSE -((-csum) div n) END"
+
+_SEM_DEDUP_SQL = f"""
+WITH m AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mv
+  FROM embeddings
+),
+mm AS (
+  SELECT vec_id, label, mv,
+         list_sum(list_transform(mv, v -> CAST(v AS DOUBLE) * v)) AS n2
+  FROM m
+),
+cells AS (
+  SELECT label, i AS dim, CAST(sum(mv[i]) AS BIGINT) AS csum,
+         CAST(count(*) AS BIGINT) AS n
+  FROM mm, unnest(range(1, len(mv) + 1)) AS t(i)
+  GROUP BY label, i
+),
+cent AS (
+  SELECT label,
+         list_transform(
+           list_sort(list(ROW(dim, {_SEM_CMICRO_DUCK}))), r -> r[2]) AS cv
+  FROM cells GROUP BY label
+),
+cn AS (
+  SELECT label, cv,
+         list_sum(list_transform(cv, v -> CAST(v AS DOUBLE) * v)) AS c_n2
+  FROM cent
+),
+members AS (
+  SELECT mm.vec_id, mm.label, mm.mv, mm.n2,
+         CASE WHEN mm.n2 * cn.c_n2 > 0 THEN
+           list_sum(list_transform(range(1, len(mm.mv) + 1),
+              i -> CAST(mm.mv[i] AS DOUBLE) * cn.cv[i]))
+           / sqrt(mm.n2 * cn.c_n2)
+         ELSE 0.0 END AS sim_c
+  FROM mm JOIN cn ON mm.label = cn.label
+),
+drops AS (
+  SELECT DISTINCT CASE WHEN a.sim_c > b.sim_c THEN b.vec_id
+                       WHEN b.sim_c > a.sim_c THEN a.vec_id
+                       ELSE greatest(a.vec_id, b.vec_id) END AS vec_id
+  FROM members a JOIN members b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE a.n2 > 0 AND b.n2 > 0
+    AND list_sum(list_transform(range(1, len(a.mv) + 1),
+          i -> CAST(a.mv[i] AS DOUBLE) * b.mv[i])) / sqrt(a.n2 * b.n2)
+        >= {_SEM_TAU}
+)
+SELECT m.vec_id, m.label, round(m.sim_c, 6) AS centroid_sim,
+       d.vec_id IS NULL AS keep
+FROM members m LEFT JOIN drops d ON m.vec_id = d.vec_id
+"""
+
+
+@register(
+    "dedup_semantic",
+    oracle=_SEM_DEDUP_SQL,
+    doc="SemDeDup-style semantic dedup: cluster-blocked pairwise cosine "
+    f"(tau={_SEM_TAU}) with keep = the member closest to the integer-"
+    "quantized cluster centroid (vec_id tie-break); full keep/drop list "
+    "with centroid similarity per vector",
+    tags=("ext", "dedup", "similarity"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) composition: cluster assignment blocks
+    the candidate space, pairwise cosine runs only within a cluster, and the
+    canonical survivor of a near-dup pair is the member nearest its cluster
+    centroid. The precomputed ``label`` column stands in for the k-means
+    step (ann_ivf covers learned centroid assignment; the semantics here are
+    the keep-rule and the blocked pair scan).
+
+    Scale shape: the pair join is label-blocked — quadratic only within a
+    cluster, the knob SemDeDup itself exposes via k (clusters are sized so
+    members fit a partition; the join key is the uniform cluster id).
+    Centroids are one keyed integer aggregation (|clusters| x |dims| cells)
+    broadcast back to members; every dot product is exact-integer micro
+    units folded sequentially into doubles, so similarities — and therefore
+    the keep/drop verdicts — are bit-identical across engines and across
+    partitionings.
+    """
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    mm = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("mv"),
+    ).withColumn(
+        "n2",
+        F.expr(
+            "aggregate(mv, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * v)"
+        ),
+    )
+    cells = mm.select(
+        "label", F.posexplode("mv").alias("dim0", "micro")
+    ).groupBy("label", F.col("dim0")).agg(
+        F.sum("micro").cast("long").alias("csum"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    cent = (
+        cells.select("label", "dim0", F.expr(_SEM_CMICRO_SPARK).alias("cmicro"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim0, cmicro))), r -> r.cmicro)"
+            ).alias("cv")
+        )
+        .withColumn(
+            "c_n2",
+            F.expr(
+                "aggregate(cv, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * v)"
+            ),
+        )
+    )
+    members = mm.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        "mv",
+        "n2",
+        F.expr(
+            "CASE WHEN n2 * c_n2 > 0 THEN "
+            "aggregate(zip_with(mv, cv, (x, y) -> CAST(x AS DOUBLE) * y),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v) / sqrt(n2 * c_n2) "
+            "ELSE 0.0 END"
+        ).alias("sim_c"),
+    ).localCheckpoint(eager=False)
+    a = members.select(
+        F.col("label"),
+        F.col("vec_id").alias("va"),
+        F.col("mv").alias("mva"),
+        F.col("n2").alias("n2a"),
+        F.col("sim_c").alias("sca"),
+    )
+    b = members.select(
+        F.col("label"),
+        F.col("vec_id").alias("vb"),
+        F.col("mv").alias("mvb"),
+        F.col("n2").alias("n2b"),
+        F.col("sim_c").alias("scb"),
+    )
+    pairs = (
+        a.join(b, "label")
+        .filter((F.col("va") < F.col("vb")) & (F.col("n2a") > 0) & (F.col("n2b") > 0))
+        .withColumn(
+            "cos",
+            F.expr(
+                "aggregate(zip_with(mva, mvb, (x, y) -> CAST(x AS DOUBLE) * y),"
+                " CAST(0 AS DOUBLE), (acc, v) -> acc + v) / sqrt(n2a * n2b)"
+            ),
+        )
+        .filter(F.col("cos") >= _SEM_TAU)
+    )
+    drops = pairs.select(
+        F.when(F.col("sca") > F.col("scb"), F.col("vb"))
+        .when(F.col("scb") > F.col("sca"), F.col("va"))
+        .otherwise(F.greatest("va", "vb"))
+        .alias("vec_id")
+    ).distinct()
+    return members.join(drops.withColumn("_d", F.lit(1)), "vec_id", "left").select(
+        "vec_id",
+        "label",
+        F.round("sim_c", 6).alias("centroid_sim"),
+        F.col("_d").isNull().alias("keep"),
+    )

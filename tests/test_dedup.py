@@ -113,3 +113,38 @@ def test_fuzzy_edit_finds_typo_pair_and_skips_distinct_docs(spark):
     got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
     assert (1, 2) in got
     assert all(3 not in p for p in got)
+
+
+def test_semantic_dedup_keeps_member_closest_to_centroid(spark, tmp_path):
+    """A planted near-dup pair inside one cluster: the member nearer the
+    (quantized) centroid survives, the other is dropped, and untouched
+    clusters keep everything."""
+    import numpy as np
+    from amazon_kinesis_data_streams_health_check_spark.plans.ext_queries import (
+        dedup_semantic,
+    )
+
+    rows = []
+    # Cluster 0: two near-identical vectors (cosine ~1) plus two spread
+    # vectors pulling the centroid toward vec 1's side.
+    rows.append((0, [1.0, 0.02, 0.0, 0.0], 0))
+    rows.append((1, [1.0, 0.0, 0.0, 0.0], 0))
+    rows.append((2, [-0.02, -0.9, 0.0, 0.0], 0))
+    # Cluster 1: orthogonal vectors — no pair above tau, all kept.
+    rows.append((10, [0.0, 0.0, 1.0, 0.0], 1))
+    rows.append((11, [0.0, 0.0, 0.0, 1.0], 1))
+    import pandas as pd
+
+    pd.DataFrame(
+        {"vec_id": [r[0] for r in rows],
+         "embedding": [np.array(r[1], dtype="float32") for r in rows],
+         "label": np.array([r[2] for r in rows], dtype="int32")}
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    out = {r.vec_id: r for r in dedup_semantic(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1, 2, 10, 11}
+    # Exactly one of the planted near-dups is dropped, by centroid proximity.
+    pair_kept = [v for v in (0, 1) if out[v].keep]
+    pair_dropped = [v for v in (0, 1) if not out[v].keep]
+    assert len(pair_kept) == 1 and len(pair_dropped) == 1
+    assert out[pair_kept[0]].centroid_sim > out[pair_dropped[0]].centroid_sim
+    assert out[2].keep and out[10].keep and out[11].keep

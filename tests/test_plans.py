@@ -518,3 +518,12 @@ def test_incremental_join_maintenance_broadcasts_customer_legs(spark, sf_small):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_dedup_semantic_label_blocked_broadcast_centroids(spark, sf_small):
+    """The pair scan must ride the label block (no cartesian / nested-loop)
+    and centroids must broadcast back to members, not shuffle them."""
+    plan = plan_of(spark, sf_small, "dedup_semantic")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
