@@ -44,6 +44,11 @@ INVARIANT = [
     # lossless prefix-filter join: rarity regroup (array_sort over structs)
     # and candidate distinct must reproduce under any shuffle layout
     "dedup_jaccard_allpairs",
+    # continuation additions: narrow basket-pair generation + broadcast
+    # dimensions, exact-integer centroid keep rule, two-term join-delta fold
+    "market_basket_rules",
+    "dedup_semantic",
+    "incremental_join_maintenance",
 ]
 
 
