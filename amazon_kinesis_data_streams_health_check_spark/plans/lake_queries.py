@@ -926,3 +926,66 @@ def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("long").alias("last_event_id"),
         F.col("val_micros").alias("val_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter file skipping: point lookups on a hash-distributed key.
+# ---------------------------------------------------------------------------
+_BLOOM_USER = 7
+
+_BLOOM_SKIP_SQL = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000.0, 6) AS sum_value
+FROM events
+WHERE user_id = {_BLOOM_USER}
+GROUP BY event_type
+"""
+
+
+@register(
+    "lake_bloom_skip",
+    oracle=_BLOOM_SKIP_SQL,
+    doc="Bloom-filter file skipping: events hash-clustered on user_id into "
+    "the snapshot lake with per-file Bloom bitsets in the manifest; a "
+    "user_id point lookup reads only the files whose bloom admits the value "
+    "(builder raises if nothing was skipped) and must equal the full-scan "
+    "filter",
+    tags=("lake",),
+)
+def lake_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: zone maps can't prune a point predicate on a
+    hash-distributed key (every file spans ~the full user_id range), which
+    is exactly the lookup shape of erasure audits and per-entity debugging
+    at 100 TB. The writer hash-repartitions on user_id (so each user lands
+    in one file) and records an m=1024-bit Bloom bitset per file — built in
+    one distributed pass whose aggregate state is bounded by m, not file
+    rows. The reader tests the key against each file's bitset driver-side
+    (manifest-only, zero data IO) and scans just the admitted files; the
+    residual equality filter absorbs Bloom false positives, so the result
+    is exact."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        read_snapshot_point,
+        snapshot_append_with_blooms,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    lake = tempfile.mkdtemp(prefix="bloom_lake_")
+    clustered = events.repartition(16, "user_id").withColumn("shard", F.lit("all"))
+    snapshot_append_with_blooms(
+        spark, clustered, lake, partition_col="shard", bloom_cols=["user_id"]
+    )
+    df, info = read_snapshot_point(spark, lake, "user_id", _BLOOM_USER)
+    if not info["files_read"] < info["files_total"]:
+        raise RuntimeError(f"blooms pruned nothing: {info}")
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.round(F.col("value") * 1e6).cast("long")).cast("double") / 1e6,
+            6,
+        ).alias("sum_value"),
+    )

@@ -171,6 +171,7 @@ def _commit(
     parent: int | None,
     txn: dict[str, Any] | None = None,
     stats: dict[str, Any] | None = None,
+    blooms: dict[str, Any] | None = None,
 ) -> int:
     version = (parent or 0) + 1
     payload: dict[str, Any] = {
@@ -185,6 +186,8 @@ def _commit(
         payload["txn"] = txn
     if stats:
         payload["stats"] = stats
+    if blooms:
+        payload["blooms"] = blooms
     _write_json(spark, _manifest_path(path, version), payload, if_absent=True)
     return version
 
@@ -842,6 +845,148 @@ def read_snapshot_pruned(
     df = _read_manifest_files(spark, path, m["schema"], keep)
     return (
         df.filter((F.col(col) >= lo) & (F.col(col) <= hi)),
+        {"files_total": len(rels_all), "files_read": len(keep)},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom filters: point-predicate file skipping.
+#
+# Zone maps (``snapshot_append_with_stats``) prune RANGE predicates, but only
+# when the writer clustered the column — a hash-distributed high-cardinality
+# key (user_id, doc fingerprint) has every file spanning ~the full value
+# range, so its zone map prunes nothing. A per-file Bloom bitset answers the
+# complementary question "can value v be in this file at all?" from metadata
+# alone, which is how Parquet bloom filters / Iceberg's bloom metrics make
+# point lookups on 100 TB touch a handful of files. The bitset is built
+# DISTRIBUTED (one narrow scan of only the newly appended files, aggregated
+# per file — never a driver re-read of data), and only the m-bit sets (m/8
+# bytes per file per column) are collected into the manifest.
+# ---------------------------------------------------------------------------
+_BLOOM_M_BITS = 1024
+_BLOOM_K = 3
+
+
+def _bloom_positions_py(value: Any, m_bits: int, k: int) -> list[int]:
+    """Driver-side twin of the Spark position expression: md5 of
+    ``f"{value}:{j}"`` (value rendered via Spark's CAST-to-STRING rules for
+    int/string) → first 8 hex digits → uint32 → mod m."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{value}:{j}".encode("utf-8")).hexdigest()[:8], 16) % m_bits
+        for j in range(k)
+    ]
+
+
+def _bloom_pos_exprs(col: str, m_bits: int, k: int) -> list[F.Column]:
+    """The k bit positions of ``col`` as Spark expressions (JVM-side md5 —
+    bit-identical to :func:`_bloom_positions_py`)."""
+    return [
+        F.expr(
+            f"CAST(conv(substr(md5(concat(CAST({col} AS STRING), ':', '{j}')),"
+            f" 1, 8), 16, 10) AS BIGINT) % {m_bits}"
+        )
+        for j in range(k)
+    ]
+
+
+def snapshot_append_with_blooms(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    bloom_cols: list[str],
+    m_bits: int = _BLOOM_M_BITS,
+    k: int = _BLOOM_K,
+) -> int:
+    """``snapshot_append`` that also records a per-file Bloom bitset of each
+    ``bloom_cols`` column in the manifest.
+
+    The bitset build is a single distributed pass over ONLY the new files:
+    scan → k narrow position expressions per value → per-file
+    ``collect_set`` (bounded by m distinct positions, so the aggregate state
+    is metadata-sized regardless of file row count) → tiny driver collect of
+    one position-set per (file, column). Use for high-cardinality point-
+    lookup keys; use zone maps for range-clustered columns.
+    """
+    try:
+        current = _resolve_manifest(spark, path)
+        files = {part: list(rels) for part, rels in current["files"].items()}
+        blooms = dict(current.get("blooms", {}))
+        parent = current["version"]
+    except FileNotFoundError:
+        files, blooms, parent = {}, {}, None
+    new = _append_data(spark, df, path, partition_col)
+    new_rels = sorted(rel for group in new.values() for rel in group)
+    data_dir = f"{path}/{_DATA_DIR}"
+    scan = (
+        spark.read.option("basePath", data_dir)
+        .parquet(*[f"{data_dir}/{rel}" for rel in new_rels])
+        .select(F.col("_metadata.file_path").alias("_fp"), *bloom_cols)
+    )
+    for col in bloom_cols:
+        rows = (
+            scan.where(F.col(col).isNotNull())
+            .select("_fp", F.explode(F.array(*_bloom_pos_exprs(col, m_bits, k))).alias("pos"))
+            .groupBy("_fp")
+            .agg(F.collect_set("pos").alias("ps"))
+            .collect()
+        )
+        marker = f"/{_DATA_DIR}/"
+        for r in rows:
+            rel = urllib.parse.unquote(r["_fp"].split(marker, 1)[1])
+            bits = bytearray(m_bits // 8)
+            for p in r["ps"]:
+                bits[p >> 3] |= 1 << (p & 7)
+            blooms.setdefault(rel, {})[col] = {
+                "m": m_bits,
+                "k": k,
+                "hex": bytes(bits).hex(),
+            }
+    for part, rels in new.items():
+        files.setdefault(part, []).extend(rels)
+    return _commit(
+        spark,
+        path,
+        files,
+        "append",
+        df.schema.json(),
+        parent,
+        blooms=blooms,
+    )
+
+
+def read_snapshot_point(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    value: Any,
+    version: int | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Read ``col = value`` skipping every file whose Bloom bitset proves the
+    value absent (files without a bloom for ``col`` are kept — pruning is
+    conservative, so mixed bloom/plain commits stay correct). The residual
+    equality filter still applies row-level, so results equal a full-scan
+    filter exactly — Bloom false positives cost IO, never correctness."""
+    m = _resolve_manifest(spark, path, version=version)
+    blooms = m.get("blooms", {})
+    rels_all = sorted(rel for group in m["files"].values() for rel in group)
+    keep = []
+    for rel in rels_all:
+        b = blooms.get(rel, {}).get(col)
+        if b is None:
+            keep.append(rel)
+            continue
+        bits = bytes.fromhex(b["hex"])
+        if all(
+            bits[p >> 3] & (1 << (p & 7))
+            for p in _bloom_positions_py(value, b["m"], b["k"])
+        ):
+            keep.append(rel)
+    df = _read_manifest_files(spark, path, m["schema"], keep)
+    return (
+        df.filter(F.col(col) == F.lit(value)),
         {"files_total": len(rels_all), "files_read": len(keep)},
     )
 

@@ -569,3 +569,44 @@ def test_append_retries_past_conflicting_writer(spark, tmp_path, monkeypatch):
     assert v == 3  # retried past the conflicting v2
     rows = [r.user_id for r in sn.read_snapshot(spark, lake).collect()]
     assert sorted(rows) == [0, 1, 2, 3, 4, 100, 101, 102]  # exact — no dup reads
+
+
+def test_bloom_point_lookup_skips_and_stays_exact(spark, tmp_path):
+    """Per-file Bloom bitsets: a point lookup reads a file subset, matches a
+    full-scan filter exactly, returns empty (not wrong) for absent values,
+    and keeps files from bloom-less commits (conservative pruning)."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        read_snapshot,
+        read_snapshot_point,
+        snapshot_append,
+        snapshot_append_with_blooms,
+    )
+
+    path = str(tmp_path / "bloomlake")
+    rows = [(i, f"u{i % 8}", i * 10) for i in range(64)]
+    df = spark.createDataFrame(rows, "id long, owner string, v long").withColumn(
+        "shard", F.lit("all")
+    )
+    # hash-cluster owners across 8 files so each owner lands in few files
+    snapshot_append_with_blooms(
+        spark, df.repartition(8, "owner"), path, "shard", bloom_cols=["owner"]
+    )
+
+    hit, info = read_snapshot_point(spark, path, "owner", "u3")
+    assert info["files_read"] < info["files_total"]
+    expect = {(r.id, r.v) for r in read_snapshot(spark, path).filter("owner = 'u3'").collect()}
+    assert {(r.id, r.v) for r in hit.collect()} == expect and expect
+
+    # absent value: bitsets reject it from (almost) every file; the residual
+    # filter guarantees emptiness even on false positives
+    miss, miss_info = read_snapshot_point(spark, path, "owner", "nobody")
+    assert miss.count() == 0
+    assert miss_info["files_read"] <= miss_info["files_total"]
+
+    # a later bloom-less append must stay visible to point reads
+    extra = spark.createDataFrame([(999, "u3", 1)], "id long, owner string, v long").withColumn(
+        "shard", F.lit("all")
+    )
+    snapshot_append(spark, extra, path, partition_col="shard")
+    hit2, _ = read_snapshot_point(spark, path, "owner", "u3")
+    assert {(r.id, r.v) for r in hit2.collect()} == expect | {(999, 1)}
