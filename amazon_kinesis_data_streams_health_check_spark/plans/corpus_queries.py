@@ -309,6 +309,195 @@ def substring_dup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cross-document duplicated SPANS (positional exact-substring dedup).
+# ---------------------------------------------------------------------------
+_SPAN_N = _SHINGLE_N  # same 8-token granularity as the fraction audit
+
+_DUP_SPAN_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, {_DUCK_TOK} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens,
+         CASE WHEN len(t) >= {_SPAN_N} THEN
+           list_transform(range(1, len(t) - {_SPAN_N - 2}),
+             i -> md5(array_to_string(t[i:i + {_SPAN_N - 1}], ' ')))
+           ELSE CAST([] AS VARCHAR[]) END AS hs
+  FROM base
+),
+pos AS (
+  SELECT doc_id,
+         unnest(range(1, len(hs) + 1)) AS pos,
+         unnest(hs) AS h
+  FROM sh
+),
+shared_h AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM pos)
+  GROUP BY h HAVING count(*) >= 2
+),
+marks AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w != 1
+              THEN 1 ELSE 0 END AS run_flag,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w >= {_SPAN_N}
+              THEN 1 ELSE 0 END AS cov_flag
+  FROM pos WHERE h IN (SELECT h FROM shared_h)
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+ids AS (
+  SELECT doc_id, pos,
+         sum(run_flag) OVER w AS run_id,
+         sum(cov_flag) OVER w AS cov_id
+  FROM marks WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING)
+),
+runs AS (
+  SELECT doc_id, run_id, CAST(count(*) AS BIGINT) AS run_len
+  FROM ids GROUP BY doc_id, run_id
+),
+run_agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(max(run_len) + {_SPAN_N - 1} AS BIGINT) AS max_span_tokens
+  FROM runs GROUP BY doc_id
+),
+covs AS (
+  SELECT doc_id, cov_id, min(pos) AS lo, max(pos) AS hi
+  FROM ids GROUP BY doc_id, cov_id
+),
+cov_agg AS (
+  SELECT doc_id, CAST(sum(hi - lo + {_SPAN_N}) AS BIGINT) AS covered_tokens
+  FROM covs GROUP BY doc_id
+)
+SELECT sh.doc_id, sh.source, sh.n_tokens,
+       coalesce(run_agg.n_spans, 0) AS n_spans,
+       coalesce(run_agg.max_span_tokens, 0) AS max_span_tokens,
+       coalesce(cov_agg.covered_tokens, 0) AS covered_tokens,
+       CASE WHEN sh.n_tokens > 0 THEN round(
+         CAST(coalesce(cov_agg.covered_tokens, 0) AS DOUBLE)
+           / CAST(sh.n_tokens AS DOUBLE), 6)
+         ELSE 0.0 END AS covered_frac
+FROM sh
+LEFT JOIN run_agg ON sh.doc_id = run_agg.doc_id
+LEFT JOIN cov_agg ON sh.doc_id = cov_agg.doc_id
+"""
+
+
+@register(
+    "dup_span_stats",
+    oracle=_DUP_SPAN_SQL,
+    doc="Positional exact-substring duplication: maximal runs of consecutive "
+    "word-8-gram shingles shared with another document (span count, longest "
+    "span, and the exact token coverage of the merged duplicated intervals) "
+    "— the per-document signal substring-level train-set dedup cuts on",
+    tags=("ext", "corpus", "dedup"),
+)
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where ``substring_dup_frac`` answers "how much of this doc is
+    duplicated somewhere", this locates the duplication: gaps-and-islands
+    over the POSITIONS of cross-document-shared shingles yields maximal
+    duplicated spans (run islands) and exact union coverage (intervals
+    merged when gaps are < N, since [p, p+N-1] windows overlap there).
+
+    Scale shape: the positional explode is narrow; the only wide stages are
+    a distinct + count on the uniform shingle-md5 key, a left-semi join of
+    positions against the shared-key set (keys only — span text never
+    shuffles), and per-doc windows whose partitions are bounded by document
+    length. No self-join over positions, no global sort."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    parts = ", ".join(f"element_at(t, i + {j})" for j in range(_SPAN_N))
+    sh = docs.select(
+        "doc_id", "source", F.expr(_SPARK_TOK).alias("t")
+    ).select(
+        "doc_id",
+        "source",
+        F.expr("size(t)").cast("long").alias("n_tokens"),
+        F.expr(
+            f"if(size(t) >= {_SPAN_N},"
+            f" transform(sequence(1, size(t) - {_SPAN_N - 1}),"
+            f" i -> md5(concat_ws(' ', {parts}))),"
+            f" cast(array() as array<string>))"
+        ).alias("hs"),
+    )
+    # The shingle arrays feed the distinct-count side AND the positional
+    # side; pin the tokenize+md5 chain once (same rationale as
+    # substring_dup_frac).
+    sh = sh.localCheckpoint(eager=False)
+    pos = sh.select("doc_id", F.expr("posexplode(hs) AS (p0, h)")).select(
+        "doc_id", (F.col("p0") + 1).alias("pos"), "h"
+    )
+    shared_h = (
+        pos.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("pos").over(w)
+    ids = (
+        pos.join(shared_h, "h", "leftsemi")
+        .select("doc_id", "pos")
+        .withColumn(
+            "run_flag",
+            F.when(prev.isNull() | (F.col("pos") - prev != 1), 1).otherwise(0),
+        )
+        .withColumn(
+            "cov_flag",
+            F.when(prev.isNull() | (F.col("pos") - prev >= _SPAN_N), 1).otherwise(0),
+        )
+        .withColumn("run_id", F.sum("run_flag").over(wsum))
+        .withColumn("cov_id", F.sum("cov_flag").over(wsum))
+    ).localCheckpoint(eager=False)  # feeds the run- and coverage-side aggs
+    run_agg = (
+        ids.groupBy("doc_id", "run_id")
+        .agg(F.count("*").alias("run_len"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            (F.max("run_len") + F.lit(_SPAN_N - 1)).cast("long").alias("max_span_tokens"),
+        )
+    )
+    cov_agg = (
+        ids.groupBy("doc_id", "cov_id")
+        .agg(F.min("pos").alias("lo"), F.max("pos").alias("hi"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("hi") - F.col("lo") + F.lit(_SPAN_N))
+            .cast("long")
+            .alias("covered_tokens")
+        )
+    )
+    out = (
+        sh.select("doc_id", "source", "n_tokens")
+        .join(run_agg, "doc_id", "left")
+        .join(cov_agg, "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("max_span_tokens", F.lit(0)).cast("long").alias("max_span_tokens"),
+        F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("covered_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic train/val/test split assignment.
 # ---------------------------------------------------------------------------
 _TRAIN_PCT, _VAL_PCT = 90, 5  # test gets the remainder
