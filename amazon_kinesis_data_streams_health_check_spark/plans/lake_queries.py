@@ -989,3 +989,102 @@ def lake_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once streaming ingest: txn-stamped commits survive a full replay.
+# ---------------------------------------------------------------------------
+_LAKE_INGEST_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000.0, 6) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "streaming_lake_ingest",
+    oracle=_LAKE_INGEST_SQL,
+    doc="Exactly-once streaming ingest into the snapshot lake: a "
+    "4-micro-batch file stream appends through txn-stamped commits "
+    "(Delta-style app_id/batch_id writer dedup), then the ENTIRE stream is "
+    "replayed from a fresh checkpoint — the builder raises unless the "
+    "replay commits nothing; final content must equal one batch pass",
+    tags=("lake", "streaming"),
+)
+def streaming_lake_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-least-once -> exactly-once seam, driven for real: foreachBatch
+    re-delivers (app_id, batch_id) after any crash between sink write and
+    checkpoint advance, and the manifest's txn stamp is what makes the
+    re-delivery a no-op. The worst-case recovery (checkpoint lost entirely,
+    every batch replayed) is simulated by draining the same pinned-order
+    source twice with independent checkpoints under one app_id; the lake
+    version must not advance in the second drain. At 100 TB this is the
+    difference between an idempotent ingest pipeline and silent row
+    duplication on every executor hiccup."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        snapshot_history,
+        snapshot_stream_sink,
+    )
+
+    configure_session(spark)
+    n_batches = 4
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 1e6).cast("long").alias("val_micros"),
+    )
+    src_dir = tempfile.mkdtemp(prefix="lake_ingest_src_")
+    for i in range(n_batches):
+        part_dir = tempfile.mkdtemp(prefix=f"lake_ingest_part{i}_")
+        batch = events.filter(
+            F.pmod(F.col("event_id"), F.lit(n_batches)) == i
+        ).select("user_id", "event_type", "val_micros")
+        batch.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        part = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = _os.path.join(src_dir, f"b{i}.parquet")
+        _shutil.move(part, dst)
+        # Strictly increasing mtimes pin the FileStreamSource batch order.
+        _os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+    lake = tempfile.mkdtemp(prefix="lake_ingest_lake_")
+
+    def _drain(ckpt_prefix: str) -> None:
+        stream = (
+            spark.readStream.schema(
+                "user_id bigint, event_type string, val_micros bigint"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = snapshot_stream_sink(
+            stream,
+            lake,
+            tempfile.mkdtemp(prefix=ckpt_prefix),
+            app_id="lake-ingest",
+            partition_col="event_type",
+        )
+        q.awaitTermination()
+
+    _drain("lake_ingest_ckpt1_")
+    v_first = snapshot_history(spark, lake)[-1]["version"]
+    if v_first != n_batches:
+        raise RuntimeError(f"expected {n_batches} commits, got v{v_first}")
+    # Worst-case recovery: checkpoint gone, every batch re-delivered.
+    _drain("lake_ingest_ckpt2_")
+    v_replay = snapshot_history(spark, lake)[-1]["version"]
+    if v_replay != v_first:
+        raise RuntimeError(
+            f"replay was not idempotent: v{v_first} -> v{v_replay}"
+        )
+    return read_snapshot(spark, lake).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.round(F.sum("val_micros").cast("double") / 1e6, 6).alias("sum_value"),
+    )
