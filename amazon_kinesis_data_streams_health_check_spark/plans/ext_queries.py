@@ -2688,3 +2688,124 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sim_c", 6).alias("centroid_sim"),
         F.col("_d").isNull().alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dimensionality reduction: top principal component, exact-integer and
+# engine-identical end to end.
+# ---------------------------------------------------------------------------
+_PCA_D = 64          # embedding dimensionality (TESTDATA.md)
+_PCA_T = 6           # fixed power-iteration count
+_PCA_Q = 10_000      # quantization scale: |e| < 1 => |q| < 2^14
+
+
+def _pca_oracle_sql() -> str:
+    """DuckDB twin of the integer power iteration: gram matrix from the
+    quantized vectors, T chained matvec+renormalize CTEs, projection join.
+    Every step is BIGINT-exact, so the iteration is bit-identical to the
+    driver-side Python mirror in :func:`embedding_pca_project`."""
+    head = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {_PCA_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+e1 AS (SELECT vec_id, q, unnest(range({_PCA_D})) AS i FROM q),
+e2 AS (SELECT vec_id, q, i, q[i + 1] AS qi FROM e1),
+e3 AS (SELECT i, unnest(range({_PCA_D})) AS j, qi, q FROM e2),
+g AS (
+  SELECT i, j, CAST(sum(qi * q[j + 1]) AS BIGINT) AS g
+  FROM e3 GROUP BY i, j
+),
+gm AS (
+  SELECT i, j,
+         (CASE WHEN g >= 0 THEN 1 ELSE -1 END)
+           * (abs(g) // (SELECT max(abs(g)) // 1099511627776 + 1 FROM g)) AS g
+  FROM g
+),
+v0 AS (SELECT unnest(range({_PCA_D})) AS i, CAST(1024 AS BIGINT) AS val)"""
+    steps = []
+    for t in range(1, _PCA_T + 1):
+        steps.append(f""",
+w{t} AS (
+  SELECT gm.i AS i, CAST(sum(gm.g * v{t - 1}.val) AS BIGINT) AS w
+  FROM gm JOIN v{t - 1} ON gm.j = v{t - 1}.i GROUP BY gm.i
+),
+v{t} AS (
+  SELECT i,
+         (CASE WHEN w >= 0 THEN 1 ELSE -1 END)
+           * (abs(w) // ((SELECT max(abs(w)) FROM w{t}) // 1024 + 1)) AS val
+  FROM w{t}
+)""")
+    tail = f"""
+SELECT q.vec_id, q.label,
+       CAST(sum(q.q[v.i + 1] * v.val) AS BIGINT) AS proj
+FROM q, v{_PCA_T} AS v
+GROUP BY q.vec_id, q.label
+"""
+    return head + "".join(steps) + tail
+
+
+@register(
+    "embedding_pca_project",
+    oracle=_pca_oracle_sql(),
+    doc="Top principal component (uncentered) of the embedding corpus via an "
+    "exact-integer gram matrix and a fixed-count integer power iteration; "
+    "every vector's projection onto the component is returned as an exact "
+    "BIGINT — deterministic across engines, layouts, and retries",
+    tags=("ext", "embedding"),
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the only O(data) work is the gram accumulation — each row
+    narrowly emits its d^2 quantized outer-product terms, which partial-
+    aggregate map-side onto d^2 = 4096 keys (the canonical distributed
+    X^T X matmul; shuffle volume is O(partitions * d^2), independent of row
+    count). The 64x64 eigen-solve itself is metadata-sized, so it runs as an
+    integer power iteration on the driver and re-enters the plan as a
+    broadcast literal for the projection pass; DuckDB replays the identical
+    iteration in SQL, which is what makes the per-vector projections
+    hash-comparable as exact integers. Quantization at 1e4 bounds gram
+    entries by 2^28 * n_rows, so the BIGINT arithmetic is overflow-safe to
+    ~2^34 vectors; the renormalizing divisor (max//1024 + 1) keeps every
+    matvec term under 2^56."""
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_PCA_Q}) AS BIGINT))"
+        ).alias("q"),
+    ).localCheckpoint(eager=False)  # feeds the gram pass AND the projection
+    pairs = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(q, (qi, i) -> transform(q, (qj, j) ->"
+                " named_struct('i', i, 'j', j, 'p', qi * qj))))"
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.p")
+    grows = pairs.groupBy("i", "j").agg(F.sum("p").alias("g")).collect()
+    # Driver-side integer power iteration over the 64x64 gram — bounded
+    # metadata, mirrored step-for-step by the oracle's SQL CTE chain.
+    gmax = max(abs(r.g) for r in grows)
+    s = gmax // (1 << 40) + 1
+    gm = {(r.i, r.j): (1 if r.g >= 0 else -1) * (abs(r.g) // s) for r in grows}
+    v = [1024] * _PCA_D
+    for _ in range(_PCA_T):
+        w = [
+            sum(gm.get((i, j), 0) * v[j] for j in range(_PCA_D))
+            for i in range(_PCA_D)
+        ]
+        nd = max(abs(x) for x in w) // 1024 + 1
+        v = [(1 if x >= 0 else -1) * (abs(x) // nd) for x in w]
+    vlit = ", ".join(f"{x}L" for x in v)
+    return q.select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"aggregate(zip_with(q, array({vlit}), (a, b) -> a * b),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("proj"),
+    )
