@@ -1088,3 +1088,81 @@ def streaming_lake_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("n_users"),
         F.round(F.sum("val_micros").cast("double") / 1e6, 6).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec evolution: mixed-layout commits behind one table.
+# ---------------------------------------------------------------------------
+_PE_TYPE = "purchase"
+
+_PART_EVOLUTION_SQL = f"""
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS metric_day,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000.0, 6) AS sum_value
+FROM events
+WHERE event_type = '{_PE_TYPE}'
+GROUP BY 1
+"""
+
+
+@register(
+    "lake_partition_evolution",
+    oracle=_PART_EVOLUTION_SQL,
+    doc="Partition-spec evolution: half the events committed under "
+    "partitionBy(event_type), half later under partitionBy(metric_date); "
+    "one evolved read unions both layouts, dir-prunes the event_type "
+    "predicate inside the old-spec group only (builder raises if nothing "
+    "was pruned), and must equal a full-scan filter",
+    tags=("lake",),
+)
+def lake_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-rewrite partition migration: at 100 TB a table whose query
+    pattern shifted (type-major -> date-major) cannot afford a rewrite, so
+    new commits adopt the new spec while committed files keep the old
+    layout. The manifest's relpath prefixes name each file's spec, the
+    reader scans one group per spec under the declared schema (partition
+    values resurface from dir names, the other column rides in the data
+    files), and predicates prune at dir level exactly where the layout
+    allows — conservative everywhere else, with row-level residual filters
+    keeping results exact."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        read_snapshot_evolved,
+        snapshot_append,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.to_date(F.date_trunc("day", "ts")).alias("metric_date"),
+    )
+    lake = tempfile.mkdtemp(prefix="part_evo_lake_")
+    snapshot_append(
+        spark,
+        events.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0),
+        lake,
+        partition_col="event_type",
+    )
+    snapshot_append(
+        spark,
+        events.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1),
+        lake,
+        partition_col="metric_date",
+    )
+    df, info = read_snapshot_evolved(
+        spark, lake, partition_filters={"event_type": _PE_TYPE}
+    )
+    if not info["files_read"] < info["files_total"]:
+        raise RuntimeError(f"spec-aware pruning skipped nothing: {info}")
+    return df.groupBy(
+        F.col("metric_date").cast("string").alias("metric_day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.round(F.col("value") * 1e6).cast("long")).cast("double") / 1e6,
+            6,
+        ).alias("sum_value"),
+    )

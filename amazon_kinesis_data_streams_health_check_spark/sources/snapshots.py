@@ -991,6 +991,58 @@ def read_snapshot_point(
     )
 
 
+def read_snapshot_evolved(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    partition_filters: dict[str, Any] | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Read a table whose commits used DIFFERENT partition columns
+    (partition-spec evolution): files keep the layout they were written
+    under, and the reader unions one scan per spec group.
+
+    Iceberg's headline evolution feature, recovered from the manifest alone:
+    each file's relpath prefix (``col=value/``) names the spec it was
+    written under, so no rewrite ever accompanies a spec change. Partition
+    filters prune at dir level within the groups partitioned by that column
+    and are conservative (keep everything) for groups partitioned by a
+    different column; every filter is then re-applied row-level, so results
+    equal a full-scan filter exactly. ``unionByName`` keeps the merge
+    correct even if commits also widened the schema."""
+    m = _resolve_manifest(spark, path, version=version)
+    rels_all = sorted(rel for group in m["files"].values() for rel in group)
+    groups: dict[str, list[str]] = {}
+    for rel in rels_all:
+        first = rel.split("/", 1)[0]
+        spec = first.split("=", 1)[0] if "=" in first else ""
+        groups.setdefault(spec, []).append(rel)
+    filters = dict(partition_filters or {})
+    parts: list[DataFrame] = []
+    n_read = 0
+    for spec, rels in sorted(groups.items()):
+        if spec in filters:
+            want = str(filters[spec])
+            rels = [
+                rel
+                for rel in rels
+                if urllib.parse.unquote(rel.split("/", 1)[0].split("=", 1)[1])
+                == want
+            ]
+        if not rels:
+            continue
+        n_read += len(rels)
+        parts.append(_read_manifest_files(spark, path, m["schema"], rels))
+    if not parts:
+        df = _read_manifest_files(spark, path, m["schema"], [])
+    else:
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+    for col, value in filters.items():
+        df = df.filter(F.col(col) == F.lit(value))
+    return df, {"files_total": len(rels_all), "files_read": n_read}
+
+
 def snapshot_delete(
     spark: SparkSession,
     path: str,

@@ -49,6 +49,11 @@ INVARIANT = [
     "market_basket_rules",
     "dedup_semantic",
     "incremental_join_maintenance",
+    # this session: positional gaps-and-islands over shared shingles (window
+    # ids must not depend on scan order), integer power-iteration PCA (gram
+    # sum order changes under layout, the BIGINT iteration must not)
+    "dup_span_stats",
+    "embedding_pca_project",
 ]
 
 

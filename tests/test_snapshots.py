@@ -610,3 +610,34 @@ def test_bloom_point_lookup_skips_and_stays_exact(spark, tmp_path):
     snapshot_append(spark, extra, path, partition_col="shard")
     hit2, _ = read_snapshot_point(spark, path, "owner", "u3")
     assert {(r.id, r.v) for r in hit2.collect()} == expect | {(999, 1)}
+
+
+def test_partition_spec_evolution_reads_union_of_layouts(spark, tmp_path):
+    """Commits under different partition columns stay one readable table;
+    dir-level pruning applies only inside the matching spec group and
+    results always equal a full-scan filter."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        read_snapshot_evolved,
+        snapshot_append,
+    )
+
+    path = str(tmp_path / "evolake")
+    rows1 = [(1, "a", "d1"), (2, "b", "d1"), (3, "a", "d2")]
+    rows2 = [(4, "a", "d2"), (5, "b", "d3")]
+    schema = "id long, cat string, day string"
+    snapshot_append(spark, spark.createDataFrame(rows1, schema), path, "cat")
+    snapshot_append(spark, spark.createDataFrame(rows2, schema), path, "day")
+
+    full, info = read_snapshot_evolved(spark, path)
+    assert info == {"files_total": info["files_total"], "files_read": info["files_total"]}
+    assert {r.id for r in full.collect()} == {1, 2, 3, 4, 5}
+
+    # filter on the v1 spec column: prunes v1 dirs, scans all v2 files
+    cat_a, info_a = read_snapshot_evolved(spark, path, partition_filters={"cat": "a"})
+    assert {r.id for r in cat_a.collect()} == {1, 3, 4}
+    assert info_a["files_read"] < info_a["files_total"]
+
+    # filter on the v2 spec column: prunes v2 dirs, scans all v1 files
+    d2, info_d = read_snapshot_evolved(spark, path, partition_filters={"day": "d2"})
+    assert {r.id for r in d2.collect()} == {3, 4}
+    assert info_d["files_read"] < info_d["files_total"]
