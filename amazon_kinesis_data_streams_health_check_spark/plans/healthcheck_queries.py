@@ -1099,3 +1099,140 @@ def slo_burn_rate_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (4 * F.col("err_fast") > F.col("tot_fast"))
         & (4 * F.col("err_slow") > F.col("tot_slow")),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard lineage routing across a reshard history (split + merge).
+# ---------------------------------------------------------------------------
+#: Kinesis resharding (UpdateShardCount / SplitShard / MergeShards) retires
+#: parent shards and opens children over sub/super hash-key ranges; every
+#: record still routes to EXACTLY ONE open shard — the shard whose
+#: [starting_hash_key, ending_hash_key) contains md5(partition_key) at the
+#: record's time. This query replays that routing over a 3-epoch lineage
+#: (epoch 1: shard 2 splits into 4+5; epoch 2: shards 0+1 merge into 6,
+#: mirroring the SplitShard/MergeShards API shapes) and audits the
+#: exactly-once coverage invariant the consumer leg depends on.
+_Q30 = 1 << 30  # quarter of the 2^32 hash-key space
+#: (shard, parent, adjacent_parent, lo, hi) per epoch it is OPEN in.
+_SHARD_LINEAGE: list[tuple[int, int, str, str, int, int]] = [
+    # epoch 0: four equal-width shards
+    (0, 0, "", "", 0 * _Q30, 1 * _Q30),
+    (0, 1, "", "", 1 * _Q30, 2 * _Q30),
+    (0, 2, "", "", 2 * _Q30, 3 * _Q30),
+    (0, 3, "", "", 3 * _Q30, 4 * _Q30),
+    # epoch 1: shard 2 split into 4 and 5
+    (1, 0, "", "", 0 * _Q30, 1 * _Q30),
+    (1, 1, "", "", 1 * _Q30, 2 * _Q30),
+    (1, 4, "shardId-000000000002", "", 2 * _Q30, 2 * _Q30 + _Q30 // 2),
+    (1, 5, "shardId-000000000002", "", 2 * _Q30 + _Q30 // 2, 3 * _Q30),
+    (1, 3, "", "", 3 * _Q30, 4 * _Q30),
+    # epoch 2: shards 0 and 1 merged into 6
+    (2, 6, "shardId-000000000000", "shardId-000000000001", 0, 2 * _Q30),
+    (2, 4, "shardId-000000000002", "", 2 * _Q30, 2 * _Q30 + _Q30 // 2),
+    (2, 5, "shardId-000000000002", "", 2 * _Q30 + _Q30 // 2, 3 * _Q30),
+    (2, 3, "", "", 3 * _Q30, 4 * _Q30),
+]
+
+_RESHARD_VALUES = ",\n  ".join(
+    f"({e}, 'shardId-{s:012d}', '{p}', '{a}', {lo}, {hi})"
+    for e, s, p, a, lo, hi in _SHARD_LINEAGE
+)
+
+_RESHARD_SQL = f"""
+WITH bounds AS (
+  SELECT date_trunc('day', min(ts)) AS d0 FROM events
+),
+lineage(epoch, shard_id, parent, adjacent_parent, lo, hi) AS (
+  VALUES
+  {_RESHARD_VALUES}
+),
+routed AS (
+  SELECT e.user_id, e.value,
+         CASE WHEN e.ts < b.d0 + INTERVAL 10 DAY THEN 0
+              WHEN e.ts < b.d0 + INTERVAL 20 DAY THEN 1
+              ELSE 2 END AS epoch,
+         CAST(('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM events e, bounds b
+)
+SELECT l.epoch, l.shard_id, l.parent, l.adjacent_parent,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT r.user_id) AS BIGINT) AS n_users,
+       round(CAST(sum(CAST(round(r.value * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000.0, 6) AS sum_value
+FROM routed r JOIN lineage l
+  ON r.epoch = l.epoch AND r.h >= l.lo AND r.h < l.hi
+GROUP BY l.epoch, l.shard_id, l.parent, l.adjacent_parent
+"""
+
+
+@register(
+    "shard_reshard_routing",
+    oracle=_RESHARD_SQL,
+    doc="Kinesis reshard lineage routing: events hash-routed to the shard "
+    "owning md5(partition_key) in each of three epochs (a SplitShard and a "
+    "MergeShards cutover); the builder raises unless every record routes to "
+    "exactly one open shard — the coverage invariant consumers rely on",
+    tags=("healthcheck", "kinesis"),
+)
+def shard_reshard_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the lineage is epoch-exploded so shard ownership becomes
+    a broadcast EQUI-join on epoch with a residual hash-range filter — no
+    nested-loop interval join, no shuffle of the event side beyond the final
+    keyed aggregation. The reshard instants derive from the data's own
+    min-day (exact timestamp arithmetic, engine-identical), and routing is
+    md5-deterministic, so the audit is reproducible under any layout.
+    Lineage semantics follow the Kinesis SplitShard/MergeShards API
+    (parent / adjacent-parent retirement)."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        hash_uniform,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    lineage = spark.createDataFrame(
+        [
+            (e, f"shardId-{s:012d}", p, a, lo, hi)
+            for e, s, p, a, lo, hi in _SHARD_LINEAGE
+        ],
+        "epoch int, shard_id string, parent string, adjacent_parent string, "
+        "lo long, hi long",
+    )
+    bounds = events.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    routed = (
+        events.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            "value",
+            F.when(F.expr("ts < d0 + INTERVAL 10 DAY"), 0)
+            .when(F.expr("ts < d0 + INTERVAL 20 DAY"), 1)
+            .otherwise(2)
+            .alias("epoch"),
+            hash_uniform("user_id").alias("h"),
+        )
+    )
+    joined = routed.join(
+        F.broadcast(lineage),
+        on=[
+            routed["epoch"] == lineage["epoch"],
+            routed["h"] >= lineage["lo"],
+            routed["h"] < lineage["hi"],
+        ],
+    )
+    # Exactly-once coverage audit: a lineage bug (gap or overlap in the hash
+    # ranges of an epoch) would drop or duplicate records silently.
+    n_routed, n_events = joined.count(), events.count()
+    if n_routed != n_events:
+        raise RuntimeError(
+            f"reshard routing not exactly-once: {n_routed} routed rows "
+            f"for {n_events} events"
+        )
+    return joined.groupBy(
+        lineage["epoch"], "shard_id", "parent", "adjacent_parent"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.round(
+            F.sum(F.round(F.col("value") * 1e6).cast("long")).cast("double") / 1e6,
+            6,
+        ).alias("sum_value"),
+    )
