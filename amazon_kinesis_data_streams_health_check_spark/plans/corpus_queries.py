@@ -1621,3 +1621,93 @@ def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tvd"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive pair mining: positives + hard negatives per anchor.
+# ---------------------------------------------------------------------------
+_CPM_K = 3
+
+_CPM_SQL = f"""
+WITH buckets AS (
+  SELECT vec_id, label, embedding, {duck_bucket('embedding')} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CASE WHEN a.label = b.label THEN 'pos' ELSE 'neg' END AS pair_type,
+         {duck_cosine('a.embedding', 'b.embedding')} AS cos_raw
+  FROM buckets a
+  JOIN buckets b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, pair_type, cos_raw,
+         row_number() OVER (PARTITION BY query_id, pair_type
+                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, pair_type,
+       round(cos_raw, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_CPM_K}
+"""
+
+
+@register(
+    "contrastive_pairs_mining",
+    oracle=_CPM_SQL,
+    doc="Contrastive training-pair mining: per anchor vector, the top-3 "
+    "same-label positives and top-3 different-label HARD negatives among "
+    "its LSH-bucket mates — the highest-cosine wrong-label neighbors that "
+    "make metric-learning batches informative",
+    tags=("ext", "corpus", "similarity"),
+)
+def contrastive_pairs_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: identical candidate generation to ``knn_graph_lsh``
+    (bucket-mate self-join on the uniform sign-pattern key, squared norms
+    hoisted, scored pairs pinned once for both consumers); the per-anchor
+    selection runs the shared two-phase top-k once per pair class, so wide
+    stages move O(partitions * k) rows per anchor, never the candidate set.
+    Hard negatives fall out of the same pass as positives — no second
+    scoring job."""
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    bucketed = with_sq_norm(with_lsh_bucket(emb), "embedding", "n2").localCheckpoint(
+        eager=False
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("label_q"),
+        "bucket",
+        F.col("embedding").alias("emb_q"),
+        F.col("n2").alias("nq2"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("label_n"),
+        "bucket",
+        F.col("embedding").alias("emb_n"),
+        F.col("n2").alias("nn2"),
+    )
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.when(F.col("label_q") == F.col("label_n"), "pos")
+            .otherwise("neg")
+            .alias("pair_type"),
+            cosine_precomp("emb_q", "emb_n", "nq2", "nn2").alias("cos_raw"),
+        )
+        .localCheckpoint(eager=False)  # feeds both pair-class top-k passes
+    )
+    out = None
+    for ptype in ("pos", "neg"):
+        part = topk_per_query(
+            scored.filter(F.col("pair_type") == ptype).select(
+                "query_id", "neighbor_id", "cos_raw"
+            ),
+            _CPM_K,
+        ).withColumn("pair_type", F.lit(ptype))
+        out = part if out is None else out.unionByName(part)
+    return out.select("query_id", "neighbor_id", "pair_type", "cosine", "rank")
