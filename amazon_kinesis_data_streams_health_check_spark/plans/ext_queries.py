@@ -2699,6 +2699,22 @@ _PCA_T = 6           # fixed power-iteration count
 _PCA_Q = 10_000      # quantization scale: |e| < 1 => |q| < 2^14
 
 
+def _pca_gram(q: DataFrame) -> DataFrame:
+    """Distributed X^T X over a quantized-vector column ``q``: each row
+    narrowly emits its d^2 outer-product terms, which partial-aggregate
+    map-side onto d^2 keys (exposed separately so the plan shape is
+    pin-testable — the stage is consumed eagerly by the driver iteration)."""
+    pairs = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(q, (qi, i) -> transform(q, (qj, j) ->"
+                " named_struct('i', i, 'j', j, 'p', qi * qj))))"
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.p")
+    return pairs.groupBy("i", "j").agg(F.sum("p").alias("g"))
+
+
 def _pca_oracle_sql() -> str:
     """DuckDB twin of the integer power iteration: gram matrix from the
     quantized vectors, T chained matvec+renormalize CTEs, projection join.
@@ -2778,15 +2794,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_PCA_Q}) AS BIGINT))"
         ).alias("q"),
     ).localCheckpoint(eager=False)  # feeds the gram pass AND the projection
-    pairs = q.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(q, (qi, i) -> transform(q, (qj, j) ->"
-                " named_struct('i', i, 'j', j, 'p', qi * qj))))"
-            )
-        ).alias("t")
-    ).select("t.i", "t.j", "t.p")
-    grows = pairs.groupBy("i", "j").agg(F.sum("p").alias("g")).collect()
+    grows = _pca_gram(q).collect()
     # Driver-side integer power iteration over the 64x64 gram — bounded
     # metadata, mirrored step-for-step by the oracle's SQL CTE chain.
     gmax = max(abs(r.g) for r in grows)

@@ -527,3 +527,62 @@ def test_dedup_semantic_label_blocked_broadcast_centroids(spark, sf_small):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_contrastive_pairs_no_per_query_window(spark, sf_small):
+    """Both pair-class selections must be the two-phase top-k, never a
+    row_number window over the scored candidate set."""
+    plan = plan_of(spark, sf_small, "contrastive_pairs_mining")
+    assert "windowspecdefinition(query_id" not in plan, plan
+    assert "row_number" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_reshard_routing_lineage_broadcasts(spark, sf_small):
+    """Shard ownership must resolve as a broadcast equi-join on epoch (tiny
+    lineage side), never a shuffled or nested-loop interval join over the
+    event stream."""
+    plan = plan_of(spark, sf_small, "shard_reshard_routing")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pca_gram_is_partial_aggregated(spark, sf_small):
+    """The d^2-key gram aggregation must partial-aggregate map-side (two
+    HashAggregate levels around one exchange) so shuffle volume is
+    O(partitions * d^2), not O(rows * d^2); the projection pass the query
+    returns must be fully narrow (zero exchanges)."""
+    import pyspark.sql.functions as F
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.ext_queries import (
+        _PCA_Q,
+        _pca_gram,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    q = emb.select(
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_PCA_Q}) AS BIGINT))"
+        ).alias("q")
+    )
+    gdf = _pca_gram(q)
+    gplan = gdf._sc._jvm.PythonSQLUtils.explainString(
+        gdf._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"^\(\d+\) (?:Object)?HashAggregate", gplan, re.M)) >= 2, gplan
+    assert len(re.findall(r"^\(\d+\) Exchange", gplan, re.M)) == 1, gplan
+
+    plan = plan_of(spark, sf_small, "embedding_pca_project")
+    assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dup_span_windows_partition_by_doc(spark, sf_small):
+    """The gaps-and-islands windows may only partition by doc_id (bounded by
+    document length) — a global or position-keyed window would serialize the
+    corpus onto one task."""
+    plan = plan_of(spark, sf_small, "dup_span_stats")
+    for spec in re.findall(r"windowspecdefinition\(([^,]+),", plan):
+        assert "doc_id" in spec, plan
+    assert "CartesianProduct" not in plan, plan
