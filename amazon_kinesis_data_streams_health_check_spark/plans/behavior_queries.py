@@ -582,3 +582,112 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_transitions"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution: linear + last-touch credit per channel.
+# ---------------------------------------------------------------------------
+_ATTR_WINDOW_DAYS = 7
+_ATTR_TOUCH_TYPES = ("view", "click", "signup")
+
+_ATTRIBUTION_SQL = f"""
+WITH purchases AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts,
+         CAST(round(value * 1000000) AS BIGINT) AS val_micros
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT event_id AS t_id, user_id, event_type AS channel, ts AS t_ts
+  FROM events WHERE event_type IN ('view', 'click', 'signup')
+),
+paired AS (
+  SELECT p.p_id, p.val_micros, t.t_id, t.channel, t.t_ts
+  FROM purchases p JOIN touches t
+    ON p.user_id = t.user_id
+   AND t.t_ts < p.p_ts
+   AND t.t_ts >= p.p_ts - INTERVAL {_ATTR_WINDOW_DAYS} DAY
+),
+credited AS (
+  SELECT p_id, val_micros, t_id, channel,
+         CAST(count(*) OVER (PARTITION BY p_id) AS BIGINT) AS n_touches,
+         row_number() OVER (PARTITION BY p_id
+                            ORDER BY t_ts DESC, t_id DESC) AS recency_rank
+  FROM paired
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_touches_credited,
+       CAST(count(DISTINCT p_id) AS BIGINT) AS n_conversions_touched,
+       CAST(sum(val_micros // n_touches) AS BIGINT) AS linear_credit_micros,
+       CAST(sum(val_micros % n_touches) AS BIGINT) AS linear_credit_rem,
+       CAST(sum(CASE WHEN recency_rank = 1 THEN val_micros ELSE 0 END)
+            AS BIGINT) AS last_touch_micros
+FROM credited GROUP BY channel
+"""
+
+
+@register(
+    "funnel_attribution",
+    oracle=_ATTRIBUTION_SQL,
+    doc="Multi-touch attribution: every purchase's value credited to the "
+    "user's view/click/signup touches in the prior 7 days — linear credit "
+    "as exact integer quotient+remainder (no float split) and last-touch "
+    "credit via recency rank, rolled up per channel",
+    tags=("behavior",),
+)
+def funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the touch<->purchase pairing is an equi-join on user_id
+    with a residual time-range predicate — per-user groups are bounded, so
+    the join never degenerates toward an interval cross-product; both
+    windows partition by purchase id (bounded by touches-per-window). Credit
+    math stays in BIGINT: integer quotient + remainder columns preserve
+    exactness instead of summing float shares in engine-dependent order.
+    Ties in recency break on the globally unique event id."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 1e6).cast("long").alias("val_micros"),
+    )
+    touches = events.filter(
+        F.col("event_type").isin(*_ATTR_TOUCH_TYPES)
+    ).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("t_ts"),
+    )
+    paired = purchases.join(touches, "user_id").filter(
+        (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.expr(f"p_ts - INTERVAL {_ATTR_WINDOW_DAYS} DAY"))
+    )
+    w_cnt = Window.partitionBy("p_id")
+    w_rank = Window.partitionBy("p_id").orderBy(
+        F.desc("t_ts"), F.desc("t_id")
+    )
+    credited = paired.select(
+        "p_id",
+        "val_micros",
+        "t_id",
+        "channel",
+        F.count("*").over(w_cnt).cast("long").alias("n_touches"),
+        F.row_number().over(w_rank).alias("recency_rank"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches_credited"),
+        F.countDistinct("p_id").cast("long").alias("n_conversions_touched"),
+        F.sum(F.expr("val_micros div n_touches")).cast("long").alias(
+            "linear_credit_micros"
+        ),
+        F.sum(F.expr("val_micros % n_touches")).cast("long").alias(
+            "linear_credit_rem"
+        ),
+        F.sum(
+            F.when(F.col("recency_rank") == 1, F.col("val_micros")).otherwise(0)
+        )
+        .cast("long")
+        .alias("last_touch_micros"),
+    )

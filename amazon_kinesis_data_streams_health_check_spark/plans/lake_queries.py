@@ -1166,3 +1166,74 @@ def lake_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vacuum / orphan GC: crash debris removed, live snapshot untouched.
+# ---------------------------------------------------------------------------
+_VACUUM_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "lake_vacuum_orphan_audit",
+    oracle=_VACUUM_SQL,
+    doc="Vacuum + orphan GC: a crashed writer's never-committed data file "
+    "is planted in the data dir, history is folded to the latest manifest, "
+    "and vacuum must delete the orphan and the retired version's files "
+    "while the live snapshot still equals a one-pass batch aggregate "
+    "(builder raises on surviving debris or a vacuumed live file)",
+    tags=("lake",),
+)
+def lake_vacuum_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GC contract that keeps a 100 TB lake's storage bill and listing
+    cost bounded: snapshot isolation means a crash before manifest publish
+    leaves ONLY unreferenced files (never a torn table), so vacuum can
+    reclaim them from a manifest-vs-listing diff; retention folding then
+    drops history the operator no longer needs. The audit is structural
+    (orphan gone, live files intact, retired manifest gone) plus semantic
+    (post-vacuum read hash-matches the oracle)."""
+    import os as _os
+
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        snapshot_history,
+        vacuum_snapshots,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1e6).cast("long").alias("val_micros"),
+    )
+    lake = tempfile.mkdtemp(prefix="vacuum_lake_")
+    # v1: a half-table the operator later retires; v2: the full overwrite.
+    snapshot_overwrite(
+        spark,
+        events.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0),
+        lake,
+        partition_col="event_type",
+    )
+    snapshot_overwrite(spark, events, lake, partition_col="event_type")
+    # Crashed writer: a data file that no manifest will ever reference.
+    orphan_dir = _os.path.join(lake, "data", "event_type=orphan")
+    events.limit(10).drop("event_type").coalesce(1).write.mode("overwrite").parquet(
+        orphan_dir
+    )
+    n_deleted = vacuum_snapshots(spark, lake, keep_last=1)
+    if _os.path.isdir(orphan_dir) and any(
+        f.endswith(".parquet") for f in _os.listdir(orphan_dir)
+    ):
+        raise RuntimeError("vacuum left the orphaned write behind")
+    if n_deleted == 0:
+        raise RuntimeError("vacuum deleted nothing — audit is vacuous")
+    if [m["version"] for m in snapshot_history(spark, lake)] != [2]:
+        raise RuntimeError("retention folding did not drop the retired manifest")
+    return read_snapshot(spark, lake).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("val_micros").cast("long").alias("sum_micros"),
+    )
