@@ -1711,3 +1711,137 @@ def contrastive_pairs_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn("pair_type", F.lit(ptype))
         out = part if out is None else out.unionByName(part)
     return out.select("query_id", "neighbor_id", "pair_type", "cosine", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS: per-source linear fit from exact integer moment sums.
+# ---------------------------------------------------------------------------
+# Exact-arithmetic precondition: every BIGINT intermediate is bounded by
+# n^2 * max(|x|,|y|)^2, so with x,y <= 1000 the fit is overflow-safe to
+# n <= ~2e6 rows per group; both engines fail LOUDLY and identically past
+# the bound (Spark would otherwise wrap where DuckDB raises).
+_FIT_XY_MAX = 1_000
+_FIT_N_MAX = 2_000_000
+
+_FIT_SQL = f"""
+WITH xy AS (
+  SELECT source,
+         CASE WHEN n_chars > {_FIT_XY_MAX} OR len({_DUCK_TOK}) > {_FIT_XY_MAX}
+              THEN CAST(error('grouped_linear_fit: x/y exceeds exact-arithmetic bound') AS BIGINT)
+              ELSE CAST(n_chars AS BIGINT) END AS x,
+         CAST(len({_DUCK_TOK}) AS BIGINT) AS y
+  FROM documents
+),
+m AS (
+  SELECT source,
+         CASE WHEN count(*) > {_FIT_N_MAX}
+              THEN CAST(error('grouped_linear_fit: group size exceeds exact-arithmetic bound') AS BIGINT)
+              ELSE CAST(count(*) AS BIGINT) END AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM xy GROUP BY source
+)
+SELECT source, n,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE round((CAST(sy AS DOUBLE) * CAST(n * sxx - sx * sx AS DOUBLE)
+                        - CAST(n * sxy - sx * sy AS DOUBLE) * CAST(sx AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(n * sxx - sx * sx AS DOUBLE)), 6)
+       END AS intercept,
+       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+            ELSE round((CAST(n * sxy - sx * sy AS DOUBLE)
+                        * CAST(n * sxy - sx * sy AS DOUBLE))
+                       / (CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+       END AS r2
+FROM m
+"""
+
+
+@register(
+    "grouped_linear_fit",
+    oracle=_FIT_SQL,
+    doc="Per-source OLS of token count on character count from exact BIGINT "
+    "moment sums (n, sx, sy, sxx, sxy, syy): slope/intercept/r^2 each a "
+    "single correctly-rounded division of exact integers — the grouped-"
+    "regression primitive of feature-drift and length-model audits",
+    tags=("ext", "corpus"),
+)
+def grouped_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the fit is pure partial-aggregatable moment sums — one
+    narrow pass computes (x, y) per row, one keyed aggregation produces six
+    BIGINTs per group, and the closed-form normal-equation solve happens on
+    those six numbers. No iteration, no float accumulation (engine-ordered
+    float sums can't drift because there are none: every sum is exact, and
+    each output is ONE IEEE division of exactly-representable integers).
+    Group-size/value preconditions are guarded with identical lazy error
+    branches in both engines."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    x_raw = F.col("n_chars").cast("long")
+    y_raw = F.expr(f"CAST(size({_SPARK_TOK}) AS BIGINT)")
+    xy = docs.select(
+        "source",
+        F.when(
+            (x_raw > _FIT_XY_MAX) | (y_raw > _FIT_XY_MAX),
+            F.raise_error(
+                F.lit("grouped_linear_fit: x/y exceeds exact-arithmetic bound")
+            ).cast("long"),
+        )
+        .otherwise(x_raw)
+        .alias("x"),
+        y_raw.alias("y"),
+    )
+    n_raw = F.count("*").cast("long")
+    m = xy.groupBy("source").agg(
+        F.when(
+            n_raw > _FIT_N_MAX,
+            F.raise_error(
+                F.lit("grouped_linear_fit: group size exceeds exact-arithmetic bound")
+            ).cast("long"),
+        )
+        .otherwise(n_raw)
+        .alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "source",
+        "n",
+        F.when(
+            den_x == 0, F.lit(None).cast("double")
+        ).otherwise(
+            F.round(num.cast("double") / den_x.cast("double"), 6)
+        ).alias("slope"),
+        F.when(
+            den_x == 0, F.lit(None).cast("double")
+        ).otherwise(
+            F.round(
+                (
+                    F.col("sy").cast("double") * den_x.cast("double")
+                    - num.cast("double") * F.col("sx").cast("double")
+                )
+                / (F.col("n").cast("double") * den_x.cast("double")),
+                6,
+            )
+        ).alias("intercept"),
+        F.when(
+            (den_x == 0) | (den_y == 0), F.lit(None).cast("double")
+        ).otherwise(
+            F.round(
+                (num.cast("double") * num.cast("double"))
+                / (den_x.cast("double") * den_y.cast("double")),
+                6,
+            )
+        ).alias("r2"),
+    )

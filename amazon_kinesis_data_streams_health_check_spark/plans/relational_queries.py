@@ -1790,3 +1790,102 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("total_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy traversal: BOM ancestor chains via pointer jumping.
+# ---------------------------------------------------------------------------
+#: Synthetic bill-of-materials over ``part``: node p's parent assembly is
+#: (p-1) div 4 (4-ary tree rooted at part 0) — depth is log4(|part|), so a
+#: 20k-part table is 8 levels and even a billion-part catalog is ~15.
+_BOM_FANOUT = 4
+_BOM_ROUNDS = 4  # covers depth 2^4 = 16 >= log4 of any realistic catalog
+
+_BOM_SQL = f"""
+WITH RECURSIVE parts AS (
+  SELECT p_partkey AS node,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+  FROM part
+),
+walk(node, cur, depth, cost) AS (
+  SELECT node, node, 0, CAST(0 AS BIGINT) FROM parts
+  UNION ALL
+  SELECT w.node, (w.cur - 1) // {_BOM_FANOUT}, w.depth + 1, w.cost + p.cents
+  FROM walk w JOIN parts p ON p.node = w.cur
+  WHERE w.cur > 0
+)
+SELECT node AS p_partkey, CAST(depth AS BIGINT) AS depth,
+       cost AS chain_cost_cents
+FROM walk WHERE cur = 0
+"""
+
+
+@register(
+    "bom_ancestor_paths",
+    oracle=_BOM_SQL,
+    doc="Hierarchy traversal without recursive CTEs: every part's depth and "
+    "exact ancestor-chain cost (cents, root excluded) in a 4-ary BOM tree, "
+    "computed by logarithmic pointer jumping — the oracle walks the same "
+    "tree with DuckDB's WITH RECURSIVE",
+    tags=("relational", "graph"),
+)
+def bom_ancestor_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark has no recursive CTE, and the naive translation (iterate
+    one parent hop per join) costs depth-many passes over the table. This
+    uses pointer jumping / path doubling instead: each round composes the
+    current 2^k-step ancestor map with itself, so K = log2(depth) rounds
+    flatten every chain — 4 self-joins instead of 16 sequential hops, each
+    an equi-shuffle on uniform integer keys. Per-round ``localCheckpoint``
+    bounds lineage growth (same contract as the PageRank loop). Costs are
+    exact BIGINT cents sums; the builder raises if any chain failed to
+    reach the root within the round budget (a cycle or fanout bug would
+    otherwise silently truncate)."""
+    configure_session(spark)
+    parts = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    j = parts.select(
+        "node",
+        F.when(F.col("node") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr(f"(node - 1) div {_BOM_FANOUT}"))
+        .alias("anc"),
+        F.when(F.col("node") == 0, 0).otherwise(1).cast("long").alias("s"),
+        F.when(F.col("node") == 0, F.lit(0).cast("long"))
+        .otherwise(F.col("cents"))
+        .alias("c"),
+    )
+    for _ in range(_BOM_ROUNDS):
+        mid = j.select(
+            F.col("node").alias("m_node"),
+            F.col("anc").alias("m_anc"),
+            F.col("s").alias("m_s"),
+            F.col("c").alias("m_c"),
+        )
+        j = (
+            j.join(mid, j["anc"] == mid["m_node"], "left")
+            .select(
+                "node",
+                F.when(F.col("anc").isNull(), F.lit(None).cast("long"))
+                .otherwise(F.col("m_anc"))
+                .alias("anc"),
+                F.when(F.col("anc").isNull(), F.col("s"))
+                .otherwise(F.col("s") + F.col("m_s"))
+                .alias("s"),
+                F.when(F.col("anc").isNull(), F.col("c"))
+                .otherwise(F.col("c") + F.col("m_c"))
+                .alias("c"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    n_unresolved = j.filter(F.col("anc").isNotNull()).count()
+    if n_unresolved:
+        raise RuntimeError(
+            f"{n_unresolved} chains unresolved after {_BOM_ROUNDS} "
+            "pointer-jumping rounds — deeper tree than the round budget"
+        )
+    return j.select(
+        F.col("node").alias("p_partkey"),
+        F.col("s").alias("depth"),
+        F.col("c").alias("chain_cost_cents"),
+    )
