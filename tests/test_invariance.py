@@ -54,6 +54,10 @@ INVARIANT = [
     # sum order changes under layout, the BIGINT iteration must not)
     "dup_span_stats",
     "embedding_pca_project",
+    # pointer-jumping ancestor composition must resolve identically whatever
+    # the join layout; the OLS moment sums are exact integers by design
+    "bom_ancestor_paths",
+    "grouped_linear_fit",
 ]
 
 
