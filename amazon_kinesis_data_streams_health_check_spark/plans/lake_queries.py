@@ -1237,3 +1237,71 @@ def lake_vacuum_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("val_micros").cast("long").alias("sum_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Branch workflow: isolated staging commits, fast-forward publish.
+# ---------------------------------------------------------------------------
+_BRANCH_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "lake_branch_workflow",
+    oracle=_BRANCH_SQL,
+    doc="Git-like lake branches: half the events land on main, the rest on "
+    "a staging branch whose commits are invisible to main readers (builder "
+    "raises if isolation leaks); fast-forward merge then publishes the "
+    "branch head as the next main version, which must equal a one-pass "
+    "batch aggregate — and a diverged main must refuse the merge",
+    tags=("lake",),
+)
+def lake_branch_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-audit-publish pattern at 100 TB: risky ingest goes to a
+    branch (same shared append-only data files, separate manifest line), QA
+    reads the branch while production reads main, and the publish is a
+    metadata-only fast-forward — zero data movement, atomic via the same
+    if-absent manifest rename as every other commit. Divergence is a
+    conflict by design, verified here by attempting a second merge after
+    main advanced."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        SnapshotConflictError,
+        branch_append,
+        branch_create,
+        branch_fast_forward,
+        read_branch,
+        snapshot_append,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1e6).cast("long").alias("val_micros"),
+    )
+    lake = tempfile.mkdtemp(prefix="branch_lake_")
+    half = F.pmod(F.col("event_id"), F.lit(2))
+    snapshot_append(spark, events.filter(half == 0), lake, partition_col="event_type")
+    n_main_before = read_snapshot(spark, lake).count()
+    branch_create(spark, lake, "staging")
+    branch_append(spark, events.filter(half == 1), lake, "staging", "event_type")
+    # Isolation: the branch sees everything, main still only its half.
+    if read_snapshot(spark, lake).count() != n_main_before:
+        raise RuntimeError("branch commit leaked into main")
+    if read_branch(spark, lake, "staging").count() <= n_main_before:
+        raise RuntimeError("branch read does not include its own commit")
+    branch_fast_forward(spark, lake, "staging")
+    # Divergence: merging the (now stale) branch again must conflict.
+    try:
+        branch_fast_forward(spark, lake, "staging")
+        raise RuntimeError("fast-forward onto a diverged main did not conflict")
+    except SnapshotConflictError:
+        pass
+    return read_snapshot(spark, lake).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("val_micros").cast("long").alias("sum_micros"),
+    )

@@ -991,6 +991,130 @@ def read_snapshot_point(
     )
 
 
+# ---------------------------------------------------------------------------
+# Branches: named refs with isolated commit lines and fast-forward merge.
+#
+# The git-for-data workflow (Nessie / LakeFS / Iceberg branches) on the same
+# manifest layer: a branch is a named pointer to a base MAIN version plus its
+# own commit line under ``_snapshots/branches/<name>/``. Branch writers never
+# touch main's manifests, so main readers are perfectly isolated from
+# in-progress branch work; data files stay append-only and SHARED (a merge
+# moves references, never bytes). Merge is fast-forward-only: it publishes
+# the branch head's file map as the next main version IFF main still sits at
+# the branch base — anything else raises SnapshotConflictError, because
+# silently union-merging diverged file maps could resurrect rows a main
+# MERGE/delete removed.
+# ---------------------------------------------------------------------------
+def _branch_dir(path: str, name: str) -> str:
+    return f"{path}/{_MANIFEST_DIR}/branches/{name}"
+
+
+def _branch_history(spark: SparkSession, path: str, name: str) -> list[dict[str, Any]]:
+    bdir = _branch_dir(path, name)
+    fs = _fs(spark, bdir)
+    if not fs.exists(_jpath(spark, bdir)):
+        return []
+    out = []
+    it = fs.listFiles(_jpath(spark, bdir), False)
+    names = []
+    while it.hasNext():
+        nm = str(it.next().getPath().getName())
+        if nm.startswith("v") and nm.endswith(".json"):
+            names.append(nm)
+    for nm in sorted(names):
+        out.append(_read_json(spark, f"{bdir}/{nm}"))
+    return out
+
+
+def branch_create(
+    spark: SparkSession, path: str, name: str, version: int | None = None
+) -> int:
+    """Create branch ``name`` at main version ``version`` (default: latest).
+    The branch's first manifest is a zero-delta copy of the base file map,
+    stamped with the base version it forked from."""
+    base = _resolve_manifest(spark, path, version=version)
+    payload = {
+        "version": 1,
+        "parent": None,
+        "base_main_version": base["version"],
+        "operation": "branch-create",
+        "committed_at": time.time(),
+        "schema": base["schema"],
+        "files": base["files"],
+    }
+    _write_json(spark, f"{_branch_dir(path, name)}/v{1:08d}.json", payload, if_absent=True)
+    return base["version"]
+
+
+def branch_append(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    name: str,
+    partition_col: str = "metric_date",
+) -> int:
+    """Append to branch ``name``: new data files land in the shared data dir,
+    but the manifest commit goes to the branch's own line — main is never
+    touched."""
+    hist = _branch_history(spark, path, name)
+    if not hist:
+        raise FileNotFoundError(f"no branch {name!r} at {path}")
+    head = hist[-1]
+    if partition_col not in df.columns:
+        df = df.withColumn(partition_col, F.to_date("ts"))
+    files = {part: list(rels) for part, rels in head["files"].items()}
+    for part, rels in _append_data(spark, df, path, partition_col).items():
+        files.setdefault(part, []).extend(rels)
+    version = head["version"] + 1
+    payload = {
+        "version": version,
+        "parent": head["version"],
+        "base_main_version": head["base_main_version"],
+        "operation": "branch-append",
+        "committed_at": time.time(),
+        "schema": df.schema.json(),
+        "files": {k: sorted(v) for k, v in files.items() if v},
+    }
+    _write_json(
+        spark, f"{_branch_dir(path, name)}/v{version:08d}.json", payload, if_absent=True
+    )
+    return version
+
+
+def read_branch(spark: SparkSession, path: str, name: str) -> DataFrame:
+    hist = _branch_history(spark, path, name)
+    if not hist:
+        raise FileNotFoundError(f"no branch {name!r} at {path}")
+    head = hist[-1]
+    rels = sorted(rel for group in head["files"].values() for rel in group)
+    return _read_manifest_files(spark, path, head["schema"], rels)
+
+
+def branch_fast_forward(spark: SparkSession, path: str, name: str) -> int:
+    """Publish the branch head as the next MAIN version — allowed only while
+    main still sits at the branch's fork base (fast-forward). A diverged
+    main raises SnapshotConflictError: rebase (re-branch + re-apply) instead
+    of a silent union that could resurrect rows main since removed."""
+    hist = _branch_history(spark, path, name)
+    if not hist:
+        raise FileNotFoundError(f"no branch {name!r} at {path}")
+    head = hist[-1]
+    main = _resolve_manifest(spark, path)
+    if main["version"] != head["base_main_version"]:
+        raise SnapshotConflictError(
+            f"main advanced v{head['base_main_version']} -> v{main['version']} "
+            f"since branch {name!r} forked; fast-forward impossible"
+        )
+    return _commit(
+        spark,
+        path,
+        {k: list(v) for k, v in head["files"].items()},
+        f"merge-branch:{name}",
+        head["schema"],
+        main["version"],
+    )
+
+
 def read_snapshot_evolved(
     spark: SparkSession,
     path: str,

@@ -641,3 +641,42 @@ def test_partition_spec_evolution_reads_union_of_layouts(spark, tmp_path):
     d2, info_d = read_snapshot_evolved(spark, path, partition_filters={"day": "d2"})
     assert {r.id for r in d2.collect()} == {3, 4}
     assert info_d["files_read"] < info_d["files_total"]
+
+
+def test_branch_isolation_and_fast_forward(spark, tmp_path):
+    """Branch commits are invisible to main; fast-forward publishes the
+    branch head; a diverged main refuses the merge."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        SnapshotConflictError,
+        branch_append,
+        branch_create,
+        branch_fast_forward,
+        read_branch,
+        read_snapshot,
+        snapshot_append,
+        snapshot_history,
+    )
+
+    path = str(tmp_path / "branchlake")
+    schema = "id long, part string"
+    snapshot_append(spark, spark.createDataFrame([(1, "a")], schema), path, "part")
+    branch_create(spark, path, "dev")
+    branch_append(
+        spark, spark.createDataFrame([(2, "b")], schema), path, "dev", "part"
+    )
+    assert {r.id for r in read_snapshot(spark, path).collect()} == {1}
+    assert {r.id for r in read_branch(spark, path, "dev").collect()} == {1, 2}
+
+    # diverged main blocks the merge
+    snapshot_append(spark, spark.createDataFrame([(3, "c")], schema), path, "part")
+    with pytest.raises(SnapshotConflictError):
+        branch_fast_forward(spark, path, "dev")
+
+    # clean fork merges, and the merge is metadata-only (a new main version)
+    branch_create(spark, path, "dev2")
+    branch_append(
+        spark, spark.createDataFrame([(4, "d")], schema), path, "dev2", "part"
+    )
+    v = branch_fast_forward(spark, path, "dev2")
+    assert v == snapshot_history(spark, path)[-1]["version"]
+    assert {r.id for r in read_snapshot(spark, path).collect()} == {1, 3, 4}
