@@ -30,7 +30,10 @@ from pyspark.sql import functions as F
 
 from amazon_kinesis_data_streams_health_check_spark.plans.registry import register
 from amazon_kinesis_data_streams_health_check_spark.session import configure_session
-from amazon_kinesis_data_streams_health_check_spark.sources.tables import load_table
+from amazon_kinesis_data_streams_health_check_spark.sources.tables import (
+    load_table,
+    parallel_scan,
+)
 
 # ---------------------------------------------------------------------------
 # Weekly cohort retention.
@@ -690,4 +693,72 @@ def funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("last_touch_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence pattern matching over per-user event journeys.
+# ---------------------------------------------------------------------------
+#: Event-type initials are distinct (view/click/purchase/signup/error), so a
+#: user's ordered history compresses losslessly to a journey string and
+#: sequence patterns become regular expressions — the poor man's
+#: MATCH_RECOGNIZE, with identical leftmost-greedy semantics in Java regex
+#: and RE2 for these patterns.
+_JOURNEY_FUNNEL_RE = "v[vc]*p"   # view, browse touches, then purchase
+_JOURNEY_ERROR_RE = "e+"          # maximal error bursts
+
+_JOURNEY_SQL = f"""
+WITH j AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS journey
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(journey) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(journey, '{_JOURNEY_FUNNEL_RE}')) AS BIGINT)
+         AS n_funnel_matches,
+       CAST(len(regexp_extract_all(journey, '{_JOURNEY_ERROR_RE}')) AS BIGINT)
+         AS n_error_bursts,
+       contains(journey, 'p') AS converted
+FROM j
+"""
+
+
+@register(
+    "event_journey_patterns",
+    oracle=_JOURNEY_SQL,
+    doc="MATCH_RECOGNIZE-style sequence patterns: each user's ordered "
+    "history compressed to a journey string (distinct type initials), then "
+    "regex counting of view->browse->purchase funnels and maximal error "
+    "bursts — sequence analytics without a dedicated pattern operator",
+    tags=("behavior",),
+)
+def event_journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one keyed aggregation builds each user's journey (groups
+    bounded by per-user history; the sort is a narrow ``array_sort`` inside
+    the row, not a shuffle sort), and the pattern counts are narrow regex
+    evaluations over the compressed string — the heavy lifting of sequence
+    matching costs one shuffle total. Ordering ties break on the globally
+    unique event id, so journeys are layout-stable."""
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    j = events.groupBy("user_id").agg(
+        F.expr(
+            "concat_ws('', transform("
+            " array_sort(collect_list(struct(ts, event_id,"
+            "   substring(event_type, 1, 1) AS i))),"
+            " x -> x.i))"
+        ).alias("journey")
+    )
+    return j.select(
+        "user_id",
+        F.length("journey").cast("long").alias("n_events"),
+        F.expr(
+            f"CAST(size(regexp_extract_all(journey, '{_JOURNEY_FUNNEL_RE}', 0)) AS BIGINT)"
+        ).alias("n_funnel_matches"),
+        F.expr(
+            f"CAST(size(regexp_extract_all(journey, '{_JOURNEY_ERROR_RE}', 0)) AS BIGINT)"
+        ).alias("n_error_bursts"),
+        F.col("journey").contains("p").alias("converted"),
     )

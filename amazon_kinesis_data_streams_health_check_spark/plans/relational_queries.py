@@ -1889,3 +1889,59 @@ def bom_ancestor_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("depth"),
         F.col("c").alias("chain_cost_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) query.
+# ---------------------------------------------------------------------------
+_SKYLINE_SQL = """
+WITH p AS (
+  SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+  FROM part
+)
+SELECT r.p_partkey, r.p_size, r.price_cents
+FROM p r
+WHERE NOT EXISTS (
+  SELECT 1 FROM p s
+  WHERE s.p_size >= r.p_size AND s.price_cents >= r.price_cents
+    AND (s.p_size > r.p_size OR s.price_cents > r.price_cents)
+)
+"""
+
+
+@register(
+    "pareto_skyline_parts",
+    oracle=_SKYLINE_SQL,
+    doc="Skyline / Pareto frontier over (size, retail price): parts no "
+    "other part dominates on both axes — the maximal-tradeoff query of "
+    "catalog and curation analytics, with the quadratic NOT-EXISTS as the "
+    "oracle and a linear grouped-prefix-max plan on the Spark side",
+    tags=("relational",),
+)
+def pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the textbook skyline needs no self-join when one axis
+    has bounded cardinality — aggregate max(price) per size (keyed shuffle,
+    50 groups), take the strictly-larger-size suffix max over that TINY
+    dimension (a 50-row window, metadata-sized by construction), broadcast
+    it back, and keep rows beaten by neither the suffix max (bigger size,
+    >= price) nor their own size's max (same size, > price). One pass over
+    the fact side, no O(n^2) dominance join."""
+    configure_session(spark)
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("p_size"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+    )
+    per_size = parts.groupBy("p_size").agg(F.max("price_cents").alias("m"))
+    # 50-row dimension: the suffix max over strictly larger sizes is a
+    # bounded single-partition window — explicitly fine at any fact scale.
+    w = Window.orderBy(F.desc("p_size")).rowsBetween(Window.unboundedPreceding, -1)
+    dim = per_size.select(
+        "p_size", "m", F.max("m").over(w).alias("suffix_m")
+    )
+    sky = parts.join(F.broadcast(dim), "p_size").filter(
+        (F.col("suffix_m").isNull() | (F.col("suffix_m") < F.col("price_cents")))
+        & (F.col("m") <= F.col("price_cents"))
+    )
+    return sky.select("p_partkey", "p_size", "price_cents")
