@@ -762,3 +762,98 @@ def event_journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_error_bursts"),
         F.col("journey").contains("p").alias("converted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal normalization: coalesce overlapping activity intervals.
+# ---------------------------------------------------------------------------
+_ACT_SPAN_US = 30 * 60 * 1_000_000  # each event opens a 30-min activity span
+
+_INTERVAL_COALESCE_SQL = f"""
+WITH spans AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {_ACT_SPAN_US} AS e,
+         event_id
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   >= s
+              THEN 0 ELSE 1 END AS new_island
+  FROM spans
+),
+ids AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+merged AS (
+  SELECT user_id, island, min(s) AS lo, max(e) AS hi
+  FROM ids GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(hi - lo) AS BIGINT) AS active_micros,
+       CAST(max(hi - lo) AS BIGINT) AS longest_micros
+FROM merged GROUP BY user_id
+"""
+
+
+@register(
+    "interval_coalesce_activity",
+    oracle=_INTERVAL_COALESCE_SQL,
+    doc="Temporal interval coalescing: each event opens a 30-min activity "
+    "span; overlapping/touching spans per user merge into maximal "
+    "intervals (running-max gaps-and-islands) — exact total and longest "
+    "activity per user in epoch microseconds",
+    tags=("behavior", "timeseries"),
+)
+def interval_coalesce_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interval-algebra normalization sessions/contracts/leases all
+    need: merge when a span starts at or before the running max end of its
+    predecessors (plain lag misses spans swallowed by an earlier long
+    interval, so the flag compares against ``max(e)`` over the preceding
+    frame). Scale shape: windows partition by user (bounded history),
+    arithmetic is exact BIGINT epoch-micros — no timestamp diffing in
+    floats, no engine-ordered accumulation."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    spans = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(_ACT_SPAN_US)).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), 0)
+        .otherwise(1)
+        .alias("new_island"),
+    )
+    w_sum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ids = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_sum).alias("island")
+    )
+    merged = ids.groupBy("user_id", "island").agg(
+        F.min("s").alias("lo"), F.max("e").alias("hi")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(F.col("hi") - F.col("lo")).cast("long").alias("active_micros"),
+        F.max(F.col("hi") - F.col("lo")).cast("long").alias("longest_micros"),
+    )
