@@ -1236,3 +1236,172 @@ def shard_reshard_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Double-exponential (Holt) forecast, exact-integer and engine-identical.
+# ---------------------------------------------------------------------------
+#: Holt state (level, trend) packed into ONE BIGINT — (l+L0)*M + (b+B0) —
+#: because a struct accumulator is not portable across fold implementations
+#: (DuckDB's list_reduce evaluates later struct fields against already-
+#: updated earlier fields; verified empirically). A scalar accumulator has
+#: one unambiguous value per step in every engine. alpha = beta = 1/4 via
+#: sign-aware integer division; milli-unit series with a loud-fail guard
+#: keeps every intermediate exact in BIGINT.
+_HOLT_M = 1 << 29
+_HOLT_L0 = 1 << 28
+_HOLT_B0 = 1 << 28
+_HOLT_COUNT_MAX = 100_000  # daily count guard: y_milli <= 1e8 < L0
+
+
+def _holt_lambda(div_op: str) -> str:
+    """The fold step in Spark (`div`) or DuckDB (`//`) dialect."""
+    def sdiv(x: str, d: int) -> str:
+        return f"(CASE WHEN {x} >= 0 THEN 1 ELSE -1 END) * (abs({x}) {div_op} {d})"
+
+    l = f"(acc {div_op} {_HOLT_M} - {_HOLT_L0})"
+    b = f"(acc % {_HOLT_M} - {_HOLT_B0})"
+    y = f"(s {div_op} {_HOLT_M} - {_HOLT_L0})"
+    err = f"({y} - {l} - {b})"
+    e4 = f"({sdiv(err, 4)})"
+    l2 = f"({l} + {b} + {e4})"
+    b2 = f"({b} + {sdiv(e4, 4)})"
+    return f"(acc, s) -> ({l2} + {_HOLT_L0}) * {_HOLT_M} + ({b2} + {_HOLT_B0})"
+
+
+_HOLT_SQL = f"""
+WITH bounds AS (
+  SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS d0,
+         date_diff('day', CAST(date_trunc('day', min(ts)) AS DATE),
+                   CAST(date_trunc('day', max(ts)) AS DATE)) AS dmax
+  FROM events
+),
+counts AS (
+  SELECT event_type,
+         date_diff('day', b.d0, CAST(date_trunc('day', ts) AS DATE)) AS idx,
+         CASE WHEN count(*) > {_HOLT_COUNT_MAX}
+              THEN CAST(error('holt_forecast_daily: daily count exceeds exact-arithmetic bound') AS BIGINT)
+              ELSE CAST(count(*) AS BIGINT) END AS n
+  FROM events, bounds b GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.event_type, g.idx
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(range(0, dmax + 1)) AS idx FROM bounds) g
+),
+series AS (
+  SELECT g.event_type, g.idx, coalesce(c.n, 0) * 1000 AS y
+  FROM grid g LEFT JOIN counts c
+    ON g.event_type = c.event_type AND g.idx = c.idx
+),
+folded AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         list_reduce(
+           list_transform(array_agg(y ORDER BY idx),
+                          v -> (v + {_HOLT_L0}) * {_HOLT_M} + {_HOLT_B0}),
+           {_holt_lambda('//')}) AS st
+  FROM series GROUP BY event_type
+)
+SELECT event_type, n_days,
+       CAST(st // {_HOLT_M} - {_HOLT_L0} AS BIGINT) AS level_milli,
+       CAST(st % {_HOLT_M} - {_HOLT_B0} AS BIGINT) AS trend_milli,
+       CAST((st // {_HOLT_M} - {_HOLT_L0}) + 1 * (st % {_HOLT_M} - {_HOLT_B0}) AS BIGINT) AS forecast_1,
+       CAST((st // {_HOLT_M} - {_HOLT_L0}) + 2 * (st % {_HOLT_M} - {_HOLT_B0}) AS BIGINT) AS forecast_2,
+       CAST((st // {_HOLT_M} - {_HOLT_L0}) + 3 * (st % {_HOLT_M} - {_HOLT_B0}) AS BIGINT) AS forecast_3
+FROM folded
+"""
+
+
+@register(
+    "holt_forecast_daily",
+    oracle=_HOLT_SQL,
+    doc="Holt double-exponential forecast of daily event volume per type "
+    "(alpha=beta=1/4): the recurrence folds over the densified day grid "
+    "with the (level, trend) state packed into one BIGINT, so every step "
+    "is exact integer arithmetic — identical smoothing in both engines, "
+    "1/2/3-day-ahead forecasts in milli-units",
+    tags=("healthcheck", "timeseries"),
+)
+def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one keyed aggregation to the (type, day) series, a
+    broadcast day grid densifies gaps to true zeros, and the smoothing fold
+    is a NARROW ``aggregate`` over each type's day array (bounded by
+    calendar length, not data volume) — the iterative recurrence costs no
+    extra shuffle. Integer state packing sidesteps both float accumulation
+    order and cross-engine fold-semantics differences; the count guard
+    fails loudly past the exact-arithmetic bound in both engines."""
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("d0"),
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.max("ts"))),
+            F.to_date(F.date_trunc("day", F.min("ts"))),
+        ).alias("dmax"),
+    )
+    n_raw = F.count("*").cast("long")
+    counts = (
+        events.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date(F.date_trunc("day", "ts")), F.col("d0")).alias(
+                "idx"
+            ),
+        )
+        .agg(
+            F.when(
+                n_raw > _HOLT_COUNT_MAX,
+                F.raise_error(
+                    F.lit(
+                        "holt_forecast_daily: daily count exceeds "
+                        "exact-arithmetic bound"
+                    )
+                ).cast("long"),
+            )
+            .otherwise(n_raw)
+            .alias("n")
+        )
+    )
+    grid = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.expr("sequence(0, dmax)")).alias("idx"))
+    )
+    series = grid.join(counts, ["event_type", "idx"], "left").select(
+        "event_type",
+        "idx",
+        (F.coalesce("n", F.lit(0)) * 1000).cast("long").alias("y"),
+    )
+    # The sorted observation-state array, built narrowly per group.
+    folded = (
+        series.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(idx, y))),"
+                f" x -> (x.y + {_HOLT_L0}) * CAST({_HOLT_M} AS BIGINT) + {_HOLT_B0})"
+            ).alias("s_arr"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.expr(
+                "aggregate("
+                " slice(s_arr, 2, size(s_arr) - 1),"
+                " element_at(s_arr, 1),"
+                f" {_holt_lambda('div')})"
+            ).alias("st"),
+        )
+    )
+    l = F.expr(f"st div {_HOLT_M} - {_HOLT_L0}").cast("long")
+    b = F.expr(f"st % {_HOLT_M} - {_HOLT_B0}").cast("long")
+    return folded.select(
+        "event_type",
+        "n_days",
+        l.alias("level_milli"),
+        b.alias("trend_milli"),
+        (l + 1 * b).cast("long").alias("forecast_1"),
+        (l + 2 * b).cast("long").alias("forecast_2"),
+        (l + 3 * b).cast("long").alias("forecast_3"),
+    )
