@@ -58,6 +58,14 @@ INVARIANT = [
     # the join layout; the OLS moment sums are exact integers by design
     "bom_ancestor_paths",
     "grouped_linear_fit",
+    # journey strings and the Holt fold both build per-group sorted arrays
+    # narrowly (layout changes the collect order, array_sort restores it);
+    # interval islands ride running-max windows over explicit sort keys;
+    # the skyline's prefix max lives on a bounded broadcast dimension
+    "event_journey_patterns",
+    "holt_forecast_daily",
+    "interval_coalesce_activity",
+    "pareto_skyline_parts",
 ]
 
 
