@@ -1305,3 +1305,51 @@ def lake_branch_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("val_micros").cast("long").alias("sum_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only aggregation: counts answered from the manifest.
+# ---------------------------------------------------------------------------
+_META_COUNT_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "lake_metadata_counts",
+    oracle=_META_COUNT_SQL,
+    doc="Metadata-only count(*): events committed with per-file row counts "
+    "in the manifest; per-partition totals come from the manifest alone "
+    "(zero data IO — the plan the builder returns is a local scan of "
+    "driver-computed rows) and must equal a full-table aggregation",
+    tags=("lake",),
+)
+def lake_metadata_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg metadata-table trick: a commit-time footer read (counts
+    only, no data pages) makes every later ``count(*)`` / per-partition
+    count O(manifest) instead of O(table) — at 100 TB that is the
+    difference between milliseconds and a cluster-wide scan. Two appends
+    exercise count accumulation across commits; the result enters the plan
+    as a local relation, so the query executes zero distributed jobs over
+    the data."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        snapshot_append_counted,
+        snapshot_partition_counts,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    lake = tempfile.mkdtemp(prefix="metacount_lake_")
+    for i in range(2):
+        snapshot_append_counted(
+            spark,
+            events.filter(F.pmod(F.col("event_id"), F.lit(2)) == i),
+            lake,
+            partition_col="event_type",
+        )
+    rows = [
+        (part.split("=", 1)[1], n)
+        for part, n in snapshot_partition_counts(spark, lake)
+    ]
+    return spark.createDataFrame(rows, "event_type string, n_rows long")

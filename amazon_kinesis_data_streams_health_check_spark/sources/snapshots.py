@@ -957,6 +957,69 @@ def snapshot_append_with_blooms(
     )
 
 
+def snapshot_append_counted(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+) -> int:
+    """``snapshot_append`` that records per-file ROW COUNTS in the manifest
+    (parquet footer metadata — no data pages read). Aggregate questions the
+    counts answer (``count(*)``, per-partition counts) then cost zero data
+    IO at any table size: the manifest IS the answer."""
+    try:
+        current = _resolve_manifest(spark, path)
+        files = {part: list(rels) for part, rels in current["files"].items()}
+        counts = dict(current.get("row_counts", {}))
+        parent = current["version"]
+    except FileNotFoundError:
+        files, counts, parent = {}, {}, None
+    new = _append_data(spark, df, path, partition_col)
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    data_dir = f"{path}/{_DATA_DIR}"
+    for group in new.values():
+        for rel in group:
+            counts[rel] = pq.ParquetFile(
+                _os.path.join(data_dir, rel)
+            ).metadata.num_rows
+    for part, rels in new.items():
+        files.setdefault(part, []).extend(rels)
+    version = (parent or 0) + 1
+    payload: dict[str, Any] = {
+        "version": version,
+        "parent": parent,
+        "operation": "append",
+        "committed_at": time.time(),
+        "schema": df.schema.json(),
+        "files": {k: sorted(v) for k, v in files.items() if v},
+        "row_counts": counts,
+    }
+    _write_json(spark, _manifest_path(path, version), payload, if_absent=True)
+    return version
+
+
+def snapshot_partition_counts(
+    spark: SparkSession, path: str, version: int | None = None
+) -> list[tuple[str, int]]:
+    """Per-partition row counts from the manifest ALONE — zero data IO.
+    Raises if any referenced file lacks a recorded count (a mixed-writer
+    table can't answer from metadata; fall back to a scan)."""
+    m = _resolve_manifest(spark, path, version=version)
+    counts = m.get("row_counts", {})
+    out: list[tuple[str, int]] = []
+    for part, rels in sorted(m["files"].items()):
+        total = 0
+        for rel in rels:
+            if rel not in counts:
+                raise KeyError(f"no row count recorded for {rel}")
+            total += int(counts[rel])
+        out.append((part, total))
+    return out
+
+
 def read_snapshot_point(
     spark: SparkSession,
     path: str,
