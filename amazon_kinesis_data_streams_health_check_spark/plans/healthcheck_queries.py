@@ -1405,3 +1405,85 @@ def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (l + 2 * b).cast("long").alias("forecast_2"),
         (l + 3 * b).cast("long").alias("forecast_3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K1 as a real connector: the put-records sink's commit protocol, round-trip.
+# ---------------------------------------------------------------------------
+_PUT_SHARDS = 4
+_PUT_PK = "strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ')"
+_PUT_B64 = (
+    "to_base64(encode('{\"currentInstant\":\"' || "
+    + _PUT_PK
+    + " || '\"}'))"
+)
+
+_PUT_SINK_SQL = f"""
+WITH reqs AS (
+  SELECT {_PUT_PK} AS pk, {_PUT_B64} AS b64 FROM events
+),
+routed AS (
+  SELECT 'shardId-' || lpad(CAST(CAST(('0x' || substr(md5(pk), 1, 8)) AS BIGINT)
+                                 % {_PUT_SHARDS} AS VARCHAR), 12, '0') AS shard_id,
+         pk, b64,
+         CAST(('0x' || substr(md5(pk), 1, 8)) AS BIGINT) AS pk_h,
+         CAST(('0x' || substr(md5(b64), 1, 8)) AS BIGINT) AS data_h
+  FROM reqs
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(count(DISTINCT pk) AS BIGINT) AS n_keys,
+       CAST(sum(pk_h) AS BIGINT) AS key_checksum,
+       CAST(sum(data_h) AS BIGINT) AS data_checksum
+FROM routed GROUP BY shard_id
+"""
+
+
+@register(
+    "kinesis_put_sink_roundtrip",
+    oracle=_PUT_SINK_SQL,
+    doc="K1 put-records sink as a Python DataSource WRITER: tracer requests "
+    "routed by Kinesis' md5 hash-range rule, written through the task-"
+    "commit protocol (pending -> driver commit -> manifest), read back from "
+    "ONLY the manifest-committed files, and checksummed per shard against "
+    "the oracle's replay of the same routing",
+    tags=("core", "kinesis"),
+)
+def kinesis_put_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: routing is a narrow per-record md5; the writer is
+    embarrassingly parallel (one pending file per task, no shuffle beyond
+    the producer's key repartition); commit is O(tasks) driver renames —
+    the same publish-on-commit contract as the snapshot lake, here
+    exercised through Spark's DataSource writer API (task commit messages,
+    driver commit, abort cleanup). Order-free BIGINT checksums make the
+    round-trip value-verifiable without sorting the payload."""
+    import tempfile as _tf
+
+    from amazon_kinesis_data_streams_health_check_spark.operators.producer import (
+        to_kinesis_put_requests,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_put import (
+        read_committed,
+        register_kinesis_put,
+    )
+
+    configure_session(spark)
+    register_kinesis_put(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    reqs = to_kinesis_put_requests(
+        tracer_records(events, F.col("ts"), F.col("event_type")), _PUT_SHARDS
+    )
+    dest = _tf.mkdtemp(prefix="kinesis_put_")
+    reqs.write.format("kinesis_put").option("path", dest).option(
+        "numshards", _PUT_SHARDS
+    ).mode("append").save()
+    got = read_committed(spark, dest)
+    h = lambda c: F.expr(  # noqa: E731
+        f"CAST(conv(substr(md5({c}), 1, 8), 16, 10) AS BIGINT)"
+    )
+    return got.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.countDistinct("partition_key").cast("long").alias("n_keys"),
+        F.sum(h("partition_key")).cast("long").alias("key_checksum"),
+        F.sum(h("data_b64")).cast("long").alias("data_checksum"),
+    )
