@@ -1487,3 +1487,81 @@ def kinesis_put_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(h("partition_key")).cast("long").alias("key_checksum"),
         F.sum(h("data_b64")).cast("long").alias("data_checksum"),
     )
+
+
+@register(
+    "streaming_put_sink",
+    oracle=_PUT_SINK_SQL,
+    doc="K1 streaming sink: the same tracer requests driven through "
+    "writeStream into the DataSourceStreamWriter (one atomically-published "
+    "manifest per micro-batch; replayed batchIds drop their duplicates), "
+    "then read back from the per-batch manifests and checksummed against "
+    "the batch oracle",
+    tags=("core", "kinesis", "streaming"),
+)
+def streaming_put_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-least-once -> exactly-once seam on the SINK side of Spark's
+    native streaming-writer protocol (commit(messages, batchId)): a 3-file
+    availableNow drain commits three manifests; a replayed batchId finds
+    its manifest already published and discards the re-written pending
+    files instead of double-committing. Output equality with the batch
+    sink's oracle proves the drain lost and duplicated nothing."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from amazon_kinesis_data_streams_health_check_spark.operators.producer import (
+        to_kinesis_put_requests,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_put import (
+        read_stream_committed,
+        register_kinesis_put,
+    )
+
+    configure_session(spark)
+    register_kinesis_put(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    reqs = to_kinesis_put_requests(
+        tracer_records(events, F.col("ts"), F.col("event_type")), _PUT_SHARDS
+    ).withColumn("slice", F.pmod(F.expr("CAST(conv(substr(md5(partitionKey), 1, 8), 16, 10) AS BIGINT)"), F.lit(3)))
+    src_dir = _tf.mkdtemp(prefix="put_stream_src_")
+    for i in range(3):
+        part_dir = _tf.mkdtemp(prefix=f"put_stream_part{i}_")
+        reqs.filter(F.col("slice") == i).drop("slice").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        part = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = _os.path.join(src_dir, f"b{i}.parquet")
+        _shutil.move(part, dst)
+        _os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+    dest = _tf.mkdtemp(prefix="put_stream_sink_")
+    stream = (
+        spark.readStream.schema(
+            "stream_name string, partitionKey string, data binary"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.format("kinesis_put")
+        .option("path", dest)
+        .option("numshards", _PUT_SHARDS)
+        .option("checkpointLocation", _tf.mkdtemp(prefix="put_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_manifests = len(_glob.glob(_os.path.join(dest, "_manifest-*.json")))
+    if n_manifests != 3:
+        raise RuntimeError(f"expected 3 per-batch manifests, got {n_manifests}")
+    got = read_stream_committed(spark, dest)
+    h = lambda c: F.expr(  # noqa: E731
+        f"CAST(conv(substr(md5({c}), 1, 8), 16, 10) AS BIGINT)"
+    )
+    return got.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.countDistinct("partition_key").cast("long").alias("n_keys"),
+        F.sum(h("partition_key")).cast("long").alias("key_checksum"),
+        F.sum(h("data_b64")).cast("long").alias("data_checksum"),
+    )

@@ -30,7 +30,12 @@ import os
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 #: Input schema the sink expects (``to_kinesis_put_requests`` output).
@@ -95,8 +100,79 @@ class KinesisPutWriter(DataSourceWriter):
                 pass
 
 
+class KinesisPutStreamWriter(DataSourceStreamWriter):
+    """Streaming leg of the sink: one manifest PER MICRO-BATCH
+    (``_manifest-<batchId>.json``), published atomically-if-absent.
+
+    foreachBatch-style replay safety without foreachBatch: after a crash
+    between sink commit and checkpoint advance, the same batchId is
+    re-executed — its tasks write fresh pending files, but ``commit`` sees
+    the batch manifest already present, deletes the replay's pending files,
+    and returns. Exactly-once output from an at-least-once engine, the same
+    txn-stamp idea as the snapshot lake's stream sink, here expressed
+    through Spark's native DataSourceStreamWriter protocol."""
+
+    def __init__(self, options: dict):
+        self._batch = KinesisPutWriter(options)
+        self.path = options["path"]
+
+    def write(self, iterator) -> _PutCommit:
+        return self._batch.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        manifest = os.path.join(self.path, f"_manifest-{batchId:08d}.json")
+        if os.path.exists(manifest):
+            self.abort(messages, batchId)  # replayed batch: drop duplicates
+            return
+        final_dir = os.path.join(self.path, "records")
+        os.makedirs(final_dir, exist_ok=True)
+        rels = []
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(
+                os.path.join(self.path, "_pending", m.rel),
+                os.path.join(final_dir, m.rel),
+            )
+            rels.append({"rel": m.rel, "n_records": m.n_records})
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as out:
+            json.dump(
+                {"batch_id": batchId,
+                 "files": sorted(rels, key=lambda r: r["rel"])},
+                out,
+                sort_keys=True,
+            )
+        os.rename(tmp, manifest)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None:
+                self._batch.abort([m])
+
+
+def read_stream_committed(spark, path: str):
+    """Union of every per-batch manifest's committed files."""
+    import glob
+
+    files = []
+    for mpath in sorted(glob.glob(os.path.join(path, "_manifest-*.json"))):
+        with open(mpath) as fh:
+            manifest = json.load(fh)
+        files += [
+            os.path.join(path, "records", f["rel"]) for f in manifest["files"]
+        ]
+    schema = (
+        "stream string, shard_id string, partition_key string, data_b64 string"
+    )
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
+
+
 class KinesisPutDataSource(DataSource):
-    """``df.write.format("kinesis_put").option("path", dir).save()``."""
+    """``df.write.format("kinesis_put").option("path", dir).save()`` and
+    ``df.writeStream.format("kinesis_put")...`` (per-batch manifests)."""
 
     @classmethod
     def name(cls) -> str:
@@ -107,6 +183,9 @@ class KinesisPutDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return KinesisPutWriter(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "KinesisPutStreamWriter":
+        return KinesisPutStreamWriter(self.options)
 
 
 def read_committed(spark, path: str):

@@ -47,3 +47,39 @@ def test_put_sink_commit_protocol_and_routing(spark, tmp_path):
     committed = {f["rel"] for f in manifest["files"]}
     on_disk = set(os.listdir(os.path.join(dest, "records")))
     assert committed == on_disk
+
+
+def test_stream_writer_replayed_batch_commits_nothing(spark, tmp_path):
+    """A re-executed batchId (crash between sink commit and checkpoint
+    advance) must publish nothing new and leave no pending debris."""
+    import glob
+
+    from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_put import (
+        KinesisPutStreamWriter,
+        read_stream_committed,
+    )
+
+    dest = str(tmp_path / "stream_sink")
+    w = KinesisPutStreamWriter({"path": dest, "numshards": 2})
+
+    def fake_rows(n0, n1):
+        from pyspark.sql import Row
+
+        return iter(
+            Row(stream_name="s", partitionKey=f"k{i}", data=f"d{i}".encode())
+            for i in range(n0, n1)
+        )
+
+    m1 = w.write(fake_rows(0, 5))
+    w.commit([m1], batchId=0)
+    assert read_stream_committed(spark, dest).count() == 5
+
+    # replay of batch 0: same data re-written by tasks, commit must drop it
+    m1r = w.write(fake_rows(0, 5))
+    w.commit([m1r], batchId=0)
+    assert read_stream_committed(spark, dest).count() == 5
+    assert glob.glob(os.path.join(dest, "_pending", "*")) == []
+
+    m2 = w.write(fake_rows(5, 8))
+    w.commit([m2], batchId=1)
+    assert read_stream_committed(spark, dest).count() == 8
