@@ -2817,3 +2817,183 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         ).alias("proj"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd's algorithm), exact-integer and engine-identical.
+# ---------------------------------------------------------------------------
+_KM_K = 8
+_KM_T = 3
+_KM_D = 64
+_KM_Q = 10_000  # same quantization scale as PCA: |q| < 2^14
+
+
+def _km_oracle_sql() -> str:
+    """DuckDB twin: md5-deterministic seeding, then T assignment+update
+    rounds as chained CTEs. Distances and centroid updates are exact BIGINT
+    (squared L2 of quantized ints; sign-aware truncating-division means);
+    ties break on the smaller centroid id, so every round is bit-identical
+    to the Spark loop."""
+    head = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {_KM_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+seeded AS (
+  SELECT vec_id, q,
+         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {_KM_K} AS bucket,
+         md5(CAST(vec_id AS VARCHAR)) AS h
+  FROM q
+),
+c0 AS (
+  SELECT bucket AS j, q AS c
+  FROM (SELECT bucket, q,
+               row_number() OVER (PARTITION BY bucket ORDER BY h, vec_id) AS rn
+        FROM seeded)
+  WHERE rn = 1
+)"""
+    steps = []
+    for t in range(1, _KM_T + 1):
+        steps.append(f""",
+a{t} AS (
+  SELECT vec_id, q, j, dist
+  FROM (
+    SELECT q.vec_id, q.q, c.j,
+           CAST(list_sum(list_transform(range(1, {_KM_D} + 1),
+             i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))) AS BIGINT) AS dist,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY CAST(list_sum(list_transform(range(1, {_KM_D} + 1),
+                                i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))) AS BIGINT), c.j) AS rn
+    FROM q CROSS JOIN c{t - 1} c
+  ) WHERE rn = 1
+),
+u{t} AS (
+  SELECT j, i AS d,
+         (CASE WHEN sum(v) >= 0 THEN 1 ELSE -1 END)
+           * (abs(CAST(sum(v) AS BIGINT)) // CAST(count(*) AS BIGINT)) AS val
+  FROM (SELECT j, unnest(range(1, {_KM_D} + 1)) AS i, unnest(q) AS v FROM a{t})
+  GROUP BY j, i
+),
+c{t} AS (
+  SELECT prev.j,
+         coalesce(upd.c, prev.c) AS c
+  FROM c{t - 1} prev
+  LEFT JOIN (SELECT j, list(val ORDER BY d) AS c FROM u{t} GROUP BY j) upd
+    ON prev.j = upd.j
+)"""
+        )
+    tail = f"""
+SELECT a.j AS cluster,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(a.dist) AS BIGINT) AS inertia_last_assign,
+       (SELECT CAST(list_sum(list_transform(range(1, {_KM_D} + 1),
+          i -> i * c.c[i])) AS BIGINT) FROM c{_KM_T} c WHERE c.j = a.j)
+         AS centroid_checksum
+FROM a{_KM_T} a GROUP BY a.j
+"""
+    return head + "".join(steps) + tail
+
+
+@register(
+    "kmeans_lloyd_exact",
+    oracle=_km_oracle_sql(),
+    doc="K-means with REAL Lloyd iterations (k=8, 3 rounds), every step "
+    "exact-integer: md5-seeded initial centroids, BIGINT squared-L2 "
+    "assignment with id tie-breaks, sign-aware integer-mean updates, empty "
+    "clusters keep their centroid — bit-identical across engines, layouts, "
+    "and retries (unlike float k-means, which is none of those)",
+    tags=("ext", "embedding", "similarity"),
+)
+def kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape per round: assignment is a narrow argmin over k=8
+    broadcast centroid literals (an array-of-structs min — no join, no
+    shuffle); the update is one keyed aggregation onto k*d = 512 keys with
+    map-side partial sums. The only driver traffic is the 512-int centroid
+    table per round — the same bounded control-plane contract as IVF/PCA.
+    Integer arithmetic is what makes a distributed iterative clusterer
+    reproducible: float centroid sums would differ by partition order every
+    round and compound across iterations."""
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_KM_Q}) AS BIGINT))"
+        ).alias("q"),
+    ).localCheckpoint(eager=False)  # consumed once per round + final agg
+
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        hash_uniform,
+    )
+
+    seeded = q.select(
+        "vec_id",
+        "q",
+        (hash_uniform("vec_id") % _KM_K).alias("bucket"),
+        F.md5(F.col("vec_id").cast("string")).alias("h"),
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("bucket").orderBy("h", "vec_id")
+    )
+    c_rows = (
+        seeded.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(F.col("bucket").alias("j"), "q")
+        .collect()
+    )
+    centroids = {r.j: list(r.q) for r in c_rows}
+
+    def assign_df():
+        cand = ", ".join(
+            "named_struct('dist', CAST(aggregate(zip_with(q, array({vals}), "
+            "(a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT), "
+            "'j', {j})".format(
+                vals=", ".join(f"{v}L" for v in centroids[j]), j=j
+            )
+            for j in sorted(centroids)
+        )
+        return q.select(
+            "vec_id",
+            "q",
+            F.expr(f"array_min(array({cand}))").alias("best"),
+        ).select(
+            "vec_id", "q", F.col("best.j").alias("j"), F.col("best.dist").alias("dist")
+        )
+
+    assigned = None
+    for _ in range(_KM_T):
+        assigned = assign_df()
+        sums = (
+            assigned.select("j", F.expr("posexplode(q) AS (d, v)"))
+            .groupBy("j", "d")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        upd: dict[int, list[int]] = {}
+        for r in sums:
+            upd.setdefault(r.j, [0] * _KM_D)[r.d] = (
+                1 if r.s >= 0 else -1
+            ) * (abs(r.s) // r.n)
+        for j in centroids:
+            if j in upd:
+                centroids[j] = upd[j]
+    final = assigned.groupBy("j").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("dist").cast("long").alias("inertia_last_assign"),
+    )
+    cs_rows = [
+        (j, sum((i + 1) * v for i, v in enumerate(centroids[j])))
+        for j in sorted(centroids)
+    ]
+    cs = spark.createDataFrame(cs_rows, "j int, centroid_checksum long")
+    return final.join(F.broadcast(cs), "j").select(
+        F.col("j").alias("cluster"),
+        "n_members",
+        "inertia_last_assign",
+        "centroid_checksum",
+    )

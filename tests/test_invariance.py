@@ -66,6 +66,9 @@ INVARIANT = [
     "holt_forecast_daily",
     "interval_coalesce_activity",
     "pareto_skyline_parts",
+    # Lloyd rounds: float centroids would drift with partition order and
+    # compound across iterations; the integer pipeline must not
+    "kmeans_lloyd_exact",
 ]
 
 
