@@ -421,3 +421,86 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qscore",
         (F.col("doc_id") == F.col("b.id")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe splits: assignment at the duplicate-GROUP level.
+# ---------------------------------------------------------------------------
+_LEAK_TRAIN_PCT, _LEAK_VAL_PCT = 90, 5
+
+_LEAKAGE_SPLIT_SQL = f"""
+WITH grouped AS (
+  SELECT doc_id, source, n_chars, md5(text) AS fp FROM documents
+),
+assigned AS (
+  SELECT doc_id, source, n_chars, fp,
+         CASE WHEN CAST(('0x' || substr(md5(fp), 1, 8)) AS BIGINT) % 100
+                   < {_LEAK_TRAIN_PCT} THEN 'train'
+              WHEN CAST(('0x' || substr(md5(fp), 1, 8)) AS BIGINT) % 100
+                   < {_LEAK_TRAIN_PCT + _LEAK_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM grouped
+)
+SELECT source, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_groups,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT)) AS BIGINT) AS membership_sum
+FROM assigned GROUP BY source, split
+"""
+
+
+@register(
+    "leakage_safe_split",
+    oracle=_LEAKAGE_SPLIT_SQL,
+    doc="Leakage-safe train/val/test split: the 90/5/5 assignment keys on "
+    "the duplicate-GROUP fingerprint (md5 of text), not the document, so "
+    "copies of one document can never straddle train and test; the builder "
+    "re-derives straddling groups and raises if any exist",
+    tags=("ext", "curation"),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-contamination failure mode ``split_assign`` leaves open:
+    doc-keyed hashing puts exact/near duplicates of a training document
+    into the test set, inflating eval. Keying the hash on the duplicate
+    group's fingerprint closes it — every member inherits the group's
+    split. Scale shape: one narrow fingerprint pass, the same
+    hash-threshold assignment (repartition/retry-invariant), one keyed
+    aggregation; the straddle audit is a 2-column distinct + group-by on
+    the uniform fingerprint key."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        hash_uniform,
+    )
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5("text").alias("fp"),
+    ).withColumn(
+        "split",
+        F.when(hash_uniform("fp") % 100 < _LEAK_TRAIN_PCT, "train")
+        .when(hash_uniform("fp") % 100 < _LEAK_TRAIN_PCT + _LEAK_VAL_PCT, "val")
+        .otherwise("test"),
+    ).localCheckpoint(eager=False)  # feeds the audit AND the rollup
+    straddlers = (
+        assigned.select("fp", "split")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    if straddlers:
+        raise RuntimeError(
+            f"{straddlers} duplicate groups straddle splits — leakage"
+        )
+    return assigned.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("fp").cast("long").alias("n_groups"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(hash_uniform("doc_id")).cast("long").alias("membership_sum"),
+    )
