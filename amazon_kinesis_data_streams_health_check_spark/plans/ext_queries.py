@@ -2997,3 +2997,122 @@ def kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inertia_last_assign",
         "centroid_checksum",
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall evaluation against the exact pair set.
+# ---------------------------------------------------------------------------
+_LSH_EVAL_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {duck_shingles()} AS sh FROM documents
+),
+true_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+  WHERE 2 * len(list_intersect(a.sh, b.sh))
+        >= len(list_distinct(a.sh || b.sh))
+    AND len(a.sh) > 0 AND len(b.sh) > 0
+),
+mh AS (
+  SELECT doc_id, sh, {duck_minhash_cols()} FROM tok
+),
+bands AS (
+  {duck_band_union()}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x
+  JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              AND x.doc_id < y.doc_id
+),
+det AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN tok a ON a.doc_id = c.doc_a JOIN tok b ON b.doc_id = c.doc_b
+  WHERE 2 * len(list_intersect(a.sh, b.sh))
+        >= len(list_distinct(a.sh || b.sh))
+    AND len(a.sh) > 0 AND len(b.sh) > 0
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM true_pairs) AS n_true_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT CAST(count(*) AS BIGINT) FROM det) AS n_detected,
+       CASE WHEN (SELECT count(*) FROM true_pairs) = 0 THEN NULL
+            ELSE round(CAST((SELECT count(*) FROM det) AS DOUBLE)
+                       / (SELECT count(*) FROM true_pairs), 6) END AS recall,
+       CASE WHEN (SELECT count(*) FROM cand) = 0 THEN NULL
+            ELSE round(CAST((SELECT count(*) FROM det) AS DOUBLE)
+                       / (SELECT count(*) FROM cand), 6) END AS candidate_precision
+"""
+
+
+@register(
+    "dedup_lsh_recall",
+    oracle=_LSH_EVAL_SQL,
+    doc="LSH quality evaluation: MinHash(12)+LSH(4x3) candidate pairs "
+    "measured against the EXACT Jaccard>=1/2 pair set (AllPairs prefix "
+    "filtering) — recall and candidate precision as one audited row, the "
+    "measurement that turns LSH parameter choices into evidence",
+    tags=("ext", "dedup"),
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the exact side is the lossless prefix-filter join (no
+    brute force anywhere in the Spark plan — the O(n^2) join lives only in
+    the oracle); the LSH side is the salted band self-join; both verify
+    with the integer threshold (2*|intersect| >= |union|, no float
+    compare). The three counts fold to one row via broadcast joins of
+    1-row aggregates."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (
+        jaccard_allpairs_pairs,
+        lsh_candidate_pairs,
+        with_bands,
+        with_minhash,
+        with_shingles,
+    )
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    sh = with_shingles(docs).select("doc_id", "sh").localCheckpoint(eager=False)
+    n_true = (
+        jaccard_allpairs_pairs(docs)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    )
+    cand = lsh_candidate_pairs(with_bands(with_minhash(sh))).localCheckpoint(
+        eager=False
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    det = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(
+            (F.expr("2 * size(array_intersect(sa, sb))")
+             >= F.expr("size(array_distinct(concat(sa, sb)))"))
+            & (F.expr("size(sa)") > 0)
+            & (F.expr("size(sb)") > 0)
+        )
+    )
+    n_det = det.agg(F.count(F.lit(1)).cast("long").alias("n_detected"))
+    out = n_true.crossJoin(F.broadcast(n_cand)).crossJoin(F.broadcast(n_det))
+    return out.select(
+        "n_true_pairs",
+        "n_candidates",
+        "n_detected",
+        F.when(F.col("n_true_pairs") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("n_detected").cast("double")
+                / F.col("n_true_pairs").cast("double"),
+                6,
+            )
+        )
+        .alias("recall"),
+        F.when(F.col("n_candidates") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("n_detected").cast("double")
+                / F.col("n_candidates").cast("double"),
+                6,
+            )
+        )
+        .alias("candidate_precision"),
+    )
