@@ -60,8 +60,24 @@ def normalize(df: pd.DataFrame) -> list[tuple[str, ...]]:
     return sorted(rows)
 
 
+def assert_no_scale_red_flags(spark_df) -> None:
+    """Every oracle-checked plan must be free of the two unconditional
+    100 TB killers: a CartesianProduct anywhere, and a global
+    range-partitioned sort that is not a TakeOrderedAndProject top-N.
+    Currently the whole registry passes with zero exceptions — keep it
+    that way (bounded-dimension windows don't trigger either pattern)."""
+    plan = spark_df._sc._jvm.PythonSQLUtils.explainString(
+        spark_df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan, "cartesian product in plan"
+    assert (
+        "rangepartitioning" not in plan or "TakeOrderedAndProject" in plan
+    ), "global sort (non-top-N) in plan"
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
     """Raise AssertionError with a useful diff on any mismatch."""
+    assert_no_scale_red_flags(spark_df)
     sp = spark_df.toPandas()
     du = run_oracle(oracle_sql, sf_dir)
     assert sorted(sp.columns) == sorted(du.columns), (
