@@ -1845,3 +1845,101 @@ def grouped_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram conditional surprisal — the context-aware LM-quality gate.
+# ---------------------------------------------------------------------------
+_BIGRAM_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_TOK} AS t FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 2
+           THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+           ELSE CAST([] AS VARCHAR[]) END) AS g
+  FROM base
+),
+uni AS (
+  SELECT t1, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT split_part(g, ' ', 1) AS t1 FROM bg) GROUP BY t1
+),
+v AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS vsz FROM bg),
+bic AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY g
+),
+scored AS (
+  SELECT bg.doc_id,
+         CAST(length(bin((uni.c1 + v.vsz) // (bic.c2 + 1))) - 1 AS BIGINT)
+           AS bits
+  FROM bg
+  JOIN bic ON bg.g = bic.g
+  JOIN uni ON split_part(bg.g, ' ', 1) = uni.t1
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(bits) AS BIGINT) AS sum_bits,
+       CAST(1000000 * sum(bits) // count(*) AS BIGINT) AS score_micro_bits
+FROM scored GROUP BY doc_id
+"""
+
+
+@register(
+    "doc_bigram_surprisal",
+    oracle=_BIGRAM_SQL,
+    doc="Context-aware LM quality: per-bigram add-one-smoothed conditional "
+    "surprisal floor(log2((c1+V)/(c12+1))) bits against corpus-wide bigram/"
+    "prefix tables — integer-exact like the unigram gate, but sensitive to "
+    "word-order scrambling the unigram score cannot see",
+    tags=("ext", "corpus", "quality"),
+)
+def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one narrow bigram construction pass feeds three keyed
+    aggregations (bigram counts, prefix counts, distinct-bigram V — all
+    uniform string keys with map-side partials); scoring re-joins the
+    bigram table on its uniform key (at corpus scale the bigram table can
+    outgrow a broadcast, so this leg is a shuffle join by design — the
+    prefix table broadcasts). The smoothing keeps every ratio a positive
+    integer division, so the floor-log2 bits are exact in both engines."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"if(size({_SPARK_TOK}) >= 2,"
+                f" transform(sequence(1, size({_SPARK_TOK}) - 1),"
+                f" i -> concat_ws(' ', element_at({_SPARK_TOK}, i),"
+                f" element_at({_SPARK_TOK}, i + 1))),"
+                f" cast(array() as array<string>))"
+            )
+        ).alias("g"),
+    ).localCheckpoint(eager=False)  # feeds bic, uni, V, and the scoring pass
+    bic = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    uni = (
+        bg.select(F.expr("split_part(g, ' ', 1)").alias("t1"))
+        .groupBy("t1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    v = bg.agg(F.countDistinct("g").alias("vsz"))
+    scored = (
+        bg.join(bic, "g")
+        .withColumn("t1", F.expr("split_part(g, ' ', 1)"))
+        .join(F.broadcast(uni), "t1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            (F.length(F.expr("bin((c1 + vsz) div (c2 + 1))")) - 1)
+            .cast("long")
+            .alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("bits").cast("long").alias("sum_bits"),
+        F.expr("1000000 * sum(bits) div count(1)")
+        .cast("long")
+        .alias("score_micro_bits"),
+    )
