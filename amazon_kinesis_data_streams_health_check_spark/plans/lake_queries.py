@@ -1353,3 +1353,62 @@ def lake_metadata_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         for part, n in snapshot_partition_counts(spark, lake)
     ]
     return spark.createDataFrame(rows, "event_type string, n_rows long")
+
+
+# ---------------------------------------------------------------------------
+# Timestamp time travel: as-of reads resolve to the right manifest.
+# ---------------------------------------------------------------------------
+_ASOF_TT_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_v1,
+       CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_even
+FROM events
+WHERE event_id % 2 = 0
+GROUP BY event_type
+"""
+
+
+@register(
+    "lake_time_travel_asof",
+    oracle=_ASOF_TT_SQL,
+    doc="Timestamp time travel: after a second commit doubles the table, an "
+    "as-of read pinned between the two commit instants must resolve to v1 "
+    "exactly (the even-id half); the builder also raises unless the latest "
+    "read sees both halves",
+    tags=("lake",),
+)
+def lake_time_travel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit-query contract of a snapshot lake: 'what did the table say
+    at 14:03' must be answerable forever. The as-of resolver picks the last
+    manifest committed at or before the probe instant; probing the midpoint
+    between the two commits' recorded times pins v1 regardless of clock
+    granularity. Zero data movement — as-of is pure manifest selection."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_history,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    )
+    lake = tempfile.mkdtemp(prefix="asof_lake_")
+    half = F.pmod(F.col("event_id"), F.lit(2))
+    snapshot_append(spark, events.filter(half == 0), lake, partition_col="event_type")
+    snapshot_append(spark, events.filter(half == 1), lake, partition_col="event_type")
+    hist = snapshot_history(spark, lake)
+    t1, t2 = hist[0]["committed_at"], hist[1]["committed_at"]
+    if not t1 < t2:
+        raise RuntimeError(f"commit times not increasing: {t1} vs {t2}")
+    n_latest = read_snapshot(spark, lake).count()
+    n_total = events.count()
+    if n_latest != n_total:
+        raise RuntimeError(f"latest read saw {n_latest} of {n_total} rows")
+    v1 = read_snapshot(spark, lake, as_of=(t1 + t2) / 2)
+    return v1.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_v1"),
+        F.sum((F.pmod(F.col("event_id"), F.lit(2)) == 0).cast("long"))
+        .cast("long")
+        .alias("n_even"),
+    )
