@@ -1945,3 +1945,76 @@ def pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("m") <= F.col("price_cents"))
     )
     return sky.select("p_partkey", "p_size", "price_cents")
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median per group.
+# ---------------------------------------------------------------------------
+_WMEDIAN_SQL = """
+WITH hist AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, price_cents, w,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY price_cents
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM hist
+)
+SELECT l_returnflag,
+       CAST(min(CASE WHEN 2 * cw >= tw THEN price_cents END) AS BIGINT)
+         AS weighted_median_cents,
+       CAST(max(tw) AS BIGINT) AS total_weight
+FROM cum GROUP BY l_returnflag
+"""
+
+
+@register(
+    "weighted_median_price",
+    oracle=_WMEDIAN_SQL,
+    doc="Exact quantity-weighted median price per return flag: the lower "
+    "weighted median (first price whose cumulative weight reaches half the "
+    "total), computed over the aggregated DISTINCT-price histogram rather "
+    "than the raw rows",
+    tags=("relational",),
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the naive form windows over every ROW of a 3-key
+    partition — giant partitions at 100 TB. Aggregating weights onto
+    (flag, distinct price) first shrinks the window's input to the price
+    DOMAIN (bounded by the cents grid, independent of row count), and the
+    cumulative-weight pick is exact BIGINT — no interpolation, no float
+    accumulation. This aggregate-then-window shape is the general recipe
+    for exact order statistics over skewed group keys."""
+    configure_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.round("l_quantity").cast("long").alias("q"),
+    )
+    hist = li.groupBy("l_returnflag", "price_cents").agg(
+        F.sum("q").cast("long").alias("w")
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "price_cents",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_all).alias("tw"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("tw"), F.col("price_cents"))
+        )
+        .cast("long")
+        .alias("weighted_median_cents"),
+        F.max("tw").cast("long").alias("total_weight"),
+    )
