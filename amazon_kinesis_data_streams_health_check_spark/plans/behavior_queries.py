@@ -857,3 +857,97 @@ def interval_coalesce_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("hi") - F.col("lo")).cast("long").alias("active_micros"),
         F.max(F.col("hi") - F.col("lo")).cast("long").alias("longest_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-to-convert distribution (exact percentiles over the delay domain).
+# ---------------------------------------------------------------------------
+_TTC_SQL = """
+WITH s AS (
+  SELECT user_id, min(ts) AS st FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS pt
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.st
+  GROUP BY e.user_id
+),
+d AS (
+  SELECT CAST(floor(epoch(p.pt)) - floor(epoch(s.st)) AS BIGINT) AS delay_s
+  FROM p JOIN s ON p.user_id = s.user_id
+),
+hist AS (
+  SELECT delay_s, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY delay_s
+),
+cum AS (
+  SELECT delay_s, n,
+         sum(n) OVER (ORDER BY delay_s ROWS UNBOUNDED PRECEDING) AS cn,
+         sum(n) OVER () AS tot
+  FROM hist
+)
+SELECT CAST(max(tot) AS BIGINT) AS n_converters,
+       CAST(min(CASE WHEN 2 * cn >= tot THEN delay_s END) AS BIGINT) AS p50_s,
+       CAST(min(CASE WHEN 10 * cn >= 9 * tot THEN delay_s END) AS BIGINT) AS p90_s
+FROM cum
+"""
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle=_TTC_SQL,
+    doc="Time-to-convert distribution: per-user first-signup -> first "
+    "subsequent purchase delay, with EXACT discrete p50/p90 picked from the "
+    "cumulative delay-seconds histogram (no interpolation, no per-group "
+    "row window)",
+    tags=("behavior",),
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the stage joins are user-keyed min-aggs (same contract
+    as funnel_stages); percentiles use the aggregate-then-window recipe —
+    the window runs over the DISTINCT delay-seconds histogram (bounded by
+    the delay domain, not converter count), so a billion converters still
+    window over at most a few hundred thousand rows. All-BIGINT epoch
+    arithmetic keeps the picks exact."""
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    s = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("st"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    d = p.join(s, "user_id").select(
+        (
+            F.floor(F.unix_timestamp("pt")) - F.floor(F.unix_timestamp("st"))
+        )
+        .cast("long")
+        .alias("delay_s")
+    )
+    hist = d.groupBy("delay_s").agg(F.count(F.lit(1)).alias("n"))
+    w_cum = Window.orderBy("delay_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "delay_s",
+        F.sum("n").over(w_cum).alias("cn"),
+        F.sum("n").over(w_all).alias("tot"),
+    )
+    return cum.agg(
+        F.max("tot").cast("long").alias("n_converters"),
+        F.min(F.when(2 * F.col("cn") >= F.col("tot"), F.col("delay_s")))
+        .cast("long")
+        .alias("p50_s"),
+        F.min(F.when(10 * F.col("cn") >= 9 * F.col("tot"), F.col("delay_s")))
+        .cast("long")
+        .alias("p90_s"),
+    )
