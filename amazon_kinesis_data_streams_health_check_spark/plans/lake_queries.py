@@ -1412,3 +1412,78 @@ def lake_time_travel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_even"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition backfill: recompute one partition, republish atomically.
+# ---------------------------------------------------------------------------
+_BACKFILL_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "lake_partition_backfill",
+    oracle=_BACKFILL_SQL,
+    doc="Dynamic-partition backfill: one partition is ingested CORRUPTED "
+    "(values doubled), then recomputed and republished via a partition-"
+    "scoped overwrite commit — untouched partitions carry by reference, "
+    "the corrupted version stays time-travelable, and the final table must "
+    "equal the clean batch aggregate (builder raises unless the corruption "
+    "was visible before the backfill)",
+    tags=("lake",),
+)
+def lake_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The most common lake operation after append: yesterday's job wrote
+    garbage into one partition and the fix must not rewrite the table. The
+    partition-scoped overwrite drops only the bad partition's files from
+    the new manifest (data files are never deleted, so the pre-fix version
+    remains auditable) and re-links everything else — commit cost is
+    O(recomputed partition), not O(table). The in-query audit proves the
+    corruption was really there before claiming the fix."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_overwrite_partitions,
+    )
+
+    configure_session(spark)
+    bad_type = "purchase"
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1e6).cast("long").alias("val_micros"),
+    )
+    lake = tempfile.mkdtemp(prefix="backfill_lake_")
+    corrupted = events.withColumn(
+        "val_micros",
+        F.when(
+            F.col("event_type") == bad_type, F.col("val_micros") * 2
+        ).otherwise(F.col("val_micros")),
+    )
+    snapshot_append(spark, corrupted, lake, partition_col="event_type")
+    bad_sum = (
+        read_snapshot(spark, lake)
+        .filter(F.col("event_type") == bad_type)
+        .agg(F.sum("val_micros"))
+        .collect()[0][0]
+    )
+    good_sum = (
+        events.filter(F.col("event_type") == bad_type)
+        .agg(F.sum("val_micros"))
+        .collect()[0][0]
+    )
+    if bad_sum != 2 * good_sum:
+        raise RuntimeError("corruption not visible before backfill")
+    snapshot_overwrite_partitions(
+        spark,
+        events.filter(F.col("event_type") == bad_type),
+        lake,
+        partition_col="event_type",
+    )
+    return read_snapshot(spark, lake).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("val_micros").cast("long").alias("sum_micros"),
+    )

@@ -957,6 +957,35 @@ def snapshot_append_with_blooms(
     )
 
 
+def snapshot_overwrite_partitions(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+) -> int:
+    """Dynamic-partition overwrite as a snapshot commit: ONLY the partitions
+    present in ``df`` are replaced (their old files drop out of the new
+    manifest — never deleted from disk, so time travel keeps working);
+    every other partition carries by reference with zero IO. The backfill
+    primitive: recompute one bad day and republish it atomically without
+    touching the other 10,000 days."""
+    if partition_col not in df.columns:
+        df = df.withColumn(partition_col, F.to_date("ts"))
+    current = _resolve_manifest(spark, path)
+    files = {part: list(rels) for part, rels in current["files"].items()}
+    new = _append_data(spark, df, path, partition_col)
+    for part, rels in new.items():
+        files[part] = list(rels)  # replace, not extend
+    return _commit(
+        spark,
+        path,
+        files,
+        "overwrite-partitions",
+        df.schema.json(),
+        current["version"],
+    )
+
+
 def snapshot_append_counted(
     spark: SparkSession,
     df: DataFrame,

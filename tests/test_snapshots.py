@@ -680,3 +680,39 @@ def test_branch_isolation_and_fast_forward(spark, tmp_path):
     v = branch_fast_forward(spark, path, "dev2")
     assert v == snapshot_history(spark, path)[-1]["version"]
     assert {r.id for r in read_snapshot(spark, path).collect()} == {1, 3, 4}
+
+
+def test_partition_overwrite_scopes_to_touched_partitions(spark, tmp_path):
+    """Partition-scoped overwrite replaces only the partitions in the new
+    df; others carry by file reference, and the old version time-travels."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        _resolve_manifest,
+        read_snapshot,
+        snapshot_append,
+        snapshot_overwrite_partitions,
+    )
+
+    path = str(tmp_path / "bf")
+    schema = "id long, part string, v long"
+    snapshot_append(
+        spark,
+        spark.createDataFrame([(1, "a", 10), (2, "b", 99)], schema),
+        path,
+        "part",
+    )
+    m1 = _resolve_manifest(spark, path)
+    snapshot_overwrite_partitions(
+        spark, spark.createDataFrame([(2, "b", 20)], schema), path, "part"
+    )
+    m2 = _resolve_manifest(spark, path)
+    # untouched partition: identical file references; touched: replaced
+    assert m2["files"]["part=a"] == m1["files"]["part=a"]
+    assert set(m2["files"]["part=b"]).isdisjoint(m1["files"]["part=b"])
+    assert {(r.id, r.v) for r in read_snapshot(spark, path).collect()} == {
+        (1, 10),
+        (2, 20),
+    }
+    assert {(r.id, r.v) for r in read_snapshot(spark, path, version=1).collect()} == {
+        (1, 10),
+        (2, 99),
+    }
