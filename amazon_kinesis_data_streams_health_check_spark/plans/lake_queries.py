@@ -1581,3 +1581,96 @@ def lake_replica_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(fp).cast("long").alias("content_checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Write-side constraints: rejects quarantined, table clean by construction.
+# ---------------------------------------------------------------------------
+_CONSTRAINT_SQL = """
+WITH flagged AS (
+  SELECT event_type,
+         CASE WHEN event_id % 97 = 0 THEN -1000000
+              ELSE CAST(round(value * 1000000) AS BIGINT) END AS val_micros,
+         CASE WHEN event_id % 89 = 0 THEN NULL ELSE user_id END AS user_id
+  FROM events
+),
+tagged AS (
+  SELECT event_type, val_micros,
+         CASE WHEN val_micros < 0 AND user_id IS NULL THEN 'both'
+              WHEN val_micros < 0 THEN 'nonnegative_value'
+              WHEN user_id IS NULL THEN 'user_present'
+              ELSE 'kept' END AS status
+  FROM flagged
+)
+SELECT event_type, status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(val_micros) AS BIGINT) AS sum_micros
+FROM tagged GROUP BY event_type, status
+"""
+
+
+@register(
+    "lake_write_constraints",
+    oracle=_CONSTRAINT_SQL,
+    doc="Write-side CHECK constraints: deterministically planted violations "
+    "(negative values, NULL users) are quarantined at commit with the list "
+    "of violated checks; the committed table contains zero violations by "
+    "construction (builder re-audits and raises) and kept+quarantined "
+    "accounting must equal the oracle's replay of the same planting",
+    tags=("lake",),
+)
+def lake_write_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-side DQ (dq_violations) finds bad rows after they pollute the
+    table; write-side enforcement keeps them out, which at 100 TB is the
+    difference between every consumer carrying cleansing filters and none
+    of them needing one. Scale shape: constraint evaluation is one narrow
+    pass tagging each row with its violated-check list; the valid/reject
+    split reuses the same tagged frame; the quarantine output keeps full
+    rows + reasons for repair pipelines."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        snapshot_append_constrained,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.pmod("event_id", F.lit(97)) == 0, F.lit(-1_000_000))
+        .otherwise(F.round(F.col("value") * 1e6).cast("long"))
+        .cast("long")
+        .alias("val_micros"),
+        F.when(F.pmod("event_id", F.lit(89)) == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+    )
+    lake = tempfile.mkdtemp(prefix="constraint_lake_")
+    _, quarantine = snapshot_append_constrained(
+        spark,
+        events,
+        lake,
+        partition_col="event_type",
+        checks={
+            "nonnegative_value": "val_micros >= 0",
+            "user_present": "user_id IS NOT NULL",
+        },
+    )
+    committed = read_snapshot(spark, lake)
+    n_bad_committed = committed.filter(
+        (F.col("val_micros") < 0) | F.col("user_id").isNull()
+    ).count()
+    if n_bad_committed:
+        raise RuntimeError(f"{n_bad_committed} constraint violations committed")
+    kept = committed.select(
+        "event_type", "val_micros", F.lit("kept").alias("status")
+    )
+    quar = quarantine.select(
+        "event_type",
+        "val_micros",
+        F.when(F.size("_violated") == 2, "both")
+        .otherwise(F.element_at("_violated", 1))
+        .alias("status"),
+    )
+    return kept.unionByName(quar).groupBy("event_type", "status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val_micros").cast("long").alias("sum_micros"),
+    )

@@ -986,6 +986,38 @@ def snapshot_overwrite_partitions(
     )
 
 
+def snapshot_append_constrained(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    checks: dict[str, str],
+    quarantine_col: str = "_violated",
+) -> tuple[int, DataFrame]:
+    """Write-side constraint enforcement (Delta-style CHECK constraints):
+    rows passing every ``checks`` predicate commit to the table; violating
+    rows never enter it and are returned as a quarantine DataFrame carrying
+    the list of violated check names. The table stays trustworthy by
+    CONSTRUCTION — readers never need the cleansing filter — and the
+    quarantine keeps the rejects auditable instead of silently dropped.
+    Returns (new_version, quarantine_df)."""
+    conds = {name: F.expr(sql) for name, sql in checks.items()}
+    violated = F.filter(
+        F.array(
+            *[
+                F.when(~cond, F.lit(name)).otherwise(F.lit(None))
+                for name, cond in conds.items()
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    tagged = df.withColumn(quarantine_col, violated)
+    valid = tagged.filter(F.size(quarantine_col) == 0).drop(quarantine_col)
+    quarantine = tagged.filter(F.size(quarantine_col) > 0)
+    version = snapshot_append(spark, valid, path, partition_col=partition_col)
+    return version, quarantine
+
+
 def snapshot_append_counted(
     spark: SparkSession,
     df: DataFrame,
