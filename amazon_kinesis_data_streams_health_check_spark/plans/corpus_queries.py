@@ -1943,3 +1943,142 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("score_micro_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: the redaction pass every public-web training corpus runs
+# before anything else touches the text. The test corpus carries no PII, so
+# the query plants it deterministically (email / phone / IPv4 keyed on
+# doc_id — the same device as utf8_strict_parity's malformed-byte injection)
+# and then detects, counts, and redacts with engine-portable regexes (shared
+# Java-regex / RE2 subset: classes + counted repetition, no lookaround).
+# The in-query audit column re-scans the REDACTED text and must be all-zero,
+# so "the scrub actually removed what it found" is part of the hash.
+# ---------------------------------------------------------------------------
+_PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+_PII_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_IP_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+_PII_SQL = f"""
+WITH planted AS (
+  SELECT doc_id, source,
+         text || CASE CAST(doc_id % 7 AS BIGINT)
+           WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+           WHEN 1 THEN ' call 555-01' || lpad(CAST(doc_id % 10 AS VARCHAR), 1, '0')
+                       || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           WHEN 2 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                       || CAST(doc_id % 100 AS VARCHAR) || ' down'
+           ELSE '' END AS text
+  FROM documents
+),
+scanned AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '{_PII_EMAIL_RE}')) AS n_email,
+         len(regexp_extract_all(text, '{_PII_PHONE_RE}')) AS n_phone,
+         len(regexp_extract_all(text, '{_PII_IP_RE}')) AS n_ip,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PII_PHONE_RE}', '<PHONE>', 'g'),
+           '{_PII_IP_RE}', '<IP>', 'g') AS redacted
+  FROM planted
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_email) AS BIGINT) AS n_emails,
+       CAST(sum(n_phone) AS BIGINT) AS n_phones,
+       CAST(sum(n_ip) AS BIGINT) AS n_ips,
+       CAST(sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_with_pii,
+       CAST(sum(len(regexp_extract_all(redacted, '{_PII_EMAIL_RE}'))
+              + len(regexp_extract_all(redacted, '{_PII_PHONE_RE}'))
+              + len(regexp_extract_all(redacted, '{_PII_IP_RE}'))) AS BIGINT)
+         AS residual_matches,
+       CAST(sum({duck_hash_uniform("redacted")}) AS BIGINT) AS redacted_checksum
+FROM scanned GROUP BY source
+"""
+
+
+@register(
+    "pii_redaction_stats",
+    oracle=_PII_SQL,
+    doc="Corpus hygiene: PII detection + redaction (email / phone / IPv4 "
+    "regexes in the shared Java/RE2 subset) over deterministically planted "
+    "PII, with an in-query audit that re-scans the redacted text — "
+    "residual_matches must be 0 and is part of the value hash",
+    tags=("ext", "corpus", "quality"),
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the whole scrub is ONE narrow codegen'd pass — plant,
+    three regexp_extract_all counts, three chained regexp_replace, the
+    audit re-scan, and the md5 checksum are all per-row expressions; the
+    only shuffle is the final |sources|-key counting aggregation (map-side
+    partial). At 100 TB this is the ideal operator shape: embarrassingly
+    parallel, zero data-plane shuffle, scan-bound."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    plant = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 1,
+            F.concat(
+                F.lit(" call 555-01"),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 2,
+            F.concat(
+                F.lit(" host 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 100).cast("string"),
+                F.lit(" down"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    planted = docs.select(
+        "doc_id", "source", F.concat(F.col("text"), plant).alias("text")
+    )
+
+    def n_matches(col: str, re: str) -> F.Column:
+        return F.size(F.expr(f"regexp_extract_all({col}, '{re}', 0)"))
+
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL_RE, "<EMAIL>"),
+            _PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        _PII_IP_RE,
+        "<IP>",
+    )
+    scanned = planted.select(
+        "source",
+        n_matches("text", _PII_EMAIL_RE).alias("n_email"),
+        n_matches("text", _PII_PHONE_RE).alias("n_phone"),
+        n_matches("text", _PII_IP_RE).alias("n_ip"),
+        redacted.alias("redacted"),
+    )
+    residual = (
+        n_matches("redacted", _PII_EMAIL_RE)
+        + n_matches("redacted", _PII_PHONE_RE)
+        + n_matches("redacted", _PII_IP_RE)
+    )
+    return scanned.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_email").cast("long").alias("n_emails"),
+        F.sum("n_phone").cast("long").alias("n_phones"),
+        F.sum("n_ip").cast("long").alias("n_ips"),
+        F.sum(((F.col("n_email") + F.col("n_phone") + F.col("n_ip")) > 0).cast("int"))
+        .cast("long")
+        .alias("docs_with_pii"),
+        F.sum(residual).cast("long").alias("residual_matches"),
+        F.sum(hash_uniform("redacted")).cast("long").alias("redacted_checksum"),
+    )

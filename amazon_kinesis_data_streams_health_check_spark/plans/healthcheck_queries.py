@@ -1565,3 +1565,130 @@ def streaming_put_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(h("partition_key")).cast("long").alias("key_checksum"),
         F.sum(h("data_b64")).cast("long").alias("data_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection: the sequential change-point test that catches SLOW
+# mean shifts a fixed threshold misses (a lag creeping up 2% per minute never
+# crosses the alarm line until far too late; its cumulative sum does).
+# The textbook recurrence S+_i = max(0, S+_{i-1} + (x_i - mu - k)) is
+# non-linear, but it has an exact closed form over prefix sums:
+#     S+_i = P_i - min(0, min_{j<=i} P_j),   P_i = sum_{1..i}(x_j - mu - k)
+# so both engines compute it with two plain window functions (cumulative sum
+# + cumulative min) — no fold, no UDF, bit-identical BIGINT milli-units.
+# ---------------------------------------------------------------------------
+_CUSUM_SQL = """
+WITH m AS (
+  SELECT event_type AS stream_name,
+         60 * CAST(floor(epoch(ts) / 60) AS BIGINT) AS ws,
+         CAST(floor(sum(value) * 1000) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+mu AS (
+  SELECT stream_name,
+         CAST(sum(x) // count(*) AS BIGINT) AS mu_milli,
+         CAST((sum(x) // count(*)) // 20 AS BIGINT) AS slack_milli
+  FROM m GROUP BY stream_name
+),
+d AS (
+  SELECT m.stream_name, m.ws, m.x, mu.mu_milli, mu.slack_milli,
+         m.x - mu.mu_milli - mu.slack_milli AS d_pos,
+         mu.mu_milli - m.x - mu.slack_milli AS d_neg
+  FROM m JOIN mu ON m.stream_name = mu.stream_name
+),
+p0 AS (
+  SELECT stream_name, ws, x, mu_milli,
+         sum(d_pos) OVER w AS p_pos,
+         sum(d_neg) OVER w AS p_neg
+  FROM d
+  WINDOW w AS (PARTITION BY stream_name ORDER BY ws
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+p AS (
+  SELECT *, min(p_pos) OVER w AS lo_pos, min(p_neg) OVER w AS lo_neg
+  FROM p0
+  WINDOW w AS (PARTITION BY stream_name ORDER BY ws
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT stream_name, ws AS window_start_s, x AS value_milli,
+       CAST(p_pos - least(0, lo_pos) AS BIGINT) AS cusum_pos,
+       CAST(p_neg - least(0, lo_neg) AS BIGINT) AS cusum_neg,
+       (p_pos - least(0, lo_pos)) > mu_milli AS drift_up,
+       (p_neg - least(0, lo_neg)) > mu_milli AS drift_down
+FROM p
+"""
+
+
+@register(
+    "cusum_changepoint",
+    oracle=_CUSUM_SQL,
+    doc="Sequential change-point detection: two-sided CUSUM over per-minute "
+    "stream volume in exact BIGINT milli-units — the reset-at-zero "
+    "recurrence evaluated in closed form as prefix-sum minus running "
+    "minimum (two window functions, no fold), allowance = mu/20, "
+    "decision interval h = mu",
+    tags=("core", "timeseries", "alerting"),
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the minute rollup is one keyed aggregation (map-side
+    partial); per-stream mean/allowance is a |streams|-row table that
+    BROADCASTS back; the CUSUM itself is two cumulative windows partitioned
+    by stream — sequential per key by definition of the statistic, which at
+    100 TB is handled exactly like ``holt_forecast_daily``: range-partition
+    the timeline and carry per-stream prefix offsets between ranges (the
+    closed form makes the carry a (sum, min) pair — mergeable), or run the
+    streaming stateful twin. Nothing here shuffles document-sized data; the
+    series is |streams| x |minutes|.
+
+    Closed form: with P_i the prefix sum of d_j = x_j - mu - k and
+    M_i = min(P_1..P_i), the CUSUM S+_i = max(0, S+_{i-1} + d_i) equals
+    P_i - min(0, M_i) (induction: subtracting the lowest prefix valley
+    is exactly the "reset at zero" rule). Mirrored for the downward test."""
+    configure_session(spark)
+    from pyspark.sql import Window
+
+    events = parallel_scan(spark, sf_dir, "events")
+    m = events.groupBy(
+        F.col("event_type").alias("stream_name"),
+        (F.lit(60) * F.floor(F.unix_timestamp("ts") / 60)).cast("long").alias("ws"),
+    ).agg(F.floor(F.sum("value") * 1000).cast("long").alias("x"))
+    mu = m.groupBy("stream_name").agg(
+        F.expr("sum(x) div count(1)").cast("long").alias("mu_milli"),
+        F.expr("(sum(x) div count(1)) div 20").cast("long").alias("slack_milli"),
+    )
+    d = m.join(F.broadcast(mu), "stream_name").select(
+        "stream_name",
+        "ws",
+        "x",
+        "mu_milli",
+        (F.col("x") - F.col("mu_milli") - F.col("slack_milli")).alias("d_pos"),
+        (F.col("mu_milli") - F.col("x") - F.col("slack_milli")).alias("d_neg"),
+    )
+    w = (
+        Window.partitionBy("stream_name")
+        .orderBy("ws")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = d.select(
+        "stream_name",
+        "ws",
+        "x",
+        "mu_milli",
+        F.sum("d_pos").over(w).alias("p_pos"),
+        F.sum("d_neg").over(w).alias("p_neg"),
+    ).select(
+        "*",
+        F.min("p_pos").over(w).alias("lo_pos"),
+        F.min("p_neg").over(w).alias("lo_neg"),
+    )
+    cpos = F.col("p_pos") - F.least(F.lit(0), F.col("lo_pos"))
+    cneg = F.col("p_neg") - F.least(F.lit(0), F.col("lo_neg"))
+    return p.select(
+        "stream_name",
+        F.col("ws").alias("window_start_s"),
+        F.col("x").alias("value_milli"),
+        cpos.cast("long").alias("cusum_pos"),
+        cneg.cast("long").alias("cusum_neg"),
+        (cpos > F.col("mu_milli")).alias("drift_up"),
+        (cneg > F.col("mu_milli")).alias("drift_down"),
+    )

@@ -129,6 +129,7 @@ def all_queries() -> dict[str, Query]:
         corpus_queries,
         behavior_queries,
         lake_queries,
+        mining_queries,
         streaming_queries,
     )
 
