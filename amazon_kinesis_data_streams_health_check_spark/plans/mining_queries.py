@@ -284,26 +284,34 @@ best_{rnd} AS (
   FROM pairs_{rnd} ORDER BY cnt DESC, pair LIMIT 1
 ),
 vocab_{rnd} AS (
-  SELECT replace(v.w, '|' || b.a || '||' || b.b || '|', '|' || b.a || b.b || '|')
+  SELECT v.word,
+         replace(v.w, '|' || b.a || '||' || b.b || '|', '|' || b.a || b.b || '|')
            AS w,
          v.n
   FROM {prev} v CROSS JOIN best_{rnd} b
 )"""
 
 
-_BPE_SQL = (
+#: Shared CTE prefix: corpus -> (word, canonical form, count) vocabulary,
+#: then _BPE_ROUNDS merge rounds (vocab_K is the post-merge vocabulary).
+_BPE_CHAIN_SQL = (
     f"""
 WITH tok AS (
   SELECT unnest({_DUCK_TOK}) AS word FROM documents
 ),
 vocab_0 AS (
-  SELECT '||' || list_aggregate(
+  SELECT word,
+         '||' || list_aggregate(
            list_transform(range(1, length(word) + 1), i -> word[i]), 'string_agg', '||')
          || '||{_BPE_EOW}||' AS w,
          CAST(count(*) AS BIGINT) AS n
   FROM tok GROUP BY word
 ),"""
     + ",".join(_duck_bpe_round(f"vocab_{r - 1}", r) for r in range(1, _BPE_ROUNDS + 1))
+)
+
+_BPE_SQL = (
+    _BPE_CHAIN_SQL
     + "\n"
     + "\nUNION ALL\n".join(
         f"""
@@ -340,11 +348,42 @@ def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     round so Catalyst doesn't re-derive round r-1 for each of round r's
     three consumers. No driver-side collect anywhere."""
     configure_session(spark)
+    bests, vocabs = _spark_bpe_chain(spark, sf_dir)
+    out_parts = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        total = vocabs[rnd].agg(
+            F.sum(F.col("n") * F.size(F.expr(_BPE_SYMS)))
+            .cast("long")
+            .alias("n_symbols_after")
+        )
+        out_parts.append(
+            bests[rnd].select(
+                F.lit(rnd).cast("long").alias("merge_round"),
+                F.expr("replace(pair, '\x01', ' ')").alias("merged_pair"),
+                F.col("cnt").alias("merge_count"),
+            ).crossJoin(F.broadcast(total))
+        )
+    out = out_parts[0]
+    for part in out_parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+_BPE_SYMS = "filter(split(w, '[|][|]'), s -> s != '')"
+
+
+def _spark_bpe_chain(spark: SparkSession, sf_dir: str):
+    """Build the shared BPE DAG: returns ``(bests, vocabs)`` where
+    ``vocabs[r]`` is the (word, w, n) vocabulary after round r (``vocabs[0]``
+    = character-split) and ``bests[r]`` is round r's 1-row winning pair
+    (pair, cnt, a, b). Everything is lazy; each stage is
+    localCheckpoint-pinned because it feeds multiple consumers."""
     docs = parallel_scan(spark, sf_dir, "documents")
     tok = docs.select(F.explode(F.expr(_SPARK_TOK)).alias("word"))
     vocab = tok.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("n"))
     # canonical "||c||c||...||$||" form
     vocab = vocab.select(
+        "word",
         F.concat(
             F.lit("||"),
             F.expr(
@@ -355,12 +394,14 @@ def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w"),
         "n",
     )
-    syms = "filter(split(w, '[|][|]'), s -> s != '')"
-    out_parts = []
+    bests: dict[int, DataFrame] = {}
+    vocabs: dict[int, DataFrame] = {}
+    vocabs[0] = vocab
     for rnd in range(1, _BPE_ROUNDS + 1):
         vocab = vocab.localCheckpoint(eager=False)
+        vocabs[rnd - 1] = vocab
         pairs = (
-            vocab.select(F.expr(syms).alias("syms"), "n")
+            vocab.select(F.expr(_BPE_SYMS).alias("syms"), "n")
             .filter(F.size("syms") >= 2)
             .select(
                 F.explode(
@@ -385,25 +426,486 @@ def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.split("pair", "\x01").getItem(1).alias("b"),
             )
         )
-        best = best.localCheckpoint(eager=False)  # feeds vocab AND the output row
+        best = best.localCheckpoint(eager=False)  # feeds vocab AND the caller
+        bests[rnd] = best
         vocab = vocab.crossJoin(F.broadcast(best)).select(
+            "word",
             F.expr(
                 "replace(w, concat('|', a, '||', b, '|'),"
                 " concat('|', a, b, '|'))"
             ).alias("w"),
             "n",
         )
-        total = vocab.agg(
-            F.sum(F.col("n") * F.size(F.expr(syms))).cast("long").alias("n_symbols_after")
+        vocabs[rnd] = vocab
+    return bests, vocabs
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenization apply: the other half of the tokenizer story — run the
+# learned merge table over the corpus and measure what it bought. Because
+# BPE segmentation is a function of the word alone, the corpus is NEVER
+# re-segmented: the post-merge vocabulary (word -> symbol count) joins back
+# onto per-(source, word) occurrence counts. Token accounting per source:
+# characters+1 symbols before any merge, the learned segmentation after,
+# and the exact milli compression ratio.
+# ---------------------------------------------------------------------------
+_BPE_APPLY_SQL = (
+    _BPE_CHAIN_SQL
+    + f""",
+seg AS (
+  SELECT word,
+         CAST(len(list_filter(string_split(w, '||'), s -> s <> '')) AS BIGINT)
+           AS n_sym
+  FROM vocab_{_BPE_ROUNDS}
+),
+occ AS (
+  SELECT source, unnest({_DUCK_TOK}) AS word FROM documents
+),
+cnt AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS m
+  FROM occ GROUP BY source, word
+)
+SELECT c.source,
+       CAST(sum(c.m) AS BIGINT) AS n_words,
+       CAST(sum(c.m * (length(c.word) + 1)) AS BIGINT) AS n_symbols_char,
+       CAST(sum(c.m * s.n_sym) AS BIGINT) AS n_symbols_bpe,
+       CAST(1000 * sum(c.m * s.n_sym) // sum(c.m * (length(c.word) + 1))
+            AS BIGINT) AS compression_milli
+FROM cnt c JOIN seg s ON c.word = s.word
+GROUP BY c.source
+"""
+)
+
+
+@register(
+    "bpe_tokenize_apply",
+    oracle=_BPE_APPLY_SQL,
+    doc=f"Tokenizer application: segment the corpus with the {_BPE_ROUNDS} "
+    "learned BPE merges and account per source for words, char-level "
+    "symbols, post-merge symbols, and the exact milli compression ratio — "
+    "segmentation computed once per word TYPE and joined back, never "
+    "recomputed per occurrence",
+    tags=("ext", "corpus", "tokenizer"),
+)
+def bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the learn DAG runs on the vocabulary (tiny, Heaps' law);
+    the corpus contributes one (source, word)-keyed counting aggregation —
+    uniform compound key — and the word->symbol-count segmentation table
+    BROADCASTS onto it. Tokenizing 100 TB is therefore one count pass plus
+    a broadcast join; no text ever moves through a shuffle."""
+    configure_session(spark)
+    _, vocabs = _spark_bpe_chain(spark, sf_dir)
+    seg = vocabs[_BPE_ROUNDS].select(
+        "word", F.size(F.expr(_BPE_SYMS)).cast("long").alias("n_sym")
+    )
+    docs = parallel_scan(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("source", F.explode(F.expr(_SPARK_TOK)).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    joined = cnt.join(F.broadcast(seg), "word")
+    return joined.groupBy("source").agg(
+        F.sum("m").cast("long").alias("n_words"),
+        F.sum(F.col("m") * (F.length("word") + 1)).cast("long").alias("n_symbols_char"),
+        F.sum(F.col("m") * F.col("n_sym")).cast("long").alias("n_symbols_bpe"),
+        F.expr(
+            "1000 * sum(m * n_sym) div sum(m * (length(word) + 1))"
         )
-        out_parts.append(
-            best.select(
-                F.lit(rnd).cast("long").alias("merge_round"),
-                F.expr("replace(pair, '\x01', ' ')").alias("merged_pair"),
-                F.col("cnt").alias("merge_count"),
-            ).crossJoin(F.broadcast(total))
+        .cast("long")
+        .alias("compression_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes training + evaluation: the classical counting classifier IS a
+# pair of aggregations, which makes it the canonical "model training as a
+# query" operator. Add-one smoothed log-likelihoods are kept integer-exact
+# with the floor-log2 surprisal device (doc_surprisal_score): the per-token
+# cost of class L is floor(log2((c_L + V) div (c_wL + 1))) bits, the class
+# prior is floor(log2(n_docs div n_docs_L)) bits, and the prediction is the
+# minimum total cost with a lexicographic class tie-break — engine-portable
+# without ever taking a float logarithm. Output: the confusion matrix of
+# resubstitution predictions against the labeled `lang` column.
+# ---------------------------------------------------------------------------
+_NB_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_DUCK_TOK}) AS word FROM documents
+),
+langs AS (
+  SELECT lang,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_l
+  FROM documents GROUP BY lang
+),
+ntot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+v AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS vocab FROM tok),
+cl AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS c_l FROM tok GROUP BY lang
+),
+cw AS (
+  SELECT lang, word, CAST(count(*) AS BIGINT) AS c_wl
+  FROM tok GROUP BY lang, word
+),
+tokbits AS (
+  SELECT t.doc_id, l.lang AS cand,
+         CAST(sum(length(bin((cl.c_l + v.vocab) // (COALESCE(cw.c_wl, 0) + 1)))
+                  - 1) AS BIGINT) AS sum_bits
+  FROM tok t
+  CROSS JOIN langs l
+  JOIN cl ON cl.lang = l.lang
+  CROSS JOIN v
+  LEFT JOIN cw ON cw.lang = l.lang AND cw.word = t.word
+  GROUP BY t.doc_id, l.lang
+),
+scored AS (
+  SELECT d.doc_id, d.lang AS true_lang, l.lang AS cand,
+         CAST(length(bin(n.n_docs // l.n_docs_l)) - 1
+              + COALESCE(tb.sum_bits, 0) AS BIGINT) AS cost_bits
+  FROM documents d
+  CROSS JOIN langs l
+  CROSS JOIN ntot n
+  LEFT JOIN tokbits tb ON tb.doc_id = d.doc_id AND tb.cand = l.lang
+),
+best AS (
+  SELECT doc_id, min(cost_bits) AS best_bits FROM scored GROUP BY doc_id
+),
+pred AS (
+  SELECT s.doc_id, s.true_lang, min(s.cand) AS pred_lang
+  FROM scored s JOIN best b
+    ON b.doc_id = s.doc_id AND s.cost_bits = b.best_bits
+  GROUP BY s.doc_id, s.true_lang
+)
+SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY true_lang, pred_lang
+"""
+
+
+@register(
+    "naive_bayes_source_classify",
+    oracle=_NB_SQL,
+    doc="Model training as a query: add-one smoothed multinomial Naive "
+    "Bayes over the `lang` label — training is two counting aggregations, "
+    "scoring is integer floor-log2 surprisal bits, prediction is min-cost "
+    "with lexicographic tie-break; emits the resubstitution confusion matrix",
+    tags=("ext", "corpus", "mining", "ml"),
+)
+def naive_bayes_source_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the model (per-class word counts) is vocabulary x
+    |classes| — broadcast-sized by Heaps' law, like doc_surprisal_score's
+    unigram table. Scoring re-scans tokens once, expands by |classes|
+    (a bounded constant), and aggregates on the uniform (doc, class) key;
+    the argmin is two tiny keyed aggregations (min cost, then min class at
+    that cost) instead of an engine-specific argmin — portable and
+    deterministic. Training 100 TB of labeled text = one shuffle on
+    (class, word) and one on (doc, class). No float logs anywhere."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.expr(_SPARK_TOK)).alias("word")
+    )
+    tok = tok.localCheckpoint(eager=False)  # feeds cl, cw, v AND scoring
+    langs = docs.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs_l")
+    )
+    ntot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    v = tok.agg(F.countDistinct("word").cast("long").alias("vocab"))
+    cl = tok.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("c_l"))
+    cw = tok.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c_wl")
+    )
+    cand = (
+        langs.join(cl, "lang")
+        .select(F.col("lang").alias("cand"), "n_docs_l", "c_l")
+    )
+    tokbits = (
+        tok.crossJoin(F.broadcast(cand))
+        .join(
+            F.broadcast(cw).withColumnRenamed("lang", "cand"),
+            ["cand", "word"],
+            "left",
         )
-    out = out_parts[0]
-    for part in out_parts[1:]:
-        out = out.unionByName(part)
-    return out
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id", "cand")
+        .agg(
+            F.sum(
+                F.length(
+                    F.expr("bin((c_l + vocab) div (coalesce(c_wl, 0) + 1))")
+                )
+                - 1
+            )
+            .cast("long")
+            .alias("sum_bits")
+        )
+    )
+    scored = (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .crossJoin(F.broadcast(cand.select("cand", "n_docs_l")))
+        .crossJoin(F.broadcast(ntot))
+        .join(tokbits, ["doc_id", "cand"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
+            (
+                F.length(F.expr("bin(n_docs div n_docs_l)"))
+                - 1
+                + F.coalesce(F.col("sum_bits"), F.lit(0))
+            )
+            .cast("long")
+            .alias("cost_bits"),
+        )
+    )
+    scored = scored.localCheckpoint(eager=False)  # feeds best AND pred
+    best = (
+        scored.groupBy("doc_id")
+        .agg(F.min("cost_bits").alias("best_bits"))
+        .withColumnRenamed("doc_id", "best_doc_id")
+    )
+    pred = (
+        scored.join(
+            best,
+            (F.col("doc_id") == F.col("best_doc_id"))
+            & (F.col("cost_bits") == F.col("best_bits")),
+        )
+        .groupBy("doc_id", "true_lang")
+        .agg(F.min("cand").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence intervals: the resampling scheme that scales —
+# instead of drawing B full resamples (impossible distributed), each row
+# contributes to every replicate with an independent Poisson(1) multiplicity,
+# so B=64 bootstrap replicates are ONE narrow pass with a x64 fan-out.
+# Determinism: the Poisson draw is the inverse-CDF of an md5-uniform on
+# (doc_id, replicate) — both engines derive identical uint32s and walk the
+# same precomputed threshold ladder, so every replicate is bit-reproducible
+# (no rand(), retry/repartition-invariant like the curation samplers).
+# ---------------------------------------------------------------------------
+_BOOT_B = 64
+#: floor(P_Poisson1(X <= k) * 2^32) for k = 0..6; u >= all => weight 7.
+_BOOT_THRESH = (
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+    4294609777,
+)
+
+
+def _boot_weight_case(u: str) -> str:
+    """Shared CASE ladder mapping a uint32 expr to a Poisson(1) draw."""
+    arms = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_THRESH)
+    )
+    return f"CASE {arms} ELSE 7 END"
+
+
+_BOOT_SQL = f"""
+WITH fan AS (
+  SELECT doc_id, source, n_chars, unnest(range(0, {_BOOT_B})) AS b
+  FROM documents
+),
+w AS (
+  SELECT source, b, n_chars,
+         {_boot_weight_case("CAST(('0x' || substr(md5(CAST(doc_id * " + str(_BOOT_B) + " + b AS VARCHAR)), 1, 8)) AS BIGINT)")} AS wt
+  FROM fan
+),
+reps AS (
+  SELECT source, b,
+         CAST(1000000 * sum(wt * n_chars) // sum(wt) AS BIGINT) AS mean_micro
+  FROM w GROUP BY source, b HAVING sum(wt) > 0
+),
+ci AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_replicates,
+         list_sort(list(mean_micro)) AS ms
+  FROM reps GROUP BY source
+),
+pt AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(1000000 * sum(n_chars) // count(*) AS BIGINT) AS mean_micro
+  FROM documents GROUP BY source
+)
+SELECT pt.source, pt.n_docs, pt.mean_micro,
+       ci.n_replicates,
+       CAST(ci.ms[2] AS BIGINT) AS ci_lo_micro,
+       CAST(ci.ms[{_BOOT_B - 1}] AS BIGINT) AS ci_hi_micro
+FROM pt JOIN ci ON ci.source = pt.source
+"""
+
+
+@register(
+    "bootstrap_ci_poisson",
+    oracle=_BOOT_SQL,
+    doc=f"Poisson bootstrap: {_BOOT_B} deterministic hash-weighted replicates "
+    "of per-source mean document length in one pass — md5-derived "
+    "Poisson(1) multiplicities, exact integer replicate means, empirical "
+    "2nd/63rd order statistics as the confidence band",
+    tags=("ext", "corpus", "stats"),
+)
+def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: replicate fan-out is a narrow explode of a constant
+    64-element array (no shuffle, x64 row multiplier on a scan that only
+    carries (source, n_chars)); replicate means aggregate on the uniform
+    (source, b) key with map-side partials; the CI step collects exactly
+    B=64 integers per source — bounded state, like the two-phase top-k
+    merges. This is how you bootstrap 100 TB: never B scans, one weighted
+    pass. Weights are md5-inverse-CDF draws, so any engine, partitioning,
+    or retry reproduces the identical resample."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    u32 = (
+        f"CAST(conv(substr(md5(CAST(doc_id * {_BOOT_B} + b AS STRING)), 1, 8),"
+        " 16, 10) AS BIGINT)"
+    )
+    fan = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("b"),
+    )
+    w = fan.select(
+        "source", "b", "n_chars", F.expr(_boot_weight_case(u32)).alias("wt")
+    )
+    reps = (
+        w.groupBy("source", "b")
+        .agg(
+            F.expr("1000000 * sum(wt * n_chars) div sum(wt)").alias("mean_micro"),
+            F.sum("wt").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select("source", "b", F.col("mean_micro").cast("long").alias("mean_micro"))
+    )
+    ci = reps.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        F.array_sort(F.collect_list("mean_micro")).alias("ms"),
+    )
+    pt = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("1000000 * sum(n_chars) div count(1)").cast("long").alias("mean_micro"),
+    )
+    return pt.join(ci, "source").select(
+        "source",
+        "n_docs",
+        "mean_micro",
+        "n_replicates",
+        F.element_at("ms", 2).cast("long").alias("ci_lo_micro"),
+        F.element_at("ms", _BOOT_B - 1).cast("long").alias("ci_hi_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence screen: is event value independent of time-of-day,
+# per stream? The 2x2 test statistic chi2 = N(ad-bc)^2 / (R1 R2 C1 C2) is
+# kept EXACT by computing both the statistic (micro-units, integer floor
+# division) and the 95% significance decision (cross-multiplication against
+# 3.841459 scaled to micro) in 128-bit integer arithmetic — DECIMAL(38,0)
+# on the Spark side, HUGEINT in DuckDB — because (ad-bc)^2 * N * 1e6
+# overflows BIGINT at sf >= 0.1. No float chi-square, no division in the
+# decision.
+# ---------------------------------------------------------------------------
+_CHI2_CRIT_MICRO = 3_841_459  # chi2_{0.95, df=1} * 1e6
+_CHI2_VALUE_THRESH = 250.0
+_CHI2_PEAK_LO = 12  # hour-of-day >= 12 counts as "peak"
+
+_CHI2_SQL = f"""
+WITH cells AS (
+  SELECT event_type AS stream_name,
+         CAST(sum(CASE WHEN peak AND high THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN peak AND NOT high THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(sum(CASE WHEN NOT peak AND high THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN NOT peak AND NOT high THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM (
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 3600) % 24 AS BIGINT) >= {_CHI2_PEAK_LO} AS peak,
+           value > {_CHI2_VALUE_THRESH} AS high
+    FROM events
+  ) GROUP BY event_type
+),
+wide AS (
+  SELECT stream_name, a, b, c, d,
+         CAST(a + b + c + d AS HUGEINT) AS n,
+         CAST(a AS HUGEINT) * CAST(d AS HUGEINT)
+           - CAST(b AS HUGEINT) * CAST(c AS HUGEINT) AS diff,
+         CAST(a + b AS HUGEINT) * CAST(c + d AS HUGEINT)
+           * CAST(a + c AS HUGEINT) * CAST(b + d AS HUGEINT) AS den
+  FROM cells
+)
+SELECT stream_name, a, b, c, d,
+       CAST(n AS BIGINT) AS n,
+       CAST((1000000 * n * diff * diff) // nullif(den, 0) AS BIGINT)
+         AS chi2_micro,
+       1000000 * n * diff * diff > {_CHI2_CRIT_MICRO} * den AS significant_95
+FROM wide
+"""
+
+
+@register(
+    "chi2_independence_2x2",
+    oracle=_CHI2_SQL,
+    doc="Statistical screen: per-stream 2x2 chi-square test of value-level "
+    "vs time-of-day independence — statistic in exact integer micro-units "
+    "and the 95% decision by 128-bit cross-multiplication, no float "
+    "chi-square and no division in the decision path",
+    tags=("ext", "mining", "stats"),
+)
+def chi2_independence_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one narrow scan derives (peak, high) per row, one keyed
+    counting aggregation produces a |streams|-row contingency table, and
+    the test itself is per-row 128-bit arithmetic on that tiny table.
+    The entire 100 TB cost is the scan + a 4-counter map-side-combined
+    aggregation. DECIMAL(38,0) holds 1e6 * N * (ad-bc)^2 up to N ~ 3e9
+    rows per stream; beyond that the counts themselves need sharding."""
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    flags = events.select(
+        F.col("event_type").alias("stream_name"),
+        (
+            (F.floor(F.unix_timestamp("ts") / 3600) % 24).cast("long")
+            >= _CHI2_PEAK_LO
+        ).alias("peak"),
+        (F.col("value") > _CHI2_VALUE_THRESH).alias("high"),
+    )
+    cells = flags.groupBy("stream_name").agg(
+        F.sum((F.col("peak") & F.col("high")).cast("int")).cast("long").alias("a"),
+        F.sum((F.col("peak") & ~F.col("high")).cast("int")).cast("long").alias("b"),
+        F.sum((~F.col("peak") & F.col("high")).cast("int")).cast("long").alias("c"),
+        F.sum((~F.col("peak") & ~F.col("high")).cast("int")).cast("long").alias("d"),
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    wide = cells.select(
+        "stream_name",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(dec.format("a + b + c + d")).alias("n"),
+        F.expr(
+            f"{dec.format('a')} * {dec.format('d')} - {dec.format('b')} * {dec.format('c')}"
+        ).alias("diff"),
+        F.expr(
+            f"{dec.format('a + b')} * {dec.format('c + d')}"
+            f" * {dec.format('a + c')} * {dec.format('b + d')}"
+        ).alias("den"),
+    )
+    return wide.select(
+        "stream_name",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.col("n").cast("long").alias("n"),
+        F.expr("(1000000 * n * diff * diff) div nullif(den, 0)")
+        .cast("long")
+        .alias("chi2_micro"),
+        F.expr(f"1000000 * n * diff * diff > {_CHI2_CRIT_MICRO} * den").alias(
+            "significant_95"
+        ),
+    )
