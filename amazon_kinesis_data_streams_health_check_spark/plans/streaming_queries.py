@@ -27,6 +27,7 @@ from amazon_kinesis_data_streams_health_check_spark.plans.ext_queries import (
     _QUALITY_SQL,
 )
 from amazon_kinesis_data_streams_health_check_spark.plans.healthcheck_queries import (
+    _CUSUM_SQL,
     _FLAGSHIP_SQL,
 )
 from amazon_kinesis_data_streams_health_check_spark.plans.registry import register
@@ -889,3 +890,89 @@ def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_veteran"),
     )
     return _run_to_memory(out, "enriched_stream", output_mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM: the online twin of the batch cusum_changepoint query.
+# The state store carries the closed form's carry pair (prefix sum,
+# running min) per side per stream, so the emitted statistic is
+# byte-identical to the batch window computation under ANY micro-batch
+# slicing — which is why the batch oracle applies verbatim.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_cusum",
+    # Import, not copy: the streaming fold and the batch closed form must
+    # stay semantically identical, so they share one oracle.
+    oracle=_CUSUM_SQL,
+    doc="Streaming drift detection: applyInPandasWithState two-sided CUSUM "
+    "whose state is the closed form's (prefix, running-min) carry pair — "
+    "driven over 4 mtime-ordered feed chunks (cross-batch state for real) "
+    "and value-hash checked against the batch cusum_changepoint oracle",
+    tags=("core", "streaming", "timeseries"),
+)
+def streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the offline pass (minute rollup + per-stream baseline)
+    is the batch query's profile stage; online, the state store holds four
+    BIGINTs per stream and each micro-batch folds its periods in O(rows).
+    Because the carry pair is mergeable, a backfill replay from any
+    checkpoint reproduces the identical statistic — the property that makes
+    CUSUM deployable as a continuous query."""
+    import shutil
+
+    from amazon_kinesis_data_streams_health_check_spark.streaming.cusum import (
+        cusum_stream,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    m = (
+        events.groupBy(
+            F.col("event_type").alias("stream_name"),
+            (F.lit(60) * F.floor(F.unix_timestamp("ts") / 60))
+            .cast("long")
+            .alias("ws"),
+        )
+        .agg(F.floor(F.sum("value") * 1000).cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    mu = m.groupBy("stream_name").agg(
+        F.expr("sum(x) div count(1)").cast("long").alias("mu_milli"),
+        F.expr("(sum(x) div count(1)) div 20").cast("long").alias("slack_milli"),
+    )
+    feed_rows = m.join(F.broadcast(mu), "stream_name").select(
+        "stream_name", "ws", "x", "mu_milli", "slack_milli"
+    )
+    b = feed_rows.agg(F.min("ws").alias("lo"), F.max("ws").alias("hi")).collect()[0]
+    lo_s, hi_s = int(b["lo"]), int(b["hi"])
+
+    # 4 single-file chunks by period range, mtimes strictly ascending:
+    # maxFilesPerTrigger=1 replays periods in order across 4 real
+    # micro-batches, exercising the cross-batch carry.
+    feed_dir = tempfile.mkdtemp(prefix="cusum_feed_")
+    n_chunks = 4
+    span = hi_s - lo_s + 60
+    step = max(60, (span // n_chunks // 60) * 60)
+    cuts = [lo_s + i * step for i in range(n_chunks)] + [hi_s + 120]
+    for i in range(n_chunks):
+        chunk = feed_rows.filter(
+            (F.col("ws") >= cuts[i]) & (F.col("ws") < cuts[i + 1])
+        )
+        tmp = tempfile.mkdtemp(prefix=f"cusum_chunk{i}_")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p
+            for p in sorted(os.listdir(tmp))
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = os.path.join(feed_dir, f"chunk_{i:02d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    feed = (
+        spark.readStream.schema(
+            "stream_name string, ws long, x long, mu_milli long, slack_milli long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    return _run_to_memory(cusum_stream(feed), "cusum", output_mode="update")

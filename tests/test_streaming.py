@@ -427,3 +427,14 @@ def test_period_alarm_slicing_invariant_vs_batch(spark, tmp_path):
     assert by[("b", 0)].state == "ALARM" and by[("b", 0)].prev_state is None
     assert not by[("b", 0)].transitioned  # first period never "transitions"
     assert by[("a", 4)].state == "OK" and by[("a", 4)].transitioned
+
+
+def test_streaming_cusum_matches_batch(spark, sf_small):
+    """The streaming carry-pair fold must equal the batch closed form —
+    same rows whatever the micro-batch slicing (the drive uses 4 chunks)."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    got = {tuple(map(str, r)) for r in qs["streaming_cusum"].builder(spark, sf_small).collect()}
+    want = {tuple(map(str, r)) for r in qs["cusum_changepoint"].builder(spark, sf_small).collect()}
+    assert got == want
