@@ -2082,3 +2082,110 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(residual).cast("long").alias("residual_matches"),
         F.sum(hash_uniform("redacted")).cast("long").alias("redacted_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS over the kNN graph: how much of the corpus is within h
+# hops of a seed set — the reachability/expansion probe (label spreading,
+# influence radius) completing the graph family next to components,
+# PageRank, and triangles. Fixed-depth frontier expansion: each round is
+# one edge join + one anti-join against the visited set.
+# ---------------------------------------------------------------------------
+_BFS_ROUNDS = 3
+_BFS_SEED_MOD = 50  # vec_id % 50 == 0 => seed
+
+
+def _duck_bfs_round(r: int) -> str:
+    return f"""
+frontier_{r} AS (
+  SELECT DISTINCT adj.b AS v
+  FROM adj JOIN frontier_{r - 1} f ON adj.a = f.v
+  WHERE adj.b NOT IN (SELECT v FROM reached_{r - 1})
+),
+reached_{r} AS (
+  SELECT v FROM reached_{r - 1} UNION ALL SELECT v FROM frontier_{r}
+)"""
+
+
+_BFS_SQL = (
+    f"""
+WITH knn AS ({_KNN_SQL}),
+adj AS (
+  SELECT query_id AS a, neighbor_id AS b FROM knn
+  UNION
+  SELECT neighbor_id AS a, query_id AS b FROM knn
+),
+frontier_0 AS (
+  SELECT DISTINCT a AS v FROM adj WHERE a % {_BFS_SEED_MOD} = 0
+),
+reached_0 AS (SELECT v FROM frontier_0),"""
+    + ",".join(_duck_bfs_round(r) for r in range(1, _BFS_ROUNDS + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS hop,"
+        f" CAST((SELECT count(*) FROM frontier_{r}) AS BIGINT) AS n_frontier,"
+        f" CAST((SELECT count(*) FROM reached_{r}) AS BIGINT) AS n_reached"
+        for r in range(0, _BFS_ROUNDS + 1)
+    )
+)
+
+
+@register(
+    "knn_graph_bfs_reach",
+    oracle=_BFS_SQL,
+    doc=f"Graph traversal: multi-source BFS from the vec_id%{_BFS_SEED_MOD}"
+    f"==0 seed set over the undirected kNN graph, {_BFS_ROUNDS} hops — "
+    "per-hop frontier and cumulative reach counts",
+    tags=("ext", "corpus", "graph"),
+)
+def knn_graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: each hop is one shuffle join of the edge list against
+    the (much smaller) frontier plus one anti-join against the visited set
+    — the textbook distributed BFS; depth is a fixed constant so the DAG
+    is bounded, and frontier/visited sets are localCheckpoint-pinned per
+    round to keep lineage flat (the dedup_clusters discipline). Vertex ids
+    are uniform keys; nothing ever collects the graph to one task."""
+    configure_session(spark)
+    edges = knn_graph_lsh(spark, sf_dir)
+    adj = (
+        edges.select(F.col("query_id").alias("a"), F.col("neighbor_id").alias("b"))
+        .unionAll(
+            edges.select(F.col("neighbor_id").alias("a"), F.col("query_id").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    frontier = (
+        adj.select(F.col("a").alias("v"))
+        .filter(F.col("v") % _BFS_SEED_MOD == 0)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    reached = frontier
+
+    def counts(hop: int, fr: DataFrame, re: DataFrame) -> DataFrame:
+        nf = fr.agg(F.count(F.lit(1)).cast("long").alias("n_frontier"))
+        nr = re.agg(F.count(F.lit(1)).cast("long").alias("n_reached"))
+        return (
+            nf.crossJoin(F.broadcast(nr))
+            .select(
+                F.lit(hop).cast("long").alias("hop"), "n_frontier", "n_reached"
+            )
+        )
+
+    out = [counts(0, frontier, reached)]
+    for r in range(1, _BFS_ROUNDS + 1):
+        nxt = (
+            adj.join(frontier.withColumnRenamed("v", "a"), "a")
+            .select(F.col("b").alias("v"))
+            .distinct()
+            .join(reached, "v", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        reached = reached.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+        out.append(counts(r, frontier, reached))
+    res = out[0]
+    for part in out[1:]:
+        res = res.unionByName(part)
+    return res

@@ -1692,3 +1692,108 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cpos > F.col("mu_milli")).alias("drift_up"),
         (cneg > F.col("mu_milli")).alias("drift_down"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function: per-stream ACF at lags 1..5 minutes — the
+# periodicity probe that tells an alerting pipeline whether its metric is
+# self-similar (and a forecaster which lags carry signal). Pearson r per lag
+# from EXACT DECIMAL(38) moment sums over (x_t, x_{t+lag}) pairs — the
+# lineitem_corr_exact device — so both engines produce identical doubles.
+# ---------------------------------------------------------------------------
+_ACF_MAX_LAG = 5
+
+_ACF_SQL = f"""
+WITH m AS (
+  SELECT event_type AS stream_name,
+         60 * CAST(floor(epoch(ts) / 60) AS BIGINT) AS ws,
+         CAST(floor(sum(value) * 1000) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG} + 1)) AS lag_min),
+pairs AS (
+  SELECT a.stream_name, l.lag_min, a.x AS x0, b.x AS x1
+  FROM m a
+  CROSS JOIN lags l
+  JOIN m b ON b.stream_name = a.stream_name
+          AND b.ws = a.ws + 60 * l.lag_min
+),
+s AS (
+  SELECT stream_name, CAST(lag_min AS BIGINT) AS lag_min,
+         CAST(count(*) AS DECIMAL(38,0)) AS n,
+         sum(CAST(x0 AS DECIMAL(38,0))) AS sx,
+         sum(CAST(x1 AS DECIMAL(38,0))) AS sy,
+         sum(CAST(x0 * x0 AS DECIMAL(38,0))) AS sxx,
+         sum(CAST(x1 * x1 AS DECIMAL(38,0))) AS syy,
+         sum(CAST(x0 * x1 AS DECIMAL(38,0))) AS sxy
+  FROM pairs GROUP BY stream_name, lag_min
+)
+SELECT stream_name, lag_min,
+       CAST(n AS BIGINT) AS n_pairs,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                           * CAST(n * syy - sy * sy AS DOUBLE)), 0),
+             6) AS acf
+FROM s
+"""
+
+
+@register(
+    "acf_by_lag",
+    oracle=_ACF_SQL,
+    doc=f"Per-stream autocorrelation at lags 1..{_ACF_MAX_LAG} minutes: "
+    "Pearson r over (x_t, x_t+lag) pairs from exact DECIMAL(38) moment "
+    "sums — reduction-order-free, engine-identical doubles",
+    tags=("core", "timeseries", "stats"),
+)
+def acf_by_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the minute series shuffles ONCE on the uniform
+    (stream, minute) key for the lag self-join (the 5-lag fan-out is a
+    narrow constant explode on the probe side); moments aggregate with
+    map-side partials onto |streams| x 5 groups. At 100 TB the series is
+    rollup-sized, not event-sized — the join input is already the
+    aggregated minute table. The sqrt/division runs once per group on
+    exact integers, so the doubles match DuckDB bit-for-bit."""
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    m = events.groupBy(
+        F.col("event_type").alias("stream_name"),
+        (F.lit(60) * F.floor(F.unix_timestamp("ts") / 60)).cast("long").alias("ws"),
+    ).agg(F.floor(F.sum("value") * 1000).cast("long").alias("x"))
+    m = m.localCheckpoint(eager=False)  # probe AND build side of the lag join
+    a = m.select(
+        "stream_name",
+        "ws",
+        F.col("x").alias("x0"),
+        F.explode(F.expr(f"sequence(1, {_ACF_MAX_LAG})")).alias("lag_min"),
+    ).withColumn("ws1", F.col("ws") + 60 * F.col("lag_min"))
+    b = m.select(
+        F.col("stream_name").alias("sn1"),
+        F.col("ws").alias("wsb"),
+        F.col("x").alias("x1"),
+    )
+    pairs = a.join(
+        b, (F.col("stream_name") == F.col("sn1")) & (F.col("ws1") == F.col("wsb"))
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    s = pairs.groupBy("stream_name", F.col("lag_min").cast("long").alias("lag_min")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.expr(dec.format("x0"))).alias("sx"),
+        F.sum(F.expr(dec.format("x1"))).alias("sy"),
+        F.sum(F.expr(dec.format("x0 * x0"))).alias("sxx"),
+        F.sum(F.expr(dec.format("x1 * x1"))).alias("syy"),
+        F.sum(F.expr(dec.format("x0 * x1"))).alias("sxy"),
+    )
+    return s.select(
+        "stream_name",
+        "lag_min",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(
+            F.expr(
+                "CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+                " * CAST(n * syy - sy * sy AS DOUBLE)), 0)"
+            ),
+            6,
+        ).alias("acf"),
+    )

@@ -909,3 +909,352 @@ def chi2_independence_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant_95"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-validated Naive Bayes: the honest version of the resubstitution
+# matrix above. The key scale move: per-fold models are NEVER retrained —
+# because NB sufficient statistics are mergeable counts, the fold-f training
+# model is (global counts) MINUS (fold-f counts), one subtraction join
+# instead of k recounting passes over the corpus. Per-fold vocabulary sizes
+# shrink the same way (words whose count lives entirely in fold f drop out).
+# ---------------------------------------------------------------------------
+_NBCV_FOLDS = 3
+
+_NBCV_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, CAST(doc_id % {_NBCV_FOLDS} AS BIGINT) AS fold, lang,
+         unnest({_DUCK_TOK}) AS word
+  FROM documents
+),
+docs_l AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_l FROM documents GROUP BY lang
+),
+docs_lf AS (
+  SELECT CAST(doc_id % {_NBCV_FOLDS} AS BIGINT) AS fold, lang,
+         CAST(count(*) AS BIGINT) AS n_docs_lf
+  FROM documents GROUP BY 1, 2
+),
+cl AS (SELECT lang, CAST(count(*) AS BIGINT) AS c_l FROM tok GROUP BY lang),
+clf AS (
+  SELECT fold, lang, CAST(count(*) AS BIGINT) AS c_lf FROM tok GROUP BY fold, lang
+),
+cw AS (
+  SELECT lang, word, CAST(count(*) AS BIGINT) AS c_wl FROM tok GROUP BY lang, word
+),
+cwf AS (
+  SELECT fold, lang, word, CAST(count(*) AS BIGINT) AS c_wlf
+  FROM tok GROUP BY fold, lang, word
+),
+wtot AS (SELECT word, CAST(count(*) AS BIGINT) AS c_w FROM tok GROUP BY word),
+wf AS (
+  SELECT fold, word, CAST(count(*) AS BIGINT) AS c_wf FROM tok GROUP BY fold, word
+),
+vf AS (
+  SELECT f.fold,
+         CAST(sum(CASE WHEN w.c_w - COALESCE(x.c_wf, 0) > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS vocab
+  FROM (SELECT unnest(range(0, {_NBCV_FOLDS})) AS fold) f
+  CROSS JOIN wtot w
+  LEFT JOIN wf x ON x.fold = f.fold AND x.word = w.word
+  GROUP BY f.fold
+),
+tokbits AS (
+  SELECT t.doc_id, t.fold, l.lang AS cand,
+         CAST(sum(length(bin(
+           (cl.c_l - COALESCE(clf.c_lf, 0) + vf.vocab)
+           // (COALESCE(cw.c_wl, 0) - COALESCE(cwf.c_wlf, 0) + 1))) - 1)
+           AS BIGINT) AS sum_bits
+  FROM tok t
+  CROSS JOIN docs_l l
+  JOIN cl ON cl.lang = l.lang
+  LEFT JOIN clf ON clf.fold = t.fold AND clf.lang = l.lang
+  JOIN vf ON vf.fold = t.fold
+  LEFT JOIN cw ON cw.lang = l.lang AND cw.word = t.word
+  LEFT JOIN cwf ON cwf.fold = t.fold AND cwf.lang = l.lang AND cwf.word = t.word
+  GROUP BY t.doc_id, t.fold, l.lang
+),
+ntot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+nf AS (
+  SELECT CAST(doc_id % {_NBCV_FOLDS} AS BIGINT) AS fold,
+         CAST(count(*) AS BIGINT) AS n_docs_f
+  FROM documents GROUP BY 1
+),
+scored AS (
+  SELECT d.doc_id, CAST(d.doc_id % {_NBCV_FOLDS} AS BIGINT) AS fold,
+         d.lang AS true_lang, l.lang AS cand,
+         CAST(length(bin((n.n_docs - nf.n_docs_f)
+                         // (l.n_docs_l - COALESCE(df.n_docs_lf, 0)))) - 1
+              + COALESCE(tb.sum_bits, 0) AS BIGINT) AS cost_bits
+  FROM documents d
+  CROSS JOIN docs_l l
+  CROSS JOIN ntot n
+  JOIN nf ON nf.fold = CAST(d.doc_id % {_NBCV_FOLDS} AS BIGINT)
+  LEFT JOIN docs_lf df
+    ON df.fold = CAST(d.doc_id % {_NBCV_FOLDS} AS BIGINT) AND df.lang = l.lang
+  LEFT JOIN tokbits tb ON tb.doc_id = d.doc_id AND tb.cand = l.lang
+  WHERE l.n_docs_l - COALESCE(df.n_docs_lf, 0) > 0
+),
+best AS (
+  SELECT doc_id, min(cost_bits) AS best_bits FROM scored GROUP BY doc_id
+),
+pred AS (
+  SELECT s.doc_id, s.fold, s.true_lang, min(s.cand) AS pred_lang
+  FROM scored s JOIN best b
+    ON b.doc_id = s.doc_id AND s.cost_bits = b.best_bits
+  GROUP BY s.doc_id, s.fold, s.true_lang
+)
+SELECT fold,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN true_lang = pred_lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(1000 * sum(CASE WHEN true_lang = pred_lang THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS accuracy_milli
+FROM pred GROUP BY fold
+"""
+
+
+@register(
+    "naive_bayes_crossval",
+    oracle=_NBCV_SQL,
+    doc=f"{_NBCV_FOLDS}-fold cross-validated Naive Bayes: per-fold models "
+    "derived by SUBTRACTING fold counts from global counts (mergeable "
+    "sufficient statistics — no retraining pass), per-fold vocabularies "
+    "shrunk the same way; emits per-fold held-out accuracy in exact milli",
+    tags=("ext", "corpus", "mining", "ml"),
+)
+def naive_bayes_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one token scan feeds ALL count tables (global and
+    per-fold — each a keyed aggregation with map-side partials); every
+    model table is vocabulary- or |langs|-sized and BROADCASTS; the scoring
+    pass re-scans tokens once and aggregates on the uniform (doc, class)
+    key. k-fold evaluation of a counting classifier costs the same as
+    1-fold because training is subtraction, not recomputation — the
+    mergeability argument that also powers the sketch rollups."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    fold = (F.col("doc_id") % _NBCV_FOLDS).cast("long")
+    tok = docs.select(
+        "doc_id", fold.alias("fold"), "lang", F.explode(F.expr(_SPARK_TOK)).alias("word")
+    )
+    tok = tok.localCheckpoint(eager=False)
+    docs_l = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs_l"))
+    docs_lf = docs.groupBy(fold.alias("fold"), "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_lf")
+    )
+    cl = tok.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("c_l"))
+    clf = tok.groupBy("fold", "lang").agg(F.count(F.lit(1)).cast("long").alias("c_lf"))
+    cw = tok.groupBy("lang", "word").agg(F.count(F.lit(1)).cast("long").alias("c_wl"))
+    cwf = tok.groupBy("fold", "lang", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c_wlf")
+    )
+    wtot = tok.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("c_w"))
+    wf = tok.groupBy("fold", "word").agg(F.count(F.lit(1)).cast("long").alias("c_wf"))
+    folds = spark.range(_NBCV_FOLDS).select(F.col("id").cast("long").alias("fold"))
+    vf = (
+        folds.crossJoin(F.broadcast(wtot))
+        .join(F.broadcast(wf), ["fold", "word"], "left")
+        .groupBy("fold")
+        .agg(
+            F.sum(
+                (F.col("c_w") - F.coalesce(F.col("c_wf"), F.lit(0)) > 0).cast("int")
+            )
+            .cast("long")
+            .alias("vocab")
+        )
+    )
+    cand = docs_l.select(F.col("lang").alias("cand"), "n_docs_l")
+    tokbits = (
+        tok.crossJoin(F.broadcast(cand.select("cand")))
+        .join(F.broadcast(cl).withColumnRenamed("lang", "cand"), "cand")
+        .join(
+            F.broadcast(clf).withColumnRenamed("lang", "cand"),
+            ["fold", "cand"],
+            "left",
+        )
+        .join(F.broadcast(vf), "fold")
+        .join(
+            F.broadcast(cw).withColumnRenamed("lang", "cand"),
+            ["cand", "word"],
+            "left",
+        )
+        .join(
+            F.broadcast(cwf).withColumnRenamed("lang", "cand"),
+            ["fold", "cand", "word"],
+            "left",
+        )
+        .groupBy("doc_id", "fold", "cand")
+        .agg(
+            F.sum(
+                F.length(
+                    F.expr(
+                        "bin((c_l - coalesce(c_lf, 0) + vocab)"
+                        " div (coalesce(c_wl, 0) - coalesce(c_wlf, 0) + 1))"
+                    )
+                )
+                - 1
+            )
+            .cast("long")
+            .alias("sum_bits")
+        )
+    )
+    ntot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    nf = docs.groupBy(fold.alias("fold")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_f")
+    )
+    scored = (
+        docs.select("doc_id", fold.alias("fold"), F.col("lang").alias("true_lang"))
+        .crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(ntot))
+        .join(F.broadcast(nf), "fold")
+        .join(
+            F.broadcast(docs_lf).withColumnRenamed("lang", "cand"),
+            ["fold", "cand"],
+            "left",
+        )
+        .join(tokbits, ["doc_id", "fold", "cand"], "left")
+        .filter(
+            F.col("n_docs_l") - F.coalesce(F.col("n_docs_lf"), F.lit(0)) > 0
+        )
+        .select(
+            "doc_id",
+            "fold",
+            "true_lang",
+            "cand",
+            (
+                F.length(
+                    F.expr(
+                        "bin((n_docs - n_docs_f)"
+                        " div (n_docs_l - coalesce(n_docs_lf, 0)))"
+                    )
+                )
+                - 1
+                + F.coalesce(F.col("sum_bits"), F.lit(0))
+            )
+            .cast("long")
+            .alias("cost_bits"),
+        )
+    )
+    scored = scored.localCheckpoint(eager=False)
+    best = (
+        scored.groupBy("doc_id")
+        .agg(F.min("cost_bits").alias("best_bits"))
+        .withColumnRenamed("doc_id", "best_doc_id")
+    )
+    pred = (
+        scored.join(
+            best,
+            (F.col("doc_id") == F.col("best_doc_id"))
+            & (F.col("cost_bits") == F.col("best_bits")),
+        )
+        .groupBy("doc_id", "fold", "true_lang")
+        .agg(F.min("cand").alias("pred_lang"))
+    )
+    return pred.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("true_lang") == F.col("pred_lang")).cast("int"))
+        .cast("long")
+        .alias("n_correct"),
+        F.expr(
+            "1000 * sum(CASE WHEN true_lang = pred_lang THEN 1 ELSE 0 END)"
+            " div count(1)"
+        )
+        .cast("long")
+        .alias("accuracy_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew audit: the operational diagnostic behind every salting decision
+# in this engine — quantify how skewed a join key's frequency distribution
+# is BEFORE shuffling on it. Emits exact order statistics of the frequency
+# distribution (max, p50, p99 by rank over the key-frequency table), the
+# top-1 key share in milli, and the Gini coefficient in exact milli units
+# via the rank-weighted closed form G = (2*sum(i*f_i) - (n+1)*sum(f)) /
+# (n*sum(f)) — all integer cross-multiplication, no floats.
+# ---------------------------------------------------------------------------
+_SKEW_SQL = """
+WITH freq AS (
+  SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS f
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f, k) AS i FROM freq
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(f) AS BIGINT) AS n_rows,
+         CAST(max(f) AS BIGINT) AS max_freq,
+         CAST(sum(i * f) AS BIGINT) AS iw
+  FROM ranked
+),
+quant AS (
+  SELECT
+    CAST(max(CASE WHEN i * 2 <= (SELECT n_keys FROM agg) THEN f END) AS BIGINT)
+      AS p50_freq,
+    CAST(max(CASE WHEN i * 100 <= (SELECT n_keys FROM agg) * 99 THEN f END)
+         AS BIGINT) AS p99_freq
+  FROM ranked
+)
+SELECT a.n_keys, a.n_rows, a.max_freq, q.p50_freq, q.p99_freq,
+       CAST(1000 * a.max_freq // a.n_rows AS BIGINT) AS top1_share_milli,
+       CAST((1000 * (2 * a.iw - (a.n_keys + 1) * a.n_rows))
+            // (a.n_keys * a.n_rows) AS BIGINT) AS gini_milli
+FROM agg a CROSS JOIN quant q
+"""
+
+
+@register(
+    "key_skew_audit",
+    oracle=_SKEW_SQL,
+    doc="Shuffle-planning diagnostic: exact frequency order statistics "
+    "(max/p50/p99 by rank), top-1 key share, and Gini coefficient of the "
+    "l_partkey join-key distribution — all integer arithmetic, the signal "
+    "that decides broadcast vs salt vs plain shuffle",
+    tags=("ext", "mining", "ops"),
+)
+def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one keyed counting aggregation builds the frequency
+    table (|keys| rows — already the reduced domain); the rank window runs
+    over that table, not the data. A single-partition window over |keys|
+    is the honest cost of exact order statistics — at 100 TB swap in the
+    two-phase bucketed rank (epoch_global_index's device) or approximate
+    quantiles; the audit's decisions only need coarse quantiles. The Gini
+    closed form needs one rank-weighted sum — no pair joins."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    li = parallel_scan(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    w = Window.orderBy("f", "k")
+    ranked = freq.select("f", F.row_number().over(w).cast("long").alias("i"))
+    ranked = ranked.localCheckpoint(eager=False)  # feeds agg AND quantiles
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("f").cast("long").alias("n_rows"),
+        F.max("f").cast("long").alias("max_freq"),
+        F.sum(F.col("i") * F.col("f")).cast("long").alias("iw"),
+    )
+    quant = ranked.crossJoin(F.broadcast(agg.select("n_keys"))).agg(
+        F.max(F.when(F.col("i") * 2 <= F.col("n_keys"), F.col("f")))
+        .cast("long")
+        .alias("p50_freq"),
+        F.max(F.when(F.col("i") * 100 <= F.col("n_keys") * 99, F.col("f")))
+        .cast("long")
+        .alias("p99_freq"),
+    )
+    return agg.crossJoin(F.broadcast(quant)).select(
+        "n_keys",
+        "n_rows",
+        "max_freq",
+        "p50_freq",
+        "p99_freq",
+        F.expr("1000 * max_freq div n_rows").cast("long").alias("top1_share_milli"),
+        F.expr(
+            "(1000 * (2 * iw - (n_keys + 1) * n_rows)) div (n_keys * n_rows)"
+        )
+        .cast("long")
+        .alias("gini_milli"),
+    )
