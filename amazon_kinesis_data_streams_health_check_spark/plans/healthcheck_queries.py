@@ -1652,6 +1652,7 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("stream_name"),
         (F.lit(60) * F.floor(F.unix_timestamp("ts") / 60)).cast("long").alias("ws"),
     ).agg(F.floor(F.sum("value") * 1000).cast("long").alias("x"))
+    m = m.localCheckpoint(eager=False)  # feeds the baseline AND the join
     mu = m.groupBy("stream_name").agg(
         F.expr("sum(x) div count(1)").cast("long").alias("mu_milli"),
         F.expr("(sum(x) div count(1)) div 20").cast("long").alias("slack_milli"),

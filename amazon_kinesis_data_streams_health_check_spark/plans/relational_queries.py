@@ -2018,3 +2018,84 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("weighted_median_cents"),
         F.max("tw").cast("long").alias("total_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-rank analytics: NTILE / percent_rank / cume_dist — the last
+# analytic-window family the surface lacked. Customer lifetime value is
+# decile-bucketed per nation; ties are broken by custkey so every rank
+# function is deterministic (percent_rank/cume_dist are tie-sensitive, and
+# a nondeterministic order would hash-diverge between engines).
+# ---------------------------------------------------------------------------
+_DECILE_SQL = """
+WITH cv AS (
+  SELECT c.c_custkey, c.c_nationkey,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_nationkey
+),
+ranked AS (
+  SELECT c_nationkey, c_custkey, value_cents,
+         ntile(10) OVER w AS decile,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd
+  FROM cv
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY value_cents, c_custkey)
+)
+SELECT c_nationkey, CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(min(value_cents) AS BIGINT) AS min_value_cents,
+       CAST(max(value_cents) AS BIGINT) AS max_value_cents,
+       round(min(pr), 6) AS min_percent_rank,
+       round(max(cd), 6) AS max_cume_dist
+FROM ranked GROUP BY c_nationkey, decile
+"""
+
+
+@register(
+    "customer_value_deciles",
+    oracle=_DECILE_SQL,
+    doc="Analytic ranks: per-nation customer-value deciles via NTILE(10) "
+    "with percent_rank/cume_dist bounds — tie-broken on custkey so every "
+    "rank is deterministic and engine-identical",
+    tags=("relational", "window"),
+)
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: lifetime value is one keyed aggregation on the uniform
+    custkey; the rank window partitions by nation — 25 bounded partitions
+    here, and at 100 TB the same query range-partitions by (nation,
+    value-bucket) with the two-phase rank offsets (epoch_global_index's
+    device) if a single nation outgrows a task. percent_rank/cume_dist are
+    exact rational values (rank/(n-1), rank/n) of integers, so rounding to
+    6 places is engine-identical."""
+    configure_session(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cv = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents")
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("value_cents", "c_custkey")
+    ranked = cv.select(
+        "c_nationkey",
+        "c_custkey",
+        "value_cents",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.groupBy(
+        "c_nationkey", F.col("decile").cast("long").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.min("value_cents").cast("long").alias("min_value_cents"),
+        F.max("value_cents").cast("long").alias("max_value_cents"),
+        F.round(F.min("pr"), 6).alias("min_percent_rank"),
+        F.round(F.max("cd"), 6).alias("max_cume_dist"),
+    )
