@@ -1581,7 +1581,7 @@ _CUSUM_SQL = """
 WITH m AS (
   SELECT event_type AS stream_name,
          60 * CAST(floor(epoch(ts) / 60) AS BIGINT) AS ws,
-         CAST(floor(sum(value) * 1000) AS BIGINT) AS x
+         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS x
   FROM events GROUP BY 1, 2
 ),
 mu AS (
@@ -1651,7 +1651,7 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = events.groupBy(
         F.col("event_type").alias("stream_name"),
         (F.lit(60) * F.floor(F.unix_timestamp("ts") / 60)).cast("long").alias("ws"),
-    ).agg(F.floor(F.sum("value") * 1000).cast("long").alias("x"))
+    ).agg(F.sum(F.floor(F.col("value") * 1000).cast("long")).cast("long").alias("x"))
     m = m.localCheckpoint(eager=False)  # feeds the baseline AND the join
     mu = m.groupBy("stream_name").agg(
         F.expr("sum(x) div count(1)").cast("long").alias("mu_milli"),
@@ -1708,7 +1708,7 @@ _ACF_SQL = f"""
 WITH m AS (
   SELECT event_type AS stream_name,
          60 * CAST(floor(epoch(ts) / 60) AS BIGINT) AS ws,
-         CAST(floor(sum(value) * 1000) AS BIGINT) AS x
+         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS x
   FROM events GROUP BY 1, 2
 ),
 lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG} + 1)) AS lag_min),
@@ -1760,7 +1760,7 @@ def acf_by_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = events.groupBy(
         F.col("event_type").alias("stream_name"),
         (F.lit(60) * F.floor(F.unix_timestamp("ts") / 60)).cast("long").alias("ws"),
-    ).agg(F.floor(F.sum("value") * 1000).cast("long").alias("x"))
+    ).agg(F.sum(F.floor(F.col("value") * 1000).cast("long")).cast("long").alias("x"))
     m = m.localCheckpoint(eager=False)  # probe AND build side of the lag join
     a = m.select(
         "stream_name",

@@ -1258,3 +1258,175 @@ def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series motif search: which days look alike across (and within)
+# streams — the distributed time-series similarity search shape (PAA
+# dimensionality reduction -> SAX discretization as the blocking key ->
+# exact verify), scaled the way the dedup family scales: candidates only
+# within a bucket, never all-pairs. Days reduce to 6 four-hour PAA segment
+# means (exact BIGINT milli), discretize against GLOBAL quartile
+# breakpoints (learned in one pass, broadcast), and only pairs sharing the
+# first 3 SAX symbols are verified with the exact 6-dim squared-L2.
+# ---------------------------------------------------------------------------
+_MOTIF_TOP_K = 10
+_MOTIF_PREFIX = 3
+
+_MOTIF_SQL = f"""
+WITH m AS (
+  SELECT event_type AS stream_name,
+         86400 * CAST(floor(epoch(ts) / 86400) AS BIGINT) AS ds,
+         CAST(floor(epoch(ts) / 3600) % 24 AS BIGINT) // 4 AS seg,
+         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2, 3
+),
+win AS (
+  SELECT stream_name, ds,
+         CAST(sum(CASE WHEN seg = 0 THEN x END) // 4 AS BIGINT) AS s0,
+         CAST(sum(CASE WHEN seg = 1 THEN x END) // 4 AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN seg = 2 THEN x END) // 4 AS BIGINT) AS s2,
+         CAST(sum(CASE WHEN seg = 3 THEN x END) // 4 AS BIGINT) AS s3,
+         CAST(sum(CASE WHEN seg = 4 THEN x END) // 4 AS BIGINT) AS s4,
+         CAST(sum(CASE WHEN seg = 5 THEN x END) // 4 AS BIGINT) AS s5
+  FROM m GROUP BY stream_name, ds
+  HAVING count(*) = 6
+),
+vals AS (
+  SELECT s FROM (
+    SELECT unnest([s0, s1, s2, s3, s4, s5]) AS s FROM win
+  )
+),
+bp AS (
+  SELECT quantile_disc(s, 0.25) AS q1,
+         quantile_disc(s, 0.50) AS q2,
+         quantile_disc(s, 0.75) AS q3
+  FROM vals
+),
+sax AS (
+  SELECT w.stream_name, w.ds, s0, s1, s2, s3, s4, s5,
+         list_aggregate(list_transform([s0, s1, s2, s3, s4, s5],
+           v -> CASE WHEN v <= b.q1 THEN 'a' WHEN v <= b.q2 THEN 'b'
+                     WHEN v <= b.q3 THEN 'c' ELSE 'd' END), 'string_agg', '')
+           AS word
+  FROM win w CROSS JOIN bp b
+),
+cand AS (
+  SELECT a.word AS word_a, b.word AS word_b,
+         a.stream_name AS stream_a, a.ds AS ds_a,
+         b.stream_name AS stream_b, b.ds AS ds_b,
+         (a.s0 - b.s0) * (a.s0 - b.s0) + (a.s1 - b.s1) * (a.s1 - b.s1)
+         + (a.s2 - b.s2) * (a.s2 - b.s2) + (a.s3 - b.s3) * (a.s3 - b.s3)
+         + (a.s4 - b.s4) * (a.s4 - b.s4) + (a.s5 - b.s5) * (a.s5 - b.s5)
+           AS dist2
+  FROM sax a JOIN sax b
+    ON substr(a.word, 1, {_MOTIF_PREFIX}) = substr(b.word, 1, {_MOTIF_PREFIX})
+   AND (a.stream_name < b.stream_name
+        OR (a.stream_name = b.stream_name AND a.ds < b.ds))
+)
+SELECT word_a, word_b, stream_a, ds_a, stream_b, ds_b,
+       CAST(dist2 AS BIGINT) AS dist2,
+       CAST(row_number() OVER (ORDER BY dist2, stream_a, ds_a, stream_b, ds_b)
+            AS BIGINT) AS rank
+FROM cand
+QUALIFY rank <= {_MOTIF_TOP_K}
+"""
+
+
+@register(
+    "ts_motif_search",
+    oracle=_MOTIF_SQL,
+    doc="Time-series similarity search: days reduced to 6 exact four-hour "
+    "PAA segment means, SAX-discretized against learned global quartiles "
+    f"(broadcast), {_MOTIF_PREFIX}-symbol-prefix bucket-mates verified "
+    f"with exact integer squared-L2 — global top-{_MOTIF_TOP_K} motif pairs",
+    tags=("ext", "mining", "timeseries"),
+)
+def ts_motif_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: PAA + SAX are two keyed aggregations (hour grid -> day
+    signatures) — the data plane reduces 24x before anything joins; the
+    breakpoint table is 3 scalars, broadcast. Candidate generation joins
+    ONLY within a SAX prefix bucket (the LSH-bucket discipline; the prefix
+    length is the precision/recall knob, and quartile coding keeps buckets
+    near-uniform), never all-pairs; the exact verify is 6 integer
+    multiplies per candidate. The global top-k is a TakeOrdered with
+    full-column tie-breaks."""
+    configure_session(spark)
+    from pyspark.sql import Window
+
+    events = parallel_scan(spark, sf_dir, "events")
+    m = events.groupBy(
+        F.col("event_type").alias("stream_name"),
+        (F.lit(86400) * F.floor(F.unix_timestamp("ts") / 86400))
+        .cast("long")
+        .alias("ds"),
+        F.expr(
+            "CAST(floor(unix_timestamp(ts) / 3600) % 24 AS BIGINT) div 4"
+        ).alias("seg"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).cast("long").alias("x")
+    )
+    seg_cols = [
+        F.expr(f"sum(CASE WHEN seg = {j} THEN x END) div 4")
+        .cast("long")
+        .alias(f"s{j}")
+        for j in range(6)
+    ]
+    win = (
+        m.groupBy("stream_name", "ds")
+        .agg(F.count(F.lit(1)).alias("nseg"), *seg_cols)
+        .filter(F.col("nseg") == 6)
+        .drop("nseg")
+    )
+    win = win.localCheckpoint(eager=False)  # feeds breakpoints AND the join
+    vals = win.select(
+        F.explode(F.array(*[F.col(f"s{j}") for j in range(6)])).alias("s")
+    )
+    bp = vals.agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY s)").alias("q1"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY s)").alias("q2"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY s)").alias("q3"),
+    )
+    sym = (
+        "CASE WHEN {v} <= q1 THEN 'a' WHEN {v} <= q2 THEN 'b'"
+        " WHEN {v} <= q3 THEN 'c' ELSE 'd' END"
+    )
+    sax = win.crossJoin(F.broadcast(bp)).select(
+        "stream_name",
+        "ds",
+        *[F.col(f"s{j}") for j in range(6)],
+        F.expr(
+            "concat(" + ", ".join(sym.format(v=f"s{j}") for j in range(6)) + ")"
+        ).alias("word"),
+    )
+    a = sax.alias("a")
+    b = sax.alias("b")
+    dist2 = sum(
+        (F.col(f"a.s{j}") - F.col(f"b.s{j}")) * (F.col(f"a.s{j}") - F.col(f"b.s{j}"))
+        for j in range(6)
+    )
+    pair_order = (F.col("a.stream_name") < F.col("b.stream_name")) | (
+        (F.col("a.stream_name") == F.col("b.stream_name"))
+        & (F.col("a.ds") < F.col("b.ds"))
+    )
+    cand = a.join(
+        b,
+        (
+            F.expr(f"substr(a.word, 1, {_MOTIF_PREFIX})")
+            == F.expr(f"substr(b.word, 1, {_MOTIF_PREFIX})")
+        )
+        & pair_order,
+    ).select(
+        F.col("a.word").alias("word_a"),
+        F.col("b.word").alias("word_b"),
+        F.col("a.stream_name").alias("stream_a"),
+        F.col("a.ds").alias("ds_a"),
+        F.col("b.stream_name").alias("stream_b"),
+        F.col("b.ds").alias("ds_b"),
+        dist2.cast("long").alias("dist2"),
+    )
+    w = Window.orderBy("dist2", "stream_a", "ds_a", "stream_b", "ds_b")
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _MOTIF_TOP_K)
+    )

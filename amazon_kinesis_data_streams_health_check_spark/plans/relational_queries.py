@@ -2099,3 +2099,52 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("pr"), 6).alias("min_percent_rank"),
         F.round(F.max("cd"), 6).alias("max_cume_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT-typed semi-structured access: the json_shred twin on the modern
+# path — events.props parses into Spark 4's VARIANT type once and fields
+# are extracted with variant_get (binary-encoded traversal; no per-access
+# re-parse, no schema declaration), where json_shred_roundtrip goes through
+# schema-full from_json. DuckDB's JSON extraction is the oracle.
+# ---------------------------------------------------------------------------
+_VARIANT_SQL = """
+SELECT event_type,
+       CAST(CAST(props ->> '$.k' AS BIGINT) // 10 AS BIGINT) AS k_decade,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(count(DISTINCT CAST(props ->> '$.k' AS BIGINT)) AS BIGINT)
+         AS n_distinct_k
+FROM events
+GROUP BY event_type, k_decade
+"""
+
+
+@register(
+    "variant_props_agg",
+    oracle=_VARIANT_SQL,
+    doc="Semi-structured VARIANT path: props parsed once into Spark 4's "
+    "binary VARIANT encoding, fields extracted with variant_get and "
+    "aggregated per (event_type, k-decade) — the schemaless twin of "
+    "json_shred_roundtrip's declared-schema from_json",
+    tags=("relational", "semistructured"),
+)
+def variant_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: parse_json runs once per row in the scan projection
+    (narrow, codegen'd); the single shuffle is the keyed aggregation on
+    the uniform (event_type, decade) key. VARIANT's binary encoding is
+    the right 100 TB call when documents have hundreds of fields touched
+    sparsely — extraction cost is per-FIELD-ACCESS, not per-document
+    schema materialization."""
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type", F.expr("k div 10").cast("long").alias("k_decade"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.countDistinct("k").cast("long").alias("n_distinct_k"),
+        )
+    )

@@ -932,7 +932,7 @@ def streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("ws"),
         )
-        .agg(F.floor(F.sum("value") * 1000).cast("long").alias("x"))
+        .agg(F.sum(F.floor(F.col("value") * 1000).cast("long")).cast("long").alias("x"))
         .localCheckpoint(eager=False)
     )
     mu = m.groupBy("stream_name").agg(
