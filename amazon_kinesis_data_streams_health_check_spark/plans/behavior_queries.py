@@ -951,3 +951,82 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p90_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially decayed activity scoring: recency-weighted ranking (the
+# "trending" primitive) made EXACT — the decay factor is a power of two per
+# age week, so the decayed contribution is integer right-shift arithmetic
+# (c div 2^age) instead of a float pow() that drifts across engines. The
+# decayed score is a sum of per-day integers, order-free and mergeable —
+# at scale it maintains incrementally exactly like the sketch rollups
+# (yesterday's score halves, today's counts add).
+# ---------------------------------------------------------------------------
+_DECAY_TOP_K = 20
+
+_DECAY_SQL = f"""
+WITH d AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, day
+),
+mx AS (SELECT CAST(max(day) AS BIGINT) AS max_day FROM d),
+scored AS (
+  SELECT user_id,
+         CAST(sum(c) AS BIGINT) AS raw_count,
+         CAST(sum(c // power(2, CAST((mx.max_day - day) // 7 AS BIGINT))::BIGINT)
+              AS BIGINT) AS decayed_score
+  FROM d CROSS JOIN mx
+  GROUP BY user_id
+)
+SELECT user_id, raw_count, decayed_score,
+       CAST(row_number() OVER (ORDER BY decayed_score DESC, user_id)
+            AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {_DECAY_TOP_K}
+"""
+
+
+@register(
+    "decayed_activity_rank",
+    oracle=_DECAY_SQL,
+    doc=f"Recency-weighted trending: per-user activity decayed by integer "
+    "right-shift per age week (c div 2^age — exact, engine-identical, "
+    f"mergeable), global top-{_DECAY_TOP_K} by decayed score",
+    tags=("behavior", "timeseries"),
+)
+def decayed_activity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the (user, day) rollup is one keyed aggregation; the
+    decay weight is a narrow per-row shift against the broadcast max-day
+    scalar; scoring re-aggregates on the uniform user key with map-side
+    partials. Because 2^-age decay distributes over addition, the score is
+    incrementally maintainable: next week's refresh halves the stored
+    score and adds the new week — no history rescan. Top-k is a
+    TakeOrdered, never a full sort."""
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    d = events.groupBy(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    mx = d.agg(F.max("day").cast("long").alias("max_day"))
+    scored = (
+        d.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.sum("c").cast("long").alias("raw_count"),
+            F.sum(
+                F.expr("c div CAST(pow(2, (max_day - day) div 7) AS BIGINT)")
+            )
+            .cast("long")
+            .alias("decayed_score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("decayed_score"), "user_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _DECAY_TOP_K)
+    )

@@ -1430,3 +1430,77 @@ def ts_motif_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _MOTIF_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private count release (geometric mechanism): the privacy
+# stage a shared-statistics pipeline runs after PII scrubbing — integer
+# counts perturbed with two-sided-geometric noise (the discrete Laplace;
+# epsilon = 1, alpha = e^-1). The draw is the inverse CDF of an md5-uniform
+# on the group key walked down a PRECOMPUTED integer threshold ladder (the
+# bootstrap_ci_poisson device), so the mechanism is engine-identical and
+# testable end to end. REPRODUCIBLE noise is for pipeline verification; a
+# production release re-seeds the uniform from entropy, changing only the
+# key expression.
+# ---------------------------------------------------------------------------
+#: floor(CDF(k) * 2^32) of the two-sided geometric, k = -8..8, alpha=e^-1.
+_DP_LADDER = (
+    (-8, 665818), (-7, 2475702), (-6, 7395475), (-5, 20768804),
+    (-4, 57121283), (-3, 155937565), (-2, 424548068), (-1, 1154707118),
+    (0, 3139485195), (1, 3869644245), (2, 4138254748), (3, 4237071030),
+    (4, 4273423509), (5, 4286796838), (6, 4291716611), (7, 4293526494),
+    (8, 4294192313),
+)
+
+
+def _dp_noise_case(u: str) -> str:
+    arms = " ".join(f"WHEN {u} < {t} THEN {k}" for k, t in _DP_LADDER)
+    return f"CASE {arms} ELSE 9 END"
+
+
+_DP_SQL = f"""
+WITH g AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang,
+       CAST(greatest(0, c + {_dp_noise_case("CAST(('0x' || substr(md5(source || '/' || lang), 1, 8)) AS BIGINT)")})
+            AS BIGINT) AS noised_count,
+       CAST(1000 AS BIGINT) AS epsilon_milli
+FROM g
+"""
+
+
+@register(
+    "dp_geometric_release",
+    oracle=_DP_SQL,
+    doc="Privacy release: per-(source, lang) counts perturbed with the "
+    "two-sided geometric mechanism (discrete Laplace, epsilon=1) — noise "
+    "drawn by walking an md5-uniform down a precomputed integer CDF "
+    "ladder, clamped at zero; engine-identical and end-to-end testable",
+    tags=("ext", "corpus", "privacy"),
+)
+def dp_geometric_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one keyed counting aggregation plus a narrow per-group
+    expression — the mechanism adds zero data-plane cost at any scale.
+    The noise draw is a pure function of the group key, so retries,
+    repartitioning, and engine choice reproduce the identical release
+    (the property that makes the privacy layer testable); swapping the
+    md5 input for a run-scoped secret seed makes it a real release."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    g = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    u32 = (
+        "CAST(conv(substr(md5(concat(source, '/', lang)), 1, 8), 16, 10)"
+        " AS BIGINT)"
+    )
+    return g.select(
+        "source",
+        "lang",
+        F.expr(f"greatest(0, c + {_dp_noise_case(u32)})")
+        .cast("long")
+        .alias("noised_count"),
+        F.lit(1000).cast("long").alias("epsilon_milli"),
+    )

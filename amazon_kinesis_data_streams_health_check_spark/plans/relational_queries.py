@@ -2148,3 +2148,68 @@ def variant_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("k").cast("long").alias("n_distinct_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy cost ROLLUP: the downward twin of bom_ancestor_paths — every
+# assembly's exact subtree size and cost. No recursion and no join chain:
+# because the BOM parent function is arithmetic ((p-1) div 4), each node
+# ENUMERATES its own ancestor chain with a bounded narrow fold and explodes
+# one (ancestor, cents) contribution per level; the rollup is then a single
+# uniform-keyed aggregation. DuckDB's WITH RECURSIVE walks the same tree as
+# the oracle.
+# ---------------------------------------------------------------------------
+_BOMROLL_MAX_DEPTH = 12  # covers 4^12 parts; depth is log4(|catalog|)
+
+_BOMROLL_SQL = f"""
+WITH RECURSIVE parts AS (
+  SELECT p_partkey AS node,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+  FROM part
+),
+walk(node, cur) AS (
+  SELECT node, node FROM parts
+  UNION ALL
+  SELECT w.node, (w.cur - 1) // {_BOM_FANOUT} FROM walk w WHERE w.cur > 0
+)
+SELECT w.cur AS node,
+       CAST(count(*) AS BIGINT) AS n_subtree_nodes,
+       CAST(sum(p.cents) AS BIGINT) AS subtree_cost_cents
+FROM walk w JOIN parts p ON p.node = w.node
+GROUP BY w.cur
+"""
+
+
+@register(
+    "bom_cost_rollup",
+    oracle=_BOMROLL_SQL,
+    doc="Hierarchy ROLLUP without recursion: every assembly's exact subtree "
+    "node count and cost — each part enumerates its ancestor chain with a "
+    "bounded arithmetic fold (depth = log4 of the catalog) and the rollup "
+    "is one uniform-keyed aggregation; DuckDB WITH RECURSIVE is the oracle",
+    tags=("relational", "graph"),
+)
+def bom_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the fan-out per row is the tree DEPTH (logarithmic in
+    catalog size — 12 levels covers 16M parts; bump the constant, not the
+    algorithm, beyond that), so the exploded contribution table is
+    |parts| x log4(|parts|) rows shuffled once on the uniform ancestor
+    key. Contrast with the naive self-join-per-level plan (depth shuffles)
+    or a driver-side recursion (none here — the chain is a narrow
+    codegen'd fold per row)."""
+    configure_session(spark)
+    part = load_table(spark, sf_dir, "part")
+    chain = (
+        f"aggregate(sequence(1, {_BOMROLL_MAX_DEPTH}), array(p_partkey),"
+        " (acc, i) -> if(element_at(acc, -1) > 0,"
+        f" concat(acc, array((element_at(acc, -1) - 1) div {_BOM_FANOUT})),"
+        " acc))"
+    )
+    contrib = part.select(
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+        F.explode(F.expr(chain)).alias("node"),
+    )
+    return contrib.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_subtree_nodes"),
+        F.sum("cents").cast("long").alias("subtree_cost_cents"),
+    )
