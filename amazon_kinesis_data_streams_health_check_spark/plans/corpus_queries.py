@@ -2189,3 +2189,142 @@ def knn_graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in out[1:]:
         res = res.unionByName(part)
     return res
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion: combine a lexical ranker (token-set overlap) and a
+# vector ranker (cosine) without score calibration — RRF only consumes
+# RANKS, which is why it is the default fusion in hybrid retrieval stacks.
+# Contributions are exact integers (1e6 div (60 + rank)); candidates missing
+# from one ranker contribute 0 from it. Both per-ranker top-20s come from
+# the two-phase top-k, so no per-query window ever sees the full corpus.
+# ---------------------------------------------------------------------------
+_RRF_QUERIES = 5
+_RRF_K = 20
+_RRF_OUT_K = 10
+_RRF_C = 60
+
+_RRF_SQL = f"""
+WITH qdocs AS (
+  SELECT doc_id AS query_id, list_distinct({_DUCK_TOK}) AS qtok
+  FROM documents WHERE doc_id < {_RRF_QUERIES}
+),
+corpus AS (
+  SELECT doc_id, list_distinct({_DUCK_TOK}) AS tok FROM documents
+),
+lex AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.query_id, c.doc_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY len(list_intersect(q.qtok, c.tok)) DESC, c.doc_id
+           ) AS rank
+    FROM qdocs q JOIN corpus c ON c.doc_id <> q.query_id
+  ) WHERE rank <= {_RRF_K}
+),
+vec AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {duck_cosine('q.embedding', 'v.embedding')} DESC, v.vec_id
+           ) AS rank
+    FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+    WHERE q.vec_id < {_RRF_QUERIES}
+  ) WHERE rank <= {_RRF_K}
+),
+fused AS (
+  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+         COALESCE(l.neighbor_id, v.neighbor_id) AS neighbor_id,
+         l.rank AS lex_rank, v.rank AS vec_rank,
+         CAST(COALESCE(1000000 // ({_RRF_C} + l.rank), 0)
+              + COALESCE(1000000 // ({_RRF_C} + v.rank), 0) AS BIGINT)
+           AS rrf_micro
+  FROM lex l FULL OUTER JOIN vec v
+    ON v.query_id = l.query_id AND v.neighbor_id = l.neighbor_id
+)
+SELECT query_id, neighbor_id,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(vec_rank AS BIGINT) AS vec_rank,
+       rrf_micro,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY rrf_micro DESC, neighbor_id
+       ) AS BIGINT) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= {_RRF_OUT_K}
+"""
+
+
+@register(
+    "rrf_fusion_search",
+    oracle=_RRF_SQL,
+    doc=f"Hybrid retrieval: reciprocal-rank fusion of a lexical token-"
+    f"overlap top-{_RRF_K} and a cosine top-{_RRF_K} — integer 1e6 div "
+    f"({_RRF_C}+rank) contributions, top-{_RRF_OUT_K} fused per query",
+    tags=("ext", "corpus", "similarity"),
+)
+def rrf_fusion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: both rankers broadcast the (constant-size) query set
+    and score candidates narrowly; both top-20s are the two-phase
+    local/merge slice. The fusion join and the final per-query window
+    operate on <= 2k rows per query (the two top-k lists), which is the
+    point of fuse-by-rank: the expensive full-corpus stages never meet.
+    """
+    configure_session(spark)
+    from pyspark.sql import Window
+
+    docs = parallel_scan(spark, sf_dir, "documents")
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    corpus = docs.select(
+        "doc_id", F.expr(f"array_distinct({_SPARK_TOK})").alias("tok")
+    )
+    qdocs = corpus.filter(F.col("doc_id") < _RRF_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("tok").alias("qtok")
+    )
+    lex_scored = (
+        corpus.crossJoin(F.broadcast(qdocs))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            F.size(F.array_intersect("qtok", "tok")).cast("double").alias("cos_raw"),
+        )
+    )
+    lex = topk_per_query(lex_scored, k=_RRF_K).select(
+        "query_id", "neighbor_id", F.col("rank").alias("lex_rank")
+    )
+    from amazon_kinesis_data_streams_health_check_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    vec = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < _RRF_QUERIES), k=_RRF_K
+    ).select("query_id", "neighbor_id", F.col("rank").alias("vec_rank"))
+    fused = (
+        lex.withColumnRenamed("query_id", "lq")
+        .withColumnRenamed("neighbor_id", "ln")
+        .join(
+            vec.withColumnRenamed("query_id", "vq").withColumnRenamed(
+                "neighbor_id", "vn"
+            ),
+            (F.col("lq") == F.col("vq")) & (F.col("ln") == F.col("vn")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("lq", "vq").alias("query_id"),
+            F.coalesce("ln", "vn").alias("neighbor_id"),
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("vec_rank").cast("long").alias("vec_rank"),
+            (
+                F.coalesce(F.expr(f"1000000 div ({_RRF_C} + lex_rank)"), F.lit(0))
+                + F.coalesce(F.expr(f"1000000 div ({_RRF_C} + vec_rank)"), F.lit(0))
+            )
+            .cast("long")
+            .alias("rrf_micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_micro"), "neighbor_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= _RRF_OUT_K)
+    )

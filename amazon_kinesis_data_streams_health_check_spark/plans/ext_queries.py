@@ -3116,3 +3116,96 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("candidate_precision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall: how much ANN quality survives keeping only
+# the FIRST 8 of 32 dimensions — the measurement behind
+# Matryoshka-representation deployment (truncate first, rerank later).
+# Same harness as ann_quantized_recall: exact cosine top-k vs truncated
+# cosine top-k, per-query recall@k; truncation is a narrow slice, so the
+# candidate scan reads 4x fewer floats per vector.
+# ---------------------------------------------------------------------------
+_MRL_DIMS = 8
+
+_MRL_RECALL_SQL = f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {duck_cosine('q.embedding', 'v.embedding')} DESC, v.vec_id
+           ) AS rank
+    FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+    WHERE q.vec_id < {_ANN_QUERY_LIMIT}
+  ) WHERE rank <= {_ANN_K}
+),
+tr AS (
+  SELECT vec_id, embedding[1:{_MRL_DIMS}] AS t FROM embeddings
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {duck_cosine('q.t', 'v.t')} DESC, v.vec_id
+           ) AS rank
+    FROM tr q JOIN tr v ON v.vec_id <> q.vec_id
+    WHERE q.vec_id < {_ANN_QUERY_LIMIT}
+  ) WHERE rank <= {_ANN_K}
+)
+SELECT e.query_id,
+       count(*) AS n_topk,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS recall
+FROM exact e
+LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "ann_matryoshka_recall",
+    oracle=_MRL_RECALL_SQL,
+    doc=f"E2: Matryoshka truncation quality — per-query recall@{_ANN_K} of "
+    f"cosine top-k over the first {_MRL_DIMS} of 32 dims vs the exact "
+    "full-dimension ranking (truncate-then-rerank deployment measurement)",
+    tags=("ext", "similarity"),
+)
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: identical to ann_quantized_recall's harness — both
+    rankings run through brute_force_topk (broadcast query side, two-phase
+    local/merge top-k); the truncation is a narrow slice() so the
+    truncated scan moves dims/4 of the bytes. The intersection join is
+    keyed (query_id, neighbor_id), k rows per query per side. At corpus
+    scale the truncated pass is the cheap first stage that gates the
+    full-dimension rerank."""
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < _ANN_QUERY_LIMIT), k=_ANN_K
+    ).select("query_id", "neighbor_id")
+    tr = emb.select(
+        "vec_id", F.expr(f"slice(embedding, 1, {_MRL_DIMS})").alias("t")
+    )
+    approx = (
+        brute_force_topk(
+            tr,
+            tr.filter(F.col("vec_id") < _ANN_QUERY_LIMIT),
+            k=_ANN_K,
+            vec_col="t",
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("is_hit", F.lit(1))
+    )
+    merged = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return merged.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_topk"),
+        F.sum(F.coalesce("is_hit", F.lit(0))).cast("long").alias("n_hits"),
+        F.round(
+            F.sum(F.coalesce("is_hit", F.lit(0))).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("recall"),
+    )

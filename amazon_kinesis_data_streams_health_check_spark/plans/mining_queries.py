@@ -1504,3 +1504,132 @@ def dp_geometric_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("noised_count"),
         F.lit(1000).cast("long").alias("epsilon_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test, EXACT: did each stream's value
+# distribution shift between the first and second half of the month? The
+# KS statistic D = max |F1 - F2| is kept integer: with a of n1 sample-1
+# values and b of n2 sample-2 values at or below a point, D at that point
+# is (a*n2 - b*n1)/(n1*n2) — so max|a*n2 - b*n1| is an exact BIGINT and
+# the alpha=0.05 decision D > 1.358*sqrt((n1+n2)/(n1*n2)) cross-multiplies
+# to d_scaled^2 * 1e6 > 1843964 * n1 * n2 * (n1+n2), evaluated in
+# DECIMAL(38,0)/HUGEINT. No ECDF floats, no sqrt.
+# ---------------------------------------------------------------------------
+_KS_CRIT_MICRO = 1_843_964  # (1.358)^2 * 1e6 — alpha = 0.05
+
+_KS_SQL = f"""
+WITH v AS (
+  SELECT event_type AS stream_name,
+         CAST(floor(value * 1000) AS BIGINT) AS x,
+         CASE WHEN epoch(ts) < (SELECT (min(epoch(ts)) + max(epoch(ts))) / 2
+                                FROM events) THEN 0 ELSE 1 END AS grp
+  FROM events
+),
+n AS (
+  SELECT stream_name,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM v GROUP BY stream_name
+),
+pts AS (
+  SELECT stream_name, x,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM v GROUP BY stream_name, x
+),
+ecdf AS (
+  SELECT stream_name, x,
+         sum(c1) OVER w AS a,
+         sum(c2) OVER w AS b
+  FROM pts
+  WINDOW w AS (PARTITION BY stream_name ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+d AS (
+  SELECT e.stream_name, n.n1, n.n2,
+         CAST(max(abs(e.a * n.n2 - e.b * n.n1)) AS BIGINT) AS d_scaled
+  FROM ecdf e JOIN n ON n.stream_name = e.stream_name
+  GROUP BY e.stream_name, n.n1, n.n2
+)
+SELECT stream_name, n1, n2, d_scaled,
+       CAST((1000000 * d_scaled) // (n1 * n2) AS BIGINT) AS ks_micro,
+       CAST(d_scaled AS HUGEINT) * CAST(d_scaled AS HUGEINT) * 1000000
+         > CAST({_KS_CRIT_MICRO} AS HUGEINT) * CAST(n1 AS HUGEINT)
+           * CAST(n2 AS HUGEINT) * CAST(n1 + n2 AS HUGEINT)
+         AS drifted_95
+FROM d
+"""
+
+
+@register(
+    "ks_drift_test",
+    oracle=_KS_SQL,
+    doc="Distribution drift: exact two-sample KS test per stream (first vs "
+    "second half of the window) — the statistic as max|a*n2 - b*n1| in "
+    "BIGINT and the 95% decision by 128-bit cross-multiplication; no "
+    "floats anywhere in the test",
+    tags=("ext", "mining", "stats", "timeseries"),
+)
+def ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: values pre-aggregate per (stream, milli-value) point —
+    the ECDF runs over the DISTINCT value domain, not the row count; the
+    cumulative window partitions by stream. The midpoint scalar
+    broadcasts. The decision arithmetic is per-stream on a |streams|-row
+    table. At 100 TB the value-domain compression is what keeps the
+    window input bounded (the weighted_median_price argument)."""
+    configure_session(spark)
+    from pyspark.sql import Window
+
+    events = parallel_scan(spark, sf_dir, "events")
+    mid = events.agg(
+        ((F.min(F.unix_timestamp("ts")) + F.max(F.unix_timestamp("ts"))) / 2).alias(
+            "mid"
+        )
+    )
+    v = events.crossJoin(F.broadcast(mid)).select(
+        F.col("event_type").alias("stream_name"),
+        F.floor(F.col("value") * 1000).cast("long").alias("x"),
+        F.when(F.unix_timestamp("ts") < F.col("mid"), 0).otherwise(1).alias("grp"),
+    )
+    pts = v.groupBy("stream_name", "x").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    n = v.groupBy("stream_name").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    w = (
+        Window.partitionBy("stream_name")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ecdf = pts.select(
+        "stream_name",
+        "x",
+        F.sum("c1").over(w).alias("a"),
+        F.sum("c2").over(w).alias("b"),
+    )
+    d = (
+        ecdf.join(F.broadcast(n), "stream_name")
+        .groupBy("stream_name", "n1", "n2")
+        .agg(
+            F.max(F.abs(F.col("a") * F.col("n2") - F.col("b") * F.col("n1")))
+            .cast("long")
+            .alias("d_scaled")
+        )
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    return d.select(
+        "stream_name",
+        "n1",
+        "n2",
+        "d_scaled",
+        F.expr("(1000000 * d_scaled) div (n1 * n2)").cast("long").alias("ks_micro"),
+        F.expr(
+            f"{dec.format('d_scaled')} * {dec.format('d_scaled')} * 1000000"
+            f" > {_KS_CRIT_MICRO} * {dec.format('n1')} * {dec.format('n2')}"
+            f" * {dec.format('n1 + n2')}"
+        ).alias("drifted_95"),
+    )
