@@ -1633,3 +1633,169 @@ def ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * {dec.format('n1 + n2')}"
         ).alias("drifted_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit: the classic fabricated-data screen — natural
+# multi-scale quantities follow P(d) = log10(1 + 1/d); ledger columns that
+# don't are worth a second look. Expected frequencies are precomputed
+# integer micro constants; the deviation statistic is the exact L1 distance
+# between observed and expected counts cross-multiplied to avoid division
+# (sum |obs * 1e6 - n * exp_micro| stays in BIGINT).
+# ---------------------------------------------------------------------------
+#: floor(log10(1 + 1/d) * 1e6) for d = 1..9.
+_BENFORD_MICRO = (301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757)
+
+_BENFORD_SQL = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS d
+  FROM orders WHERE o_totalprice > 0
+),
+obs AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS c FROM digits GROUP BY d
+),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM obs),
+exp_t AS (
+  SELECT CAST(g.range + 1 AS BIGINT) AS d,
+         CAST([{", ".join(str(x) for x in _BENFORD_MICRO)}][CAST(g.range + 1 AS INT)]
+              AS BIGINT) AS exp_micro
+  FROM range(0, 9) g
+)
+SELECT e.d,
+       COALESCE(o.c, 0) AS observed,
+       e.exp_micro AS expected_micro,
+       CAST(1000000 * COALESCE(o.c, 0) // n.total AS BIGINT) AS observed_micro,
+       CAST(abs(COALESCE(o.c, 0) * 1000000 - n.total * e.exp_micro) AS BIGINT)
+         AS dev_scaled
+FROM exp_t e
+LEFT JOIN obs o ON o.d = e.d
+CROSS JOIN n
+"""
+
+
+@register(
+    "benford_audit",
+    oracle=_BENFORD_SQL,
+    doc="Data-quality screen: first-digit (Benford) distribution of order "
+    "totals vs log10(1+1/d) expectations — observed shares and deviations "
+    "in exact integer micro units, division-free per-digit deviation",
+    tags=("ext", "mining", "quality"),
+)
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one narrow first-digit projection (string head of the
+    integer cents — no float log in the data path), one 9-key counting
+    aggregation, and a broadcast of the constant expectation table. The
+    audit costs a scan at any scale."""
+    configure_session(spark)
+    orders = parallel_scan(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") > 0).select(
+        F.expr(
+            "CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)"
+            " AS STRING), 1, 1) AS BIGINT)"
+        ).alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n = obs.agg(F.sum("c").cast("long").alias("total"))
+    exp_rows = ", ".join(
+        f"({d + 1}L, {x}L)" for d, x in enumerate(_BENFORD_MICRO)
+    )
+    exp_t = spark.sql(
+        f"SELECT d, exp_micro FROM VALUES {exp_rows} AS t(d, exp_micro)"
+    )
+    return (
+        F.broadcast(exp_t)
+        .join(obs, "d", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "d",
+            F.coalesce("c", F.lit(0)).cast("long").alias("observed"),
+            F.col("exp_micro").cast("long").alias("expected_micro"),
+            F.expr("1000000 * coalesce(c, 0) div total")
+            .cast("long")
+            .alias("observed_micro"),
+            F.abs(
+                F.coalesce("c", F.lit(0)) * F.lit(1000000)
+                - F.col("total") * F.col("exp_micro")
+            )
+            .cast("long")
+            .alias("dev_scaled"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sampled join-cardinality estimation: the CBO input key_skew_audit doesn't
+# give — how big would the lineitem-lineitem
+# self-join on partkey be (the worst case a planner must anticipate)? The
+# exact answer is sum over keys of freq^2; the estimator computes that sum
+# on a deterministic 1/16 KEY-sample (md5 bucket of the key — key-sampling
+# keeps whole frequency groups, which is what makes the frequency-moment
+# estimate unbiased where row-sampling is not) and scales by 16. Output compares
+# estimate vs exact with the relative error in milli.
+# ---------------------------------------------------------------------------
+_JCE_BUCKETS = 16
+
+_JCE_SQL = f"""
+WITH fa AS (
+  SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY l_partkey
+),
+exact AS (
+  SELECT CAST(sum(c * c) AS BIGINT) AS join_size FROM fa
+),
+est AS (
+  SELECT CAST({_JCE_BUCKETS} * sum(c * c) AS BIGINT) AS join_size_est
+  FROM fa
+  WHERE CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT)
+        % {_JCE_BUCKETS} = 0
+)
+SELECT e.join_size, s.join_size_est,
+       CAST(abs(s.join_size_est - e.join_size) * 1000 // e.join_size AS BIGINT)
+         AS rel_err_milli
+FROM exact e CROSS JOIN est s
+"""
+
+
+@register(
+    "join_cardinality_estimate",
+    oracle=_JCE_SQL,
+    doc=f"CBO input: self-join-size estimation by deterministic "
+    f"1/{_JCE_BUCKETS} KEY-sampling (md5 bucket keeps whole frequency "
+    "groups, so the second-frequency-moment estimate is unbiased where "
+    "row-sampling is not), compared against the exact sum of squares",
+    tags=("ext", "mining", "ops"),
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: both frequency tables are keyed aggregations onto the
+    reduced key domain; the estimator's sampled join touches 1/16 of that
+    domain (the filter is a pure key function, pushed below the join).
+    The exact twin exists here to measure the estimator; production uses
+    only the sampled leg — the point is that join-size estimation costs a
+    key-domain join, not a data join."""
+    configure_session(spark)
+    li = parallel_scan(spark, sf_dir, "lineitem")
+    fa = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("ca")
+    )
+    fa = fa.localCheckpoint(eager=False)  # exact AND sampled legs
+    exact = fa.agg(
+        F.sum(F.col("ca") * F.col("ca")).cast("long").alias("join_size")
+    )
+    est = fa.filter(
+        F.expr(
+            f"CAST(conv(substr(md5(CAST(k AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+            f" % {_JCE_BUCKETS} = 0"
+        )
+    ).agg(
+        (F.lit(_JCE_BUCKETS) * F.sum(F.col("ca") * F.col("ca")))
+        .cast("long")
+        .alias("join_size_est")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "join_size",
+        "join_size_est",
+        F.expr("abs(join_size_est - join_size) * 1000 div join_size")
+        .cast("long")
+        .alias("rel_err_milli"),
+    )
