@@ -504,3 +504,126 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("sum_chars"),
         F.sum(hash_uniform("doc_id")).cast("long").alias("membership_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget water-filling: allocate a global training-token budget across
+# sources so small sources keep everything and large sources are capped at
+# a common waterline L with sum(min(n_s, L)) <= B — the standard fair
+# allocation for mixture building. The waterline is found in CLOSED FORM
+# from the sorted per-source sizes: for each rank i, the candidate level
+# (B - prefix_{i-1}) div (K - i + 1) is valid iff it clears size_{i-1};
+# the largest valid rank gives L. All integer arithmetic, no iteration.
+# ---------------------------------------------------------------------------
+_WF_BUDGET_FRAC = 2  # budget B = total_tokens div 2
+
+
+def _wf_tok_count(text_expr: str) -> str:
+    return f"len(regexp_extract_all(lower({text_expr}), '[a-z0-9]+'))"
+
+
+_WF_SQL = f"""
+WITH sz AS (
+  SELECT source, CAST(sum({_wf_tok_count("text")}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+         CAST(sum(n_tokens) // {_WF_BUDGET_FRAC} AS BIGINT) AS budget,
+         CAST(count(*) AS BIGINT) AS k
+  FROM sz
+),
+ranked AS (
+  SELECT source, n_tokens,
+         row_number() OVER (ORDER BY n_tokens, source) AS i,
+         sum(n_tokens) OVER (ORDER BY n_tokens, source
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS p
+  FROM sz
+),
+cand AS (
+  SELECT r.i,
+         COALESCE(lag(r.n_tokens) OVER (ORDER BY r.i), 0) AS s_prev,
+         COALESCE(lag(r.p) OVER (ORDER BY r.i), 0) AS p_prev
+  FROM ranked r
+),
+wl AS (
+  SELECT max(CAST((t.budget - c.p_prev) // (t.k - c.i + 1) AS BIGINT))
+           FILTER (WHERE (t.budget - c.p_prev) // (t.k - c.i + 1) >= c.s_prev)
+           AS waterline
+  FROM cand c CROSS JOIN tot t
+)
+SELECT s.source, s.n_tokens,
+       CAST(least(s.n_tokens, w.waterline) AS BIGINT) AS allocated,
+       s.n_tokens > w.waterline AS capped,
+       CAST(w.waterline AS BIGINT) AS waterline,
+       t.budget
+FROM sz s CROSS JOIN wl w CROSS JOIN tot t
+"""
+
+
+@register(
+    "token_budget_waterfill",
+    oracle=_WF_SQL,
+    doc="Mixture building: closed-form water-filling allocation of a "
+    "global token budget (half the corpus) across sources — sorted prefix "
+    "sums give every candidate waterline in one window pass, the largest "
+    "valid one wins; exact integers, no iteration",
+    tags=("ext", "curation"),
+)
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: per-source sizes are one counting aggregation over the
+    corpus; everything after runs on the |sources|-row table (window over
+    K rows, broadcast scalars). The closed form matters at scale because
+    the naive alternative — iterate 'lower the waterline until the budget
+    fits' — is a driver-side loop with a corpus-sized re-aggregation per
+    step. Monotonicity of (B - P_{{i-1}}) div (K-i+1) validity makes the
+    max-valid-rank selection correct (the waterline function is the
+    classic one from max-min fair allocation)."""
+    configure_session(spark)
+    from pyspark.sql import Window
+
+    docs = parallel_scan(spark, sf_dir, "documents")
+    sz = docs.groupBy("source").agg(
+        F.sum(F.expr(f"size(regexp_extract_all(lower(text), '{TOKEN_RE}', 0))"))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    sz = sz.localCheckpoint(eager=False)  # feeds totals, ranking, AND output
+    tot = sz.agg(
+        F.sum("n_tokens").cast("long").alias("total"),
+        F.expr(f"sum(n_tokens) div {_WF_BUDGET_FRAC}").cast("long").alias("budget"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    w_rank = Window.orderBy("n_tokens", "source")
+    ranked = sz.select(
+        "n_tokens",
+        F.row_number().over(w_rank).alias("i"),
+        F.sum("n_tokens")
+        .over(w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("p"),
+    )
+    w_i = Window.orderBy("i")
+    cand = ranked.select(
+        "i",
+        F.coalesce(F.lag("n_tokens").over(w_i), F.lit(0)).alias("s_prev"),
+        F.coalesce(F.lag("p").over(w_i), F.lit(0)).alias("p_prev"),
+    )
+    lvl = F.expr("(budget - p_prev) div (k - i + 1)")
+    wl = (
+        cand.crossJoin(F.broadcast(tot))
+        .select(F.when(lvl >= F.col("s_prev"), lvl).alias("valid_level"))
+        .agg(F.max("valid_level").cast("long").alias("waterline"))
+    )
+    return (
+        sz.crossJoin(F.broadcast(wl))
+        .crossJoin(F.broadcast(tot.select("budget")))
+        .select(
+            "source",
+            "n_tokens",
+            F.least("n_tokens", "waterline").cast("long").alias("allocated"),
+            (F.col("n_tokens") > F.col("waterline")).alias("capped"),
+            "waterline",
+            "budget",
+        )
+    )

@@ -3120,7 +3120,7 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Matryoshka truncation recall: how much ANN quality survives keeping only
-# the FIRST 8 of 32 dimensions — the measurement behind
+# the FIRST 8 of 64 dimensions — the measurement behind
 # Matryoshka-representation deployment (truncate first, rerank later).
 # Same harness as ann_quantized_recall: exact cosine top-k vs truncated
 # cosine top-k, per-query recall@k; truncation is a narrow slice, so the
@@ -3170,7 +3170,7 @@ GROUP BY e.query_id
     "ann_matryoshka_recall",
     oracle=_MRL_RECALL_SQL,
     doc=f"E2: Matryoshka truncation quality — per-query recall@{_ANN_K} of "
-    f"cosine top-k over the first {_MRL_DIMS} of 32 dims vs the exact "
+    f"cosine top-k over the first {_MRL_DIMS} of 64 dims vs the exact "
     "full-dimension ranking (truncate-then-rerank deployment measurement)",
     tags=("ext", "similarity"),
 )
@@ -3208,4 +3208,107 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("is_hit", F.lit(0))).cast("double") / F.count(F.lit(1)),
             6,
         ).alias("recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding dispersion WITHOUT the pairwise join: the mean pairwise cosine
+# within a label satisfies  sum_{i!=j} <v_i, v_j> = ||sum_i v_i||^2 - n
+# for unit vectors — so one vector-sum pass replaces the O(n^2) similarity
+# join entirely. To keep the identity exact across engines, unit vectors
+# are quantized per row to integer milli components (deterministic floor),
+# making every sum and dot product BIGINT arithmetic; n * 1e6 is then the
+# exact "self" term of the quantized vectors' norms... which is itself
+# summed exactly rather than assumed, so the identity holds bit-for-bit.
+# ---------------------------------------------------------------------------
+_EMB_DIM = 64
+
+_DISP_SQL = """
+WITH q AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(floor(x * 1000
+           / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * y))))
+           AS BIGINT)) AS v
+  FROM embeddings
+),
+comp AS (
+  SELECT label, i, CAST(sum(x) AS BIGINT) AS s
+  FROM (
+    SELECT label, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i FROM q
+  ) GROUP BY label, i
+),
+sv AS (
+  SELECT label, CAST(sum(s * s) AS BIGINT) AS sumvec_dot FROM comp GROUP BY label
+),
+base AS (
+  SELECT label,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(list_sum(list_transform(v, x -> x * x))) AS BIGINT) AS self_dot
+  FROM q GROUP BY label
+)
+SELECT b.label, b.n, b.self_dot, sv.sumvec_dot,
+       CAST((sv.sumvec_dot - b.self_dot) * 1000000 // (b.n * (b.n - 1))
+            AS BIGINT) AS mean_pair_dot_scaled
+FROM base b JOIN sv ON sv.label = b.label
+WHERE b.n > 1
+"""
+
+
+@register(
+    "embedding_dispersion",
+    oracle=_DISP_SQL,
+    doc="Per-label embedding dispersion with ZERO pairwise work: mean "
+    "pairwise dot of milli-quantized unit vectors via the sum-vector "
+    "identity sum_{i!=j}<vi,vj> = ||sum vi||^2 - sum||vi||^2 — one "
+    "aggregation pass replaces the O(n^2) similarity join",
+    tags=("ext", "similarity", "stats"),
+)
+def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the whole statistic is one keyed aggregation — per
+    label, a 32-component integer vector sum plus two scalar sums, all
+    map-side partial. The algebraic identity is the 100 TB story: cluster
+    cohesion/dispersion metrics never need the pairwise join that a naive
+    implementation reaches for. Quantizing each row to integer milli
+    BEFORE summing makes the identity exact in BIGINT (a float vector sum
+    would be reduction-order-dependent)."""
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(x * 1000"
+            " / sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            " (a, y) -> a + CAST(y AS DOUBLE) * y))) AS BIGINT))"
+        ).alias("v"),
+    )
+    persum = q.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.expr("aggregate(v, CAST(0 AS BIGINT), (a, x) -> a + x * x)")
+        )
+        .cast("long")
+        .alias("self_dot"),
+        F.array(
+            *[
+                F.sum(F.expr(f"element_at(v, {i})")).cast("long")
+                for i in range(1, _EMB_DIM + 1)
+            ]
+        ).alias("sumvec"),
+    )
+    return (
+        persum.filter(F.col("n") > 1)
+        .select(
+            "label",
+            "n",
+            "self_dot",
+            F.expr("aggregate(sumvec, CAST(0 AS BIGINT), (a, x) -> a + x * x)")
+            .cast("long")
+            .alias("sumvec_dot"),
+            F.expr(
+                "(aggregate(sumvec, CAST(0 AS BIGINT), (a, x) -> a + x * x)"
+                " - self_dot) * 1000000 div (n * (n - 1))"
+            )
+            .cast("long")
+            .alias("mean_pair_dot_scaled"),
+        )
     )
