@@ -127,3 +127,107 @@ def test_cusum_closed_form_model():
         lon = min(lon, pn)
         got.append((pp - min(0, lop), pn - min(0, lon)))
     assert got == expected
+
+
+def test_waterfill_closed_form_vs_bruteforce():
+    """The closed-form waterline equals the brute-force 'largest L with
+    sum(min(s, L)) <= B' on assorted size vectors."""
+
+    def closed_form(sizes, budget):
+        ss = sorted(sizes)
+        k = len(ss)
+        prefix = [0]
+        for s in ss:
+            prefix.append(prefix[-1] + s)
+        best = None
+        for i in range(1, k + 1):
+            s_prev = ss[i - 2] if i >= 2 else 0
+            lvl = (budget - prefix[i - 1]) // (k - i + 1)
+            if lvl >= s_prev:
+                best = lvl if best is None else max(best, lvl)
+        return best
+
+    def brute(sizes, budget):
+        lo = 0
+        while sum(min(s, lo + 1) for s in sizes) <= budget:
+            lo += 1
+        return lo
+
+    cases = [
+        ([10, 20, 100], 60),
+        ([10, 20, 100], 25),
+        ([5, 5, 5, 5], 12),
+        ([1, 2, 3, 4, 100], 50),
+        ([7], 3),
+        ([3, 3, 3], 4),
+        ([100, 200, 300], 599),
+    ]
+    for sizes, b in cases:
+        assert closed_form(sizes, b) == brute(sizes, b), (sizes, b)
+        alloc = sum(min(s, closed_form(sizes, b)) for s in sizes)
+        assert alloc <= b
+
+
+def test_ks_integer_statistic_vs_float_model():
+    """max|a*n2 - b*n1| / (n1*n2) equals the float two-sample KS D on
+    hand-rolled samples (computed at every distinct point)."""
+    s1 = [1, 3, 3, 7, 9, 9, 9, 12]
+    s2 = [2, 3, 5, 7, 11, 13]
+    n1, n2 = len(s1), len(s2)
+    pts = sorted(set(s1) | set(s2))
+    d_scaled = max(
+        abs(sum(1 for x in s1 if x <= p) * n2 - sum(1 for x in s2 if x <= p) * n1)
+        for p in pts
+    )
+    d_float = max(
+        abs(sum(1 for x in s1 if x <= p) / n1 - sum(1 for x in s2 if x <= p) / n2)
+        for p in pts
+    )
+    assert abs(d_scaled / (n1 * n2) - d_float) < 1e-12
+
+
+def test_decayed_pow2_cast_is_exact(spark):
+    """decayed_activity_rank divides by CAST(pow(2, age) AS BIGINT): pin
+    that the double pow round-trips exactly to 2^k for every age the decay
+    can see (doubles represent powers of two exactly well past 2^52)."""
+    rows = (
+        spark.range(60)
+        .select(
+            F.col("id").alias("k"),
+            F.expr("CAST(pow(2, id) AS BIGINT)").alias("p"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r["p"] == 1 << r["k"], (r["k"], r["p"])
+
+
+def test_dispersion_identity_model():
+    """sum_{i!=j} <vi,vj> == ||sum vi||^2 - sum ||vi||^2 on integer vectors."""
+    vecs = [(3, -1, 2), (0, 4, -2), (1, 1, 1), (-5, 2, 0)]
+    lhs = sum(
+        sum(a * b for a, b in zip(v, w))
+        for i, v in enumerate(vecs)
+        for j, w in enumerate(vecs)
+        if i != j
+    )
+    sumvec = [sum(v[k] for v in vecs) for k in range(3)]
+    rhs = sum(x * x for x in sumvec) - sum(sum(x * x for x in v) for v in vecs)
+    assert lhs == rhs
+
+
+def test_bootstrap_poisson_ladder_is_valid_cdf():
+    from amazon_kinesis_data_streams_health_check_spark.plans.mining_queries import (
+        _BOOT_THRESH,
+        _DP_LADDER,
+    )
+
+    assert list(_BOOT_THRESH) == sorted(_BOOT_THRESH)
+    assert all(0 < t < 2**32 for t in _BOOT_THRESH)
+    dp_ts = [t for _, t in _DP_LADDER]
+    assert dp_ts == sorted(dp_ts)
+    assert all(0 < t < 2**32 for t in dp_ts)
+    # symmetric mechanism: P(k<=-1) + P(0) block crosses 1/2 at k=0
+    below = dict(_DP_LADDER)[-1]
+    at0 = dict(_DP_LADDER)[0]
+    assert below < 2**31 < at0
