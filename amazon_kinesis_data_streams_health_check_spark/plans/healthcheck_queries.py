@@ -1798,3 +1798,180 @@ def acf_by_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hysteresis (Schmitt-trigger) alarm: the flap-resistant variant of the
+# flagship threshold — raise at x > HI, clear only at x < LO, HOLD the
+# previous state in between. The hold recurrence needs no fold: forced
+# transitions are a sparse event column (ALARM above HI, OK below LO, NULL
+# in the dead band) and the held state is last_value IGNORE NULLS over the
+# per-stream timeline — one window function in both engines.
+# ---------------------------------------------------------------------------
+_HYST_HI = 400.0
+_HYST_LO = 250.0
+
+_HYST_SQL = f"""
+WITH m AS (
+  SELECT event_type AS stream_name,
+         60 * CAST(floor(epoch(ts) / 60) AS BIGINT) AS ws,
+         CAST(max(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+forced AS (
+  SELECT stream_name, ws, x,
+         CASE WHEN x > {int(_HYST_HI * 1000)} THEN 'ALARM'
+              WHEN x < {int(_HYST_LO * 1000)} THEN 'OK' END AS f
+  FROM m
+),
+held AS (
+  SELECT stream_name, ws, x,
+         COALESCE(last_value(f IGNORE NULLS) OVER w, 'OK') AS state
+  FROM forced
+  WINDOW w AS (PARTITION BY stream_name ORDER BY ws
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT stream_name, ws AS window_start_s, x AS max_value_milli, state,
+       lag(state) OVER (PARTITION BY stream_name ORDER BY ws) IS NOT NULL
+         AND state <> lag(state) OVER (PARTITION BY stream_name ORDER BY ws)
+         AS transitioned
+FROM held
+"""
+
+
+@register(
+    "hysteresis_alarm",
+    oracle=_HYST_SQL,
+    doc=f"Flap-resistant alerting: Schmitt-trigger alarm (raise above "
+    f"{_HYST_HI}, clear below {_HYST_LO}, hold in the dead band) — the "
+    "hold recurrence is last_value IGNORE NULLS over sparse forced "
+    "transitions, one window function instead of a stateful fold",
+    tags=("core", "alerting", "timeseries"),
+)
+def hysteresis_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: minute rollup (keyed agg, per-row integer milli before
+    the max so the rollup is order-free), then two window functions over
+    the per-stream timeline. The last-non-null device turns an apparently
+    stateful hold into plain window algebra, so the streaming twin's only
+    job would be carrying (last forced state) — one enum per stream.
+    Dead-band width is the flap-suppression knob: transitions here require
+    crossing BOTH thresholds, which is what de-flaps a noisy metric."""
+    configure_session(spark)
+    from pyspark.sql import Window
+
+    events = parallel_scan(spark, sf_dir, "events")
+    m = events.groupBy(
+        F.col("event_type").alias("stream_name"),
+        (F.lit(60) * F.floor(F.unix_timestamp("ts") / 60)).cast("long").alias("ws"),
+    ).agg(F.max(F.floor(F.col("value") * 1000).cast("long")).cast("long").alias("x"))
+    forced = m.withColumn(
+        "f",
+        F.when(F.col("x") > int(_HYST_HI * 1000), "ALARM").when(
+            F.col("x") < int(_HYST_LO * 1000), "OK"
+        ),
+    )
+    w = (
+        Window.partitionBy("stream_name")
+        .orderBy("ws")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lag = Window.partitionBy("stream_name").orderBy("ws")
+    held = forced.select(
+        "stream_name",
+        "ws",
+        "x",
+        F.coalesce(F.last("f", ignorenulls=True).over(w), F.lit("OK")).alias("state"),
+    )
+    return held.select(
+        "stream_name",
+        F.col("ws").alias("window_start_s"),
+        F.col("x").alias("max_value_milli"),
+        "state",
+        (
+            F.lag("state").over(w_lag).isNotNull()
+            & (F.col("state") != F.lag("state").over(w_lag))
+        ).alias("transitioned"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Alarm flappiness: how often does each stream's alarm flip per day — the
+# fatigue metric that tells an operator which alarms need hysteresis or a
+# longer N-of-M. Builds on the flagship single-threshold state series and
+# counts transitions per (stream, day); flappy = more than FLAP_MAX flips.
+# ---------------------------------------------------------------------------
+_FLAP_THRESHOLD = 300.0
+_FLAP_MAX = 10
+
+_FLAP_SQL = f"""
+WITH m AS (
+  SELECT event_type AS stream_name,
+         60 * CAST(floor(epoch(ts) / 60) AS BIGINT) AS ws,
+         CAST(max(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT stream_name, ws,
+         CASE WHEN x > {int(_FLAP_THRESHOLD * 1000)} THEN 'ALARM' ELSE 'OK' END
+           AS state
+  FROM m
+),
+tr AS (
+  SELECT stream_name, ws, state,
+         lag(state) OVER (PARTITION BY stream_name ORDER BY ws) AS prev
+  FROM st
+)
+SELECT stream_name,
+       CAST(floor(ws / 86400) AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_periods,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND state <> prev THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_transitions,
+       sum(CASE WHEN prev IS NOT NULL AND state <> prev THEN 1 ELSE 0 END)
+         > {_FLAP_MAX} AS flappy
+FROM tr
+GROUP BY stream_name, day
+"""
+
+
+@register(
+    "alarm_flappiness",
+    oracle=_FLAP_SQL,
+    doc=f"Alarm-fatigue audit: state transitions per (stream, day) under "
+    f"the single-threshold alarm; > {_FLAP_MAX} flips/day flags the alarm "
+    "as needing hysteresis or a longer N-of-M window",
+    tags=("core", "alerting", "ops"),
+)
+def alarm_flappiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: minute rollup -> per-stream lag window -> (stream, day)
+    counting aggregation; all keys uniform, the lag window is the same
+    per-stream timeline every alarm query walks. Day attribution uses the
+    period start (transitions at midnight belong to the new day)."""
+    configure_session(spark)
+    from pyspark.sql import Window
+
+    events = parallel_scan(spark, sf_dir, "events")
+    m = events.groupBy(
+        F.col("event_type").alias("stream_name"),
+        (F.lit(60) * F.floor(F.unix_timestamp("ts") / 60)).cast("long").alias("ws"),
+    ).agg(F.max(F.floor(F.col("value") * 1000).cast("long")).cast("long").alias("x"))
+    st = m.select(
+        "stream_name",
+        "ws",
+        F.when(F.col("x") > int(_FLAP_THRESHOLD * 1000), "ALARM")
+        .otherwise("OK")
+        .alias("state"),
+    )
+    w = Window.partitionBy("stream_name").orderBy("ws")
+    tr = st.select(
+        "stream_name", "ws", "state", F.lag("state").over(w).alias("prev")
+    )
+    flips = F.sum(
+        (F.col("prev").isNotNull() & (F.col("state") != F.col("prev"))).cast("int")
+    )
+    return tr.groupBy(
+        "stream_name", F.floor(F.col("ws") / 86400).cast("long").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_periods"),
+        flips.cast("long").alias("n_transitions"),
+        (flips > _FLAP_MAX).alias("flappy"),
+    )
