@@ -3227,7 +3227,7 @@ _DISP_SQL = """
 WITH q AS (
   SELECT label,
          list_transform(embedding, x -> CAST(floor(x * 1000
-           / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * y))))
+           / nullif(sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * y))), 0))
            AS BIGINT)) AS v
   FROM embeddings
 ),
@@ -3277,8 +3277,8 @@ def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.expr(
             "transform(embedding, x -> CAST(floor(x * 1000"
-            " / sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),"
-            " (a, y) -> a + CAST(y AS DOUBLE) * y))) AS BIGINT))"
+            " / nullif(sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            " (a, y) -> a + CAST(y AS DOUBLE) * y)), 0)) AS BIGINT))"
         ).alias("v"),
     )
     persum = q.groupBy("label").agg(

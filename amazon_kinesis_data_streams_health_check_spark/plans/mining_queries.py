@@ -1553,7 +1553,7 @@ d AS (
   GROUP BY e.stream_name, n.n1, n.n2
 )
 SELECT stream_name, n1, n2, d_scaled,
-       CAST((1000000 * d_scaled) // (n1 * n2) AS BIGINT) AS ks_micro,
+       CAST((1000000 * d_scaled) // nullif(n1 * n2, 0) AS BIGINT) AS ks_micro,
        CAST(d_scaled AS HUGEINT) * CAST(d_scaled AS HUGEINT) * 1000000
          > CAST({_KS_CRIT_MICRO} AS HUGEINT) * CAST(n1 AS HUGEINT)
            * CAST(n2 AS HUGEINT) * CAST(n1 + n2 AS HUGEINT)
@@ -1626,7 +1626,7 @@ def ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1",
         "n2",
         "d_scaled",
-        F.expr("(1000000 * d_scaled) div (n1 * n2)").cast("long").alias("ks_micro"),
+        F.expr("(1000000 * d_scaled) div nullif(n1 * n2, 0)").cast("long").alias("ks_micro"),
         F.expr(
             f"{dec.format('d_scaled')} * {dec.format('d_scaled')} * 1000000"
             f" > {_KS_CRIT_MICRO} * {dec.format('n1')} * {dec.format('n2')}"
