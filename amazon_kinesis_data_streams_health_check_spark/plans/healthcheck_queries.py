@@ -1975,3 +1975,83 @@ def alarm_flappiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         flips.cast("long").alias("n_transitions"),
         (flips > _FLAP_MAX).alias("flappy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate-percentile accuracy contract: at 100 TB the exact keyed
+# percentile is replaced by approx_percentile (mergeable, map-side partial)
+# — this query PINS that swap's safety the way sketch_rollup_merge pins the
+# HLL/KLL contract. The Spark side computes exact and approximate p50/p99,
+# re-ranks the approximate answers against the data, and emits BOOLEAN
+# rank-error verdicts; the oracle emits the exact values and literal TRUE,
+# so any contract violation hash-fails the query. (The approximate values
+# themselves are engine-specific and are deliberately NOT in the output.)
+# ---------------------------------------------------------------------------
+_APPROX_ACC = 10_000  # approx_percentile accuracy parameter
+
+_APPROX_Q_SQL = """
+WITH v AS (
+  SELECT event_type AS stream_name, CAST(floor(value * 1000) AS BIGINT) AS x
+  FROM events
+)
+SELECT stream_name,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(x, 0.50), 6) AS exact_p50_milli,
+       round(quantile_cont(x, 0.99), 6) AS exact_p99_milli,
+       TRUE AS p50_within_contract,
+       TRUE AS p99_within_contract
+FROM v GROUP BY stream_name
+"""
+
+
+@register(
+    "approx_quantile_contract",
+    oracle=_APPROX_Q_SQL,
+    doc="Accuracy contract: approx_percentile(p50/p99) re-ranked against "
+    "the data must sit within the rank-error tolerance — the verdict "
+    "booleans are part of the value hash (oracle asserts TRUE), exactly "
+    "the sketch_rollup_merge pattern for the percentile family",
+    tags=("core", "timeseries", "sketch"),
+)
+def approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the approximate path is the one that survives 100 TB —
+    approx_percentile is a mergeable KLL-family sketch with map-side
+    partials, no per-key sort. The exact twin and the re-rank join exist
+    HERE to measure it (rank tolerance = max(1, n div 1000), looser than
+    the sketch's n/accuracy guarantee so the contract is stable across
+    sketch implementations); production keeps only the sketch leg."""
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    v = events.select(
+        F.col("event_type").alias("stream_name"),
+        F.floor(F.col("value") * 1000).cast("long").alias("x"),
+    )
+    v = v.localCheckpoint(eager=False)  # feeds the agg AND the re-rank
+    agg = v.groupBy("stream_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.expr("percentile(x, 0.50)"), 6).alias("exact_p50_milli"),
+        F.round(F.expr("percentile(x, 0.99)"), 6).alias("exact_p99_milli"),
+        F.expr(f"approx_percentile(x, 0.50, {_APPROX_ACC})").alias("a50"),
+        F.expr(f"approx_percentile(x, 0.99, {_APPROX_ACC})").alias("a99"),
+    )
+    ranks = (
+        v.join(F.broadcast(agg.select("stream_name", "a50", "a99")), "stream_name")
+        .groupBy("stream_name")
+        .agg(
+            F.sum((F.col("x") <= F.col("a50")).cast("int")).cast("long").alias("r50"),
+            F.sum((F.col("x") <= F.col("a99")).cast("int")).cast("long").alias("r99"),
+        )
+    )
+    tol = F.greatest(F.lit(1), F.expr("n div 1000"))
+    return agg.join(ranks, "stream_name").select(
+        "stream_name",
+        "n",
+        "exact_p50_milli",
+        "exact_p99_milli",
+        (
+            F.abs(F.col("r50") - F.expr("CAST(n div 2 AS BIGINT)")) <= tol
+        ).alias("p50_within_contract"),
+        (
+            F.abs(F.col("r99") - F.expr("CAST(99 * n div 100 AS BIGINT)")) <= tol
+        ).alias("p99_within_contract"),
+    )

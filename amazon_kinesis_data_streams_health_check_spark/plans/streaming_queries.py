@@ -29,6 +29,7 @@ from amazon_kinesis_data_streams_health_check_spark.plans.ext_queries import (
 from amazon_kinesis_data_streams_health_check_spark.plans.healthcheck_queries import (
     _CUSUM_SQL,
     _FLAGSHIP_SQL,
+    _HYST_SQL,
 )
 from amazon_kinesis_data_streams_health_check_spark.plans.registry import register
 from amazon_kinesis_data_streams_health_check_spark.session import configure_session
@@ -976,3 +977,77 @@ def streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(feed_dir)
     )
     return _run_to_memory(cusum_stream(feed), "cusum", output_mode="update")
+
+
+# ---------------------------------------------------------------------------
+# Streaming hysteresis alarm: the Schmitt-trigger state machine online. The
+# held state is ONE enum per stream (the last forced transition), so this
+# is the smallest possible stateful operator — and because the batch twin
+# expresses the hold as last_value IGNORE NULLS, the two are semantically
+# identical by construction and share one oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_hysteresis_alarm",
+    # Import, not copy: the streaming hold and the batch window form must
+    # stay semantically identical, so they share one oracle.
+    oracle=_HYST_SQL,
+    doc="Streaming Schmitt-trigger alarm: applyInPandasWithState holding "
+    "the last forced transition (raise above HI, clear below LO, hold in "
+    "the dead band) — 4 mtime-ordered feed chunks, value-hash checked "
+    "against the batch hysteresis_alarm oracle",
+    tags=("core", "streaming", "alerting"),
+)
+def streaming_hysteresis_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: state is one enum per stream — the minimum any alarm
+    can carry; each micro-batch folds its periods in O(rows). The batch
+    window form and this fold are the same recurrence, which the shared
+    oracle enforces forever."""
+    import shutil
+
+    from amazon_kinesis_data_streams_health_check_spark.streaming.cusum import (
+        hysteresis_stream,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    m = (
+        events.groupBy(
+            F.col("event_type").alias("stream_name"),
+            (F.lit(60) * F.floor(F.unix_timestamp("ts") / 60))
+            .cast("long")
+            .alias("ws"),
+        )
+        .agg(
+            F.max(F.floor(F.col("value") * 1000).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+        .localCheckpoint(eager=False)
+    )
+    b = m.agg(F.min("ws").alias("lo"), F.max("ws").alias("hi")).collect()[0]
+    lo_s, hi_s = int(b["lo"]), int(b["hi"])
+
+    feed_dir = tempfile.mkdtemp(prefix="hyst_feed_")
+    n_chunks = 4
+    span = hi_s - lo_s + 60
+    step = max(60, (span // n_chunks // 60) * 60)
+    cuts = [lo_s + i * step for i in range(n_chunks)] + [hi_s + 120]
+    for i in range(n_chunks):
+        chunk = m.filter((F.col("ws") >= cuts[i]) & (F.col("ws") < cuts[i + 1]))
+        tmp = tempfile.mkdtemp(prefix=f"hyst_chunk{i}_")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p
+            for p in sorted(os.listdir(tmp))
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = os.path.join(feed_dir, f"chunk_{i:02d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    feed = (
+        spark.readStream.schema("stream_name string, ws long, x long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    return _run_to_memory(hysteresis_stream(feed), "hyst", output_mode="update")

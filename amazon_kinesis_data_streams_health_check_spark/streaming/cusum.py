@@ -108,3 +108,71 @@ def cusum_stream(feed: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming hysteresis (Schmitt-trigger) alarm — the online twin of the
+# batch hysteresis_alarm query. State: the last forced transition per
+# stream (one enum), the minimum any alarm state machine can carry.
+# ---------------------------------------------------------------------------
+HYST_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("stream_name", StringType()),
+        StructField("window_start_s", LongType()),
+        StructField("max_value_milli", LongType()),
+        StructField("state", StringType()),
+        StructField("transitioned", BooleanType()),
+    ]
+)
+
+HYST_STATE_SCHEMA = StructType(
+    [
+        StructField("cur_state", StringType()),
+    ]
+)
+
+_HYST_HI_MILLI = 400_000
+_HYST_LO_MILLI = 250_000
+
+
+def make_hysteresis_fn(hi_milli: int = _HYST_HI_MILLI, lo_milli: int = _HYST_LO_MILLI):
+    def hyst_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        stream_name = key[0]
+        cur = state.get[0] if state.exists else "OK"
+        seen_any = state.exists  # a prior period exists => lag() is defined
+        out: dict[str, list] = {f.name: [] for f in HYST_OUTPUT_SCHEMA.fields}
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("ws")
+        for ws, x in zip(pdf["ws"], pdf["x"]):
+            ws, x = int(ws), int(x)
+            if x > hi_milli:
+                new = "ALARM"
+            elif x < lo_milli:
+                new = "OK"
+            else:
+                new = cur
+            out["stream_name"].append(stream_name)
+            out["window_start_s"].append(ws)
+            out["max_value_milli"].append(x)
+            out["state"].append(new)
+            out["transitioned"].append(seen_any and new != cur)
+            cur = new
+            seen_any = True
+        state.update((cur,))
+        yield pd.DataFrame(out)
+
+    return hyst_fn
+
+
+def hysteresis_stream(feed: DataFrame) -> DataFrame:
+    """(stream_name, ws, x) metric stream -> one held-state row per period."""
+    return feed.groupBy("stream_name").applyInPandasWithState(
+        make_hysteresis_fn(),
+        outputStructType=HYST_OUTPUT_SCHEMA,
+        stateStructType=HYST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
