@@ -1799,3 +1799,124 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rel_err_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend: the median of pairwise slopes — insensitive to
+# outlier days that drag OLS around. Days index x in 0..29, so the pair set
+# is C(days, 2) per stream (bounded by the WINDOW, not the data volume);
+# slopes are floored to integer micro-units per day, making the median an
+# exact integer order statistic. OLS from the same daily series (exact
+# moment sums, the grouped_linear_fit device) rides along for contrast.
+# ---------------------------------------------------------------------------
+_TS_SQL = """
+WITH daily AS (
+  SELECT event_type AS stream_name,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT stream_name, day, y,
+         CAST(row_number() OVER (PARTITION BY stream_name ORDER BY day) - 1
+              AS BIGINT) AS xi
+  FROM daily
+),
+slopes AS (
+  SELECT a.stream_name,
+         CAST((1000000 * (b.y - a.y)) // (b.xi - a.xi) AS BIGINT) AS s
+  FROM idx a JOIN idx b
+    ON b.stream_name = a.stream_name AND b.xi > a.xi
+),
+ts AS (
+  SELECT stream_name,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(quantile_disc(s, 0.5) AS BIGINT) AS theil_sen_micro
+  FROM slopes GROUP BY stream_name
+),
+mom AS (
+  SELECT stream_name,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xi) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(xi * xi) AS BIGINT) AS sxx,
+         CAST(sum(xi * y) AS BIGINT) AS sxy
+  FROM idx GROUP BY stream_name
+),
+ols AS (
+  SELECT stream_name,
+         CAST((1000000 * (n * sxy - sx * sy))
+              // nullif(n * sxx - sx * sx, 0) AS BIGINT) AS ols_micro
+  FROM mom
+)
+SELECT t.stream_name, t.n_pairs, t.theil_sen_micro, o.ols_micro
+FROM ts t JOIN ols o ON o.stream_name = t.stream_name
+"""
+
+
+@register(
+    "theil_sen_trend",
+    oracle=_TS_SQL,
+    doc="Robust trend estimation: Theil-Sen slope (exact integer median of "
+    "C(days,2) pairwise micro-slopes per stream) next to the OLS slope "
+    "from exact moment sums — the outlier-resistant daily-trend reading",
+    tags=("ext", "mining", "stats", "timeseries"),
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the daily rollup reduces the data plane to
+    |streams| x |days| BEFORE any pairing; the pair join is bounded by the
+    day window squared per stream (C(30,2) = 435 here — a constant, not a
+    data-sized blowup), shuffling on the stream key. The slope median is
+    an exact discrete percentile over that bounded set; OLS needs only
+    moment sums. Day indices come from a per-stream rank so gaps in the
+    calendar don't skew the x spacing... they DO compress it — which is
+    the standard index-based Theil-Sen convention and keeps x bounded."""
+    configure_session(spark)
+    from pyspark.sql import Window
+
+    events = parallel_scan(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("event_type").alias("stream_name"),
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).cast("long").alias("y")
+    )
+    w = Window.partitionBy("stream_name").orderBy("day")
+    idx = daily.select(
+        "stream_name",
+        "y",
+        (F.row_number().over(w) - 1).cast("long").alias("xi"),
+    )
+    idx = idx.localCheckpoint(eager=False)  # pair join probe+build AND moments
+    a = idx.alias("a")
+    b = idx.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.stream_name") == F.col("b.stream_name"))
+        & (F.col("b.xi") > F.col("a.xi")),
+    ).select(
+        F.col("a.stream_name").alias("stream_name"),
+        F.expr("(1000000 * (b.y - a.y)) div (b.xi - a.xi)").cast("long").alias("s"),
+    )
+    ts = slopes.groupBy("stream_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY s)")
+        .cast("long")
+        .alias("theil_sen_micro"),
+    )
+    mom = idx.groupBy("stream_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xi").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("xi") * F.col("xi")).cast("long").alias("sxx"),
+        F.sum(F.col("xi") * F.col("y")).cast("long").alias("sxy"),
+    )
+    ols = mom.select(
+        "stream_name",
+        F.expr(
+            "(1000000 * (n * sxy - sx * sy)) div nullif(n * sxx - sx * sx, 0)"
+        )
+        .cast("long")
+        .alias("ols_micro"),
+    )
+    return ts.join(ols, "stream_name")
