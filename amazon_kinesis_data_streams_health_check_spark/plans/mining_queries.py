@@ -1,8 +1,12 @@
-"""[EXT] Pattern-mining and tokenizer-training queries: market-basket
-association rules over the relational star schema, PMI collocation mining
-over the document corpus, and distributed BPE merge learning — the
-vocabulary-construction stage of an LLM data pipeline expressed as pure
-DataFrame algebra.
+"""[EXT] Pattern-mining, tokenizer-training, and exact-statistics queries:
+market-basket association rules and PMI collocations; distributed BPE merge
+learning + corpus tokenization; Naive Bayes training/eval with k-fold CV by
+count subtraction; Poisson-bootstrap confidence intervals; chi-square and
+two-sample-KS screens in 128-bit integer arithmetic; differential-privacy
+geometric release; SAX time-series motif search; Benford and key-skew /
+join-cardinality operational audits; Theil-Sen robust trends — the
+measurement-and-mining layer of the engine, all expressed as pure DataFrame
+algebra with engine-exact integer scoring.
 
 Cross-engine determinism: all scores are exact-integer (milli-lift via
 BIGINT cross-multiplication, PMI in floor-log2 bits via ``length(bin(x))-1``
