@@ -1924,3 +1924,170 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ols_micro"),
     )
     return ts.join(ols, "stream_name")
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking with FIXED-POINT logarithms: the last IR scorer the text
+# stack lacked (tf-idf ranks by raw counts; BM25 saturates tf and
+# length-normalizes). Floats would hash-diverge on ln(), so log2 is
+# computed in milli-bits from pure integers: floor-log2 from the bit length
+# plus a 16-entry mantissa lookup (resolution ~0.09 bits — far finer than
+# BM25's ranking granularity needs). All tf/length factors are integer
+# milli arithmetic; identical expressions run in both engines.
+# ---------------------------------------------------------------------------
+#: round(1000 * log2(1 + m/16)) for the top-4 mantissa bits.
+_LOG2_LUT = (0, 87, 170, 248, 322, 392, 459, 524, 585, 644, 700, 755, 807, 858, 907, 954)
+_BM25_K1_MILLI = 1200
+_BM25_B_MILLI = 750
+_BM25_TOP_K = 10
+
+
+def _log2_milli(x: str, bits_fn: str, shift_fn: str) -> str:
+    """Fixed-point log2(x) in milli-bits for a positive integer expr.
+
+    ``bits = len(bin(x)) - 1`` (floor log2); the mantissa's top 4 bits are
+    ``(x * 16) >> bits - 16`` — the multiply-first form works for ANY
+    positive x (a conditional right-shift breaks below 32). ``bits_fn`` /
+    ``shift_fn`` adapt the bit-length and shift idioms per engine.
+    """
+    bits = bits_fn.format(x=x)
+    mant = f"({shift_fn.format(x=x, b=bits)}) - 16"
+    lut = "".join(
+        f" WHEN {m} THEN {v}" for m, v in enumerate(_LOG2_LUT)
+    )
+    return f"(1000 * ({bits}) + CASE ({mant}){lut} ELSE 0 END)"
+
+
+_SPARK_BITS = "length(bin({x})) - 1"
+_SPARK_SHIFT = "shiftright(({x}) * 16, length(bin({x})) - 1)"
+_DUCK_BITS = "length(bin({x})) - 1"
+_DUCK_SHIFT = "((CAST(({x}) AS BIGINT) * 16) >> (length(bin({x})) - 1))"
+
+#: Query terms: the terms with document-frequency ranks 10-12 (mid-frequency
+#: — discriminative but present in many docs), deterministic tie-breaks.
+_BM25_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOK}) AS term FROM documents
+),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dlen FROM tok GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dlen) AS BIGINT) AS total_len
+  FROM dl
+),
+df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfreq
+  FROM tok GROUP BY term
+),
+qterms AS (
+  SELECT term, dfreq FROM (
+    SELECT term, dfreq,
+           row_number() OVER (ORDER BY dfreq DESC, term) AS r
+    FROM df
+  ) WHERE r BETWEEN 10 AND 12
+),
+tf AS (
+  SELECT t.doc_id, t.term, CAST(count(*) AS BIGINT) AS f
+  FROM tok t JOIN qterms q ON q.term = t.term
+  GROUP BY t.doc_id, t.term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         {_log2_milli("((1000000 * (2 * s.n_docs - 2 * q.dfreq + 1)) // (2 * q.dfreq + 1))", _DUCK_BITS, _DUCK_SHIFT)}
+           - {_log2_milli("1000000", _DUCK_BITS, _DUCK_SHIFT)} AS idf_milli,
+         (1000 * tf.f * ({_BM25_K1_MILLI} + 1000))
+           // (1000 * tf.f + {_BM25_K1_MILLI} * ((1000 - {_BM25_B_MILLI})
+               + (({_BM25_B_MILLI} * d.dlen * s.n_docs) // s.total_len)) // 1000)
+           AS tf_milli
+  FROM tf
+  JOIN dl d ON d.doc_id = tf.doc_id
+  JOIN qterms q ON q.term = tf.term
+  CROSS JOIN stats s
+)
+SELECT doc_id,
+       CAST(sum(idf_milli * tf_milli) AS BIGINT) AS bm25_microish,
+       CAST(count(*) AS BIGINT) AS n_terms_hit,
+       CAST(row_number() OVER (ORDER BY sum(idf_milli * tf_milli) DESC, doc_id)
+            AS BIGINT) AS rank
+FROM scored
+GROUP BY doc_id
+QUALIFY rank <= {_BM25_TOP_K}
+"""
+
+
+@register(
+    "bm25_topk",
+    oracle=_BM25_SQL,
+    doc=f"IR ranking: BM25 (k1=1.2, b=0.75) over the 3 mid-frequency query "
+    "terms with FIXED-POINT milli-bit logarithms (bit length + 16-entry "
+    f"mantissa LUT) — engine-exact integers end to end, top-{_BM25_TOP_K}",
+    tags=("ext", "corpus", "search"),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: doc lengths and document frequencies are keyed
+    aggregations; the query-term table (3 rows) BROADCASTS into the tf
+    pass, so only matching postings ever materialize (|docs with a query
+    term| rows, not the corpus); scoring is narrow integer arithmetic and
+    the top-k is a TakeOrdered. The fixed-point log2 device (floor-log2 +
+    mantissa LUT) is what makes a float-free BM25 possible — resolution
+    ~0.09 bits, well under the gaps BM25 ranking cares about."""
+    configure_session(spark)
+    from pyspark.sql import Window
+
+    docs = parallel_scan(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.expr(_SPARK_TOK)).alias("term"))
+    tok = tok.localCheckpoint(eager=False)  # dl, df, AND tf passes
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dlen").cast("long").alias("total_len"),
+    )
+    df = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("dfreq")
+    )
+    w = Window.orderBy(F.desc("dfreq"), "term")
+    qterms = (
+        df.withColumn("r", F.row_number().over(w))
+        .filter((F.col("r") >= 10) & (F.col("r") <= 12))
+        .select("term", "dfreq")
+    )
+    tf = (
+        tok.join(F.broadcast(qterms.select("term")), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    idf_arg = "((1000000 * (2 * n_docs - 2 * dfreq + 1)) div (2 * dfreq + 1))"
+    idf_expr = (
+        _log2_milli(idf_arg, _SPARK_BITS, _SPARK_SHIFT)
+        + " - "
+        + _log2_milli("1000000", _SPARK_BITS, _SPARK_SHIFT)
+    )
+    tf_expr = (
+        f"(1000 * f * ({_BM25_K1_MILLI} + 1000))"
+        f" div (1000 * f + {_BM25_K1_MILLI} * ((1000 - {_BM25_B_MILLI})"
+        f" + (({_BM25_B_MILLI} * dlen * n_docs) div total_len)) div 1000)"
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(idf_expr).alias("idf_milli"),
+            F.expr(tf_expr).alias("tf_milli"),
+        )
+    )
+    w_rank = Window.orderBy(F.desc("bm25_microish"), "doc_id")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("idf_milli") * F.col("tf_milli"))
+            .cast("long")
+            .alias("bm25_microish"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= _BM25_TOP_K)
+    )

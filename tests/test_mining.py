@@ -231,3 +231,34 @@ def test_bootstrap_poisson_ladder_is_valid_cdf():
     below = dict(_DP_LADDER)[-1]
     at0 = dict(_DP_LADDER)[0]
     assert below < 2**31 < at0
+
+
+def test_fixed_point_log2_accuracy(spark):
+    """The milli-bit log2 (bit length + 16-entry mantissa LUT) must track
+    math.log2 within ~0.1 bits over a wide range, in BOTH engines."""
+    import math
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.mining_queries import (
+        _DUCK_BITS,
+        _DUCK_SHIFT,
+        _SPARK_BITS,
+        _SPARK_SHIFT,
+        _log2_milli,
+    )
+
+    xs = [1, 2, 3, 7, 16, 17, 100, 999, 4096, 5000, 123456, 10**6, 10**9]
+    got_spark = (
+        spark.createDataFrame([(x,) for x in xs], "x long")
+        .select(F.expr(_log2_milli("x", _SPARK_BITS, _SPARK_SHIFT)).alias("l"))
+        .collect()
+    )
+    got_duck = duckdb.sql(
+        "SELECT "
+        + _log2_milli("x", _DUCK_BITS, _DUCK_SHIFT)
+        + " FROM (SELECT unnest(["
+        + ",".join(map(str, xs))
+        + "]) AS x)"
+    ).fetchall()
+    for x, rs, rd in zip(xs, got_spark, got_duck):
+        assert rs["l"] == rd[0], (x, rs["l"], rd[0])
+        assert abs(rs["l"] / 1000 - math.log2(x)) <= 0.1, (x, rs["l"])
