@@ -262,3 +262,19 @@ def test_fixed_point_log2_accuracy(spark):
     for x, rs, rd in zip(xs, got_spark, got_duck):
         assert rs["l"] == rd[0], (x, rs["l"], rd[0])
         assert abs(rs["l"] / 1000 - math.log2(x)) <= 0.1, (x, rs["l"])
+
+
+def test_bm25_plan_broadcasts_query_terms(spark, sf_small):
+    """Only postings for the 3 query terms may materialize: the term table
+    must broadcast into the tf pass (no corpus-wide shuffle on term)."""
+    plan = plan_of(spark, sf_small, "bm25_topk")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_theil_sen_plan_is_stream_keyed(spark, sf_small):
+    """The pairwise-slope join must be keyed on stream_name (bounded pairs
+    per stream), never a nested loop across streams."""
+    plan = plan_of(spark, sf_small, "theil_sen_trend")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"Left keys \[\d+\]: \[stream_name#", plan), plan
