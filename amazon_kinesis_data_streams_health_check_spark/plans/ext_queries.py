@@ -3312,3 +3312,147 @@ def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_pair_dot_scaled"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup method agreement: do the exact and near-dup detectors tell one
+# story? Exact duplicates (md5 text groups) are BY CONSTRUCTION a subset of
+# MinHash-LSH near-duplicates — identical text means identical shingles,
+# identical signature, identical bands, so the pair can't be missed and its
+# verified Jaccard is 1. The report counts the Venn cells and carries
+# n_exact_only (which must be 0) in the value hash: a banding or signature
+# regression that breaks the containment breaks the query.
+# ---------------------------------------------------------------------------
+_AGREE_J_THRESH_MILLI = 500
+
+_AGREE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {duck_shingles()} AS sh FROM documents
+),
+mh AS (
+  SELECT doc_id, sh,
+         {duck_minhash_cols()}
+  FROM tok
+),
+bands AS (
+  {duck_band_union()}
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x
+  JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              AND x.doc_id < y.doc_id
+),
+near_pairs AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN tok ta ON ta.doc_id = p.doc_a
+  JOIN tok tb ON tb.doc_id = p.doc_b
+  WHERE 1000 * len(list_intersect(ta.sh, tb.sh))
+        >= {_AGREE_J_THRESH_MILLI} * len(list_distinct(ta.sh || tb.sh))
+),
+near_docs AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM near_pairs
+    UNION ALL SELECT doc_b AS doc_id FROM near_pairs
+  )
+),
+exact_docs AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) AS n_copies
+    FROM documents
+  ) WHERE n_copies > 1
+),
+flags AS (
+  SELECT d.doc_id,
+         e.doc_id IS NOT NULL AS in_exact,
+         n.doc_id IS NOT NULL AS in_near
+  FROM documents d
+  LEFT JOIN exact_docs e ON e.doc_id = d.doc_id
+  LEFT JOIN near_docs n ON n.doc_id = d.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN in_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN in_near THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+       CAST(sum(CASE WHEN in_exact AND in_near THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_both,
+       CAST(sum(CASE WHEN in_exact AND NOT in_near THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_only,
+       CAST(sum(CASE WHEN in_near AND NOT in_exact THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_near_only,
+       CAST(sum(CASE WHEN NOT in_exact AND NOT in_near THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_neither
+FROM flags
+"""
+
+
+@register(
+    "dedup_method_agreement",
+    oracle=_AGREE_SQL,
+    doc="Dedup governance report: Venn cells of exact (md5 groups) vs "
+    "MinHash-LSH near-dup (verified Jaccard >= 0.5) doc sets — "
+    "n_exact_only is a structural invariant (identical text cannot evade "
+    "LSH) and sits in the value hash",
+    tags=("ext", "dedup", "quality"),
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: reuses the production minhash pipeline (salted band
+    self-join, verify only candidates) and the exact-dup window; the two
+    doc-id flag sets join back onto the corpus on the uniform doc key and
+    reduce to ONE summary row. The division-free Jaccard threshold
+    (1000*|intersect| >= 500*|union|) keeps the near set integer-exact."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    docs = docs.localCheckpoint(eager=False)  # exact window AND minhash legs
+    shingled = with_shingles(docs).select("doc_id", "sh")
+    shingled = shingled.localCheckpoint(eager=False)
+    banded = with_bands(with_minhash(shingled))
+    pairs = lsh_candidate_pairs(banded)
+    sh_a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    near_pairs = (
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .filter(
+            1000 * F.size(F.array_intersect("sh_a", "sh_b"))
+            >= _AGREE_J_THRESH_MILLI
+            * F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+        )
+        .select("doc_a", "doc_b")
+    )
+    near_docs = (
+        near_pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(near_pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("in_near_f", F.lit(1))
+    )
+    from pyspark.sql import Window
+
+    exact_docs = (
+        docs.select(
+            "doc_id",
+            F.count(F.lit(1)).over(Window.partitionBy(F.md5("text"))).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select("doc_id")
+        .withColumn("in_exact_f", F.lit(1))
+    )
+    flags = (
+        docs.select("doc_id")
+        .join(exact_docs, "doc_id", "left")
+        .join(near_docs, "doc_id", "left")
+        .select(
+            F.col("in_exact_f").isNotNull().alias("in_exact"),
+            F.col("in_near_f").isNotNull().alias("in_near"),
+        )
+    )
+    c = lambda cond: F.sum(cond.cast("int")).cast("long")  # noqa: E731
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        c(F.col("in_exact")).alias("n_exact"),
+        c(F.col("in_near")).alias("n_near"),
+        c(F.col("in_exact") & F.col("in_near")).alias("n_both"),
+        c(F.col("in_exact") & ~F.col("in_near")).alias("n_exact_only"),
+        c(F.col("in_near") & ~F.col("in_exact")).alias("n_near_only"),
+        c(~F.col("in_exact") & ~F.col("in_near")).alias("n_neither"),
+    )

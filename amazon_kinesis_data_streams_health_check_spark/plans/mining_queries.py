@@ -2091,3 +2091,86 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= _BM25_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source unigram entropy: the information-density read on each corpus
+# slice (low entropy = repetitive/templated text; the signal behind
+# "compression ratio" quality filters). H = sum_w (c_w / N) * log2(N / c_w)
+# computed with the fixed-point milli-bit log2 (the BM25 primitive), so the
+# whole statistic is exact integer arithmetic: entropy_milli_bits =
+# sum(c_w * log2_milli(N_w_scaled / c_w)) div N. Type-token ratio rides
+# along as the lexical-diversity companion.
+# ---------------------------------------------------------------------------
+_ENTROPY_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest({_DUCK_TOK}) AS word FROM documents
+),
+cw AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY source, word
+),
+n AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS vocab
+  FROM cw GROUP BY source
+)
+SELECT cw.source,
+       n.total AS n_tokens,
+       n.vocab AS n_types,
+       CAST(1000 * n.vocab // n.total AS BIGINT) AS type_token_milli,
+       CAST(sum(cw.c * ({_log2_milli("((1000000 * n.total) // cw.c)", _DUCK_BITS, _DUCK_SHIFT)}
+                        - {_log2_milli("1000000", _DUCK_BITS, _DUCK_SHIFT)}))
+            // n.total AS BIGINT) AS entropy_milli_bits
+FROM cw JOIN n ON n.source = cw.source
+GROUP BY cw.source, n.total, n.vocab
+"""
+
+
+@register(
+    "source_entropy_stats",
+    oracle=_ENTROPY_SQL,
+    doc="Corpus information density: per-source unigram entropy in exact "
+    "milli-bits per token (fixed-point log2 — the BM25 primitive) plus "
+    "type-token ratio; the repetitive/templated-text detector",
+    tags=("ext", "corpus", "quality", "stats"),
+)
+def source_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one (source, word)-keyed counting aggregation (uniform
+    compound key — per-source hot words don't concentrate because the key
+    includes the word), one |sources|-row totals table joined back
+    BROADCAST, and a narrow integer scoring pass. No floats: entropy in
+    milli-bits comes from the bit-length + mantissa-LUT log2, so any
+    engine, layout, or retry reproduces the identical number."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.expr(_SPARK_TOK)).alias("word"))
+    cw = tok.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cw = cw.localCheckpoint(eager=False)  # feeds totals AND scoring
+    n = cw.groupBy("source").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    bits = (
+        _log2_milli("((1000000 * total) div c)", _SPARK_BITS, _SPARK_SHIFT)
+        + " - "
+        + _log2_milli("1000000", _SPARK_BITS, _SPARK_SHIFT)
+    )
+    return (
+        cw.join(F.broadcast(n), "source")
+        .groupBy("source", "total", "vocab")
+        .agg(
+            F.expr(f"sum(c * ({bits})) div total")
+            .cast("long")
+            .alias("entropy_milli_bits")
+        )
+        .select(
+            "source",
+            F.col("total").alias("n_tokens"),
+            F.col("vocab").alias("n_types"),
+            F.expr("1000 * vocab div total").cast("long").alias("type_token_milli"),
+            "entropy_milli_bits",
+        )
+    )
