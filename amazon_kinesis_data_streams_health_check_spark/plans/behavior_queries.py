@@ -1030,3 +1030,224 @@ def decayed_activity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _DECAY_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Churn-label construction: the temporal-leakage-safe training-set builder.
+# A cutoff splits the timeline: features come ONLY from before it (two
+# trailing activity windows + tenure), the label ONLY from after it
+# (no activity in the holdout week = churned). Leakage safety is by
+# construction — the feature and label windows cannot overlap because both
+# derive from the same broadcast cutoff — and the audit column proving the
+# windows are disjoint is part of the hash.
+# ---------------------------------------------------------------------------
+_CHURN_SQL = """
+WITH bounds AS (
+  SELECT CAST(max(epoch(ts)) AS BIGINT) AS hi FROM events
+),
+cut AS (
+  SELECT hi - 7 * 86400 AS cutoff, hi FROM bounds
+),
+feat AS (
+  SELECT e.user_id,
+         CAST(sum(CASE WHEN epoch(ts) >= c.cutoff - 7 * 86400
+                        AND epoch(ts) < c.cutoff THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_events_w1,
+         CAST(sum(CASE WHEN epoch(ts) >= c.cutoff - 14 * 86400
+                        AND epoch(ts) < c.cutoff - 7 * 86400 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_events_w2,
+         CAST(count(DISTINCT CASE WHEN epoch(ts) < c.cutoff
+                                  THEN CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                             END) AS BIGINT) AS n_active_days,
+         CAST(sum(CASE WHEN epoch(ts) >= c.cutoff THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_after
+  FROM events e CROSS JOIN cut c
+  GROUP BY e.user_id
+)
+SELECT user_id, n_events_w1, n_events_w2, n_active_days,
+       n_after = 0 AS churned,
+       TRUE AS feature_window_disjoint
+FROM feat
+WHERE n_events_w1 + n_events_w2 + n_active_days > 0
+"""
+
+
+@register(
+    "churn_label_builder",
+    oracle=_CHURN_SQL,
+    doc="Training-set construction: temporal-leakage-safe churn labels — "
+    "features strictly before the cutoff (two trailing activity windows + "
+    "active days), label strictly after (no events in the holdout week), "
+    "disjointness audited in the value hash",
+    tags=("behavior", "ml", "curation"),
+)
+def churn_label_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one keyed aggregation over events with the cutoff
+    scalar broadcast; every feature and the label are conditional counters
+    inside the same map-side-combined pass, so building labels for any
+    number of users costs one scan. The disjointness audit is structural
+    (both windows derive from one cutoff) but emitting it keeps the
+    contract in the hash — the leakage_safe_split stance applied to time."""
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    hi = events.agg(F.max(F.unix_timestamp("ts")).cast("long").alias("hi"))
+    cut = hi.select((F.col("hi") - 7 * 86400).alias("cutoff"))
+    e = events.crossJoin(F.broadcast(cut)).select(
+        "user_id", F.unix_timestamp("ts").cast("long").alias("es"), "cutoff"
+    )
+    feat = e.groupBy("user_id").agg(
+        F.sum(
+            (
+                (F.col("es") >= F.col("cutoff") - 7 * 86400)
+                & (F.col("es") < F.col("cutoff"))
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("n_events_w1"),
+        F.sum(
+            (
+                (F.col("es") >= F.col("cutoff") - 14 * 86400)
+                & (F.col("es") < F.col("cutoff") - 7 * 86400)
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("n_events_w2"),
+        F.countDistinct(
+            F.when(
+                F.col("es") < F.col("cutoff"),
+                F.floor(F.col("es") / 86400).cast("long"),
+            )
+        )
+        .cast("long")
+        .alias("n_active_days"),
+        F.sum((F.col("es") >= F.col("cutoff")).cast("int"))
+        .cast("long")
+        .alias("n_after"),
+    )
+    return feat.filter(
+        F.col("n_events_w1") + F.col("n_events_w2") + F.col("n_active_days") > 0
+    ).select(
+        "user_id",
+        "n_events_w1",
+        "n_events_w2",
+        "n_active_days",
+        (F.col("n_after") == 0).alias("churned"),
+        F.lit(True).alias("feature_window_disjoint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subject-access export (GDPR Art. 15): the read twin of lake_user_erasure —
+# everything the platform holds about a deterministic user cohort, per
+# table, as counts + order-free content checksums (the md5-uint32 sum
+# device). The checksum makes the export VERIFIABLE: a re-run, another
+# engine, or the post-erasure world produces a provably different value.
+# ---------------------------------------------------------------------------
+_SAR_USER_MOD = 97  # user_id % 97 == 0 => in the request cohort
+
+_SAR_SQL = f"""
+WITH cohort AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % {_SAR_USER_MOD} = 0
+),
+ev AS (
+  SELECT 'events' AS table_name,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_subjects,
+         CAST(sum(CAST(('0x' || substr(md5(
+               CAST(e.event_id AS VARCHAR) || '/' || e.event_type), 1, 8))
+               AS BIGINT)) AS BIGINT) AS content_checksum
+  FROM events e JOIN cohort c ON c.user_id = e.user_id
+),
+cust AS (
+  SELECT 'customer' AS table_name,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT cu.c_custkey) AS BIGINT) AS n_subjects,
+         CAST(sum(CAST(('0x' || substr(md5(
+               CAST(cu.c_custkey AS VARCHAR) || '/' || cu.c_name), 1, 8))
+               AS BIGINT)) AS BIGINT) AS content_checksum
+  FROM customer cu JOIN cohort c ON c.user_id = cu.c_custkey
+),
+ord AS (
+  SELECT 'orders' AS table_name,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_subjects,
+         CAST(sum(CAST(('0x' || substr(md5(
+               CAST(o.o_orderkey AS VARCHAR) || '/' || o.o_orderstatus), 1, 8))
+               AS BIGINT)) AS BIGINT) AS content_checksum
+  FROM orders o JOIN cohort c ON c.user_id = o.o_custkey
+)
+SELECT * FROM ev UNION ALL SELECT * FROM cust UNION ALL SELECT * FROM ord
+"""
+
+
+@register(
+    "user_data_export",
+    oracle=_SAR_SQL,
+    doc="Subject-access export: per-table row counts, subject counts, and "
+    "order-free md5 content checksums for a deterministic user cohort "
+    "across events/customer/orders — the verifiable read twin of "
+    "lake_user_erasure",
+    tags=("behavior", "lake", "privacy"),
+)
+def user_data_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the cohort table is tiny and BROADCASTS into each
+    per-table semi-join-shaped extract; each leg is one scan + one keyed
+    join + one summary row. Order-free checksums (sum of md5-uint32 of the
+    row key) mean the export verifies across engines and layouts — and
+    running it after an erasure proves the erasure by checksum change."""
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cohort = (
+        events.filter(F.col("user_id") % _SAR_USER_MOD == 0)
+        .select("user_id")
+        .distinct()
+    )
+    cohort = cohort.localCheckpoint(eager=False)  # three consumer legs
+
+    def h(expr: str) -> F.Column:
+        return F.expr(
+            f"CAST(conv(substr(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
+        )
+
+    ev = (
+        events.join(F.broadcast(cohort), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("user_id").cast("long").alias("n_subjects"),
+            F.sum(h("concat(CAST(event_id AS STRING), '/', event_type)"))
+            .cast("long")
+            .alias("content_checksum"),
+        )
+        .select(F.lit("events").alias("table_name"), "*")
+    )
+    cust = (
+        customer.join(
+            F.broadcast(cohort.withColumnRenamed("user_id", "c_custkey")),
+            "c_custkey",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("c_custkey").cast("long").alias("n_subjects"),
+            F.sum(h("concat(CAST(c_custkey AS STRING), '/', c_name)"))
+            .cast("long")
+            .alias("content_checksum"),
+        )
+        .select(F.lit("customer").alias("table_name"), "*")
+    )
+    orr = (
+        orders.join(
+            F.broadcast(cohort.withColumnRenamed("user_id", "o_custkey")),
+            "o_custkey",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("o_custkey").cast("long").alias("n_subjects"),
+            F.sum(h("concat(CAST(o_orderkey AS STRING), '/', o_orderstatus)"))
+            .cast("long")
+            .alias("content_checksum"),
+        )
+        .select(F.lit("orders").alias("table_name"), "*")
+    )
+    return ev.unionByName(cust).unionByName(orr)
