@@ -1724,9 +1724,9 @@ s AS (
          CAST(count(*) AS DECIMAL(38,0)) AS n,
          sum(CAST(x0 AS DECIMAL(38,0))) AS sx,
          sum(CAST(x1 AS DECIMAL(38,0))) AS sy,
-         sum(CAST(x0 * x0 AS DECIMAL(38,0))) AS sxx,
-         sum(CAST(x1 * x1 AS DECIMAL(38,0))) AS syy,
-         sum(CAST(x0 * x1 AS DECIMAL(38,0))) AS sxy
+         sum(CAST(x0 AS DECIMAL(19,0)) * CAST(x0 AS DECIMAL(19,0))) AS sxx,
+         sum(CAST(x1 AS DECIMAL(19,0)) * CAST(x1 AS DECIMAL(19,0))) AS syy,
+         sum(CAST(x0 AS DECIMAL(19,0)) * CAST(x1 AS DECIMAL(19,0))) AS sxy
   FROM pairs GROUP BY stream_name, lag_min
 )
 SELECT stream_name, lag_min,
@@ -1777,13 +1777,18 @@ def acf_by_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         b, (F.col("stream_name") == F.col("sn1")) & (F.col("ws1") == F.col("wsb"))
     )
     dec = "CAST({} AS DECIMAL(38,0))"
+    # Operands cast to DECIMAL(19,0) BEFORE squaring: DECIMAL(19,0) holds
+    # any BIGINT losslessly and the (19,0)x(19,0) product fits 38 digits
+    # exactly, so neither engine can wrap/NULL where the old x0*x0-in-BIGINT
+    # pre-cast silently wrapped on Spark while DuckDB raised.
+    dec19 = "CAST({} AS DECIMAL(19,0))"
     s = pairs.groupBy("stream_name", F.col("lag_min").cast("long").alias("lag_min")).agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         F.sum(F.expr(dec.format("x0"))).alias("sx"),
         F.sum(F.expr(dec.format("x1"))).alias("sy"),
-        F.sum(F.expr(dec.format("x0 * x0"))).alias("sxx"),
-        F.sum(F.expr(dec.format("x1 * x1"))).alias("syy"),
-        F.sum(F.expr(dec.format("x0 * x1"))).alias("sxy"),
+        F.sum(F.expr(f"{dec19.format('x0')} * {dec19.format('x0')}")).alias("sxx"),
+        F.sum(F.expr(f"{dec19.format('x1')} * {dec19.format('x1')}")).alias("syy"),
+        F.sum(F.expr(f"{dec19.format('x0')} * {dec19.format('x1')}")).alias("sxy"),
     )
     return s.select(
         "stream_name",
@@ -2019,7 +2024,14 @@ def approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials, no per-key sort. The exact twin and the re-rank join exist
     HERE to measure it (rank tolerance = max(1, n div 1000), looser than
     the sketch's n/accuracy guarantee so the contract is stable across
-    sketch implementations); production keeps only the sketch leg."""
+    sketch implementations); production keeps only the sketch leg.
+
+    Tie-awareness: a returned value v occupies the whole rank band
+    [count(x < v), count(x <= v)] — with heavily repeated values the
+    upper edge can sit far from the target rank even for a PERFECT
+    sketch, so the verdict tests the target rank against the band
+    (count(x < a) - tol .. count(x <= a) + tol), not against a single
+    count."""
     configure_session(spark)
     events = parallel_scan(spark, sf_dir, "events")
     v = events.select(
@@ -2038,20 +2050,24 @@ def approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.join(F.broadcast(agg.select("stream_name", "a50", "a99")), "stream_name")
         .groupBy("stream_name")
         .agg(
-            F.sum((F.col("x") <= F.col("a50")).cast("int")).cast("long").alias("r50"),
-            F.sum((F.col("x") <= F.col("a99")).cast("int")).cast("long").alias("r99"),
+            F.sum((F.col("x") < F.col("a50")).cast("int")).cast("long").alias("r50_lt"),
+            F.sum((F.col("x") <= F.col("a50")).cast("int")).cast("long").alias("r50_le"),
+            F.sum((F.col("x") < F.col("a99")).cast("int")).cast("long").alias("r99_lt"),
+            F.sum((F.col("x") <= F.col("a99")).cast("int")).cast("long").alias("r99_le"),
         )
     )
     tol = F.greatest(F.lit(1), F.expr("n div 1000"))
+    t50 = F.expr("CAST(n div 2 AS BIGINT)")
+    t99 = F.expr("CAST(99 * n div 100 AS BIGINT)")
     return agg.join(ranks, "stream_name").select(
         "stream_name",
         "n",
         "exact_p50_milli",
         "exact_p99_milli",
         (
-            F.abs(F.col("r50") - F.expr("CAST(n div 2 AS BIGINT)")) <= tol
+            (t50 >= F.col("r50_lt") - tol) & (t50 <= F.col("r50_le") + tol)
         ).alias("p50_within_contract"),
         (
-            F.abs(F.col("r99") - F.expr("CAST(99 * n div 100 AS BIGINT)")) <= tol
+            (t99 >= F.col("r99_lt") - tol) & (t99 <= F.col("r99_le") + tol)
         ).alias("p99_within_contract"),
     )

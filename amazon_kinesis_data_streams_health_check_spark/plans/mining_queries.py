@@ -883,6 +883,30 @@ def chi2_independence_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~F.col("peak") & F.col("high")).cast("int")).cast("long").alias("c"),
         F.sum((~F.col("peak") & ~F.col("high")).cast("int")).cast("long").alias("d"),
     )
+    # Loud overflow guard: with ANSI off, a DECIMAL(38,0) product overflow
+    # yields NULL on the Spark side while DuckDB's HUGEINT raises — a
+    # silent-vs-loud cross-engine divergence. Worst case 1e6*N*(ad-bc)^2
+    # <= 1e6*N^5/16 must stay under 10^38, so N <= ~4.3e6 rows per stream
+    # is the exact-arithmetic bound; beyond it, fail like DuckDB does.
+    _chi2_n_max = 4_300_000
+    cells = cells.select(
+        "stream_name",
+        F.when(
+            F.expr("a + b + c + d") > _chi2_n_max,
+            F.raise_error(
+                F.lit(
+                    "chi2_independence_2x2: per-stream count exceeds the "
+                    "DECIMAL(38,0) exact-arithmetic bound (~4.3e6 rows); "
+                    "shard the counts before testing"
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("a"))
+        .alias("a"),
+        "b",
+        "c",
+        "d",
+    )
     dec = "CAST({} AS DECIMAL(38,0))"
     wide = cells.select(
         "stream_name",

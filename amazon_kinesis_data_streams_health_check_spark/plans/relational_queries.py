@@ -2205,9 +2205,30 @@ def bom_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" concat(acc, array((element_at(acc, -1) - 1) div {_BOM_FANOUT})),"
         " acc))"
     )
-    contrib = part.select(
+    # Loud depth guard: the DuckDB oracle's WITH RECURSIVE walks unbounded,
+    # so a catalog deeper than _BOMROLL_MAX_DEPTH (> 4^12 ~ 16.7M parts)
+    # must FAIL here rather than silently roll up truncated chains.
+    walked = part.select(
         F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
-        F.explode(F.expr(chain)).alias("node"),
+        F.expr(chain).alias("acc"),
+    ).select(
+        "cents",
+        F.when(
+            F.expr("element_at(acc, -1) > 0"),
+            F.raise_error(
+                F.lit(
+                    "bom_cost_rollup: ancestor chain did not reach root "
+                    f"within depth {_BOMROLL_MAX_DEPTH}; raise "
+                    "_BOMROLL_MAX_DEPTH (catalog exceeds 4^depth parts)"
+                )
+            ).cast("array<bigint>"),
+        )
+        .otherwise(F.col("acc"))
+        .alias("acc"),
+    )
+    contrib = walked.select(
+        "cents",
+        F.explode(F.col("acc")).alias("node"),
     )
     return contrib.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_subtree_nodes"),

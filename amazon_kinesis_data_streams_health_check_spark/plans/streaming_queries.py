@@ -1,9 +1,12 @@
-"""Structured Streaming entries for the driver surface (rows-only checks).
+"""Structured Streaming entries for the driver surface.
 
-Streaming results are inherently wall-clock / trigger dependent, so these are
-registered WITHOUT DuckDB oracles (the batch twins of the same transforms are
-oracle-checked); the driver records a rows-only check, and tests pin the
-semantics (tests/test_streaming.py).
+Most drives here carry FULL DuckDB value-hash oracles: where the drive is
+deterministic (pinned startTimestamp, file feeds in mtime order,
+far-future watermark sentinels flushing all state), the batch twin's SQL
+applies verbatim as the oracle (e.g. ``streaming_stateful_alarm``,
+``streaming_cusum``, ``streaming_hysteresis_alarm``, ``streaming_dedup_events``).
+The few genuinely wall-clock-dependent drives register rows-only; tests pin
+the semantics either way (tests/test_streaming.py).
 
 Each builder drives a real streaming query to completion hermetically —
 ``availableNow`` trigger + memory sink — and returns the sink's DataFrame.
