@@ -31,15 +31,17 @@ _REGISTRY: dict[str, Query] = {}
 #: checks the FIRST 50 entries of ``queries()``; registration order is a
 #: byproduct of module import order, so the window is pinned here.
 #:
-#: Round-3 rotation policy: the reference-parity healthcheck core and the
-#: LLM-pipeline block stay pinned every round (32 slots); the remaining 18
-#: slots cycle through queries that have never had a driver CORRECTNESS row,
-#: so cumulative driver coverage grows round over round. Everything rotated
-#: OUT stayed green in round 2 and remains covered by the sf0.001/sf0.01
-#: oracle-parity suites (tests/test_oracle_parity.py). Names not listed
-#: follow in registration order; a listed-but-unregistered name is an error
-#: caught by tests/test_registry.py.
-_PRIORITY: tuple[str, ...] = (
+#: Rotation policy (round 3 onward): the reference-parity healthcheck core
+#: and the LLM-pipeline block stay pinned every round (PINNED, 32 slots);
+#: the remaining 18 slots (ROTATION) cycle through queries that have never
+#: had a driver CORRECTNESS row, so cumulative driver coverage grows round
+#: over round. Everything rotated OUT keeps its green row from an earlier
+#: round and remains covered by the sf0.001/sf0.01 oracle-parity suites
+#: (tests/test_oracle_parity.py). Names not listed follow in registration
+#: order; a listed-but-unregistered name — and a ROTATION slot burned on an
+#: already-green query while never-checked ones remain — are errors caught
+#: by tests/test_registry.py against the CORRECTNESS_r*.json history.
+PINNED: tuple[str, ...] = (
     # healthcheck core (reference parity) — pinned permanently
     "health_lag_alarm",
     "tracer_produce",
@@ -74,30 +76,34 @@ _PRIORITY: tuple[str, ...] = (
     "doc_chunks",
     "tfidf_top_terms",
     "inverted_index",
-    # --- round-3 rotation (18 slots, all first-ever driver rows) ---
-    # streaming drives promoted to full oracles this round
-    "streaming_stateful_alarm",
-    "utf8_strict_parity",
-    "streaming_tracer_produce",
-    "streaming_delivery_audit",
-    "streaming_kinesis_sim_consume",
-    "streaming_user_sessions",
-    "streaming_dedup_events",
-    # snapshot lake / incremental maintenance
-    "ann_ivf_persisted",
-    "snapshot_diff",
-    "lake_pruned_scan",
-    "incremental_dedup",
-    "lake_user_erasure",
-    "lake_compaction_effect",
-    # reference-semantics rows first driver-checked this round (F4, K2)
-    "consumer_error_suppression",
-    "metrics_sink_roundtrip",
-    # behavioral analytics tail
-    "cohort_retention",
-    "scd2_state_history",
-    "pagerank_knn",
 )
+
+#: Round-4 rotation — 18 never-driver-checked queries (first-ever rows):
+#: the judge's candidate list (lake/streaming/embedding/kinesis blocks),
+#: the three heavy LLM-pipeline queries newly promoted to the bench set,
+#: and the K1 put-sink legs.
+ROTATION: tuple[str, ...] = (
+    "lake_bloom_skip",
+    "dup_span_stats",
+    "streaming_lake_ingest",  # W2 checkpoint-restart driven for real
+    "embedding_pca_project",
+    "shard_reshard_routing",
+    "kmeans_lloyd_exact",
+    "dedup_jaccard_allpairs",
+    "dedup_lsh_recall",
+    "bm25_topk",
+    "cusum_changepoint",
+    "streaming_cusum",
+    "dedup_fuzzy_edit",  # bench headline (round-4 addition)
+    "bpe_merge_learn",  # bench headline (round-4 addition)
+    "doc_bigram_surprisal",  # bench headline (round-4 addition)
+    "kinesis_put_sink_roundtrip",
+    "streaming_put_sink",
+    "hysteresis_alarm",
+    "ts_motif_search",
+)
+
+_PRIORITY: tuple[str, ...] = PINNED + ROTATION
 
 
 def register(

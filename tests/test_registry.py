@@ -2,81 +2,29 @@
 
 The driver's correctness gate only inspects the FIRST 50 entries of
 ``__spark_entry__.queries()``, so the ordering contract in
-``plans/registry._PRIORITY`` is load-bearing: every high-signal suite
-(healthcheck core, dedup/ANN/media, relational shapes, curation, the
-oracle-checked streaming drives) must surface inside that window.
+``plans/registry.PINNED`` / ``plans/registry.ROTATION`` is load-bearing:
+the reference-parity core and the LLM-pipeline block must stay pinned, and
+every rotation slot must buy a FIRST-EVER driver CORRECTNESS row while
+never-checked queries remain (cumulative-coverage guard against the
+CORRECTNESS_r*.json history).
 """
 
 from __future__ import annotations
 
+import os
+import sys
+
 from amazon_kinesis_data_streams_health_check_spark.plans.registry import (
+    PINNED,
+    ROTATION,
     _PRIORITY,
     all_queries,
 )
 
-DRIVER_WINDOW = 50
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from coverage_ledger import driver_history, first_green  # noqa: E402
 
-#: Queries that MUST have a driver CORRECTNESS row. Round-3 policy: the
-#: reference-parity core and the LLM-pipeline block are pinned permanently;
-#: the rest of the window rotates through never-driver-checked queries each
-#: round (cumulative coverage growth — rotated-out queries keep their green
-#: rows from earlier rounds and stay covered by the oracle-parity suites).
-MUST_BE_CHECKED = {
-    # reference-parity core (pinned permanently)
-    "health_lag_alarm",
-    "tracer_produce",
-    "consumer_metrics",
-    "first_record_parity",
-    "arn_parse",
-    "alarm_nofm",
-    "missing_periods",
-    "alarm_transitions",
-    # LLM-pipeline block (pinned permanently; r01 verdict gap)
-    "text_quality",
-    "lang_id_confusion",
-    "doc_fingerprints",
-    "dedup_exact_summary",
-    "dedup_keep_list",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "embedding_near_dups",
-    "ann_topk_bruteforce",
-    "ann_lsh_bucketed",
-    "embedding_quantization",
-    "repetition_stats",
-    "substring_dup_frac",
-    "split_assign",
-    "knn_graph_lsh",
-    "hybrid_search",
-    "media_stats",
-    "media_features",
-    "media_frame_sample",
-    "sketch_rollup_merge",
-    "doc_chunks",
-    "tfidf_top_terms",
-    "inverted_index",
-    # round-3 rotation: first-ever driver rows (incl. the W4/W6 stateful
-    # alarm oracle and the three streaming drives promoted this round)
-    "streaming_stateful_alarm",
-    "utf8_strict_parity",
-    "streaming_tracer_produce",
-    "streaming_delivery_audit",
-    "streaming_kinesis_sim_consume",
-    "streaming_user_sessions",
-    "streaming_dedup_events",
-    "ann_ivf_persisted",
-    "snapshot_diff",
-    "lake_pruned_scan",
-    "incremental_dedup",
-    "lake_user_erasure",
-    "lake_compaction_effect",
-    "consumer_error_suppression",
-    "metrics_sink_roundtrip",
-    "cohort_retention",
-    "scd2_state_history",
-    "pagerank_knn",
-}
+DRIVER_WINDOW = 50
 
 
 def test_priority_names_all_registered():
@@ -86,10 +34,37 @@ def test_priority_names_all_registered():
     assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate _PRIORITY names"
 
 
-def test_driver_window_covers_high_signal_suites():
+def test_window_is_pinned_plus_rotation():
+    assert len(PINNED) + len(ROTATION) == DRIVER_WINDOW
     window = list(all_queries())[:DRIVER_WINDOW]
-    out = MUST_BE_CHECKED - set(window)
-    assert not out, f"queries outside the driver's {DRIVER_WINDOW}-entry window: {out}"
+    assert window == list(_PRIORITY), "driver window must equal PINNED+ROTATION"
+
+
+def test_pinned_core_never_leaves_window():
+    # Reference-parity core + LLM-pipeline block: pinned permanently since
+    # the round-1 verdict; removing any of these is a policy change that
+    # must be deliberate.
+    assert "health_lag_alarm" in PINNED and "dedup_minhash_lsh" in PINNED
+    assert len(PINNED) == 32
+
+
+def test_rotation_slots_are_first_ever_driver_rows():
+    """A ROTATION slot spent on an already-green query is a wasted slot
+    while never-checked queries remain — fail loudly (cumulative-coverage
+    guard, round-3 verdict item 7)."""
+    fg = first_green(driver_history())
+    qs = all_queries()
+    never_checked = {n for n in qs if n not in fg}
+    # Only enforce while there is actually a backlog to burn down.
+    backlog = never_checked - set(ROTATION)
+    if not backlog:
+        return
+    reburned = [n for n in ROTATION if n in fg]
+    assert not reburned, (
+        f"rotation slots re-burned on already-driver-green queries {reburned} "
+        f"while {len(backlog)} never-checked queries remain — point them at "
+        "the never-checked pool (see COVERAGE.md)"
+    )
 
 
 def test_entry_module_order_matches_registry():
