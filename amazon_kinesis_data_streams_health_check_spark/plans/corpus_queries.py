@@ -1893,7 +1893,7 @@ FROM scored GROUP BY doc_id
     "surprisal floor(log2((c1+V)/(c12+1))) bits against corpus-wide bigram/"
     "prefix tables — integer-exact like the unigram gate, but sensitive to "
     "word-order scrambling the unigram score cannot see",
-    tags=("ext", "corpus", "quality"),
+    tags=("ext", "corpus", "quality", "bench"),
 )
 def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: one narrow bigram construction pass feeds three keyed

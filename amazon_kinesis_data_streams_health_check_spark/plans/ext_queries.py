@@ -1890,7 +1890,7 @@ WHERE abs(length(pa.p) - length(pb.p)) <= {_FUZZY_MAX_EDITS}
     doc=f"E1: character-level fuzzy near-dup — SimHash-near blocking, exact "
     f"Levenshtein verify on the {_FUZZY_PREFIX}-char prefix, keep pairs "
     f"within {_FUZZY_MAX_EDITS} edits",
-    tags=("ext", "dedup"),
+    tags=("ext", "dedup", "bench"),
 )
 def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: candidates come from the salted SimHash band self-join

@@ -339,7 +339,7 @@ FROM best_{r} b"""
     "counts, deterministic winner (count desc, pair asc), merge applied "
     "everywhere via canonical-form string replace; emits each round's "
     "winning pair, its count, and the weighted symbol total after the merge",
-    tags=("ext", "corpus", "mining", "tokenizer"),
+    tags=("ext", "corpus", "mining", "tokenizer", "bench"),
 )
 def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: the corpus is scanned ONCE to build the (word, count)
