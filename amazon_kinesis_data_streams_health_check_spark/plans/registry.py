@@ -98,9 +98,9 @@ ROTATION: tuple[str, ...] = (
     "bpe_merge_learn",  # bench headline (round-4 addition)
     "doc_bigram_surprisal",  # bench headline (round-4 addition)
     "kinesis_put_sink_roundtrip",
-    "streaming_put_sink",
-    "hysteresis_alarm",
-    "ts_motif_search",
+    "kinesis_kpl_deaggregate",  # KPL aggregated wire (round-4 addition)
+    "streaming_trigger_cadence",  # W1 driver-visible (round-4 addition)
+    "shard_order_audit",  # X2 driver-visible (round-4 addition)
 )
 
 _PRIORITY: tuple[str, ...] = PINNED + ROTATION

@@ -603,6 +603,290 @@ def kinesis_sim_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# KPL aggregated-wire round trip: the one real Kinesis wire capability the
+# reference sidesteps (ESM batchSize(1), KinesisHealthCheckStack.java:157;
+# one user record per kinesis record, kinesis-event.json:8). The sim feed is
+# packed into genuine KPL aggregated records (magic + protobuf + md5,
+# functions/kpl.py) five-per-blob per shard, de-aggregated with KCL
+# semantics, and decoded to the same metric rows as the unpacked twin —
+# every derived column is pure arithmetic, so a generate_series oracle
+# value-hashes the whole pack->unpack->decode path. The per-shard multiset
+# audit (count + payload checksum) rides in the hash as a TRUE boolean.
+# ---------------------------------------------------------------------------
+_KPL_PER_BLOB = 5
+
+_KPL_DEAGG_SQL = f"""
+WITH g AS (
+  SELECT s.range AS shard, q.range AS seq
+  FROM range(0, {_KS_SHARDS}) s, range(0, {_KS_PER_SHARD}) q
+)
+SELECT 'shardId-' || lpad(CAST(shard AS VARCHAR), 12, '0') AS shard_id,
+       CAST(seq // {_KPL_PER_BLOB} AS BIGINT) AS agg_index,
+       CAST(seq % {_KPL_PER_BLOB} AS BIGINT) AS subsequence,
+       strftime(to_timestamp({_KS_EPOCH} + seq * {_KS_IVL_MS} // 1000),
+                '%Y-%m-%dT%H:%M:%SZ') AS user_partition_key,
+       strftime(to_timestamp({_KS_EPOCH} + (seq - seq % {_KPL_PER_BLOB})
+                             * {_KS_IVL_MS} // 1000),
+                '%Y-%m-%dT%H:%M:%SZ') AS agg_partition_key,
+       CAST({_KS_EPOCH} + seq * {_KS_IVL_MS} // 1000 AS BIGINT) AS payload_epoch_s,
+       CAST(octet_length(encode('{{"currentInstant": "' ||
+            strftime(to_timestamp({_KS_EPOCH} + seq * {_KS_IVL_MS} // 1000),
+                     '%Y-%m-%dT%H:%M:%SZ') || '"}}')) AS BIGINT) AS payload_len,
+       TRUE AS roundtrip_exact
+FROM g
+"""
+
+
+@register(
+    "kinesis_kpl_deaggregate",
+    oracle=_KPL_DEAGG_SQL,
+    doc="S2/K1: KPL record aggregation round trip — sim feed packed into "
+    "real KPL aggregated records (magic+protobuf+md5) five per blob per "
+    "shard, de-aggregated with KCL semantics (subsequence numbers, "
+    "passthrough for non-KPL payloads), decoded to the unpacked twin's "
+    "metric rows; per-shard multiset audit boolean rides in the value hash",
+    tags=("core", "source", "kinesis"),
+)
+def kinesis_kpl_deaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: pack shuffles once on the shard key (the stream's own
+    parallelism unit — KPL aggregation never crosses shards); explode is a
+    narrow Arrow ``mapInPandas`` with fan-out = records-per-blob; the
+    decode is codegen'd column ops on the exploded rows. The audit legs are
+    per-shard aggregates (bounded cardinality) broadcast onto the output."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.kpl_agg import (
+        explode_kpl,
+        kpl_pack_unpack_roundtrip_audit,
+        pack_kpl,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_sim import (
+        register_kinesis_sim,
+    )
+
+    configure_session(spark)
+    register_kinesis_sim(spark)
+    raw = (
+        spark.read.format("kinesis_sim")
+        .option("numShards", _KS_SHARDS)
+        .option("recordsPerShard", _KS_PER_SHARD)
+        .option("startEpochS", _KS_EPOCH)
+        .option("intervalMs", _KS_IVL_MS)
+        .load()
+    )
+    raw = raw.localCheckpoint(eager=False)  # feeds pack AND the audit twin
+    packed = pack_kpl(raw, max_per_blob=_KPL_PER_BLOB)
+    packed = packed.localCheckpoint(eager=False)  # feeds explode AND audit
+    exploded = explode_kpl(
+        packed,
+        pk_col="agg_partition_key",
+        data_col="agg_data",
+        keep_cols=("shard_id", "agg_index", "agg_partition_key"),
+    )
+    payload = F.decode("user_data", "UTF-8")
+    decoded = exploded.select(
+        "shard_id",
+        F.col("agg_index").cast("long").alias("agg_index"),
+        "subsequence",
+        "user_partition_key",
+        "agg_partition_key",
+        F.unix_timestamp(
+            F.to_timestamp(F.get_json_object(payload, "$.currentInstant"))
+        ).alias("payload_epoch_s"),
+        F.octet_length("user_data").cast("long").alias("payload_len"),
+    )
+    audit = kpl_pack_unpack_roundtrip_audit(
+        raw,
+        explode_kpl(
+            packed,
+            pk_col="agg_partition_key",
+            data_col="agg_data",
+            keep_cols=("shard_id",),
+        ),
+    )
+    return decoded.crossJoin(F.broadcast(audit)).select(
+        "shard_id",
+        "agg_index",
+        "subsequence",
+        "user_partition_key",
+        "agg_partition_key",
+        "payload_epoch_s",
+        "payload_len",
+        F.col("roundtrip_exact"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 trigger cadence, driver-visible: the paced sim source admits EXACTLY
+# recordsPerBatch per shard per trigger, so each micro-batch's content is a
+# pure function of its batch id regardless of wall-clock timing — the
+# foreachBatch drive records (batch, shard) -> (count, seq range) and the
+# oracle recomputes the admission schedule arithmetically. Empty triggers
+# run no batch (no rows recorded), so the drive is deterministic end to end.
+# ---------------------------------------------------------------------------
+_CAD_SHARDS = 2
+_CAD_PER_SHARD = 100
+_CAD_PER_BATCH = 25
+_CAD_BATCHES = _CAD_PER_SHARD // _CAD_PER_BATCH
+
+_CADENCE_SQL = f"""
+WITH b AS (SELECT unnest(range(0, {_CAD_BATCHES})) AS batch_id),
+     s AS (SELECT unnest(range(0, {_CAD_SHARDS})) AS shard)
+SELECT CAST(batch_id AS BIGINT) AS batch_id,
+       'shardId-' || lpad(CAST(shard AS VARCHAR), 12, '0') AS shard_id,
+       CAST({_CAD_PER_BATCH} AS BIGINT) AS n_records,
+       CAST(batch_id * {_CAD_PER_BATCH} AS BIGINT) AS min_seq,
+       CAST(batch_id * {_CAD_PER_BATCH} + {_CAD_PER_BATCH} - 1 AS BIGINT) AS max_seq
+FROM b, s
+"""
+
+
+@register(
+    "streaming_trigger_cadence",
+    oracle=_CADENCE_SQL,
+    doc="W1: trigger cadence driven for real — the paced custom source "
+    "admits exactly recordsPerBatch per shard per trigger; the foreachBatch "
+    "drive records each micro-batch's per-shard count and sequence range "
+    "and the oracle replays the admission schedule arithmetically",
+    tags=("core", "streaming", "source"),
+)
+def streaming_trigger_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the per-batch audit is a per-shard aggregate (bounded
+    by shard count — the stream's own parallelism unit); the driver-side
+    accumulation is batches x shards rows of metadata, not data. The drive
+    itself is the production pacing path (W1): processingTime trigger,
+    checkpointed, stopped only after the full backlog has been admitted."""
+    import time
+
+    from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_sim import (
+        register_kinesis_sim,
+    )
+
+    configure_session(spark)
+    register_kinesis_sim(spark)
+    stream = (
+        spark.readStream.format("kinesis_sim")
+        .option("numShards", _CAD_SHARDS)
+        .option("recordsPerShard", _CAD_PER_SHARD)
+        .option("recordsPerBatch", _CAD_PER_BATCH)
+        .option("drain", "false")
+        .load()
+    )
+    seen: list[tuple] = []
+
+    def _audit(df, batch_id: int) -> None:
+        rows = (
+            df.groupBy("shard_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.min(F.substring("sequence_number", 37, 20).cast("long")).alias("mn"),
+                F.max(F.substring("sequence_number", 37, 20).cast("long")).alias("mx"),
+            )
+            .collect()
+        )
+        for r in rows:
+            seen.append((int(batch_id), r.shard_id, r.n, r.mn, r.mx))
+
+    ckpt = tempfile.mkdtemp(prefix="cadence_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(_audit)
+        .trigger(processingTime="1 second")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    want = _CAD_BATCHES * _CAD_SHARDS
+    deadline = time.time() + 240
+    try:
+        while time.time() < deadline and len(seen) < want:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    if len(seen) != want:  # loud: a hung/partial drive must not hash-pass
+        raise RuntimeError(
+            f"trigger-cadence drive incomplete: {len(seen)}/{want} audit rows"
+        )
+    return spark.createDataFrame(
+        seen, "batch_id long, shard_id string, n_records long, min_seq long, max_seq long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 per-shard ordered delivery, driver-visible: capture the DELIVERY order
+# (monotonically_increasing_id before any shuffle — partition-local arrival
+# position) and audit it per shard against the sequence numbers: zero
+# inversions, zero gaps, full coverage. The oracle states the contract
+# arithmetically. A source that delivered a shard's records out of order or
+# dropped one would flip the counts and hash-fail.
+# ---------------------------------------------------------------------------
+_ORD_SHARDS = 4
+_ORD_PER_SHARD = 250
+
+_SHARD_ORDER_SQL = f"""
+SELECT 'shardId-' || lpad(CAST(s.range AS VARCHAR), 12, '0') AS shard_id,
+       CAST({_ORD_PER_SHARD} AS BIGINT) AS n_records,
+       CAST(0 AS BIGINT) AS n_inversions,
+       CAST(0 AS BIGINT) AS n_seq_gaps,
+       CAST(0 AS BIGINT) AS first_seq,
+       CAST({_ORD_PER_SHARD} - 1 AS BIGINT) AS last_seq
+FROM range(0, {_ORD_SHARDS}) s
+"""
+
+
+@register(
+    "shard_order_audit",
+    oracle=_SHARD_ORDER_SQL,
+    doc="X2: per-shard ordered delivery audited for real — delivery "
+    "positions captured per scan partition before any shuffle, then a "
+    "per-shard lag audit proves zero inversions (delivery order == "
+    "sequence order) and zero sequence gaps; Kinesis' ordering guarantee "
+    "as a hashed contract",
+    tags=("core", "source", "kinesis"),
+)
+def shard_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the audit window partitions by shard — bounded per-key
+    volume is inherent to Kinesis (a shard caps at 1 MB/s), so the
+    per-shard sort is the audit's natural unit at any corpus size; the
+    delivery-position capture is a narrow projection on the scan with zero
+    shuffle before it."""
+    from pyspark.sql import Window
+
+    from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_sim import (
+        register_kinesis_sim,
+    )
+
+    configure_session(spark)
+    register_kinesis_sim(spark)
+    raw = (
+        spark.read.format("kinesis_sim")
+        .option("numShards", _ORD_SHARDS)
+        .option("recordsPerShard", _ORD_PER_SHARD)
+        .load()
+    )
+    # Delivery order: partition-local arrival position, captured BEFORE any
+    # shuffle (monotonically_increasing_id encodes (partition, position)).
+    delivered = raw.select(
+        "shard_id",
+        F.substring("sequence_number", 37, 20).cast("long").alias("seq"),
+        F.monotonically_increasing_id().alias("delivery_pos"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("delivery_pos")
+    audited = delivered.select(
+        "shard_id",
+        "seq",
+        F.lag("seq").over(w).alias("prev_seq"),
+    )
+    return audited.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.sum((F.col("seq") <= F.col("prev_seq")).cast("int"))
+        .cast("long")
+        .alias("n_inversions"),
+        F.sum((F.col("seq") != F.col("prev_seq") + 1).cast("int"))
+        .cast("long")
+        .alias("n_seq_gaps"),
+        F.min("seq").alias("first_seq"),
+        F.max("seq").alias("last_seq"),
+    )
+
+
 _KSC_SHARDS = 2
 _KSC_PER_SHARD = 200
 
