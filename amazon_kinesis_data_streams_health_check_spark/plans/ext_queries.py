@@ -1915,8 +1915,15 @@ def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.abs(F.length("pa") - F.length("pb")) <= F.lit(_FUZZY_MAX_EDITS)
         )
-        .withColumn("edit_dist", F.levenshtein("pa", "pb").cast("long"))
-        .filter(F.col("edit_dist") <= _FUZZY_MAX_EDITS)
+        # Banded DP: the 3-arg levenshtein(threshold) computes only the
+        # +/-threshold diagonal band — O(prefix * edits) per pair instead of
+        # O(prefix^2) — and returns -1 above the bound (filtered with the
+        # same predicate, so the pair set is unchanged).
+        .withColumn(
+            "edit_dist",
+            F.expr(f"levenshtein(pa, pb, {_FUZZY_MAX_EDITS})").cast("long"),
+        )
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= _FUZZY_MAX_EDITS))
         .select("doc_a", "doc_b", "edit_dist")
     )
 
