@@ -716,6 +716,94 @@ def kinesis_kpl_deaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming KPL consumer leg: de-aggregation running INSIDE a live
+# Structured Streaming pipeline (mapInPandas on a streaming DF) — a packed
+# wire feed file-streamed one file per trigger through explode_kpl and the
+# consumer decode. The transform is stateless per kinesis record, so the
+# drained row set is micro-batch-slicing independent and the batch twin's
+# arithmetic oracle applies verbatim.
+# ---------------------------------------------------------------------------
+_SKPL_SHARDS = 2
+_SKPL_PER_SHARD = 100
+
+_SKPL_SQL = f"""
+WITH g AS (
+  SELECT s.range AS shard, q.range AS seq
+  FROM range(0, {_SKPL_SHARDS}) s, range(0, {_SKPL_PER_SHARD}) q
+)
+SELECT 'shardId-' || lpad(CAST(shard AS VARCHAR), 12, '0') AS shard_id,
+       CAST(seq // {_KPL_PER_BLOB} AS BIGINT) AS agg_index,
+       CAST(seq % {_KPL_PER_BLOB} AS BIGINT) AS subsequence,
+       strftime(to_timestamp({_KS_EPOCH} + seq * {_KS_IVL_MS} // 1000),
+                '%Y-%m-%dT%H:%M:%SZ') AS user_partition_key,
+       CAST({_KS_EPOCH} + seq * {_KS_IVL_MS} // 1000 AS BIGINT) AS payload_epoch_s,
+       CAST(octet_length(encode('{{"currentInstant": "' ||
+            strftime(to_timestamp({_KS_EPOCH} + seq * {_KS_IVL_MS} // 1000),
+                     '%Y-%m-%dT%H:%M:%SZ') || '"}}')) AS BIGINT) AS payload_len
+FROM g
+"""
+
+
+@register(
+    "streaming_kpl_consume",
+    oracle=_SKPL_SQL,
+    doc="S2 streaming + KPL: packed aggregated records file-streamed one "
+    "file per trigger through Arrow de-aggregation (mapInPandas on the "
+    "streaming DF) and the consumer decode; stateless per kinesis record, "
+    "so the batch arithmetic oracle applies to the drained set verbatim",
+    tags=("core", "streaming", "source", "kinesis"),
+)
+def streaming_kpl_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: de-aggregation is a narrow per-batch Arrow map (fan-out
+    = records per blob) — no state, no shuffle before the sink; exactly how
+    a real KPL-consuming Spark pipeline runs against the kinesis connector."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.kpl_agg import (
+        explode_kpl,
+        pack_kpl,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_sim import (
+        register_kinesis_sim,
+    )
+
+    configure_session(spark)
+    register_kinesis_sim(spark)
+    raw = (
+        spark.read.format("kinesis_sim")
+        .option("numShards", _SKPL_SHARDS)
+        .option("recordsPerShard", _SKPL_PER_SHARD)
+        .option("startEpochS", _KS_EPOCH)
+        .option("intervalMs", _KS_IVL_MS)
+        .load()
+    )
+    packed = pack_kpl(raw, max_per_blob=_KPL_PER_BLOB)
+    feed_dir = tempfile.mkdtemp(prefix="kpl_feed_")
+    packed.repartition(4).write.mode("overwrite").parquet(feed_dir)
+    stream = (
+        spark.readStream.schema(packed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    exploded = explode_kpl(
+        stream,
+        pk_col="agg_partition_key",
+        data_col="agg_data",
+        keep_cols=("shard_id", "agg_index"),
+    )
+    payload = F.decode("user_data", "UTF-8")
+    decoded = exploded.select(
+        "shard_id",
+        F.col("agg_index").cast("long").alias("agg_index"),
+        "subsequence",
+        "user_partition_key",
+        F.unix_timestamp(
+            F.to_timestamp(F.get_json_object(payload, "$.currentInstant"))
+        ).alias("payload_epoch_s"),
+        F.octet_length("user_data").cast("long").alias("payload_len"),
+    )
+    return _run_to_memory(decoded, "kpl_consume")
+
+
+# ---------------------------------------------------------------------------
 # W1 trigger cadence, driver-visible: the paced sim source admits EXACTLY
 # recordsPerBatch per shard per trigger, so each micro-batch's content is a
 # pure function of its batch id regardless of wall-clock timing — the
