@@ -1916,14 +1916,20 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" cast(array() as array<string>))"
             )
         ).alias("g"),
-    ).localCheckpoint(eager=False)  # feeds bic, uni, V, and the scoring pass
+    ).localCheckpoint(eager=False)  # feeds the count pass AND the scoring pass
+    # One counting pass over the token stream; the unigram-prefix counts and
+    # the vocabulary size both fold from the (small) bigram TYPE table —
+    # c1(t1) = sum of c2 over types starting with t1, V = |types| — so the
+    # big exploded table is scanned exactly twice (counts + scoring), not
+    # four times.
     bic = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    bic = bic.localCheckpoint(eager=False)  # type table feeds uni, V, scoring
     uni = (
-        bg.select(F.expr("split_part(g, ' ', 1)").alias("t1"))
+        bic.select(F.expr("split_part(g, ' ', 1)").alias("t1"), "c2")
         .groupBy("t1")
-        .agg(F.count(F.lit(1)).alias("c1"))
+        .agg(F.sum("c2").alias("c1"))
     )
-    v = bg.agg(F.countDistinct("g").alias("vsz"))
+    v = bic.agg(F.count(F.lit(1)).alias("vsz"))
     scored = (
         bg.join(bic, "g")
         .withColumn("t1", F.expr("split_part(g, ' ', 1)"))

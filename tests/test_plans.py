@@ -586,3 +586,41 @@ def test_dup_span_windows_partition_by_doc(spark, sf_small):
     for spec in re.findall(r"windowspecdefinition\(([^,]+),", plan):
         assert "doc_id" in spec, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_kpl_deaggregate_single_shard_shuffle(spark, sf_small):
+    """The de-aggregation legs must be narrow Arrow maps (MapInPandas, no
+    per-row Python); the only sort-merge join allowed is the FULL-OUTER
+    audit join of two per-shard aggregates (bounded by shard count — full
+    outer cannot broadcast); no cartesian beyond the idiomatic 1-row
+    broadcast audit attach. The pack leg's per-shard applyInPandas sits
+    behind the localCheckpoint boundary and is pinned functionally by
+    tests/test_kpl.py."""
+    plan = plan_of(spark, sf_small, "kinesis_kpl_deaggregate")
+    assert "CartesianProduct" not in plan, plan
+    smj = re.findall(r"^\(\d+\) SortMergeJoin (\w+)", plan, re.M)
+    assert all(k == "FullOuter" for k in smj) and len(smj) <= 1, plan
+    assert "MapInPandas" in plan, plan
+
+
+def test_shard_order_audit_partitions_by_shard(spark, sf_small):
+    """The delivery-order audit window may only partition by shard_id —
+    per-shard volume is bounded by Kinesis' own shard throughput cap, so a
+    per-shard sort is safe; a global window would not be."""
+    plan = plan_of(spark, sf_small, "shard_order_audit")
+    for spec in re.findall(r"windowspecdefinition\(([^,]+),", plan):
+        assert "shard_id" in spec, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bigram_surprisal_counts_fold_from_type_table(spark, sf_small):
+    """The unigram-prefix counts and vocabulary size must fold from the
+    bigram TYPE table, not rescan the exploded token stream: the exploded
+    checkpoint feeds exactly two consumers (counting pass + scoring pass)."""
+    plan = plan_of(spark, sf_small, "doc_bigram_surprisal")
+    assert "CartesianProduct" not in plan.replace(
+        "BroadcastNestedLoopJoin Cross", ""
+    ), plan
+    # The scoring join re-keys on the uniform bigram key by design; no
+    # sort-merge should survive AQE at any tested size.
+    assert len(re.findall(r"^\(\d+\) Scan ExistingRDD", plan, re.M)) <= 5, plan
