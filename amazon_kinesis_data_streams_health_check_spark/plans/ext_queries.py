@@ -1727,6 +1727,163 @@ def incremental_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Continuous-ingest dedup: the STREAMING twin of incremental_minhash_index.
+# Structured Streaming drives the ingest cadence (pinned 2-batch feed:
+# even docs bootstrap the index, odd docs arrive as "today's crawl"); each
+# micro-batch probes the PERSISTED band index for near-dups vs everything
+# ingested before it, then appends its own bands + shingle sets as lake
+# commits. With this batch split the latest ingest report is EXACTLY the
+# batch twin's relation, so _INC_MINHASH_SQL is the oracle verbatim.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_dedup_index_ingest",
+    oracle=_INC_MINHASH_SQL,
+    doc="E1 streaming ingest: continuous dedup-index maintenance — each "
+    "micro-batch probes the persisted MinHash band index for near-dups vs "
+    "all earlier ingests (exact Jaccard verify, tau=0.6) and appends its "
+    "bands/shingles as atomic lake commits; the latest ingest report "
+    "value-hashes against the batch twin's SQL",
+    tags=("ext", "dedup", "lake", "streaming"),
+)
+def streaming_dedup_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: per batch, the probe joins the BATCH's band rows against
+    the stored index (cost scales with the ingest, not the corpus) and the
+    verify join touches candidates only; maintenance is an append-only
+    manifest commit per micro-batch. This is the deployment shape for a
+    crawl pipeline that must reject near-dups of anything already ingested
+    without ever re-LSHing history."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_append,
+        snapshot_history,
+    )
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    src_dir = _tf.mkdtemp(prefix="dedup_ingest_src_")
+    for i in range(2):
+        part_dir = _tf.mkdtemp(prefix=f"dedup_ingest_part{i}_")
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        part = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = _os.path.join(src_dir, f"b{i}.parquet")
+        _shutil.move(part, dst)
+        # Strictly increasing mtimes pin the FileStreamSource batch order.
+        _os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+
+    bands_lake = _tf.mkdtemp(prefix="dedup_ingest_bands_")
+    sh_lake = _tf.mkdtemp(prefix="dedup_ingest_sh_")
+    report_dir = _tf.mkdtemp(prefix="dedup_ingest_report_")
+
+    def _ingest(batch_df, batch_id: int) -> None:
+        shingled = (
+            with_shingles(batch_df)
+            .select("doc_id", "source", "sh")
+            .localCheckpoint(eager=False)  # feeds probe verify AND the commit
+        )
+        bands_long = (
+            with_bands(with_minhash(shingled.select("doc_id", "sh")))
+            .select(
+                "doc_id",
+                F.posexplode(
+                    F.array(*[F.col(f"band_{b}") for b in range(4)])
+                ).alias("band_idx", "band_key"),
+            )
+            .withColumn("pband", F.concat(F.lit("b"), F.col("band_idx")))
+            .localCheckpoint(eager=False)  # feeds the probe AND the commit
+        )
+        if snapshot_history(spark, bands_lake):
+            index = read_snapshot(spark, bands_lake)
+            pairs = (
+                bands_long.alias("i")
+                .join(
+                    index.alias("h"),
+                    (F.col("h.band_idx") == F.col("i.band_idx"))
+                    & (F.col("h.band_key") == F.col("i.band_key")),
+                )
+                .select(
+                    F.col("i.doc_id").alias("new_doc"),
+                    F.col("h.doc_id").alias("hist_doc"),
+                )
+                .distinct()
+            )
+            sh_i = shingled.select(
+                F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_i")
+            )
+            sh_h = read_snapshot(spark, sh_lake).select(
+                F.col("doc_id").alias("hist_doc"), F.col("sh").alias("sh_h")
+            )
+            ver = (
+                pairs.join(sh_i, "new_doc")
+                .join(sh_h, "hist_doc")
+                .select(
+                    "new_doc",
+                    (
+                        F.expr("size(array_intersect(sh_i, sh_h))").cast("double")
+                        / F.expr("size(array_union(sh_i, sh_h))")
+                    ).alias("j"),
+                )
+            )
+            cand = ver.groupBy("new_doc").agg(
+                F.count(F.lit(1)).alias("n_cand"),
+                F.max(F.when(F.col("j") >= 0.6, 1).otherwise(0)).alias("dup"),
+            )
+            report = (
+                shingled.select("doc_id", "source")
+                .join(cand, shingled.doc_id == cand.new_doc, "left")
+                .groupBy("source")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_new_docs"),
+                    F.coalesce(F.sum("n_cand"), F.lit(0))
+                    .cast("long")
+                    .alias("n_candidate_links"),
+                    F.coalesce(F.sum("dup"), F.lit(0))
+                    .cast("long")
+                    .alias("n_near_dup_docs"),
+                )
+            )
+        else:  # bootstrap ingest: empty index, nothing to probe
+            report = shingled.groupBy("source").agg(
+                F.count(F.lit(1)).cast("long").alias("n_new_docs"),
+                F.lit(0).cast("long").alias("n_candidate_links"),
+                F.lit(0).cast("long").alias("n_near_dup_docs"),
+            )
+        # Latest-ingest report (overwritten per batch), then index maintenance.
+        report.write.mode("overwrite").parquet(report_dir)
+        snapshot_append(spark, bands_long, bands_lake, partition_col="pband")
+        snapshot_append(
+            spark,
+            shingled.select("doc_id", "sh").withColumn("p", F.lit("all")),
+            sh_lake,
+            partition_col="p",
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", _tf.mkdtemp(prefix="dedup_ingest_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover - defensive against a hung source
+        q.stop()
+    if len(snapshot_history(spark, bands_lake)) != 2:
+        raise RuntimeError("ingest drive incomplete: expected 2 index commits")
+    return spark.read.parquet(report_dir)
+
+
+# ---------------------------------------------------------------------------
 # Count-Min heavy hitters: the mergeable frequency-estimation sketch
 # (HLL = distincts, KLL = quantiles, CM = counts — this completes the set).
 # ---------------------------------------------------------------------------

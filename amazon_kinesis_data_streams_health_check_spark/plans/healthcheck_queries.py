@@ -799,6 +799,138 @@ def consumer_error_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dead-letter-queue routing + replay: the operational consumer pattern the
+# ESM world runs on (failed records land in a DLQ for repair and replay —
+# the reference's catch-and-continue, HealthCheckConsumerHandler.java:87-93,
+# is the degenerate "no DLQ" version). First pass CLASSIFIES each failure
+# (base64 alphabet / invalid UTF-8 / non-tracer payload — the same gate
+# chain as consumer_error_suppression, in gate order), routes failures to a
+# DLQ relation with their error class and raw bytes, REPAIRS what is
+# repairable (the base64-prefix corruption is reversible; the byte-destroyed
+# classes are not), and replays the repaired DLQ through the SAME decode.
+# Conservation (first-pass-ok + recovered + dead == total) rides in the hash.
+# ---------------------------------------------------------------------------
+_DLQ_SQL = """
+WITH c AS (SELECT event_type, event_id % 11 AS cls FROM events)
+SELECT event_type AS stream_name,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN cls >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_first_pass_ok,
+       CAST(sum(CASE WHEN cls < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dlq,
+       CAST(sum(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_base64,
+       CAST(sum(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_utf8,
+       CAST(sum(CASE WHEN cls = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_payload,
+       CAST(sum(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered,
+       CAST(sum(CASE WHEN cls IN (1, 2) THEN 1 ELSE 0 END) AS BIGINT) AS n_dead,
+       TRUE AS conservation_ok
+FROM c GROUP BY event_type
+"""
+
+
+@register(
+    "consumer_dlq_replay",
+    oracle=_DLQ_SQL,
+    doc="F4 operational: dead-letter-queue routing — failed records "
+    "classified per gate (bad base64 / bad UTF-8 / bad payload), routed to "
+    "a DLQ with raw bytes, repaired where reversible, and replayed through "
+    "the SAME decode; recovery and conservation counts hash against the "
+    "injection ground truth",
+    tags=("core", "kinesis"),
+)
+def consumer_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: classification is the same narrow null-gate chain as the
+    hot decode path (no second parse for healthy records — the DLQ filter
+    is payload_ts IS NULL); the DLQ relation is failure-sized, not
+    stream-sized, so repair + replay cost scales with the error rate. The
+    replay re-enters decoded_records itself — one decode implementation,
+    no duplicated parsing logic to drift."""
+    from amazon_kinesis_data_streams_health_check_spark.functions import scalar
+    from amazon_kinesis_data_streams_health_check_spark.operators.consumer import (
+        decoded_records,
+    )
+
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    records = explode_records(synthesize_from_events(events))
+    cls = F.pmod(F.col("sequenceNumber").cast("long"), F.lit(11))
+    corrupted = records.withColumn(
+        "data",
+        F.when(cls == 0, F.concat(F.lit("!!!"), F.col("data")))
+        .when(cls == 1, F.base64(F.unhex(F.lit("FF88"))))
+        .when(cls == 2, F.base64(scalar.utf8_encode(F.lit("oops not json"))))
+        .otherwise(F.col("data")),
+    )
+    decoded = decoded_records(corrupted).localCheckpoint(
+        eager=False
+    )  # feeds the ok-count AND the DLQ legs
+    # Gate-ordered failure classification (first failing gate names the class).
+    b64 = scalar.b64_decode(F.col("data"))
+    utf8 = scalar.utf8_decode(b64)
+    err_class = (
+        F.when(b64.isNull(), F.lit("bad_base64"))
+        .when(utf8.isNull(), F.lit("bad_utf8"))
+        .otherwise(F.lit("bad_payload"))
+    )
+    dlq = decoded.filter(F.col("payload_ts").isNull()).select(
+        "stream_name",
+        "sequenceNumber",
+        "approximateArrivalTimestamp",
+        "eventSourceARN",
+        F.col("data").alias("raw_data"),
+        err_class.alias("err_class"),
+    )
+    dlq = dlq.localCheckpoint(eager=False)  # feeds class counts AND replay
+    # Repair what is reversible, replay through the SAME decode path.
+    repaired = dlq.withColumn(
+        "data",
+        F.when(
+            F.col("err_class") == "bad_base64",
+            F.regexp_replace(F.col("raw_data"), r"^!!!", ""),
+        ).otherwise(F.col("raw_data")),
+    )
+    replayed = decoded_records(repaired.drop("stream_name"))
+    replay_counts = replayed.groupBy("stream_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_replayed"),
+        F.count("payload_ts").cast("long").alias("n_recovered"),
+    )
+    first_pass = decoded.groupBy("stream_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.count("payload_ts").cast("long").alias("n_first_pass_ok"),
+    )
+    dlq_counts = dlq.groupBy("stream_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dlq"),
+        F.sum((F.col("err_class") == "bad_base64").cast("int"))
+        .cast("long")
+        .alias("n_bad_base64"),
+        F.sum((F.col("err_class") == "bad_utf8").cast("int"))
+        .cast("long")
+        .alias("n_bad_utf8"),
+        F.sum((F.col("err_class") == "bad_payload").cast("int"))
+        .cast("long")
+        .alias("n_bad_payload"),
+    )
+    out = (
+        first_pass.join(dlq_counts, "stream_name")
+        .join(replay_counts, "stream_name")
+        .select(
+            "stream_name",
+            "n_total",
+            "n_first_pass_ok",
+            "n_dlq",
+            "n_bad_base64",
+            "n_bad_utf8",
+            "n_bad_payload",
+            "n_recovered",
+            (F.col("n_dlq") - F.col("n_recovered")).alias("n_dead"),
+            (
+                (F.col("n_first_pass_ok") + F.col("n_dlq") == F.col("n_total"))
+                & (F.col("n_replayed") == F.col("n_dlq"))
+            ).alias("conservation_ok"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Seasonal-baseline anomaly flags: the CloudWatch anomaly-detection analog —
 # instead of a trailing-window z-score (metric_anomaly_flags), the baseline
 # is LEARNED per (stream, hour-of-day) and each minute is compared against
