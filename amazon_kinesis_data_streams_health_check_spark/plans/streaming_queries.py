@@ -716,6 +716,241 @@ def kinesis_kpl_deaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Producer-side KPL aggregation through the put sink: the actual KPL use
+# case — pack user records into aggregated blobs BEFORE PutRecord so each
+# wire call carries many records. The aggregate routes by ITS partition key
+# (md5 hash-range, first member's key — the real KPL caveat: member records
+# ride wherever the aggregate lands), the sink commits via the task-commit
+# manifest, and the committed wire bytes de-aggregate back to the exact
+# user-record multiset. Every derived column (including the md5 routing) is
+# reproducible arithmetic, so the whole produce->commit->deagg loop
+# value-hashes against a generate_series oracle.
+# ---------------------------------------------------------------------------
+_KPLP_SHARDS = 2
+_KPLP_PER_SHARD = 100
+_KPLP_SINK_SHARDS = 4
+
+_KPL_PRODUCE_SQL = f"""
+WITH g AS (
+  SELECT s.range AS shard, q.range AS seq
+  FROM range(0, {_KPLP_SHARDS}) s, range(0, {_KPLP_PER_SHARD}) q
+),
+agg AS (
+  SELECT shard, seq // {_KPL_PER_BLOB} AS agg_index,
+         strftime(to_timestamp({_KS_EPOCH} + (seq - seq % {_KPL_PER_BLOB})
+                               * {_KS_IVL_MS} // 1000),
+                  '%Y-%m-%dT%H:%M:%SZ') AS agg_pk,
+         count(*) AS n_members
+  FROM g GROUP BY 1, 2, 3
+),
+routed AS (
+  SELECT ('0x' || substr(md5(agg_pk), 1, 8))::BIGINT % {_KPLP_SINK_SHARDS}
+           AS sink_shard,
+         agg_pk, n_members
+  FROM agg
+)
+SELECT 'shardId-' || lpad(CAST(sink_shard AS VARCHAR), 12, '0') AS sink_shard_id,
+       CAST(count(*) AS BIGINT) AS n_agg_records,
+       CAST(sum(n_members) AS BIGINT) AS n_user_records,
+       CAST(count(DISTINCT agg_pk) AS BIGINT) AS n_distinct_agg_pks
+FROM routed GROUP BY 1
+"""
+
+
+@register(
+    "kinesis_kpl_produce_roundtrip",
+    oracle=_KPL_PRODUCE_SQL,
+    doc="K1 + KPL: producer-side aggregation through the put sink — user "
+    "records packed 5-per-blob, aggregates routed by md5(partition key) "
+    "hash range (the real KPL placement: members ride with the aggregate), "
+    "committed via the task-commit manifest, then the committed wire bytes "
+    "de-aggregated back; per-sink-shard accounting value-hashes against a "
+    "generate_series oracle reproducing the md5 routing",
+    tags=("core", "sink", "kinesis"),
+)
+def kinesis_kpl_produce_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: pack shuffles once per source shard; the sink write is
+    the task-commit publish protocol (pending -> manifest) with per-record
+    md5 routing inside the writer; the read-back + de-aggregation is a
+    narrow Arrow map over committed files only. One wire call per
+    aggregate instead of per record is exactly why the KPL exists."""
+    import tempfile as _tf
+
+    from amazon_kinesis_data_streams_health_check_spark.operators.kpl_agg import (
+        explode_kpl,
+        pack_kpl,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_put import (
+        read_committed,
+        register_kinesis_put,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_sim import (
+        register_kinesis_sim,
+    )
+
+    configure_session(spark)
+    register_kinesis_sim(spark)
+    register_kinesis_put(spark)
+    raw = (
+        spark.read.format("kinesis_sim")
+        .option("numShards", _KPLP_SHARDS)
+        .option("recordsPerShard", _KPLP_PER_SHARD)
+        .option("startEpochS", _KS_EPOCH)
+        .option("intervalMs", _KS_IVL_MS)
+        .load()
+    )
+    packed = pack_kpl(raw, max_per_blob=_KPL_PER_BLOB)
+    sink_dir = _tf.mkdtemp(prefix="kpl_put_sink_")
+    (
+        packed.select(
+            F.lit("health-check-stream").alias("stream_name"),
+            F.col("agg_partition_key").alias("partitionKey"),
+            F.col("agg_data").alias("data"),
+        )
+        .write.format("kinesis_put")
+        .mode("append")
+        .option("path", sink_dir)
+        .option("numShards", _KPLP_SINK_SHARDS)
+        .save()
+    )
+    committed = read_committed(spark, sink_dir).select(
+        "shard_id",
+        "partition_key",
+        F.unbase64("data_b64").alias("data"),
+    )
+    committed = committed.localCheckpoint(eager=False)  # agg counts AND explode
+    agg_counts = committed.groupBy(F.col("shard_id").alias("sink_shard_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_agg_records"),
+        F.countDistinct("partition_key").cast("long").alias("n_distinct_agg_pks"),
+    )
+    exploded = explode_kpl(
+        committed,
+        pk_col="partition_key",
+        data_col="data",
+        keep_cols=("shard_id",),
+    )
+    user_counts = exploded.groupBy(F.col("shard_id").alias("sink_shard_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_user_records")
+    )
+    return agg_counts.join(user_counts, "sink_shard_id").select(
+        "sink_shard_id", "n_agg_records", "n_user_records", "n_distinct_agg_pks"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shard-throughput audit: Kinesis' published per-shard write limits are
+# 1000 records/s and 1 MiB/s — the capacity-planning numbers every real
+# producer sizes against (and the reason resharding exists). The sim feed
+# is driven fast (intervalMs=50 => 20 rec/s/shard) and audited per
+# (shard, second) against both limits; per-shard peaks and throttle-second
+# counts are pure arithmetic, so the oracle recomputes them exactly.
+# ---------------------------------------------------------------------------
+_THR_SHARDS = 2
+_THR_PER_SHARD = 600
+_THR_IVL_MS = 50  # 20 records/s/shard
+_THR_REC_LIMIT = 1000
+_THR_BYTE_LIMIT = 1 << 20
+
+_THROUGHPUT_SQL = f"""
+WITH g AS (
+  SELECT s.range AS shard, q.range AS seq
+  FROM range(0, {_THR_SHARDS}) s, range(0, {_THR_PER_SHARD}) q
+),
+r AS (
+  SELECT shard,
+         CAST({_KS_EPOCH} + seq * {_THR_IVL_MS} // 1000 AS BIGINT) AS sec,
+         octet_length(encode('{{"currentInstant": "' ||
+             strftime(to_timestamp({_KS_EPOCH} + seq * {_THR_IVL_MS} // 1000),
+                      '%Y-%m-%dT%H:%M:%SZ') || '"}}'))
+           + octet_length(encode(
+             strftime(to_timestamp({_KS_EPOCH} + seq * {_THR_IVL_MS} // 1000),
+                      '%Y-%m-%dT%H:%M:%SZ'))) AS bytes
+  FROM g
+),
+persec AS (
+  SELECT shard, sec, CAST(count(*) AS BIGINT) AS n, CAST(sum(bytes) AS BIGINT) AS b
+  FROM r GROUP BY shard, sec
+)
+SELECT 'shardId-' || lpad(CAST(shard AS VARCHAR), 12, '0') AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_active_seconds,
+       CAST(max(n) AS BIGINT) AS peak_records_per_s,
+       CAST(max(b) AS BIGINT) AS peak_bytes_per_s,
+       CAST(sum(CASE WHEN n > {_THR_REC_LIMIT}
+                       OR b > {_THR_BYTE_LIMIT} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_throttled_seconds,
+       CAST(1000000 * max(n) // {_THR_REC_LIMIT} AS BIGINT)
+         AS peak_record_util_ppm,
+       CAST(1000000 * max(b) // {_THR_BYTE_LIMIT} AS BIGINT)
+         AS peak_byte_util_ppm
+FROM persec GROUP BY shard
+"""
+
+
+@register(
+    "shard_throughput_audit",
+    oracle=_THROUGHPUT_SQL,
+    doc="Kinesis capacity audit: per-(shard, second) record and byte rates "
+    "against the published 1000 rec/s / 1 MiB/s shard limits — peaks, "
+    "throttle-second counts, and utilization ppm; the sizing signal that "
+    "drives resharding decisions (shard_reshard_routing is the act)",
+    tags=("core", "source", "kinesis"),
+)
+def shard_throughput_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one narrow projection (record bytes = payload + key,
+    the PutRecord accounting) into a per-(shard, second) aggregation with
+    map-side partials, then a per-shard rollup — bounded by shard count.
+    The audit is exactly what CloudWatch's WriteProvisionedThroughput
+    metrics report; here it is derived from the wire itself."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_sim import (
+        register_kinesis_sim,
+    )
+
+    configure_session(spark)
+    register_kinesis_sim(spark)
+    raw = (
+        spark.read.format("kinesis_sim")
+        .option("numShards", _THR_SHARDS)
+        .option("recordsPerShard", _THR_PER_SHARD)
+        .option("startEpochS", _KS_EPOCH)
+        .option("intervalMs", _THR_IVL_MS)
+        .load()
+    )
+    persec = (
+        raw.select(
+            "shard_id",
+            F.col("approximate_arrival_ts").cast("long").alias("sec"),
+            (
+                F.octet_length("data")
+                + F.octet_length(F.encode("partition_key", "UTF-8"))
+            ).alias("bytes"),
+        )
+        .groupBy("shard_id", "sec")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("bytes").cast("long").alias("b"),
+        )
+    )
+    return persec.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_seconds"),
+        F.max("n").alias("peak_records_per_s"),
+        F.max("b").alias("peak_bytes_per_s"),
+        F.sum(
+            (
+                (F.col("n") > _THR_REC_LIMIT) | (F.col("b") > _THR_BYTE_LIMIT)
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("n_throttled_seconds"),
+        F.expr(f"CAST(1000000 * max(n) div {_THR_REC_LIMIT} AS BIGINT)").alias(
+            "peak_record_util_ppm"
+        ),
+        F.expr(f"CAST(1000000 * max(b) div {_THR_BYTE_LIMIT} AS BIGINT)").alias(
+            "peak_byte_util_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming KPL consumer leg: de-aggregation running INSIDE a live
 # Structured Streaming pipeline (mapInPandas on a streaming DF) — a packed
 # wire feed file-streamed one file per trigger through explode_kpl and the
