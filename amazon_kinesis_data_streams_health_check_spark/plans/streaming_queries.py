@@ -951,6 +951,113 @@ def shard_throughput_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Consumer iterator age: the infrastructure-side lag metric
+# (GetRecords.IteratorAgeMilliseconds) — the payload lag the reference
+# alarms on (HealthCheckSinceSeconds) tells you the DATA is stale; iterator
+# age tells you the CONSUMER is behind. Simulated consumer checkpoints
+# (each shard processed through a different fraction of its backlog) are
+# compared against the latest arrivals: age = now - arrival(next unread),
+# backlog = records past the checkpoint. Pure arithmetic on the sim wire,
+# exactly reproduced by the oracle.
+# ---------------------------------------------------------------------------
+_ITER_SHARDS = 4
+_ITER_PER_SHARD = 250
+
+_ITER_AGE_SQL = f"""
+WITH ckpt AS (
+  SELECT s.range AS shard,
+         -- shard k has processed through 50 + 50*k records (all < 250)
+         CAST(50 + 50 * s.range AS BIGINT) AS processed
+  FROM range(0, {_ITER_SHARDS}) s
+),
+latest AS (
+  SELECT CAST({_KS_EPOCH} + ({_ITER_PER_SHARD} - 1) * {_KS_IVL_MS} // 1000
+              AS BIGINT) AS now_s
+)
+SELECT 'shardId-' || lpad(CAST(shard AS VARCHAR), 12, '0') AS shard_id,
+       processed AS n_processed,
+       CAST({_ITER_PER_SHARD} - processed AS BIGINT) AS n_backlog,
+       CAST((now_s - ({_KS_EPOCH} + processed * {_KS_IVL_MS} // 1000)) * 1000
+            AS BIGINT) AS iterator_age_ms,
+       CAST({_ITER_PER_SHARD} - processed AS BIGINT) * 1000
+         >= CAST(60000 AS BIGINT) // {_KS_IVL_MS} AS behind,
+       (now_s - ({_KS_EPOCH} + processed * {_KS_IVL_MS} // 1000)) * 1000
+         > 3600000 AS age_alarm_1h
+FROM ckpt, latest
+"""
+
+
+@register(
+    "consumer_iterator_age",
+    oracle=_ITER_AGE_SQL,
+    doc="Kinesis ops: per-shard consumer iterator age (the "
+    "GetRecords.IteratorAgeMilliseconds signal) — checkpointed offsets vs "
+    "the latest arrival give age-in-ms, backlog depth, and the 1-hour age "
+    "alarm every production consumer runs; the data-staleness twin of the "
+    "reference's HealthCheckSinceSeconds payload lag",
+    tags=("core", "source", "kinesis"),
+)
+def consumer_iterator_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the unread slice is an offset-pruned scan per shard
+    (sequence predicate on the sim source's arithmetic wire — on a real
+    connector this is exactly the iterator position), aggregated to one
+    row per shard; checkpoint and latest sides are both bounded by shard
+    count and broadcast."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_sim import (
+        register_kinesis_sim,
+    )
+
+    configure_session(spark)
+    register_kinesis_sim(spark)
+    raw = (
+        spark.read.format("kinesis_sim")
+        .option("numShards", _ITER_SHARDS)
+        .option("recordsPerShard", _ITER_PER_SHARD)
+        .option("startEpochS", _KS_EPOCH)
+        .option("intervalMs", _KS_IVL_MS)
+        .load()
+    )
+    wire = raw.select(
+        "shard_id",
+        F.substring("sequence_number", 37, 20).cast("long").alias("seq"),
+        F.col("approximate_arrival_ts").cast("long").alias("arrival_s"),
+    )
+    wire = wire.localCheckpoint(eager=False)  # feeds latest AND backlog legs
+    # Simulated consumer checkpoints: shard k processed through 50 + 50k.
+    ckpt = wire.select("shard_id").distinct().select(
+        "shard_id",
+        (
+            F.lit(50)
+            + 50 * F.substring("shard_id", 9, 12).cast("long")
+        ).alias("processed"),
+    )
+    latest = wire.agg(F.max("arrival_s").alias("now_s"))
+    unread = (
+        wire.join(F.broadcast(ckpt), "shard_id")
+        .filter(F.col("seq") >= F.col("processed"))
+        .groupBy("shard_id", "processed")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_backlog"),
+            F.min("arrival_s").alias("next_arrival_s"),
+        )
+    )
+    return unread.crossJoin(F.broadcast(latest)).select(
+        "shard_id",
+        F.col("processed").alias("n_processed"),
+        "n_backlog",
+        ((F.col("now_s") - F.col("next_arrival_s")) * 1000)
+        .cast("long")
+        .alias("iterator_age_ms"),
+        (
+            F.col("n_backlog") * 1000 >= F.expr(f"CAST(60000 AS BIGINT) div {_KS_IVL_MS}")
+        ).alias("behind"),
+        ((F.col("now_s") - F.col("next_arrival_s")) * 1000 > 3_600_000).alias(
+            "age_alarm_1h"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming KPL consumer leg: de-aggregation running INSIDE a live
 # Structured Streaming pipeline (mapInPandas on a streaming DF) — a packed
 # wire feed file-streamed one file per trigger through explode_kpl and the
