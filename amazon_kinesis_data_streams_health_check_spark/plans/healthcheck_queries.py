@@ -1371,6 +1371,295 @@ def shard_reshard_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Shard autoscale planning: the decision step between observing load
+# (shard_throughput_audit) and executing a reshard (shard_reshard_routing).
+# A legacy layout of unequal hash-range widths (the residue of past
+# resharding) is audited against the stream's actual key distribution, and
+# the plan emits the Kinesis SplitShard / MergeShards operations that
+# rebalance it: hot shards split at their hash midpoint, adjacent cold
+# shards merge pairwise (MergeShards requires adjacency), and every
+# resulting child is re-audited against the real key distribution so the
+# plan reports the utilization it would actually achieve, not the naive
+# half-of-parent estimate.
+# ---------------------------------------------------------------------------
+_ASP_W16 = 1 << 28  # 1/16 of the 2^32 md5-uniform hash-key space
+#: Legacy shard widths in 1/16ths of the key space (sum = 16): the wide
+#: shards are hot by construction under a uniform key hash, the narrow
+#: ones cold — the imbalance real streams accumulate after ad-hoc splits.
+_ASP_WIDTHS = (6, 1, 1, 2, 1, 1, 3, 1)
+_ASP_SPLIT_PPM = 250_000  # split when share > 2x the fair 1/8 = 125000 ppm
+_ASP_COLD_PPM = 93_750  # merge-eligible when share < 0.75x fair
+
+_ASP_LAYOUT: list[tuple[int, int, int]] = []
+_asp_lo = 0
+for _asp_i, _asp_w in enumerate(_ASP_WIDTHS):
+    _ASP_LAYOUT.append((_asp_i, _asp_lo, _asp_lo + _asp_w * _ASP_W16))
+    _asp_lo += _asp_w * _ASP_W16
+
+_ASP_VALUES = ",\n  ".join(f"({s}, {lo}, {hi})" for s, lo, hi in _ASP_LAYOUT)
+
+_ASP_FMT_DUCK = "'shardId-' || lpad(CAST({0} AS VARCHAR), 12, '0')"
+
+_AUTOSCALE_SQL = f"""
+WITH layout(shard, lo, hi) AS (
+  VALUES
+  {_ASP_VALUES}
+),
+routed AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM events
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM routed),
+cnts AS (
+  SELECT l.shard, l.lo, l.hi, CAST(count(r.h) AS BIGINT) AS n
+  FROM layout l LEFT JOIN routed r ON r.h >= l.lo AND r.h < l.hi
+  GROUP BY l.shard, l.lo, l.hi
+),
+shares AS (
+  SELECT shard, lo, hi, CAST(1000000 * n // total AS BIGINT) AS share_ppm
+  FROM cnts, tot
+),
+flagged AS (
+  SELECT *,
+         share_ppm > {_ASP_SPLIT_PPM} AS is_split,
+         share_ppm < {_ASP_COLD_PPM} AS is_cold,
+         row_number() OVER (ORDER BY lo) AS pos
+  FROM shares
+),
+isl AS (
+  SELECT *, pos - row_number() OVER (PARTITION BY is_cold ORDER BY pos) AS island
+  FROM flagged
+),
+pairs AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY is_cold, island ORDER BY pos) AS pair_idx,
+         lead(shard) OVER (PARTITION BY is_cold, island ORDER BY pos) AS succ_shard,
+         lead(hi) OVER (PARTITION BY is_cold, island ORDER BY pos) AS succ_hi,
+         lead(share_ppm) OVER (PARTITION BY is_cold, island ORDER BY pos) AS succ_share
+  FROM isl
+),
+children AS (
+  SELECT 'split-child' AS action, {_ASP_FMT_DUCK.format('shard')} AS parent,
+         '' AS adjacent_parent, lo AS c_lo, (lo + hi) // 2 AS c_hi,
+         share_ppm AS parent_share_ppm, CAST(NULL AS BIGINT) AS keep
+  FROM pairs WHERE is_split
+  UNION ALL
+  SELECT 'split-child', {_ASP_FMT_DUCK.format('shard')}, '',
+         (lo + hi) // 2, hi, share_ppm, NULL
+  FROM pairs WHERE is_split
+  UNION ALL
+  SELECT 'merged', {_ASP_FMT_DUCK.format('shard')},
+         {_ASP_FMT_DUCK.format('succ_shard')}, lo, succ_hi,
+         share_ppm + succ_share, NULL
+  FROM pairs
+  WHERE is_cold AND pair_idx % 2 = 1 AND succ_shard IS NOT NULL
+  UNION ALL
+  SELECT 'retain-cold', '', '', lo, hi, share_ppm, shard
+  FROM pairs WHERE is_cold AND pair_idx % 2 = 1 AND succ_shard IS NULL
+  UNION ALL
+  SELECT 'retain', '', '', lo, hi, share_ppm, shard
+  FROM pairs WHERE NOT is_cold AND NOT is_split
+),
+ids AS (
+  SELECT *,
+         CASE WHEN keep IS NULL
+              THEN {len(_ASP_WIDTHS)} - 1
+                   + row_number() OVER (PARTITION BY (keep IS NULL) ORDER BY c_lo)
+              ELSE keep END AS new_shard
+  FROM children
+),
+proj AS (
+  SELECT i.c_lo, CAST(count(r.h) AS BIGINT) AS c_n
+  FROM ids i LEFT JOIN routed r ON r.h >= i.c_lo AND r.h < i.c_hi
+  GROUP BY i.c_lo
+)
+SELECT {_ASP_FMT_DUCK.format('i.new_shard')} AS shard_id,
+       i.action, i.parent, i.adjacent_parent,
+       i.c_lo AS lo, i.c_hi AS hi, i.parent_share_ppm,
+       CAST(1000000 * p.c_n // t.total AS BIGINT) AS projected_share_ppm
+FROM ids i JOIN proj p ON i.c_lo = p.c_lo, tot t
+"""
+
+
+@register(
+    "shard_autoscale_plan",
+    oracle=_AUTOSCALE_SQL,
+    doc="Kinesis autoscale planning: a legacy unequal-width shard layout is "
+    "audited against the stream's real key distribution; hot shards (>2x "
+    "fair share) split at their hash midpoint, adjacent cold shards (<0.75x) "
+    "merge pairwise per the MergeShards adjacency rule, and each planned "
+    "child is re-audited against the actual keys — the decision step between "
+    "shard_throughput_audit (observe) and shard_reshard_routing (act)",
+    tags=("healthcheck", "kinesis"),
+)
+def shard_autoscale_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the event side is touched exactly twice, each time as a
+    narrow hash projection joined against a broadcast layout of at most 16
+    rows (BroadcastNestedLoopJoin on the range predicate — the stream side
+    never shuffles) feeding a map-side-partial count. All planning logic
+    (run-of-cold-shards islands, pairwise merge parity, child numbering)
+    runs on the shard-count-bounded relation under constant-partition
+    windows — no global sort, no per-row Python.
+
+    Reference parity: SplitShard/MergeShards semantics (new shard ids
+    continue the sequence; merge requires adjacent hash ranges) follow the
+    public Kinesis resharding API the reference's stream would be resized
+    with; the reference itself pins shardCount=1
+    (KinesisHealthCheckStack.java:149)."""
+    from pyspark.sql import Window
+
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        hash_uniform,
+    )
+
+    configure_session(spark)
+    n_shards = len(_ASP_WIDTHS)
+    layout = spark.createDataFrame(_ASP_LAYOUT, "shard int, lo long, hi long")
+    routed = (
+        load_table(spark, sf_dir, "events")
+        .select(hash_uniform("user_id").alias("h"))
+        .localCheckpoint(eager=False)  # feeds the audit AND the re-audit
+    )
+    tot = routed.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    cnts = (
+        routed.join(
+            F.broadcast(layout),
+            on=[F.col("h") >= F.col("lo"), F.col("h") < F.col("hi")],
+        )
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    shares = (
+        layout.join(F.broadcast(cnts), "shard", "left")
+        .na.fill({"n": 0})
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "lo",
+            "hi",
+            F.expr("CAST(1000000 * n div total AS BIGINT)").alias("share_ppm"),
+        )
+    )
+    # pos needs no window: the layout constant has ascending lo, so the
+    # rank-by-lo of shard i is i + 1 by construction.
+    flagged = shares.select(
+        "*",
+        (F.col("share_ppm") > _ASP_SPLIT_PPM).alias("is_split"),
+        (F.col("share_ppm") < _ASP_COLD_PPM).alias("is_cold"),
+        (F.col("shard") + 1).alias("pos"),
+    )
+    w_cold = Window.partitionBy("is_cold").orderBy("pos")
+    isl = flagged.withColumn(
+        "island", F.col("pos") - F.row_number().over(w_cold)
+    )
+    w_isl = Window.partitionBy("is_cold", "island").orderBy("pos")
+    pairs = isl.select(
+        "*",
+        F.row_number().over(w_isl).alias("pair_idx"),
+        F.lead("shard").over(w_isl).alias("succ_shard"),
+        F.lead("hi").over(w_isl).alias("succ_hi"),
+        F.lead("share_ppm").over(w_isl).alias("succ_share"),
+    )
+    sid = F.format_string("shardId-%012d", F.col("shard"))
+    succ_sid = F.format_string("shardId-%012d", F.col("succ_shard"))
+    child = lambda action, parent, adj, lo, hi, share, keep: F.struct(  # noqa: E731
+        F.lit(action).alias("action"),
+        parent.alias("parent"),
+        adj.alias("adjacent_parent"),
+        lo.cast("long").alias("c_lo"),
+        hi.cast("long").alias("c_hi"),
+        share.cast("long").alias("parent_share_ppm"),
+        keep.cast("long").alias("keep"),
+    )
+    empty = F.lit("")
+    nul = F.lit(None)
+    mid = F.expr("(lo + hi) div 2")
+    children = pairs.select(
+        F.explode(
+            F.when(
+                F.col("is_split"),
+                F.array(
+                    child("split-child", sid, empty, F.col("lo"), mid, F.col("share_ppm"), nul),
+                    child("split-child", sid, empty, mid, F.col("hi"), F.col("share_ppm"), nul),
+                ),
+            )
+            .when(
+                F.col("is_cold")
+                & (F.col("pair_idx") % 2 == 1)
+                & F.col("succ_shard").isNotNull(),
+                F.array(
+                    child(
+                        "merged",
+                        sid,
+                        succ_sid,
+                        F.col("lo"),
+                        F.col("succ_hi"),
+                        F.col("share_ppm") + F.col("succ_share"),
+                        nul,
+                    )
+                ),
+            )
+            .when(
+                F.col("is_cold") & (F.col("pair_idx") % 2 == 0),
+                F.array().cast(
+                    "array<struct<action:string,parent:string,"
+                    "adjacent_parent:string,c_lo:bigint,c_hi:bigint,"
+                    "parent_share_ppm:bigint,keep:bigint>>"
+                ),
+            )
+            .when(
+                F.col("is_cold"),
+                F.array(
+                    child(
+                        "retain-cold", empty, empty, F.col("lo"), F.col("hi"), F.col("share_ppm"), F.col("shard")
+                    )
+                ),
+            )
+            .otherwise(
+                F.array(
+                    child(
+                        "retain", empty, empty, F.col("lo"), F.col("hi"), F.col("share_ppm"), F.col("shard")
+                    )
+                )
+            )
+        ).alias("c")
+    ).select("c.*")
+    w_new = Window.partitionBy(F.col("keep").isNull()).orderBy("c_lo")
+    ids = children.withColumn(
+        "new_shard",
+        F.when(
+            F.col("keep").isNull(),
+            F.lit(n_shards - 1) + F.row_number().over(w_new),
+        ).otherwise(F.col("keep")),
+    ).localCheckpoint(eager=False)  # feeds the output AND the re-audit join
+    proj = (
+        routed.join(
+            F.broadcast(ids.select("c_lo", "c_hi")),
+            on=[F.col("h") >= F.col("c_lo"), F.col("h") < F.col("c_hi")],
+        )
+        .groupBy("c_lo")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_n"))
+    )
+    return (
+        ids.join(F.broadcast(proj), "c_lo", "left")
+        .na.fill({"c_n": 0})
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.format_string("shardId-%012d", F.col("new_shard")).alias("shard_id"),
+            "action",
+            "parent",
+            "adjacent_parent",
+            F.col("c_lo").alias("lo"),
+            F.col("c_hi").alias("hi"),
+            "parent_share_ppm",
+            F.expr("CAST(1000000 * c_n div total AS BIGINT)").alias(
+                "projected_share_ppm"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Double-exponential (Holt) forecast, exact-integer and engine-identical.
 # ---------------------------------------------------------------------------
 #: Holt state (level, trend) packed into ONE BIGINT — (l+L0)*M + (b+B0) —

@@ -624,3 +624,55 @@ def test_bigram_surprisal_counts_fold_from_type_table(spark, sf_small):
     # The scoring join re-keys on the uniform bigram key by design; no
     # sort-merge should survive AQE at any tested size.
     assert len(re.findall(r"^\(\d+\) Scan ExistingRDD", plan, re.M)) <= 5, plan
+
+
+def test_shard_autoscale_event_side_never_shuffles(spark, sf_small):
+    """Both audit passes over the event stream must resolve as broadcast
+    joins against the bounded layout/children relations (the range
+    predicate makes them nested-loop, which is fine with a <=16-row build
+    side); a SortMergeJoin or a true cartesian over events would not
+    survive 100x."""
+    plan = plan_of(spark, sf_small, "shard_autoscale_plan")
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_shard_autoscale_plan_tiles_keyspace(spark, sf_small):
+    """The planned child shards must exactly tile [0, 2^32) with no gap or
+    overlap (the SplitShard/MergeShards coverage invariant consumers rely
+    on), splits must halve their parent, merges must span exactly their two
+    adjacent parents, and new shard ids must continue the sequence."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.healthcheck_queries import (
+        _ASP_LAYOUT,
+        _ASP_WIDTHS,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    rows = sorted(
+        get("shard_autoscale_plan").builder(spark, sf_small).collect(),
+        key=lambda r: r.lo,
+    )
+    # exact tiling
+    assert rows[0].lo == 0 and rows[-1].hi == 1 << 32
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi == b.lo, (a, b)
+    layout = {f"shardId-{s:012d}": (lo, hi) for s, lo, hi in _ASP_LAYOUT}
+    splits = [r for r in rows if r.action == "split-child"]
+    for r in splits:
+        plo, phi = layout[r.parent]
+        assert (r.lo, r.hi) in (
+            (plo, (plo + phi) // 2),
+            ((plo + phi) // 2, phi),
+        ), r
+    assert len(splits) % 2 == 0
+    for r in rows:
+        if r.action == "merged":
+            assert layout[r.parent][0] == r.lo
+            assert layout[r.parent][1] == layout[r.adjacent_parent][0]
+            assert layout[r.adjacent_parent][1] == r.hi
+    new_ids = sorted(
+        int(r.shard_id[8:]) for r in rows if r.action in ("split-child", "merged")
+    )
+    assert new_ids == list(
+        range(len(_ASP_WIDTHS), len(_ASP_WIDTHS) + len(new_ids))
+    )
