@@ -1768,3 +1768,129 @@ def streaming_hysteresis_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(feed_dir)
     )
     return _run_to_memory(hysteresis_stream(feed), "hyst", output_mode="update")
+
+
+# ---------------------------------------------------------------------------
+# Retention-expiry risk: Kinesis deletes records retentionPeriodHours after
+# arrival whether or not they were read, so a consumer that is behind AND
+# slow loses data silently — the GetRecords read simply skips past the trim
+# horizon. Given each shard's checkpoint and a drain rate, every unread
+# record has a projected read time (now + queue position / rate) and a hard
+# expiry (arrival + retention); records whose read time lands after expiry
+# are unrecoverable-at-current-rate. This is the risk calculation behind
+# the "IteratorAgeMilliseconds approaching retention" alarm AWS recommends.
+# ---------------------------------------------------------------------------
+_RET_SHARDS = 4
+_RET_PER_SHARD = 500
+_RET_IVL_MS = 60_000  # one record per minute per shard => ~8.3h of wire
+_RET_HOURS = 6  # retention window under test
+_RET_DRAIN_S = 10  # consumer drains one record per 10s per shard
+
+_RET_RISK_SQL = f"""
+WITH ckpt AS (
+  SELECT s.range AS shard,
+         CAST(40 + 90 * s.range AS BIGINT) AS processed
+  FROM range(0, {_RET_SHARDS}) s
+),
+latest AS (
+  SELECT CAST({_KS_EPOCH} + ({_RET_PER_SHARD} - 1) * {_RET_IVL_MS} // 1000
+              AS BIGINT) AS now_s
+),
+unread AS (
+  SELECT c.shard, c.processed, q.range AS seq,
+         l.now_s + (q.range - c.processed) * {_RET_DRAIN_S} AS read_s,
+         {_KS_EPOCH} + q.range * {_RET_IVL_MS} // 1000
+           + {_RET_HOURS} * 3600 AS expiry_s
+  FROM ckpt c, latest l, range(0, {_RET_PER_SHARD}) q
+  WHERE q.range >= c.processed
+)
+SELECT 'shardId-' || lpad(CAST(shard AS VARCHAR), 12, '0') AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_backlog,
+       CAST(sum(CASE WHEN read_s > expiry_s THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_at_risk,
+       CAST(1000000 * sum(CASE WHEN read_s > expiry_s THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS at_risk_ppm,
+       CAST(min(CASE WHEN read_s <= expiry_s THEN seq END) AS BIGINT)
+         AS first_safe_seq,
+       CAST(min(expiry_s - read_s) AS BIGINT) AS min_headroom_s
+FROM unread GROUP BY shard
+"""
+
+
+@register(
+    "retention_expiry_risk",
+    oracle=_RET_RISK_SQL,
+    doc="Kinesis ops: retention-expiry risk — unread records whose "
+    "projected read time (checkpoint position drained at the consumer's "
+    "rate) lands after their hard expiry (arrival + retention hours) are "
+    "unrecoverable-at-current-rate; per-shard at-risk counts, ppm, first "
+    "safe sequence, and worst-case headroom seconds — the calculation "
+    "behind the iterator-age-vs-retention alarm",
+    tags=("core", "source", "kinesis"),
+)
+def retention_expiry_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one offset-pruned scan of the sim wire (sequence
+    predicate against the broadcast checkpoint table — the iterator
+    position on a real connector), a narrow projected-read-time/expiry
+    arithmetic map, and a per-shard aggregation bounded by shard count;
+    the checkpoint and now sides are both broadcast.
+
+    Reference parity: the reference's alarm watches data staleness
+    (HealthCheckSinceSeconds); this is the operational complement every
+    production stream needs — staleness extrapolated against the
+    retention deadline (Kinesis trim-horizon semantics: delivery loss is
+    silent)."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_sim import (
+        register_kinesis_sim,
+    )
+
+    configure_session(spark)
+    register_kinesis_sim(spark)
+    raw = (
+        spark.read.format("kinesis_sim")
+        .option("numShards", _RET_SHARDS)
+        .option("recordsPerShard", _RET_PER_SHARD)
+        .option("startEpochS", _KS_EPOCH)
+        .option("intervalMs", _RET_IVL_MS)
+        .load()
+    )
+    wire = raw.select(
+        "shard_id",
+        F.substring("sequence_number", 37, 20).cast("long").alias("seq"),
+        F.col("approximate_arrival_ts").cast("long").alias("arrival_s"),
+    )
+    wire = wire.localCheckpoint(eager=False)  # feeds the latest AND unread legs
+    ckpt = wire.select("shard_id").distinct().select(
+        "shard_id",
+        (
+            F.lit(40)
+            + 90 * F.substring("shard_id", 9, 12).cast("long")
+        ).alias("processed"),
+    )
+    latest = wire.agg(F.max("arrival_s").alias("now_s"))
+    unread = (
+        wire.join(F.broadcast(ckpt), "shard_id")
+        .filter(F.col("seq") >= F.col("processed"))
+        .crossJoin(F.broadcast(latest))
+        .select(
+            "shard_id",
+            "seq",
+            (
+                F.col("now_s")
+                + (F.col("seq") - F.col("processed")) * _RET_DRAIN_S
+            ).alias("read_s"),
+            (F.col("arrival_s") + _RET_HOURS * 3600).alias("expiry_s"),
+        )
+    )
+    at_risk = (F.col("read_s") > F.col("expiry_s")).cast("int")
+    return unread.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_backlog"),
+        F.sum(at_risk).cast("long").alias("n_at_risk"),
+        F.expr(
+            "CAST(1000000 * sum(CAST(read_s > expiry_s AS INT)) div count(1) AS BIGINT)"
+        ).alias("at_risk_ppm"),
+        F.min(F.when(F.col("read_s") <= F.col("expiry_s"), F.col("seq")))
+        .cast("long")
+        .alias("first_safe_seq"),
+        F.min(F.col("expiry_s") - F.col("read_s")).cast("long").alias("min_headroom_s"),
+    )
