@@ -2492,3 +2492,119 @@ def approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             (t99 >= F.col("r99_lt") - tol) & (t99 <= F.col("r99_le") + tol)
         ).alias("p99_within_contract"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PUT payload-unit accounting: Kinesis meters producers in 25 KB "PUT
+# payload units" — every PutRecord consumes ceil(payload/25KB) units, so
+# small records pay for 25 KB whether they use it or not. Packing records
+# with KPL aggregation amortizes that rounding across members, which is
+# the whole economic argument for KPL. Both sides of that argument are
+# computed here from the same synthetic record sizes: plain per-record
+# units vs 5-member-blob units, with the rounding waste and the savings.
+# ---------------------------------------------------------------------------
+_PUT_UNIT_BYTES = 25_600  # 25 KB PUT payload unit
+_COST_KPL_MEMBERS = 5  # members per aggregated blob (matches the KPL legs)
+
+_COST_UNITS_SQL = f"""
+WITH rec AS (
+  SELECT event_type,
+         event_id // {_COST_KPL_MEMBERS} AS blob_id,
+         CAST(octet_length(encode(props))
+              + octet_length(encode(CAST(user_id AS VARCHAR)))
+              + (event_id % 4) * 20000 AS BIGINT) AS bytes
+  FROM events
+),
+plain AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_puts,
+         CAST(sum(bytes) AS BIGINT) AS total_bytes,
+         CAST(sum((bytes + {_PUT_UNIT_BYTES - 1}) // {_PUT_UNIT_BYTES})
+              AS BIGINT) AS put_units
+  FROM rec GROUP BY event_type
+),
+blobs AS (
+  SELECT event_type, blob_id, CAST(sum(bytes) AS BIGINT) AS blob_bytes
+  FROM rec GROUP BY event_type, blob_id
+),
+kpl AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_blobs,
+         CAST(sum((blob_bytes + {_PUT_UNIT_BYTES - 1}) // {_PUT_UNIT_BYTES})
+              AS BIGINT) AS kpl_units
+  FROM blobs GROUP BY event_type
+)
+SELECT p.event_type AS stream_name, p.n_puts, p.total_bytes, p.put_units,
+       CAST(1000000 * (p.put_units * {_PUT_UNIT_BYTES} - p.total_bytes)
+            // (p.put_units * {_PUT_UNIT_BYTES}) AS BIGINT) AS waste_ppm,
+       k.n_blobs, k.kpl_units,
+       CAST(1000000 * (p.put_units - k.kpl_units) // p.put_units AS BIGINT)
+         AS kpl_savings_ppm
+FROM plain p JOIN kpl k ON p.event_type = k.event_type
+"""
+
+
+@register(
+    "kinesis_cost_units",
+    oracle=_COST_UNITS_SQL,
+    doc="Kinesis cost accounting: 25KB PUT payload units per stream — "
+    "per-record rounding (ceil(bytes/25KB)) vs 5-member KPL-aggregated "
+    "blobs over the same bytes, with rounding-waste and aggregation-savings "
+    "ppm; the metering arithmetic behind the KPL economic argument",
+    tags=("healthcheck", "kinesis"),
+)
+def kinesis_cost_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one narrow byte-accounting projection over the event
+    scan feeds two keyed aggregations (per-stream, and per-blob rolled up
+    per-stream) joined on the bounded stream dimension — map-side partials
+    everywhere, no wide row ever carries payload bytes.
+
+    The unit size is the published Kinesis metering constant (25 KB PUT
+    payload units); the aggregation factor matches the repo's KPL pack
+    legs (operators/kpl_agg.py) so the savings number corresponds to what
+    kinesis_kpl_produce_roundtrip actually ships."""
+    configure_session(spark)
+    rec = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"event_id div {_COST_KPL_MEMBERS}").alias("blob_id"),
+        (
+            F.octet_length(F.encode("props", "UTF-8"))
+            + F.octet_length(F.encode(F.col("user_id").cast("string"), "UTF-8"))
+            + (F.col("event_id") % 4) * 20000
+        )
+        .cast("long")
+        .alias("bytes"),
+    )
+    rec = rec.localCheckpoint(eager=False)  # feeds the plain AND blob legs
+    units = lambda c: F.expr(  # noqa: E731
+        f"CAST(({c} + {_PUT_UNIT_BYTES - 1}) div {_PUT_UNIT_BYTES} AS BIGINT)"
+    )
+    plain = rec.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_puts"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+        F.sum(units("bytes")).cast("long").alias("put_units"),
+    )
+    kpl = (
+        rec.groupBy("event_type", "blob_id")
+        .agg(F.sum("bytes").cast("long").alias("blob_bytes"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blobs"),
+            F.sum(units("blob_bytes")).cast("long").alias("kpl_units"),
+        )
+    )
+    return plain.join(kpl, "event_type").select(
+        F.col("event_type").alias("stream_name"),
+        "n_puts",
+        "total_bytes",
+        "put_units",
+        F.expr(
+            f"CAST(1000000 * (put_units * {_PUT_UNIT_BYTES} - total_bytes)"
+            f" div (put_units * {_PUT_UNIT_BYTES}) AS BIGINT)"
+        ).alias("waste_ppm"),
+        "n_blobs",
+        "kpl_units",
+        F.expr(
+            "CAST(1000000 * (put_units - kpl_units) div put_units AS BIGINT)"
+        ).alias("kpl_savings_ppm"),
+    )
