@@ -2198,3 +2198,174 @@ def source_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_milli_bits",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece-style greedy segmentation: the APPLY side of the other major
+# subword tokenizer family (BPE above merges pairs bottom-up at train time;
+# WordPiece segments top-down at apply time with greedy longest-match
+# against a vocabulary, continuation pieces marked '##'). The vocabulary
+# here is data-derived with the same corpus statistics both engines see:
+# every substring up to _WP_MAXLEN chars whose occurrence weight clears a
+# relative threshold, kept separately for word-initial and continuation
+# positions, plus all single characters so segmentation never fails.
+# Everything runs on the word TYPE table (Heaps-bound), exactly like BPE.
+# ---------------------------------------------------------------------------
+_WP_MAXLEN = 8  # longest vocabulary piece in characters
+_WP_REL_PPK = 40  # keep a piece iff 1000 * weight >= 40 * total tokens
+_WP_MAXSTEPS = 24  # loud-fail walk budget (best >= 1 char per step)
+
+_WORDPIECE_SQL = f"""
+WITH RECURSIVE tok AS (
+  SELECT unnest({_DUCK_TOK}) AS word FROM documents
+),
+types AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n, length(word) AS wlen
+  FROM tok GROUP BY word
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM types),
+cand AS (
+  SELECT t.word, t.n, t.wlen,
+         CAST(p.range AS BIGINT) AS pos, CAST(l.range AS BIGINT) AS len,
+         substr(t.word, CAST(p.range AS INT), CAST(l.range AS INT)) AS sub,
+         p.range = 1 AS init
+  FROM types t, range(1, {_WP_MAXLEN + 1} + 0) l,
+       range(1, 1 + {_WP_MAXSTEPS} * {_WP_MAXLEN}) p
+  WHERE p.range <= t.wlen AND p.range + l.range - 1 <= t.wlen
+),
+vocab AS (
+  SELECT sub, init
+  FROM cand, tot
+  GROUP BY sub, init, total
+  HAVING 1000 * sum(n) >= {_WP_REL_PPK} * total OR length(sub) = 1
+),
+best AS (
+  SELECT c.word, c.pos, CAST(max(c.len) AS BIGINT) AS best_len
+  FROM cand c JOIN vocab v ON c.sub = v.sub AND c.init = v.init
+  GROUP BY c.word, c.pos
+),
+walk AS (
+  SELECT word, n, wlen, CAST(1 AS BIGINT) AS pos,
+         CAST(0 AS BIGINT) AS n_pieces, '' AS wordpiece
+  FROM types
+  UNION ALL
+  SELECT w.word, w.n, w.wlen, w.pos + b.best_len, w.n_pieces + 1,
+         CASE WHEN w.pos = 1
+              THEN substr(w.word, 1, CAST(b.best_len AS INT))
+              ELSE w.wordpiece || ' ##'
+                   || substr(w.word, CAST(w.pos AS INT), CAST(b.best_len AS INT))
+         END
+  FROM walk w JOIN best b ON b.word = w.word AND b.pos = w.pos
+  WHERE w.pos <= w.wlen
+)
+SELECT word, n AS n_occurrences, n_pieces, wordpiece
+FROM walk WHERE pos > wlen
+"""
+
+
+@register(
+    "wordpiece_segment",
+    oracle=_WORDPIECE_SQL,
+    doc="Tokenizer apply: WordPiece-style greedy longest-match segmentation "
+    "of every corpus word type against a data-derived subword vocabulary "
+    "(relative-frequency threshold, word-initial vs '##'-continuation "
+    "flavors, single-char fallback) — the top-down counterpart of the "
+    "bottom-up BPE pair above, per-type piece counts and segmentations",
+    tags=("ext", "mining", "tokenize"),
+)
+def wordpiece_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the only corpus-scale stage is the token explode into a
+    map-side-combined ``groupBy word`` — everything after runs on the word
+    TYPE table (Heaps' law: types grow ~sqrt of corpus), with vocabulary
+    and best-piece relations broadcast into the greedy walk. The walk
+    itself is {_WP_MAXSTEPS} bounded join steps (greedy advances >= 1 char
+    per step) with a loud ``raise_error`` if any word exhausts the budget,
+    matching the repo's bom_cost_rollup stance (the DuckDB recursive twin
+    is unbounded — silent truncation would diverge, so Spark fails loud
+    instead)."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    types = (
+        docs.select(F.explode(F.expr(_SPARK_TOK)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("word", "n", F.length("word").cast("long").alias("wlen"))
+        .localCheckpoint(eager=False)  # feeds cand, tot AND the walk seed
+    )
+    tot = types.agg(F.sum("n").cast("long").alias("total"))
+    cand = types.select(
+        "word",
+        "n",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, cast(wlen as int)), p ->"
+                f" transform(sequence(1, least({_WP_MAXLEN}, cast(wlen as int) - p + 1)),"
+                f" l -> struct(cast(p as bigint) as pos, cast(l as bigint) as len,"
+                f" substr(word, p, l) as sub, p = 1 as init))))"
+            )
+        ).alias("c"),
+    ).select("word", "n", "c.*")
+    cand = cand.localCheckpoint(eager=False)  # feeds vocab AND best
+    vocab = (
+        cand.groupBy("sub", "init")
+        .agg(F.sum("n").cast("long").alias("weight"))
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            (1000 * F.col("weight") >= _WP_REL_PPK * F.col("total"))
+            | (F.length("sub") == 1)
+        )
+        .select("sub", "init")
+    )
+    best = (
+        cand.join(F.broadcast(vocab), ["sub", "init"])
+        .groupBy("word", "pos")
+        .agg(F.max("len").cast("long").alias("best_len"))
+    )
+    best = F.broadcast(best.localCheckpoint(eager=False))  # joined every step
+    state = types.select(
+        "word",
+        "n",
+        "wlen",
+        F.lit(1).cast("long").alias("pos"),
+        F.lit(0).cast("long").alias("n_pieces"),
+        F.lit("").alias("wordpiece"),
+    )
+    for _ in range(_WP_MAXSTEPS):
+        adv = F.col("pos") <= F.col("wlen")
+        piece = F.expr("substr(word, cast(pos as int), cast(best_len as int))")
+        state = (
+            state.join(best, ["word", "pos"], "left")
+            .select(
+                "word",
+                "n",
+                "wlen",
+                F.when(adv, F.col("pos") + F.col("best_len"))
+                .otherwise(F.col("pos"))
+                .alias("pos"),
+                F.when(adv, F.col("n_pieces") + 1)
+                .otherwise(F.col("n_pieces"))
+                .alias("n_pieces"),
+                F.when(
+                    adv & (F.col("pos") == 1), piece
+                )
+                .when(adv, F.concat("wordpiece", F.lit(" ##"), piece))
+                .otherwise(F.col("wordpiece"))
+                .alias("wordpiece"),
+            )
+        )
+    return state.select(
+        "word",
+        F.col("n").alias("n_occurrences"),
+        F.when(
+            F.col("pos") <= F.col("wlen"),
+            F.raise_error(
+                F.lit(
+                    f"wordpiece walk exceeded {_WP_MAXSTEPS} steps — "
+                    "raise _WP_MAXSTEPS for this corpus"
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("n_pieces"))
+        .alias("n_pieces"),
+        "wordpiece",
+    )

@@ -278,3 +278,23 @@ def test_theil_sen_plan_is_stream_keyed(spark, sf_small):
     plan = plan_of(spark, sf_small, "theil_sen_trend")
     assert "CartesianProduct" not in plan
     assert re.search(r"Left keys \[\d+\]: \[stream_name#", plan), plan
+
+
+def test_wordpiece_segmentation_reconstructs_words(spark, sf_small):
+    """Greedy longest-match invariants: concatenating the pieces (with
+    '##' continuation markers stripped) must reconstruct each word exactly,
+    piece counts must match the segmentation, the first piece must never
+    carry a marker, and every continuation must."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    rows = get("wordpiece_segment").builder(spark, sf_small).collect()
+    assert rows
+    multi = 0
+    for r in rows:
+        pieces = r.wordpiece.split(" ")
+        assert len(pieces) == r.n_pieces, r
+        assert not pieces[0].startswith("##"), r
+        assert all(p.startswith("##") for p in pieces[1:]), r
+        assert "".join(p.removeprefix("##") for p in pieces) == r.word, r
+        multi += len(pieces) > 1
+    assert multi > 0, "threshold degenerated to whole-word vocab"
