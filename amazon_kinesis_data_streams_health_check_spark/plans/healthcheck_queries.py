@@ -2608,3 +2608,189 @@ def kinesis_cost_units(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(1000000 * (put_units - kpl_units) div put_units AS BIGINT)"
         ).alias("kpl_savings_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wire-payload schema drift: producers evolve their JSON payloads without
+# telling anyone — keys appear, keys vanish, optional keys change emission
+# rate — and consumers discover it in production. The monitor needs no
+# registered schema: it splits the stream at its time midpoint, measures
+# each (stream, key) presence rate in both halves from the payload bytes
+# themselves, and classifies added / dropped / rate-shift / stable. The
+# wire here is a versioned synthetic payload (v1 until day 15, v2 after —
+# one key dropped, two added — plus a value-conditional optional key) so
+# every drift class actually occurs; the operator itself reads only the
+# JSON text and works on any stream.
+# ---------------------------------------------------------------------------
+_DRIFT_CUT_DAYS = 15  # v1 -> v2 producer cutover, days after stream start
+_DRIFT_STABLE_TOL_PPM = 20_000  # |early - late| <= 2% presence => stable
+
+_SCHEMA_DRIFT_SQL = f"""
+WITH bounds AS (
+  SELECT date_trunc('day', min(ts)) AS d0 FROM events
+),
+wire AS (
+  SELECT e.event_type,
+         e.ts < b.d0 + INTERVAL {_DRIFT_CUT_DAYS} DAY AS early,
+         '{{"schemaVersion": ' ||
+         CASE WHEN e.ts < b.d0 + INTERVAL {_DRIFT_CUT_DAYS} DAY
+              THEN '1' ELSE '2' END ||
+         ', "k": ' || CAST(CAST(round(e.value * 100) AS BIGINT) AS VARCHAR) ||
+         CASE WHEN e.ts < b.d0 + INTERVAL {_DRIFT_CUT_DAYS} DAY
+              THEN ', "u": ' || CAST(e.user_id AS VARCHAR)
+              ELSE ', "lat": 1, "sessionId": ' || CAST(e.event_id AS VARCHAR)
+         END ||
+         CASE WHEN CAST(round(e.value * 100) AS BIGINT)
+                   % (CASE WHEN e.ts < b.d0 + INTERVAL {_DRIFT_CUT_DAYS} DAY
+                           THEN 7 ELSE 5 END) = 0
+              THEN ', "err": true' ELSE '' END ||
+         '}}' AS payload
+  FROM events e, bounds b
+),
+totals AS (
+  SELECT event_type, early, CAST(count(*) AS BIGINT) AS n
+  FROM wire GROUP BY event_type, early
+),
+keyed AS (
+  SELECT event_type, early, unnest(json_keys(payload)) AS key FROM wire
+),
+counts AS (
+  SELECT event_type, key, early, CAST(count(*) AS BIGINT) AS n_key
+  FROM keyed GROUP BY event_type, key, early
+),
+grid AS (
+  SELECT DISTINCT c.event_type, c.key, w.early
+  FROM counts c, (SELECT TRUE AS early UNION ALL SELECT FALSE) w
+),
+filled AS (
+  SELECT g.event_type, g.key, g.early,
+         coalesce(c.n_key, 0) AS n_key, t.n
+  FROM grid g
+  JOIN totals t ON t.event_type = g.event_type AND t.early = g.early
+  LEFT JOIN counts c ON c.event_type = g.event_type AND c.key = g.key
+                    AND c.early = g.early
+),
+rates AS (
+  SELECT event_type, key,
+         CAST(max(CASE WHEN early THEN 1000000 * n_key // n END) AS BIGINT)
+           AS early_ppm,
+         CAST(max(CASE WHEN NOT early THEN 1000000 * n_key // n END) AS BIGINT)
+           AS late_ppm,
+         CAST(max(CASE WHEN early THEN n_key END) AS BIGINT) AS n_early,
+         CAST(max(CASE WHEN NOT early THEN n_key END) AS BIGINT) AS n_late
+  FROM filled GROUP BY event_type, key
+)
+SELECT event_type AS stream_name, key, early_ppm, late_ppm, n_early, n_late,
+       CASE WHEN early_ppm = 0 AND late_ppm > 0 THEN 'added'
+            WHEN early_ppm > 0 AND late_ppm = 0 THEN 'dropped'
+            WHEN abs(early_ppm - late_ppm) <= {_DRIFT_STABLE_TOL_PPM}
+              THEN 'stable'
+            ELSE 'rate-shift' END AS drift
+FROM rates
+"""
+
+
+@register(
+    "json_schema_drift",
+    oracle=_SCHEMA_DRIFT_SQL,
+    doc="Wire-payload schema-drift monitor: per-(stream, key) JSON key "
+    "presence rates in the stream's early vs late half, classified added / "
+    "dropped / rate-shift / stable with a 2% tolerance — schemaless "
+    "payload-evolution detection from the bytes themselves, driven over a "
+    "versioned synthetic wire (v1->v2 cutover plus a value-conditional "
+    "key whose emission modulus shifts) so every drift class occurs",
+    tags=("healthcheck", "kinesis", "dq"),
+)
+def json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: payload synthesis and ``json_object_keys`` are narrow
+    codegen'd expressions over the scan; the key explode feeds one
+    map-side-combined count keyed on (stream, key, half) — cardinality
+    bounded by streams x distinct keys, not rows. The dense
+    (stream, key) x half grid, totals, and rate classification all run on
+    that bounded relation with broadcast joins.
+
+    Reference parity: the reference consumer hard-codes one payload key
+    (HealthCheckProducerHandler.java's currentInstant JSON); this is the
+    governance view a multi-producer stream needs when payloads evolve."""
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value", "user_id", "event_id"
+    )
+    bounds = events.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    early = F.expr(f"ts < d0 + INTERVAL {_DRIFT_CUT_DAYS} DAY")
+    kval = F.round(F.col("value") * 100).cast("long")
+    wire = events.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        early.alias("early"),
+        F.concat(
+            F.lit('{"schemaVersion": '),
+            F.when(early, F.lit("1")).otherwise(F.lit("2")),
+            F.lit(', "k": '),
+            kval.cast("string"),
+            F.when(
+                early, F.concat(F.lit(', "u": '), F.col("user_id").cast("string"))
+            ).otherwise(
+                F.concat(
+                    F.lit(', "lat": 1, "sessionId": '),
+                    F.col("event_id").cast("string"),
+                )
+            ),
+            F.when(
+                kval % F.when(early, 7).otherwise(5) == 0,
+                F.lit(', "err": true'),
+            ).otherwise(F.lit("")),
+            F.lit("}"),
+        ).alias("payload"),
+    )
+    wire = wire.localCheckpoint(eager=False)  # feeds totals AND key counts
+    totals = wire.groupBy("event_type", "early").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    counts = (
+        wire.select(
+            "event_type",
+            "early",
+            F.explode(F.json_object_keys("payload")).alias("key"),
+        )
+        .groupBy("event_type", "key", "early")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_key"))
+    )
+    counts = counts.localCheckpoint(eager=False)  # feeds the grid AND fill
+    halves = spark.createDataFrame([(True,), (False,)], "early boolean")
+    grid = (
+        counts.select("event_type", "key")
+        .distinct()
+        .crossJoin(F.broadcast(halves))
+    )
+    filled = (
+        grid.join(F.broadcast(totals), ["event_type", "early"])
+        .join(F.broadcast(counts), ["event_type", "key", "early"], "left")
+        .na.fill({"n_key": 0})
+    )
+    rates = filled.groupBy("event_type", "key").agg(
+        F.max(F.when(F.col("early"), F.expr("1000000 * n_key div n")))
+        .cast("long")
+        .alias("early_ppm"),
+        F.max(F.when(~F.col("early"), F.expr("1000000 * n_key div n")))
+        .cast("long")
+        .alias("late_ppm"),
+        F.max(F.when(F.col("early"), F.col("n_key"))).cast("long").alias("n_early"),
+        F.max(F.when(~F.col("early"), F.col("n_key"))).cast("long").alias("n_late"),
+    )
+    return rates.select(
+        F.col("event_type").alias("stream_name"),
+        "key",
+        "early_ppm",
+        "late_ppm",
+        "n_early",
+        "n_late",
+        F.when((F.col("early_ppm") == 0) & (F.col("late_ppm") > 0), "added")
+        .when((F.col("early_ppm") > 0) & (F.col("late_ppm") == 0), "dropped")
+        .when(
+            F.abs(F.col("early_ppm") - F.col("late_ppm"))
+            <= _DRIFT_STABLE_TOL_PPM,
+            "stable",
+        )
+        .otherwise("rate-shift")
+        .alias("drift"),
+    )
