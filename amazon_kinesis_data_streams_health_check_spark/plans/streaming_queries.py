@@ -1894,3 +1894,141 @@ def retention_expiry_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("first_safe_seq"),
         F.min(F.col("expiry_s") - F.col("read_s")).cast("long").alias("min_headroom_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Enhanced-fan-out consumer divergence: with EFO every registered consumer
+# gets its own iterator, so one stream serves several applications that
+# fall behind independently — and the operational question becomes not
+# "is THE consumer behind" but "which consumer is behind, and how far do
+# they diverge". Three named consumers with independent checkpoints are
+# audited per shard: each gets its own iterator age and backlog, and every
+# row carries the shard's cross-consumer age spread and slowest-consumer
+# flag — the per-application twin of consumer_iterator_age.
+# ---------------------------------------------------------------------------
+_FAN_SHARDS = 4
+_FAN_PER_SHARD = 250
+_FAN_CONSUMERS = ("analytics", "archive", "alerting")
+
+_FANOUT_LAG_SQL = f"""
+WITH ckpt AS (
+  SELECT s.range AS shard, c.range AS cidx,
+         CASE c.range WHEN 0 THEN 'analytics'
+                      WHEN 1 THEN 'archive'
+                      ELSE 'alerting' END AS consumer_name,
+         CAST(20 + 30 * s.range + 50 * c.range AS BIGINT) AS processed
+  FROM range(0, {_FAN_SHARDS}) s, range(0, 3) c
+),
+latest AS (
+  SELECT CAST({_KS_EPOCH} + ({_FAN_PER_SHARD} - 1) * {_KS_IVL_MS} // 1000
+              AS BIGINT) AS now_s
+),
+per AS (
+  SELECT 'shardId-' || lpad(CAST(shard AS VARCHAR), 12, '0') AS shard_id,
+         consumer_name, processed,
+         CAST({_FAN_PER_SHARD} - processed AS BIGINT) AS n_backlog,
+         CAST((l.now_s - ({_KS_EPOCH} + processed * {_KS_IVL_MS} // 1000))
+              * 1000 AS BIGINT) AS iterator_age_ms
+  FROM ckpt, latest l
+)
+SELECT shard_id, consumer_name, n_backlog, iterator_age_ms,
+       iterator_age_ms = max(iterator_age_ms) OVER (PARTITION BY shard_id)
+         AS is_slowest,
+       CAST(max(iterator_age_ms) OVER (PARTITION BY shard_id)
+            - min(iterator_age_ms) OVER (PARTITION BY shard_id) AS BIGINT)
+         AS shard_age_spread_ms
+FROM per
+"""
+
+
+@register(
+    "consumer_fanout_lag",
+    oracle=_FANOUT_LAG_SQL,
+    doc="Kinesis ops: enhanced-fan-out consumer divergence — three named "
+    "EFO consumers with independent checkpoints audited per shard (own "
+    "iterator age and backlog each), plus the shard's cross-consumer age "
+    "spread and slowest-consumer flag; the per-application view one stream "
+    "serving several applications needs",
+    tags=("core", "source", "kinesis"),
+)
+def consumer_fanout_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one offset-pruned scan of the sim wire joined against a
+    broadcast (shard x consumer) checkpoint dimension — the unread slice is
+    computed once per consumer iterator exactly as EFO bills it — then a
+    per-(shard, consumer) aggregation and a window partitioned by shard_id
+    (bounded by the registered-consumer limit, 20 per stream).
+
+    Reference parity: the reference polls with one shared-throughput ESM
+    consumer (KinesisHealthCheckStack.java:149-162); EFO is the production
+    path when the same health stream feeds multiple applications."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_sim import (
+        register_kinesis_sim,
+    )
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    register_kinesis_sim(spark)
+    raw = (
+        spark.read.format("kinesis_sim")
+        .option("numShards", _FAN_SHARDS)
+        .option("recordsPerShard", _FAN_PER_SHARD)
+        .option("startEpochS", _KS_EPOCH)
+        .option("intervalMs", _KS_IVL_MS)
+        .load()
+    )
+    wire = raw.select(
+        "shard_id",
+        F.substring("sequence_number", 37, 20).cast("long").alias("seq"),
+        F.col("approximate_arrival_ts").cast("long").alias("arrival_s"),
+    )
+    wire = wire.localCheckpoint(eager=False)  # feeds latest AND per-consumer legs
+    consumers = spark.createDataFrame(
+        [(i, name) for i, name in enumerate(_FAN_CONSUMERS)],
+        "cidx int, consumer_name string",
+    )
+    ckpt = (
+        wire.select("shard_id")
+        .distinct()
+        .crossJoin(F.broadcast(consumers))
+        .select(
+            "shard_id",
+            "consumer_name",
+            (
+                F.lit(20)
+                + 30 * F.substring("shard_id", 9, 12).cast("long")
+                + 50 * F.col("cidx")
+            ).alias("processed"),
+        )
+    )
+    latest = wire.agg(F.max("arrival_s").alias("now_s"))
+    per = (
+        wire.join(F.broadcast(ckpt), "shard_id")
+        .filter(F.col("seq") >= F.col("processed"))
+        .groupBy("shard_id", "consumer_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_backlog"),
+            F.min("arrival_s").alias("next_arrival_s"),
+        )
+        .crossJoin(F.broadcast(latest))
+        .select(
+            "shard_id",
+            "consumer_name",
+            "n_backlog",
+            ((F.col("now_s") - F.col("next_arrival_s")) * 1000)
+            .cast("long")
+            .alias("iterator_age_ms"),
+        )
+    )
+    w = Window.partitionBy("shard_id")
+    return per.select(
+        "shard_id",
+        "consumer_name",
+        "n_backlog",
+        "iterator_age_ms",
+        (F.col("iterator_age_ms") == F.max("iterator_age_ms").over(w)).alias(
+            "is_slowest"
+        ),
+        (F.max("iterator_age_ms").over(w) - F.min("iterator_age_ms").over(w))
+        .cast("long")
+        .alias("shard_age_spread_ms"),
+    )
