@@ -627,3 +627,143 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "budget",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-corruption objective planning (T5-style denoising): pretraining
+# pipelines don't just select and pack text — they construct the training
+# objective, replacing contiguous token spans with sentinels and emitting
+# the spans as targets. The plan must be reproducible (same doc => same
+# masks across retries and epochs-with-offset), so randomness is md5-keyed
+# on (doc, window): tokens are cut into fixed windows and each window
+# masks one deterministic span (hash-placed start, hash-sized length,
+# clipped) — giving ~independent spans with no sequential scan, the same
+# trick production corruption kernels use to stay parallel.
+# ---------------------------------------------------------------------------
+_SPANC_WINDOW = 8  # tokens per corruption window
+_SPANC_MAXLEN = 3  # span length 1.._SPANC_MAXLEN (mean 2 => ~25% of window)
+
+_SPAN_CORRUPT_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, len({_DUCK_TOK}) AS n_tokens FROM documents
+),
+wins AS (
+  SELECT doc_id, n_tokens, w.range AS win,
+         least((w.range + 1) * {_SPANC_WINDOW}, n_tokens)
+           - w.range * {_SPANC_WINDOW} AS win_len
+  FROM tok, range(0, 100000) w
+  WHERE w.range * {_SPANC_WINDOW} < n_tokens
+),
+spans AS (
+  SELECT doc_id, n_tokens, win, win_len,
+         1 + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                   CAST(win AS VARCHAR) || ':len'), 1, 8)) AS BIGINT)
+             % {_SPANC_MAXLEN} AS want_len,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+               CAST(win AS VARCHAR) || ':pos'), 1, 8)) AS BIGINT)
+             % {_SPANC_WINDOW} AS want_start
+  FROM wins
+),
+clipped AS (
+  SELECT doc_id, n_tokens, win,
+         least(want_start, win_len - 1) AS start_off,
+         least(least(want_start, win_len - 1) + want_len, win_len)
+           - least(want_start, win_len - 1) AS span_len
+  FROM spans
+)
+SELECT doc_id,
+       CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(span_len) AS BIGINT) AS n_masked,
+       CAST(1000000 * sum(span_len) // max(n_tokens) AS BIGINT)
+         AS corruption_ppm,
+       CAST(max(n_tokens) - sum(span_len) + count(*) AS BIGINT)
+         AS n_input_tokens,
+       CAST(sum(span_len) + count(*) AS BIGINT) AS n_target_tokens
+FROM clipped GROUP BY doc_id
+"""
+
+
+@register(
+    "span_corruption_plan",
+    oracle=_SPAN_CORRUPT_SQL,
+    doc="EXT objective construction: T5-style span-corruption planning — "
+    "md5-keyed deterministic mask spans (one hash-placed, hash-sized, "
+    "clipped span per fixed token window), per-doc span/masked counts, "
+    "corruption ppm, and the sentinel-adjusted encoder/decoder token "
+    "budgets packing needs downstream; reproducible by construction",
+    tags=("ext", "curation"),
+)
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: token counting is a narrow expression over the scan;
+    windows explode as ``sequence()`` per doc (no join against a range
+    relation — the DuckDB range() twin exists only because SQL lacks
+    per-row sequence explode), and every span decision is per-row md5
+    arithmetic — zero shuffles before the final per-doc aggregation,
+    which map-side combines on the parallel scan's layout. Same-doc =>
+    same masks under any partitioning, retry, or epoch replay."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all(lower(text), '{TOKEN_RE}', 0))")
+        .cast("long")
+        .alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    wins = tok.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.expr(
+                f"sequence(0, cast((n_tokens - 1) div {_SPANC_WINDOW} as int))"
+            )
+        ).alias("win"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "win",
+        (
+            F.least((F.col("win") + 1) * _SPANC_WINDOW, F.col("n_tokens"))
+            - F.col("win") * _SPANC_WINDOW
+        ).alias("win_len"),
+    )
+    h = lambda suffix: F.expr(  # noqa: E731
+        "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', "
+        f"CAST(win AS STRING), ':{suffix}')), 1, 8), 16, 10) AS BIGINT)"
+    )
+    spans = wins.select(
+        "doc_id",
+        "n_tokens",
+        "win",
+        "win_len",
+        (1 + h("len") % _SPANC_MAXLEN).alias("want_len"),
+        (h("pos") % _SPANC_WINDOW).alias("want_start"),
+    )
+    clipped = spans.select(
+        "doc_id",
+        "n_tokens",
+        F.least("want_start", F.col("win_len") - 1).alias("start_off"),
+        "want_len",
+        "win_len",
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.least(F.col("start_off") + F.col("want_len"), F.col("win_len"))
+            - F.col("start_off")
+        ).alias("span_len"),
+    )
+    return clipped.groupBy("doc_id").agg(
+        F.max("n_tokens").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("span_len").cast("long").alias("n_masked"),
+        F.expr(
+            "CAST(1000000 * sum(span_len) div max(n_tokens) AS BIGINT)"
+        ).alias("corruption_ppm"),
+        (F.max("n_tokens") - F.sum("span_len") + F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_input_tokens"),
+        (F.sum("span_len") + F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_target_tokens"),
+    )
