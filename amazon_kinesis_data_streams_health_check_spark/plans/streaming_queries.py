@@ -2032,3 +2032,162 @@ def consumer_fanout_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shard_age_spread_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end consumer pipeline: the whole production path in one query —
+# KPL-packed wire with deterministically corrupted blobs (last byte
+# truncated => md5 trailer fails), KCL de-aggregation (corrupt blobs pass
+# through as single raw records, KCL semantics), decode with DLQ
+# classification (passthrough bytes are not JSON => routed out), metric
+# rows from the survivors, and the flagship's missing-period grid over the
+# decoded timeline (each corrupted blob erases its members' minutes, which
+# the grid anti-join surfaces as breaching periods). Every count is
+# arithmetic on (shard, seq), so one generate_series oracle value-hashes
+# the entire pack -> corrupt -> deagg -> DLQ -> decode -> grid path,
+# conservation boolean included.
+# ---------------------------------------------------------------------------
+_E2E_SHARDS = 2
+_E2E_PER_SHARD = 240  # 4 hours of one-per-minute wire
+_E2E_CORRUPT_MOD = 7  # blobs with agg_index % 7 == 3 get truncated
+
+_E2E_PIPELINE_SQL = f"""
+WITH g AS (
+  SELECT s.range AS shard, q.range AS seq,
+         (q.range // {_KPL_PER_BLOB}) % {_E2E_CORRUPT_MOD} = 3 AS corrupt
+  FROM range(0, {_E2E_SHARDS}) s, range(0, {_E2E_PER_SHARD}) q
+)
+SELECT 'shardId-' || lpad(CAST(shard AS VARCHAR), 12, '0') AS shard_id,
+       CAST(count(DISTINCT seq // {_KPL_PER_BLOB}) AS BIGINT) AS n_blobs,
+       CAST(count(DISTINCT CASE WHEN corrupt THEN seq // {_KPL_PER_BLOB} END)
+            AS BIGINT) AS n_dlq_blobs,
+       CAST(sum(CASE WHEN NOT corrupt THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_decoded,
+       -- good records sit one per minute, so the dense grid between the
+       -- surviving min/max arrivals has this closed form
+       CAST(max(CASE WHEN NOT corrupt THEN seq END)
+            - min(CASE WHEN NOT corrupt THEN seq END) + 1 AS BIGINT)
+         AS n_periods,
+       CAST(max(CASE WHEN NOT corrupt THEN seq END)
+            - min(CASE WHEN NOT corrupt THEN seq END) + 1
+            - sum(CASE WHEN NOT corrupt THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing_periods,
+       sum(CASE WHEN NOT corrupt THEN 1 ELSE 0 END)
+         + {_KPL_PER_BLOB} * count(DISTINCT CASE WHEN corrupt
+                                            THEN seq // {_KPL_PER_BLOB} END)
+         = count(*) AS conservation
+FROM g GROUP BY shard
+"""
+
+
+@register(
+    "kinesis_e2e_pipeline",
+    oracle=_E2E_PIPELINE_SQL,
+    doc="End-to-end consumer path in one query: KPL-packed wire with "
+    "deterministically corrupted blobs -> KCL de-aggregation (corrupt "
+    "blobs pass through raw) -> DLQ classification at decode -> metric "
+    "rows -> flagship missing-period grid (each lost blob erases its "
+    "members' minutes, surfaced as breaching periods by the anti-join); "
+    "per-shard blob/DLQ/decode/period counts with a conservation boolean "
+    "in the value hash",
+    tags=("core", "source", "kinesis"),
+)
+def kinesis_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: pack shuffles once on the shard key (the stream's own
+    parallelism unit); corruption, de-aggregation and decode are narrow
+    (Arrow mapInPandas + codegen'd column ops); the grid anti-join runs on
+    per-shard minute keys with the bounded grid side broadcast. All audit
+    legs are shard-bounded aggregates joined broadcast.
+
+    The corruption is real bytes-level damage (last byte of the blob
+    removed, so the KPL md5 trailer fails exactly as a torn PutRecord
+    would), not a flag — the KCL passthrough and the DLQ gate are
+    genuinely exercised."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.kpl_agg import (
+        explode_kpl,
+        pack_kpl,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_sim import (
+        register_kinesis_sim,
+    )
+
+    configure_session(spark)
+    register_kinesis_sim(spark)
+    raw = (
+        spark.read.format("kinesis_sim")
+        .option("numShards", _E2E_SHARDS)
+        .option("recordsPerShard", _E2E_PER_SHARD)
+        .option("startEpochS", _KS_EPOCH)
+        .option("intervalMs", _KS_IVL_MS)
+        .load()
+    )
+    packed = pack_kpl(raw, max_per_blob=_KPL_PER_BLOB)
+    corrupted = packed.withColumn(
+        "agg_data",
+        F.when(
+            F.col("agg_index") % _E2E_CORRUPT_MOD == 3,
+            F.expr("substring(agg_data, 1, octet_length(agg_data) - 1)"),
+        ).otherwise(F.col("agg_data")),
+    )
+    corrupted = corrupted.localCheckpoint(eager=False)  # blob count + explode
+    n_blobs = corrupted.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blobs")
+    )
+    exploded = explode_kpl(
+        corrupted,
+        pk_col="agg_partition_key",
+        data_col="agg_data",
+        keep_cols=("shard_id",),
+    )
+    from amazon_kinesis_data_streams_health_check_spark.functions.scalar import (
+        utf8_decode,
+    )
+
+    decoded = exploded.select(
+        "shard_id",
+        F.unix_timestamp(
+            F.to_timestamp(
+                F.get_json_object(
+                    utf8_decode(F.col("user_data")), "$.currentInstant"
+                )
+            )
+        ).alias("sec"),
+    )
+    decoded = decoded.localCheckpoint(eager=False)  # feeds DLQ AND good legs
+    dlq = decoded.filter(F.col("sec").isNull()).groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dlq_blobs")
+    )
+    good = decoded.filter(F.col("sec").isNotNull())
+    good = good.localCheckpoint(eager=False)  # feeds bounds, counts AND anti-join
+    bounds = good.groupBy("shard_id").agg(
+        F.min("sec").alias("lo_s"),
+        F.max("sec").alias("hi_s"),
+        F.count(F.lit(1)).cast("long").alias("n_decoded"),
+    )
+    bounds = bounds.localCheckpoint(eager=False)  # feeds grid AND the rollup
+    grid = bounds.select(
+        "shard_id",
+        F.explode(F.expr("sequence(lo_s, hi_s, 60)")).alias("sec"),
+    )
+    missing = (
+        grid.join(good, ["shard_id", "sec"], "left_anti")
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_missing_periods"))
+    )
+    return (
+        n_blobs.join(F.broadcast(dlq), "shard_id")
+        .join(F.broadcast(bounds), "shard_id")
+        .join(F.broadcast(missing), "shard_id")
+        .select(
+            "shard_id",
+            "n_blobs",
+            "n_dlq_blobs",
+            "n_decoded",
+            (F.expr("(hi_s - lo_s) div 60") + 1).cast("long").alias("n_periods"),
+            "n_missing_periods",
+            (
+                F.col("n_decoded") + _KPL_PER_BLOB * F.col("n_dlq_blobs")
+                == F.lit(_E2E_PER_SHARD)
+            ).alias("conservation"),
+        )
+    )
