@@ -2690,6 +2690,35 @@ FROM rates
 """
 
 
+def drift_wire_payload(early: F.Column) -> F.Column:
+    """The versioned synthetic JSON payload (shared by the batch monitor and
+    its streaming drive): v1 while ``early``, v2 after — one key dropped,
+    two added — plus a value-conditional optional key whose emission
+    modulus shifts across the cutover. Expects ``value``/``user_id``/
+    ``event_id`` columns in scope."""
+    kval = F.round(F.col("value") * 100).cast("long")
+    return F.concat(
+        F.lit('{"schemaVersion": '),
+        F.when(early, F.lit("1")).otherwise(F.lit("2")),
+        F.lit(', "k": '),
+        kval.cast("string"),
+        F.when(
+            early, F.concat(F.lit(', "u": '), F.col("user_id").cast("string"))
+        ).otherwise(
+            F.concat(
+                F.lit(', "lat": 1, "sessionId": '),
+                F.col("event_id").cast("string"),
+            )
+        ),
+        F.when(
+            kval % F.when(early, 7).otherwise(5) == 0,
+            F.lit(', "err": true'),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+
+
+
 @register(
     "json_schema_drift",
     oracle=_SCHEMA_DRIFT_SQL,
@@ -2718,29 +2747,10 @@ def json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bounds = events.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
     early = F.expr(f"ts < d0 + INTERVAL {_DRIFT_CUT_DAYS} DAY")
-    kval = F.round(F.col("value") * 100).cast("long")
     wire = events.crossJoin(F.broadcast(bounds)).select(
         "event_type",
         early.alias("early"),
-        F.concat(
-            F.lit('{"schemaVersion": '),
-            F.when(early, F.lit("1")).otherwise(F.lit("2")),
-            F.lit(', "k": '),
-            kval.cast("string"),
-            F.when(
-                early, F.concat(F.lit(', "u": '), F.col("user_id").cast("string"))
-            ).otherwise(
-                F.concat(
-                    F.lit(', "lat": 1, "sessionId": '),
-                    F.col("event_id").cast("string"),
-                )
-            ),
-            F.when(
-                kval % F.when(early, 7).otherwise(5) == 0,
-                F.lit(', "err": true'),
-            ).otherwise(F.lit("")),
-            F.lit("}"),
-        ).alias("payload"),
+        drift_wire_payload(early).alias("payload"),
     )
     wire = wire.localCheckpoint(eager=False)  # feeds totals AND key counts
     totals = wire.groupBy("event_type", "early").agg(
@@ -2755,6 +2765,14 @@ def json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "key", "early")
         .agg(F.count(F.lit(1)).cast("long").alias("n_key"))
     )
+    return drift_classify(spark, counts, totals)
+
+
+def drift_classify(spark: SparkSession, counts: DataFrame, totals: DataFrame) -> DataFrame:
+    """Dense-grid presence rates + drift classification over the bounded
+    (stream, key, half) count relation — shared by the batch monitor and
+    the streaming drive (which maintains ``counts`` live and derives
+    ``totals`` from the always-present schemaVersion key)."""
     counts = counts.localCheckpoint(eager=False)  # feeds the grid AND fill
     halves = spark.createDataFrame([(True,), (False,)], "early boolean")
     grid = (

@@ -2191,3 +2191,91 @@ def kinesis_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conservation"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming schema-drift monitor: the drift monitor run the way production
+# would actually run it — the (stream, key, half) presence counts are
+# maintained LIVE by a complete-mode streaming aggregation over the event
+# file stream (payload synthesis + json_object_keys explode per
+# micro-batch), and the classification step reads the maintained counts
+# after the drain. Totals come from the always-present schemaVersion key,
+# so one streaming aggregation suffices (Spark allows a single agg per
+# streaming query). Counting is micro-batch-slicing independent, so the
+# batch monitor's SQL is the oracle verbatim.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_schema_drift",
+    oracle=None,  # set just below to the batch twin's SQL (import cycle)
+    doc="Streaming drive of json_schema_drift: live complete-mode "
+    "maintenance of the (stream, key, half) presence counts over the event "
+    "file stream, classification on the drained bounded relation; batch "
+    "monitor SQL as the value-hash oracle verbatim",
+    tags=("ext", "streaming", "dq"),
+)
+def streaming_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production shape: the expensive, unbounded part (key histogram over
+    the wire) is the live streaming aggregation — state is bounded by
+    streams x keys x 2, not rows — while the cutover date is static config
+    (stream-static broadcast join) and the added/dropped/rate-shift
+    classification is a bounded post-drain read, exactly how a drift
+    dashboard polls a continuously-maintained count table."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.healthcheck_queries import (
+        _DRIFT_CUT_DAYS,
+        drift_classify,
+        drift_wire_payload,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value", "user_id", "event_id"
+    )
+    src = tempfile.mkdtemp(prefix="drift_stream_")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    bounds = events.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    early = F.expr(f"ts < d0 + INTERVAL {_DRIFT_CUT_DAYS} DAY")
+    wire = stream.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        early.alias("early"),
+        drift_wire_payload(early).alias("payload"),
+    )
+    keyed = (
+        wire.select(
+            "event_type",
+            "early",
+            F.explode(F.json_object_keys("payload")).alias("key"),
+        )
+        .groupBy("event_type", "key", "early")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_key"))
+    )
+    counts = _run_to_memory(
+        keyed, "schema_drift_counts", output_mode="complete"
+    ).localCheckpoint(eager=False)  # MemoryPlan self-joins trip dedup otherwise
+    totals = counts.filter(F.col("key") == "schemaVersion").select(
+        "event_type", "early", F.col("n_key").alias("n")
+    )
+    return drift_classify(spark, counts, totals)
+
+
+# Same drift semantics => same oracle; assigned post-definition because the
+# batch SQL lives in healthcheck_queries and importing it at module top
+# would be cyclic.
+def _attach_drift_oracle() -> None:
+    from amazon_kinesis_data_streams_health_check_spark.plans.healthcheck_queries import (
+        _SCHEMA_DRIFT_SQL,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.plans import registry
+
+    q = registry._REGISTRY["streaming_schema_drift"]
+    registry._REGISTRY["streaming_schema_drift"] = registry.Query(
+        name=q.name, builder=q.builder, oracle=_SCHEMA_DRIFT_SQL, doc=q.doc, tags=q.tags
+    )
+
+
+_attach_drift_oracle()
