@@ -2169,8 +2169,12 @@ def kinesis_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard_id",
         F.explode(F.expr("sequence(lo_s, hi_s, 60)")).alias("sec"),
     )
+    # F3 at scale: aggregate the wire to per-(shard, period) FIRST (bounded
+    # by the grid, not by rows), then anti-join two grid-bounded relations
+    # with the present side broadcast.
+    present = good.groupBy("shard_id", "sec").agg(F.count(F.lit(1)).alias("n"))
     missing = (
-        grid.join(good, ["shard_id", "sec"], "left_anti")
+        grid.join(F.broadcast(present), ["shard_id", "sec"], "left_anti")
         .groupBy("shard_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_missing_periods"))
     )

@@ -676,3 +676,44 @@ def test_shard_autoscale_plan_tiles_keyspace(spark, sf_small):
     assert new_ids == list(
         range(len(_ASP_WIDTHS), len(_ASP_WIDTHS) + len(new_ids))
     )
+
+
+def test_retention_and_fanout_windows_stay_shard_bounded(spark, sf_small):
+    """The retention-risk aggregation has no window at all; the fan-out
+    divergence window may only partition by shard_id (bounded by the EFO
+    20-consumer registration limit)."""
+    plan = plan_of(spark, sf_small, "consumer_fanout_lag")
+    for spec in re.findall(r"windowspecdefinition\(([^,]+),", plan):
+        assert "shard_id" in spec, plan
+    assert "CartesianProduct" not in plan, plan
+    plan = plan_of(spark, sf_small, "retention_expiry_risk")
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_cost_units_aggregates_broadcast_joined(spark, sf_small):
+    """Both metering legs (per-record, per-blob) must partial-aggregate and
+    meet in a broadcast join on the bounded stream dimension — payload
+    bytes never ride through a sort-merge join."""
+    plan = plan_of(spark, sf_small, "kinesis_cost_units")
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_span_corruption_single_wide_stage(spark, sf_small):
+    """Window explode and md5 span arithmetic are narrow; the only
+    exchange in the plan is the final per-doc aggregation's."""
+    plan = plan_of(spark, sf_small, "span_corruption_plan")
+    # tree nodes only (details repeat names): scan spread + the one agg shuffle
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_e2e_pipeline_no_sortmerge_no_cartesian(spark, sf_small):
+    """The composition may only join shard-bounded audit legs (broadcast)
+    and the per-shard minute grid (broadcast anti-join) — nothing in the
+    end-to-end path is allowed to sort-merge or go cartesian."""
+    plan = plan_of(spark, sf_small, "kinesis_e2e_pipeline")
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
