@@ -532,7 +532,10 @@ def bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # without ever taking a float logarithm. Output: the confusion matrix of
 # resubstitution predictions against the labeled `lang` column.
 # ---------------------------------------------------------------------------
-_NB_SQL = f"""
+#: Shared CTE prefix: per-(doc, candidate-class) integer surprisal costs —
+#: the relation the classifier, the k-fold CV, and the margin calibration
+#: all read.
+_NB_SCORED_CTES = f"""
 WITH tok AS (
   SELECT doc_id, lang, unnest({_DUCK_TOK}) AS word FROM documents
 ),
@@ -569,7 +572,11 @@ scored AS (
   CROSS JOIN langs l
   CROSS JOIN ntot n
   LEFT JOIN tokbits tb ON tb.doc_id = d.doc_id AND tb.cand = l.lang
-),
+)"""
+
+_NB_SQL = (
+    _NB_SCORED_CTES
+    + """,
 best AS (
   SELECT doc_id, min(cost_bits) AS best_bits FROM scored GROUP BY doc_id
 ),
@@ -582,27 +589,13 @@ pred AS (
 SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
 FROM pred GROUP BY true_lang, pred_lang
 """
-
-
-@register(
-    "naive_bayes_source_classify",
-    oracle=_NB_SQL,
-    doc="Model training as a query: add-one smoothed multinomial Naive "
-    "Bayes over the `lang` label — training is two counting aggregations, "
-    "scoring is integer floor-log2 surprisal bits, prediction is min-cost "
-    "with lexicographic tie-break; emits the resubstitution confusion matrix",
-    tags=("ext", "corpus", "mining", "ml"),
 )
-def naive_bayes_source_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: the model (per-class word counts) is vocabulary x
-    |classes| — broadcast-sized by Heaps' law, like doc_surprisal_score's
-    unigram table. Scoring re-scans tokens once, expands by |classes|
-    (a bounded constant), and aggregates on the uniform (doc, class) key;
-    the argmin is two tiny keyed aggregations (min cost, then min class at
-    that cost) instead of an engine-specific argmin — portable and
-    deterministic. Training 100 TB of labeled text = one shuffle on
-    (class, word) and one on (doc, class). No float logs anywhere."""
-    configure_session(spark)
+
+
+def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, candidate-class) integer surprisal costs (checkpointed) —
+    the shared relation behind the NB classifier and its margin
+    calibration; mirrors the `_NB_SCORED_CTES` SQL prefix."""
     docs = parallel_scan(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "lang", F.explode(F.expr(_SPARK_TOK)).alias("word")
@@ -659,7 +652,29 @@ def naive_bayes_source_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cost_bits"),
         )
     )
-    scored = scored.localCheckpoint(eager=False)  # feeds best AND pred
+    return scored.localCheckpoint(eager=False)  # feeds best AND pred legs
+
+
+@register(
+    "naive_bayes_source_classify",
+    oracle=_NB_SQL,
+    doc="Model training as a query: add-one smoothed multinomial Naive "
+    "Bayes over the `lang` label — training is two counting aggregations, "
+    "scoring is integer floor-log2 surprisal bits, prediction is min-cost "
+    "with lexicographic tie-break; emits the resubstitution confusion matrix",
+    tags=("ext", "corpus", "mining", "ml"),
+)
+def naive_bayes_source_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the model (per-class word counts) is vocabulary x
+    |classes| — broadcast-sized by Heaps' law, like doc_surprisal_score's
+    unigram table. Scoring re-scans tokens once, expands by |classes|
+    (a bounded constant), and aggregates on the uniform (doc, class) key;
+    the argmin is two tiny keyed aggregations (min cost, then min class at
+    that cost) instead of an engine-specific argmin — portable and
+    deterministic. Training 100 TB of labeled text = one shuffle on
+    (class, word) and one on (doc, class). No float logs anywhere."""
+    configure_session(spark)
+    scored = _nb_scored(spark, sf_dir)
     best = (
         scored.groupBy("doc_id")
         .agg(F.min("cost_bits").alias("best_bits"))
@@ -2369,3 +2384,115 @@ def wordpiece_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_pieces"),
         "wordpiece",
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier margin calibration: a classifier that says "A beats B by one
+# bit" should be wrong more often than one that says "by a hundred bits" —
+# the reliability curve every deployed filter (quality gates, lang-ID
+# routing, source attribution) needs before its scores are used as
+# thresholds. Integer surprisal costs make the margin exact: margin =
+# second-best cost minus best cost in bits (0 on ties), binned in fixed
+# 16-bit-wide buckets with per-bucket accuracy.
+# ---------------------------------------------------------------------------
+_NBCAL_BIN_BITS = 16
+_NBCAL_MAX_BIN = 7  # margins >= 7*16 bits share the top bucket
+
+_NB_CALIB_SQL = (
+    _NB_SCORED_CTES
+    + f""",
+best AS (
+  SELECT doc_id, min(cost_bits) AS best_bits FROM scored GROUP BY doc_id
+),
+pred AS (
+  SELECT s.doc_id, s.true_lang, min(s.cand) AS pred_lang
+  FROM scored s JOIN best b
+    ON b.doc_id = s.doc_id AND s.cost_bits = b.best_bits
+  GROUP BY s.doc_id, s.true_lang
+),
+second AS (
+  SELECT s.doc_id, min(s.cost_bits) AS second_bits
+  FROM scored s JOIN best b
+    ON b.doc_id = s.doc_id AND s.cost_bits > b.best_bits
+  GROUP BY s.doc_id
+),
+m AS (
+  SELECT p.doc_id,
+         p.pred_lang = p.true_lang AS correct,
+         least(COALESCE(sec.second_bits - b.best_bits, 0)
+                 // {_NBCAL_BIN_BITS}, {_NBCAL_MAX_BIN}) AS bin
+  FROM pred p
+  JOIN best b ON b.doc_id = p.doc_id
+  LEFT JOIN second sec ON sec.doc_id = p.doc_id
+)
+SELECT CAST(bin AS BIGINT) AS margin_bin,
+       CAST(bin * {_NBCAL_BIN_BITS} AS BIGINT) AS margin_lo_bits,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(1000000 * sum(CASE WHEN correct THEN 1 ELSE 0 END) // count(*)
+            AS BIGINT) AS accuracy_ppm
+FROM m GROUP BY bin
+"""
+)
+
+
+@register(
+    "nb_margin_calibration",
+    oracle=_NB_CALIB_SQL,
+    doc="Classifier reliability: Naive-Bayes decision margins (second-best "
+    "minus best integer surprisal cost, exact bits) binned in fixed 16-bit "
+    "buckets with per-bucket accuracy ppm — the calibration curve that "
+    "turns a filter's scores into usable thresholds",
+    tags=("ext", "mining", "ml"),
+)
+def nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: identical to the classifier up to the shared
+    per-(doc, class) cost relation (`_nb_scored`); best/second/margin are
+    keyed aggregations on doc_id (class dimension bounded), and the final
+    rollup has at most {_NBCAL_MAX_BIN}+1 rows. No windows, no sorts."""
+    configure_session(spark)
+    scored = _nb_scored(spark, sf_dir)
+    best = scored.groupBy("doc_id").agg(F.min("cost_bits").alias("best_bits"))
+    best = F.broadcast(best.localCheckpoint(eager=False))  # pred AND second legs
+    pred = (
+        scored.join(
+            best,
+            (scored["doc_id"] == best["doc_id"])
+            & (F.col("cost_bits") == F.col("best_bits")),
+        )
+        .drop(best["doc_id"])
+        .groupBy("doc_id", "true_lang")
+        .agg(F.min("cand").alias("pred_lang"))
+    )
+    second = (
+        scored.join(
+            best,
+            (scored["doc_id"] == best["doc_id"])
+            & (F.col("cost_bits") > F.col("best_bits")),
+        )
+        .drop(best["doc_id"])
+        .groupBy("doc_id")
+        .agg(F.min("cost_bits").alias("second_bits"))
+    )
+    m = (
+        pred.join(best, "doc_id")
+        .join(second, "doc_id", "left")
+        .select(
+            (F.col("pred_lang") == F.col("true_lang")).alias("correct"),
+            F.least(
+                F.expr(
+                    f"coalesce(second_bits - best_bits, 0) div {_NBCAL_BIN_BITS}"
+                ),
+                F.lit(_NBCAL_MAX_BIN),
+            ).alias("bin"),
+        )
+    )
+    return m.groupBy("bin").agg(
+        F.col("bin").cast("long").alias("margin_bin"),
+        (F.col("bin") * _NBCAL_BIN_BITS).cast("long").alias("margin_lo_bits"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("correct").cast("int")).cast("long").alias("n_correct"),
+        F.expr(
+            "CAST(1000000 * sum(CAST(correct AS INT)) div count(1) AS BIGINT)"
+        ).alias("accuracy_ppm"),
+    ).drop("bin")
