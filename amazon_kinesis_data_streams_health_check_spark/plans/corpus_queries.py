@@ -2334,3 +2334,128 @@ def rrf_fusion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("fused_rank") <= _RRF_OUT_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering: the training-order counterpart of epoch_global_index
+# — easy-first phase stratification (global length quartiles as the
+# difficulty proxy) with a reproducible md5 shuffle INSIDE each phase and
+# one contiguous global position across phases. Same scale trick as the
+# epoch shuffle: ordering by (phase, bucket, key) IS the curriculum order,
+# so the only unpartitioned stage is the cumulative-sum window over the
+# <= 4 x 65536-row (phase, bucket) count table — control-plane sized at
+# any corpus scale.
+# ---------------------------------------------------------------------------
+_CURR_SEED = "curriculum-e0"
+
+_CURRICULUM_SQL = f"""
+WITH thr AS (
+  SELECT quantile_cont(n_chars, 0.25) AS t1,
+         quantile_cont(n_chars, 0.50) AS t2,
+         quantile_cont(n_chars, 0.75) AS t3
+  FROM documents
+),
+keyed AS (
+  SELECT d.doc_id, d.n_chars,
+         CASE WHEN d.n_chars < t.t1 THEN 0
+              WHEN d.n_chars < t.t2 THEN 1
+              WHEN d.n_chars < t.t3 THEN 2
+              ELSE 3 END AS phase,
+         md5('{_CURR_SEED}|' || CAST(d.doc_id AS VARCHAR)) AS k
+  FROM documents d, thr t
+),
+b AS (SELECT *, substr(k, 1, 4) AS bucket FROM keyed),
+offs AS (
+  SELECT phase, bucket, count(*) AS n FROM b GROUP BY phase, bucket
+),
+offs2 AS (
+  SELECT phase, bucket,
+         COALESCE(sum(n) OVER (ORDER BY phase, bucket
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS off
+  FROM offs
+),
+r AS (
+  SELECT doc_id, n_chars, phase, bucket,
+         row_number() OVER (PARTITION BY phase, bucket ORDER BY k, doc_id)
+           AS rn
+  FROM b
+)
+SELECT r.doc_id, CAST(r.phase AS BIGINT) AS phase, r.n_chars,
+       CAST(o.off + r.rn AS BIGINT) AS global_pos
+FROM r JOIN offs2 o ON r.phase = o.phase AND r.bucket = o.bucket
+"""
+
+
+@register(
+    "curriculum_order",
+    oracle=_CURRICULUM_SQL,
+    doc="EXT curation: curriculum training order — easy-first phases from "
+    "global length quartiles, reproducible md5 shuffle inside each phase, "
+    "one contiguous global position (epoch_global_index's bucket-offset "
+    "trick stratified by phase); new epoch or new curriculum = new seed",
+    tags=("ext", "corpus", "curation"),
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: quartile thresholds are one exact-percentile aggregate
+    broadcast back (the 100 TB deployment swaps in mergeable
+    approx_percentile, same as adaptive_quality_filter); the shuffle key's
+    first 4 hex chars are the hash-shuffle bucket, so per-(phase, bucket)
+    ``row_number`` runs on bounded uniform partitions and only the
+    (phase, bucket) COUNT table — control-plane sized — sees an
+    unpartitioned cumulative window before its offsets broadcast back."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    thr = docs.agg(
+        F.expr("percentile(n_chars, 0.25)").alias("t1"),
+        F.expr("percentile(n_chars, 0.50)").alias("t2"),
+        F.expr("percentile(n_chars, 0.75)").alias("t3"),
+    )
+    keyed = (
+        docs.select("doc_id", "n_chars")
+        .crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.when(F.col("n_chars") < F.col("t1"), 0)
+            .when(F.col("n_chars") < F.col("t2"), 1)
+            .when(F.col("n_chars") < F.col("t3"), 2)
+            .otherwise(3)
+            .alias("phase"),
+            F.md5(
+                F.concat(F.lit(f"{_CURR_SEED}|"), F.col("doc_id").cast("string"))
+            ).alias("_k"),
+        )
+        .withColumn("_bucket", F.substring("_k", 1, 4))
+    )
+    keyed = keyed.localCheckpoint(eager=False)  # feeds offsets AND ranks
+    offsets = (
+        keyed.groupBy("phase", "_bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("phase", "_bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("phase", "_bucket", "_offset")
+    )
+    ranked = keyed.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("phase", "_bucket").orderBy("_k", "doc_id")
+        ),
+    )
+    return ranked.join(F.broadcast(offsets), ["phase", "_bucket"]).select(
+        "doc_id",
+        F.col("phase").cast("long").alias("phase"),
+        "n_chars",
+        (F.col("_offset") + F.col("_rn")).cast("long").alias("global_pos"),
+    )

@@ -99,3 +99,22 @@ def test_connected_components_merges_two_cliques_via_bridge(spark):
     got = {r.doc_id: r.cluster_id for r in connected_components(edges).collect()}
     assert set(got.values()) == {1}
     assert set(got) == {1, 2, 3, 7, 8, 9}
+
+
+def test_curriculum_order_is_phase_contiguous_permutation(spark, sf_small):
+    """global_pos must be a 1..n permutation whose traversal visits phases
+    in nondecreasing (easy-first) order, with every phase's members
+    md5-shuffled rather than length-sorted inside the phase."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    rows = get("curriculum_order").builder(spark, sf_small).collect()
+    assert sorted(r.global_pos for r in rows) == list(range(1, len(rows) + 1))
+    ordered = sorted(rows, key=lambda r: r.global_pos)
+    phases = [r.phase for r in ordered]
+    assert phases == sorted(phases)
+    # within the largest phase, order must not be monotone in n_chars
+    from collections import Counter
+
+    top_phase, n = Counter(phases).most_common(1)[0]
+    chars = [r.n_chars for r in ordered if r.phase == top_phase]
+    assert n > 3 and chars != sorted(chars), "phase interior is not shuffled"
