@@ -1674,3 +1674,168 @@ def lake_write_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("val_micros").cast("long").alias("sum_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tombstoned vector deletes + cluster compaction: production vector indexes
+# must delete (user erasure, stale docs) without rewriting the index on
+# every delete — so deletes land as TOMBSTONE commits (merge-on-read: the
+# probe anti-joins the tombstone set), and a compactor later rewrites only
+# the clusters whose dead fraction crossed a threshold. Both halves are
+# exercised for real here: the probe right after the tombstone commit, the
+# physical rewrite of flagged clusters into a compacted lake, and a probe
+# against the hybrid (compacted clusters read clean, others still
+# merge-on-read) proven identical to the pre-compaction probe — the
+# correctness contract compaction must keep.
+# ---------------------------------------------------------------------------
+_TOMB_MOD = 5  # vec_id % 5 == 3 deleted => 20% dead overall
+_TOMB_COMPACT_PPM = 150_000  # rewrite clusters past 15% dead
+
+_TOMB_SQL = f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS centroid_id,
+         embedding AS emb_c
+  FROM embeddings WHERE vec_id % 2 = 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT {_IVFP_NC}
+),
+assigned AS (
+  SELECT vec_id, centroid_id AS cluster FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {duck_cosine('e.embedding', 'c.emb_c')} DESC, c.centroid_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+)
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(sum(CASE WHEN vec_id % {_TOMB_MOD} = 3 THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_live,
+       CAST(sum(CASE WHEN vec_id % {_TOMB_MOD} = 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dead,
+       CAST(1000000 * sum(CASE WHEN vec_id % {_TOMB_MOD} = 3 THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS dead_ppm,
+       1000000 * sum(CASE WHEN vec_id % {_TOMB_MOD} = 3 THEN 1 ELSE 0 END)
+         // count(*) > {_TOMB_COMPACT_PPM} AS compacted,
+       TRUE AS probe_consistent
+FROM assigned GROUP BY cluster
+"""
+
+
+@register(
+    "ann_index_tombstones",
+    oracle=_TOMB_SQL,
+    doc="Vector-index deletes done the lake way: tombstone commits with "
+    "merge-on-read probes (anti-join the tombstone set), per-cluster dead "
+    "fraction driving a threshold compactor that physically rewrites only "
+    "flagged clusters, and a hybrid probe (compacted clusters clean, "
+    "others merge-on-read) proven identical to the pre-compaction probe — "
+    "the boolean rides in the value hash",
+    tags=("lake", "similarity"),
+)
+def ann_index_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the index and tombstone set are both cluster-partitioned
+    lake tables; the tombstone anti-join keys on vec_id (broadcast — the
+    delete set is always small relative to the index), compaction touches
+    only flagged clusters' files, and both probes are the shared
+    cluster-keyed broadcast-query join + two-phase top-k. The probe
+    equivalence is a symmetric-difference count, not a sort. The compactor
+    picks flagged clusters with a driver-side collect of at most
+    ``_IVFP_NC`` cluster ids — bounded metadata, the same pattern as the
+    PCA/k-means iterations."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.tables import (
+        parallel_scan,
+    )
+
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    cent = ivf_flat_centroids(
+        emb.filter(F.pmod("vec_id", F.lit(2)) == 0), _IVFP_NC
+    ).localCheckpoint(eager=False)
+
+    index_lake = tempfile.mkdtemp(prefix="ivf_tomb_index_")
+    rows = assign_to_centroids(emb, cent).join(emb, "vec_id").select(
+        "vec_id", "cluster", "embedding"
+    )
+    snapshot_append(spark, rows, index_lake, partition_col="cluster")
+
+    # Tombstone commit: deletes land as data, the index files stay put.
+    tomb_lake = tempfile.mkdtemp(prefix="ivf_tombstones_")
+    tombs = emb.select("vec_id").filter(
+        F.pmod("vec_id", F.lit(_TOMB_MOD)) == 3
+    )
+    snapshot_append(
+        spark, tombs.withColumn("cluster", F.lit(0)), tomb_lake,
+        partition_col="cluster",
+    )
+    tomb_set = read_snapshot(spark, tomb_lake).select("vec_id")
+
+    index = read_snapshot(spark, index_lake).select(
+        "vec_id", "cluster", "embedding"
+    )
+    index = index.localCheckpoint(eager=False)  # stats, probe AND compaction
+
+    def probe(idx: DataFrame) -> DataFrame:
+        live = idx.join(F.broadcast(tomb_set), "vec_id", "left_anti")
+        neigh = with_sq_norm(live, "embedding", "nn2").select(
+            F.col("vec_id").alias("neighbor_id"), "cluster",
+            F.col("embedding").alias("emb_n"), "nn2",
+        )
+        queries = with_sq_norm(
+            emb.filter(F.col("vec_id") < _IVFP_QUERIES), "embedding", "nq2"
+        )
+        q = assign_to_centroids(queries, cent).join(queries, "vec_id").select(
+            F.col("vec_id").alias("query_id"), "cluster",
+            F.col("embedding").alias("emb_q"), "nq2",
+        )
+        scored = (
+            neigh.join(F.broadcast(q), "cluster")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cos_raw", cosine_precomp("emb_q", "emb_n", "nq2", "nn2"))
+        )
+        return topk_per_query(
+            scored.select("query_id", "cos_raw", "neighbor_id"), _IVFP_K
+        ).select("query_id", "neighbor_id", "rank")
+
+    stats = index.groupBy("cluster").agg(
+        F.sum(
+            (F.pmod("vec_id", F.lit(_TOMB_MOD)) != 3).cast("int")
+        ).cast("long").alias("n_live"),
+        F.sum(
+            (F.pmod("vec_id", F.lit(_TOMB_MOD)) == 3).cast("int")
+        ).cast("long").alias("n_dead"),
+        F.expr(
+            f"CAST(1000000 * sum(CAST(vec_id % {_TOMB_MOD} = 3 AS INT))"
+            " div count(1) AS BIGINT)"
+        ).alias("dead_ppm"),
+    ).withColumn("compacted", F.col("dead_ppm") > _TOMB_COMPACT_PPM)
+    stats = stats.localCheckpoint(eager=False)  # output AND compaction pick
+
+    # Physical compaction: rewrite ONLY flagged clusters without dead rows.
+    flagged = [
+        r.cluster for r in stats.filter("compacted").select("cluster").collect()
+    ]
+    compact_lake = tempfile.mkdtemp(prefix="ivf_compacted_")
+    rewritten = index.filter(F.col("cluster").isin(flagged)).join(
+        F.broadcast(tomb_set), "vec_id", "left_anti"
+    )
+    snapshot_append(spark, rewritten, compact_lake, partition_col="cluster")
+
+    hybrid = read_snapshot(spark, compact_lake).select(
+        "vec_id", "cluster", "embedding"
+    ).unionByName(index.filter(~F.col("cluster").isin(flagged)))
+
+    before, after = probe(index), probe(hybrid)
+    diff = before.exceptAll(after).unionByName(after.exceptAll(before))
+    consistent = diff.agg(
+        (F.count(F.lit(1)) == 0).alias("probe_consistent")
+    )
+    return stats.crossJoin(F.broadcast(consistent)).select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "n_live",
+        "n_dead",
+        "dead_ppm",
+        "compacted",
+        "probe_consistent",
+    )
