@@ -2283,3 +2283,103 @@ def _attach_drift_oracle() -> None:
 
 
 _attach_drift_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2 enrichment: join each event to the dimension VERSION that
+# was valid at the event's own time — the temporal twin of the equi-join
+# enrichment above (streaming_enriched_events). The dimension is a
+# three-version SCD2 tier table (validity windows cut at day 10 and 20 of
+# the stream); the stream-static join is broadcast with the validity range
+# as a residual predicate, so the stream side keeps zero join state and
+# late/backfilled events still pick their historically-correct version —
+# the property an equi-join against "current tier" silently violates.
+# ---------------------------------------------------------------------------
+_SCD2E_TIERS = ("basic", "plus", "pro")
+
+_SCD2_ENRICH_SQL = f"""
+WITH bounds AS (
+  SELECT date_trunc('day', min(ts)) AS d0 FROM events
+),
+dim AS (
+  SELECT u.user_id, v.range AS ver,
+         b.d0 + INTERVAL (10 * v.range) DAY AS valid_from,
+         CASE WHEN v.range < 2 THEN b.d0 + INTERVAL (10 * (v.range + 1)) DAY
+              ELSE TIMESTAMP '9999-01-01' END AS valid_to,
+         CASE (u.user_id + v.range) % 3 WHEN 0 THEN 'basic'
+              WHEN 1 THEN 'plus' ELSE 'pro' END AS tier
+  FROM (SELECT DISTINCT user_id FROM events) u, range(0, 3) v, bounds b
+)
+SELECT d.tier, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(e.value * 1000000) AS BIGINT)) AS BIGINT)
+         AS sum_value_micros
+FROM events e
+JOIN dim d ON d.user_id = e.user_id
+          AND e.ts >= d.valid_from AND e.ts < d.valid_to
+GROUP BY d.tier, e.event_type
+"""
+
+
+@register(
+    "streaming_scd2_enrich",
+    oracle=_SCD2_ENRICH_SQL,
+    doc="Streaming temporal enrichment: each event joins the SCD2 dimension "
+    "version valid AT ITS OWN event time (broadcast stream-static join "
+    "with a validity-range residual, zero stream-side join state) — the "
+    "historically-correct enrichment an equi-join against 'current tier' "
+    "silently gets wrong; per-(tier, type) rollup, batch SQL value-hash "
+    "oracle",
+    tags=("ext", "streaming"),
+)
+def streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the SCD2 dimension (|users| x 3 versions) broadcasts;
+    the stream side never shuffles for the join and keeps only the final
+    |tiers| x |types| aggregation state. Every event matches exactly one
+    version by construction (contiguous windows, open-ended tail) — the
+    conservation the batch twin's equality with the plain event count
+    proves in the hash."""
+    configure_session(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    src_dir = tempfile.mkdtemp(prefix="scd2_stream_")
+    os.symlink(path, os.path.join(src_dir, "events.parquet"))
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    versions = spark.createDataFrame([(0,), (1,), (2,)], "ver int")
+    dim = (
+        events.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(versions))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.expr("d0 + make_interval(0, 0, 0, 10 * ver)").alias("valid_from"),
+            F.when(
+                F.col("ver") < 2,
+                F.expr("d0 + make_interval(0, 0, 0, 10 * (ver + 1))"),
+            )
+            .otherwise(F.lit("9999-01-01").cast("timestamp"))
+            .alias("valid_to"),
+            F.element_at(
+                F.array(*[F.lit(t) for t in _SCD2E_TIERS]),
+                (F.pmod(F.col("user_id") + F.col("ver"), F.lit(3)) + 1).cast("int"),
+            ).alias("tier"),
+        )
+    )
+    raw = restore_timestamp(spark.readStream.schema(schema).parquet(src_dir), "ts")
+    enriched = raw.select("ts", "user_id", "event_type", "value").join(
+        F.broadcast(dim),
+        on=[
+            raw["user_id"] == dim["user_id"],
+            F.col("ts") >= F.col("valid_from"),
+            F.col("ts") < F.col("valid_to"),
+        ],
+    )
+    out = enriched.groupBy("tier", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 1e6).cast("long"))
+        .cast("long")
+        .alias("sum_value_micros"),
+    )
+    return _run_to_memory(out, "scd2_enrich_stream", output_mode="complete")
