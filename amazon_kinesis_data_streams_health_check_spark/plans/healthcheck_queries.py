@@ -2812,3 +2812,112 @@ def drift_classify(spark: SparkSession, counts: DataFrame, totals: DataFrame) ->
         .otherwise("rate-shift")
         .alias("drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-bucket rate-limit replay: Kinesis throttles PutRecords per shard
+# and AWS APIs throttle per caller with token buckets (burst capacity +
+# steady refill) — and capacity planning needs to know what a proposed
+# limit WOULD have throttled on real traffic. The bucket is replayed
+# per user over the event history as an exact integer fold: capacity 5,
+# one token per 60s (lazy floor refill), accept iff a token is available.
+# State (last-event second, tokens, throttled count) packs into ONE BIGINT
+# — the Holt device: scalar accumulators are the only fold state portable
+# across engines (healthcheck_queries.py:1660).
+# ---------------------------------------------------------------------------
+_RL_CAP = 3  # burst capacity (tokens)
+_RL_REFILL_S = 21_600  # one token per 6 hours (sized to this traffic's rate)
+_RL_M = 1 << 20  # throttled-count field width (loud-guarded)
+_RL_T = 1 << 24  # event pack: sec * T + event_id (id loud-guarded < T)
+
+
+def _rl_lambda(div_op: str) -> str:
+    """The bucket step in Spark (`div`) or DuckDB (`//`) dialect."""
+    sec = f"(s {div_op} {_RL_T})"
+    rest = f"(acc {div_op} {_RL_M})"
+    tokens = (
+        f"least({_RL_CAP}, ({rest} % 8)"
+        f" + (({sec} - ({rest} {div_op} 8)) {div_op} {_RL_REFILL_S}))"
+    )
+    ok = f"(CASE WHEN {tokens} >= 1 THEN 1 ELSE 0 END)"
+    return (
+        f"(acc, s) -> (({sec} * 8 + ({tokens} - {ok})) * {_RL_M}"
+        f" + (acc % {_RL_M}) + (1 - {ok}))"
+    )
+
+
+_RL_SQL = f"""
+WITH ev AS (
+  SELECT user_id,
+         CASE WHEN event_id >= {_RL_T}
+              THEN CAST(error('rate_limit_audit: event_id exceeds pack width')
+                        AS BIGINT)
+              ELSE CAST(epoch(date_trunc('second', ts)) AS BIGINT) * {_RL_T}
+                   + event_id END AS s
+  FROM events
+),
+folded AS (
+  SELECT user_id,
+         CASE WHEN count(*) >= {_RL_M}
+              THEN CAST(error('rate_limit_audit: count exceeds pack width')
+                        AS BIGINT)
+              ELSE CAST(count(*) AS BIGINT) END AS n_events,
+         list_reduce([CAST({_RL_CAP * _RL_M} AS BIGINT)] || list_sort(array_agg(s)),
+                     {_rl_lambda('//')}) AS st
+  FROM ev GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(st % {_RL_M} AS BIGINT) AS n_throttled,
+       CAST(1000000 * (st % {_RL_M}) // n_events AS BIGINT) AS throttled_ppm,
+       CAST((st // {_RL_M}) % 8 AS BIGINT) AS tokens_left
+FROM folded
+"""
+
+
+@register(
+    "rate_limit_audit",
+    oracle=_RL_SQL,
+    doc=f"Ops capacity planning: per-user token-bucket replay over the real "
+    f"event history (capacity {_RL_CAP}, one token per {_RL_REFILL_S}s, "
+    "lazy floor refill) — what a proposed rate limit WOULD have throttled; "
+    "exact integer fold with (last-second, tokens, throttled) packed into "
+    "one BIGINT, loud-guarded pack widths",
+    tags=("ext", "healthcheck", "ops"),
+)
+def rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one shuffle on user_id into per-user sorted folds —
+    partition size is bounded by per-user event volume (the same bound
+    every sessionizer in the repo relies on), state is one BIGINT, and the
+    fold is a codegen'd higher-order ``aggregate``, no Python. The packed
+    event scalar (second * 2^24 + event_id) makes the replay order total
+    and engine-identical; both pack widths fail loud rather than wrap
+    (metric_anomaly_flags stance)."""
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            f"CASE WHEN event_id >= {_RL_T}"
+            " THEN raise_error('rate_limit_audit: event_id exceeds pack width')"
+            f" ELSE CAST(ts AS LONG) * {_RL_T} + event_id END"
+        ).alias("s"),
+    )
+    folded = events.groupBy("user_id").agg(
+        F.expr(
+            f"CASE WHEN count(1) >= {_RL_M}"
+            " THEN raise_error('rate_limit_audit: count exceeds pack width')"
+            " ELSE CAST(count(1) AS BIGINT) END"
+        ).alias("n_events"),
+        F.expr(
+            f"aggregate(array_sort(collect_list(s)),"
+            f" CAST({_RL_CAP * _RL_M} AS BIGINT), {_rl_lambda('div')})"
+        ).alias("st"),
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        F.expr(f"CAST(st % {_RL_M} AS BIGINT)").alias("n_throttled"),
+        F.expr(
+            f"CAST(1000000 * (st % {_RL_M}) div n_events AS BIGINT)"
+        ).alias("throttled_ppm"),
+        F.expr(f"CAST((st div {_RL_M}) % 8 AS BIGINT)").alias("tokens_left"),
+    )
