@@ -2383,3 +2383,94 @@ def streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_value_micros"),
     )
     return _run_to_memory(out, "scd2_enrich_stream", output_mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# Streaming token-bucket rate limiting: the online form of the batch
+# rate_limit_audit fold. State per user is the bucket's unpacked fields;
+# each micro-batch folds its events with the identical integer recurrence,
+# so after the last batch the cumulative counters are byte-identical to
+# the batch packed-BIGINT fold however the feed is sliced — the batch SQL
+# is the oracle verbatim. The drive chunks events into four time-ordered
+# files (per-key arrival order, the order a per-shard Kinesis consumer
+# actually sees for a partition key) to exercise the cross-batch carry.
+# ---------------------------------------------------------------------------
+from amazon_kinesis_data_streams_health_check_spark.plans.healthcheck_queries import (  # noqa: E402
+    _RL_CAP,
+    _RL_REFILL_S,
+    _RL_SQL,
+    _RL_T,
+)
+
+
+@register(
+    "streaming_rate_limit",
+    oracle=_RL_SQL,
+    doc="Streaming token-bucket rate limiting: per-user bucket state folded "
+    "across four real micro-batches (applyInPandasWithState, update mode), "
+    "cumulative counters byte-identical to the batch packed-BIGINT fold "
+    "under any slicing — batch rate_limit_audit SQL as the value-hash "
+    "oracle; dashboard read = latest row per user",
+    tags=("ext", "streaming", "ops"),
+)
+def streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: state is O(users) x four BIGINTs in the state store;
+    each micro-batch shuffles once on user_id into the stateful fold
+    (Arrow-batched, no per-row Python round trips); emission is one
+    cumulative row per touched user per batch and the final read is a
+    max-of-struct per user — no window, no sort."""
+    import shutil
+
+    from amazon_kinesis_data_streams_health_check_spark.streaming.rate_limit import (
+        rate_limit_stream,
+    )
+
+    configure_session(spark)
+    rows = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"CAST(ts AS LONG) * {_RL_T} + event_id").alias("s"),
+    )
+    b = rows.agg(F.min("s").alias("lo"), F.max("s").alias("hi")).collect()[0]
+    lo, hi = int(b["lo"]), int(b["hi"])
+    feed_dir = tempfile.mkdtemp(prefix="rl_feed_")
+    n_chunks = 4
+    step = (hi - lo) // n_chunks + 1
+    for i in range(n_chunks):
+        chunk = rows.filter(
+            (F.col("s") >= lo + i * step) & (F.col("s") < lo + (i + 1) * step)
+        )
+        tmp = tempfile.mkdtemp(prefix=f"rl_chunk{i}_")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p
+            for p in sorted(os.listdir(tmp))
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = os.path.join(feed_dir, f"chunk_{i:02d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    feed = (
+        spark.readStream.schema("user_id long, s long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    drained = _run_to_memory(
+        rate_limit_stream(feed, _RL_CAP, _RL_REFILL_S),
+        "rate_limit",
+        output_mode="update",
+    )
+    # Latest cumulative row per user: n_events is strictly increasing, so
+    # max-of-struct picks the final batch's emission.
+    final = drained.groupBy("user_id").agg(
+        F.max(
+            F.struct("n_events", "n_throttled", "throttled_ppm", "tokens_left")
+        ).alias("m")
+    )
+    return final.select(
+        "user_id",
+        F.col("m.n_events").alias("n_events"),
+        F.col("m.n_throttled").alias("n_throttled"),
+        F.col("m.throttled_ppm").alias("throttled_ppm"),
+        F.col("m.tokens_left").alias("tokens_left"),
+    )
