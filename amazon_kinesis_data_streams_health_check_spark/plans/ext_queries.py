@@ -3708,3 +3708,150 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         c(F.col("in_near") & ~F.col("in_exact")).alias("n_near_only"),
         c(~F.col("in_exact") & ~F.col("in_near")).alias("n_neither"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval ranking quality (nDCG@k, MRR): recall contracts elsewhere in the
+# registry check WHAT the ANN candidates contain; ranking metrics check the
+# ORDER a retrieval system puts them in — the number a RAG or search stack
+# actually tunes against. Binary relevance = same label as the query.
+# Exactness device: the rank discounts 1/log2(i+1) are precomputed integer
+# micro-weights (one shared literal table in both engines), so DCG, IDCG
+# and nDCG are pure integer arithmetic — no runtime logarithm, no float
+# divergence.
+# ---------------------------------------------------------------------------
+import math as _math
+
+_NDCG_K = 10
+_NDCG_QUERIES = 20
+#: floor(1e9 / (1e3 * floor(log2(i+1) * 1e3))) * 1e3-scale: integer micro
+#: discount weights w_i = 1_000_000_000 // log2_milli(i + 1), i = 1.._NDCG_K.
+_NDCG_W = tuple(
+    1_000_000_000 // int(_math.log2(i + 1) * 1000) for i in range(1, _NDCG_K + 1)
+)
+#: Ideal-DCG prefix sums: IDCG(n) = sum of the first min(n, k) weights.
+_NDCG_IDCG = tuple(
+    sum(_NDCG_W[:n]) for n in range(1, _NDCG_K + 1)
+)
+
+_NDCG_W_SQL = "[" + ", ".join(str(w) for w in _NDCG_W) + "]"
+_NDCG_IDCG_SQL = "[" + ", ".join(str(s) for s in _NDCG_IDCG) + "]"
+
+_NDCG_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, q.label AS q_label,
+         v.vec_id AS neighbor_id, v.label AS n_label,
+         {duck_cosine('q.embedding', 'v.embedding')} AS cos_raw
+  FROM embeddings q
+  JOIN embeddings v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id < {_NDCG_QUERIES}
+),
+ranked AS (
+  SELECT query_id, q_label, n_label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+),
+rel_corpus AS (
+  SELECT q.vec_id AS query_id, CAST(count(*) AS BIGINT) AS n_rel_corpus
+  FROM embeddings q JOIN embeddings v
+    ON v.label = q.label AND v.vec_id <> q.vec_id
+  WHERE q.vec_id < {_NDCG_QUERIES}
+  GROUP BY q.vec_id
+),
+topk AS (
+  SELECT query_id, q_label,
+         CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel_at_k,
+         CAST(sum(CASE WHEN n_label = q_label
+                       THEN {_NDCG_W_SQL}[rank] ELSE 0 END) AS BIGINT)
+           AS dcg_micro,
+         CAST(min(CASE WHEN n_label = q_label THEN rank END) AS BIGINT)
+           AS first_rel_rank
+  FROM ranked WHERE rank <= {_NDCG_K}
+  GROUP BY query_id, q_label
+)
+SELECT t.query_id, t.q_label AS label, r.n_rel_corpus, t.n_rel_at_k,
+       t.dcg_micro,
+       CAST(1000000 * t.dcg_micro
+            // {_NDCG_IDCG_SQL}[least(r.n_rel_corpus, {_NDCG_K})] AS BIGINT)
+         AS ndcg_ppm,
+       CAST(COALESCE(1000000 // t.first_rel_rank, 0) AS BIGINT) AS mrr_ppm
+FROM topk t JOIN rel_corpus r ON r.query_id = t.query_id
+"""
+
+
+@register(
+    "retrieval_ndcg",
+    oracle=_NDCG_SQL,
+    doc=f"IR ranking quality: nDCG@{_NDCG_K} and MRR of the exact-cosine "
+    "retrieval ranking against same-label binary relevance — rank "
+    "discounts are a shared precomputed integer micro-weight table, so "
+    "DCG/IDCG/nDCG are pure integer arithmetic with no runtime logarithm",
+    tags=("ext", "similarity", "eval"),
+)
+def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the ranking under evaluation is the shared two-phase
+    top-k (broadcast query side); relevance totals are one keyed count on
+    the bounded label dimension; the metric itself is element_at into two
+    broadcast literal arrays plus a per-query aggregation — evaluation
+    adds nothing wider than the retrieval it measures."""
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    emb = emb.localCheckpoint(eager=False)  # feeds corpus, queries AND labels
+    queries = emb.filter(F.col("vec_id") < _NDCG_QUERIES)
+    topk = brute_force_topk(emb, queries, k=_NDCG_K)
+    labels = emb.select("vec_id", "label")
+    qlab = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    rel_corpus = (
+        qlab.join(
+            labels.withColumnRenamed("label", "n_label"),
+            on=[
+                F.col("q_label") == F.col("n_label"),
+                F.col("vec_id") != F.col("query_id"),
+            ],
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel_corpus"))
+    )
+    w_arr = F.array(*[F.lit(w) for w in _NDCG_W])
+    idcg_arr = F.array(*[F.lit(s) for s in _NDCG_IDCG])
+    judged = (
+        topk.join(F.broadcast(qlab), "query_id")
+        .join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")
+                        .withColumnRenamed("label", "n_label")),
+            "neighbor_id",
+        )
+        .withColumn("rel", (F.col("n_label") == F.col("q_label")).cast("int"))
+    )
+    per_q = judged.groupBy("query_id", "q_label").agg(
+        F.sum("rel").cast("long").alias("n_rel_at_k"),
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.element_at(w_arr, F.col("rank").cast("int")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("dcg_micro"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).cast("long").alias(
+            "first_rel_rank"
+        ),
+    )
+    return per_q.join(F.broadcast(rel_corpus), "query_id").select(
+        "query_id",
+        F.col("q_label").alias("label"),
+        "n_rel_corpus",
+        "n_rel_at_k",
+        "dcg_micro",
+        F.expr(
+            f"CAST(1000000 * dcg_micro div element_at(array({', '.join(str(s) for s in _NDCG_IDCG)}),"
+            f" CAST(least(n_rel_corpus, {_NDCG_K}) AS INT)) AS BIGINT)"
+        ).alias("ndcg_ppm"),
+        F.expr(
+            "CAST(COALESCE(1000000 div first_rel_rank, 0) AS BIGINT)"
+        ).alias("mrr_ppm"),
+    )
