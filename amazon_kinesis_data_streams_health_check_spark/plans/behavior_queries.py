@@ -1251,3 +1251,91 @@ def user_data_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("orders").alias("table_name"), "*")
     )
     return ev.unionByName(cust).unionByName(orr)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity audit: before an event extract is shared, the
+# release-governance question is whether quasi-identifier combinations
+# isolate individuals — a (event_type, week, value-decile) cell seen for
+# only one user re-identifies that user no matter how the id column is
+# masked. The audit computes, per equivalence class of the quasi-identifier
+# tuple, its size and its sensitive-attribute diversity (distinct users),
+# and rolls up the release-readiness numbers: cells below k, rows at risk,
+# minimum cell size, minimum l-diversity. The companions are
+# dp_geometric_release (noise instead of suppression) and lake_user_erasure
+# (deletion after the fact).
+# ---------------------------------------------------------------------------
+_KANON_K = 5
+_KANON_L = 3
+
+_KANON_SQL = f"""
+WITH cells AS (
+  SELECT event_type,
+         date_trunc('week', ts) AS week,
+         CAST(least(9, CAST(floor(value) AS BIGINT) // 10) AS BIGINT) AS value_decile,
+         CAST(count(*) AS BIGINT) AS cell_rows,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS l_div
+  FROM events
+  GROUP BY event_type, date_trunc('week', ts),
+           CAST(least(9, CAST(floor(value) AS BIGINT) // 10) AS BIGINT)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(CASE WHEN cell_rows < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cells_below_k,
+       CAST(sum(CASE WHEN cell_rows < {_KANON_K} THEN cell_rows ELSE 0 END)
+            AS BIGINT) AS rows_at_risk,
+       CAST(min(cell_rows) AS BIGINT) AS min_cell_rows,
+       CAST(min(l_div) AS BIGINT) AS min_l_diversity,
+       CAST(sum(CASE WHEN l_div < {_KANON_L} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cells_below_l,
+       min(cell_rows) >= {_KANON_K} AND min(l_div) >= {_KANON_L}
+         AS release_ready
+FROM cells GROUP BY event_type
+"""
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=_KANON_SQL,
+    doc=f"Release governance: k-anonymity (k={_KANON_K}) and l-diversity "
+    f"(l={_KANON_L}) over the (type, week, value-decile) quasi-identifier "
+    "— equivalence-class sizes and distinct-user diversity per cell, "
+    "rolled up to cells-below-k, rows at risk, minima, and a "
+    "release-ready verdict per stream",
+    tags=("ext", "behavior", "privacy"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one keyed aggregation on the quasi-identifier tuple
+    (map-side partials; the distinct-user count is the only wide part and
+    keys on the same tuple), then a rollup on the bounded stream
+    dimension. Nothing row-sized leaves the first aggregation."""
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        F.least(F.lit(9), F.expr("CAST(floor(value) AS BIGINT) div 10"))
+        .cast("long")
+        .alias("value_decile"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("cell_rows"),
+        F.countDistinct("user_id").cast("long").alias("l_div"),
+    )
+    return cells.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum((F.col("cell_rows") < _KANON_K).cast("int"))
+        .cast("long")
+        .alias("n_cells_below_k"),
+        F.sum(F.when(F.col("cell_rows") < _KANON_K, F.col("cell_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("cell_rows").cast("long").alias("min_cell_rows"),
+        F.min("l_div").cast("long").alias("min_l_diversity"),
+        F.sum((F.col("l_div") < _KANON_L).cast("int"))
+        .cast("long")
+        .alias("n_cells_below_l"),
+        (
+            (F.min("cell_rows") >= _KANON_K) & (F.min("l_div") >= _KANON_L)
+        ).alias("release_ready"),
+    )
