@@ -2474,3 +2474,138 @@ def streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.throttled_ppm").alias("throttled_ppm"),
         F.col("m.tokens_left").alias("tokens_left"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark late-data audit: the one watermark behavior none of the other
+# drives pins — rows arriving AFTER their window's state was finalized are
+# dropped, and append mode emits a window exactly once when the watermark
+# passes its end. The drive replays a 3-batch feed (on-time minutes 0-9,
+# then 10-19, then late replays of minutes 0-2 carrying a poison value
+# alongside on-time minutes 20-24). Batch mechanics, probed and pinned:
+# the watermark used in batch N derives from batch N-1's max event time,
+# so the late rows meet evicted state and are dropped (batch-2
+# numRowsDroppedByWatermark = rows-per-late-replay), no emitted window
+# contains the poison value, and the final (empty) batch flushes windows
+# up to max_event - delay. Every rule is integer arithmetic => full oracle.
+# ---------------------------------------------------------------------------
+_LATE_EPOCH = _KS_EPOCH
+_LATE_DELAY_S = 120
+_LATE_MINUTES = 25  # on-time minutes 0..24 across three files
+_LATE_REPLAYED = 3  # minutes 0..2 replayed late with the poison value
+_LATE_STREAMS = ("alpha", "beta")
+
+_LATE_AUDIT_SQL = f"""
+WITH ontime AS (
+  SELECT s.name AS stream_name,
+         {_LATE_EPOCH} + m.range * 60 + 30 AS sec,
+         100 + m.range AS x
+  FROM (SELECT unnest(['alpha', 'beta']) AS name) s,
+       range(0, {_LATE_MINUTES}) m
+),
+-- late replays of minutes 0..2 arrive in batch 3; their windows end at or
+-- below the batch-3 watermark (max event of batches 1-2 minus the delay),
+-- so ALL of them drop: the accepted set is exactly the on-time rows.
+wm AS (
+  SELECT max(sec) - {_LATE_DELAY_S} AS final_wm FROM ontime
+),
+w AS (
+  SELECT stream_name, (sec // 60) * 60 AS window_start_s,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(x) AS BIGINT) AS sum_x
+  FROM ontime GROUP BY stream_name, (sec // 60) * 60
+)
+SELECT w.stream_name, CAST(w.window_start_s AS BIGINT) AS window_start_s,
+       w.n_rows, w.sum_x
+FROM w, wm WHERE w.window_start_s + 60 <= wm.final_wm
+"""
+
+
+@register(
+    "streaming_late_data_audit",
+    oracle=_LATE_AUDIT_SQL,
+    doc="W5 streaming: watermark late-data semantics pinned end-to-end — "
+    "late replays carrying a poison value meet evicted window state and "
+    "drop (loud-checked against numRowsDroppedByWatermark), no emitted "
+    "window is contaminated, and append mode emits exactly the windows "
+    "whose end the final watermark passed; full arithmetic oracle",
+    tags=("core", "streaming"),
+)
+def streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: a watermarked tumbling aggregation — state bounded by
+    (streams x in-flight windows), late rows filtered before the shuffle.
+    The drive's determinism hangs on the probed microbatch rule that batch
+    N's watermark derives from batch N-1's data; the poison value and the
+    dropped-row counter turn any future regression of that rule into a
+    loud hash/assert failure rather than silent acceptance."""
+    import shutil
+
+    configure_session(spark)
+    e = _LATE_EPOCH
+    files = [
+        [(s, e + m * 60 + 30, 100 + m) for s in _LATE_STREAMS for m in range(10)],
+        [(s, e + m * 60 + 30, 100 + m) for s in _LATE_STREAMS for m in range(10, 20)],
+        [(s, e + m * 60 + 30, 999) for s in _LATE_STREAMS for m in range(_LATE_REPLAYED)]
+        + [(s, e + m * 60 + 30, 100 + m) for s in _LATE_STREAMS for m in range(20, _LATE_MINUTES)],
+    ]
+    feed_dir = tempfile.mkdtemp(prefix="late_feed_")
+    for i, rows in enumerate(files):
+        df = spark.createDataFrame(rows, "stream_name string, sec long, x long")
+        tmp = tempfile.mkdtemp(prefix=f"late_chunk{i}_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p
+            for p in sorted(os.listdir(tmp))
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = os.path.join(feed_dir, f"chunk_{i:02d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    feed = (
+        spark.readStream.schema("stream_name string, sec long, x long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    agg = (
+        feed.withColumn("ts", F.timestamp_seconds("sec"))
+        .withWatermark("ts", f"{_LATE_DELAY_S} seconds")
+        .groupBy("stream_name", F.window("ts", "60 seconds"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("x").cast("long").alias("sum_x"),
+        )
+        .select(
+            "stream_name",
+            F.col("window.start").cast("long").alias("window_start_s"),
+            "n_rows",
+            "sum_x",
+        )
+    )
+    qname = f"late_audit_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_late_audit_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover - defensive
+        q.stop()
+    # Loud audit: the late replays must be dropped BY THE WATERMARK, not
+    # silently absorbed — a regression of the batch/watermark rule would
+    # otherwise only show as a value change.
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark") or 0)
+        for p in q.recentProgress
+    )
+    expected = len(_LATE_STREAMS) * _LATE_REPLAYED
+    if dropped != expected:
+        raise RuntimeError(
+            f"watermark dropped {dropped} rows, expected {expected} — "
+            "microbatch watermark semantics changed"
+        )
+    return spark.table(qname)
