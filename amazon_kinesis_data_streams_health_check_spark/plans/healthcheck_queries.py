@@ -2921,3 +2921,136 @@ def rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("throttled_ppm"),
         F.expr(f"CAST((st div {_RL_M}) % 8 AS BIGINT)").alias("tokens_left"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-stream load correlation: capacity planning treats streams as
+# independent until two of them spike together and the shared consumer
+# falls behind — the input that decision needs is the pairwise correlation
+# of per-minute volumes. Series are densified over the common minute grid
+# (a missing minute is a real 0, not an absent row — skipping it biases r
+# toward +1), and Pearson r comes from exact DECIMAL(38) integer moment
+# sums, the lineitem_corr_exact device, so both engines produce identical
+# doubles.
+# ---------------------------------------------------------------------------
+_SCORR_SQL = """
+WITH bounds AS (
+  SELECT CAST(epoch(date_trunc('minute', min(ts))) AS BIGINT) // 60 AS lo,
+         CAST(epoch(date_trunc('minute', max(ts))) AS BIGINT) // 60 AS hi
+  FROM events
+),
+counts AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('minute', ts)) AS BIGINT) // 60 AS minute,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY event_type, minute
+),
+grid AS (
+  SELECT t.event_type, g.range AS minute
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       bounds b, range(0, 100000000) g
+  WHERE g.range >= b.lo AND g.range <= b.hi
+),
+series AS (
+  SELECT g.event_type, g.minute, COALESCE(c.y, 0) AS y
+  FROM grid g LEFT JOIN counts c
+    ON c.event_type = g.event_type AND c.minute = g.minute
+),
+pairs AS (
+  SELECT a.event_type AS stream_a, b.event_type AS stream_b,
+         CAST(count(*) AS DECIMAL(38,0)) AS n,
+         sum(CAST(a.y AS DECIMAL(38,0))) AS sx,
+         sum(CAST(b.y AS DECIMAL(38,0))) AS sy,
+         sum(CAST(a.y * a.y AS DECIMAL(38,0))) AS sxx,
+         sum(CAST(b.y * b.y AS DECIMAL(38,0))) AS syy,
+         sum(CAST(a.y * b.y AS DECIMAL(38,0))) AS sxy
+  FROM series a JOIN series b
+    ON a.minute = b.minute AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT stream_a, stream_b, CAST(n AS BIGINT) AS n_minutes,
+       CAST(sx AS BIGINT) AS n_events_a, CAST(sy AS BIGINT) AS n_events_b,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
+FROM pairs
+"""
+
+
+@register(
+    "stream_correlation_matrix",
+    oracle=_SCORR_SQL,
+    doc="Capacity planning: pairwise Pearson correlation of per-minute "
+    "volumes across streams over the DENSIFIED common minute grid (a "
+    "missing minute is a real zero — skipping it biases r upward), exact "
+    "DECIMAL(38) moment sums so both engines emit identical doubles; the "
+    "co-spike signal shared-consumer sizing needs",
+    tags=("ext", "healthcheck", "ops"),
+)
+def stream_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one keyed count on (stream, minute), densified by a
+    per-stream ``sequence()`` explode against broadcast bounds, then a
+    self-join keyed on the uniform minute with the bounded stream
+    dimension fanning out |streams|^2 / 2 pairs per minute — shuffle
+    volume is grid-sized, never row-sized, and every moment sum is an
+    exactly-mergeable integer."""
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy(
+        "event_type",
+        F.expr("CAST(unix_timestamp(date_trunc('minute', ts)) AS BIGINT) div 60").alias(
+            "minute"
+        ),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    counts = counts.localCheckpoint(eager=False)  # feeds bounds AND series
+    bounds = counts.agg(
+        F.min("minute").alias("lo"), F.max("minute").alias("hi")
+    )
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type", F.explode(F.expr("sequence(lo, hi)")).alias("minute")
+        )
+    )
+    series = (
+        grid.join(counts, ["event_type", "minute"], "left")
+        .na.fill({"y": 0})
+        .localCheckpoint(eager=False)  # both sides of the pair join
+    )
+    a = series.select(
+        F.col("event_type").alias("stream_a"), "minute", F.col("y").alias("ya")
+    )
+    b = series.select(
+        F.col("event_type").alias("stream_b"), "minute", F.col("y").alias("yb")
+    )
+    dec = lambda c: F.expr(f"CAST({c} AS DECIMAL(38,0))")  # noqa: E731
+    pairs = (
+        a.join(b, "minute")
+        .filter(F.col("stream_a") < F.col("stream_b"))
+        .groupBy("stream_a", "stream_b")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum(dec("ya")).alias("sx"),
+            F.sum(dec("yb")).alias("sy"),
+            F.sum(dec("ya * ya")).alias("sxx"),
+            F.sum(dec("yb * yb")).alias("syy"),
+            F.sum(dec("ya * yb")).alias("sxy"),
+        )
+    )
+    return pairs.select(
+        "stream_a",
+        "stream_b",
+        F.col("n").cast("long").alias("n_minutes"),
+        F.col("sx").cast("long").alias("n_events_a"),
+        F.col("sy").cast("long").alias("n_events_b"),
+        F.round(
+            F.expr(
+                "CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+                " * CAST(n * syy - sy * sy AS DOUBLE))"
+            ),
+            6,
+        ).alias("corr"),
+    )
