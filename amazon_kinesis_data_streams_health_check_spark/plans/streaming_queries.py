@@ -2609,3 +2609,157 @@ def streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "microbatch watermark semantics changed"
         )
     return spark.table(qname)
+
+
+# ---------------------------------------------------------------------------
+# KCL subsequence checkpoint resume: with KPL aggregation, a checkpoint is a
+# (sequenceNumber, subSequenceNumber) PAIR — a consumer that crashes mid-blob
+# must resume AT the checkpointed kinesis record (AT_SEQUENCE_NUMBER),
+# de-aggregate it again, and drop exactly the user records at or before the
+# checkpointed subsequence; naive sequence-only resume either re-processes
+# the whole blob (duplicates) or skips its tail (loss). The sim feed is
+# packed 5-per-blob, each shard gets a distinct mid-blob checkpoint, and the
+# resumed set is audited for conservation (processed-before + resumed =
+# total) and contiguity (no gap, no duplicate) — both booleans ride in the
+# value hash. Every derived column is pure arithmetic on the deterministic
+# packing, so a generate_series oracle value-hashes the whole resume path.
+# ---------------------------------------------------------------------------
+_KCL_BLOBS = _KS_PER_SHARD // _KPL_PER_BLOB
+
+_KCL_CKPT_SQL = f"""
+WITH cp AS (
+  SELECT s.range AS shard,
+         20 + s.range * 5 AS cp_blob,
+         s.range % {_KPL_PER_BLOB} AS cp_sub
+  FROM range(0, {_KS_SHARDS}) s
+)
+SELECT 'shardId-' || lpad(CAST(shard AS VARCHAR), 12, '0') AS shard_id,
+       CAST(cp_blob AS BIGINT) AS cp_blob,
+       CAST(cp_sub AS BIGINT) AS cp_sub,
+       CAST({_KCL_BLOBS} - cp_blob AS BIGINT) AS n_blobs_refetched,
+       CAST(({_KCL_BLOBS} - cp_blob) * {_KPL_PER_BLOB} AS BIGINT)
+         AS n_user_refetched,
+       CAST(cp_sub + 1 AS BIGINT) AS n_skipped,
+       CAST(({_KCL_BLOBS} - cp_blob) * {_KPL_PER_BLOB} - cp_sub - 1 AS BIGINT)
+         AS n_resumed,
+       CAST(cp_blob * {_KPL_PER_BLOB} + cp_sub + 1 AS BIGINT)
+         AS first_resumed_seq,
+       CAST({_KS_PER_SHARD} - 1 AS BIGINT) AS last_resumed_seq,
+       TRUE AS conservation_exact,
+       TRUE AS contiguous_no_dup
+FROM cp
+"""
+
+
+@register(
+    "kcl_subsequence_checkpoint",
+    oracle=_KCL_CKPT_SQL,
+    doc="W2/S2: KCL (sequence, subSequence) checkpoint resume over KPL "
+    "aggregated records — restart re-fetches the checkpointed blob "
+    "(AT_SEQUENCE_NUMBER), de-aggregates, and drops user records at or "
+    "before the checkpointed subsequence; per-shard conservation and "
+    "contiguity audits ride in the value hash",
+    tags=("ext", "streaming", "kinesis"),
+)
+def kcl_subsequence_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: resume touches only blobs at or after the checkpoint —
+    the refetch filter lands on the PACKED relation (one row per blob)
+    before any de-aggregation fan-out, and the per-shard checkpoint table
+    (one row per shard, the KCL lease table's size) broadcasts onto it.
+    The audit is a per-shard aggregate over resumed rows; nothing wider
+    than the stream's own shard parallelism ever shuffles."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.kpl_agg import (
+        explode_kpl,
+        pack_kpl,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_sim import (
+        register_kinesis_sim,
+    )
+
+    configure_session(spark)
+    register_kinesis_sim(spark)
+    raw = (
+        spark.read.format("kinesis_sim")
+        .option("numShards", _KS_SHARDS)
+        .option("recordsPerShard", _KS_PER_SHARD)
+        .option("startEpochS", _KS_EPOCH)
+        .option("intervalMs", _KS_IVL_MS)
+        .load()
+    )
+    packed = pack_kpl(raw, max_per_blob=_KPL_PER_BLOB)
+    ckpts = spark.createDataFrame(
+        [
+            (f"shardId-{s:012d}", 20 + s * 5, s % _KPL_PER_BLOB)
+            for s in range(_KS_SHARDS)
+        ],
+        "shard_id string, cp_blob long, cp_sub long",
+    )
+    refetched = packed.join(F.broadcast(ckpts), "shard_id").filter(
+        F.col("agg_index") >= F.col("cp_blob")
+    )
+    refetched = refetched.localCheckpoint(eager=False)  # feeds audit + resume
+    exploded = explode_kpl(
+        refetched,
+        pk_col="agg_partition_key",
+        data_col="agg_data",
+        keep_cols=("shard_id", "agg_index", "cp_blob", "cp_sub"),
+    )
+    resumed = exploded.filter(
+        ~((F.col("agg_index") == F.col("cp_blob"))
+          & (F.col("subsequence") <= F.col("cp_sub")))
+    ).select(
+        "shard_id",
+        "cp_blob",
+        "cp_sub",
+        (
+            F.unix_timestamp(
+                F.to_timestamp(
+                    F.get_json_object(
+                        F.decode("user_data", "UTF-8"), "$.currentInstant"
+                    )
+                )
+            )
+            - F.lit(_KS_EPOCH)
+        ).cast("long").alias("seq_s"),
+    )
+    refetch_stats = refetched.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blobs_refetched"),
+        F.sum("n_user_records").cast("long").alias("n_user_refetched"),
+    )
+    per_shard = resumed.groupBy("shard_id", "cp_blob", "cp_sub").agg(
+        F.count(F.lit(1)).cast("long").alias("n_resumed"),
+        F.countDistinct("seq_s").cast("long").alias("n_distinct"),
+        F.expr(f"min(seq_s) div {_KS_IVL_MS // 1000}")
+        .cast("long")
+        .alias("first_resumed_seq"),
+        F.expr(f"max(seq_s) div {_KS_IVL_MS // 1000}")
+        .cast("long")
+        .alias("last_resumed_seq"),
+    )
+    return per_shard.join(F.broadcast(refetch_stats), "shard_id").select(
+        "shard_id",
+        "cp_blob",
+        "cp_sub",
+        "n_blobs_refetched",
+        "n_user_refetched",
+        (F.col("cp_sub") + 1).cast("long").alias("n_skipped"),
+        "n_resumed",
+        "first_resumed_seq",
+        "last_resumed_seq",
+        (
+            (F.col("cp_blob") * _KPL_PER_BLOB + F.col("cp_sub") + 1)
+            + F.col("n_resumed")
+            == F.lit(_KS_PER_SHARD)
+        ).alias("conservation_exact"),
+        (
+            (F.col("n_distinct") == F.col("n_resumed"))
+            & (
+                F.col("last_resumed_seq") - F.col("first_resumed_seq") + 1
+                == F.col("n_resumed")
+            )
+            & (
+                F.col("first_resumed_seq")
+                == F.col("cp_blob") * _KPL_PER_BLOB + F.col("cp_sub") + 1
+            )
+        ).alias("contiguous_no_dup"),
+    )
