@@ -767,3 +767,125 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_target_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-matched importance resampling: the curation move AFTER
+# stratified sampling — instead of hand-set per-stratum rates, each source's
+# length profile is resampled to match the GLOBAL length mix (the device
+# used to make a noisy crawl source match a reference corpus profile).
+# Buckets are floor(log2(n_chars)) (the integer bin() device — no float
+# log); the acceptance test per document is the exact integer cross-product
+# inequality  h * (n_sb * n) < 2^32 * (n_b * n_s), i.e. keep with
+# probability min(1, target_share / actual_share), decided by the document's
+# own md5 hash so a 1000-executor rerun selects the identical set. Products
+# reach ~1e21 at sf1, so both sides are compared in DECIMAL(38,0)/HUGEINT —
+# exact, never floating.
+# ---------------------------------------------------------------------------
+_QMR_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(length(bin(greatest(n_chars, 1))) - 1 AS BIGINT) AS bucket,
+         {duck_hash_uniform('doc_id')} AS h
+  FROM documents
+),
+csb AS (
+  SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_sb
+  FROM base GROUP BY source, bucket
+),
+cb AS (SELECT bucket, CAST(sum(n_sb) AS BIGINT) AS n_b FROM csb GROUP BY bucket),
+cs AS (SELECT source, CAST(sum(n_sb) AS BIGINT) AS n_s FROM csb GROUP BY source),
+tot AS (SELECT CAST(sum(n_sb) AS BIGINT) AS n FROM csb),
+accepted AS (
+  SELECT b.source, b.bucket, CAST(count(*) AS BIGINT) AS n_after
+  FROM base b
+  JOIN csb ON csb.source = b.source AND csb.bucket = b.bucket
+  JOIN cb ON cb.bucket = b.bucket
+  JOIN cs ON cs.source = b.source
+  CROSS JOIN tot t
+  WHERE CAST(b.h AS HUGEINT) * (CAST(csb.n_sb AS HUGEINT) * t.n)
+      < CAST({HASH_SPACE} AS HUGEINT) * (CAST(cb.n_b AS HUGEINT) * cs.n_s)
+  GROUP BY b.source, b.bucket
+)
+SELECT csb.source, csb.bucket, csb.n_sb AS n_before,
+       COALESCE(a.n_after, 0) AS n_after,
+       CAST(1000000 * cb.n_b // t.n AS BIGINT) AS target_ppm,
+       CAST(1000000 * csb.n_sb // cs.n_s AS BIGINT) AS before_ppm,
+       csb.n_sb * t.n <= cb.n_b * cs.n_s AS kept_all
+FROM csb
+JOIN cb ON cb.bucket = csb.bucket
+JOIN cs ON cs.source = csb.source
+CROSS JOIN tot t
+LEFT JOIN accepted a ON a.source = csb.source AND a.bucket = csb.bucket
+"""
+
+
+@register(
+    "quality_matched_resample",
+    oracle=_QMR_SQL,
+    doc="EXT curation: distribution-matched importance resampling — each "
+    "source's floor-log2 length profile is resampled toward the GLOBAL "
+    "profile via the exact integer acceptance test h*(n_sb*n) < "
+    "2^32*(n_b*n_s) (keep-probability min(1, target/actual) decided by the "
+    "document's own md5 hash, reproducible under any partitioning); "
+    "DECIMAL(38)/HUGEINT cross-products so nothing floats",
+    tags=("ext", "curation"),
+)
+def quality_matched_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one narrow projection of the corpus (doc_id hash +
+    length bucket — no text moves), one (source, bucket) counting
+    aggregation whose result is BOUNDED (sources x ~30 buckets) and
+    broadcast back onto the projection for the per-document acceptance
+    filter, then a second bounded aggregation of survivors. Two scan-shaped
+    passes, zero wide shuffles — the decision table a 100 TB resample
+    actually ships to every executor."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        (F.length(F.bin(F.greatest("n_chars", F.lit(1)))) - 1)
+        .cast("long")
+        .alias("bucket"),
+        hash_uniform("doc_id").alias("h"),
+    )
+    base = base.localCheckpoint(eager=False)  # feeds counts AND acceptance
+    csb = base.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sb")
+    )
+    csb = csb.localCheckpoint(eager=False)  # bounded; feeds 4 consumers
+    cb = csb.groupBy("bucket").agg(F.sum("n_sb").cast("long").alias("n_b"))
+    cs = csb.groupBy("source").agg(F.sum("n_sb").cast("long").alias("n_s"))
+    tot = csb.agg(F.sum("n_sb").cast("long").alias("n"))
+    dims = (
+        csb.join(cb, "bucket")
+        .join(cs, "source")
+        .crossJoin(tot)
+    )
+    dec = "DECIMAL(38,0)"
+    accepted = (
+        base.join(F.broadcast(dims), ["source", "bucket"])
+        .filter(
+            F.expr(
+                f"CAST(h AS {dec}) * (CAST(n_sb AS {dec}) * n)"
+                f" < CAST({HASH_SPACE} AS {dec}) * (CAST(n_b AS {dec}) * n_s)"
+            )
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_after"))
+    )
+    return (
+        dims.join(accepted, ["source", "bucket"], "left")
+        .na.fill({"n_after": 0})
+        .select(
+            "source",
+            "bucket",
+            F.col("n_sb").alias("n_before"),
+            "n_after",
+            F.expr("CAST(1000000 * n_b div n AS BIGINT)").alias("target_ppm"),
+            F.expr("CAST(1000000 * n_sb div n_s AS BIGINT)").alias("before_ppm"),
+            F.expr(
+                f"CAST(n_sb AS {dec}) * n <= CAST(n_b AS {dec}) * n_s"
+            ).alias("kept_all"),
+        )
+    )
