@@ -2459,3 +2459,124 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         (F.col("_offset") + F.col("_rn")).cast("long").alias("global_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM: the production n-gram smoother (and the
+# quality-filter scorer add-one cannot match) — mass is discounted from seen
+# bigrams and redistributed by CONTINUATION counts (how many distinct
+# contexts a word completes), not raw frequency, so "francisco" (frequent
+# but only after "san") stops stealing probability from genuinely versatile
+# words. With discount D = 3/4 the interpolated estimate is
+#   P(w2|w1) = (c12 - D)/c1 + D*N1+(w1,.)/c1 * N1+(.,w2)/T
+# which over the common denominator 4*c1*T is the SINGLE exact division
+#   ((4*c12 - 3)*T + 3*N1r*N1l) / (4*c1*T)
+# — integer numerator and denominator (DECIMAL(38)/HUGEINT products so
+# nothing wraps), one double divide, one round: bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+_KN_MIN_C12 = 5  # report bigrams seen at least this often (bounded output)
+
+_KN_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_TOK} AS t FROM documents
+),
+bg AS (
+  SELECT unnest(CASE WHEN len(t) >= 2
+           THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+           ELSE CAST([] AS VARCHAR[]) END) AS g
+  FROM base
+),
+bic AS (
+  SELECT split_part(g, ' ', 1) AS t1, split_part(g, ' ', 2) AS t2,
+         CAST(count(*) AS BIGINT) AS c12
+  FROM bg GROUP BY g
+),
+pre AS (
+  SELECT t1, CAST(sum(c12) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1r
+  FROM bic GROUP BY t1
+),
+suf AS (
+  SELECT t2, CAST(count(*) AS BIGINT) AS n1l FROM bic GROUP BY t2
+),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM bic)
+SELECT b.t1, b.t2, b.c12, p.c1, p.n1r, s.n1l,
+       round(CAST((4 * CAST(b.c12 AS HUGEINT) - 3) * tt.t_types
+                  + 3 * CAST(p.n1r AS HUGEINT) * s.n1l AS DOUBLE)
+             / CAST(4 * CAST(p.c1 AS HUGEINT) * tt.t_types AS DOUBLE),
+             6) AS p_kn
+FROM bic b
+JOIN pre p ON p.t1 = b.t1
+JOIN suf s ON s.t2 = b.t2
+CROSS JOIN tt
+WHERE b.c12 >= {_KN_MIN_C12}
+"""
+
+
+@register(
+    "kneser_ney_bigram",
+    oracle=_KN_SQL,
+    doc="Kneser-Ney interpolated bigram LM (D=3/4): discounted mass "
+    "redistributed by CONTINUATION counts over the exact common denominator "
+    "4*c1*T — integer numerator/denominator, one double divide, one round, "
+    "bit-identical cross-engine; bigrams seen >= 5 times reported with "
+    "their prefix/suffix continuation statistics",
+    tags=("ext", "corpus", "tokenizer"),
+)
+def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: bigram construction is one narrow explode; every count
+    table (bigram types, prefix totals+fanout, suffix fanout) derives from
+    the TYPE relation ``bic`` — Heaps-bounded, far smaller than the corpus
+    — so the joins are keyed on uniform word types and the threshold filter
+    lands before the join. The token stream itself is touched exactly once;
+    at 100 TB the LM fits in the type tables, never in the stream."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    bg = docs.select(F.expr(_SPARK_TOK).alias("t")).select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1),"
+                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                " ELSE array() END"
+            )
+        ).alias("g")
+    )
+    bic = (
+        bg.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .select(
+            F.split("g", " ").getItem(0).alias("t1"),
+            F.split("g", " ").getItem(1).alias("t2"),
+            "c12",
+        )
+    )
+    bic = bic.localCheckpoint(eager=False)  # feeds pre, suf, T, and itself
+    pre = bic.groupBy("t1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1r"),
+    )
+    suf = bic.groupBy("t2").agg(F.count(F.lit(1)).cast("long").alias("n1l"))
+    tt = bic.agg(F.count(F.lit(1)).cast("long").alias("t_types"))
+    dec = "DECIMAL(38,0)"
+    return (
+        bic.filter(F.col("c12") >= _KN_MIN_C12)
+        .join(pre, "t1")
+        .join(suf, "t2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "t1",
+            "t2",
+            "c12",
+            "c1",
+            "n1r",
+            "n1l",
+            F.round(
+                F.expr(
+                    f"CAST((4 * CAST(c12 AS {dec}) - 3) * t_types"
+                    f" + 3 * CAST(n1r AS {dec}) * n1l AS DOUBLE)"
+                    f" / CAST(4 * CAST(c1 AS {dec}) * t_types AS DOUBLE)"
+                ),
+                6,
+            ).alias("p_kn"),
+        )
+    )
