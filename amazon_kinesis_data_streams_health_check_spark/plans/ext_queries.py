@@ -24,6 +24,9 @@ from amazon_kinesis_data_streams_health_check_spark.operators.textstats import (
     with_quality_score,
     with_token_stats,
 )
+from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+    duck_hash_uniform,
+)
 from amazon_kinesis_data_streams_health_check_spark.plans.registry import register
 from amazon_kinesis_data_streams_health_check_spark.session import configure_session
 from amazon_kinesis_data_streams_health_check_spark.sources.tables import load_table, parallel_scan
@@ -3854,4 +3857,153 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(COALESCE(1000000 div first_rel_rank, 0) AS BIGINT)"
         ).alias("mrr_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interleaved multimodal sequence packing (the MMC4/Flamingo construction):
+# each document carries one media item (the synthesize_media table); the
+# media's TOKEN COST is modality-derived — images cost their ViT patch grid
+# ceil(w/32)*ceil(h/32), audio its 12.5 tok/s encoder frames, video 16
+# patches per 4 s sampled frame — and the item is spliced at an md5-derived
+# offset inside the document's token stream (plus 2 boundary sentinels).
+# Docs then pack into fixed multimodal context windows per source by the
+# deterministic concat-and-chunk cumsum. The per-bin budget sheet (text vs
+# media tokens, modality mix, fill) is what a multimodal pretraining run
+# provisions against.
+# ---------------------------------------------------------------------------
+_MIP_CTX = 4096  # multimodal context window (tokens)
+_MIP_PATCH = 32  # ViT patch edge
+_MIP_AUDIO_MS_PER_TOK = 80  # 12.5 tokens/s speech encoder
+_MIP_VIDEO_FRAME_MS = 4000  # one sampled frame per 4 s
+_MIP_VIDEO_TOK_PER_FRAME = 16
+
+_MIP_SQL = f"""
+WITH m AS (
+  SELECT doc_id, source,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(len({_DUCK_TOK}) AS BIGINT) AS n_text,
+         n_chars % 640 + 1 AS width,
+         n_chars % 480 + 1 AS height,
+         n_chars * 10 AS duration_ms,
+         {duck_hash_uniform('doc_id')} AS h
+  FROM documents
+),
+cost AS (
+  SELECT doc_id, source, kind, n_text, h,
+         CASE kind
+           WHEN 'image' THEN ((width + {_MIP_PATCH} - 1) // {_MIP_PATCH})
+                             * ((height + {_MIP_PATCH} - 1) // {_MIP_PATCH})
+           WHEN 'audio' THEN duration_ms // {_MIP_AUDIO_MS_PER_TOK} + 1
+           ELSE (duration_ms // {_MIP_VIDEO_FRAME_MS} + 1)
+                * {_MIP_VIDEO_TOK_PER_FRAME}
+         END AS media_tokens,
+         h % (n_text + 1) AS insert_pos
+  FROM m
+),
+packed AS (
+  SELECT *,
+         n_text + media_tokens + 2 AS doc_total,
+         (sum(n_text + media_tokens + 2) OVER (
+            PARTITION BY source ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+           // {_MIP_CTX} AS bin
+  FROM cost
+)
+SELECT source, CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE kind = 'image') AS BIGINT) AS n_image,
+       CAST(count(*) FILTER (WHERE kind = 'audio') AS BIGINT) AS n_audio,
+       CAST(count(*) FILTER (WHERE kind = 'video') AS BIGINT) AS n_video,
+       CAST(sum(n_text) AS BIGINT) AS text_tokens,
+       CAST(sum(media_tokens) AS BIGINT) AS media_tokens,
+       CAST(sum(doc_total) AS BIGINT) AS total_tokens,
+       CAST(1000000 * sum(doc_total) // {_MIP_CTX} AS BIGINT) AS fill_ppm,
+       CAST(sum(insert_pos) AS BIGINT) AS sum_insert_pos
+FROM packed GROUP BY source, bin
+"""
+
+
+@register(
+    "media_interleave_pack",
+    oracle=_MIP_SQL,
+    doc="E4/EXT: interleaved multimodal packing — per-doc media priced by "
+    "modality (ViT patch grid / 12.5 tok-s audio frames / 16 tok per 4 s "
+    "video frame), spliced at an md5-derived offset with boundary "
+    "sentinels, then concat-and-chunk packed into 4096-token multimodal "
+    "context windows per source; the per-bin text/media budget sheet",
+    tags=("ext", "multimodal", "curation"),
+)
+def media_interleave_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: everything up to the pack is a narrow projection (token
+    count, metadata arithmetic, md5 hash — no text ever shuffles); the pack
+    window partitions by source exactly like ``pack_sequences`` (a global
+    order would serialize at 100 TB; per-source streams are what training
+    mixes anyway), and the final aggregation is keyed on (source, bin) —
+    bounded by corpus-tokens / 4096."""
+    from pyspark.sql import Window
+
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        hash_uniform,
+    )
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    cost = docs.select(
+        "doc_id",
+        "source",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.size(F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"))
+        .cast("long")
+        .alias("n_text"),
+        (F.col("n_chars") % 640 + 1).alias("width"),
+        (F.col("n_chars") % 480 + 1).alias("height"),
+        (F.col("n_chars") * 10).alias("duration_ms"),
+        hash_uniform("doc_id").alias("h"),
+    ).select(
+        "doc_id",
+        "source",
+        "kind",
+        "n_text",
+        "h",
+        F.expr(
+            f"CASE kind"
+            f" WHEN 'image' THEN ((width + {_MIP_PATCH} - 1) div {_MIP_PATCH})"
+            f"   * ((height + {_MIP_PATCH} - 1) div {_MIP_PATCH})"
+            f" WHEN 'audio' THEN duration_ms div {_MIP_AUDIO_MS_PER_TOK} + 1"
+            f" ELSE (duration_ms div {_MIP_VIDEO_FRAME_MS} + 1)"
+            f"   * {_MIP_VIDEO_TOK_PER_FRAME} END"
+        )
+        .cast("long")
+        .alias("media_tokens"),
+        (F.col("h") % (F.col("n_text") + 1)).alias("insert_pos"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        cost.withColumn("doc_total", F.col("n_text") + F.col("media_tokens") + 2)
+        .withColumn("cum", F.sum("doc_total").over(w))
+        .withColumn("bin", F.expr(f"(cum - 1) div {_MIP_CTX}").cast("long"))
+    )
+    img = F.count(F.when(F.col("kind") == "image", 1)).cast("long")
+    aud = F.count(F.when(F.col("kind") == "audio", 1)).cast("long")
+    vid = F.count(F.when(F.col("kind") == "video", 1)).cast("long")
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        img.alias("n_image"),
+        aud.alias("n_audio"),
+        vid.alias("n_video"),
+        F.sum("n_text").cast("long").alias("text_tokens"),
+        F.sum("media_tokens").cast("long").alias("media_tokens"),
+        F.sum("doc_total").cast("long").alias("total_tokens"),
+        F.expr(f"CAST(1000000 * sum(doc_total) div {_MIP_CTX} AS BIGINT)").alias(
+            "fill_ppm"
+        ),
+        F.sum("insert_pos").cast("long").alias("sum_insert_pos"),
     )
