@@ -889,3 +889,157 @@ def quality_matched_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_all"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Padded-batch waste: pad-to-max batching cost of length-sorted vs
+# md5-shuffled batch formation — the inference/eval counterpart of
+# pack_sequences (training concatenates; serving PADS). Every sequence in a
+# batch of 32 is padded to the batch max, so a batch costs count * max(len);
+# length bucketing exists precisely to shrink that padding, and this query
+# measures exactly what it buys per source in integer ppm. Both orderings
+# carry a doc_id tiebreak, so batch membership — and therefore every number
+# here — is bit-deterministic in both engines.
+# ---------------------------------------------------------------------------
+_PBW_BATCH = 32
+
+_PBW_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT)
+           AS n_tokens,
+         {duck_hash_uniform('doc_id')} AS h
+  FROM documents
+),
+ordered AS (
+  SELECT source, n_tokens,
+         (row_number() OVER (PARTITION BY source
+                             ORDER BY n_tokens DESC, doc_id) - 1)
+           // {_PBW_BATCH} AS batch_sorted,
+         (row_number() OVER (PARTITION BY source
+                             ORDER BY h, doc_id) - 1)
+           // {_PBW_BATCH} AS batch_random
+  FROM base
+),
+srt AS (
+  SELECT source, batch_sorted,
+         CAST(count(*) * max(n_tokens) AS BIGINT) AS padded
+  FROM ordered GROUP BY source, batch_sorted
+),
+rnd AS (
+  SELECT source, batch_random,
+         CAST(count(*) * max(n_tokens) AS BIGINT) AS padded
+  FROM ordered GROUP BY source, batch_random
+),
+tok AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS token_sum
+  FROM base GROUP BY source
+)
+SELECT t.source, t.n_docs, t.token_sum,
+       s.n_batches,
+       s.padded_sorted,
+       r.padded_random,
+       CAST(1000000 * (s.padded_sorted - t.token_sum) // s.padded_sorted
+            AS BIGINT) AS waste_sorted_ppm,
+       CAST(1000000 * (r.padded_random - t.token_sum) // r.padded_random
+            AS BIGINT) AS waste_random_ppm,
+       CAST(1000000 * (r.padded_random - s.padded_sorted) // r.padded_random
+            AS BIGINT) AS savings_ppm
+FROM tok t
+JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n_batches,
+             CAST(sum(padded) AS BIGINT) AS padded_sorted
+      FROM srt GROUP BY source) s ON s.source = t.source
+JOIN (SELECT source, CAST(sum(padded) AS BIGINT) AS padded_random
+      FROM rnd GROUP BY source) r ON r.source = t.source
+"""
+
+
+@register(
+    "padded_batch_waste",
+    oracle=_PBW_SQL,
+    doc="EXT curation: pad-to-max batching waste — per-source padded token "
+    "cost (count x batch-max) of 32-sequence batches under length-sorted "
+    "vs md5-shuffled formation, with the exact ppm savings length "
+    "bucketing buys; doc_id tiebreaks make batch membership "
+    "bit-deterministic cross-engine",
+    tags=("ext", "curation"),
+)
+def padded_batch_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one narrow token-count projection (text never moves),
+    two per-source row_number windows over that projection — partitioned by
+    source, so no global range sort; at 100 TB each source's ordering is an
+    independent partition-local sort — and three bounded keyed
+    aggregations. The windows share one shuffle on source via the pinned
+    projection."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"))
+        .cast("long")
+        .alias("n_tokens"),
+        hash_uniform("doc_id").alias("h"),
+    )
+    base = base.localCheckpoint(eager=False)  # feeds both windows + totals
+    w_sorted = Window.partitionBy("source").orderBy(
+        F.desc("n_tokens"), F.col("doc_id")
+    )
+    w_random = Window.partitionBy("source").orderBy("h", "doc_id")
+    ordered = base.select(
+        "source",
+        "n_tokens",
+        ((F.row_number().over(w_sorted) - 1) / _PBW_BATCH)
+        .cast("long")
+        .alias("batch_sorted"),
+        ((F.row_number().over(w_random) - 1) / _PBW_BATCH)
+        .cast("long")
+        .alias("batch_random"),
+    )
+    ordered = ordered.localCheckpoint(eager=False)  # feeds both batch aggs
+    srt = (
+        ordered.groupBy("source", "batch_sorted")
+        .agg((F.count(F.lit(1)) * F.max("n_tokens")).cast("long").alias("padded"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("padded").cast("long").alias("padded_sorted"),
+        )
+    )
+    rnd = (
+        ordered.groupBy("source", "batch_random")
+        .agg((F.count(F.lit(1)) * F.max("n_tokens")).cast("long").alias("padded"))
+        .groupBy("source")
+        .agg(F.sum("padded").cast("long").alias("padded_random"))
+    )
+    tok = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("token_sum"),
+    )
+    return (
+        tok.join(srt, "source")
+        .join(rnd, "source")
+        .select(
+            "source",
+            "n_docs",
+            "token_sum",
+            "n_batches",
+            "padded_sorted",
+            "padded_random",
+            F.expr(
+                "CAST(1000000 * (padded_sorted - token_sum) div padded_sorted"
+                " AS BIGINT)"
+            ).alias("waste_sorted_ppm"),
+            F.expr(
+                "CAST(1000000 * (padded_random - token_sum) div padded_random"
+                " AS BIGINT)"
+            ).alias("waste_random_ppm"),
+            F.expr(
+                "CAST(1000000 * (padded_random - padded_sorted) div padded_random"
+                " AS BIGINT)"
+            ).alias("savings_ppm"),
+        )
+    )
