@@ -2496,3 +2496,118 @@ def nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(1000000 * sum(CAST(correct AS INT)) div count(1) AS BIGINT)"
         ).alias("accuracy_ppm"),
     ).drop("bin")
+
+
+# ---------------------------------------------------------------------------
+# Exact AUC (Mann-Whitney rank-sum) per group: the threshold-free answer to
+# "does this quality score actually separate the classes?" — the curation
+# gate's own report card. Tie-aware average ranks are kept integer by the
+# 2x-scaling device (average rank of a tie group spanning (c, c+g] is
+# (2c+g+1)/2, so TWICE the rank-sum is the integer sum p*(2c+g+1)); the
+# score itself is integer micro-TTR so tie groups are well-defined and
+# engine-identical. AUC = (R - n_pos(n_pos+1)/2) / (n_pos*n_neg), emitted
+# in exact ppm; DECIMAL(38)/HUGEINT rank sums so n^2-sized products never
+# wrap.
+# ---------------------------------------------------------------------------
+_AUC_SQL = f"""
+WITH base AS (
+  SELECT source,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         CAST(1000000 * len(list_distinct({_DUCK_TOK}))
+              // len({_DUCK_TOK}) AS BIGINT) AS score
+  FROM documents
+  WHERE len({_DUCK_TOK}) > 0
+),
+grp AS (
+  SELECT source, score, CAST(count(*) AS BIGINT) AS g,
+         CAST(sum(pos) AS BIGINT) AS p
+  FROM base GROUP BY source, score
+),
+cum AS (
+  SELECT source, score, g, p,
+         CAST(COALESCE(sum(g) OVER (PARTITION BY source ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS c
+  FROM grp
+),
+agg AS (
+  SELECT source,
+         CAST(sum(g) AS BIGINT) AS n,
+         CAST(sum(p) AS BIGINT) AS n_pos,
+         sum(CAST(p AS HUGEINT) * (2 * c + g + 1)) AS r2
+  FROM cum GROUP BY source
+)
+SELECT source, n, n_pos, n - n_pos AS n_neg,
+       CASE WHEN n_pos = 0 OR n = n_pos THEN CAST(NULL AS BIGINT)
+            ELSE CAST(1000000 * (r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1))
+                      // (2 * CAST(n_pos AS HUGEINT) * (n - n_pos)) AS BIGINT)
+       END AS auc_ppm
+FROM agg
+"""
+
+
+@register(
+    "auc_rank_exact",
+    oracle=_AUC_SQL,
+    doc="Exact tie-aware Mann-Whitney AUC per source of the micro-TTR "
+    "quality score discriminating lang='en' — 2x-scaled integer rank sums "
+    "over tie groups (never a float rank), DECIMAL(38)/HUGEINT products, "
+    "exact ppm output with NULL for degenerate single-class groups; the "
+    "threshold-free report card of a curation gate",
+    tags=("ext", "mining", "quality"),
+)
+def auc_rank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one narrow projection (integer score + label — text
+    never shuffles), one (source, score)-keyed counting aggregation whose
+    output is tie-group-sized (bounded by the 1e6 score space per source),
+    a per-source cumulative window over THOSE groups (partition-local, no
+    global sort), and a final per-source fold. The n^2-sized rank products
+    live in DECIMAL(38,0)."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    tok = f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"
+    base = docs.select(
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        F.expr(
+            f"CAST(1000000 * size(array_distinct({tok})) div size({tok})"
+            " AS BIGINT)"
+        ).alias("score"),
+    ).filter(F.expr(f"size({tok}) > 0"))
+    grp = base.groupBy("source", "score").agg(
+        F.count(F.lit(1)).cast("long").alias("g"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grp.withColumn(
+        "c", F.coalesce(F.sum("g").over(w), F.lit(0)).cast("long")
+    )
+    dec = "DECIMAL(38,0)"
+    agg = cum.groupBy("source").agg(
+        F.sum("g").cast("long").alias("n"),
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum(F.expr(f"CAST(p AS {dec}) * (2 * c + g + 1)")).alias("r2"),
+    )
+    return agg.select(
+        "source",
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).cast("long").alias("n_neg"),
+        F.when(
+            (F.col("n_pos") == 0) | (F.col("n") == F.col("n_pos")),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(
+            F.expr(
+                f"CAST(1000000 * (r2 - CAST(n_pos AS {dec}) * (n_pos + 1))"
+                f" div (2 * CAST(n_pos AS {dec}) * (n - n_pos)) AS BIGINT)"
+            )
+        )
+        .alias("auc_ppm"),
+    )
