@@ -44,6 +44,7 @@ from amazon_kinesis_data_streams_health_check_spark.operators.similarity import 
     with_lsh_bucket,
     with_sq_norm,
 )
+from amazon_kinesis_data_streams_health_check_spark.operators.dedup import duck_shingles
 from amazon_kinesis_data_streams_health_check_spark.operators.textstats import TOKEN_RE
 from amazon_kinesis_data_streams_health_check_spark.plans.registry import register
 from amazon_kinesis_data_streams_health_check_spark.session import configure_session
@@ -2579,4 +2580,97 @@ def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("p_kn"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty decay: how fast a growing corpus stops contributing new
+# trigrams — the diminishing-returns curve behind "is more crawl worth
+# deduplicating in?". Each document's distinct trigram shingles are split
+# into novel (this doc is the corpus-order first occurrence) vs seen;
+# aggregated over corpus-position deciles the novel fraction decays, and
+# the decile curve is the dedup-ROI dashboard. Novelty attribution needs NO
+# join-back: a shingle's novel occurrence IS its min-doc_id row, so the
+# shingle-keyed aggregation emits (first_doc, novel_count) directly.
+# ---------------------------------------------------------------------------
+_NOVELTY_SQL = """
+WITH sh AS (
+  SELECT doc_id, unnest(__SHINGLES__) AS s FROM documents
+),
+tot AS (
+  SELECT doc_id, CAST(len(__SHINGLES__) AS BIGINT) AS n_sh FROM documents
+),
+firsts AS (
+  SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s
+),
+novel AS (
+  SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+  FROM firsts GROUP BY first_doc
+),
+mx AS (SELECT max(doc_id) AS m FROM documents),
+perdoc AS (
+  SELECT t.doc_id, t.n_sh, COALESCE(n.n_novel, 0) AS n_novel,
+         CAST(t.doc_id * 10 // (mx.m + 1) AS BIGINT) AS decile
+  FROM tot t LEFT JOIN novel n ON n.doc_id = t.doc_id CROSS JOIN mx
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+       CAST(sum(n_novel) AS BIGINT) AS n_novel,
+       CAST(1000000 * sum(n_novel) // greatest(sum(n_sh), 1) AS BIGINT)
+         AS novelty_ppm
+FROM perdoc GROUP BY decile
+""".replace("__SHINGLES__", duck_shingles())
+
+
+@register(
+    "ngram_novelty_decay",
+    oracle=_NOVELTY_SQL,
+    doc="EXT corpus: trigram novelty decay over corpus-position deciles — "
+    "per-shingle first-occurrence attribution (the min-doc_id row IS the "
+    "novel occurrence, no join-back), novel-fraction ppm per decile; the "
+    "diminishing-returns curve that prices further crawl ingestion",
+    tags=("ext", "corpus", "dedup"),
+)
+def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one shingle-keyed counting aggregation (the same class
+    as the MinHash/inverted-index passes — uniform md5-ish text keys,
+    map-side partial min), one narrow per-doc size projection, and a
+    broadcast of the 1-row max; the decile rollup is 10 rows. Nothing
+    quadratic, nothing ordered globally."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (
+        with_shingles,
+    )
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    shingled = with_shingles(docs).select("doc_id", "sh")
+    shingled = shingled.localCheckpoint(eager=False)  # feeds totals + firsts
+    tot = shingled.select("doc_id", F.size("sh").cast("long").alias("n_sh"))
+    novel = (
+        shingled.select("doc_id", F.explode("sh").alias("s"))
+        .groupBy("s")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+        .withColumnRenamed("first_doc", "doc_id")
+    )
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    perdoc = (
+        tot.join(novel, "doc_id", "left")
+        .na.fill({"n_novel": 0})
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "n_sh",
+            "n_novel",
+            F.expr("CAST(doc_id * 10 div (m + 1) AS BIGINT)").alias("decile"),
+        )
+    )
+    return perdoc.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_sh").cast("long").alias("n_shingles"),
+        F.sum("n_novel").cast("long").alias("n_novel"),
+        F.expr(
+            "CAST(1000000 * sum(n_novel) div greatest(sum(n_sh), 1) AS BIGINT)"
+        ).alias("novelty_ppm"),
     )
