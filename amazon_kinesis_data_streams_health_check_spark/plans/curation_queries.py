@@ -1043,3 +1043,88 @@ def padded_batch_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("savings_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KV-cache prefix-sharing estimate: serving-side counterpart of packing —
+# requests that share a token prefix can reuse the cached KV states of the
+# common prefix, and the capacity planner needs to know how many prefill
+# tokens that actually saves at each radix depth. For L in {4, 8, 16}: group
+# requests (docs with >= L tokens) by their exact first-L tokens; a group of
+# c requests prefills the prefix once and reuses it c-1 times, saving
+# (c-1)*L tokens. The (source, depth) sheet shows where deeper prefix
+# caching stops paying.
+# ---------------------------------------------------------------------------
+_PCH_LEVELS = (4, 8, 16)
+
+
+def _pch_level_sql(lvl: int) -> str:
+    tok = "regexp_extract_all(lower(text), '__TOKRE__')"
+    return f"""
+  SELECT source, CAST({lvl} AS BIGINT) AS depth,
+         array_to_string(({tok})[1:{lvl}], ' ') AS prefix
+  FROM documents WHERE len({tok}) >= {lvl}"""
+
+
+_PCH_SQL = (
+    """
+WITH lv AS (
+"""
+    + "\n  UNION ALL\n".join(_pch_level_sql(l) for l in _PCH_LEVELS)
+    + """
+),
+grp AS (
+  SELECT source, depth, prefix, CAST(count(*) AS BIGINT) AS c
+  FROM lv GROUP BY source, depth, prefix
+)
+SELECT source, depth,
+       CAST(count(*) AS BIGINT) AS n_prefix_groups,
+       CAST(sum(c) AS BIGINT) AS n_requests,
+       CAST(sum(c - 1) AS BIGINT) AS n_cache_hits,
+       CAST(sum((c - 1) * depth) AS BIGINT) AS tokens_saved,
+       CAST(1000000 * sum((c - 1) * depth) // (sum(c) * depth) AS BIGINT)
+         AS prefill_saved_ppm
+FROM grp GROUP BY source, depth
+"""
+).replace("__TOKRE__", TOKEN_RE)
+
+
+@register(
+    "prefix_cache_hit_estimate",
+    oracle=_PCH_SQL,
+    doc="EXT serving: KV-cache prefix-sharing estimate — requests grouped "
+    "by their exact first-L tokens at radix depths 4/8/16; a c-request "
+    "group saves (c-1)*L prefill tokens, and the (source, depth) ppm sheet "
+    "prices how deep prefix caching pays",
+    tags=("ext", "curation"),
+)
+def prefix_cache_hit_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: per depth, one narrow prefix projection (a bounded
+    L-token slice — never the full text) and one (source, depth, prefix)-
+    keyed counting aggregation; the three depths union BEFORE the shuffle
+    so the plan is one scan per depth feeding a single exchange, all
+    partial-aggregated map-side. Prefix keys are near-uniform; the rollup
+    output is (source x 3) rows."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    tok = f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"
+    levels = None
+    for lvl in _PCH_LEVELS:
+        one = docs.filter(F.expr(f"size({tok}) >= {lvl}")).select(
+            "source",
+            F.lit(lvl).cast("long").alias("depth"),
+            F.expr(f"array_join(slice({tok}, 1, {lvl}), ' ')").alias("prefix"),
+        )
+        levels = one if levels is None else levels.unionByName(one)
+    grp = levels.groupBy("source", "depth", "prefix").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return grp.groupBy("source", "depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_prefix_groups"),
+        F.sum("c").cast("long").alias("n_requests"),
+        F.sum(F.col("c") - 1).cast("long").alias("n_cache_hits"),
+        F.sum((F.col("c") - 1) * F.col("depth")).cast("long").alias("tokens_saved"),
+        F.expr(
+            "CAST(1000000 * sum((c - 1) * depth) div (sum(c) * depth) AS BIGINT)"
+        ).alias("prefill_saved_ppm"),
+    )
