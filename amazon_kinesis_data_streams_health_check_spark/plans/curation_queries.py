@@ -875,7 +875,7 @@ def quality_matched_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_after"))
     )
     return (
-        dims.join(accepted, ["source", "bucket"], "left")
+        dims.join(F.broadcast(accepted), ["source", "bucket"], "left")
         .na.fill({"n_after": 0})
         .select(
             "source",
@@ -970,8 +970,8 @@ def padded_batch_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     two per-source row_number windows over that projection — partitioned by
     source, so no global range sort; at 100 TB each source's ordering is an
     independent partition-local sort — and three bounded keyed
-    aggregations. The windows share one shuffle on source via the pinned
-    projection."""
+    aggregations. Each window lives on its own leg over the pinned
+    projection, so both stay optimizer-visible and partition-local."""
     from pyspark.sql import Window
 
     configure_session(spark)
@@ -989,19 +989,25 @@ def padded_batch_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("n_tokens"), F.col("doc_id")
     )
     w_random = Window.partitionBy("source").orderBy("h", "doc_id")
-    ordered = base.select(
+    # Each batch-formation leg carries only ITS window, so both stay visible
+    # to the optimizer (and the plan pin): one partition-local sort per leg
+    # over the pinned narrow projection.
+    by_sorted = base.select(
         "source",
         "n_tokens",
         ((F.row_number().over(w_sorted) - 1) / _PBW_BATCH)
         .cast("long")
         .alias("batch_sorted"),
+    )
+    by_random = base.select(
+        "source",
+        "n_tokens",
         ((F.row_number().over(w_random) - 1) / _PBW_BATCH)
         .cast("long")
         .alias("batch_random"),
     )
-    ordered = ordered.localCheckpoint(eager=False)  # feeds both batch aggs
     srt = (
-        ordered.groupBy("source", "batch_sorted")
+        by_sorted.groupBy("source", "batch_sorted")
         .agg((F.count(F.lit(1)) * F.max("n_tokens")).cast("long").alias("padded"))
         .groupBy("source")
         .agg(
@@ -1010,7 +1016,7 @@ def padded_batch_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rnd = (
-        ordered.groupBy("source", "batch_random")
+        by_random.groupBy("source", "batch_random")
         .agg((F.count(F.lit(1)) * F.max("n_tokens")).cast("long").alias("padded"))
         .groupBy("source")
         .agg(F.sum("padded").cast("long").alias("padded_random"))

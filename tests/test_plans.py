@@ -717,3 +717,82 @@ def test_e2e_pipeline_no_sortmerge_no_cartesian(spark, sf_small):
     plan = plan_of(spark, sf_small, "kinesis_e2e_pipeline")
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_stream_correlation_series_join_on_minute_only(spark, sf_small):
+    """The pair join keys on the uniform minute grid with bounded stream
+    fan-out — never on raw events — and the grid bounds broadcast."""
+    plan = plan_of(spark, sf_small, "stream_correlation_matrix")
+    assert "CartesianProduct" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_kcl_checkpoint_filters_packed_blobs_before_explode(spark, sf_small):
+    """The checkpoint refetch filter must land on the PACKED relation (one
+    row per blob) with the lease table broadcast — de-aggregation fan-out
+    happens only on refetched blobs."""
+    plan = plan_of(spark, sf_small, "kcl_subsequence_checkpoint")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_quality_matched_resample_bounded_dims_broadcast(spark, sf_small):
+    """The (source, bucket) decision table is bounded and must broadcast
+    onto the per-doc projection; no sort-merge join, no window."""
+    plan = plan_of(spark, sf_small, "quality_matched_resample")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_kneser_ney_joins_type_tables_not_stream(spark, sf_small):
+    """All LM statistics join on the Heaps-bounded TYPE relation; the token
+    stream contributes exactly one counting aggregation (its exchange) and
+    the T-types 1-row aggregate broadcasts."""
+    plan = plan_of(spark, sf_small, "kneser_ney_bigram")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row T broadcast
+
+
+def test_media_interleave_pack_window_partitions_by_source(spark, sf_small):
+    """The pack cumsum must partition by source — an empty partition spec
+    would serialize the corpus through one task."""
+    plan = plan_of(spark, sf_small, "media_interleave_pack")
+    assert "windowspecdefinition(source" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_padded_batch_waste_windows_partition_by_source(spark, sf_small):
+    """Both batch-formation row_number windows partition by source; no
+    global range sort anywhere."""
+    plan = plan_of(spark, sf_small, "padded_batch_waste")
+    assert "windowspecdefinition(source" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_auc_window_runs_on_tie_groups_not_rows(spark, sf_small):
+    """The cumulative-rank window must consume the (source, score) tie-group
+    aggregate — windowing raw documents would shuffle the corpus twice."""
+    plan = plan_of(spark, sf_small, "auc_rank_exact")
+    assert "windowspecdefinition(source" in plan, plan
+    # the window input is the aggregated tie-group relation: an exchange on
+    # (source, score) must appear below an exchange on (source)
+    assert re.search(r"hashpartitioning\(source[^)]*score", plan), plan
+
+
+def test_novelty_attribution_needs_no_join_back(spark, sf_small):
+    """Novel counts come straight from the shingle-keyed min aggregation
+    (first_doc rows) — the only joins are the per-doc left join and the
+    broadcast 1-row max; nothing sort-merges the shingle stream twice."""
+    plan = plan_of(spark, sf_small, "ngram_novelty_decay")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row max broadcast
+
+
+def test_prefix_cache_unions_before_single_rollup_exchange(spark, sf_small):
+    """Depth legs union below the (source, depth, prefix) aggregation; the
+    rollup to (source, depth) is map-side partial — no extra wide stage,
+    no join."""
+    plan = plan_of(spark, sf_small, "prefix_cache_hit_estimate")
+    assert "Join" not in plan, plan
+    assert "Union" in plan, plan
