@@ -2630,7 +2630,7 @@ FROM perdoc GROUP BY decile
     "per-shingle first-occurrence attribution (the min-doc_id row IS the "
     "novel occurrence, no join-back), novel-fraction ppm per decile; the "
     "diminishing-returns curve that prices further crawl ingestion",
-    tags=("ext", "corpus", "dedup"),
+    tags=("ext", "corpus", "dedup", "bench"),
 )
 def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: one shingle-keyed counting aggregation (the same class
