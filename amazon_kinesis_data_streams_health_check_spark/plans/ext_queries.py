@@ -4007,3 +4007,135 @@ def media_interleave_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("insert_pos").cast("long").alias("sum_insert_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming novelty ingest: the continuous-crawl monitor for
+# ngram_novelty_decay — each micro-batch measures how many of its distinct
+# trigrams have NEVER been seen by any earlier ingest (anti-join against the
+# persisted first-seen shingle index), then commits its novel shingles to
+# the index. The per-batch novelty curve is the live "is this crawl still
+# paying?" signal. The 3-batch feed slices docs by doc_id % 3 in mtime
+# order, so a shingle's first batch is min(doc_id % 3) over its docs and
+# the whole drive value-hashes against batch arithmetic.
+# ---------------------------------------------------------------------------
+_SNI_BATCHES = 3
+
+_SNI_SQL = f"""
+WITH sh AS (
+  SELECT doc_id % {_SNI_BATCHES} AS b, unnest({{SH}}) AS s FROM documents
+),
+per AS (
+  SELECT b, CAST(count(DISTINCT s) AS BIGINT) AS n_batch_shingles
+  FROM sh GROUP BY b
+),
+firsts AS (SELECT s, min(b) AS fb FROM sh GROUP BY s),
+novel AS (
+  SELECT fb AS b, CAST(count(*) AS BIGINT) AS n_novel FROM firsts GROUP BY fb
+),
+nd AS (
+  SELECT doc_id % {_SNI_BATCHES} AS b, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY b
+)
+SELECT nd.b AS batch_id, nd.n_docs, p.n_batch_shingles, v.n_novel,
+       CAST(1000000 * v.n_novel // p.n_batch_shingles AS BIGINT)
+         AS novelty_ppm
+FROM nd JOIN per p ON p.b = nd.b JOIN novel v ON v.b = nd.b
+""".replace("{SH}", duck_shingles())
+
+
+@register(
+    "streaming_novelty_ingest",
+    oracle=_SNI_SQL,
+    doc="EXT streaming ingest: per-micro-batch trigram novelty against the "
+    "persisted first-seen shingle index (anti-join probe, append-only "
+    "index commits) — the live diminishing-returns monitor of a continuous "
+    "crawl; 3-batch mtime-pinned feed value-hashes against batch "
+    "arithmetic",
+    tags=("ext", "corpus", "dedup", "lake", "streaming"),
+)
+def streaming_novelty_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: per batch, the probe anti-joins the BATCH's distinct
+    shingles against the stored index on uniform text keys (cost scales
+    with the ingest, not the corpus-so-far, because the anti-join prunes
+    with the batch side as the build); maintenance appends only NOVEL
+    shingles, so the index is the distinct-shingle set, never the stream.
+    The report is one row per ingest."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (
+        with_shingles,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_append,
+        snapshot_history,
+    )
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    src_dir = _tf.mkdtemp(prefix="novelty_src_")
+    for i in range(_SNI_BATCHES):
+        part_dir = _tf.mkdtemp(prefix=f"novelty_part{i}_")
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(_SNI_BATCHES)) == i).coalesce(
+            1
+        ).write.mode("overwrite").parquet(part_dir)
+        part = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = _os.path.join(src_dir, f"b{i}.parquet")
+        _shutil.move(part, dst)
+        _os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+
+    index_lake = _tf.mkdtemp(prefix="novelty_index_")
+    report_dir = _tf.mkdtemp(prefix="novelty_report_")
+
+    def _ingest(batch_df, batch_id: int) -> None:
+        batch_sh = (
+            with_shingles(batch_df)
+            .select(F.explode("sh").alias("s"))
+            .distinct()
+            .localCheckpoint(eager=False)  # feeds the probe AND the commit
+        )
+        if snapshot_history(spark, index_lake):
+            seen = read_snapshot(spark, index_lake).select("s")
+            novel = batch_sh.join(seen, "s", "left_anti")
+        else:
+            novel = batch_sh
+        novel = novel.localCheckpoint(eager=False)  # counted AND committed
+        n_docs = batch_df.count()
+        n_batch = batch_sh.count()
+        n_novel = novel.count()
+        report = spark.createDataFrame(
+            [(batch_id, n_docs, n_batch, n_novel, 1_000_000 * n_novel // n_batch)],
+            "batch_id bigint, n_docs bigint, n_batch_shingles bigint,"
+            " n_novel bigint, novelty_ppm bigint",
+        )
+        report.write.mode("append").parquet(report_dir)
+        snapshot_append(
+            spark,
+            novel.withColumn("p", F.lit("all")),
+            index_lake,
+            partition_col="p",
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", _tf.mkdtemp(prefix="novelty_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover - defensive against a hung source
+        q.stop()
+    if len(snapshot_history(spark, index_lake)) != _SNI_BATCHES:
+        raise RuntimeError(
+            f"novelty ingest incomplete: expected {_SNI_BATCHES} index commits"
+        )
+    return spark.read.parquet(report_dir)
