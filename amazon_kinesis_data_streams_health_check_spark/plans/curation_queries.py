@@ -1134,3 +1134,144 @@ def prefix_cache_hit_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(1000000 * sum((c - 1) * depth) div (sum(c) * depth) AS BIGINT)"
         ).alias("prefill_saved_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup survivorship audit: did near-dup resolution BIAS the corpus? The
+# keep/drop decision (dedup_keep_list's highest-quality-member rule) is
+# re-derived and the kept vs dropped populations are compared per source —
+# counts and mean quality in exact integer micro units (quality is already
+# 6dp-rounded, so micro-quality is a lossless integer bijection and the
+# means are integer divisions, never float sums in engine-dependent order).
+# A dropped mean ABOVE the kept mean in any source is the bias smell this
+# audit exists to catch.
+# ---------------------------------------------------------------------------
+_SURV_QMICRO = (
+    "CAST(round(1000000 * ("
+    + _KEEP_QSCORE.format(
+        tok=f"regexp_extract_all(lower(text), '{TOKEN_RE}')", stop="{stop}"
+    )
+    + ")) AS BIGINT)"
+)
+
+_SURVIVORSHIP_SQL = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, source, {duck_shingles()} AS sh FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM tok a
+  JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(a.sh || b.sh)) >= {_CLUSTER_JACCARD}
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+reach(src, dst) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+labels AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+q AS (
+  SELECT doc_id, source,
+         {_SURV_QMICRO.format(stop=duck_stop_list())} AS q_micro
+  FROM documents
+),
+alld AS (
+  SELECT q.doc_id, q.source, coalesce(l.cluster_id, q.doc_id) AS cluster_id,
+         q.q_micro
+  FROM q LEFT JOIN labels l ON q.doc_id = l.doc_id
+),
+best AS (
+  SELECT cluster_id, min({{'nq': -q_micro, 'id': doc_id}}) AS b
+  FROM alld GROUP BY cluster_id
+),
+flagged AS (
+  SELECT a.source, a.q_micro, a.doc_id = best.b.id AS keep
+  FROM alld a JOIN best ON a.cluster_id = best.cluster_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped,
+       CAST(sum(q_micro) FILTER (WHERE keep)
+            // count(*) FILTER (WHERE keep) AS BIGINT) AS kept_mean_q_micro,
+       CASE WHEN count(*) FILTER (WHERE NOT keep) = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST(sum(q_micro) FILTER (WHERE NOT keep)
+                      // count(*) FILTER (WHERE NOT keep) AS BIGINT)
+       END AS dropped_mean_q_micro
+FROM flagged GROUP BY source
+"""
+
+
+@register(
+    "dedup_survivorship_audit",
+    oracle=_SURVIVORSHIP_SQL,
+    doc="EXT dedup: survivorship-bias audit of the keep/drop rule — kept vs "
+    "dropped counts and mean quality per source in exact integer micro "
+    "units (6dp quality is a lossless micro bijection; means are integer "
+    "divisions, never order-dependent float sums); a dropped mean above "
+    "the kept mean flags a biased resolution rule",
+    tags=("ext", "dedup", "curation"),
+)
+def dedup_survivorship_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: identical cost class to dedup_keep_list (near-dup edge
+    set + one cluster-keyed min-struct pick, partial-aggregatable); the
+    audit itself adds only a source-keyed fold of integer micro scores.
+    Nothing here re-tokenizes per consumer — the scored projection is
+    pinned once."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.textstats import (
+        with_quality_score,
+        with_token_stats,
+    )
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    labels = connected_components(_near_dup_pairs(docs))
+    scored = with_quality_score(with_token_stats(docs))
+    q = scored.select(
+        "doc_id",
+        "source",
+        F.round(
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(F.col("quality_score"))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("q_micro"),
+    )
+    alld = (
+        q.join(labels, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+        .select("doc_id", "source", "cluster_id", "q_micro")
+        .localCheckpoint(eager=False)  # feeds the pick AND the audit join
+    )
+    best = alld.groupBy("cluster_id").agg(
+        F.min(
+            F.struct((-F.col("q_micro")).alias("nq"), F.col("doc_id").alias("id"))
+        ).alias("b")
+    )
+    flagged = alld.join(best, "cluster_id").select(
+        "source", "q_micro", (F.col("doc_id") == F.col("b.id")).alias("keep")
+    )
+    kept_n = F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long")
+    drop_n = F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long")
+    kept_q = F.sum(F.when(F.col("keep"), F.col("q_micro")).otherwise(0))
+    drop_q = F.sum(F.when(~F.col("keep"), F.col("q_micro")).otherwise(0))
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        kept_n.alias("n_kept"),
+        drop_n.alias("n_dropped"),
+        F.expr(
+            "CAST(sum(CASE WHEN keep THEN q_micro ELSE 0 END)"
+            " div sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("kept_mean_q_micro"),
+        F.when(drop_n == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.expr(
+                "CAST(sum(CASE WHEN NOT keep THEN q_micro ELSE 0 END)"
+                " div sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)"
+            )
+        )
+        .alias("dropped_mean_q_micro"),
+    )
