@@ -3054,3 +3054,133 @@ def stream_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time disorder profile: the statistic that SIZES a watermark. Arrival
+# order is the event_id ingestion sequence; event time is the payload ts.
+# For each offset d in 1..16, the share of (i, i+d) arrival pairs whose
+# event times invert measures how disordered the feed is at that distance
+# (lead windows — one partition-local pass, never a pair join); the
+# companion per-stream max-lateness (running-max event time minus the
+# current event's) is the exact delay a watermark would have needed to
+# avoid dropping ANY event. Both are what streaming_late_data_audit's
+# withWatermark threshold should be derived from.
+# ---------------------------------------------------------------------------
+_DISORDER_MAX_OFFSET = 16
+
+_DISORDER_SQL = f"""
+WITH ordered AS (
+  SELECT event_type,
+         CAST(epoch(ts) AS BIGINT) AS t,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS p
+  FROM events
+),
+lat AS (
+  SELECT event_type,
+         CAST(max(greatest(runmax_prev - t, 0)) AS BIGINT) AS max_lateness_s
+  FROM (
+    SELECT event_type, t,
+           max(t) OVER (PARTITION BY event_type ORDER BY p
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS runmax_prev
+    FROM ordered
+  )
+  GROUP BY event_type
+),
+offs AS (
+  SELECT o.event_type, d.range AS off, o.t,
+         lead(o.t, CAST(d.range AS INTEGER)) OVER (
+           PARTITION BY o.event_type, d.range ORDER BY o.p) AS t_ahead
+  FROM ordered o, range(1, {_DISORDER_MAX_OFFSET} + 1) d
+)
+SELECT f.event_type, CAST(f.off AS BIGINT) AS off,
+       CAST(count(f.t_ahead) AS BIGINT) AS n_pairs,
+       CAST(count(*) FILTER (WHERE f.t > f.t_ahead) AS BIGINT) AS n_inversions,
+       CAST(1000000 * count(*) FILTER (WHERE f.t > f.t_ahead)
+            // count(f.t_ahead) AS BIGINT) AS inversion_ppm,
+       l.max_lateness_s
+FROM offs f JOIN lat l ON l.event_type = f.event_type
+GROUP BY f.event_type, f.off, l.max_lateness_s
+"""
+
+
+@register(
+    "event_disorder_profile",
+    oracle=_DISORDER_SQL,
+    doc="Watermark sizing from data: per-stream event-time inversion rate "
+    "at arrival offsets 1..16 (lead windows, one partition-local pass — "
+    "never a pair join) plus the exact max lateness (running-max event "
+    "time minus current) a watermark needed to drop nothing; the input to "
+    "every withWatermark threshold in the streaming suite",
+    tags=("ext", "healthcheck", "ops", "streaming"),
+)
+def event_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: both statistics are windows PARTITIONED BY the bounded
+    stream dimension over a narrow (type, second, position) projection —
+    the offset fan-out multiplies the projection by 16 BEFORE its window
+    (position is already assigned), so nothing ever pairs rows by join and
+    no global order exists anywhere."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    w_pos = Window.partitionBy("event_type").orderBy("event_id")
+    ordered = events.select(
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("t"),
+        F.row_number().over(w_pos).alias("p"),
+    )
+    ordered = ordered.localCheckpoint(eager=False)  # feeds lateness + offsets
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lat = (
+        ordered.withColumn("runmax_prev", F.max("t").over(w_run))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.greatest(F.col("runmax_prev") - F.col("t"), F.lit(0)))
+            .cast("long")
+            .alias("max_lateness_s")
+        )
+    )
+    # lead() needs a literal offset: compute all 16 leads in ONE window pass,
+    # then melt them with stack() — a narrow Generate, not a 16-way union.
+    w_type = Window.partitionBy("event_type").orderBy("p")
+    base = ordered.withColumns(
+        {
+            f"t_{d}": F.lead("t", d).over(w_type)
+            for d in range(1, _DISORDER_MAX_OFFSET + 1)
+        }
+    )
+    stack_args = ", ".join(
+        f"CAST({d} AS BIGINT), t_{d}" for d in range(1, _DISORDER_MAX_OFFSET + 1)
+    )
+    legs = base.select(
+        "event_type",
+        "t",
+        F.expr(
+            f"stack({_DISORDER_MAX_OFFSET}, {stack_args}) AS (off, t_ahead)"
+        ),
+    )
+    agg = legs.groupBy("event_type", "off").agg(
+        F.count("t_ahead").cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("t") > F.col("t_ahead"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_inversions"),
+    )
+    return (
+        agg.join(F.broadcast(lat), "event_type")
+        .select(
+            "event_type",
+            "off",
+            "n_pairs",
+            "n_inversions",
+            F.expr("CAST(1000000 * n_inversions div n_pairs AS BIGINT)").alias(
+                "inversion_ppm"
+            ),
+            "max_lateness_s",
+        )
+    )
