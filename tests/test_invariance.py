@@ -69,6 +69,13 @@ INVARIANT = [
     # Lloyd rounds: float centroids would drift with partition order and
     # compound across iterations; the integer pipeline must not
     "kmeans_lloyd_exact",
+    # round-4 third session: md5-decided acceptance (per-doc hash against
+    # bounded count products — MUST not depend on which partition counted),
+    # pad-to-max batch membership (row_number over explicit total orders),
+    # tie-group rank sums (cumulative window over the aggregated relation)
+    "quality_matched_resample",
+    "padded_batch_waste",
+    "auc_rank_exact",
 ]
 
 

@@ -195,3 +195,70 @@ class TestSparkOperators:
         ).filter(F.col("subsequence") != 2)  # drop one record per full blob
         audit = kpl_pack_unpack_roundtrip_audit(raw, exploded)
         assert audit.collect()[0].roundtrip_exact is False
+
+
+class TestSubsequenceCheckpointEdges:
+    """KCL (sequence, subSequence) resume rule at the blob boundaries —
+    the off-by-one classes a naive sequence-only resume gets wrong."""
+
+    @pytest.fixture(scope="class")
+    def packed(self, spark):
+        from amazon_kinesis_data_streams_health_check_spark.operators.kpl_agg import (
+            pack_kpl,
+        )
+        from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_sim import (
+            register_kinesis_sim,
+        )
+
+        register_kinesis_sim(spark)
+        raw = (
+            spark.read.format("kinesis_sim")
+            .option("numShards", 1)
+            .option("recordsPerShard", 20)
+            .load()
+        )
+        return pack_kpl(raw, max_per_blob=5).cache()
+
+    def _resume(self, spark, packed, cp_blob: int, cp_sub: int):
+        from pyspark.sql import functions as F
+
+        from amazon_kinesis_data_streams_health_check_spark.operators.kpl_agg import (
+            explode_kpl,
+        )
+
+        refetched = packed.filter(F.col("agg_index") >= cp_blob)
+        exploded = explode_kpl(
+            refetched,
+            pk_col="agg_partition_key",
+            data_col="agg_data",
+            keep_cols=("shard_id", "agg_index"),
+        )
+        return (
+            exploded.filter(
+                ~((F.col("agg_index") == cp_blob) & (F.col("subsequence") <= cp_sub))
+            )
+            .select("agg_index", "subsequence")
+            .collect()
+        )
+
+    def test_mid_blob_checkpoint_resumes_within_blob(self, spark, packed):
+        rows = self._resume(spark, packed, cp_blob=1, cp_sub=2)
+        # blob 1 contributes subsequences 3..4; blobs 2..3 fully
+        assert sorted((r.agg_index, r.subsequence) for r in rows) == [
+            (1, 3), (1, 4),
+            *[(b, s) for b in (2, 3) for s in range(5)],
+        ]
+
+    def test_last_member_checkpoint_skips_whole_blob(self, spark, packed):
+        # checkpoint at the blob's LAST subsequence == blob fully processed:
+        # resume must contribute nothing from it (the AFTER_SEQUENCE case)
+        rows = self._resume(spark, packed, cp_blob=1, cp_sub=4)
+        assert sorted({r.agg_index for r in rows}) == [2, 3]
+        assert len(rows) == 10
+
+    def test_sub_minus_one_reprocesses_whole_blob(self, spark, packed):
+        # subSequence -1 (nothing of the blob processed) == AT_SEQUENCE of
+        # the whole blob: all 5 members replay
+        rows = self._resume(spark, packed, cp_blob=1, cp_sub=-1)
+        assert len(rows) == 15
+        assert sorted({r.agg_index for r in rows}) == [1, 2, 3]
