@@ -3184,3 +3184,105 @@ def event_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_lateness_s",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark policy trade-off: event_disorder_profile measures the feed; this
+# prices the POLICY. For each candidate delay W, Structured Streaming's rule
+# (an event drops iff the running-max event time before it exceeds its own
+# by more than W) is replayed exactly over the arrival sequence, giving the
+# loss side; the cost side is deterministic — result staleness = W, and
+# open tumbling-window state per key = W div window + 1. One lateness pass,
+# one bounded stack over the candidate delays: the complete decision sheet
+# for choosing every withWatermark threshold.
+# ---------------------------------------------------------------------------
+_WMT_WINDOW_S = 300
+_WMT_DELAYS = (0, 60, 300, 900, 3600)
+
+_WMT_SQL = f"""
+WITH ordered AS (
+  SELECT event_type,
+         CAST(epoch(ts) AS BIGINT) AS t,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS p
+  FROM events
+),
+late AS (
+  SELECT event_type,
+         greatest(COALESCE(max(t) OVER (
+           PARTITION BY event_type ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), t) - t, 0)
+           AS lateness_s
+  FROM ordered
+),
+sweep AS (
+  SELECT l.event_type, d.w_s, l.lateness_s
+  FROM late l, (VALUES {", ".join(f"({w})" for w in _WMT_DELAYS)}) d(w_s)
+)
+SELECT event_type, CAST(w_s AS BIGINT) AS w_s,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE lateness_s > w_s) AS BIGINT) AS n_dropped,
+       CAST(1000000 * count(*) FILTER (WHERE lateness_s > w_s) // count(*)
+            AS BIGINT) AS drop_ppm,
+       CAST(w_s AS BIGINT) AS staleness_s,
+       CAST(w_s // {_WMT_WINDOW_S} + 1 AS BIGINT) AS open_windows_per_key
+FROM sweep GROUP BY event_type, w_s
+"""
+
+
+@register(
+    "watermark_policy_tradeoff",
+    oracle=_WMT_SQL,
+    doc="Watermark policy pricing: Structured Streaming's drop rule "
+    "(running-max event time minus own exceeds W) replayed exactly per "
+    "candidate delay W in {0,60,300,900,3600}s — drop ppm vs staleness vs "
+    "open tumbling-window state per key; the decision sheet behind every "
+    "withWatermark threshold",
+    tags=("ext", "healthcheck", "ops", "streaming"),
+)
+def watermark_policy_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ONE lateness pass (a running-max window partitioned by
+    the bounded stream dimension over a narrow projection), then a 5-way
+    stack of the candidate delays BEFORE the bounded (type, W) aggregation
+    — the sweep never rescans or re-sorts the events."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    w_pos = Window.partitionBy("event_type").orderBy("event_id")
+    ordered = events.select(
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("t"),
+        F.row_number().over(w_pos).alias("p"),
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = ordered.select(
+        "event_type",
+        F.greatest(
+            F.coalesce(F.max("t").over(w_run), F.col("t")) - F.col("t"), F.lit(0)
+        ).alias("lateness_s"),
+    )
+    sweep = late.select(
+        "event_type",
+        "lateness_s",
+        F.explode(F.array(*[F.lit(w).cast("long") for w in _WMT_DELAYS])).alias(
+            "w_s"
+        ),
+    )
+    return sweep.groupBy("event_type", "w_s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("lateness_s") > F.col("w_s"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+        F.expr(
+            "CAST(1000000 * sum(CASE WHEN lateness_s > w_s THEN 1 ELSE 0 END)"
+            " div count(1) AS BIGINT)"
+        ).alias("drop_ppm"),
+        F.max("w_s").cast("long").alias("staleness_s"),
+        F.expr(f"CAST(max(w_s) div {_WMT_WINDOW_S} + 1 AS BIGINT)").alias(
+            "open_windows_per_key"
+        ),
+    )
