@@ -796,3 +796,30 @@ def test_prefix_cache_unions_before_single_rollup_exchange(spark, sf_small):
     plan = plan_of(spark, sf_small, "prefix_cache_hit_estimate")
     assert "Join" not in plan, plan
     assert "Union" in plan, plan
+
+
+def test_survivorship_audit_no_cartesian_pinned_scored(spark, sf_small):
+    """Same cost class as dedup_keep_list: source-blocked pair join +
+    cluster-keyed min-struct pick — never a cartesian, and the audit fold
+    adds no extra wide stage beyond the cluster join."""
+    plan = plan_of(spark, sf_small, "dedup_survivorship_audit")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_disorder_profile_windows_partition_by_stream(spark, sf_small):
+    """All 16 leads + the running max ride windows partitioned by the
+    bounded stream dimension over ONE narrow projection; the offset melt is
+    a Generate, not a 16-way self-union of the scan."""
+    plan = plan_of(spark, sf_small, "event_disorder_profile")
+    assert "windowspecdefinition(event_type" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Union" not in plan, plan
+
+
+def test_watermark_tradeoff_single_pass_no_join(spark, sf_small):
+    """One lateness window (partitioned by stream), one explode of the
+    bounded delay candidates, one keyed aggregation — no join anywhere."""
+    plan = plan_of(spark, sf_small, "watermark_policy_tradeoff")
+    assert "windowspecdefinition(event_type" in plan, plan
+    assert "Join" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
