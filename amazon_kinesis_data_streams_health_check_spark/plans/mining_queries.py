@@ -2611,3 +2611,107 @@ def auc_rank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("auc_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility fairness: the per-LANGUAGE audit of the learned BPE —
+# fertility (subword tokens per word) decides how much context window and
+# compute each language pays per unit of text, and a vocab learned on a
+# skewed mix quietly taxes the minority languages. Per lang: exact milli
+# fertility, chars-per-token, the ratio to the best (lowest-fertility)
+# language in ppm, and the >1.5x unfairness flag via the cross-multiplied
+# integer test 2*fert > 3*min_fert (never a float ratio).
+# ---------------------------------------------------------------------------
+_FERT_SQL = (
+    _BPE_CHAIN_SQL
+    + f""",
+seg AS (
+  SELECT word,
+         CAST(len(list_filter(string_split(w, '||'), s -> s <> '')) AS BIGINT)
+           AS n_sym
+  FROM vocab_{_BPE_ROUNDS}
+),
+occ AS (
+  SELECT lang, unnest({_DUCK_TOK}) AS word FROM documents
+),
+cnt AS (
+  SELECT lang, word, CAST(count(*) AS BIGINT) AS m
+  FROM occ GROUP BY lang, word
+),
+per AS (
+  SELECT c.lang,
+         CAST(sum(c.m) AS BIGINT) AS n_words,
+         CAST(sum(c.m * s.n_sym) AS BIGINT) AS n_tokens,
+         CAST(sum(c.m * length(c.word)) AS BIGINT) AS n_chars
+  FROM cnt c JOIN seg s ON c.word = s.word
+  GROUP BY c.lang
+),
+mn AS (SELECT min(1000 * n_tokens // n_words) AS min_fert FROM per)
+SELECT lang, n_words, n_tokens,
+       CAST(1000 * n_tokens // n_words AS BIGINT) AS fertility_milli,
+       CAST(1000 * n_chars // n_tokens AS BIGINT) AS chars_per_token_milli,
+       CAST(1000000 * (1000 * n_tokens // n_words) // mn.min_fert AS BIGINT)
+         AS fert_vs_best_ppm,
+       (1000 * n_tokens // n_words) * 2 > mn.min_fert * 3 AS unfair_flag
+FROM per, mn
+"""
+)
+
+
+@register(
+    "tokenizer_fertility",
+    oracle=_FERT_SQL,
+    doc="Tokenizer fairness: per-language fertility of the learned BPE "
+    "(exact milli tokens-per-word, chars-per-token, ratio to the "
+    "best-served language in ppm, >1.5x unfairness flag via the integer "
+    "cross-multiplication 2*fert > 3*min) — the audit that catches a vocab "
+    "quietly taxing minority languages",
+    tags=("ext", "corpus", "tokenizer"),
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: identical cost class to bpe_tokenize_apply — the learn
+    DAG runs on the Heaps-bounded vocabulary, the corpus contributes one
+    (lang, word)-keyed counting aggregation, the word->symbol-count table
+    BROADCASTS onto it, and the fairness floor is a 1-row broadcast. Text
+    never shuffles."""
+    configure_session(spark)
+    _, vocabs = _spark_bpe_chain(spark, sf_dir)
+    seg = vocabs[_BPE_ROUNDS].select(
+        "word", F.size(F.expr(_BPE_SYMS)).cast("long").alias("n_sym")
+    )
+    docs = parallel_scan(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("lang", F.explode(F.expr(_SPARK_TOK)).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    per = (
+        cnt.join(F.broadcast(seg), "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("m").cast("long").alias("n_words"),
+            F.sum(F.col("m") * F.col("n_sym")).cast("long").alias("n_tokens"),
+            F.sum(F.col("m") * F.length("word")).cast("long").alias("n_chars"),
+        )
+    )
+    per = per.localCheckpoint(eager=False)  # feeds the floor AND the output
+    mn = per.agg(
+        F.expr("min(1000 * n_tokens div n_words)").cast("long").alias("min_fert")
+    )
+    return per.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        "n_words",
+        "n_tokens",
+        F.expr("CAST(1000 * n_tokens div n_words AS BIGINT)").alias(
+            "fertility_milli"
+        ),
+        F.expr("CAST(1000 * n_chars div n_tokens AS BIGINT)").alias(
+            "chars_per_token_milli"
+        ),
+        F.expr(
+            "CAST(1000000 * (1000 * n_tokens div n_words) div min_fert AS BIGINT)"
+        ).alias("fert_vs_best_ppm"),
+        F.expr("(1000 * n_tokens div n_words) * 2 > min_fert * 3").alias(
+            "unfair_flag"
+        ),
+    )
