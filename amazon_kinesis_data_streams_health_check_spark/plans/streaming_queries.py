@@ -2763,3 +2763,84 @@ def kcl_subsequence_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("contiguous_no_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-stream fan-in: one consumer application draining TWO Kinesis streams
+# through a single unioned pipeline — the multi-stream KCL topology (one
+# lease table, many streams) none of the single-source drives exercise. The
+# streams deliberately disagree on shape (2x120 at 60 s vs 3x80 at 30 s) so
+# the per-(stream, shard) consumption audit proves records kept their
+# origin identity through the union: counts, sequence ranges, and the
+# stream's own cadence-derived time span, all pure arithmetic.
+# ---------------------------------------------------------------------------
+_FANIN_A = {"stream": "stream-a", "shards": 2, "per_shard": 120, "ivl_ms": 60_000}
+_FANIN_B = {"stream": "stream-b", "shards": 3, "per_shard": 80, "ivl_ms": 30_000}
+
+_FANIN_SQL = "\nUNION ALL\n".join(
+    f"""
+SELECT '{c["stream"]}' AS stream_name,
+       'shardId-' || lpad(CAST(s.range AS VARCHAR), 12, '0') AS shard_id,
+       CAST({c["per_shard"]} AS BIGINT) AS n_records,
+       CAST(0 AS BIGINT) AS first_seq,
+       CAST({c["per_shard"]} - 1 AS BIGINT) AS last_seq,
+       CAST(({c["per_shard"]} - 1) * {c["ivl_ms"]} // 1000 AS BIGINT) AS span_s
+FROM range(0, {c["shards"]}) s"""
+    for c in (_FANIN_A, _FANIN_B)
+)
+
+
+@register(
+    "streaming_fanin_union",
+    oracle=_FANIN_SQL,
+    doc="S2 streaming: multi-stream fan-in — two sim streams with different "
+    "shard counts and cadences drained through ONE unioned consumer "
+    "pipeline (the multi-stream KCL topology); per-(stream, shard) counts, "
+    "sequence ranges, and cadence-derived spans prove origin identity "
+    "survives the union",
+    tags=("ext", "streaming", "source", "kinesis"),
+)
+def streaming_fanin_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the union is plan-level (both sources keep their own
+    partition parallelism — one task per shard per trigger); the decode is
+    narrow on the unioned stream, and the audit aggregation keys on the
+    bounded (stream, shard) dimension with map-side partials. Adding a
+    third stream is another union leg, not a rewrite."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_sim import (
+        register_kinesis_sim,
+    )
+
+    configure_session(spark)
+    register_kinesis_sim(spark)
+
+    def leg(c: dict) -> DataFrame:
+        return (
+            spark.readStream.format("kinesis_sim")
+            .option("numShards", c["shards"])
+            .option("recordsPerShard", c["per_shard"])
+            .option("startEpochS", _KS_EPOCH)
+            .option("intervalMs", c["ivl_ms"])
+            .option("stream", c["stream"])
+            .load()
+        )
+
+    unioned = leg(_FANIN_A).unionByName(leg(_FANIN_B))
+    decoded = unioned.select(
+        F.regexp_extract("event_source_arn", r"stream/(.+)$", 1).alias(
+            "stream_name"
+        ),
+        "shard_id",
+        F.substring("sequence_number", 37, 20).cast("long").alias("seq"),
+        F.unix_timestamp(
+            F.to_timestamp(
+                F.get_json_object(F.decode("data", "UTF-8"), "$.currentInstant")
+            )
+        ).alias("pay_s"),
+    )
+    drained = _run_to_memory(decoded, "fanin_union")
+    return drained.groupBy("stream_name", "shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.min("seq").cast("long").alias("first_seq"),
+        F.max("seq").cast("long").alias("last_seq"),
+        (F.max("pay_s") - F.min("pay_s")).cast("long").alias("span_s"),
+    )
