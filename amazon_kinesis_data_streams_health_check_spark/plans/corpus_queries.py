@@ -2674,3 +2674,191 @@ def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(1000000 * sum(n_novel) div greatest(sum(n_sh), 1) AS BIGINT)"
         ).alias("novelty_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law fit: the corpus scaling-law audit — vocabulary grows as
+# V ~ K * n^beta, and beta per source is what sizing a tokenizer vocab (or
+# pricing dedup ROI) extrapolates from. Each source gets 8 ingestion-order
+# checkpoints (doc-count octiles by doc_id rank); vocab-at-checkpoint comes
+# from word FIRST-RANK (the min-rank row is the vocab increment — same
+# no-join-back device as ngram_novelty_decay), tokens-at-checkpoint from a
+# rank cumsum. The fit is the house integer OLS over (floor-log2 tokens,
+# floor-log2 vocab) pairs — slope = beta-hat in bits per bit, exact micro
+# output, no float logarithm anywhere.
+# ---------------------------------------------------------------------------
+_HEAPS_POINTS = 8
+
+_HEAPS_SQL = f"""
+WITH ranked AS (
+  SELECT source, doc_id, {_DUCK_TOK} AS t,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+  FROM documents
+),
+nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM ranked GROUP BY source),
+cps AS (
+  SELECT source, k.range AS k, CAST(k.range * n_docs // {_HEAPS_POINTS} AS BIGINT) AS c
+  FROM nd, range(1, {_HEAPS_POINTS} + 1) k
+),
+toks AS (
+  SELECT source, r, CAST(len(t) AS BIGINT) AS m FROM ranked
+),
+cum AS (
+  SELECT source, r,
+         sum(m) OVER (PARTITION BY source ORDER BY r
+                      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM toks
+),
+firsts AS (
+  SELECT source, word, min(r) AS first_r
+  FROM (SELECT source, r, unnest(t) AS word FROM ranked)
+  GROUP BY source, word
+),
+vat AS (
+  SELECT c.source, c.k, CAST(count(f.word) AS BIGINT) AS vocab_at
+  FROM cps c LEFT JOIN firsts f
+    ON f.source = c.source AND f.first_r <= c.c
+  GROUP BY c.source, c.k
+),
+tat AS (
+  SELECT c.source, c.k, CAST(m.cum_tokens AS BIGINT) AS tokens_at
+  FROM cps c JOIN cum m ON m.source = c.source AND m.r = c.c
+),
+pts AS (
+  SELECT v.source,
+         CAST(length(bin(greatest(t.tokens_at, 1))) - 1 AS BIGINT) AS x,
+         CAST(length(bin(greatest(v.vocab_at, 1))) - 1 AS BIGINT) AS y
+  FROM vat v JOIN tat t ON t.source = v.source AND t.k = v.k
+),
+m AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pts GROUP BY source
+)
+SELECT source, n AS n_points,
+       CASE WHEN n * sxx - sx * sx = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST(1000000 * (n * sxy - sx * sy) // (n * sxx - sx * sx)
+                      AS BIGINT) END AS beta_micro,
+       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0
+            THEN CAST(NULL AS BIGINT)
+            ELSE CAST(1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                      // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                      AS BIGINT) END AS r2_micro
+FROM m
+"""
+
+
+@register(
+    "heaps_law_fit",
+    oracle=_HEAPS_SQL,
+    doc="Corpus scaling law: per-source Heaps exponent beta-hat from 8 "
+    "ingestion-order checkpoints — vocab via word first-rank (the min-rank "
+    "row IS the vocab increment), tokens via a rank cumsum, integer OLS "
+    "over floor-log2 pairs (exact micro slope and r2, no float log); what "
+    "tokenizer-vocab sizing and dedup-ROI extrapolation read",
+    tags=("ext", "corpus", "mining"),
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one word-typed counting aggregation for first ranks
+    (uniform text keys, map-side min), one per-source rank window over a
+    narrow token-count projection, and the checkpoint grid is BOUNDED
+    (sources x 8) so both probe joins broadcast it. The fit consumes 8
+    integer points per source — the statistics never see the corpus."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    w_rank = Window.partitionBy("source").orderBy("doc_id")
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        F.expr(_SPARK_TOK).alias("t"),
+        F.row_number().over(w_rank).alias("r"),
+    )
+    ranked = ranked.localCheckpoint(eager=False)  # feeds counts, cumsum, firsts
+    nd = ranked.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    cps = nd.crossJoin(
+        F.broadcast(
+            ranked.sparkSession.range(1, _HEAPS_POINTS + 1).select(
+                F.col("id").cast("long").alias("k")
+            )
+        )
+    ).select(
+        "source", "k", F.expr(f"CAST(k * n_docs div {_HEAPS_POINTS} AS BIGINT)").alias("c")
+    )
+    cps = cps.localCheckpoint(eager=False)  # bounded; feeds both probes
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ranked.select(
+        "source", "r", F.size("t").cast("long").alias("m")
+    ).withColumn("cum_tokens", F.sum("m").over(w_cum))
+    firsts = (
+        ranked.select("source", "r", F.explode("t").alias("word"))
+        .groupBy("source", "word")
+        .agg(F.min("r").alias("first_r"))
+    )
+    # cps shares lineage with ranked — rename its key so the probe joins
+    # are unambiguous self-joins.
+    grid = cps.select(F.col("source").alias("cs"), "k", "c")
+    vat = (
+        firsts.join(
+            F.broadcast(grid),
+            (firsts.source == grid.cs) & (firsts.first_r <= grid.c),
+        )
+        .groupBy("cs", "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab_at"))
+        .withColumnRenamed("cs", "source")
+    )
+    tat = (
+        cum.join(F.broadcast(grid), (cum.source == grid.cs) & (cum.r == grid.c))
+        .select(
+            F.col("cs").alias("source"),
+            "k",
+            F.col("cum_tokens").cast("long").alias("tokens_at"),
+        )
+    )
+    pts = vat.join(tat, ["source", "k"]).select(
+        "source",
+        (F.length(F.bin(F.greatest("tokens_at", F.lit(1)))) - 1)
+        .cast("long")
+        .alias("x"),
+        (F.length(F.bin(F.greatest("vocab_at", F.lit(1)))) - 1)
+        .cast("long")
+        .alias("y"),
+    )
+    m = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return m.select(
+        "source",
+        F.col("n").alias("n_points"),
+        F.when(F.expr("n * sxx - sx * sx") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.expr(
+                "CAST(1000000 * (n * sxy - sx * sy) div (n * sxx - sx * sx)"
+                " AS BIGINT)"
+            )
+        )
+        .alias("beta_micro"),
+        F.when(
+            F.expr("(n * sxx - sx * sx) * (n * syy - sy * sy)") == 0,
+            F.lit(None).cast("long"),
+        )
+        .otherwise(
+            F.expr(
+                "CAST(1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy)"
+                " div ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS BIGINT)"
+            )
+        )
+        .alias("r2_micro"),
+    )
