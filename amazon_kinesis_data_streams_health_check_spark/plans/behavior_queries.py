@@ -1339,3 +1339,143 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("cell_rows") >= _KANON_K) & (F.min("l_div") >= _KANON_L)
         ).alias("release_ready"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival: the censoring-correct lifetime estimator — naive
+# "retention at week t" treats still-active users as churned and biases
+# every cohort downward; KM removes them from the risk set instead. A user's
+# lifetime is last-week minus first-week; users whose last week IS the
+# dataset's final week are CENSORED (still alive at observation end), not
+# events. Hazard is exact integer ppm; the survival curve is the left-fold
+# product of (n_risk - d)/n_risk over ascending offsets, computed in BOTH
+# engines as the identical sequential fold over the identical ordered
+# factor list (window-collected prefix array -> fold), so the doubles match
+# bit-for-bit before the shared 6dp round.
+# ---------------------------------------------------------------------------
+_KM_SQL = """
+WITH weeks AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('week', ts)) AS BIGINT) // 604800 AS w
+  FROM events
+),
+users AS (
+  SELECT user_id, min(w) AS first_w, max(w) AS last_w FROM weeks GROUP BY user_id
+),
+mx AS (SELECT max(w) AS max_w FROM weeks),
+lives AS (
+  SELECT first_w AS cohort_w, last_w - first_w AS t,
+         last_w < mx.max_w AS churned
+  FROM users, mx
+),
+ev AS (
+  SELECT cohort_w, t,
+         CAST(count(*) FILTER (WHERE churned) AS BIGINT) AS d,
+         CAST(count(*) FILTER (WHERE NOT churned) AS BIGINT) AS c
+  FROM lives GROUP BY cohort_w, t
+),
+tot AS (SELECT cohort_w, CAST(count(*) AS BIGINT) AS n_users FROM lives GROUP BY cohort_w),
+risk AS (
+  SELECT e.cohort_w, e.t, e.d, e.c,
+         t2.n_users - CAST(COALESCE(sum(e.d + e.c) OVER (
+           PARTITION BY e.cohort_w ORDER BY e.t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_risk
+  FROM ev e JOIN tot t2 ON t2.cohort_w = e.cohort_w
+),
+folded AS (
+  SELECT cohort_w, t, d, c, n_risk,
+         list(CAST(n_risk - d AS DOUBLE) / n_risk) OVER (
+           PARTITION BY cohort_w ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS facs
+  FROM risk
+)
+SELECT cohort_w, CAST(t AS BIGINT) AS t, n_risk,
+       d AS n_churned, c AS n_censored,
+       CAST(1000000 * d // n_risk AS BIGINT) AS hazard_ppm,
+       round(list_reduce(list_prepend(CAST(1.0 AS DOUBLE), facs),
+                         (a, b) -> a * b), 6) AS survival
+FROM folded
+"""
+
+
+@register(
+    "kaplan_meier_survival",
+    oracle=_KM_SQL,
+    doc="Kaplan-Meier cohort survival over user lifetimes — users whose "
+    "last week is the dataset's final week are CENSORED (removed from the "
+    "risk set), not churned; exact integer hazard ppm and a survival curve "
+    "folded left over the identical ordered factor list in both engines "
+    "(bit-identical doubles before the shared 6dp round)",
+    tags=("ext", "behavior", "mining"),
+)
+def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one user-keyed min/max aggregation (uniform key), a
+    bounded (cohort, offset) event table, and windows partitioned by the
+    bounded cohort key — the fold consumes the window-collected prefix
+    array of that TINY table, never user rows. Censoring adds no pass: it
+    is a comparison against the broadcast 1-row max week."""
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    weeks = events.select(
+        "user_id",
+        F.expr(
+            "CAST(unix_timestamp(date_trunc('week', ts)) AS BIGINT) div 604800"
+        ).alias("w"),
+    )
+    users = weeks.groupBy("user_id").agg(
+        F.min("w").alias("first_w"), F.max("w").alias("last_w")
+    )
+    mx = weeks.agg(F.max("w").alias("max_w"))
+    lives = users.crossJoin(F.broadcast(mx)).select(
+        F.col("first_w").alias("cohort_w"),
+        (F.col("last_w") - F.col("first_w")).alias("t"),
+        (F.col("last_w") < F.col("max_w")).alias("churned"),
+    )
+    ev = lives.groupBy("cohort_w", "t").agg(
+        F.sum(F.when(F.col("churned"), 1).otherwise(0)).cast("long").alias("d"),
+        F.sum(F.when(~F.col("churned"), 1).otherwise(0)).cast("long").alias("c"),
+    )
+    tot = lives.groupBy("cohort_w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    w_prev = (
+        Window.partitionBy("cohort_w")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = (
+        ev.join(tot, "cohort_w")
+        .withColumn(
+            "n_risk",
+            (
+                F.col("n_users")
+                - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+            ).cast("long"),
+        )
+    )
+    w_pre = (
+        Window.partitionBy("cohort_w")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    folded = risk.withColumn(
+        "facs",
+        F.collect_list(
+            (F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk")
+        ).over(w_pre),
+    )
+    return folded.select(
+        "cohort_w",
+        F.col("t").cast("long").alias("t"),
+        "n_risk",
+        F.col("d").alias("n_churned"),
+        F.col("c").alias("n_censored"),
+        F.expr("CAST(1000000 * d div n_risk AS BIGINT)").alias("hazard_ppm"),
+        F.round(
+            F.aggregate(
+                "facs", F.lit(1.0), lambda acc, x: acc * x
+            ),
+            6,
+        ).alias("survival"),
+    )
