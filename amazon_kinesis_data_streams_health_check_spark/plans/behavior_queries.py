@@ -1479,3 +1479,189 @@ def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test: the significance half of the survival family — IS the
+# purchaser cohort's lifetime curve different from the non-purchasers', or
+# is the gap noise? At every pooled churn week: observed group-1 deaths vs
+# the hypergeometric expectation d * n1/n, with variance
+# d*(n1/n)*(n2/n)*(n-d)/(n-1); chi2 = (O1-E1)^2/V on 1 df. Counts are exact
+# integers; the E and V accumulations are doubles summed by the SAME
+# ordered left-fold in both engines (window/ordered-list + reduce), so the
+# statistic matches bit-for-bit before the shared 6dp round.
+# ---------------------------------------------------------------------------
+_LOGRANK_SQL = """
+WITH weeks AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('week', ts)) AS BIGINT) // 604800 AS w,
+         event_type
+  FROM events
+),
+users AS (
+  SELECT user_id, min(w) AS first_w, max(w) AS last_w,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS grp1
+  FROM weeks GROUP BY user_id
+),
+mx AS (SELECT max(w) AS max_w FROM weeks),
+lives AS (
+  SELECT last_w - first_w AS t, grp1,
+         last_w < mx.max_w AS churned
+  FROM users, mx
+),
+ev AS (
+  SELECT t,
+         CAST(count(*) FILTER (WHERE churned AND grp1 = 1) AS BIGINT) AS d1,
+         CAST(count(*) FILTER (WHERE churned) AS BIGINT) AS d,
+         CAST(count(*) FILTER (WHERE grp1 = 1) AS BIGINT) AS leave1,
+         CAST(count(*) AS BIGINT) AS leave_all
+  FROM lives GROUP BY t
+),
+tot AS (
+  SELECT CAST(sum(grp1) AS BIGINT) AS n1_0, CAST(count(*) AS BIGINT) AS n_0
+  FROM lives
+),
+risk AS (
+  SELECT t, d1, d,
+         tot.n1_0 - CAST(COALESCE(sum(leave1) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n1,
+         tot.n_0 - CAST(COALESCE(sum(leave_all) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n
+  FROM ev, tot
+),
+terms AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS o1,
+         list(CAST(d AS DOUBLE) * n1 / n ORDER BY t) AS e_terms,
+         list(CASE WHEN n > 1 THEN
+                CAST(d AS DOUBLE) * n1 / n * (n - n1) / n * (n - d) / (n - 1)
+              ELSE CAST(0.0 AS DOUBLE) END ORDER BY t) AS v_terms
+  FROM risk WHERE d > 0
+),
+tot2 AS (SELECT n1_0, n_0 FROM tot)
+SELECT tot2.n1_0 AS n_group1, tot2.n_0 - tot2.n1_0 AS n_group2,
+       terms.o1 AS observed1,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), e_terms),
+                         (a, b) -> a + b), 6) AS expected1,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), v_terms),
+                         (a, b) -> a + b), 6) AS variance,
+       round(
+         (terms.o1 - list_reduce(list_prepend(CAST(0.0 AS DOUBLE), e_terms),
+                                 (a, b) -> a + b))
+         * (terms.o1 - list_reduce(list_prepend(CAST(0.0 AS DOUBLE), e_terms),
+                                   (a, b) -> a + b))
+         / list_reduce(list_prepend(CAST(0.0 AS DOUBLE), v_terms),
+                       (a, b) -> a + b), 6) AS chi2
+FROM terms, tot2
+"""
+
+
+@register(
+    "log_rank_test",
+    oracle=_LOGRANK_SQL,
+    doc="Log-rank survival test (purchasers vs non-purchasers): observed "
+    "group-1 churn vs the hypergeometric expectation at every pooled churn "
+    "week, chi2 = (O-E)^2/V on 1 df; exact integer counts, E/V summed by "
+    "the identical ordered left-fold in both engines — the significance "
+    "half of the Kaplan-Meier family",
+    tags=("ext", "behavior", "mining"),
+)
+def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one user-keyed aggregation, then everything runs on the
+    BOUNDED pooled event-week table (one row per distinct lifetime) — the
+    risk-set windows and the ordered fold never see user rows. The output
+    is one row."""
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    weeks = events.select(
+        "user_id",
+        F.expr(
+            "CAST(unix_timestamp(date_trunc('week', ts)) AS BIGINT) div 604800"
+        ).alias("w"),
+        "event_type",
+    )
+    users = weeks.groupBy("user_id").agg(
+        F.min("w").alias("first_w"),
+        F.max("w").alias("last_w"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("grp1"),
+    )
+    mx = weeks.agg(F.max("w").alias("max_w"))
+    lives = users.crossJoin(F.broadcast(mx)).select(
+        (F.col("last_w") - F.col("first_w")).alias("t"),
+        "grp1",
+        (F.col("last_w") < F.col("max_w")).alias("churned"),
+    )
+    lives = lives.localCheckpoint(eager=False)  # feeds ev AND tot
+    ev = lives.groupBy("t").agg(
+        F.sum(F.when(F.col("churned") & (F.col("grp1") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when(F.col("churned"), 1).otherwise(0)).cast("long").alias("d"),
+        F.sum("grp1").cast("long").alias("leave1"),
+        F.count(F.lit(1)).cast("long").alias("leave_all"),
+    )
+    tot = lives.agg(
+        F.sum("grp1").cast("long").alias("n1_0"),
+        F.count(F.lit(1)).cast("long").alias("n_0"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = ev.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d1",
+        "d",
+        (
+            F.col("n1_0") - F.coalesce(F.sum("leave1").over(w_prev), F.lit(0))
+        ).cast("long").alias("n1"),
+        (
+            F.col("n_0") - F.coalesce(F.sum("leave_all").over(w_prev), F.lit(0))
+        ).cast("long").alias("n"),
+    )
+    terms = (
+        risk.filter(F.col("d") > 0)
+        .agg(
+            F.sum("d1").cast("long").alias("o1"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("t").alias("t"),
+                        (F.col("d").cast("double") * F.col("n1") / F.col("n")).alias(
+                            "v"
+                        ),
+                    )
+                )
+            ).alias("e_structs"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("t").alias("t"),
+                        F.when(
+                            F.col("n") > 1,
+                            F.col("d").cast("double")
+                            * F.col("n1")
+                            / F.col("n")
+                            * (F.col("n") - F.col("n1"))
+                            / F.col("n")
+                            * (F.col("n") - F.col("d"))
+                            / (F.col("n") - 1),
+                        )
+                        .otherwise(F.lit(0.0))
+                        .alias("v"),
+                    )
+                )
+            ).alias("v_structs"),
+        )
+    )
+    fold = lambda col: F.aggregate(  # noqa: E731
+        F.expr(f"transform({col}, s -> s.v)"), F.lit(0.0), lambda a, b: a + b
+    )
+    e1, v1 = fold("e_structs"), fold("v_structs")
+    return terms.crossJoin(F.broadcast(tot)).select(
+        F.col("n1_0").alias("n_group1"),
+        (F.col("n_0") - F.col("n1_0")).cast("long").alias("n_group2"),
+        F.col("o1").alias("observed1"),
+        F.round(e1, 6).alias("expected1"),
+        F.round(v1, 6).alias("variance"),
+        F.round((F.col("o1") - e1) * (F.col("o1") - e1) / v1, 6).alias("chi2"),
+    )
