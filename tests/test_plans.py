@@ -823,3 +823,33 @@ def test_watermark_tradeoff_single_pass_no_join(spark, sf_small):
     assert "windowspecdefinition(event_type" in plan, plan
     assert "Join" not in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_tokenizer_fertility_floor_broadcasts(spark, sf_small):
+    """The 1-row fairness floor broadcasts onto the pinned per-lang
+    aggregate (the seg-broadcast leg lives behind the localCheckpoint and
+    is pinned via bpe_tokenize_apply's identical shape); no cartesian, no
+    global sort."""
+    plan = plan_of(spark, sf_small, "tokenizer_fertility")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_heaps_fit_checkpoint_grid_broadcasts(spark, sf_small):
+    """Both checkpoint probes consume the bounded (source x 8) grid as a
+    broadcast; first ranks come from a keyed min aggregation, never a
+    per-word window."""
+    plan = plan_of(spark, sf_small, "heaps_law_fit")
+    assert "CartesianProduct" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_survival_family_runs_on_bounded_event_tables(spark, sf_small):
+    """KM and log-rank risk windows consume the pooled (cohort, offset)
+    aggregate — a single-partition window over a bounded relation, never a
+    range-partitioned global sort of user rows."""
+    for name in ("kaplan_meier_survival", "log_rank_test"):
+        plan = plan_of(spark, sf_small, name)
+        assert "rangepartitioning" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
