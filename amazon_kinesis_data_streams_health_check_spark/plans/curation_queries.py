@@ -1275,3 +1275,75 @@ def dedup_survivorship_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("dropped_mean_q_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window truncation loss: the capacity decision packing and padding
+# both sit on — for each candidate max sequence length C, how many tokens
+# does hard truncation throw away, and how many documents are cut at all?
+# One token-count pass, one bounded explode over the candidate lengths,
+# exact integer ppm per (source, C): the sheet that picks max_seq_len.
+# ---------------------------------------------------------------------------
+_CTL_WINDOWS = (512, 1024, 2048, 4096)
+
+_CTL_SQL = f"""
+WITH tok AS (
+  SELECT source, CAST(len({_DUCK_TOK}) AS BIGINT) AS n FROM documents
+),
+sweep AS (
+  SELECT source, n, c.c
+  FROM tok, (VALUES {", ".join(f"({c})" for c in _CTL_WINDOWS)}) c(c)
+)
+SELECT source, CAST(c AS BIGINT) AS max_len,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE n > c) AS BIGINT) AS n_truncated,
+       CAST(sum(n) AS BIGINT) AS tokens_total,
+       CAST(sum(CASE WHEN n > c THEN n - c ELSE 0 END) AS BIGINT) AS tokens_lost,
+       CAST(1000000 * sum(CASE WHEN n > c THEN n - c ELSE 0 END) // sum(n)
+            AS BIGINT) AS loss_ppm
+FROM sweep GROUP BY source, c
+"""
+
+
+@register(
+    "context_truncation_loss",
+    oracle=_CTL_SQL,
+    doc="EXT curation: hard-truncation loss sweep over candidate context "
+    "windows {512,1024,2048,4096} — per (source, C): docs cut, tokens "
+    "thrown away, exact loss ppm; the capacity sheet that picks "
+    "max_seq_len before packing/padding even start",
+    tags=("ext", "curation"),
+)
+def context_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one narrow token-count projection, a 4-way explode of
+    the candidate lengths, one bounded (source, C) keyed aggregation with
+    map-side partials. Text never moves; no join, no window."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.expr(f"size(regexp_extract_all(lower(text), '{TOKEN_RE}', 0))")
+        .cast("long")
+        .alias("n"),
+    )
+    sweep = tok.select(
+        "source",
+        "n",
+        F.explode(
+            F.array(*[F.lit(c).cast("long") for c in _CTL_WINDOWS])
+        ).alias("c"),
+    )
+    return sweep.groupBy("source", F.col("c").alias("max_len")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n") > F.col("c"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_truncated"),
+        F.sum("n").cast("long").alias("tokens_total"),
+        F.sum(F.when(F.col("n") > F.col("c"), F.col("n") - F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("tokens_lost"),
+        F.expr(
+            "CAST(1000000 * sum(CASE WHEN n > c THEN n - c ELSE 0 END)"
+            " div sum(n) AS BIGINT)"
+        ).alias("loss_ppm"),
+    )

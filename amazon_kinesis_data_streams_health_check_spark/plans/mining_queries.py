@@ -2715,3 +2715,78 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unfair_flag"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration: the inequality coefficient of per-user activity — the
+# one-number answer to "is this stream's load a long tail or a few whales?"
+# that hot-key salting, shard planning, and contributor-diversity audits all
+# read. Exact rank formula G = (2*sum(i*x_i) - (n+1)*sum(x_i)) / (n*sum(x_i))
+# over users ranked ascending by (count, user_id) WITHIN each stream — the
+# rank window partitions by the bounded stream dimension, and every product
+# lives in DECIMAL(38)/HUGEINT, so the ppm output is exact.
+# ---------------------------------------------------------------------------
+_GINI_SQL = """
+WITH ucnt AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, user_id
+),
+ranked AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY x, user_id) AS i
+  FROM ucnt
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s0,
+         sum(CAST(i AS HUGEINT) * x) AS s1
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, n AS n_users, s0 AS n_events,
+       CAST((2000000 * s1 - 1000000 * (CAST(n AS HUGEINT) + 1) * s0)
+            // (CAST(n AS HUGEINT) * s0) AS BIGINT) AS gini_ppm
+FROM agg
+"""
+
+
+@register(
+    "gini_concentration",
+    oracle=_GINI_SQL,
+    doc="Gini coefficient of per-user activity per stream — the exact rank "
+    "formula (2*sum(i*x) - (n+1)*sum(x)) / (n*sum(x)) over users ranked "
+    "ascending by (count, user_id), DECIMAL(38)/HUGEINT products, exact "
+    "ppm; the whales-vs-long-tail number hot-key salting and shard "
+    "planning read",
+    tags=("ext", "mining", "ops"),
+)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one user-keyed counting aggregation (uniform key), one
+    rank window PARTITIONED BY the bounded stream dimension over the
+    (stream, user) counts — per-stream partition-local sorts, no global
+    order — and a bounded final fold with exact integer products."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    ucnt = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    ranked = ucnt.withColumn("i", F.row_number().over(w))
+    dec = "DECIMAL(38,0)"
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s0"),
+        F.sum(F.expr(f"CAST(i AS {dec}) * x")).alias("s1"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        F.col("s0").alias("n_events"),
+        F.expr(
+            f"CAST((2000000 * s1 - 1000000 * (CAST(n AS {dec}) + 1) * s0)"
+            f" div (CAST(n AS {dec}) * s0) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )

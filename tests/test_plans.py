@@ -853,3 +853,22 @@ def test_survival_family_runs_on_bounded_event_tables(spark, sf_small):
         plan = plan_of(spark, sf_small, name)
         assert "rangepartitioning" not in plan, (name, plan)
         assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_context_truncation_loss_no_join(spark, sf_small):
+    """One narrow token-count projection, a bounded 4-way explode, one
+    keyed aggregation — text never joins and nothing range-partitions."""
+    plan = plan_of(spark, sf_small, "context_truncation_loss")
+    assert "Join" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "explode([512,1024,2048,4096])" in plan, plan
+
+
+def test_gini_concentration_window_partitions_by_stream(spark, sf_small):
+    """The rank window runs per-stream (bounded dimension) over the
+    (stream, user) COUNT relation, never raw events; no global sort, no
+    join."""
+    plan = plan_of(spark, sf_small, "gini_concentration")
+    assert "windowspecdefinition(event_type" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Join" not in plan, plan
