@@ -3286,3 +3286,226 @@ def watermark_policy_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "open_windows_per_key"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# KCL lease rebalance: the coordination layer every multi-worker consumer
+# fleet runs on. One lease per shard lives in the lease table; workers renew
+# their own leases and steal from the fleet until everyone holds
+# floor(S/W)..ceil(S/W). Here the fleet loses a worker (its leases expire ->
+# orphans), and the rebalance is planned exactly like KCL 2.x does it:
+# sticky (surviving owners keep up to their target), orphans plus shed
+# leases pool up, and deficit workers take from the pool in deterministic
+# order. Reference parity: the reference's consumer is the 1-worker
+# degenerate case of this table (ESM on a 1-shard stream,
+# KinesisHealthCheckStack.java:149-162).
+# ---------------------------------------------------------------------------
+_LEASE_SHARD_WIDTH = 268_435_456  # 2^32 / 16 equal hash ranges
+_LEASE_WORKERS = 4
+_LEASE_LIVE = 3  # w3 dies; w0..w2 survive
+
+_LEASE_SQL = f"""
+WITH ev AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM events
+),
+leases AS (
+  SELECT CAST(h // {_LEASE_SHARD_WIDTH} AS BIGINT) AS shard,
+         CAST(count(*) AS BIGINT) AS n_records
+  FROM ev GROUP BY 1
+),
+named AS (
+  SELECT 'shardId-' || lpad(CAST(shard AS VARCHAR), 12, '0') AS shard_id,
+         shard, n_records,
+         'w' || CAST(CAST(('0x' || substr(md5('shardId-' ||
+               lpad(CAST(shard AS VARCHAR), 12, '0')), 1, 8)) AS BIGINT)
+               % {_LEASE_WORKERS} AS VARCHAR) AS old_owner
+  FROM leases
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS s FROM named),
+live AS (SELECT 'w' || CAST(r.range AS VARCHAR) AS worker
+         FROM range(0, {_LEASE_LIVE}) r),
+cnt AS (
+  SELECT worker, CAST(count(n.shard) AS BIGINT) AS cnt0
+  FROM live LEFT JOIN named n ON n.old_owner = live.worker
+  GROUP BY worker
+),
+tgt AS (
+  SELECT worker, cnt0,
+         CAST(s // {_LEASE_LIVE}
+              + CASE WHEN row_number() OVER (ORDER BY cnt0 DESC, worker)
+                          <= s % {_LEASE_LIVE} THEN 1 ELSE 0 END AS BIGINT) AS tgt
+  FROM cnt, tot
+),
+plan0 AS (
+  SELECT worker, cnt0, tgt,
+         least(cnt0, tgt) AS keep, tgt - least(cnt0, tgt) AS deficit
+  FROM tgt
+),
+offs AS (
+  SELECT worker, keep, deficit, tgt,
+         COALESCE(SUM(deficit) OVER (ORDER BY worker
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS off
+  FROM plan0
+),
+ranked AS (
+  SELECT n.*, row_number() OVER (PARTITION BY old_owner ORDER BY shard) AS rn_w
+  FROM named n
+),
+kept AS (
+  SELECT r.shard_id, r.n_records, r.old_owner, r.old_owner AS new_owner,
+         FALSE AS was_orphan
+  FROM ranked r JOIN offs o ON o.worker = r.old_owner AND r.rn_w <= o.keep
+),
+pool AS (
+  SELECT r.shard_id, r.shard, r.n_records, r.old_owner,
+         (r.old_owner = 'w{_LEASE_LIVE}') AS was_orphan,
+         row_number() OVER (ORDER BY r.shard) AS prn
+  FROM ranked r LEFT JOIN offs o ON o.worker = r.old_owner
+  WHERE o.worker IS NULL OR r.rn_w > o.keep
+),
+stolen AS (
+  SELECT p.shard_id, p.n_records, p.old_owner, o.worker AS new_owner,
+         p.was_orphan
+  FROM pool p JOIN offs o ON p.prn > o.off AND p.prn <= o.off + o.deficit
+),
+uni AS (SELECT * FROM kept UNION ALL SELECT * FROM stolen)
+SELECT u.shard_id, u.n_records, u.old_owner, u.new_owner, u.was_orphan,
+       (u.new_owner <> u.old_owner) AS moved,
+       o.tgt AS new_owner_leases
+FROM uni u JOIN offs o ON o.worker = u.new_owner
+"""
+
+
+@register(
+    "kcl_lease_rebalance",
+    oracle=_LEASE_SQL,
+    doc="KCL lease rebalance after a worker failure: one lease per shard "
+    "(md5-assigned across 4 workers), worker w3 expires, and the plan is "
+    "the sticky KCL 2.x rebalance — survivors keep up to floor/ceil "
+    "targets (ceil slots to the heaviest), orphaned + shed leases pool in "
+    "shard order and deficit workers take via cumulative-offset alignment; "
+    "every new owner lands exactly on target by construction",
+    tags=("healthcheck", "kinesis", "ops"),
+)
+def kcl_lease_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the event stream is touched once as a narrow hash
+    projection into a shard-keyed count (map-side partials); everything
+    after runs on the lease table, which is bounded by shard count — small
+    by nature (that is why DynamoDB can host the real one). The worker
+    relation (3 rows) broadcasts everywhere; the pool rank's global window
+    orders a lease-table-sized relation, never records. At 100 TB only the
+    first aggregation grows.
+
+    Reference parity: the reference consumer is the 1-worker degenerate
+    case (event-source-mapping on shardCount=1,
+    KinesisHealthCheckStack.java:149-162); this is the fleet version every
+    multi-shard deployment of the same health check needs."""
+    from pyspark.sql import Window
+
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        hash_uniform,
+    )
+
+    configure_session(spark)
+    named = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            # width is 2^28, so the range split is an exact shift
+            F.shiftright(hash_uniform("user_id"), 28).alias("shard")
+        )
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_records"))
+        .select(
+            F.format_string("shardId-%012d", F.col("shard")).alias("shard_id"),
+            "shard",
+            "n_records",
+        )
+        .withColumn(
+            "old_owner",
+            F.concat(
+                F.lit("w"),
+                (hash_uniform("shard_id") % _LEASE_WORKERS).cast("string"),
+            ),
+        )
+    )
+    named = named.localCheckpoint(eager=False)  # feeds counts, ranks, total
+    tot = named.agg(F.count(F.lit(1)).cast("long").alias("s"))
+    live = spark.range(0, _LEASE_LIVE).select(
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("worker")
+    )
+    cnt = (
+        live.join(F.broadcast(named), named.old_owner == live.worker, "left")
+        .groupBy("worker")
+        .agg(F.count("shard").cast("long").alias("cnt0"))
+    )
+    tgt = cnt.crossJoin(F.broadcast(tot)).select(
+        "worker",
+        "cnt0",
+        F.expr(
+            f"CAST(s div {_LEASE_LIVE} + CASE WHEN"
+            f" row_number() OVER (ORDER BY cnt0 DESC, worker)"
+            f" <= s % {_LEASE_LIVE} THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("tgt"),
+    )
+    offs = tgt.select(
+        "worker",
+        F.least("cnt0", "tgt").alias("keep"),
+        (F.col("tgt") - F.least("cnt0", "tgt")).alias("deficit"),
+        "tgt",
+    ).withColumn(
+        "off",
+        F.coalesce(
+            F.sum("deficit").over(
+                Window.orderBy("worker").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    offs = offs.localCheckpoint(eager=False)  # 3 rows; feeds 4 consumers
+    ranked = named.withColumn(
+        "rn_w",
+        F.row_number().over(Window.partitionBy("old_owner").orderBy("shard")),
+    )
+    kept = ranked.join(
+        F.broadcast(offs),
+        (F.col("worker") == F.col("old_owner")) & (F.col("rn_w") <= F.col("keep")),
+    ).select(
+        "shard_id",
+        "n_records",
+        "old_owner",
+        F.col("old_owner").alias("new_owner"),
+        F.lit(False).alias("was_orphan"),
+    )
+    pool = (
+        ranked.join(F.broadcast(offs), F.col("worker") == F.col("old_owner"), "left")
+        .filter(F.col("worker").isNull() | (F.col("rn_w") > F.col("keep")))
+        .select(
+            "shard_id",
+            "shard",
+            "n_records",
+            "old_owner",
+            (F.col("old_owner") == f"w{_LEASE_LIVE}").alias("was_orphan"),
+        )
+        .withColumn("prn", F.row_number().over(Window.orderBy("shard")))
+    )
+    stolen = pool.join(
+        F.broadcast(offs),
+        (F.col("prn") > F.col("off")) & (F.col("prn") <= F.col("off") + F.col("deficit")),
+    ).select("shard_id", "n_records", "old_owner", F.col("worker").alias("new_owner"), "was_orphan")
+    uni = kept.unionByName(stolen)
+    return uni.join(
+        F.broadcast(offs.select("worker", "tgt")),
+        uni.new_owner == F.col("worker"),
+    ).select(
+        "shard_id",
+        "n_records",
+        "old_owner",
+        "new_owner",
+        "was_orphan",
+        (F.col("new_owner") != F.col("old_owner")).alias("moved"),
+        F.col("tgt").alias("new_owner_leases"),
+    )

@@ -872,3 +872,47 @@ def test_gini_concentration_window_partitions_by_stream(spark, sf_small):
     assert "windowspecdefinition(event_type" in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_kcl_lease_rebalance_event_side_never_shuffles(spark, sf_small):
+    """The event stream feeds one shard-keyed count; every later join rides
+    a broadcast of the worker/offset relations. A SortMergeJoin or true
+    cartesian over events would not survive 100x."""
+    plan = plan_of(spark, sf_small, "kcl_lease_rebalance")
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kcl_lease_rebalance_invariants(spark, sf_small):
+    """Every observed shard's lease is assigned exactly once to a live
+    worker, every surviving owner keeps what stickiness allows, and final
+    per-worker loads sit in [floor(S/3), ceil(S/3)] with new_owner_leases
+    reporting the true final count."""
+    import collections
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    rows = get("kcl_lease_rebalance").builder(spark, sf_small).collect()
+    assert len({r.shard_id for r in rows}) == len(rows)
+    assert all(r.new_owner in {"w0", "w1", "w2"} for r in rows)
+    nc = collections.Counter(r.new_owner for r in rows)
+    s = len(rows)
+    assert all(s // 3 <= c <= s // 3 + (1 if s % 3 else 0) for c in nc.values()), nc
+    for r in rows:
+        assert r.new_owner_leases == nc[r.new_owner], r
+        assert r.moved == (r.new_owner != r.old_owner), r
+        assert r.was_orphan == (r.old_owner == "w3"), r
+        if r.was_orphan:
+            assert r.moved, r
+
+
+@pytest.mark.slow
+def test_kcl_lease_rebalance_failover_paths_at_oracle_sf(spark, sf_oracle):
+    """At the driver's correctness scale all 16 shards appear, the dead
+    worker's leases orphan, and both the shed and steal paths fire."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    rows = get("kcl_lease_rebalance").builder(spark, sf_oracle).collect()
+    assert len(rows) == 16
+    assert sum(r.was_orphan for r in rows) > 0
+    assert sum(r.moved for r in rows) >= sum(r.was_orphan for r in rows)
