@@ -1347,3 +1347,115 @@ def context_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(n) AS BIGINT)"
         ).alias("loss_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture reweighting: the multilingual/multi-domain
+# sampling formula (weight proportional to n^alpha, alpha = 1/2) that keeps
+# big sources from drowning small ones without the uniform-sampling
+# degeneracy. The square root is taken EXACTLY: floor(sqrt(n)) from the
+# double sqrt, then corrected by +-1 against the integer squares, so both
+# engines derive identical weights; every downstream ratio is a
+# DECIMAL(38)/HUGEINT cross-product with one integer division.
+# ---------------------------------------------------------------------------
+_TEMP_MIX_SQL = f"""
+WITH tok AS (
+  SELECT source, CAST(sum(len({_DUCK_TOK})) AS BIGINT) AS n
+  FROM documents GROUP BY source
+),
+root AS (
+  SELECT source, n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS r0
+  FROM tok
+),
+isq AS (
+  SELECT source, n,
+         r0 + (CASE WHEN (r0 + 1) * (r0 + 1) <= n THEN 1 ELSE 0 END)
+            - (CASE WHEN r0 * r0 > n THEN 1 ELSE 0 END) AS w
+  FROM root
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total, CAST(sum(w) AS BIGINT) AS wt
+  FROM isq
+)
+SELECT i.source, i.n AS n_tokens, i.w AS weight,
+       CAST(1000000 * CAST(i.n AS HUGEINT) // t.total AS BIGINT) AS natural_ppm,
+       CAST(1000000 * CAST(i.w AS HUGEINT) // t.wt AS BIGINT) AS sample_ppm,
+       CAST(1000000 * CAST(i.w AS HUGEINT) * t.total
+            // (CAST(t.wt AS HUGEINT) * i.n) AS BIGINT) AS boost_ppm,
+       CAST(CAST(i.w AS HUGEINT) * t.total // t.wt AS BIGINT) AS draw_tokens,
+       CAST(1000 * (CAST(i.w AS HUGEINT) * t.total // t.wt) // i.n AS BIGINT)
+         AS epochs_milli,
+       (1000 * (CAST(i.w AS HUGEINT) * t.total // t.wt) // i.n) > 1000
+         AS upsampled
+FROM isq i, tot t
+"""
+
+
+@register(
+    "mixture_temperature_reweight",
+    oracle=_TEMP_MIX_SQL,
+    doc="EXT curation: temperature-based mixture reweighting (w_s = "
+    "isqrt(n_s), the alpha=1/2 multilingual sampling rule) — exact integer "
+    "square roots, sampling vs natural ppm, per-source boost, draw tokens "
+    "at budget T = corpus total, and epochs (upsampling flagged where a "
+    "source must repeat)",
+    tags=("ext", "curation"),
+)
+def mixture_temperature_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one token-count aggregation per source (map-side
+    partials over the scan — the only stage that grows with the corpus),
+    then pure integer arithmetic on the source-bounded relation with the
+    2-value total as a broadcast. The sqrt correction keeps the weights
+    engine-exact for any n < 2^53."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    tok = docs.groupBy("source").agg(
+        F.expr(
+            f"CAST(sum(size(regexp_extract_all(lower(text), '{TOKEN_RE}', 0)))"
+            " AS BIGINT)"
+        ).alias("n")
+    )
+    isq = tok.select(
+        "source",
+        "n",
+        F.expr(
+            "CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)"
+            " + (CASE WHEN (CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) + 1)"
+            "          * (CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) + 1) <= n"
+            "     THEN 1 ELSE 0 END)"
+            " - (CASE WHEN CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)"
+            "          * CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) > n"
+            "     THEN 1 ELSE 0 END)"
+        ).alias("w"),
+    )
+    isq = isq.localCheckpoint(eager=False)  # source-bounded; feeds tot + output
+    tot = isq.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.sum("w").cast("long").alias("wt"),
+    )
+    dec = "DECIMAL(38,0)"
+    return isq.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("w").alias("weight"),
+        F.expr(f"CAST(1000000 * CAST(n AS {dec}) div total AS BIGINT)").alias(
+            "natural_ppm"
+        ),
+        F.expr(f"CAST(1000000 * CAST(w AS {dec}) div wt AS BIGINT)").alias(
+            "sample_ppm"
+        ),
+        F.expr(
+            f"CAST(1000000 * CAST(w AS {dec}) * total"
+            f" div (CAST(wt AS {dec}) * n) AS BIGINT)"
+        ).alias("boost_ppm"),
+        F.expr(f"CAST(CAST(w AS {dec}) * total div wt AS BIGINT)").alias(
+            "draw_tokens"
+        ),
+        F.expr(
+            f"CAST(1000 * (CAST(w AS {dec}) * total div wt) div n AS BIGINT)"
+        ).alias("epochs_milli"),
+        F.expr(
+            f"(1000 * (CAST(w AS {dec}) * total div wt) div n) > 1000"
+        ).alias("upsampled"),
+    )

@@ -916,3 +916,30 @@ def test_kcl_lease_rebalance_failover_paths_at_oracle_sf(spark, sf_oracle):
     assert len(rows) == 16
     assert sum(r.was_orphan for r in rows) > 0
     assert sum(r.moved for r in rows) >= sum(r.was_orphan for r in rows)
+
+
+def test_mixture_temperature_reweight_single_corpus_pass(spark, sf_small):
+    """The corpus is touched once (token-count agg with map-side partials);
+    the weight arithmetic runs on the source-bounded relation with the
+    1-row total broadcast — no join over documents, no global sort."""
+    plan = plan_of(spark, sf_small, "mixture_temperature_reweight")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert len(re.findall(r"Scan parquet|parquet\.", plan)) <= 2, plan
+
+
+def test_mixture_temperature_weights_are_exact_isqrt(spark, sf_small):
+    """The corrected floor-sqrt must satisfy w^2 <= n < (w+1)^2 exactly, and
+    the ppm columns must be the exact integer divisions of those weights."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    rows = get("mixture_temperature_reweight").builder(spark, sf_small).collect()
+    wt = sum(r.weight for r in rows)
+    total = sum(r.n_tokens for r in rows)
+    for r in rows:
+        assert r.weight * r.weight <= r.n_tokens < (r.weight + 1) ** 2, r
+        assert r.sample_ppm == 10**6 * r.weight // wt, r
+        assert r.natural_ppm == 10**6 * r.n_tokens // total, r
+        assert r.draw_tokens == r.weight * total // wt, r
+        assert r.upsampled == (r.epochs_milli > 1000), r
