@@ -1839,3 +1839,90 @@ def ann_index_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
         "compacted",
         "probe_consistent",
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning: the runtime counterpart of zone maps. The fact
+# table is laid out partitioned BY ship month; which months matter is only
+# known after the dim side runs (months in which an URGENT 1995 order was
+# placed — a predicate on a DIFFERENT table no static optimizer can push
+# into the fact scan). Spark must inject the dim's join keys into the fact
+# scan's partition filters at runtime (dynamicpruningexpression reusing the
+# broadcast); the builder raises loudly if the plan lost it, because at
+# 100 TB DPP is the difference between scanning a dozen partitions and all
+# of them — file listing included.
+# ---------------------------------------------------------------------------
+_DPP_SQL = """
+WITH dim AS (
+  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ym
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND strftime(o_orderdate, '%Y') = '1995'
+)
+SELECT l.ym,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM (SELECT strftime(l_shipdate, '%Y-%m') AS ym, l_extendedprice, l_discount
+      FROM lineitem) l
+JOIN dim ON l.ym = dim.ym
+GROUP BY l.ym
+"""
+
+
+@register(
+    "lake_dpp_join",
+    oracle=_DPP_SQL,
+    doc="Dynamic partition pruning: lineitem laid out partitioned by ship "
+    "month, joined to the months containing urgent 1995 orders (a filter "
+    "on a different table static pushdown cannot see); the fact scan must "
+    "carry a dynamicpruningexpression partition filter (loud raise if the "
+    "plan lost it) and the result equals the plain filter-join",
+    tags=("lake",),
+)
+def lake_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the dim leg is a filtered distinct over orders (tiny,
+    broadcast); the fact leg is a partitioned scan whose partition filter
+    arrives AT RUNTIME from the broadcast join side (reused broadcast, no
+    extra job). At 100 TB with years of monthly partitions this skips the
+    cold months entirely — which zone maps (lake_pruned_scan) cannot do
+    for join-driven predicates."""
+    configure_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice",
+        "l_discount",
+        F.date_format("l_shipdate", "yyyy-MM").alias("ym"),
+    )
+    lake = tempfile.mkdtemp(prefix="dpp_lake_")
+    li.write.partitionBy("ym").mode("overwrite").parquet(lake)
+    fact = spark.read.parquet(lake)
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.date_format("o_orderdate", "yyyy") == "1995")
+        )
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+        .distinct()
+    )
+    out = fact.join(F.broadcast(dim), "ym").groupBy("ym").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(
+            F.expr(
+                "CAST(l_extendedprice AS DECIMAL(18,2))"
+                " * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    if "dynamicpruning" not in plan.lower():
+        raise RuntimeError(
+            "dynamic partition pruning missing from the fact scan — "
+            "the partitioned join would scan every month"
+        )
+    return out

@@ -943,3 +943,25 @@ def test_mixture_temperature_weights_are_exact_isqrt(spark, sf_small):
         assert r.natural_ppm == 10**6 * r.n_tokens // total, r
         assert r.draw_tokens == r.weight * total // wt, r
         assert r.upsampled == (r.epochs_milli > 1000), r
+
+
+def test_lake_dpp_join_prunes_partitions_at_runtime(spark, sf_small):
+    """The partitioned fact scan must carry a dynamicpruningexpression
+    partition filter fed by the broadcast dim (the builder raises without
+    it); the join must broadcast, never sort-merge, and the fact must
+    actually read fewer partitions than it wrote."""
+    plan = plan_of(spark, sf_small, "lake_dpp_join")
+    assert "dynamicpruningexpression" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_lake_dpp_join_reads_fewer_months_than_exist(spark, sf_small):
+    """12 dim months out of the full ship-month range: the result covers
+    exactly the urgent-1995 months and no cold month leaks through."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    rows = get("lake_dpp_join").builder(spark, sf_small).collect()
+    assert 0 < len(rows) <= 12
+    assert all(r.ym.startswith("1995") for r in rows)
+    assert all(r.n_lines > 0 for r in rows)
