@@ -3378,6 +3378,138 @@ FROM uni u JOIN offs o ON o.worker = u.new_owner
 """
 
 
+def _lease_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lease table: one lease per observed shard of the md5-range
+    layout, with record counts as metadata and the initial md5-assigned
+    owner across the 4-worker fleet."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        hash_uniform,
+    )
+
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            # width is 2^28, so the range split is an exact shift
+            F.shiftright(hash_uniform("user_id"), 28).alias("shard")
+        )
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_records"))
+        .select(
+            F.format_string("shardId-%012d", F.col("shard")).alias("shard_id"),
+            "shard",
+            "n_records",
+        )
+        .withColumn(
+            "old_owner",
+            F.concat(
+                F.lit("w"),
+                (hash_uniform("shard_id") % _LEASE_WORKERS).cast("string"),
+            ),
+        )
+    )
+
+
+def plan_lease_rebalance(
+    named: DataFrame, live: DataFrame, n_live: int
+) -> DataFrame:
+    """The sticky KCL 2.x rebalance plan over a lease table.
+
+    ``named``: (shard_id, shard, n_records, old_owner) — current leases.
+    ``live``: (worker,) — the workers still heartbeating. Owners not in
+    ``live`` are expired; their leases orphan. Survivors keep up to their
+    floor/ceil target (ceil slots to the heaviest first), the pool
+    (orphans + shed) is taken by deficit workers via cumulative-offset
+    alignment, so every new owner lands exactly on target.
+    """
+    from pyspark.sql import Window
+
+    named = named.localCheckpoint(eager=False)  # feeds counts, ranks, total
+    tot = named.agg(F.count(F.lit(1)).cast("long").alias("s"))
+    cnt = (
+        live.join(F.broadcast(named), named.old_owner == live.worker, "left")
+        .groupBy("worker")
+        .agg(F.count("shard").cast("long").alias("cnt0"))
+    )
+    tgt = cnt.crossJoin(F.broadcast(tot)).select(
+        "worker",
+        "cnt0",
+        F.expr(
+            f"CAST(s div {n_live} + CASE WHEN"
+            f" row_number() OVER (ORDER BY cnt0 DESC, worker)"
+            f" <= s % {n_live} THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("tgt"),
+    )
+    offs = tgt.select(
+        "worker",
+        F.least("cnt0", "tgt").alias("keep"),
+        (F.col("tgt") - F.least("cnt0", "tgt")).alias("deficit"),
+        "tgt",
+    ).withColumn(
+        "off",
+        F.coalesce(
+            F.sum("deficit").over(
+                Window.orderBy("worker").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    offs = offs.localCheckpoint(eager=False)  # n_live rows; feeds 4 consumers
+    ranked = named.withColumn(
+        "rn_w",
+        F.row_number().over(Window.partitionBy("old_owner").orderBy("shard")),
+    )
+    kept = ranked.join(
+        F.broadcast(offs),
+        (F.col("worker") == F.col("old_owner")) & (F.col("rn_w") <= F.col("keep")),
+    ).select(
+        "shard_id",
+        "shard",
+        "n_records",
+        "old_owner",
+        F.col("old_owner").alias("new_owner"),
+        F.lit(False).alias("was_orphan"),
+    )
+    pool = (
+        ranked.join(F.broadcast(offs), F.col("worker") == F.col("old_owner"), "left")
+        .filter(F.col("worker").isNull() | (F.col("rn_w") > F.col("keep")))
+        .select(
+            "shard_id",
+            "shard",
+            "n_records",
+            "old_owner",
+            F.col("worker").isNull().alias("was_orphan"),
+        )
+        .withColumn("prn", F.row_number().over(Window.orderBy("shard")))
+    )
+    stolen = pool.join(
+        F.broadcast(offs),
+        (F.col("prn") > F.col("off")) & (F.col("prn") <= F.col("off") + F.col("deficit")),
+    ).select(
+        "shard_id",
+        "shard",
+        "n_records",
+        "old_owner",
+        F.col("worker").alias("new_owner"),
+        "was_orphan",
+    )
+    uni = kept.unionByName(stolen)
+    return uni.join(
+        F.broadcast(offs.select("worker", "tgt")),
+        uni.new_owner == F.col("worker"),
+    ).select(
+        "shard_id",
+        "shard",
+        "n_records",
+        "old_owner",
+        "new_owner",
+        "was_orphan",
+        (F.col("new_owner") != F.col("old_owner")).alias("moved"),
+        F.col("tgt").alias("new_owner_leases"),
+    )
+
+
 @register(
     "kcl_lease_rebalance",
     oracle=_LEASE_SQL,
@@ -3402,110 +3534,9 @@ def kcl_lease_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     case (event-source-mapping on shardCount=1,
     KinesisHealthCheckStack.java:149-162); this is the fleet version every
     multi-shard deployment of the same health check needs."""
-    from pyspark.sql import Window
-
-    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
-        hash_uniform,
-    )
-
     configure_session(spark)
-    named = (
-        load_table(spark, sf_dir, "events")
-        .select(
-            # width is 2^28, so the range split is an exact shift
-            F.shiftright(hash_uniform("user_id"), 28).alias("shard")
-        )
-        .groupBy("shard")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_records"))
-        .select(
-            F.format_string("shardId-%012d", F.col("shard")).alias("shard_id"),
-            "shard",
-            "n_records",
-        )
-        .withColumn(
-            "old_owner",
-            F.concat(
-                F.lit("w"),
-                (hash_uniform("shard_id") % _LEASE_WORKERS).cast("string"),
-            ),
-        )
-    )
-    named = named.localCheckpoint(eager=False)  # feeds counts, ranks, total
-    tot = named.agg(F.count(F.lit(1)).cast("long").alias("s"))
+    named = _lease_universe(spark, sf_dir)
     live = spark.range(0, _LEASE_LIVE).select(
         F.concat(F.lit("w"), F.col("id").cast("string")).alias("worker")
     )
-    cnt = (
-        live.join(F.broadcast(named), named.old_owner == live.worker, "left")
-        .groupBy("worker")
-        .agg(F.count("shard").cast("long").alias("cnt0"))
-    )
-    tgt = cnt.crossJoin(F.broadcast(tot)).select(
-        "worker",
-        "cnt0",
-        F.expr(
-            f"CAST(s div {_LEASE_LIVE} + CASE WHEN"
-            f" row_number() OVER (ORDER BY cnt0 DESC, worker)"
-            f" <= s % {_LEASE_LIVE} THEN 1 ELSE 0 END AS BIGINT)"
-        ).alias("tgt"),
-    )
-    offs = tgt.select(
-        "worker",
-        F.least("cnt0", "tgt").alias("keep"),
-        (F.col("tgt") - F.least("cnt0", "tgt")).alias("deficit"),
-        "tgt",
-    ).withColumn(
-        "off",
-        F.coalesce(
-            F.sum("deficit").over(
-                Window.orderBy("worker").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ),
-    )
-    offs = offs.localCheckpoint(eager=False)  # 3 rows; feeds 4 consumers
-    ranked = named.withColumn(
-        "rn_w",
-        F.row_number().over(Window.partitionBy("old_owner").orderBy("shard")),
-    )
-    kept = ranked.join(
-        F.broadcast(offs),
-        (F.col("worker") == F.col("old_owner")) & (F.col("rn_w") <= F.col("keep")),
-    ).select(
-        "shard_id",
-        "n_records",
-        "old_owner",
-        F.col("old_owner").alias("new_owner"),
-        F.lit(False).alias("was_orphan"),
-    )
-    pool = (
-        ranked.join(F.broadcast(offs), F.col("worker") == F.col("old_owner"), "left")
-        .filter(F.col("worker").isNull() | (F.col("rn_w") > F.col("keep")))
-        .select(
-            "shard_id",
-            "shard",
-            "n_records",
-            "old_owner",
-            (F.col("old_owner") == f"w{_LEASE_LIVE}").alias("was_orphan"),
-        )
-        .withColumn("prn", F.row_number().over(Window.orderBy("shard")))
-    )
-    stolen = pool.join(
-        F.broadcast(offs),
-        (F.col("prn") > F.col("off")) & (F.col("prn") <= F.col("off") + F.col("deficit")),
-    ).select("shard_id", "n_records", "old_owner", F.col("worker").alias("new_owner"), "was_orphan")
-    uni = kept.unionByName(stolen)
-    return uni.join(
-        F.broadcast(offs.select("worker", "tgt")),
-        uni.new_owner == F.col("worker"),
-    ).select(
-        "shard_id",
-        "n_records",
-        "old_owner",
-        "new_owner",
-        "was_orphan",
-        (F.col("new_owner") != F.col("old_owner")).alias("moved"),
-        F.col("tgt").alias("new_owner_leases"),
-    )
+    return plan_lease_rebalance(named, live, _LEASE_LIVE).drop("shard")

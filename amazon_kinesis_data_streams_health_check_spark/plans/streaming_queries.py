@@ -2844,3 +2844,109 @@ def streaming_fanin_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("seq").cast("long").alias("last_seq"),
         (F.max("pay_s") - F.min("pay_s")).cast("long").alias("span_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming lease rebalance: the KCL control plane run the way production
+# runs it — worker heartbeats arrive as a stream; each micro-batch's live
+# set is reconciled against the PERSISTED lease table. Batch 0 heartbeats
+# all 4 workers (initial md5 takes, no moves); batch 1 is missing w3, so
+# its leases expire and the sticky rebalance reassigns them. The final
+# persisted table is exactly the batch planner's output, so the batch SQL
+# (_LEASE_SQL) is the oracle verbatim.
+# ---------------------------------------------------------------------------
+from amazon_kinesis_data_streams_health_check_spark.plans.healthcheck_queries import (  # noqa: E402
+    _LEASE_SQL,
+    _lease_universe,
+    plan_lease_rebalance,
+)
+
+
+@register(
+    "streaming_lease_rebalance",
+    oracle=_LEASE_SQL,
+    doc="KCL control plane as a stream: heartbeat micro-batches reconcile "
+    "the persisted lease table (batch 0: full fleet takes; batch 1: w3 "
+    "missing => orphan + sticky rebalance); the final state equals the "
+    "batch planner's output, so the batch SQL is the oracle verbatim — "
+    "loud raise on partial drives or a wrong first-batch fleet",
+    tags=("ext", "streaming", "kinesis", "ops"),
+)
+def streaming_lease_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: per micro-batch the work is a lease-table-sized plan
+    (bounded by shard count) against a broadcast live set — heartbeats are
+    metadata, so this control-plane stream costs nothing next to the data
+    plane it steers. State lives in versioned parquet (write-new-then-read
+    — never overwriting the version being read), exactly how a lease table
+    would be swapped in object storage."""
+    import glob as _glob
+    import shutil as _shutil
+
+    configure_session(spark)
+    feed = tempfile.mkdtemp(prefix="hb_feed_")
+    fleets = [["w0", "w1", "w2", "w3"], ["w0", "w1", "w2"]]
+    for i, fleet in enumerate(fleets):
+        part_dir = tempfile.mkdtemp(prefix=f"hb_part{i}_")
+        spark.createDataFrame(
+            [(w,) for w in fleet], "worker string"
+        ).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        part = _glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = os.path.join(feed, f"b{i}.parquet")
+        _shutil.move(part, dst)
+        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+
+    state_root = tempfile.mkdtemp(prefix="lease_state_")
+    seen: list[list[str]] = []
+
+    def _reconcile(batch_df, batch_id: int) -> None:
+        fleet = sorted(r.worker for r in batch_df.select("worker").distinct().collect())
+        seen.append(fleet)
+        versions = sorted(_glob.glob(os.path.join(state_root, "v*")))
+        if not versions:
+            if len(fleet) != 4:
+                raise RuntimeError(f"first heartbeat batch saw fleet {fleet}")
+            # initial takes: the md5 assignment, no rebalance audit yet
+            state = _lease_universe(spark, sf_dir).select(
+                "shard_id",
+                "shard",
+                "n_records",
+                F.col("old_owner").alias("owner"),
+            )
+        else:
+            named = spark.read.parquet(versions[-1]).select(
+                "shard_id", "shard", "n_records", F.col("owner").alias("old_owner")
+            )
+            live = batch_df.select("worker").distinct()
+            state = plan_lease_rebalance(named, live, len(fleet)).withColumn(
+                "owner", F.col("new_owner")
+            )
+        state.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"v{batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema("worker string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_reconcile)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="lease_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover - defensive against a hung source
+        q.stop()
+    if seen != [["w0", "w1", "w2", "w3"], ["w0", "w1", "w2"]]:
+        raise RuntimeError(f"lease drive incomplete or misordered: {seen}")
+    final = sorted(_glob.glob(os.path.join(state_root, "v*")))[-1]
+    return spark.read.parquet(final).select(
+        "shard_id",
+        "n_records",
+        "old_owner",
+        "new_owner",
+        "was_orphan",
+        "moved",
+        "new_owner_leases",
+    )
