@@ -1665,3 +1665,100 @@ def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(v1, 6).alias("variance"),
         F.round((F.col("o1") - e1) * (F.col("o1") - e1) / v1, 6).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-gap policy sweep: every sessionization (user_sessions pins 30
+# minutes) hangs on one constant — the inactivity gap. This is the sheet
+# that chooses it: for each candidate gap T the session count is
+# 1 + #(gaps > T) per user and intra-session time is sum(gap | gap <= T),
+# both derivable from ONE lag pass over per-user event times; no
+# per-threshold re-sessionization, no join. The same device as
+# watermark_policy_tradeoff, aimed at product analytics instead of state.
+# ---------------------------------------------------------------------------
+_SGS_GAPS = (300, 900, 1800, 3600)
+
+_SGS_SQL = f"""
+WITH ordered AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events
+),
+sweep AS (
+  SELECT user_id, gap_s, g.g
+  FROM ordered, (VALUES {", ".join(f"({g})" for g in _SGS_GAPS)}) g(g)
+),
+per_user AS (
+  SELECT user_id, g,
+         CAST(1 + count(*) FILTER (WHERE gap_s > g) AS BIGINT) AS n_sessions,
+         CAST(coalesce(sum(gap_s) FILTER (WHERE gap_s <= g), 0) AS BIGINT)
+           AS intra_s,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sweep GROUP BY user_id, g
+)
+SELECT CAST(g AS BIGINT) AS gap_s,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(sum(n_sessions) AS BIGINT) AS n_sessions,
+       CAST(1000 * sum(n_sessions) // count(*) AS BIGINT)
+         AS sessions_per_user_milli,
+       CAST(sum(intra_s) AS BIGINT) AS intra_total_s,
+       CAST(sum(intra_s) // sum(n_sessions) AS BIGINT) AS mean_session_s
+FROM per_user GROUP BY g
+"""
+
+
+@register(
+    "session_gap_sweep",
+    oracle=_SGS_SQL,
+    doc="Session-gap policy sweep: per candidate inactivity gap in "
+    "{5,15,30,60} min — users, sessions (1 + gaps above T per user), "
+    "sessions-per-user milli, intra-session time and mean session length, "
+    "all from ONE per-user lag pass with a bounded threshold explode; the "
+    "sheet that picks user_sessions' 30-minute constant",
+    tags=("ext", "behavior"),
+)
+def session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one lag window partitioned by the uniform user key
+    (partition-local sorts, no global order), a 4-way bounded explode, a
+    user-keyed aggregation with map-side partials, and a bounded final
+    fold per threshold. Events are scanned once; text of the sweep never
+    re-sessionizes."""
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id",
+        (
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(w)
+        ).alias("gap_s"),
+    )
+    sweep = ordered.select(
+        "user_id",
+        "gap_s",
+        F.explode(
+            F.array(*[F.lit(g).cast("long") for g in _SGS_GAPS])
+        ).alias("g"),
+    )
+    per_user = sweep.groupBy("user_id", "g").agg(
+        F.expr("CAST(1 + count_if(gap_s > g) AS BIGINT)").alias("n_sessions"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN gap_s <= g THEN gap_s END), 0) AS BIGINT)"
+        ).alias("intra_s"),
+        F.expr("CAST(count(1) AS BIGINT)").alias("n_events"),
+    )
+    return per_user.groupBy(F.col("g").alias("gap_s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("n_sessions").cast("long").alias("n_sessions"),
+        F.expr("CAST(1000 * sum(n_sessions) div count(1) AS BIGINT)").alias(
+            "sessions_per_user_milli"
+        ),
+        F.sum("intra_s").cast("long").alias("intra_total_s"),
+        F.expr("CAST(sum(intra_s) div sum(n_sessions) AS BIGINT)").alias(
+            "mean_session_s"
+        ),
+    )

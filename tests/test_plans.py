@@ -994,3 +994,34 @@ def test_maxsim_dominates_its_own_subscores(spark, sf_small):
         scores = [r.maxsim for r in sorted(
             (r for r in rows if r.query_id == qid), key=lambda r: r.rank)]
         assert scores == sorted(scores, reverse=True), scores
+
+
+def test_session_gap_sweep_one_lag_pass_no_join(spark, sf_small):
+    """One per-user lag window (hash-partitioned by the uniform user key),
+    a bounded threshold explode, keyed aggregations — no join anywhere and
+    no global sort."""
+    plan = plan_of(spark, sf_small, "session_gap_sweep")
+    assert "Join" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert re.search(r"hashpartitioning\(user_id", plan), plan
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1, plan
+
+
+def test_session_gap_sweep_monotone_in_threshold(spark, sf_small):
+    """A larger gap can only merge sessions: n_sessions must be
+    non-increasing and intra time non-decreasing in T; the 30-min row must
+    agree with user_sessions' total session count."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    rows = sorted(
+        get("session_gap_sweep").builder(spark, sf_small).collect(),
+        key=lambda r: r.gap_s,
+    )
+    assert [r.gap_s for r in rows] == [300, 900, 1800, 3600]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_sessions >= b.n_sessions, (a, b)
+        assert a.intra_total_s <= b.intra_total_s, (a, b)
+        assert a.n_users == b.n_users and a.n_events == b.n_events, (a, b)
+    n_sessions_30 = rows[2].n_sessions
+    us = get("user_sessions").builder(spark, sf_small).count()
+    assert n_sessions_30 == us, (n_sessions_30, us)
