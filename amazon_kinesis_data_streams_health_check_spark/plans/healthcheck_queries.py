@@ -651,7 +651,7 @@ def metric_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.select(
         "stream_name",
         "window_start",
-        F.col("x").alias("value_milli"),
+        F.col("x").alias("n_arrivals"),
         ((F.col("n") >= _ANOM_MIN) & (lhs > rhs)).alias("is_anomaly"),
     )
 
@@ -985,7 +985,7 @@ def seasonal_baseline_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.lit(60) * F.floor(F.unix_timestamp("ts") / 60)
         ).cast("long").alias("ws"),
-    ).agg(F.floor(F.max("value") * 1000).cast("long").alias("x"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
     h = m.withColumn("hod", (F.floor(F.col("ws") / 3600) % 24).cast("long"))
     base = h.groupBy("stream_name", "hod").agg(
         F.expr("percentile(x, 0.5)").alias("med")
@@ -995,7 +995,7 @@ def seasonal_baseline_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "stream_name",
             F.col("ws").alias("window_start_s"),
-            F.col("x").alias("value_milli"),
+            F.col("x").alias("n_arrivals"),
             "hod",
             F.round("med", 6).alias("median_milli"),
             (F.col("x").cast("double") > F.lit(_SEAS_MULT) * F.col("med")).alias(
@@ -2108,7 +2108,7 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "stream_name",
         F.col("ws").alias("window_start_s"),
-        F.col("x").alias("value_milli"),
+        F.col("x").alias("n_arrivals"),
         cpos.cast("long").alias("cusum_pos"),
         cneg.cast("long").alias("cusum_neg"),
         (cpos > F.col("mu_milli")).alias("drift_up"),
@@ -3540,3 +3540,115 @@ def kcl_lease_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("w"), F.col("id").cast("string")).alias("worker")
     )
     return plan_lease_rebalance(named, live, _LEASE_LIVE).drop("shard")
+
+
+# ---------------------------------------------------------------------------
+# EWMA control chart: the third classic chart next to the Shewhart 3-sigma
+# test (metric_anomaly_flags) and CUSUM (cusum_changepoint) — geometric
+# memory that reacts faster than a trailing mean and smoother than a
+# point test. With alpha = 1/2 the weights are powers of two, so the
+# H-step-truncated EWMA numerator E = sum_{k=1..H} 2^(H-k) * x_{t-k} and
+# its weight mass W are exact BIGINTs; charted over per-minute arrival
+# counts (Poisson-ish), the chart tests the CURRENT point
+# against the PAST-only prediction by integer cross-multiplication
+# (x * W vs MULT * E), no division, no floats — a soft, self-calibrating
+# version of the missing-data alarm (F3): a rate collapse trips spike_low
+# before the hard zero does. Peak magnitude 2^H * count stays far inside
+# int64 for any realistic per-minute rate.
+# ---------------------------------------------------------------------------
+_EWMA_H = 12
+_EWMA_MULT = 2  # spike when x > 2 * ewma-mean (and drop when x < mean / 2)
+
+_EWMA_TERMS_SQL = " + ".join(
+    f"coalesce(lag(x, {k}) OVER w * {1 << (_EWMA_H - k)}, 0)"
+    for k in range(1, _EWMA_H + 1)
+)
+_EWMA_MASS_SQL = " + ".join(
+    f"CASE WHEN lag(x, {k}) OVER w IS NOT NULL THEN {1 << (_EWMA_H - k)} ELSE 0 END"
+    for k in range(1, _EWMA_H + 1)
+)
+
+_EWMA_SQL = f"""
+WITH metrics AS (
+  SELECT event_type AS stream_name, date_trunc('minute', ts) AS window_start,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+ew AS (
+  SELECT stream_name, window_start, x,
+         CAST({_EWMA_TERMS_SQL} AS BIGINT) AS ewma_num,
+         CAST({_EWMA_MASS_SQL} AS BIGINT) AS weight_sum
+  FROM metrics
+  WINDOW w AS (PARTITION BY stream_name ORDER BY window_start)
+)
+SELECT stream_name, window_start, x AS n_arrivals, ewma_num, weight_sum,
+       weight_sum < {(1 << _EWMA_H) - 1} AS warmup,
+       weight_sum = {(1 << _EWMA_H) - 1}
+         AND x * weight_sum > {_EWMA_MULT} * ewma_num AS spike_high,
+       weight_sum = {(1 << _EWMA_H) - 1}
+         AND {_EWMA_MULT} * x * weight_sum < ewma_num AS spike_low
+FROM ew
+"""
+
+
+@register(
+    "ewma_control_chart",
+    oracle=_EWMA_SQL,
+    doc="EWMA control chart on the 1-min arrival-rate series (alpha = 1/2, "
+    "horizon 12): power-of-two weights make the truncated EWMA numerator "
+    "and weight mass exact BIGINTs; spikes/drops test the current point "
+    "against the past-only geometric mean by integer cross-multiplication "
+    "— completing the Shewhart / CUSUM / EWMA chart trio",
+    tags=("core", "timeseries"),
+)
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one keyed aggregation to the 1-min series, then ONE
+    ordered window per stream evaluating all 12 lags (bounded stream
+    cardinality => partition-local sorts); the chart is O(H) per point
+    with H constant. Exact integers sidestep float accumulation-order
+    drift exactly as in metric_anomaly_flags."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    metrics = events.groupBy(
+        F.col("event_type").alias("stream_name"),
+        F.window("ts", "1 minute")["start"].alias("window_start"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = Window.partitionBy("stream_name").orderBy("window_start")
+    terms = sum(
+        (
+            F.coalesce(F.lag("x", k).over(w) * (1 << (_EWMA_H - k)), F.lit(0))
+            for k in range(1, _EWMA_H + 1)
+        ),
+        F.lit(0),
+    )
+    mass = sum(
+        (
+            F.when(
+                F.lag("x", k).over(w).isNotNull(), F.lit(1 << (_EWMA_H - k))
+            ).otherwise(0)
+            for k in range(1, _EWMA_H + 1)
+        ),
+        F.lit(0),
+    )
+    full = (1 << _EWMA_H) - 1
+    ew = metrics.select(
+        "stream_name",
+        "window_start",
+        F.col("x").alias("n_arrivals"),
+        terms.cast("long").alias("ewma_num"),
+        mass.cast("long").alias("weight_sum"),
+    )
+    return ew.select(
+        "*",
+        (F.col("weight_sum") < full).alias("warmup"),
+        (
+            (F.col("weight_sum") == full)
+            & (F.col("n_arrivals") * F.col("weight_sum") > _EWMA_MULT * F.col("ewma_num"))
+        ).alias("spike_high"),
+        (
+            (F.col("weight_sum") == full)
+            & (F.lit(_EWMA_MULT) * F.col("n_arrivals") * F.col("weight_sum") < F.col("ewma_num"))
+        ).alias("spike_low"),
+    )

@@ -1025,3 +1025,37 @@ def test_session_gap_sweep_monotone_in_threshold(spark, sf_small):
     n_sessions_30 = rows[2].n_sessions
     us = get("user_sessions").builder(spark, sf_small).count()
     assert n_sessions_30 == us, (n_sessions_30, us)
+
+
+def test_ewma_control_chart_one_window_per_stream(spark, sf_small):
+    """All 12 lags evaluate inside ONE ordered window partitioned by the
+    bounded stream key — 12 separate window nodes (or a join) would scan
+    the series 12 times."""
+    plan = plan_of(spark, sf_small, "ewma_control_chart")
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_ewma_control_chart_matches_python_recurrence(spark, sf_small):
+    """The window-lag EWMA numerator must equal the truncated geometric
+    recurrence computed independently in Python, and flags must only fire
+    outside warmup."""
+    from collections import defaultdict
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    rows = get("ewma_control_chart").builder(spark, sf_small).collect()
+    series = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.stream_name, r.window_start)):
+        series[r.stream_name].append(r)
+    H = 12
+    for s, rs in series.items():
+        xs = [r.n_arrivals for r in rs]
+        for t, r in enumerate(rs):
+            past = xs[max(0, t - H):t]
+            expected = sum(x * (1 << (H - k)) for k, x in
+                           zip(range(len(past), 0, -1), past))
+            assert r.ewma_num == expected, (s, t, r)
+            if r.warmup:
+                assert not r.spike_high and not r.spike_low, r
