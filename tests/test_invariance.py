@@ -76,6 +76,13 @@ INVARIANT = [
     "quality_matched_resample",
     "padded_batch_waste",
     "auc_rank_exact",
+    # round-4 fourth session: two-phase MaxSim merge (locals differ per
+    # layout, the integer merge must not), pool-rank lease assignment
+    # (row_number over explicit shard keys feeding offset-aligned takes),
+    # rank-formula Gini (per-stream ranks over an aggregated relation)
+    "maxsim_late_interaction",
+    "kcl_lease_rebalance",
+    "gini_concentration",
 ]
 
 
