@@ -2950,3 +2950,113 @@ def streaming_lease_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "moved",
         "new_owner_leases",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA control chart: the online twin of ewma_control_chart. The
+# state store holds the last 12 per-minute counts per stream — exactly what
+# the batch window's lag(x, 1..12) reads — so the drive's output is
+# byte-identical to the batch chart however the feed is sliced. The oracle
+# is the batch SQL re-keyed to epoch seconds (the streaming feed's period
+# key); every weight is a power of two, every statistic an exact BIGINT.
+# ---------------------------------------------------------------------------
+_SEWMA_H = 12
+_SEWMA_TERMS = " + ".join(
+    f"coalesce(lag(x, {k}) OVER w * {1 << (_SEWMA_H - k)}, 0)"
+    for k in range(1, _SEWMA_H + 1)
+)
+_SEWMA_MASS = " + ".join(
+    f"CASE WHEN lag(x, {k}) OVER w IS NOT NULL THEN {1 << (_SEWMA_H - k)} ELSE 0 END"
+    for k in range(1, _SEWMA_H + 1)
+)
+
+_SEWMA_SQL = f"""
+WITH metrics AS (
+  SELECT event_type AS stream_name,
+         CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) AS ws,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+ew AS (
+  SELECT stream_name, ws, x,
+         CAST({_SEWMA_TERMS} AS BIGINT) AS ewma_num,
+         CAST({_SEWMA_MASS} AS BIGINT) AS weight_sum
+  FROM metrics
+  WINDOW w AS (PARTITION BY stream_name ORDER BY ws)
+)
+SELECT stream_name, ws AS window_start_s, x AS n_arrivals, ewma_num,
+       weight_sum,
+       weight_sum < {(1 << _SEWMA_H) - 1} AS warmup,
+       weight_sum = {(1 << _SEWMA_H) - 1}
+         AND x * weight_sum > 2 * ewma_num AS spike_high,
+       weight_sum = {(1 << _SEWMA_H) - 1}
+         AND 2 * x * weight_sum < ewma_num AS spike_low
+FROM ew
+"""
+
+
+@register(
+    "streaming_ewma_chart",
+    # Import, not copy: the streaming fold and the batch lag window must
+    # stay semantically identical, so they share the chart's arithmetic.
+    oracle=_SEWMA_SQL,
+    doc="Streaming EWMA control chart: applyInPandasWithState holding the "
+    "last 12 per-minute counts per stream (exactly the batch window's lag "
+    "reads) — driven over 4 mtime-ordered feed chunks (cross-batch state "
+    "for real) and value-hash checked against the batch chart re-keyed to "
+    "epoch seconds",
+    tags=("core", "streaming", "timeseries"),
+)
+def streaming_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the minute rollup is the batch chart's profile stage;
+    online, the state store holds 12 BIGINTs per stream and each
+    micro-batch folds its periods in O(rows * H). Because the carry is the
+    literal lag history, a backfill replay from any checkpoint reproduces
+    the identical chart — what makes the EWMA deployable continuously."""
+    import shutil
+
+    from amazon_kinesis_data_streams_health_check_spark.streaming.ewma import (
+        ewma_stream,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    feed_rows = (
+        events.groupBy(
+            F.col("event_type").alias("stream_name"),
+            (F.lit(60) * F.floor(F.unix_timestamp("ts") / 60))
+            .cast("long")
+            .alias("ws"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    b = feed_rows.agg(F.min("ws").alias("lo"), F.max("ws").alias("hi")).collect()[0]
+    lo_s, hi_s = int(b["lo"]), int(b["hi"])
+
+    feed_dir = tempfile.mkdtemp(prefix="ewma_feed_")
+    n_chunks = 4
+    span = hi_s - lo_s + 60
+    step = max(60, (span // n_chunks // 60) * 60)
+    cuts = [lo_s + i * step for i in range(n_chunks)] + [hi_s + 120]
+    for i in range(n_chunks):
+        chunk = feed_rows.filter(
+            (F.col("ws") >= cuts[i]) & (F.col("ws") < cuts[i + 1])
+        )
+        tmp = tempfile.mkdtemp(prefix=f"ewma_chunk{i}_")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p
+            for p in sorted(os.listdir(tmp))
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = os.path.join(feed_dir, f"chunk_{i:02d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    feed = (
+        spark.readStream.schema("stream_name string, ws long, x long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    return _run_to_memory(ewma_stream(feed), "ewma", output_mode="update")

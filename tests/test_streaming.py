@@ -438,3 +438,82 @@ def test_streaming_cusum_matches_batch(spark, sf_small):
     got = {tuple(map(str, r)) for r in qs["streaming_cusum"].builder(spark, sf_small).collect()}
     want = {tuple(map(str, r)) for r in qs["cusum_changepoint"].builder(spark, sf_small).collect()}
     assert got == want
+
+
+def test_ewma_slicing_invariant_and_matches_python(spark, tmp_path):
+    """The streaming EWMA chart emits identical rows whether the feed
+    arrives as one micro-batch or three, and the emitted numerators match
+    an independent Python recurrence over the same series."""
+    import os
+
+    from amazon_kinesis_data_streams_health_check_spark.streaming.ewma import (
+        EWMA_H,
+        ewma_stream,
+    )
+
+    base = 1_700_000_000 - (1_700_000_000 % 60)
+    series = {
+        "a": [3, 5, 2, 8, 1, 9, 4, 6, 2, 7, 5, 3, 40, 2, 1],  # spike at idx 12
+        "b": [10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 1, 10],
+    }
+    feed_rows = [
+        (s, base + i * 60, x)
+        for s, xs in series.items()
+        for i, x in enumerate(xs)
+    ]
+    ddl = "stream_name string, ws long, x long"
+    feed_df = spark.createDataFrame(feed_rows, ddl)
+
+    def drive(n_chunks: int, tag: str):
+        src = tmp_path / f"feed_{tag}"
+        os.makedirs(src)
+        per = 15 // n_chunks + 1
+        chunks = [
+            feed_df.filter(
+                (F.col("ws") >= base + i * per * 60)
+                & (F.col("ws") < base + (i + 1) * per * 60)
+            )
+            for i in range(n_chunks)
+        ]
+        for i, c in enumerate(chunks):
+            d = tmp_path / f"w_{tag}_{i}"
+            c.coalesce(1).write.parquet(str(d))
+            part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+            dst = src / f"chunk_{i:02d}.parquet"
+            os.rename(d / part, dst)
+            os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+        stream = (
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            ewma_stream(stream)
+            .writeStream.format("memory")
+            .queryName(f"ewma_{tag}")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return sorted(
+            (tuple(r) for r in spark.table(f"ewma_{tag}").collect())
+        )
+
+    one = drive(1, "one")
+    three = drive(3, "three")
+    assert one == three
+    by_key = {(r[0], r[1]): r for r in one}
+    for s, xs in series.items():
+        for i, x in enumerate(xs):
+            r = by_key[(s, base + i * 60)]
+            past = xs[max(0, i - EWMA_H):i]
+            expected = sum(
+                v << (EWMA_H - k)
+                for k, v in zip(range(len(past), 0, -1), past)
+            )
+            assert r[3] == expected, (s, i, r)
+    # the engineered spike fires exactly once, outside warmup
+    spikes = [r for r in one if r[6]]
+    assert spikes == [r for r in one if r[0] == "a" and r[1] == base + 12 * 60]
