@@ -308,6 +308,7 @@ def jaccard_allpairs_pairs(
     t_num: int = 1,
     t_den: int = 2,
     id_col: str = "doc_id",
+    keep_sizes: bool = False,
 ) -> DataFrame:
     """All (doc_a < doc_b, jaccard) pairs with word-3-gram Jaccard
     >= t_num/t_den — EXACT (no LSH recall loss): shingles are ordered by
@@ -364,5 +365,10 @@ def jaccard_allpairs_pairs(
             "doc_a",
             "doc_b",
             F.round(F.col("_i").cast("double") / F.col("_u"), 6).alias("jaccard"),
+            *(
+                [F.col("_i").alias("n_inter"), F.col("_u").alias("n_union")]
+                if keep_sizes
+                else []
+            ),
         )
     )

@@ -4262,3 +4262,155 @@ def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("c.neg")).alias("maxsim"),
         (F.col("pos") + 1).cast("long").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold PR curve: dedup_lsh_recall measures ONE operating point
+# (tau = 1/2); this is the whole calibration sheet. Both the exact pair set
+# and the LSH candidate set are materialized ONCE at the loosest threshold
+# (1/3) with their intersection/union sizes, then every candidate tau in
+# {1/3, 1/2, 2/3, 4/5} is evaluated by integer cross-multiplication over a
+# bounded explode — no per-threshold recompute, no float compare. The
+# recall-vs-tau column IS the banding decision: where it sags below
+# tolerance, 4x3 bands are not enough for that similarity regime.
+# ---------------------------------------------------------------------------
+_PRC_TAUS = ((1, 3), (1, 2), (2, 3), (4, 5))
+
+_PRC_TAU_VALUES = ", ".join(f"({p}, {q})" for p, q in _PRC_TAUS)
+
+_PRC_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {duck_shingles()} AS sh FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS i,
+         CAST(len(list_distinct(a.sh || b.sh)) AS BIGINT) AS u
+  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+),
+mh AS (
+  SELECT doc_id, sh, {duck_minhash_cols()} FROM tok
+),
+bands AS (
+  {duck_band_union()}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x
+  JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              AND x.doc_id < y.doc_id
+),
+n_cand AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+cpairs AS (
+  SELECT p.i, p.u FROM cand c JOIN pairs p
+    ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+),
+thr(p, q) AS (VALUES {_PRC_TAU_VALUES}),
+truth_t AS (
+  SELECT t.p, t.q, CAST(count(*) AS BIGINT) AS n_true
+  FROM pairs, thr t WHERE q * i >= p * u GROUP BY t.p, t.q
+),
+tp_t AS (
+  SELECT t.p, t.q, CAST(count(*) AS BIGINT) AS n_tp
+  FROM cpairs, thr t WHERE q * i >= p * u GROUP BY t.p, t.q
+)
+SELECT CAST(tr.p AS BIGINT) AS tau_num, CAST(tr.q AS BIGINT) AS tau_den,
+       tr.n_true, coalesce(tp.n_tp, 0) AS n_detected, nc.n_candidates,
+       CAST(1000000 * coalesce(tp.n_tp, 0) // tr.n_true AS BIGINT)
+         AS recall_ppm,
+       CAST(1000000 * coalesce(tp.n_tp, 0) // nc.n_candidates AS BIGINT)
+         AS verify_yield_ppm
+FROM truth_t tr
+LEFT JOIN tp_t tp ON tp.p = tr.p AND tp.q = tr.q
+CROSS JOIN n_cand nc
+"""
+
+
+@register(
+    "dedup_threshold_pr_curve",
+    oracle=_PRC_SQL,
+    doc="Dedup calibration sheet: exact pair set and LSH candidates "
+    "materialized once at tau=1/3 with (intersect, union) sizes, then "
+    "recall and verification yield evaluated at every tau in "
+    "{1/3, 1/2, 2/3, 4/5} by integer cross-multiplication — the full "
+    "LSH S-curve as evidence, extending dedup_lsh_recall's single point",
+    tags=("ext", "dedup"),
+)
+def dedup_threshold_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the exact side is the lossless prefix-filter join at
+    the loosest threshold (brute force exists only in the oracle); the LSH
+    side is the salted band self-join; sizes computed once per pair, the
+    tau sweep is a 4-way bounded explode over the PAIR relations (far
+    smaller than the corpus), and every count folds through broadcast
+    1-row aggregates."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (
+        jaccard_allpairs_pairs,
+        lsh_candidate_pairs,
+        with_bands,
+        with_minhash,
+        with_shingles,
+    )
+
+    configure_session(spark)
+    p_min, q_min = _PRC_TAUS[0]
+    docs = parallel_scan(spark, sf_dir, "documents")
+    truth = (
+        jaccard_allpairs_pairs(docs, p_min, q_min, keep_sizes=True)
+        .select(F.col("n_inter").alias("i"), F.col("n_union").alias("u"))
+        .localCheckpoint(eager=False)  # feeds every tau leg
+    )
+    sh = with_shingles(docs).select("doc_id", "sh").localCheckpoint(eager=False)
+    cand = lsh_candidate_pairs(with_bands(with_minhash(sh))).localCheckpoint(
+        eager=False
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    cpairs = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter((F.expr("size(sa)") > 0) & (F.expr("size(sb)") > 0))
+        .select(
+            F.expr("size(array_intersect(sa, sb))").cast("long").alias("i"),
+            F.expr("size(array_union(sa, sb))").cast("long").alias("u"),
+        )
+        .filter(F.lit(q_min) * F.col("i") >= F.lit(p_min) * F.col("u"))
+        .localCheckpoint(eager=False)
+    )
+    taus = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(p).cast("long").alias("p"), F.lit(q).cast("long").alias("q"))
+                for p, q in _PRC_TAUS
+            ]
+        )
+    ).alias("t")
+    truth_t = (
+        truth.select("i", "u", taus)
+        .filter(F.col("t.q") * F.col("i") >= F.col("t.p") * F.col("u"))
+        .groupBy("t.p", "t.q")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    )
+    tp_t = (
+        cpairs.select("i", "u", taus)
+        .filter(F.col("t.q") * F.col("i") >= F.col("t.p") * F.col("u"))
+        .groupBy("t.p", "t.q")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tp"))
+    )
+    out = (
+        truth_t.join(tp_t, ["p", "q"], "left")
+        .na.fill({"n_tp": 0})
+        .crossJoin(F.broadcast(n_cand))
+    )
+    return out.select(
+        F.col("p").alias("tau_num"),
+        F.col("q").alias("tau_den"),
+        "n_true",
+        F.col("n_tp").alias("n_detected"),
+        "n_candidates",
+        F.expr("CAST(1000000 * n_tp div n_true AS BIGINT)").alias("recall_ppm"),
+        F.expr("CAST(1000000 * n_tp div n_candidates AS BIGINT)").alias(
+            "verify_yield_ppm"
+        ),
+    )

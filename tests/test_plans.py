@@ -1059,3 +1059,35 @@ def test_ewma_control_chart_matches_python_recurrence(spark, sf_small):
             assert r.ewma_num == expected, (s, t, r)
             if r.warmup:
                 assert not r.spike_high and not r.spike_low, r
+
+
+def test_dedup_pr_curve_no_brute_force_in_spark_plan(spark, sf_small):
+    """The O(n^2) pair join lives only in the oracle: the Spark plan must
+    contain no cartesian product; pair generation rides the prefix-filter
+    and banded self-joins."""
+    plan = plan_of(spark, sf_small, "dedup_threshold_pr_curve")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dedup_pr_curve_consistent_with_lsh_recall_point(spark, sf_small):
+    """Set containments: n_true non-increasing in tau, detected <= true and
+    <= candidates; the tau=1/2 row must reproduce dedup_lsh_recall's
+    operating point exactly."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    rows = sorted(
+        get("dedup_threshold_pr_curve").builder(spark, sf_small).collect(),
+        key=lambda r: r.tau_num / r.tau_den,
+    )
+    assert [(r.tau_num, r.tau_den) for r in rows] == [(1, 3), (1, 2), (2, 3), (4, 5)]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_true >= b.n_true, (a, b)
+        assert a.n_candidates == b.n_candidates, (a, b)
+    for r in rows:
+        assert r.n_detected <= r.n_true, r
+        assert r.n_detected <= r.n_candidates, r
+    point = get("dedup_lsh_recall").builder(spark, sf_small).collect()[0]
+    half = rows[1]
+    assert half.n_true == point.n_true_pairs, (half, point)
+    assert half.n_detected == point.n_detected, (half, point)
+    assert half.n_candidates == point.n_candidates, (half, point)
