@@ -4414,3 +4414,161 @@ def dedup_threshold_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "verify_yield_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Filter-agreement audit: three independent quality filters (composite
+# quality score, language-label mismatch, short-document) vote on every
+# document, and each pair's agreement is summarized as Cohen's kappa — the
+# chance-corrected statistic that tells a curation team whether two filters
+# are redundant (kappa -> 1), independent (kappa -> 0), or contradictory
+# (kappa < 0). Raw agreement alone lies when one filter rarely fires; the
+# kappa denominator prices that in. All arithmetic is exact: counts are
+# BIGINTs, the kappa ratio is one sign-split integer division in ppm
+# (truncation toward zero made explicit so both engines agree on negatives).
+# ---------------------------------------------------------------------------
+_KAPPA_QMIN = 0.61  # ~10th percentile of the composite score: a real minority flag
+_KAPPA_SHORT = 20
+
+_KAPPA_SQL = f"""
+WITH base AS (
+  SELECT lang,
+         {_score_sql},
+         CAST(len({_DUCK_TOK}) AS BIGINT) AS n_tokens,
+         {{qscore}} AS qscore
+  FROM documents
+),
+f AS (
+  SELECT (n_tokens = 0 OR qscore < {_KAPPA_QMIN}) AS fq,
+         ({_case} <> lang) AS fl,
+         (n_tokens < {_KAPPA_SHORT}) AS fs
+  FROM base
+),
+pf AS (
+  SELECT 'quality~langmis' AS pair, fq AS x, fl AS y FROM f
+  UNION ALL SELECT 'quality~short', fq, fs FROM f
+  UNION ALL SELECT 'langmis~short', fl, fs FROM f
+),
+agg AS (
+  SELECT pair,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE x AND y) AS BIGINT) AS n11,
+         CAST(count(*) FILTER (WHERE x AND NOT y) AS BIGINT) AS n10,
+         CAST(count(*) FILTER (WHERE NOT x AND y) AS BIGINT) AS n01,
+         CAST(count(*) FILTER (WHERE NOT x AND NOT y) AS BIGINT) AS n00
+  FROM pf GROUP BY pair
+),
+k AS (
+  SELECT pair, n, n11, n10, n01, n00,
+         CAST(n AS HUGEINT) * (n11 + n00)
+           - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+              + CAST(n - n11 - n10 AS HUGEINT) * (n - n11 - n01)) AS num,
+         CAST(n AS HUGEINT) * n
+           - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+              + CAST(n - n11 - n10 AS HUGEINT) * (n - n11 - n01)) AS den
+  FROM agg
+)
+SELECT pair, n, n11, n10, n01, n00,
+       CASE WHEN den = 0 THEN NULL
+            ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                      * ((1000000 * abs(num)) // den) AS BIGINT) END
+         AS kappa_ppm
+FROM k
+"""
+
+
+from amazon_kinesis_data_streams_health_check_spark.plans.curation_queries import (  # noqa: E402
+    _KEEP_QSCORE,
+)
+
+_KAPPA_SQL_FULL = _KAPPA_SQL.format(
+    qscore=_KEEP_QSCORE.format(tok=_DUCK_TOK, stop=duck_stop_list())
+)
+
+
+@register(
+    "filter_agreement_kappa",
+    oracle=_KAPPA_SQL_FULL,
+    doc="Filter-agreement audit: composite-quality, language-mismatch and "
+    "short-document filters vote on every document; each pair's agreement "
+    "is Cohen's kappa in exact ppm (chance-corrected — raw agreement lies "
+    "when a filter rarely fires), sign-split integer division so both "
+    "engines truncate negatives identically",
+    tags=("ext", "quality"),
+)
+def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ONE narrow scan computes all three flags (token stats,
+    stopword-hit lang id, quality score are codegen'd expressions); the
+    pair melt is a bounded 3-way explode and the kappa arithmetic runs on
+    a 3-row aggregate. Nothing joins, nothing sorts."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.textstats import (
+        with_lang_guess,
+        with_quality_score,
+        with_token_stats,
+    )
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    scored = with_lang_guess(with_quality_score(with_token_stats(docs)))
+    flags = scored.select(
+        (
+            (F.col("n_tokens") == 0) | (F.col("quality_score") < _KAPPA_QMIN)
+        ).alias("fq"),
+        (F.col("lang_guess") != F.col("lang")).alias("fl"),
+        (F.col("n_tokens") < _KAPPA_SHORT).alias("fs"),
+    )
+    pf = flags.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("quality~langmis").alias("pair"),
+                    F.col("fq").alias("x"),
+                    F.col("fl").alias("y"),
+                ),
+                F.struct(
+                    F.lit("quality~short").alias("pair"),
+                    F.col("fq").alias("x"),
+                    F.col("fs").alias("y"),
+                ),
+                F.struct(
+                    F.lit("langmis~short").alias("pair"),
+                    F.col("fl").alias("x"),
+                    F.col("fs").alias("y"),
+                ),
+            )
+        ).alias("t")
+    ).select("t.pair", "t.x", "t.y")
+    agg = pf.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(count_if(x AND y) AS BIGINT)").alias("n11"),
+        F.expr("CAST(count_if(x AND NOT y) AS BIGINT)").alias("n10"),
+        F.expr("CAST(count_if(NOT x AND y) AS BIGINT)").alias("n01"),
+        F.expr("CAST(count_if(NOT x AND NOT y) AS BIGINT)").alias("n00"),
+    )
+    dec = "DECIMAL(38,0)"
+    k = agg.select(
+        "*",
+        F.expr(
+            f"CAST(n AS {dec}) * (n11 + n00)"
+            f" - (CAST(n11 + n10 AS {dec}) * (n11 + n01)"
+            f"    + CAST(n - n11 - n10 AS {dec}) * (n - n11 - n01))"
+        ).alias("num"),
+        F.expr(
+            f"CAST(n AS {dec}) * n"
+            f" - (CAST(n11 + n10 AS {dec}) * (n11 + n01)"
+            f"    + CAST(n - n11 - n10 AS {dec}) * (n - n11 - n01))"
+        ).alias("den"),
+    )
+    return k.select(
+        "pair",
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr(
+            "CASE WHEN den = 0 THEN NULL"
+            " ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)"
+            "      * ((1000000 * abs(num)) div den) AS BIGINT) END"
+        ).alias("kappa_ppm"),
+    )

@@ -1091,3 +1091,35 @@ def test_dedup_pr_curve_consistent_with_lsh_recall_point(spark, sf_small):
     assert half.n_true == point.n_true_pairs, (half, point)
     assert half.n_detected == point.n_detected, (half, point)
     assert half.n_candidates == point.n_candidates, (half, point)
+
+
+def test_filter_agreement_kappa_single_pass_no_join(spark, sf_small):
+    """All three flags come from one narrow scan (codegen'd expressions);
+    the pair melt is a bounded explode; no join, no global sort."""
+    plan = plan_of(spark, sf_small, "filter_agreement_kappa")
+    assert "Join" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert len(re.findall(r"Scan parquet|parquet\.", plan)) <= 2, plan
+
+
+def test_filter_agreement_kappa_matches_sklearn_free_formula(spark, sf_small):
+    """The ppm kappa must equal the independent Python computation from the
+    emitted contingency (incl. truncation-toward-zero on negatives), and
+    each pair's cells must sum to n."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    rows = get("filter_agreement_kappa").builder(spark, sf_small).collect()
+    assert {r.pair for r in rows} == {
+        "quality~langmis", "quality~short", "langmis~short"
+    }
+    for r in rows:
+        assert r.n11 + r.n10 + r.n01 + r.n00 == r.n, r
+        r1, c1 = r.n11 + r.n10, r.n11 + r.n01
+        pe_num = r1 * c1 + (r.n - r1) * (r.n - c1)
+        num = r.n * (r.n11 + r.n00) - pe_num
+        den = r.n * r.n - pe_num
+        if den == 0:
+            assert r.kappa_ppm is None, r
+        else:
+            sign = -1 if num < 0 else 1
+            assert r.kappa_ppm == sign * (10**6 * abs(num) // den), r
