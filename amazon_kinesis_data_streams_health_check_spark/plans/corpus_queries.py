@@ -2862,3 +2862,118 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("r2_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law exponent fit: the frequency-side companion of heaps_law_fit.
+# Word frequency decays as f(r) ~ r^(-s); sampling the rank-frequency
+# curve AT POWER-OF-TWO RANKS gives exactly one point per log2 bin (the
+# natural weighting for a log-log fit — using every word would let the
+# million-word f=1 tail swamp the slope), and makes x = log2(rank) EXACT.
+# y = floor(log2(freq)) via length(bin(f)) - 1; the integer OLS slope is
+# negative, so the micro division is sign-split (abs + explicit sign) —
+# DuckDB floors negative // while Spark div truncates, and the split makes
+# both truncate identically.
+# ---------------------------------------------------------------------------
+_ZIPF_SQL = f"""
+WITH wc AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS f
+  FROM (SELECT source, unnest({_DUCK_TOK}) AS word FROM documents)
+  GROUP BY source, word
+),
+ranked AS (
+  SELECT source, f,
+         row_number() OVER (PARTITION BY source ORDER BY f DESC, word) AS r
+  FROM wc
+),
+pts AS (
+  SELECT source,
+         CAST(length(bin(r)) - 1 AS BIGINT) AS x,
+         CAST(length(bin(f)) - 1 AS BIGINT) AS y
+  FROM ranked
+  WHERE (r & (r - 1)) = 0
+),
+m AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pts GROUP BY source
+)
+SELECT source, n AS n_points,
+       CASE WHEN n * sxx - sx * sx = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST((CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+                      * ((1000000 * abs(n * sxy - sx * sy))
+                         // (n * sxx - sx * sx)) AS BIGINT) END
+         AS zipf_slope_micro,
+       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0
+            THEN CAST(NULL AS BIGINT)
+            ELSE CAST(1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                      // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                      AS BIGINT) END AS r2_micro
+FROM m
+"""
+
+
+@register(
+    "zipf_law_fit",
+    oracle=_ZIPF_SQL,
+    doc="Corpus scaling law: per-source Zipf exponent from the "
+    "rank-frequency curve sampled at power-of-two ranks (one point per "
+    "log2 bin — the f=1 tail cannot swamp the slope, and x = log2(rank) "
+    "is exact); integer OLS with a sign-split micro division so the "
+    "negative slope truncates identically cross-engine; heaps_law_fit's "
+    "frequency-side companion",
+    tags=("ext", "corpus", "tokenizer"),
+)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one word-count aggregation (uniform keys, map-side
+    partials), one rank window per source over the Heaps-bounded VOCAB
+    relation (never the token stream), a power-of-two filter that keeps
+    ~log2(V) rows per source, and a bounded OLS fold. The token stream is
+    touched exactly once."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    wc = (
+        docs.select("source", F.explode(F.expr(_SPARK_TOK)).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    ranked = wc.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.col("f").desc(), "word")
+        ),
+    )
+    pts = ranked.filter(F.expr("(r & (r - 1)) = 0")).select(
+        "source",
+        F.expr("CAST(length(bin(r)) - 1 AS BIGINT)").alias("x"),
+        F.expr("CAST(length(bin(f)) - 1 AS BIGINT)").alias("y"),
+    )
+    m = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return m.select(
+        "source",
+        F.col("n").alias("n_points"),
+        F.expr(
+            "CASE WHEN n * sxx - sx * sx = 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE CAST((CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)"
+            "      * ((1000000 * abs(n * sxy - sx * sy))"
+            "         div (n * sxx - sx * sx)) AS BIGINT) END"
+        ).alias("zipf_slope_micro"),
+        F.expr(
+            "CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0"
+            " THEN CAST(NULL AS BIGINT)"
+            " ELSE CAST(1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy)"
+            "      div ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+            "      AS BIGINT) END"
+        ).alias("r2_micro"),
+    )

@@ -1123,3 +1123,54 @@ def test_filter_agreement_kappa_matches_sklearn_free_formula(spark, sf_small):
         else:
             sign = -1 if num < 0 else 1
             assert r.kappa_ppm == sign * (10**6 * abs(num) // den), r
+
+
+def test_zipf_fit_rank_window_on_vocab_not_stream(spark, sf_small):
+    """The rank window must partition by source over the VOCAB relation
+    (post-aggregation), never range-partition the token stream; one scan."""
+    plan = plan_of(spark, sf_small, "zipf_law_fit")
+    assert "rangepartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"Scan parquet|parquet\.", plan)) <= 2, plan
+
+
+def test_zipf_fit_matches_python_ols(spark, sf_small):
+    """The sign-split micro slope must equal the independent Python OLS
+    over the power-of-two checkpoint points, recomputed from raw counts."""
+    import collections
+    import math
+
+    from amazon_kinesis_data_streams_health_check_spark.operators.textstats import (
+        TOKEN_RE,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+    import re as _re
+
+    import duckdb
+
+    rows = {r.source: r for r in get("zipf_law_fit").builder(spark, sf_small).collect()}
+    docs = duckdb.sql(
+        f"SELECT source, lower(text) AS t FROM read_parquet('{sf_small}/documents.parquet')"
+    ).fetchall()
+    counts: dict = collections.defaultdict(collections.Counter)
+    for src, t in docs:
+        counts[src].update(_re.findall(TOKEN_RE, t))
+    for src, ctr in counts.items():
+        ranked = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))
+        pts = [
+            (int(math.log2(r)), (f).bit_length() - 1)
+            for r, (_, f) in enumerate(ranked, start=1)
+            if r & (r - 1) == 0
+        ]
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts); sxy = sum(x * y for x, y in pts)
+        den = n * sxx - sx * sx
+        r_ = rows[src]
+        assert r_.n_points == n, (src, r_)
+        if den == 0:
+            assert r_.zipf_slope_micro is None, r_
+        else:
+            num = n * sxy - sx * sy
+            sign = -1 if num < 0 else 1
+            assert r_.zipf_slope_micro == sign * (10**6 * abs(num) // den), (src, r_)
