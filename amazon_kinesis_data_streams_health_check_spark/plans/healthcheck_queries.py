@@ -651,7 +651,7 @@ def metric_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.select(
         "stream_name",
         "window_start",
-        F.col("x").alias("n_arrivals"),
+        F.col("x").alias("value_milli"),
         ((F.col("n") >= _ANOM_MIN) & (lhs > rhs)).alias("is_anomaly"),
     )
 
@@ -985,7 +985,7 @@ def seasonal_baseline_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.lit(60) * F.floor(F.unix_timestamp("ts") / 60)
         ).cast("long").alias("ws"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    ).agg(F.floor(F.max("value") * 1000).cast("long").alias("x"))
     h = m.withColumn("hod", (F.floor(F.col("ws") / 3600) % 24).cast("long"))
     base = h.groupBy("stream_name", "hod").agg(
         F.expr("percentile(x, 0.5)").alias("med")
@@ -995,7 +995,7 @@ def seasonal_baseline_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "stream_name",
             F.col("ws").alias("window_start_s"),
-            F.col("x").alias("n_arrivals"),
+            F.col("x").alias("value_milli"),
             "hod",
             F.round("med", 6).alias("median_milli"),
             (F.col("x").cast("double") > F.lit(_SEAS_MULT) * F.col("med")).alias(
@@ -2108,7 +2108,7 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "stream_name",
         F.col("ws").alias("window_start_s"),
-        F.col("x").alias("n_arrivals"),
+        F.col("x").alias("value_milli"),
         cpos.cast("long").alias("cusum_pos"),
         cneg.cast("long").alias("cusum_neg"),
         (cpos > F.col("mu_milli")).alias("drift_up"),
