@@ -2977,3 +2977,109 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "      AS BIGINT) END"
         ).alias("r2_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction on the kNN graph — the fourth graph primitive (after
+# components, PageRank, triangles): non-adjacent document pairs sharing
+# at least 2 neighbors, scored by common-neighbor count and neighborhood
+# Jaccard. In a curation graph these are the "should-have-been-duplicates"
+# the similarity threshold just missed — the human-review queue dedup
+# teams actually triage. Everything is exact integers; the wedge join is
+# the same bounded-out-degree shape as the triangle census.
+# ---------------------------------------------------------------------------
+_LINKPRED_MIN_COMMON = 2
+
+_LINKPRED_SQL = f"""
+WITH knn AS ({_KNN_SQL}),
+und AS (
+  SELECT DISTINCT least(query_id, neighbor_id) AS a,
+                  greatest(query_id, neighbor_id) AS b
+  FROM knn
+),
+adj AS (
+  SELECT a AS m, b AS v FROM und UNION ALL SELECT b AS m, a AS v FROM und
+),
+deg AS (SELECT m AS v, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY m),
+wedge AS (
+  SELECT x.v AS doc_a, y.v AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM adj x JOIN adj y ON x.m = y.m AND x.v < y.v
+  GROUP BY x.v, y.v
+),
+pred AS (
+  SELECT w.doc_a, w.doc_b, w.n_common
+  FROM wedge w
+  LEFT JOIN und e ON e.a = w.doc_a AND e.b = w.doc_b
+  WHERE e.a IS NULL AND w.n_common >= {_LINKPRED_MIN_COMMON}
+)
+SELECT p.doc_a, p.doc_b, p.n_common,
+       da.d AS deg_a, db.d AS deg_b,
+       CAST(1000000 * p.n_common
+            // (da.d + db.d - p.n_common) AS BIGINT) AS jaccard_ppm
+FROM pred p
+JOIN deg da ON da.v = p.doc_a
+JOIN deg db ON db.v = p.doc_b
+"""
+
+
+@register(
+    "link_prediction_knn",
+    oracle=_LINKPRED_SQL,
+    doc="Link prediction on the kNN graph: non-adjacent doc pairs with "
+    ">= 2 common neighbors, scored by common-neighbor count and exact "
+    "neighborhood-Jaccard ppm — the near-miss-duplicate review queue; "
+    "wedge join + anti-join on canonical edges, all integer arithmetic",
+    tags=("ext", "corpus", "graph"),
+)
+def link_prediction_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the wedge join fans out from each middle vertex over
+    its bounded kNN degree (the same O(sum d^2) shape as the triangle
+    census), shuffling on vertex ids; existing edges are removed by a
+    keyed anti-join; degrees attach by two uniform-key joins. No windows,
+    no global sort — output is the data-bounded prediction set itself."""
+    configure_session(spark)
+    edges = knn_graph_lsh(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("query_id", "neighbor_id").alias("a"),
+            F.greatest("query_id", "neighbor_id").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds adjacency AND the anti-join
+    )
+    adj = (
+        und.select(F.col("a").alias("m"), F.col("b").alias("v"))
+        .unionAll(und.select(F.col("b").alias("m"), F.col("a").alias("v")))
+        .localCheckpoint(eager=False)  # feeds the wedge join AND degrees
+    )
+    deg = adj.groupBy(F.col("m").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    x, y = adj.alias("x"), adj.alias("y")
+    wedge = (
+        x.join(y, (F.col("x.m") == F.col("y.m")) & (F.col("x.v") < F.col("y.v")))
+        .groupBy(F.col("x.v").alias("doc_a"), F.col("y.v").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    pred = wedge.filter(F.col("n_common") >= _LINKPRED_MIN_COMMON).join(
+        und,
+        (F.col("doc_a") == F.col("a")) & (F.col("doc_b") == F.col("b")),
+        "left_anti",
+    )
+    da = deg.select(F.col("v").alias("doc_a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("v").alias("doc_b"), F.col("d").alias("deg_b"))
+    return (
+        pred.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "CAST(1000000 * n_common div (deg_a + deg_b - n_common)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )

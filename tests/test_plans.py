@@ -1174,3 +1174,37 @@ def test_zipf_fit_matches_python_ols(spark, sf_small):
             num = n * sxy - sx * sy
             sign = -1 if num < 0 else 1
             assert r_.zipf_slope_micro == sign * (10**6 * abs(num) // den), (src, r_)
+
+
+def test_link_prediction_no_cartesian_bounded_wedge(spark, sf_small):
+    """The wedge join shuffles on vertex ids (never a cartesian); the
+    anti-join removes existing edges; no global sort anywhere."""
+    plan = plan_of(spark, sf_small, "link_prediction_knn")
+    assert "CartesianProduct" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_link_prediction_pairs_are_nonadjacent_with_common_neighbors(spark, sf_small):
+    """Every predicted pair must be absent from the edge set, have >= 2
+    common neighbors, and its Jaccard must match the inclusion-exclusion
+    arithmetic of the reported degrees."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.corpus_queries import (
+        knn_graph_lsh,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    rows = get("link_prediction_knn").builder(spark, sf_small).collect()
+    edges = {
+        (min(r.query_id, r.neighbor_id), max(r.query_id, r.neighbor_id))
+        for r in knn_graph_lsh(spark, sf_small).collect()
+    }
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for r in rows:
+        assert (r.doc_a, r.doc_b) not in edges, r
+        common = adj.get(r.doc_a, set()) & adj.get(r.doc_b, set())
+        assert r.n_common == len(common) >= 2, r
+        assert r.deg_a == len(adj[r.doc_a]) and r.deg_b == len(adj[r.doc_b]), r
+        assert r.jaccard_ppm == 10**6 * r.n_common // (r.deg_a + r.deg_b - r.n_common), r
