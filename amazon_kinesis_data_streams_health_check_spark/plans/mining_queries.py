@@ -2790,3 +2790,139 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div (CAST(n AS {dec}) * s0) AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction: the standard experimentation trick — adjust the
+# experiment metric Y by the pre-period covariate X (theta = cov/var) so
+# the A/B test needs corr^2 less traffic. This computes, per md5-assigned
+# variant, the exact ingredients: theta in micro units (sign-split integer
+# division) and the achievable variance reduction corr^2(X, Y) in ppm,
+# from DECIMAL(38)/HUGEINT moment sums over per-user (pre, post) activity.
+# The pre/post split is the data's own epoch midpoint, attached as a
+# broadcast 1-row bound.
+# ---------------------------------------------------------------------------
+_CUPED_SQL = """
+WITH b AS (
+  SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+          + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS mid
+  FROM events
+),
+u AS (
+  SELECT user_id,
+         CAST(count(*) FILTER (WHERE CAST(floor(epoch(ts)) AS BIGINT) <= b.mid)
+              AS BIGINT) AS x,
+         CAST(count(*) FILTER (WHERE CAST(floor(epoch(ts)) AS BIGINT) > b.mid)
+              AS BIGINT) AS y
+  FROM events, b GROUP BY user_id, b.mid
+),
+v AS (
+  SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         x, y
+  FROM u
+),
+m AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy
+  FROM v GROUP BY variant
+),
+k AS (
+  SELECT variant, n, sx, sy,
+         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cov_n,
+         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS varx_n,
+         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vary_n
+  FROM m
+)
+SELECT variant, n AS n_users, sx AS pre_events, sy AS post_events,
+       CASE WHEN varx_n = 0 THEN NULL
+            ELSE CAST((CASE WHEN cov_n < 0 THEN -1 ELSE 1 END)
+                      * ((1000000 * abs(cov_n)) // varx_n) AS BIGINT) END
+         AS theta_micro,
+       CASE WHEN varx_n * vary_n = 0 THEN NULL
+            ELSE CAST((1000000 * cov_n * cov_n) // (varx_n * vary_n)
+                      AS BIGINT) END AS var_reduction_ppm
+FROM k
+"""
+
+
+@register(
+    "cuped_variance_reduction",
+    oracle=_CUPED_SQL,
+    doc="CUPED experiment adjustment: per md5-assigned variant, theta = "
+    "cov(pre, post)/var(pre) in sign-split micro units and the achievable "
+    "variance reduction corr^2 in exact ppm, from HUGEINT/DECIMAL(38) "
+    "moment sums over per-user pre/post activity split at the data's own "
+    "epoch midpoint — the measurement that prices a covariate before "
+    "an A/B test commits to it",
+    tags=("ext", "mining", "behavior"),
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one 1-row bound broadcast onto the scan, one user-keyed
+    conditional-count aggregation (uniform key, map-side partials), one
+    bounded per-variant moment fold. Exact integer moments make corr^2 and
+    theta order-free and engine-identical; the sign-split division keeps
+    negative covariances truncating the same way in both engines."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        hash_uniform,
+    )
+
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    b = events.agg(
+        F.expr(
+            "(CAST(floor(min(unix_timestamp(ts))) AS BIGINT)"
+            " + CAST(floor(max(unix_timestamp(ts))) AS BIGINT)) div 2"
+        ).alias("mid")
+    )
+    u = (
+        events.select("user_id", F.col("ts").cast("long").alias("es"))
+        .crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.expr("CAST(count_if(es <= mid) AS BIGINT)").alias("x"),
+            F.expr("CAST(count_if(es > mid) AS BIGINT)").alias("y"),
+        )
+    )
+    v = u.select(
+        F.when(hash_uniform("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+        "x",
+        "y",
+    )
+    dec = "DECIMAL(38,0)"
+    m = v.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr(f"CAST(x AS {dec}) * x")).alias("sxx"),
+        F.sum(F.expr(f"CAST(y AS {dec}) * y")).alias("syy"),
+        F.sum(F.expr(f"CAST(x AS {dec}) * y")).alias("sxy"),
+    )
+    k = m.select(
+        "variant",
+        "n",
+        "sx",
+        "sy",
+        F.expr(f"CAST(n AS {dec}) * sxy - CAST(sx AS {dec}) * sy").alias("cov_n"),
+        F.expr(f"CAST(n AS {dec}) * sxx - CAST(sx AS {dec}) * sx").alias("varx_n"),
+        F.expr(f"CAST(n AS {dec}) * syy - CAST(sy AS {dec}) * sy").alias("vary_n"),
+    )
+    return k.select(
+        "variant",
+        F.col("n").alias("n_users"),
+        F.col("sx").alias("pre_events"),
+        F.col("sy").alias("post_events"),
+        F.expr(
+            "CASE WHEN varx_n = 0 THEN NULL"
+            " ELSE CAST((CASE WHEN cov_n < 0 THEN -1 ELSE 1 END)"
+            "      * ((1000000 * abs(cov_n)) div varx_n) AS BIGINT) END"
+        ).alias("theta_micro"),
+        F.expr(
+            "CASE WHEN varx_n * vary_n = 0 THEN NULL"
+            " ELSE CAST((1000000 * cov_n * cov_n) div (varx_n * vary_n)"
+            "      AS BIGINT) END"
+        ).alias("var_reduction_ppm"),
+    )

@@ -1208,3 +1208,60 @@ def test_link_prediction_pairs_are_nonadjacent_with_common_neighbors(spark, sf_s
         assert r.n_common == len(common) >= 2, r
         assert r.deg_a == len(adj[r.doc_a]) and r.deg_b == len(adj[r.doc_b]), r
         assert r.jaccard_ppm == 10**6 * r.n_common // (r.deg_a + r.deg_b - r.n_common), r
+
+
+def test_cuped_one_user_agg_no_sort(spark, sf_small):
+    """One broadcast bound onto the scan, one user-keyed aggregation, one
+    bounded variant fold — no sort-merge join, no global sort."""
+    plan = plan_of(spark, sf_small, "cuped_variance_reduction")
+    assert "SortMergeJoin" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert re.search(r"hashpartitioning\(user_id", plan), plan
+
+
+def test_cuped_matches_python_moments(spark, sf_small):
+    """theta and corr^2 must equal the independent Python computation from
+    raw events (incl. the sign-split truncation), and pre+post must
+    conserve the event count."""
+    import collections
+
+    import duckdb
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    rows = {r.variant: r for r in
+            get("cuped_variance_reduction").builder(spark, sf_small).collect()}
+    ev = duckdb.sql(
+        f"SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) FROM read_parquet('{sf_small}/events.parquet')"
+    ).fetchall()
+    lo = min(e for _, e in ev); hi = max(e for _, e in ev)
+    mid = (lo + hi) // 2
+    per = collections.defaultdict(lambda: [0, 0])
+    for uid, e in ev:
+        per[uid][0 if e <= mid else 1] += 1
+    import hashlib
+    groups = collections.defaultdict(list)
+    for uid, (x, y) in per.items():
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16)
+        groups["A" if h % 2 == 0 else "B"].append((x, y))
+    total_events = len(ev)
+    assert sum(r.pre_events + r.post_events for r in rows.values()) == total_events
+    for var, pts in groups.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts); syy = sum(y * y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        cov_n = n * sxy - sx * sy
+        varx_n = n * sxx - sx * sx
+        vary_n = n * syy - sy * sy
+        r = rows[var]
+        assert r.n_users == n, (var, r)
+        if varx_n == 0:
+            assert r.theta_micro is None, r
+        else:
+            sign = -1 if cov_n < 0 else 1
+            assert r.theta_micro == sign * (10**6 * abs(cov_n) // varx_n), (var, r)
+        if varx_n * vary_n == 0:
+            assert r.var_reduction_ppm is None, r
+        else:
+            assert r.var_reduction_ppm == 10**6 * cov_n * cov_n // (varx_n * vary_n), (var, r)
