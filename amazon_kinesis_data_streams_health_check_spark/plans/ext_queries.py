@@ -4572,3 +4572,141 @@ def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "      * ((1000000 * abs(num)) div den) AS BIGINT) END"
         ).alias("kappa_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH S-curve validation: the MinHash(12)+LSH(4x3) banding scheme has an
+# ANALYTIC collision probability 1 - (1 - s^3)^4 at Jaccard s. Because
+# s = i/u is rational, the whole prediction is exact integer arithmetic
+# per pair: ppm = 1e6 * (u^12 - (u^3 - i^3)^4) / u^12 — no float pow, no
+# cross-engine rounding. Bucketing true pairs by similarity decile and
+# placing the measured candidate-hit rate next to the analytic curve turns
+# the banding parameters into a validated model instead of folklore. The
+# u^12 product is guarded loudly at the DECIMAL(38)/HUGEINT bound.
+# ---------------------------------------------------------------------------
+_SCURVE_U_MAX = 1450  # u^12 < 1e38 requires u <= 1468; guard with margin
+
+_SCURVE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {duck_shingles()} AS sh FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS i,
+         CASE WHEN len(list_distinct(a.sh || b.sh)) > {_SCURVE_U_MAX}
+              THEN CAST(error('lsh_s_curve_validation: union size exceeds exact-arithmetic bound') AS BIGINT)
+              ELSE CAST(len(list_distinct(a.sh || b.sh)) AS BIGINT) END AS u
+  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+    AND 3 * len(list_intersect(a.sh, b.sh))
+        >= len(list_distinct(a.sh || b.sh))
+),
+mh AS (
+  SELECT doc_id, sh, {duck_minhash_cols()} FROM tok
+),
+bands AS (
+  {duck_band_union()}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x
+  JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              AND x.doc_id < y.doc_id
+),
+scored AS (
+  SELECT p.i, p.u,
+         CAST(10 * p.i // p.u AS BIGINT) AS sim_decile,
+         CAST(1000000 * (CAST(p.u AS HUGEINT) * p.u * p.u * p.u * p.u * p.u
+                           * p.u * p.u * p.u * p.u * p.u * p.u
+                         - (CAST(p.u AS HUGEINT) * p.u * p.u
+                            - CAST(p.i AS HUGEINT) * p.i * p.i)
+                           * (CAST(p.u AS HUGEINT) * p.u * p.u
+                              - CAST(p.i AS HUGEINT) * p.i * p.i)
+                           * (CAST(p.u AS HUGEINT) * p.u * p.u
+                              - CAST(p.i AS HUGEINT) * p.i * p.i)
+                           * (CAST(p.u AS HUGEINT) * p.u * p.u
+                              - CAST(p.i AS HUGEINT) * p.i * p.i))
+              // (CAST(p.u AS HUGEINT) * p.u * p.u * p.u * p.u * p.u
+                  * p.u * p.u * p.u * p.u * p.u * p.u) AS BIGINT) AS pred_ppm,
+         CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM pairs p
+  LEFT JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+)
+SELECT sim_decile,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(pred_ppm) // count(*) AS BIGINT) AS pred_collision_ppm,
+       CAST(1000000 * sum(hit) // count(*) AS BIGINT) AS measured_collision_ppm
+FROM scored GROUP BY sim_decile
+"""
+
+
+@register(
+    "lsh_s_curve_validation",
+    oracle=_SCURVE_SQL,
+    doc="LSH S-curve validation: the analytic collision probability "
+    "1-(1-s^3)^4 computed EXACTLY per true pair (s = i/u rational, integer "
+    "powers in HUGEINT/DECIMAL(38), loud overflow guard) vs the measured "
+    "candidate-hit rate, bucketed by similarity decile — the banding "
+    "parameters as a validated model, closing the dedup calibration stack "
+    "(recall point -> PR curve -> analytic curve)",
+    tags=("ext", "dedup"),
+)
+def lsh_s_curve_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: true pairs from the lossless prefix-filter join at
+    tau=1/3 (brute force only in the oracle); candidates from the salted
+    band self-join; the prediction is a narrow exact-integer expression
+    per pair and the final fold groups on 10 deciles. The hit flag is a
+    keyed left join on the pair id."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (
+        jaccard_allpairs_pairs,
+        lsh_candidate_pairs,
+        with_bands,
+        with_minhash,
+        with_shingles,
+    )
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    pairs = jaccard_allpairs_pairs(docs, 1, 3, keep_sizes=True).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_inter").alias("i"),
+        F.when(
+            F.col("n_union") > _SCURVE_U_MAX,
+            F.raise_error(
+                F.lit(
+                    "lsh_s_curve_validation: union size exceeds "
+                    "exact-arithmetic bound"
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("n_union"))
+        .alias("u"),
+    )
+    sh = with_shingles(docs).select("doc_id", "sh")
+    cand = lsh_candidate_pairs(with_bands(with_minhash(sh))).withColumn(
+        "hit", F.lit(1)
+    )
+    dec = "DECIMAL(38,0)"
+    scored = pairs.join(cand, ["doc_a", "doc_b"], "left").select(
+        F.expr("CAST(10 * i div u AS BIGINT)").alias("sim_decile"),
+        F.expr(
+            f"CAST(1000000 * (CAST(u AS {dec}) * u * u * u * u * u * u * u * u * u * u * u"
+            f" - (CAST(u AS {dec}) * u * u - CAST(i AS {dec}) * i * i)"
+            f"   * (CAST(u AS {dec}) * u * u - CAST(i AS {dec}) * i * i)"
+            f"   * (CAST(u AS {dec}) * u * u - CAST(i AS {dec}) * i * i)"
+            f"   * (CAST(u AS {dec}) * u * u - CAST(i AS {dec}) * i * i))"
+            f" div (CAST(u AS {dec}) * u * u * u * u * u * u * u * u * u * u * u)"
+            " AS BIGINT)"
+        ).alias("pred_ppm"),
+        F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+    )
+    return scored.groupBy("sim_decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("CAST(sum(pred_ppm) div count(1) AS BIGINT)").alias(
+            "pred_collision_ppm"
+        ),
+        F.expr("CAST(1000000 * sum(hit) div count(1) AS BIGINT)").alias(
+            "measured_collision_ppm"
+        ),
+    )

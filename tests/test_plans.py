@@ -1265,3 +1265,49 @@ def test_cuped_matches_python_moments(spark, sf_small):
             assert r.var_reduction_ppm is None, r
         else:
             assert r.var_reduction_ppm == 10**6 * cov_n * cov_n // (varx_n * vary_n), (var, r)
+
+
+def test_lsh_s_curve_no_cartesian_and_sane_curve(spark, sf_small):
+    """No brute force in the Spark plan; predictions are valid ppm and the
+    analytic curve is non-decreasing in similarity decile."""
+    plan = plan_of(spark, sf_small, "lsh_s_curve_validation")
+    assert "CartesianProduct" not in plan, plan
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    rows = sorted(
+        get("lsh_s_curve_validation").builder(spark, sf_small).collect(),
+        key=lambda r: r.sim_decile,
+    )
+    assert rows, "no true pairs at tau=1/3"
+    for a, b in zip(rows, rows[1:]):
+        assert a.pred_collision_ppm <= b.pred_collision_ppm, (a, b)
+    for r in rows:
+        assert 0 <= r.pred_collision_ppm <= 10**6, r
+        assert 0 <= r.measured_collision_ppm <= 10**6, r
+
+
+def test_lsh_s_curve_prediction_matches_python_rational(spark, sf_small):
+    """Spot-check the exact rational collision formula against Python
+    bignum arithmetic recomputed from (i, u) pair sizes."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (
+        jaccard_allpairs_pairs,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+    from amazon_kinesis_data_streams_health_check_spark.sources.tables import (
+        parallel_scan,
+    )
+    import collections
+
+    docs = parallel_scan(spark, sf_small, "documents")
+    pairs = jaccard_allpairs_pairs(docs, 1, 3, keep_sizes=True).collect()
+    buckets = collections.defaultdict(list)
+    for p in pairs:
+        i, u = p.n_inter, p.n_union
+        ppm = 10**6 * (u**12 - (u**3 - i**3) ** 4) // u**12
+        buckets[10 * i // u].append(ppm)
+    rows = {r.sim_decile: r for r in
+            get("lsh_s_curve_validation").builder(spark, sf_small).collect()}
+    assert set(rows) == set(buckets)
+    for d, ppms in buckets.items():
+        assert rows[d].n_pairs == len(ppms), (d, rows[d])
+        assert rows[d].pred_collision_ppm == sum(ppms) // len(ppms), (d, rows[d])
