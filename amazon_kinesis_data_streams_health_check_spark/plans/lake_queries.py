@@ -1926,3 +1926,166 @@ def lake_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "the partitioned join would scan every month"
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Clustering-depth audit: THE lakehouse layout-quality metric (Delta
+# OPTIMIZE / Iceberg rewrite reports call it overlap depth). For each
+# layout, every file's zone-map interval is swept: average depth = how many
+# files a uniformly-random point predicate must read, max depth = the worst
+# stabbing count. A value-clustered layout audits at depth ~1 (disjoint
+# zone maps); the same rows hash-distributed audit at depth ~n_files
+# (every file spans the domain) — the number that explains WHY
+# lake_pruned_scan prunes. Buckets are value-range assigned (deterministic,
+# exactly one file per bucket), so the manifest stats — and the audit —
+# are reproducible arithmetic both engines compute.
+# ---------------------------------------------------------------------------
+_DEPTH_BUCKETS = 8
+
+_DEPTH_SQL = f"""
+WITH b AS (
+  SELECT CAST(min(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS lo,
+         CAST(max(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS hi
+  FROM events
+),
+v AS (
+  SELECT CAST(round(value * 1000000) AS BIGINT) AS vm,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {_DEPTH_BUCKETS} AS hb
+  FROM events
+),
+assigned AS (
+  SELECT vm, hb,
+         least({_DEPTH_BUCKETS - 1},
+               (vm - b.lo) * {_DEPTH_BUCKETS} // (b.hi - b.lo + 1)) AS cb
+  FROM v, b
+),
+files AS (
+  SELECT 'clustered' AS layout, cb AS f,
+         CAST(min(vm) AS BIGINT) AS fmin, CAST(max(vm) AS BIGINT) AS fmax
+  FROM assigned GROUP BY cb
+  UNION ALL
+  SELECT 'hashed', hb, CAST(min(vm) AS BIGINT), CAST(max(vm) AS BIGINT)
+  FROM assigned GROUP BY hb
+),
+bounds AS (
+  SELECT layout, unnest([{{'p': fmin, 'd': 1}}, {{'p': fmax + 1, 'd': -1}}]) AS e
+  FROM files
+),
+sweep AS (
+  SELECT layout,
+         sum((e).d) OVER (PARTITION BY layout ORDER BY (e).p, (e).d
+                          ROWS UNBOUNDED PRECEDING) AS depth
+  FROM bounds
+),
+agg AS (
+  SELECT f.layout,
+         CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(f.fmax - f.fmin + 1) AS BIGINT) AS covered
+  FROM files f GROUP BY f.layout
+),
+mx AS (
+  SELECT layout, CAST(max(depth) AS BIGINT) AS max_depth FROM sweep GROUP BY layout
+)
+SELECT a.layout, a.n_files,
+       CAST(1000 * a.covered // (b.hi - b.lo + 1) AS BIGINT) AS avg_depth_milli,
+       m.max_depth
+FROM agg a JOIN mx m ON m.layout = a.layout CROSS JOIN b
+"""
+
+
+@register(
+    "lake_clustering_depth",
+    oracle=_DEPTH_SQL,
+    doc="Clustering-depth audit from manifest zone maps alone: average and "
+    "max file-overlap depth for a value-clustered vs hash-distributed "
+    "layout of the same rows — clustered audits at ~1 (disjoint "
+    "intervals), hashed at ~n_files; the O(manifest) metric that explains "
+    "why zone-map pruning works, computed without touching data files",
+    tags=("lake",),
+)
+def lake_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: both layouts are written through the real stats-
+    collecting commit path (one file per deterministic bucket); the audit
+    reads ONLY the manifests — a bounded (files x 2) relation — so the
+    boundary sweep's windows run on metadata, exactly how a table-format
+    maintenance job decides whether to rewrite. The event scan happens
+    once per layout at write time."""
+    from pyspark.sql import Window
+
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        hash_uniform,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        snapshot_append_with_stats,
+        snapshot_column_stats,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events").select("event_id", "value")
+    vm = events.select(
+        "event_id", F.round(F.col("value") * 1e6).cast("long").alias("vm")
+    )
+    b = vm.agg(F.min("vm").alias("lo"), F.max("vm").alias("hi")).collect()[0]
+    lo, hi = int(b["lo"]), int(b["hi"])
+    assigned = vm.select(
+        "vm",
+        F.least(
+            F.lit(_DEPTH_BUCKETS - 1),
+            F.expr(f"(vm - {lo}) * {_DEPTH_BUCKETS} div ({hi} - {lo} + 1)"),
+        ).alias("cb"),
+        (hash_uniform("event_id") % _DEPTH_BUCKETS).alias("hb"),
+    )
+    lakes = {}
+    for layout, col in (("clustered", "cb"), ("hashed", "hb")):
+        lake = tempfile.mkdtemp(prefix=f"depth_{layout}_")
+        snapshot_append_with_stats(
+            spark,
+            assigned.repartition(_DEPTH_BUCKETS, col).select(
+                "vm", F.col(col).alias("bucket")
+            ),
+            lake,
+            partition_col="bucket",
+            stats_cols=["vm"],
+        )
+        lakes[layout] = lake
+    rows = []
+    for layout, lake in lakes.items():
+        for _part, _rel, mn, mx in snapshot_column_stats(spark, lake, "vm"):
+            rows.append((layout, int(mn), int(mx)))
+    files = spark.createDataFrame(rows, "layout string, fmin long, fmax long")
+    if files.count() != 2 * _DEPTH_BUCKETS:
+        raise RuntimeError(
+            f"expected {2 * _DEPTH_BUCKETS} stats-bearing files, "
+            f"got {files.count()}"
+        )
+    bounds = files.select(
+        "layout",
+        F.explode(
+            F.array(
+                F.struct(F.col("fmin").alias("p"), F.lit(1).alias("d")),
+                F.struct((F.col("fmax") + 1).alias("p"), F.lit(-1).alias("d")),
+            )
+        ).alias("e"),
+    ).select("layout", "e.p", "e.d")
+    sweep = bounds.withColumn(
+        "depth",
+        F.sum("d").over(
+            Window.partitionBy("layout")
+            .orderBy("p", "d")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    agg = files.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(F.col("fmax") - F.col("fmin") + 1).cast("long").alias("covered"),
+    )
+    mx = sweep.groupBy("layout").agg(F.max("depth").cast("long").alias("max_depth"))
+    return agg.join(F.broadcast(mx), "layout").select(
+        "layout",
+        "n_files",
+        F.expr(f"CAST(1000 * covered div ({hi} - {lo} + 1) AS BIGINT)").alias(
+            "avg_depth_milli"
+        ),
+        "max_depth",
+    )

@@ -1343,3 +1343,21 @@ def snapshot_delete(
     }
     files.update(new_files)
     return _commit(spark, path, files, "delete", existing.schema.json(), m["version"])
+
+
+def snapshot_column_stats(
+    spark: SparkSession, path: str, col: str, version: int | None = None
+) -> list[tuple[str, str, Any, Any]]:
+    """Manifest-only view of the per-file zone maps recorded by
+    :func:`snapshot_append_with_stats`: ``(partition, rel, min, max)`` per
+    data file carrying stats for ``col``. O(manifest) — no data IO; what a
+    clustering-quality audit reads."""
+    m = _resolve_manifest(spark, path, version=version)
+    stats = m.get("stats", {})
+    out: list[tuple[str, str, Any, Any]] = []
+    for part, rels in m["files"].items():
+        for rel in rels:
+            s = stats.get(rel, {}).get(col)
+            if s is not None:
+                out.append((part, rel, s[0], s[1]))
+    return out

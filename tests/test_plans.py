@@ -1311,3 +1311,19 @@ def test_lsh_s_curve_prediction_matches_python_rational(spark, sf_small):
     for d, ppms in buckets.items():
         assert rows[d].n_pairs == len(ppms), (d, rows[d])
         assert rows[d].pred_collision_ppm == sum(ppms) // len(ppms), (d, rows[d])
+
+
+def test_lake_clustering_depth_contrast(spark, sf_small):
+    """The audited numbers must show the layout story: clustered zone maps
+    are disjoint (max depth 1), hashed files all span the domain (max
+    depth = n_files, avg depth > half of it)."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    rows = {r.layout: r for r in
+            get("lake_clustering_depth").builder(spark, sf_small).collect()}
+    c, h = rows["clustered"], rows["hashed"]
+    assert c.n_files == h.n_files == 8
+    assert c.max_depth == 1, c
+    assert h.max_depth == 8, h
+    assert c.avg_depth_milli <= 1000, c
+    assert h.avg_depth_milli > 4000, h
