@@ -1459,3 +1459,128 @@ def mixture_temperature_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(1000 * (CAST(w AS {dec}) * total div wt) div n) > 1000"
         ).alias("upsampled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: the datasheet every released corpus ships with, as ONE
+# query — per source: volume (docs, tokens, chars), language profile
+# (dominant declared lang + spread), exact-duplicate rate, quality-score
+# quartiles, and the short-doc fraction. Each number is an exact integer
+# or the engines' shared linear-interpolation percentile over exactly-
+# representable inputs; the whole card derives from a single scan.
+# ---------------------------------------------------------------------------
+_CARD_SHORT = 20
+
+_CARD_SQL = f"""
+WITH base AS (
+  SELECT source, lang, n_chars,
+         md5(text) AS h,
+         CAST(len({_DUCK_TOK}) AS BIGINT) AS n_tokens,
+         {{qscore}} AS qscore
+  FROM documents
+),
+lang_counts AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS nl
+  FROM base GROUP BY source, lang
+),
+dominant AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_langs,
+         min({{'nn': -nl, 'l': lang}}) AS d
+  FROM lang_counts GROUP BY source
+)
+SELECT b.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(b.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(b.n_chars) AS BIGINT) AS total_chars,
+       d.n_langs,
+       d.d.l AS dominant_lang,
+       CAST(1000000 * (count(*) - count(DISTINCT b.h)) // count(*) AS BIGINT)
+         AS exact_dup_ppm,
+       CAST(1000000 * count(*) FILTER (WHERE b.n_tokens < {_CARD_SHORT})
+            // count(*) AS BIGINT) AS short_doc_ppm,
+       round(quantile_cont(b.qscore, 0.25), 6) AS q25,
+       round(quantile_cont(b.qscore, 0.50), 6) AS q50,
+       round(quantile_cont(b.qscore, 0.75), 6) AS q75
+FROM base b JOIN dominant d ON d.source = b.source
+GROUP BY b.source, d.n_langs, d.d.l
+"""
+
+
+# .replace, not .format: the SQL contains DuckDB struct literals whose
+# braces str.format would try to interpret.
+_CARD_SQL_FULL = _CARD_SQL.replace(
+    "{qscore}", _KEEP_QSCORE.format(tok=_DUCK_TOK, stop=duck_stop_list())
+)
+
+
+@register(
+    "dataset_card_summary",
+    oracle=_CARD_SQL_FULL,
+    doc="Dataset card: per-source datasheet in one query — docs / tokens / "
+    "chars, language spread + dominant declared lang, exact-duplicate ppm "
+    "(md5 distinct), short-doc ppm, and quality-score quartiles (shared "
+    "linear-interpolation percentile) — the release artifact a corpus "
+    "ships with, derived from a single scan",
+    tags=("ext", "curation", "quality"),
+)
+def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one narrow scan computes hash, token count and quality
+    per doc; everything folds through source-keyed aggregations with
+    map-side partials (the single countDistinct is per-source and alone,
+    so no Expand multiplication); the language profile joins back as a
+    broadcast of the source-bounded dominant table."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.textstats import (
+        with_quality_score,
+        with_token_stats,
+    )
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    base = with_quality_score(with_token_stats(docs)).select(
+        "source",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("h"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("quality_score").alias("qscore"),
+    )
+    base = base.localCheckpoint(eager=False)  # feeds the card AND lang profile
+    lang_counts = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("nl")
+    )
+    dominant = lang_counts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.min(F.struct((-F.col("nl")).alias("nn"), F.col("lang").alias("l"))).alias(
+            "d"
+        ),
+    )
+    card = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("h").cast("long").alias("n_distinct"),
+        F.expr(f"CAST(count_if(n_tokens < {_CARD_SHORT}) AS BIGINT)").alias(
+            "n_short"
+        ),
+        F.round(F.expr("percentile(qscore, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(qscore, 0.50)"), 6).alias("q50"),
+        F.round(F.expr("percentile(qscore, 0.75)"), 6).alias("q75"),
+    )
+    return card.join(F.broadcast(dominant), "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        "n_langs",
+        F.col("d.l").alias("dominant_lang"),
+        F.expr(
+            "CAST(1000000 * (n_docs - n_distinct) div n_docs AS BIGINT)"
+        ).alias("exact_dup_ppm"),
+        F.expr("CAST(1000000 * n_short div n_docs AS BIGINT)").alias(
+            "short_doc_ppm"
+        ),
+        "q25",
+        "q50",
+        "q75",
+    )

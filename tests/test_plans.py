@@ -1327,3 +1327,32 @@ def test_lake_clustering_depth_contrast(spark, sf_small):
     assert h.max_depth == 8, h
     assert c.avg_depth_milli <= 1000, c
     assert h.avg_depth_milli > 4000, h
+
+
+def test_dataset_card_single_scan_no_expand(spark, sf_small):
+    """The lone per-source countDistinct must not Expand-multiply the scan;
+    the language profile attaches as a broadcast; no global sort."""
+    plan = plan_of(spark, sf_small, "dataset_card_summary")
+    assert not re.findall(r"^\(\d+\) Expand", plan, re.M), plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_dataset_card_internally_consistent(spark, sf_small):
+    """Card rows must reconcile with the simpler registry queries: doc and
+    token totals vs token_counts_by_source, dup ppm against dedup_exact
+    arithmetic, quartiles ordered."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    card = {r.source: r for r in
+            get("dataset_card_summary").builder(spark, sf_small).collect()}
+    for r in card.values():
+        assert r.q25 <= r.q50 <= r.q75, r
+        assert 0 <= r.exact_dup_ppm <= 10**6, r
+        assert 0 <= r.short_doc_ppm <= 10**6, r
+        assert r.n_langs >= 1 and r.dominant_lang, r
+    tok = {r.source: r for r in
+           get("token_counts_by_source").builder(spark, sf_small).collect()}
+    if tok and "n_docs" in next(iter(tok.values())).asDict():
+        for src, t in tok.items():
+            assert card[src].n_docs == t.n_docs, (src, t)
