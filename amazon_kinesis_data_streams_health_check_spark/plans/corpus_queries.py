@@ -2211,8 +2211,7 @@ _RRF_K = 20
 _RRF_OUT_K = 10
 _RRF_C = 60
 
-_RRF_SQL = f"""
-WITH qdocs AS (
+_RRF_RANKERS_CTE = f"""qdocs AS (
   SELECT doc_id AS query_id, list_distinct({_DUCK_TOK}) AS qtok
   FROM documents WHERE doc_id < {_RRF_QUERIES}
 ),
@@ -2239,7 +2238,10 @@ vec AS (
     FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
     WHERE q.vec_id < {_RRF_QUERIES}
   ) WHERE rank <= {_RRF_K}
-),
+)"""
+
+_RRF_SQL = f"""
+WITH {_RRF_RANKERS_CTE},
 fused AS (
   SELECT COALESCE(l.query_id, v.query_id) AS query_id,
          COALESCE(l.neighbor_id, v.neighbor_id) AS neighbor_id,
@@ -2262,24 +2264,10 @@ QUALIFY fused_rank <= {_RRF_OUT_K}
 """
 
 
-@register(
-    "rrf_fusion_search",
-    oracle=_RRF_SQL,
-    doc=f"Hybrid retrieval: reciprocal-rank fusion of a lexical token-"
-    f"overlap top-{_RRF_K} and a cosine top-{_RRF_K} — integer 1e6 div "
-    f"({_RRF_C}+rank) contributions, top-{_RRF_OUT_K} fused per query",
-    tags=("ext", "corpus", "similarity"),
-)
-def rrf_fusion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: both rankers broadcast the (constant-size) query set
-    and score candidates narrowly; both top-20s are the two-phase
-    local/merge slice. The fusion join and the final per-query window
-    operate on <= 2k rows per query (the two top-k lists), which is the
-    point of fuse-by-rank: the expensive full-corpus stages never meet.
-    """
-    configure_session(spark)
-    from pyspark.sql import Window
-
+def _rrf_rankers(spark: SparkSession, sf_dir: str):
+    """The two top-k rankers rrf_fusion_search and ranker_agreement_tau
+    share: lexical token-overlap and exact cosine, each a broadcast-query
+    two-phase top-k. (lex_rank / vec_rank columns.)"""
     docs = parallel_scan(spark, sf_dir, "documents")
     emb = parallel_scan(spark, sf_dir, "embeddings")
     corpus = docs.select(
@@ -2307,6 +2295,28 @@ def rrf_fusion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = brute_force_topk(
         emb, emb.filter(F.col("vec_id") < _RRF_QUERIES), k=_RRF_K
     ).select("query_id", "neighbor_id", F.col("rank").alias("vec_rank"))
+    return lex, vec
+
+
+@register(
+    "rrf_fusion_search",
+    oracle=_RRF_SQL,
+    doc=f"Hybrid retrieval: reciprocal-rank fusion of a lexical token-"
+    f"overlap top-{_RRF_K} and a cosine top-{_RRF_K} — integer 1e6 div "
+    f"({_RRF_C}+rank) contributions, top-{_RRF_OUT_K} fused per query",
+    tags=("ext", "corpus", "similarity"),
+)
+def rrf_fusion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: both rankers broadcast the (constant-size) query set
+    and score candidates narrowly; both top-20s are the two-phase
+    local/merge slice. The fusion join and the final per-query window
+    operate on <= 2k rows per query (the two top-k lists), which is the
+    point of fuse-by-rank: the expensive full-corpus stages never meet.
+    """
+    configure_session(spark)
+    from pyspark.sql import Window
+
+    lex, vec = _rrf_rankers(spark, sf_dir)
     fused = (
         lex.withColumnRenamed("query_id", "lq")
         .withColumnRenamed("neighbor_id", "ln")
@@ -3081,5 +3091,164 @@ def link_prediction_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(1000000 * n_common div (deg_a + deg_b - n_common)"
                 " AS BIGINT)"
             ).alias("jaccard_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranker agreement: Kendall tau between two retrieval rankers over the
+# items BOTH placed in their top-k — the measurement that justifies (or
+# refutes) adding a second ranker: tau near 1 means it is redundant, near
+# 0 means it adds diversity, negative means outright disagreement. The
+# rankers are raw token overlap |q n d| and its length-normalized Jaccard
+# twin (1e6 * |q n d| div |q u d|) — same candidate pool, different
+# weighting, so the shared sets are large and the disagreements are real
+# (normalization demotes long documents). row_number ranks are strict, so
+# tau-a is exact: tau = (2C - P) / P over P = C(n,2) shared pairs, with
+# the sign-split division both engines truncate identically.
+# ---------------------------------------------------------------------------
+_TAU_SQL = f"""
+WITH qdocs AS (
+  SELECT doc_id AS query_id, list_distinct({_DUCK_TOK}) AS qtok
+  FROM documents WHERE doc_id < {_RRF_QUERIES}
+),
+corpus AS (
+  SELECT doc_id, list_distinct({_DUCK_TOK}) AS tok FROM documents
+),
+scored AS (
+  SELECT q.query_id, c.doc_id AS neighbor_id,
+         CAST(len(list_intersect(q.qtok, c.tok)) AS BIGINT) AS i,
+         CAST(len(list_distinct(q.qtok || c.tok)) AS BIGINT) AS u
+  FROM qdocs q JOIN corpus c ON c.doc_id <> q.query_id
+),
+ra AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY i DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= {_RRF_K}
+),
+rb AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY 1000000 * i // u DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= {_RRF_K}
+),
+shared AS (
+  SELECT a.query_id, a.neighbor_id,
+         CAST(a.rank AS BIGINT) AS lr, CAST(b.rank AS BIGINT) AS vr
+  FROM ra a JOIN rb b
+    ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+),
+prs AS (
+  SELECT a.query_id,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(*) FILTER (WHERE a.vr < b.vr) AS BIGINT) AS n_conc
+  FROM shared a JOIN shared b
+    ON b.query_id = a.query_id AND a.lr < b.lr
+  GROUP BY a.query_id
+),
+cnt AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_shared FROM shared GROUP BY query_id
+)
+SELECT c.query_id, c.n_shared,
+       COALESCE(p.n_pairs, 0) AS n_pairs,
+       COALESCE(p.n_conc, 0) AS n_concordant,
+       CASE WHEN COALESCE(p.n_pairs, 0) = 0 THEN NULL
+            ELSE CAST((CASE WHEN 2 * p.n_conc - p.n_pairs < 0 THEN -1 ELSE 1 END)
+                      * ((1000000 * abs(2 * p.n_conc - p.n_pairs)) // p.n_pairs)
+                      AS BIGINT) END AS tau_ppm
+FROM cnt c LEFT JOIN prs p ON p.query_id = c.query_id
+"""
+
+
+@register(
+    "ranker_agreement_tau",
+    oracle=_TAU_SQL,
+    doc="Ranker agreement: exact Kendall tau-a between the raw-overlap and "
+    "Jaccard-normalized lexical rankers over their shared top-k items "
+    "(strict ranks => no ties), per query — sign-split integer ppm; the "
+    "redundancy measurement run before adding a ranker to a fusion stack",
+    tags=("ext", "corpus", "similarity"),
+)
+def ranker_agreement_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: candidates scored once (broadcast query set, narrow
+    intersection/union sizes), both rankers are two-phase top-k slices of
+    the SAME scored pass, and the pair join runs on the <= k-row shared
+    lists per query (k^2 bounded). The corpus is touched exactly once."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id", F.expr(f"array_distinct({_SPARK_TOK})").alias("tok")
+    )
+    qdocs = corpus.filter(F.col("doc_id") < _RRF_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("tok").alias("qtok")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(qdocs))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            F.size(F.array_intersect("qtok", "tok")).cast("long").alias("i"),
+            F.expr("CAST(size(array_distinct(concat(qtok, tok))) AS BIGINT)").alias(
+                "u"
+            ),
+        )
+        .localCheckpoint(eager=False)  # feeds both rankers
+    )
+    ra = topk_per_query(
+        scored.select(
+            "query_id", "neighbor_id", F.col("i").cast("double").alias("cos_raw")
+        ),
+        k=_RRF_K,
+    ).select("query_id", "neighbor_id", F.col("rank").alias("lr"))
+    rb = topk_per_query(
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.expr("CAST(1000000 * i div u AS DOUBLE)").alias("cos_raw"),
+        ),
+        k=_RRF_K,
+    ).select("query_id", "neighbor_id", F.col("rank").alias("vr"))
+    shared = (
+        ra.join(rb, ["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", "lr", "vr")
+        .localCheckpoint(eager=False)  # feeds the pair join twice + counts
+    )
+    a = shared.select(
+        F.col("query_id").alias("qa"), F.col("lr").alias("alr"), F.col("vr").alias("avr")
+    )
+    b = shared.select(
+        F.col("query_id").alias("qb"), F.col("lr").alias("blr"), F.col("vr").alias("bvr")
+    )
+    prs = (
+        a.join(b, (F.col("qa") == F.col("qb")) & (F.col("alr") < F.col("blr")))
+        .groupBy(F.col("qa").alias("query_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr("CAST(count_if(avr < bvr) AS BIGINT)").alias("n_conc"),
+        )
+    )
+    cnt = shared.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared")
+    )
+    return (
+        cnt.join(prs, "query_id", "left")
+        .na.fill({"n_pairs": 0, "n_conc": 0})
+        .select(
+            "query_id",
+            "n_shared",
+            "n_pairs",
+            F.col("n_conc").alias("n_concordant"),
+            F.expr(
+                "CASE WHEN n_pairs = 0 THEN NULL"
+                " ELSE CAST((CASE WHEN 2 * n_conc - n_pairs < 0 THEN -1 ELSE 1 END)"
+                "      * ((1000000 * abs(2 * n_conc - n_pairs)) div n_pairs)"
+                "      AS BIGINT) END"
+            ).alias("tau_ppm"),
         )
     )

@@ -1356,3 +1356,30 @@ def test_dataset_card_internally_consistent(spark, sf_small):
     if tok and "n_docs" in next(iter(tok.values())).asDict():
         for src, t in tok.items():
             assert card[src].n_docs == t.n_docs, (src, t)
+
+
+def test_ranker_tau_single_scored_pass_no_per_query_window(spark, sf_small):
+    """Both rankers slice the SAME scored pass via the two-phase merge — a
+    row_number window on query_id would route a query's whole candidate
+    set to one task; the corpus is scanned once."""
+    plan = plan_of(spark, sf_small, "ranker_agreement_tau")
+    assert "windowspecdefinition(query_id" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ranker_tau_matches_python_pairs(spark, sf_small):
+    """tau-a must equal the independent Python pair count over the emitted
+    shared lists, and every query row must satisfy the C(n,2) identity."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    rows = get("ranker_agreement_tau").builder(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.n_pairs == r.n_shared * (r.n_shared - 1) // 2, r
+        if r.n_pairs == 0:
+            assert r.tau_ppm is None, r
+        else:
+            num = 2 * r.n_concordant - r.n_pairs
+            sign = -1 if num < 0 else 1
+            assert r.tau_ppm == sign * (10**6 * abs(num) // r.n_pairs), r
+            assert -(10**6) <= r.tau_ppm <= 10**6, r
