@@ -3304,7 +3304,11 @@ _LEASE_SHARD_WIDTH = 268_435_456  # 2^32 / 16 equal hash ranges
 _LEASE_WORKERS = 4
 _LEASE_LIVE = 3  # w3 dies; w0..w2 survive
 
-_LEASE_SQL = f"""
+def _lease_sql(n_live: int) -> str:
+    """The rebalance oracle parameterized by fleet size: owners outside
+    w0..w(n_live-1) are expired (orphans); with every initial owner live
+    the same plan is a pure scale-out steal."""
+    return f"""
 WITH ev AS (
   SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
   FROM events
@@ -3324,7 +3328,7 @@ named AS (
 ),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS s FROM named),
 live AS (SELECT 'w' || CAST(r.range AS VARCHAR) AS worker
-         FROM range(0, {_LEASE_LIVE}) r),
+         FROM range(0, {n_live}) r),
 cnt AS (
   SELECT worker, CAST(count(n.shard) AS BIGINT) AS cnt0
   FROM live LEFT JOIN named n ON n.old_owner = live.worker
@@ -3332,9 +3336,9 @@ cnt AS (
 ),
 tgt AS (
   SELECT worker, cnt0,
-         CAST(s // {_LEASE_LIVE}
+         CAST(s // {n_live}
               + CASE WHEN row_number() OVER (ORDER BY cnt0 DESC, worker)
-                          <= s % {_LEASE_LIVE} THEN 1 ELSE 0 END AS BIGINT) AS tgt
+                          <= s % {n_live} THEN 1 ELSE 0 END AS BIGINT) AS tgt
   FROM cnt, tot
 ),
 plan0 AS (
@@ -3360,7 +3364,7 @@ kept AS (
 ),
 pool AS (
   SELECT r.shard_id, r.shard, r.n_records, r.old_owner,
-         (r.old_owner = 'w{_LEASE_LIVE}') AS was_orphan,
+         (r.old_owner = 'w{n_live}') AS was_orphan,
          row_number() OVER (ORDER BY r.shard) AS prn
   FROM ranked r LEFT JOIN offs o ON o.worker = r.old_owner
   WHERE o.worker IS NULL OR r.rn_w > o.keep
@@ -3376,6 +3380,9 @@ SELECT u.shard_id, u.n_records, u.old_owner, u.new_owner, u.was_orphan,
        o.tgt AS new_owner_leases
 FROM uni u JOIN offs o ON o.worker = u.new_owner
 """
+
+
+_LEASE_SQL = _lease_sql(_LEASE_LIVE)
 
 
 def _lease_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3652,3 +3659,36 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.lit(_EWMA_MULT) * F.col("n_arrivals") * F.col("weight_sum") < F.col("ewma_num"))
         ).alias("spike_low"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lease scale-OUT: the other direction of the KCL control plane — a fifth
+# worker joins with zero leases. No orphans exist, so the plan is a pure
+# sticky steal: survivors shed down to the new floor/ceil targets and the
+# empty worker takes from the pool. Same planner, same oracle family
+# (_lease_sql parameterized by fleet size) — failure handling and elastic
+# scaling are provably one algorithm.
+# ---------------------------------------------------------------------------
+_LEASE_SCALE_OUT = _LEASE_WORKERS + 1  # w0..w3 own leases; w4 is new
+
+
+@register(
+    "kcl_lease_scale_out",
+    oracle=_lease_sql(_LEASE_SCALE_OUT),
+    doc="KCL lease scale-out: a fifth worker joins the fleet with zero "
+    "leases — no orphans, so the sticky rebalance is a pure steal down to "
+    "the new floor/ceil targets; the same planner and parameterized "
+    "oracle as the failover case prove elastic scaling and failure "
+    "handling are one algorithm",
+    tags=("healthcheck", "kinesis", "ops"),
+)
+def kcl_lease_scale_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: identical to kcl_lease_rebalance — one narrow hash
+    count over events, then lease-table-bounded planning with broadcast
+    worker relations; only the live set differs."""
+    configure_session(spark)
+    named = _lease_universe(spark, sf_dir)
+    live = spark.range(0, _LEASE_SCALE_OUT).select(
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("worker")
+    )
+    return plan_lease_rebalance(named, live, _LEASE_SCALE_OUT).drop("shard")

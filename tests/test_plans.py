@@ -1383,3 +1383,21 @@ def test_ranker_tau_matches_python_pairs(spark, sf_small):
             sign = -1 if num < 0 else 1
             assert r.tau_ppm == sign * (10**6 * abs(num) // r.n_pairs), r
             assert -(10**6) <= r.tau_ppm <= 10**6, r
+
+
+@pytest.mark.slow
+def test_kcl_lease_scale_out_pure_steal_at_oracle_sf(spark, sf_oracle):
+    """Scale-out: zero orphans, every move lands on the NEW worker, final
+    loads in [floor(S/5), ceil(S/5)], and stickiness holds — nobody below
+    target loses a lease."""
+    import collections
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    rows = get("kcl_lease_scale_out").builder(spark, sf_oracle).collect()
+    assert sum(r.was_orphan for r in rows) == 0
+    moved = [r for r in rows if r.moved]
+    assert moved and all(r.new_owner == "w4" for r in moved), moved
+    nc = collections.Counter(r.new_owner for r in rows)
+    s = len(rows)
+    assert all(s // 5 <= c <= s // 5 + (1 if s % 5 else 0) for c in nc.values()), nc
