@@ -3692,3 +3692,82 @@ def kcl_lease_scale_out(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("w"), F.col("id").cast("string")).alias("worker")
     )
     return plan_lease_rebalance(named, live, _LEASE_SCALE_OUT).drop("shard")
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-interval trade-off: how often should a consumer checkpoint?
+# Checkpointing every record costs a lease-table write per record;
+# checkpointing rarely means a crash replays everything since the last
+# mark. For each candidate interval T the sheet reports the write budget
+# (marks per stream over the observed span) against the replay exposure
+# (worst and mean records inside an aligned T-bucket — exactly what a
+# restart re-reads). One bucket aggregation per T via a bounded explode;
+# the policy twin of session_gap_sweep / watermark_policy_tradeoff.
+# ---------------------------------------------------------------------------
+_CKPT_INTERVALS = (60, 300, 900, 3600)
+
+_CKPT_SQL = f"""
+WITH ev AS (
+  SELECT event_type AS stream_name,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+sweep AS (
+  SELECT stream_name, es, t.t, es // t.t AS bucket
+  FROM ev, (VALUES {", ".join(f"({t})" for t in _CKPT_INTERVALS)}) t(t)
+),
+per_bucket AS (
+  SELECT stream_name, t, bucket, CAST(count(*) AS BIGINT) AS n
+  FROM sweep GROUP BY stream_name, t, bucket
+)
+SELECT stream_name, CAST(t AS BIGINT) AS interval_s,
+       CAST(count(*) AS BIGINT) AS n_checkpoints,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(max(n) AS BIGINT) AS worst_replay,
+       CAST(sum(n) // count(*) AS BIGINT) AS mean_replay,
+       CAST(1000000 * max(n) // sum(n) AS BIGINT) AS worst_replay_ppm
+FROM per_bucket GROUP BY stream_name, t
+"""
+
+
+@register(
+    "checkpoint_interval_tradeoff",
+    oracle=_CKPT_SQL,
+    doc="KCL checkpoint-cadence policy sheet: per candidate interval in "
+    "{1,5,15,60} min — checkpoint write budget vs replay exposure (worst "
+    "and mean records per aligned bucket = what a crash re-reads); one "
+    "keyed bucket aggregation per interval via a bounded explode",
+    tags=("healthcheck", "kinesis", "ops"),
+)
+def checkpoint_interval_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one narrow epoch projection, a 4-way bounded explode,
+    one (stream, interval, bucket) keyed aggregation with map-side
+    partials, one bounded fold per (stream, interval). No join, no
+    window, no global sort."""
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    ev = events.select(
+        F.col("event_type").alias("stream_name"),
+        F.col("ts").cast("long").alias("es"),
+    )
+    sweep = ev.select(
+        "stream_name",
+        "es",
+        F.explode(
+            F.array(*[F.lit(t).cast("long") for t in _CKPT_INTERVALS])
+        ).alias("t"),
+    ).withColumn("bucket", F.expr("es div t"))
+    per_bucket = sweep.groupBy("stream_name", "t", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return per_bucket.groupBy(
+        "stream_name", F.col("t").alias("interval_s")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_checkpoints"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.max("n").cast("long").alias("worst_replay"),
+        F.expr("CAST(sum(n) div count(1) AS BIGINT)").alias("mean_replay"),
+        F.expr("CAST(1000000 * max(n) div sum(n) AS BIGINT)").alias(
+            "worst_replay_ppm"
+        ),
+    )

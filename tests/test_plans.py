@@ -1401,3 +1401,25 @@ def test_kcl_lease_scale_out_pure_steal_at_oracle_sf(spark, sf_oracle):
     nc = collections.Counter(r.new_owner for r in rows)
     s = len(rows)
     assert all(s // 5 <= c <= s // 5 + (1 if s % 5 else 0) for c in nc.values()), nc
+
+
+def test_checkpoint_tradeoff_no_join_bounded_explode(spark, sf_small):
+    """One narrow projection, bounded explode, keyed aggregations — no
+    join, no window, no global sort; and replay exposure must be monotone:
+    a longer interval can only increase the worst bucket."""
+    plan = plan_of(spark, sf_small, "checkpoint_interval_tradeoff")
+    assert "Join" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+    import collections
+
+    by_stream = collections.defaultdict(list)
+    for r in get("checkpoint_interval_tradeoff").builder(spark, sf_small).collect():
+        by_stream[r.stream_name].append(r)
+    for rs in by_stream.values():
+        rs.sort(key=lambda r: r.interval_s)
+        assert [r.interval_s for r in rs] == [60, 300, 900, 3600]
+        for a, b in zip(rs, rs[1:]):
+            assert a.worst_replay <= b.worst_replay, (a, b)
+            assert a.n_checkpoints >= b.n_checkpoints, (a, b)
+            assert a.n_events == b.n_events, (a, b)
