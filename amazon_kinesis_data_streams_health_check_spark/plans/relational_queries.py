@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from amazon_kinesis_data_streams_health_check_spark.plans.registry import register
 from amazon_kinesis_data_streams_health_check_spark.session import configure_session
-from amazon_kinesis_data_streams_health_check_spark.sources.tables import load_table
+from amazon_kinesis_data_streams_health_check_spark.sources.tables import load_table, parallel_scan
 
 # Exact-decimal building blocks (Spark side).
 _PRICE = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -2234,3 +2234,105 @@ def bom_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_subtree_nodes"),
         F.sum("cents").cast("long").alias("subtree_cost_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AQE skew-join audit: the RUNTIME half of the skew story. skew_salted_join
+# shows the manual fix (explicit salts); this proves the engine's own
+# adaptive path fires — a 75%-hot join key, a forced sort-merge join, and
+# the builder RAISES unless the final adaptive plan carries
+# SortMergeJoin(skew=true), i.e. AQE actually split the fat partition by
+# map blocks and duplicated the matching dim rows. Subtlety this query
+# pins: with a single-mapper scan (one small parquet file) AQE CANNOT
+# split a skewed partition — skew specs are per map block — so the fact
+# rides parallel_scan, whose small-file repartition is exactly what a
+# multi-split 100 TB scan gives naturally.
+# ---------------------------------------------------------------------------
+_ASJ_REP = 32
+
+_ASJ_SQL = f"""
+WITH f AS (
+  SELECT event_type,
+         CASE WHEN event_id % 4 != 0 THEN 0 ELSE user_id END AS k
+  FROM events, range(0, {_ASJ_REP})
+),
+d AS (SELECT DISTINCT k, k % 7 AS dimval FROM f)
+SELECT f.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(d.dimval) AS BIGINT) AS s
+FROM f JOIN d ON d.k = f.k
+GROUP BY f.event_type
+"""
+
+_ASJ_CONFS = {
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4k",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2k",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@register(
+    "aqe_skew_join_audit",
+    oracle=_ASJ_SQL,
+    doc="AQE skew-join fired and verified: a 75%-hot key joined under a "
+    "forced sort-merge join must show SortMergeJoin(skew=true) in the "
+    "final adaptive plan (loud raise otherwise) — the runtime twin of the "
+    "manual skew_salted_join; also pins the map-block subtlety that a "
+    "single-mapper scan cannot be skew-split (parallel_scan provides the "
+    "multi-split input a real 100 TB scan has naturally)",
+    tags=("relational", "ops"),
+)
+def aqe_skew_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the audit runs the skewed join for real (thresholds
+    scaled to the test corpus; at production scale the defaults fire on
+    the same shape), inspects the executed adaptive plan, and returns the
+    bounded per-stream aggregate as a local relation — the join output
+    itself was already reduced distributedly before collection."""
+    configure_session(spark)
+    saved = {k: spark.conf.get(k, None) for k in _ASJ_CONFS}
+    try:
+        for k, v in _ASJ_CONFS.items():
+            spark.conf.set(k, v)
+        ev = (
+            parallel_scan(spark, sf_dir, "events")
+            .select(
+                "event_type",
+                F.expr(
+                    "CASE WHEN event_id % 4 != 0 THEN 0 ELSE user_id END"
+                ).alias("k"),
+            )
+            .select(
+                "*", F.explode(F.expr(f"sequence(1, {_ASJ_REP})")).alias("rep")
+            )
+        )
+        dim = (
+            ev.select("k")
+            .distinct()
+            .withColumn("dimval", F.expr("k % 7"))
+            .localCheckpoint(eager=True)  # shuffle directly under the join
+        )
+        out = (
+            ev.join(dim, "k")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("dimval").cast("long").alias("s"),
+            )
+        )
+        rows = out.collect()
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        if "skew=true" not in plan:
+            raise RuntimeError(
+                "AQE did not split the skewed join partition — "
+                "SortMergeJoin(skew=true) missing from the final plan"
+            )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, "event_type string, n long, s long")

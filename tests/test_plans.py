@@ -1423,3 +1423,27 @@ def test_checkpoint_tradeoff_no_join_bounded_explode(spark, sf_small):
             assert a.worst_replay <= b.worst_replay, (a, b)
             assert a.n_checkpoints >= b.n_checkpoints, (a, b)
             assert a.n_events == b.n_events, (a, b)
+
+
+def test_aqe_skew_audit_output_is_x32_of_base_counts(spark, sf_small):
+    """The audit's aggregate must equal the replication identity: n is 32x
+    the per-stream event count (every fact row joins exactly one dim row).
+    The skew=true assertion itself lives inside the builder (it raises)."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+    from amazon_kinesis_data_streams_health_check_spark.sources.tables import (
+        load_table,
+    )
+    import pyspark.sql.functions as SF
+
+    rows = {r.event_type: r for r in
+            get("aqe_skew_join_audit").builder(spark, sf_small).collect()}
+    base = {
+        r.event_type: r.cnt
+        for r in load_table(spark, sf_small, "events")
+        .groupBy("event_type")
+        .agg(SF.count(SF.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert set(rows) == set(base)
+    for et, r in rows.items():
+        assert r.n == 32 * base[et], (et, r, base[et])
