@@ -2336,3 +2336,86 @@ def aqe_skew_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return spark.createDataFrame(rows, "event_type string, n long, s long")
+
+
+# ---------------------------------------------------------------------------
+# Runtime Bloom-filter join audit: the non-partition-column counterpart of
+# lake_dpp_join's dynamic pruning. A selective dim filter cannot prune the
+# fact scan by partition when the join key is scattered (l_orderkey), but
+# Spark can build a Bloom filter from the filtered dim and inject a
+# might_contain() semi-filter into the fact side — rows that cannot join
+# die before the shuffle. The builder RAISES unless the optimized plan
+# carries the injected filter, so a silent regression of the runtime-
+# filter rule (or its thresholds) fails loudly instead of just slowing
+# 100 TB runs down.
+# ---------------------------------------------------------------------------
+_RBF_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+"""
+
+_RBF_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@register(
+    "runtime_bloom_join_audit",
+    oracle=_RBF_SQL,
+    doc="Runtime Bloom-filter join fired and verified: urgent orders build "
+    "a Bloom filter injected as might_contain() into the lineitem side of "
+    "a forced shuffle join (loud raise if the plan lost it) — the "
+    "non-partition-key counterpart of lake_dpp_join's dynamic pruning; "
+    "result equals the plain filter-join",
+    tags=("relational", "ops"),
+)
+def runtime_bloom_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: at 100 TB the semi-filter kills non-joining fact rows
+    at the scan, shrinking the shuffle by the dim's selectivity; the
+    thresholds here only force the rule on test-sized inputs (the
+    application-side default of 10GB is exactly a real fact scan). Confs
+    are saved and restored; the audited plan is the exact plan executed."""
+    configure_session(spark)
+    saved = {k: spark.conf.get(k, None) for k in _RBF_CONFS}
+    try:
+        for k, v in _RBF_CONFS.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        out = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.expr(
+                    "CAST(l_extendedprice AS DECIMAL(18,2))"
+                    " * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        if "might_contain" not in plan:
+            raise RuntimeError(
+                "runtime Bloom filter missing — might_contain() was not "
+                "injected into the fact side of the join"
+            )
+        rows = out.collect()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, "n_lines long, revenue double")

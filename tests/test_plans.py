@@ -1447,3 +1447,22 @@ def test_aqe_skew_audit_output_is_x32_of_base_counts(spark, sf_small):
     assert set(rows) == set(base)
     for et, r in rows.items():
         assert r.n == 32 * base[et], (et, r, base[et])
+
+
+def test_runtime_bloom_audit_matches_plain_join(spark, sf_small):
+    """The Bloom semi-filter must not change results: the audit equals the
+    unfiltered join arithmetic (the might_contain assertion raises inside
+    the builder)."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+    from amazon_kinesis_data_streams_health_check_spark.sources.tables import (
+        load_table,
+    )
+    import pyspark.sql.functions as SF
+
+    r = get("runtime_bloom_join_audit").builder(spark, sf_small).collect()[0]
+    li = load_table(spark, sf_small, "lineitem")
+    o = load_table(spark, sf_small, "orders").filter(
+        SF.col("o_orderpriority") == "1-URGENT"
+    )
+    expect = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert r.n_lines == expect, (r, expect)
