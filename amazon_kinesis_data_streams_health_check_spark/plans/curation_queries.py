@@ -1584,3 +1584,88 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q50",
         "q75",
     )
+
+
+# ---------------------------------------------------------------------------
+# Layout-determinism audit, driver-visible: the reproducibility contract
+# (same rows whatever the physical layout) exists as a test suite
+# (tests/test_invariance.py); this promotes it into the verified query
+# surface. Three md5-keyed curation components — stratified sample,
+# sequence packing, mixture plan — run TWICE inside one query under
+# different shuffle-partition settings; each run reduces distributedly to
+# an order-free fingerprint (exact count + sum of per-row md5 prefixes),
+# and the emitted boolean says the two runs were byte-identical. The
+# oracle checks the counts and asserts every boolean TRUE, so a
+# layout-dependent regression driver-fails loudly instead of living only
+# in the test suite.
+# ---------------------------------------------------------------------------
+_DET_SQL = f"""
+SELECT 'stratified_sample' AS component,
+       (SELECT CAST(count(*) AS BIGINT) FROM ({_STRATIFIED_SQL})) AS n_rows,
+       TRUE AS layout_invariant
+UNION ALL
+SELECT 'pack_sequences',
+       (SELECT CAST(count(*) AS BIGINT) FROM ({_PACK_SQL})),
+       TRUE
+UNION ALL
+SELECT 'mixture_plan',
+       (SELECT CAST(count(*) AS BIGINT) FROM ({_MIXTURE_SQL})),
+       TRUE
+"""
+
+
+def _det_fingerprint(df: DataFrame) -> tuple[int, int]:
+    """(n_rows, sum of uint32 md5 prefixes over canonicalized rows) — an
+    order-free exact fingerprint computed distributedly. Spark-to-Spark
+    comparison only, so the string canonicalization never crosses engines."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        hash_uniform,
+    )
+
+    canon = "concat_ws('|', " + ", ".join(
+        f"CAST({c} AS STRING)" for c in df.columns
+    ) + ")"
+    keyed = df.select(hash_uniform(canon).alias("h"))
+    row = keyed.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("h"), F.lit(0)).cast("long").alias("s"),
+    ).collect()[0]
+    return int(row["n"]), int(row["s"])
+
+
+@register(
+    "layout_determinism_audit",
+    oracle=_DET_SQL,
+    doc="Reproducibility as a verified query: three md5-keyed curation "
+    "components run twice under different shuffle-partition layouts inside "
+    "one builder; order-free fingerprints (count + md5-prefix sum) must "
+    "match run-to-run, and the oracle asserts every boolean TRUE — a "
+    "cluster resize can't silently change the corpus",
+    tags=("ext", "curation", "ops"),
+)
+def layout_determinism_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: each component runs exactly as registered (their own
+    scale stories apply); the fingerprint is one extra narrow projection +
+    1-row aggregate per run. The double execution is the audit's point —
+    it is how you PROVE a pipeline re-run reproduces, and at 100 TB you
+    run it on a sampled slice with identical semantics."""
+    components = {
+        "stratified_sample": curation_stratified_sample,
+        "pack_sequences": curation_pack_sequences,
+        "mixture_plan": curation_mixture_plan,
+    }
+    configure_session(spark)
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    rows = []
+    try:
+        for name, builder in components.items():
+            spark.conf.set("spark.sql.shuffle.partitions", "7")
+            fp_a = _det_fingerprint(builder(spark, sf_dir))
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+            fp_b = _det_fingerprint(builder(spark, sf_dir))
+            rows.append((name, fp_b[0], fp_a == fp_b))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    return spark.createDataFrame(
+        rows, "component string, n_rows long, layout_invariant boolean"
+    )
