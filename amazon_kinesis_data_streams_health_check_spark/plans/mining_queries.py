@@ -2926,3 +2926,90 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "      AS BIGINT) END"
         ).alias("var_reduction_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary OOV drift: freeze a top-N vocabulary on the training half of
+# the corpus and measure the out-of-vocabulary token rate per source on
+# the held-out half — the operational staleness metric of any fixed
+# tokenizer/embedding table (what fraction of tokens map to UNK). The
+# vocab is Heaps-bounded and selected by the two-phase local-slice merge
+# (no global sort of the word table); application is one broadcast join.
+# ---------------------------------------------------------------------------
+_OOV_VOCAB_N = 16  # deliberately tight vs the corpus vocabulary, so OOV is nonzero
+
+_OOV_SQL = f"""
+WITH train AS (
+  SELECT unnest({_DUCK_TOK}) AS word FROM documents WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+),
+wc AS (SELECT word, CAST(count(*) AS BIGINT) AS f FROM train GROUP BY word),
+vocab AS (
+  SELECT word FROM (
+    SELECT word, row_number() OVER (ORDER BY f DESC, word) AS r FROM wc
+  ) WHERE r <= {_OOV_VOCAB_N}
+),
+held AS (
+  SELECT source, unnest({_DUCK_TOK}) AS word
+  FROM documents WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 1
+)
+SELECT h.source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE v.word IS NULL) AS BIGINT) AS n_oov,
+       CAST(1000000 * count(*) FILTER (WHERE v.word IS NULL) // count(*)
+            AS BIGINT) AS oov_ppm
+FROM held h LEFT JOIN vocab v ON v.word = h.word
+GROUP BY h.source
+"""
+
+
+@register(
+    "vocab_oov_drift",
+    oracle=_OOV_SQL,
+    doc=f"Vocabulary staleness: top-{_OOV_VOCAB_N} vocab frozen on the "
+    "md5-even training half, OOV token rate per source on the held-out "
+    "half (exact ppm) — the fraction of tokens a fixed tokenizer maps to "
+    "UNK; vocab via two-phase top-N, application via one broadcast join",
+    tags=("ext", "mining", "tokenizer"),
+)
+def vocab_oov_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one word-count aggregation over the training half
+    (uniform keys, map-side partials), a two-phase top-N over the
+    Heaps-bounded vocab (locals slice per partition, tiny merge), then the
+    held-out token stream joins the BROADCAST vocab once — the stream
+    never shuffles. At 100 TB the vocab is still 256 rows."""
+    docs = parallel_scan(spark, sf_dir, "documents")
+    configure_session(spark)
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        hash_uniform,
+    )
+
+    train = docs.filter(hash_uniform("doc_id") % 2 == 0).select(
+        F.explode(F.expr(_SPARK_TOK)).alias("word")
+    )
+    wc = train.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    cand = F.struct((-F.col("f")).alias("nf"), F.col("word").alias("w"))
+    local = wc.groupBy(F.spark_partition_id().alias("_pid")).agg(
+        F.slice(F.array_sort(F.collect_list(cand)), 1, _OOV_VOCAB_N).alias("c")
+    )
+    vocab = (
+        local.agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("c"))), 1, _OOV_VOCAB_N
+            ).alias("topn")
+        )
+        .select(F.explode("topn").alias("t"))
+        .select(F.col("t.w").alias("word"))
+    )
+    held = docs.filter(hash_uniform("doc_id") % 2 == 1).select(
+        "source", F.explode(F.expr(_SPARK_TOK)).alias("word")
+    )
+    joined = held.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "word", "left"
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.expr("CAST(count_if(in_vocab IS NULL) AS BIGINT)").alias("n_oov"),
+        F.expr(
+            "CAST(1000000 * count_if(in_vocab IS NULL) div count(1) AS BIGINT)"
+        ).alias("oov_ppm"),
+    )

@@ -1466,3 +1466,13 @@ def test_runtime_bloom_audit_matches_plain_join(spark, sf_small):
     )
     expect = li.join(o, li.l_orderkey == o.o_orderkey).count()
     assert r.n_lines == expect, (r, expect)
+
+
+def test_vocab_oov_stream_never_shuffles_on_word(spark, sf_small):
+    """The held-out stream joins the BROADCAST vocab — a shuffle keyed on
+    word would move the whole token stream; the vocab's top-N is the
+    two-phase slice (no global rank window over the word table)."""
+    plan = plan_of(spark, sf_small, "vocab_oov_drift")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "row_number" not in plan, plan
