@@ -3771,3 +3771,201 @@ def checkpoint_interval_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "worst_replay_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Control-chart ensemble: the three charts the repo implements separately
+# (Shewhart trailing 3-sigma, two-sided CUSUM, truncated EWMA) evaluated
+# on ONE per-minute arrival series and combined into a per-period vote —
+# the production pattern for paging: a single chart alarms too eagerly
+# (Shewhart on spikes, CUSUM on slow drift, EWMA in between), while
+# 2-of-3 consensus pages on changes at least two mechanisms agree on.
+# Every statistic is the exact-integer form already proven by its
+# standalone query; this derives all three from one scan in one plan.
+# ---------------------------------------------------------------------------
+_ENS_WIN = 60
+_ENS_MIN = 30
+_ENS_K2 = 9
+_ENS_H = 12
+
+_ENS_EWMA_TERMS = " + ".join(
+    f"coalesce(lag(x, {k}) OVER wo * {1 << (_ENS_H - k)}, 0)"
+    for k in range(1, _ENS_H + 1)
+)
+_ENS_EWMA_MASS = " + ".join(
+    f"CASE WHEN lag(x, {k}) OVER wo IS NOT NULL THEN {1 << (_ENS_H - k)} ELSE 0 END"
+    for k in range(1, _ENS_H + 1)
+)
+
+_ENSEMBLE_SQL = f"""
+WITH m AS (
+  SELECT event_type AS stream_name,
+         60 * CAST(floor(epoch(ts) / 60) AS BIGINT) AS ws,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+mu AS (
+  -- Poisson scaling: slack ~ 1 sigma = sqrt(mu) (identical double sqrt of
+  -- the same integer in both engines), decision threshold 8 * slack.
+  SELECT stream_name, CAST(sum(x) // count(*) AS BIGINT) AS mu,
+         greatest(1, CAST(floor(sqrt(CAST(sum(x) // count(*) AS DOUBLE)))
+                          AS BIGINT)) AS slack
+  FROM m GROUP BY stream_name
+),
+stat0 AS (
+  SELECT m.stream_name, m.ws, m.x, mu.mu, mu.slack,
+         CAST(count(*) OVER w AS BIGINT) AS n,
+         CAST(sum(x) OVER w AS BIGINT) AS s,
+         CAST(sum(x * x) OVER w AS BIGINT) AS ss,
+         CAST(sum(x - mu.mu - mu.slack) OVER wo AS BIGINT) AS p_pos,
+         CAST({_ENS_EWMA_TERMS} AS BIGINT) AS enum_,
+         CAST({_ENS_EWMA_MASS} AS BIGINT) AS emass
+  FROM m JOIN mu ON mu.stream_name = m.stream_name
+  WINDOW w AS (PARTITION BY m.stream_name ORDER BY m.ws
+               ROWS BETWEEN {_ENS_WIN - 1} PRECEDING AND CURRENT ROW),
+         wo AS (PARTITION BY m.stream_name ORDER BY m.ws
+                ROWS UNBOUNDED PRECEDING)
+),
+stat AS (
+  SELECT *, CAST(min(p_pos) OVER (PARTITION BY stream_name ORDER BY ws
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lo_pos
+  FROM stat0
+),
+flags AS (
+  SELECT stream_name, ws, x,
+         n >= {_ENS_MIN}
+           AND (n - 1) * (x * n - s) * (x * n - s)
+               > {_ENS_K2} * n * (n * ss - s * s) AS shewhart,
+         (p_pos - least(0, lo_pos)) > 8 * slack AS cusum_up,
+         emass = {(1 << _ENS_H) - 1} AND x * emass > 2 * enum_ AS ewma
+  FROM stat
+)
+SELECT stream_name, ws AS window_start_s, x AS n_arrivals,
+       shewhart, cusum_up, ewma,
+       CAST(CAST(shewhart AS INT) + CAST(cusum_up AS INT)
+            + CAST(ewma AS INT) AS BIGINT) AS n_alarms,
+       CAST(shewhart AS INT) + CAST(cusum_up AS INT) + CAST(ewma AS INT) >= 2
+         AS consensus
+FROM flags
+"""
+
+
+@register(
+    "control_chart_ensemble",
+    oracle=_ENSEMBLE_SQL,
+    doc="Control-chart ensemble: Shewhart trailing 3-sigma, one-sided "
+    "closed-form CUSUM, and truncated EWMA evaluated on ONE per-minute "
+    "arrival series (each the exact-integer form of its standalone query) "
+    "with a 2-of-3 consensus vote — the paging rule that needs two "
+    "mechanisms to agree; one scan, one join, two window frames",
+    tags=("core", "timeseries"),
+)
+def control_chart_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one keyed rollup to the 1-min series, the per-stream
+    baseline broadcast back, then every chart statistic comes from TWO
+    window frames over the bounded-key series (a sliding 60-row frame and
+    an unbounded-preceding frame — the 12 EWMA lags ride the ordered
+    frame); flags and the vote are narrow arithmetic. Three charts cost
+    one window pass more than one chart."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    m = events.groupBy(
+        F.col("event_type").alias("stream_name"),
+        (F.lit(60) * F.floor(F.unix_timestamp("ts") / 60))
+        .cast("long")
+        .alias("ws"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    mu = m.groupBy("stream_name").agg(
+        F.expr("CAST(sum(x) div count(1) AS BIGINT)").alias("mu"),
+        F.expr(
+            "greatest(1, CAST(floor(sqrt(CAST(sum(x) div count(1) AS DOUBLE)))"
+            " AS BIGINT))"
+        ).alias("slack"),
+    )
+    j = m.join(F.broadcast(mu), "stream_name")
+    w = (
+        Window.partitionBy("stream_name")
+        .orderBy("ws")
+        .rowsBetween(-(_ENS_WIN - 1), 0)
+    )
+    wo = (
+        Window.partitionBy("stream_name")
+        .orderBy("ws")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prefix = F.sum(F.col("x") - F.col("mu") - F.col("slack")).over(wo)
+    wl = Window.partitionBy("stream_name").orderBy("ws")
+    ewma_terms = sum(
+        (
+            F.coalesce(F.lag("x", k).over(wl) * (1 << (_ENS_H - k)), F.lit(0))
+            for k in range(1, _ENS_H + 1)
+        ),
+        F.lit(0),
+    )
+    ewma_mass = sum(
+        (
+            F.when(
+                F.lag("x", k).over(wl).isNotNull(),
+                F.lit(1 << (_ENS_H - k)),
+            ).otherwise(0)
+            for k in range(1, _ENS_H + 1)
+        ),
+        F.lit(0),
+    )
+    stat = j.select(
+        "stream_name",
+        "ws",
+        "x",
+        "mu",
+        "slack",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("x").over(w).cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("ss"),
+        prefix.cast("long").alias("p_pos"),
+        F.min(prefix).over(wo).cast("long").alias("lo_pos"),
+        ewma_terms.cast("long").alias("enum_"),
+        ewma_mass.cast("long").alias("emass"),
+    )
+    full = (1 << _ENS_H) - 1
+    flags = stat.select(
+        "stream_name",
+        F.col("ws").alias("window_start_s"),
+        F.col("x").alias("n_arrivals"),
+        (
+            (F.col("n") >= _ENS_MIN)
+            & (
+                (F.col("n") - 1)
+                * (F.col("x") * F.col("n") - F.col("s"))
+                * (F.col("x") * F.col("n") - F.col("s"))
+                > _ENS_K2
+                * F.col("n")
+                * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+            )
+        ).alias("shewhart"),
+        (
+            (F.col("p_pos") - F.least(F.lit(0), F.col("lo_pos")))
+            > 8 * F.col("slack")
+        ).alias("cusum_up"),
+        (
+            (F.col("emass") == full)
+            & (F.col("x") * F.col("emass") > 2 * F.col("enum_"))
+        ).alias("ewma"),
+    )
+    return flags.select(
+        "*",
+        (
+            F.col("shewhart").cast("int")
+            + F.col("cusum_up").cast("int")
+            + F.col("ewma").cast("int")
+        )
+        .cast("long")
+        .alias("n_alarms"),
+        (
+            F.col("shewhart").cast("int")
+            + F.col("cusum_up").cast("int")
+            + F.col("ewma").cast("int")
+            >= 2
+        ).alias("consensus"),
+    )

@@ -1476,3 +1476,22 @@ def test_vocab_oov_stream_never_shuffles_on_word(spark, sf_small):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "row_number" not in plan, plan
+
+
+def test_control_chart_ensemble_consistent_with_standalone_charts(spark, sf_small):
+    """The ensemble's vote must be internally consistent (n_alarms = sum of
+    flags, consensus = n_alarms >= 2) and its EWMA leg must match the
+    standalone ewma_control_chart on the same series."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    rows = get("control_chart_ensemble").builder(spark, sf_small).collect()
+    for r in rows:
+        total = int(r.shewhart) + int(r.cusum_up) + int(r.ewma)
+        assert r.n_alarms == total, r
+        assert r.consensus == (total >= 2), r
+    ew = {
+        (r.stream_name, int(r.window_start.timestamp())): r.spike_high
+        for r in get("ewma_control_chart").builder(spark, sf_small).collect()
+    }
+    for r in rows:
+        assert r.ewma == ew[(r.stream_name, r.window_start_s)], r
