@@ -3060,3 +3060,95 @@ def streaming_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(feed_dir)
     )
     return _run_to_memory(ewma_stream(feed), "ewma", output_mode="update")
+
+
+# ---------------------------------------------------------------------------
+# Streaming control-chart ensemble: the online twin of
+# control_chart_ensemble. ONE state object serves all three charts — the
+# last 59 counts (Shewhart's trailing window; the EWMA lags are its tail)
+# plus the CUSUM carry pair — so the drive's output is byte-identical to
+# the batch vote however the feed is sliced. The batch SQL is the oracle
+# verbatim; the (mu, slack) baseline is learned offline exactly as in the
+# standalone streaming CUSUM.
+# ---------------------------------------------------------------------------
+from amazon_kinesis_data_streams_health_check_spark.plans.healthcheck_queries import (  # noqa: E402
+    _ENSEMBLE_SQL,
+)
+
+
+@register(
+    "streaming_control_ensemble",
+    # Import, not copy: the streaming fold and the batch windows must stay
+    # semantically identical, so they share one oracle.
+    oracle=_ENSEMBLE_SQL,
+    doc="Streaming control-chart ensemble: applyInPandasWithState holding "
+    "59 counts + the CUSUM carry pair per stream (one state object serves "
+    "Shewhart, CUSUM and EWMA) — driven over 4 mtime-ordered feed chunks "
+    "and value-hash checked against the batch 2-of-3 vote verbatim",
+    tags=("core", "streaming", "timeseries"),
+)
+def streaming_control_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the minute rollup + per-stream baseline are the batch
+    query's profile stage; online, the state store holds 61 BIGINTs per
+    stream and each micro-batch folds its periods in O(rows * 60). Because
+    the state is exactly what the batch windows read, a backfill replay
+    from any checkpoint reproduces the identical page decisions."""
+    import shutil
+
+    from amazon_kinesis_data_streams_health_check_spark.streaming.ensemble import (
+        ensemble_stream,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    m = (
+        events.groupBy(
+            F.col("event_type").alias("stream_name"),
+            (F.lit(60) * F.floor(F.unix_timestamp("ts") / 60))
+            .cast("long")
+            .alias("ws"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    mu = m.groupBy("stream_name").agg(
+        F.expr("CAST(sum(x) div count(1) AS BIGINT)").alias("mu_milli"),
+        F.expr(
+            "greatest(1, CAST(floor(sqrt(CAST(sum(x) div count(1) AS DOUBLE)))"
+            " AS BIGINT))"
+        ).alias("slack_milli"),
+    )
+    feed_rows = m.join(F.broadcast(mu), "stream_name").select(
+        "stream_name", "ws", "x", "mu_milli", "slack_milli"
+    )
+    b = feed_rows.agg(F.min("ws").alias("lo"), F.max("ws").alias("hi")).collect()[0]
+    lo_s, hi_s = int(b["lo"]), int(b["hi"])
+
+    feed_dir = tempfile.mkdtemp(prefix="ens_feed_")
+    n_chunks = 4
+    span = hi_s - lo_s + 60
+    step = max(60, (span // n_chunks // 60) * 60)
+    cuts = [lo_s + i * step for i in range(n_chunks)] + [hi_s + 120]
+    for i in range(n_chunks):
+        chunk = feed_rows.filter(
+            (F.col("ws") >= cuts[i]) & (F.col("ws") < cuts[i + 1])
+        )
+        tmp = tempfile.mkdtemp(prefix=f"ens_chunk{i}_")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p
+            for p in sorted(os.listdir(tmp))
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = os.path.join(feed_dir, f"chunk_{i:02d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    feed = (
+        spark.readStream.schema(
+            "stream_name string, ws long, x long, mu_milli long, slack_milli long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    return _run_to_memory(ensemble_stream(feed), "ens", output_mode="update")

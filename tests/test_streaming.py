@@ -517,3 +517,61 @@ def test_ewma_slicing_invariant_and_matches_python(spark, tmp_path):
     # the engineered spike fires exactly once, outside warmup
     spikes = [r for r in one if r[6]]
     assert spikes == [r for r in one if r[0] == "a" and r[1] == base + 12 * 60]
+
+
+def test_ensemble_slicing_invariant(spark, tmp_path):
+    """The streaming ensemble emits identical voted rows whether the feed
+    arrives as one micro-batch or three (cross-batch state carries the
+    59-count history and the CUSUM pair)."""
+    import os
+
+    from amazon_kinesis_data_streams_health_check_spark.streaming.ensemble import (
+        ensemble_stream,
+    )
+
+    base = 1_700_000_000 - (1_700_000_000 % 60)
+    xs = [10, 12, 9, 11, 10, 40, 10, 9, 11, 10, 10, 12, 9, 10, 11] * 5  # 75 periods
+    feed_rows = [("s", base + i * 60, x, 10, 3) for i, x in enumerate(xs)]
+    ddl = "stream_name string, ws long, x long, mu_milli long, slack_milli long"
+    feed_df = spark.createDataFrame(feed_rows, ddl)
+
+    def drive(n_chunks: int, tag: str):
+        src = tmp_path / f"feed_{tag}"
+        os.makedirs(src)
+        per = len(xs) // n_chunks + 1
+        for i in range(n_chunks):
+            c = feed_df.filter(
+                (F.col("ws") >= base + i * per * 60)
+                & (F.col("ws") < base + (i + 1) * per * 60)
+            )
+            d = tmp_path / f"w_{tag}_{i}"
+            c.coalesce(1).write.parquet(str(d))
+            part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+            dst = src / f"chunk_{i:02d}.parquet"
+            os.rename(d / part, dst)
+            os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+        stream = (
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            ensemble_stream(stream)
+            .writeStream.format("memory")
+            .queryName(f"ens_{tag}")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return sorted(tuple(r) for r in spark.table(f"ens_{tag}").collect())
+
+    one = drive(1, "one")
+    three = drive(3, "three")
+    assert one == three
+    assert len(one) == len(xs)
+    # internal consistency of the vote on every emitted row
+    for r in one:
+        assert r[6] == int(r[3]) + int(r[4]) + int(r[5]), r
+        assert r[7] == (r[6] >= 2), r
