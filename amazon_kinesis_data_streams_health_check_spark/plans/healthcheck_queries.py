@@ -23,6 +23,7 @@ from amazon_kinesis_data_streams_health_check_spark.operators.consumer import (
     metric_rows,
 )
 from amazon_kinesis_data_streams_health_check_spark.operators.lag import (
+    event_time,
     staleness_at_window_close,
 )
 from amazon_kinesis_data_streams_health_check_spark.operators.producer import (
@@ -3968,4 +3969,176 @@ def control_chart_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("ewma").cast("int")
             >= 2
         ).alias("consensus"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal lag bound: a distribution-free upper bound on the flagship
+# staleness metric. Calibration half (md5-even event_id) yields the exact
+# order-statistic threshold k = ceil((n+1)(1-alpha)); the held-out half's
+# empirical coverage is reported in ppm against the 1-alpha target. Every
+# number is an exact integer (the lag domain is bounded seconds, so the
+# order statistic comes from value-domain counts — no global sort).
+# ---------------------------------------------------------------------------
+_CONFORMAL_SQL = """
+WITH base AS (
+  SELECT event_type AS stream_name,
+         COALESCE(TRY_CAST(json_extract_string(props, '$.currentInstant') AS TIMESTAMP), ts) AS ev,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 2 = 0 AS is_cal
+  FROM events
+),
+scored AS (
+  SELECT stream_name, is_cal,
+         CAST(epoch(date_trunc('minute', ev) + INTERVAL 1 MINUTE) AS BIGINT)
+           - CAST(epoch(date_trunc('second', ev)) AS BIGINT) AS lag_s
+  FROM base
+),
+cal_counts AS (
+  SELECT stream_name, lag_s, CAST(count(*) AS BIGINT) AS c
+  FROM scored WHERE is_cal GROUP BY 1, 2
+),
+cal_cum AS (
+  SELECT stream_name, lag_s,
+         sum(c) OVER (PARTITION BY stream_name ORDER BY lag_s) AS cum
+  FROM cal_counts
+),
+cal_tot AS (
+  SELECT stream_name, CAST(sum(c) AS BIGINT) AS n_cal FROM cal_counts GROUP BY 1
+),
+alphas(alpha_ppm) AS (VALUES (CAST(100000 AS BIGINT)), (CAST(50000 AS BIGINT))),
+ranks AS (
+  SELECT stream_name, alpha_ppm, n_cal,
+         CASE WHEN ((n_cal + 1) * (1000000 - alpha_ppm) + 999999) // 1000000 > n_cal
+              THEN CAST(error('conformal_lag_bound: rank beyond calibration size') AS BIGINT)
+              ELSE ((n_cal + 1) * (1000000 - alpha_ppm) + 999999) // 1000000
+         END AS k_rank
+  FROM cal_tot, alphas
+),
+thresholds AS (
+  SELECT r.stream_name, r.alpha_ppm, r.n_cal, r.k_rank,
+         CAST(min(c.lag_s) AS BIGINT) AS q_lag_threshold
+  FROM ranks r JOIN cal_cum c
+    ON c.stream_name = r.stream_name AND c.cum >= r.k_rank
+  GROUP BY 1, 2, 3, 4
+),
+test_counts AS (
+  SELECT stream_name, lag_s, CAST(count(*) AS BIGINT) AS c
+  FROM scored WHERE NOT is_cal GROUP BY 1, 2
+)
+SELECT t.stream_name, t.alpha_ppm, t.n_cal, t.k_rank, t.q_lag_threshold,
+       CAST(sum(tc.c) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN tc.lag_s <= t.q_lag_threshold THEN tc.c ELSE 0 END)
+            AS BIGINT) AS n_covered,
+       CAST(1000000 * sum(CASE WHEN tc.lag_s <= t.q_lag_threshold THEN tc.c
+                               ELSE 0 END) // sum(tc.c) AS BIGINT) AS covered_ppm,
+       CAST(1000000 - t.alpha_ppm AS BIGINT) AS target_ppm,
+       1000000 * sum(CASE WHEN tc.lag_s <= t.q_lag_threshold THEN tc.c ELSE 0 END)
+         // sum(tc.c) >= 1000000 - t.alpha_ppm AS met_target
+FROM thresholds t JOIN test_counts tc ON tc.stream_name = t.stream_name
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+@register(
+    "conformal_lag_bound",
+    oracle=_CONFORMAL_SQL,
+    doc="Distribution-free staleness SLO: split-conformal calibration of the "
+    "flagship lag metric — exact order-statistic threshold "
+    "k = ceil((n+1)(1-alpha)) on the md5-even calibration half, held-out "
+    "coverage in exact ppm vs the 1-alpha target for alpha in {10%, 5%}. "
+    "Loud failure if the rank exceeds the calibration size (tiny-stream "
+    "guard); the uncertainty-quantification layer an alarm threshold like "
+    "the reference's fixed 30 s (KinesisHealthCheckStack.java alarm) lacks",
+    tags=("core", "stats", "alerting"),
+)
+def conformal_lag_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one scan -> per-(stream, lag-value) counts (bounded by
+    streams x 60 values) -> cumulative window ON THE COUNTS TABLE, tiny
+    rank/threshold tables broadcast back onto the counts. The raw stream
+    is never sorted or windowed."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    ev = event_time(F.col("ts"), F.col("props"))
+    scored = events.select(
+        F.col("event_type").alias("stream_name"),
+        (
+            F.unix_timestamp(F.date_trunc("minute", ev)) + 60
+            - F.unix_timestamp(F.date_trunc("second", ev))
+        ).alias("lag_s"),
+        (
+            F.expr(
+                "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)"
+                " AS BIGINT) % 2"
+            )
+            == 0
+        ).alias("is_cal"),
+    ).localCheckpoint(eager=False)  # feeds both the calibration and test legs
+    cal_counts = (
+        scored.filter("is_cal")
+        .groupBy("stream_name", "lag_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)  # feeds cumsum AND totals
+    )
+    w_cum = (
+        Window.partitionBy("stream_name")
+        .orderBy("lag_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cal_cum = cal_counts.select(
+        "stream_name", "lag_s", F.sum("c").over(w_cum).alias("cum")
+    )
+    cal_tot = cal_counts.groupBy("stream_name").agg(
+        F.sum("c").cast("long").alias("n_cal")
+    )
+    alphas = scored.sparkSession.range(1).select(
+        F.explode(F.array(F.lit(100000), F.lit(50000))).alias("alpha_ppm")
+    ).select(F.col("alpha_ppm").cast("long").alias("alpha_ppm"))
+    k_expr = "((n_cal + 1) * (1000000 - alpha_ppm) + 999999) div 1000000"
+    ranks = cal_tot.crossJoin(F.broadcast(alphas)).select(
+        "stream_name",
+        "alpha_ppm",
+        "n_cal",
+        F.expr(
+            f"CASE WHEN {k_expr} > n_cal THEN"
+            " raise_error('conformal_lag_bound: rank beyond calibration size')"
+            f" ELSE {k_expr} END"
+        )
+        .cast("long")
+        .alias("k_rank"),
+    )
+    thresholds = (
+        cal_cum.join(F.broadcast(ranks), "stream_name")
+        .filter(F.col("cum") >= F.col("k_rank"))
+        .groupBy("stream_name", "alpha_ppm", "n_cal", "k_rank")
+        .agg(F.min("lag_s").cast("long").alias("q_lag_threshold"))
+    )
+    test_counts = (
+        scored.filter(~F.col("is_cal"))
+        .groupBy("stream_name", "lag_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        test_counts.join(F.broadcast(thresholds), "stream_name")
+        .groupBy("stream_name", "alpha_ppm", "n_cal", "k_rank", "q_lag_threshold")
+        .agg(
+            F.sum("c").cast("long").alias("n_test"),
+            F.sum(F.expr("CASE WHEN lag_s <= q_lag_threshold THEN c ELSE 0 END"))
+            .cast("long")
+            .alias("n_covered"),
+            F.expr(
+                "CAST(1000000 * sum(CASE WHEN lag_s <= q_lag_threshold THEN c"
+                " ELSE 0 END) div sum(c) AS BIGINT)"
+            ).alias("covered_ppm"),
+            (F.lit(1000000) - F.col("alpha_ppm")).cast("long").alias("target_ppm"),
+            (
+                F.expr(
+                    "1000000 * sum(CASE WHEN lag_s <= q_lag_threshold THEN c"
+                    " ELSE 0 END) div sum(c)"
+                )
+                >= F.expr("1000000 - alpha_ppm")
+            ).alias("met_target"),
+        )
     )

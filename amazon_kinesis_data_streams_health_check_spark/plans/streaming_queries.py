@@ -3152,3 +3152,240 @@ def streaming_control_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(feed_dir)
     )
     return _run_to_memory(ensemble_stream(feed), "ens", output_mode="update")
+
+
+# ---------------------------------------------------------------------------
+# Shard-iterator semantics: GetShardIterator's five iterator types decide
+# exactly which retained records a new consumer reads. The reference pins
+# StartingPosition.LATEST for its ESM (KinesisHealthCheckStack.java:160);
+# this query audits ALL five types against one sim feed — including the
+# retention clamp (an AT_TIMESTAMP before the trim horizon starts at the
+# horizon, records past retention are unreadable by ANY iterator).
+# ---------------------------------------------------------------------------
+_ITSEM_SHARDS = 3
+_ITSEM_PER_SHARD = 240
+_ITSEM_IVL_MS = 60_000
+#: now = arrival of the newest record (the instant the iterators are cut).
+_ITSEM_NOW = _KS_EPOCH + (_ITSEM_PER_SHARD - 1) * 60
+#: 150-minute retention => trim horizon sits mid-feed (clamp is exercised).
+_ITSEM_TRIM = _ITSEM_NOW - 150 * 60
+#: LATEST iterator was created at minute 180 of the feed.
+_ITSEM_OPEN = _KS_EPOCH + 180 * 60
+#: AT_TIMESTAMP aimed at minute 60 — BEFORE the trim horizon (clamps).
+_ITSEM_AT_TS = _KS_EPOCH + 60 * 60
+#: per-shard pinned sequence index for AT/AFTER_SEQUENCE_NUMBER.
+_ITSEM_PIN = 200
+
+_ITSEM_SQL = f"""
+WITH g AS (
+  SELECT s.range AS shard, q.range AS seq
+  FROM range(0, {_ITSEM_SHARDS}) s, range(0, {_ITSEM_PER_SHARD}) q
+),
+r AS (
+  SELECT shard, seq,
+         CAST({_KS_EPOCH} + seq * {_ITSEM_IVL_MS} // 1000 AS BIGINT) AS arrival,
+         lpad(CAST(CAST(shard AS HUGEINT) * 100000000000000000000 + seq
+                   AS VARCHAR), 56, '0') AS sequence_number
+  FROM g
+),
+t(iterator_type) AS (
+  VALUES ('TRIM_HORIZON'), ('LATEST'), ('AT_TIMESTAMP'),
+         ('AT_SEQUENCE_NUMBER'), ('AFTER_SEQUENCE_NUMBER')
+),
+flags AS (
+  SELECT r.*, t.iterator_type,
+         arrival >= {_ITSEM_TRIM} AND CASE t.iterator_type
+           WHEN 'TRIM_HORIZON' THEN TRUE
+           WHEN 'LATEST' THEN arrival > {_ITSEM_OPEN}
+           WHEN 'AT_TIMESTAMP' THEN arrival >= {_ITSEM_AT_TS}
+           WHEN 'AT_SEQUENCE_NUMBER' THEN seq >= {_ITSEM_PIN}
+           ELSE seq > {_ITSEM_PIN}
+         END AS readable
+  FROM r, t
+)
+SELECT 'shardId-' || lpad(CAST(shard AS VARCHAR), 12, '0') AS shard_id,
+       iterator_type,
+       CAST(count(*) AS BIGINT) AS n_readable,
+       min(sequence_number) AS first_seq,
+       max(sequence_number) AS last_seq,
+       CAST(min(arrival) AS BIGINT) AS first_arrival_s,
+       CAST(max(arrival) AS BIGINT) AS last_arrival_s,
+       CAST(max(arrival) - min(arrival) AS BIGINT) AS readable_span_s,
+       min(arrival) = {_ITSEM_TRIM} AS starts_at_trim
+FROM flags WHERE readable
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "shard_iterator_semantics",
+    oracle=_ITSEM_SQL,
+    doc="Kinesis GetShardIterator semantics: per-(shard, iterator type) the "
+    "exact readable record set for TRIM_HORIZON / LATEST / AT_TIMESTAMP / "
+    "AT_SEQUENCE_NUMBER / AFTER_SEQUENCE_NUMBER, with the retention clamp "
+    "(AT_TIMESTAMP aimed before the trim horizon starts AT the horizon, and "
+    "no iterator reads expired records). The reference consumer pins "
+    "StartingPosition.LATEST (KinesisHealthCheckStack.java:160); this is "
+    "the full decision table that choice came from",
+    tags=("core", "source", "kinesis"),
+)
+def shard_iterator_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ONE scan of the wire, a narrow per-record projection
+    (seq index = the numeric tail of the 56-digit sequence string), a
+    5-way stack melt, and one keyed aggregation bounded by
+    shards x iterator-types. No join, no window, no global sort."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.kinesis_sim import (
+        register_kinesis_sim,
+    )
+
+    configure_session(spark)
+    register_kinesis_sim(spark)
+    raw = (
+        spark.read.format("kinesis_sim")
+        .option("numShards", _ITSEM_SHARDS)
+        .option("recordsPerShard", _ITSEM_PER_SHARD)
+        .option("startEpochS", _KS_EPOCH)
+        .option("intervalMs", _ITSEM_IVL_MS)
+        .load()
+    )
+    r = raw.select(
+        "shard_id",
+        "sequence_number",
+        F.col("approximate_arrival_ts").cast("long").alias("arrival"),
+        # shard * 10^20 + seq: the last 20 digits are exactly the seq index.
+        F.expr("CAST(right(sequence_number, 20) AS BIGINT)").alias("seq"),
+    )
+    flags = r.select(
+        "shard_id",
+        "sequence_number",
+        "arrival",
+        F.expr(
+            f"""stack(5,
+              'TRIM_HORIZON', arrival >= {_ITSEM_TRIM},
+              'LATEST', arrival >= {_ITSEM_TRIM} AND arrival > {_ITSEM_OPEN},
+              'AT_TIMESTAMP',
+                arrival >= {_ITSEM_TRIM} AND arrival >= {_ITSEM_AT_TS},
+              'AT_SEQUENCE_NUMBER',
+                arrival >= {_ITSEM_TRIM} AND seq >= {_ITSEM_PIN},
+              'AFTER_SEQUENCE_NUMBER',
+                arrival >= {_ITSEM_TRIM} AND seq > {_ITSEM_PIN}
+            ) AS (iterator_type, readable)"""
+        ),
+    ).filter("readable")
+    return flags.groupBy("shard_id", "iterator_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_readable"),
+        F.min("sequence_number").alias("first_seq"),
+        F.max("sequence_number").alias("last_seq"),
+        F.min("arrival").alias("first_arrival_s"),
+        F.max("arrival").alias("last_arrival_s"),
+        (F.max("arrival") - F.min("arrival")).alias("readable_span_s"),
+        (F.min("arrival") == F.lit(_ITSEM_TRIM)).alias("starts_at_trim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Producer retry duplication: Kinesis PutRecord is at-least-once — a
+# timed-out-but-successful put that the producer retries lands TWICE, with
+# distinct sequence numbers but identical payload and partition key (the
+# documented "Kinesis does not remove duplicates" caveat; the reference's
+# single un-retried PutRecord at HealthCheckProducerHandler.java:51-56
+# sidesteps it). A deterministic 1/16 of the feed is retried; the
+# idempotent-consumer audit (payload-key dedup, keep first delivery)
+# must account for every duplicate exactly.
+# ---------------------------------------------------------------------------
+_RETRY_DEDUP_SQL = """
+WITH base AS (
+  SELECT event_type AS stream_name,
+         CAST(event_id AS VARCHAR) AS pk,
+         octet_length(encode(props)) AS bytes,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 16 = 0 AS retried
+  FROM events
+),
+attempts AS (
+  SELECT stream_name, pk, bytes, retried,
+         unnest(range(1, CASE WHEN retried THEN 3 ELSE 2 END)) AS attempt
+  FROM base
+)
+SELECT stream_name,
+       CAST(count(*) AS BIGINT) AS n_put_attempts,
+       CAST(count(DISTINCT pk) AS BIGINT) AS n_unique_records,
+       CAST(count(*) - count(DISTINCT pk) AS BIGINT) AS n_duplicates,
+       CAST(1000000 * (count(*) - count(DISTINCT pk)) // count(*) AS BIGINT)
+         AS dup_ppm,
+       CAST(count(DISTINCT CASE WHEN retried THEN pk END) AS BIGINT)
+         AS n_retried,
+       CAST(COALESCE(sum(CASE WHEN attempt = 2 THEN bytes END), 0) AS BIGINT)
+         AS wasted_bytes,
+       CAST(1000000 * COALESCE(sum(CASE WHEN attempt = 2 THEN bytes END), 0)
+            // sum(bytes) AS BIGINT) AS waste_ppm,
+       count(*) - count(DISTINCT pk)
+         = count(DISTINCT CASE WHEN retried THEN pk END) AS retry_accounting_ok
+FROM attempts GROUP BY 1
+"""
+
+
+@register(
+    "producer_retry_dedup",
+    oracle=_RETRY_DEDUP_SQL,
+    doc="Kinesis at-least-once producer: timed-out-but-successful puts are "
+    "retried and land twice (distinct sequence numbers, identical payload "
+    "and key — the documented PutRecord duplication caveat the reference's "
+    "single un-retried put sidesteps, HealthCheckProducerHandler.java:51-56)."
+    " A deterministic 1/16 retry injection is audited by the idempotent "
+    "consumer: duplicate counts, dup/waste ppm, and an exact accounting "
+    "boolean (every duplicate traces to exactly one retried record)",
+    tags=("core", "kinesis", "sink"),
+)
+def producer_retry_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one narrow scan, an explode bounded at 2 rows per
+    record, and a single per-stream aggregation. count(DISTINCT pk) makes
+    Spark pre-group on (stream, pk) — the dedup itself IS the map-side
+    partial aggregation, no second pass."""
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        F.col("event_type").alias("stream_name"),
+        F.col("event_id").cast("string").alias("pk"),
+        F.octet_length("props").alias("bytes"),
+        (
+            F.expr(
+                "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)"
+                " AS BIGINT) % 16"
+            )
+            == 0
+        ).alias("retried"),
+    )
+    attempts = base.select(
+        "*",
+        F.explode(
+            F.expr("sequence(1, CASE WHEN retried THEN 2 ELSE 1 END)")
+        ).alias("attempt"),
+    )
+    return attempts.groupBy("stream_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_put_attempts"),
+        F.countDistinct("pk").cast("long").alias("n_unique_records"),
+        (F.count(F.lit(1)) - F.countDistinct("pk"))
+        .cast("long")
+        .alias("n_duplicates"),
+        F.expr(
+            "CAST(1000000 * (count(1) - count(DISTINCT pk)) div count(1)"
+            " AS BIGINT)"
+        ).alias("dup_ppm"),
+        F.countDistinct(F.expr("CASE WHEN retried THEN pk END"))
+        .cast("long")
+        .alias("n_retried"),
+        F.coalesce(
+            F.sum(F.expr("CASE WHEN attempt = 2 THEN bytes END")), F.lit(0)
+        )
+        .cast("long")
+        .alias("wasted_bytes"),
+        F.expr(
+            "CAST(1000000 * COALESCE(sum(CASE WHEN attempt = 2 THEN bytes END), 0)"
+            " div sum(bytes) AS BIGINT)"
+        ).alias("waste_ppm"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct("pk"))
+            == F.countDistinct(F.expr("CASE WHEN retried THEN pk END"))
+        ).alias("retry_accounting_ok"),
+    )
