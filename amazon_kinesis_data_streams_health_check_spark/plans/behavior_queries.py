@@ -1762,3 +1762,137 @@ def session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_session_s"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Preference aggregation (Copeland): the pairwise-preference analytics an
+# RLHF/eval pipeline runs over comparison data. Here the "matches" are
+# per-user event-type duels — for every user and every pair of event types
+# the user performed, the type with the larger exact per-user value total
+# wins the duel (per-row milli quantization, so the totals are
+# reduction-order-free BIGINTs). Matchups aggregate duels across users;
+# the Copeland score (2 per majority win, 1 per tie) ranks the types.
+# ---------------------------------------------------------------------------
+_COPELAND_SQL = """
+WITH totals AS (
+  SELECT user_id, event_type,
+         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v_milli
+  FROM events GROUP BY 1, 2
+),
+duels AS (
+  SELECT a.event_type AS et_a, b.event_type AS et_b,
+         CASE WHEN a.v_milli > b.v_milli THEN 1 ELSE 0 END AS a_wins,
+         CASE WHEN b.v_milli > a.v_milli THEN 1 ELSE 0 END AS b_wins
+  FROM totals a JOIN totals b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+),
+matchups AS (
+  SELECT et_a, et_b,
+         CAST(count(*) AS BIGINT) AS n_duels,
+         CAST(sum(a_wins) AS BIGINT) AS wins_a,
+         CAST(sum(b_wins) AS BIGINT) AS wins_b
+  FROM duels GROUP BY 1, 2
+),
+sides AS (
+  SELECT et_a AS event_type,
+         CASE WHEN wins_a * 2 > n_duels THEN 1 ELSE 0 END AS beaten,
+         CASE WHEN wins_a * 2 <= n_duels AND wins_b * 2 <= n_duels THEN 1
+              ELSE 0 END AS tied
+  FROM matchups
+  UNION ALL
+  SELECT et_b,
+         CASE WHEN wins_b * 2 > n_duels THEN 1 ELSE 0 END,
+         CASE WHEN wins_a * 2 <= n_duels AND wins_b * 2 <= n_duels THEN 1
+              ELSE 0 END
+  FROM matchups
+),
+scores AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_matchups,
+         CAST(sum(beaten) AS BIGINT) AS n_beaten,
+         CAST(sum(tied) AS BIGINT) AS n_tied,
+         CAST(2 * sum(beaten) + sum(tied) AS BIGINT) AS copeland_2x
+  FROM sides GROUP BY 1
+)
+SELECT event_type, n_matchups, n_beaten, n_tied, copeland_2x,
+       CAST(rank() OVER (ORDER BY copeland_2x DESC, event_type) AS BIGINT)
+         AS pref_rank
+FROM scores
+"""
+
+
+@register(
+    "preference_copeland_rank",
+    oracle=_COPELAND_SQL,
+    doc="Pairwise-preference aggregation: per-user event-type duels decided "
+    "by exact milli-quantized value totals, rolled into cross-user matchups; "
+    "Copeland scoring (2 per majority win, 1 per tie) ranks the types — the "
+    "preference-data analytics layer (win matrices, tournament ranks) an "
+    "RLHF comparison pipeline needs, in exact integers end to end",
+    tags=("ext", "behavior", "ml"),
+)
+def preference_copeland_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: per-(user, type) totals shuffle once on the uniform
+    user key; the duel self-join is per-user and bounded by the squared
+    type-cardinality (a constant), never |events|^2; matchups and scores
+    are bounded by the type vocabulary, so the final rank window runs on
+    a handful of rows."""
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    totals = events.groupBy("user_id", "event_type").agg(
+        F.sum(F.expr("CAST(floor(value * 1000) AS BIGINT)"))
+        .cast("long")
+        .alias("v_milli")
+    )
+    a = totals.select(
+        F.col("user_id"),
+        F.col("event_type").alias("et_a"),
+        F.col("v_milli").alias("v_a"),
+    )
+    b = totals.select(
+        F.col("user_id"),
+        F.col("event_type").alias("et_b"),
+        F.col("v_milli").alias("v_b"),
+    )
+    duels = a.join(b, "user_id").filter(F.col("et_a") < F.col("et_b"))
+    matchups = duels.groupBy("et_a", "et_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_duels"),
+        F.sum((F.col("v_a") > F.col("v_b")).cast("int")).cast("long").alias("wins_a"),
+        F.sum((F.col("v_b") > F.col("v_a")).cast("int")).cast("long").alias("wins_b"),
+    )
+    sides = matchups.select(
+        F.col("et_a").alias("event_type"),
+        (F.col("wins_a") * 2 > F.col("n_duels")).cast("int").alias("beaten"),
+        (
+            (F.col("wins_a") * 2 <= F.col("n_duels"))
+            & (F.col("wins_b") * 2 <= F.col("n_duels"))
+        )
+        .cast("int")
+        .alias("tied"),
+    ).unionAll(
+        matchups.select(
+            F.col("et_b").alias("event_type"),
+            (F.col("wins_b") * 2 > F.col("n_duels")).cast("int").alias("beaten"),
+            (
+                (F.col("wins_a") * 2 <= F.col("n_duels"))
+                & (F.col("wins_b") * 2 <= F.col("n_duels"))
+            )
+            .cast("int")
+            .alias("tied"),
+        )
+    )
+    scores = sides.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matchups"),
+        F.sum("beaten").cast("long").alias("n_beaten"),
+        F.sum("tied").cast("long").alias("n_tied"),
+        (F.lit(2) * F.sum("beaten") + F.sum("tied")).cast("long").alias("copeland_2x"),
+    )
+    w = Window.orderBy(F.col("copeland_2x").desc(), "event_type")
+    return scores.select(
+        "event_type",
+        "n_matchups",
+        "n_beaten",
+        "n_tied",
+        "copeland_2x",
+        F.rank().over(w).cast("long").alias("pref_rank"),
+    )

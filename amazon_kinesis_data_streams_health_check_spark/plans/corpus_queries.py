@@ -3252,3 +3252,149 @@ def ranker_agreement_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tau_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate scrub (the CCNet / RefinedWeb preprocessing step):
+# lines whose hash repeats across >= _BOILER_DF distinct documents of the
+# same source are boilerplate and removed; unique lines survive. The corpus
+# is synthesized with known boilerplate — every doc gets a source-branded
+# header line, md5-even docs also a footer — so the scrub's accounting
+# (occurrences, chars removed, fully-scrubbed docs, header detection) is
+# exactly checkable. Exact-duplicate documents make their BODY line cross
+# the threshold too, which is precisely the line-level/doc-level dedup
+# interaction the real step exhibits.
+# ---------------------------------------------------------------------------
+_BOILER_DF = 5
+
+_BOILER_SQL = f"""
+WITH lines AS (
+  SELECT source, doc_id, 0 AS line_no,
+         'begin ' || source || ' standard header notice all rights reserved'
+           AS line
+  FROM documents
+  UNION ALL
+  SELECT source, doc_id, 1, text FROM documents
+  UNION ALL
+  SELECT source, doc_id, 2,
+         'contact ' || source || ' support desk to request removal'
+  FROM documents
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 2 = 0
+),
+hashed AS (
+  SELECT source, doc_id, line_no, length(line) AS len, md5(line) AS h
+  FROM lines
+),
+dfs AS (
+  SELECT source, h, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM hashed GROUP BY 1, 2
+),
+joined AS (
+  SELECT x.source, x.doc_id, x.line_no, x.len, d.df >= {_BOILER_DF} AS boiler
+  FROM hashed x JOIN dfs d ON d.source = x.source AND d.h = x.h
+),
+per_doc AS (
+  SELECT source, doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         CAST(sum(len) AS BIGINT) AS chars,
+         CAST(sum(CASE WHEN boiler THEN len ELSE 0 END) AS BIGINT) AS chars_rm,
+         min(boiler) AS all_boiler,
+         max(CASE WHEN line_no = 0 THEN boiler END) AS header_flagged
+  FROM joined GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_lines) AS BIGINT) AS n_lines,
+       CAST(sum(n_boiler) AS BIGINT) AS n_boiler_occurrences,
+       CAST(sum(chars) AS BIGINT) AS chars_total,
+       CAST(sum(chars_rm) AS BIGINT) AS chars_removed,
+       CAST(1000000 * sum(chars_rm) // sum(chars) AS BIGINT) AS removal_ppm,
+       CAST(sum(CASE WHEN all_boiler THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_fully_scrubbed,
+       bool_and(header_flagged) AS header_detected
+FROM per_doc GROUP BY 1
+"""
+
+
+@register(
+    "boilerplate_line_scrub",
+    oracle=_BOILER_SQL,
+    doc="CCNet-style line-level boilerplate removal: line hashes repeating "
+    "across >= 5 distinct docs of a source are scrubbed; planted per-source "
+    "header/footer lines make the accounting (occurrences, chars removed "
+    "ppm, fully-scrubbed docs, header detection) exactly verifiable, and "
+    "exact-duplicate documents show the body-line/doc-dedup interaction "
+    "the real preprocessing step has",
+    tags=("ext", "corpus", "dedup", "text"),
+)
+def boilerplate_line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: lines are built narrowly from ONE scan (posexplode of a
+    per-row array — no triple scan), the doc-frequency table shuffles once
+    on the uniform (source, hash) key and joins back on the same key, then
+    two keyed rollups (doc, source). Nothing is ever sorted globally; the
+    hot key domain is line hashes, uniform by construction."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    lines = docs.select(
+        "source",
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "CASE WHEN CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8),"
+                " 16, 10) AS BIGINT) % 2 = 0"
+                " THEN array("
+                "   'begin ' || source || ' standard header notice all rights reserved',"
+                "   text,"
+                "   'contact ' || source || ' support desk to request removal')"
+                " ELSE array("
+                "   'begin ' || source || ' standard header notice all rights reserved',"
+                "   text)"
+                " END"
+            )
+        ).alias("line_no", "line"),
+    )
+    hashed = lines.select(
+        "source",
+        "doc_id",
+        "line_no",
+        F.length("line").alias("len"),
+        F.md5("line").alias("h"),
+    )
+    dfs = hashed.groupBy("source", "h").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    joined = hashed.join(dfs, ["source", "h"]).select(
+        "source",
+        "doc_id",
+        "line_no",
+        "len",
+        (F.col("df") >= _BOILER_DF).alias("boiler"),
+    )
+    per_doc = joined.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("boiler").cast("int")).cast("long").alias("n_boiler"),
+        F.sum("len").cast("long").alias("chars"),
+        F.sum(F.expr("CASE WHEN boiler THEN len ELSE 0 END"))
+        .cast("long")
+        .alias("chars_rm"),
+        F.min("boiler").alias("all_boiler"),
+        F.max(F.expr("CASE WHEN line_no = 0 THEN boiler END")).alias(
+            "header_flagged"
+        ),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_lines").cast("long").alias("n_lines"),
+        F.sum("n_boiler").cast("long").alias("n_boiler_occurrences"),
+        F.sum("chars").cast("long").alias("chars_total"),
+        F.sum("chars_rm").cast("long").alias("chars_removed"),
+        F.expr("CAST(1000000 * sum(chars_rm) div sum(chars) AS BIGINT)").alias(
+            "removal_ppm"
+        ),
+        F.sum(F.col("all_boiler").cast("int"))
+        .cast("long")
+        .alias("n_docs_fully_scrubbed"),
+        F.min("header_flagged").alias("header_detected"),
+    )

@@ -3013,3 +3013,233 @@ def vocab_oov_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(1000000 * count_if(in_vocab IS NULL) div count(1) AS BIGINT)"
         ).alias("oov_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter record linkage: probabilistic entity resolution between the
+# customer table and a deterministically-perturbed replica (digit typo in
+# the name for 1/4 of keys, one-cent balance shift for 1/5, segment wiped
+# for 1/7). Blocking on nationkey bounds the candidate set (coarse enough
+# that genuine non-match candidates exist — the u-probabilities are learned
+# from real impostor pairs);
+# per-field m/u agreement rates learned from the labeled candidates give
+# Laplace-smoothed likelihood ratios in exact milli units; each pair's FS
+# score is the 128-bit product of its three field LRs, classified into
+# match / possible / nonmatch tiers whose precision and truth-share are
+# reported in exact ppm. The linkage-quality audit every warehouse-side
+# identity-resolution pipeline needs.
+# ---------------------------------------------------------------------------
+_FS_MATCH_MILLI3 = 8_000_000_000  # LR product >= 8 (milli^3 units)
+_FS_POSSIBLE_MILLI3 = 1_000_000_000  # LR product >= 1
+
+_FS_STATS_COLS = """
+         CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS t_tot,
+         CAST(sum(CASE WHEN NOT is_true THEN 1 ELSE 0 END) AS BIGINT) AS u_tot,
+         CAST(sum(CASE WHEN is_true AND name_eq THEN 1 ELSE 0 END) AS BIGINT) AS m_name,
+         CAST(sum(CASE WHEN NOT is_true AND name_eq THEN 1 ELSE 0 END) AS BIGINT) AS u_name,
+         CAST(sum(CASE WHEN is_true AND bal_eq THEN 1 ELSE 0 END) AS BIGINT) AS m_bal,
+         CAST(sum(CASE WHEN NOT is_true AND bal_eq THEN 1 ELSE 0 END) AS BIGINT) AS u_bal,
+         CAST(sum(CASE WHEN is_true AND seg_eq THEN 1 ELSE 0 END) AS BIGINT) AS m_seg,
+         CAST(sum(CASE WHEN NOT is_true AND seg_eq THEN 1 ELSE 0 END) AS BIGINT) AS u_seg
+"""
+
+
+def _fs_lr(field: str) -> str:
+    """Laplace-smoothed agreement/disagreement likelihood ratios (milli)."""
+    return (
+        f"1000 * (m_{field} + 1) * (u_tot + 2)"
+        f" // ((t_tot + 2) * (u_{field} + 1)) AS lr_{field}_a,\n"
+        f"    1000 * (t_tot - m_{field} + 1) * (u_tot + 2)"
+        f" // ((t_tot + 2) * (u_tot - u_{field} + 1)) AS lr_{field}_d"
+    )
+
+
+_FS_SQL = f"""
+WITH base AS (
+  SELECT c_custkey AS ck, c_name AS name, c_nationkey AS nk,
+         CAST(floor(c_acctbal * 1000) AS BIGINT) AS bal_milli,
+         c_mktsegment AS seg
+  FROM customer
+),
+replica AS (
+  SELECT ck, nk,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(ck AS VARCHAR) || ':n'), 1, 8))
+                   AS BIGINT) % 4 = 0
+              THEN substr(name, 1, 10) || 'X' || substr(name, 12) ELSE name
+         END AS name,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(ck AS VARCHAR) || ':a'), 1, 8))
+                   AS BIGINT) % 5 = 0
+              THEN bal_milli + 10 ELSE bal_milli END AS bal_milli,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(ck AS VARCHAR) || ':s'), 1, 8))
+                   AS BIGINT) % 7 = 0
+              THEN 'UNKNOWN' ELSE seg END AS seg
+  FROM base
+),
+cand AS (
+  SELECT a.name = b.name AS name_eq,
+         a.bal_milli = b.bal_milli AS bal_eq,
+         a.seg = b.seg AS seg_eq,
+         a.ck = b.ck AS is_true
+  FROM base a JOIN replica b ON a.nk = b.nk
+),
+stats AS (
+  SELECT {_FS_STATS_COLS}
+  FROM cand
+),
+weights AS (
+  SELECT t_tot, u_tot,
+    {_fs_lr('name')},
+    {_fs_lr('bal')},
+    {_fs_lr('seg')}
+  FROM stats
+),
+scored AS (
+  SELECT c.is_true, w.t_tot,
+         CAST(CASE WHEN c.name_eq THEN w.lr_name_a ELSE w.lr_name_d END AS HUGEINT)
+           * (CASE WHEN c.bal_eq THEN w.lr_bal_a ELSE w.lr_bal_d END)
+           * (CASE WHEN c.seg_eq THEN w.lr_seg_a ELSE w.lr_seg_d END) AS score
+  FROM cand c, weights w
+)
+SELECT CASE WHEN score >= {_FS_MATCH_MILLI3} THEN 'match'
+            WHEN score >= {_FS_POSSIBLE_MILLI3} THEN 'possible'
+            ELSE 'nonmatch' END AS tier,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pairs,
+       CAST(1000000 * sum(CASE WHEN is_true THEN 1 ELSE 0 END) // count(*)
+            AS BIGINT) AS precision_ppm,
+       CAST(1000000 * sum(CASE WHEN is_true THEN 1 ELSE 0 END) // max(t_tot)
+            AS BIGINT) AS truth_share_ppm
+FROM scored GROUP BY 1
+"""
+
+
+@register(
+    "entity_resolution_fs",
+    oracle=_FS_SQL,
+    doc="Fellegi-Sunter record linkage: customer vs a deterministically "
+    "noised replica, blocked on nationkey; per-field m/u "
+    "rates learned from the labeled candidate pairs give Laplace-smoothed "
+    "likelihood ratios in exact milli, each pair scored by the 128-bit LR "
+    "product and tiered match/possible/nonmatch with precision and "
+    "truth-share in exact ppm — the identity-resolution capability class "
+    "(blocking + probabilistic scoring), distinct from document dedup",
+    tags=("ext", "dedup", "dq", "ml"),
+)
+def entity_resolution_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the replica is a narrow projection of the same scan;
+    candidates come ONLY from the blocked equi-join on the nation key —
+    never all-pairs (block size is sum of squared block counts); the m/u stats aggregate to
+    ONE row broadcast back over the candidates; tier rollup is a 3-key
+    aggregation. At 100 TB the block key is the knob: append name-suffix
+    chars or balance bands to shrink blocks — same plan, smaller join."""
+    configure_session(spark)
+    cust = parallel_scan(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"),
+        F.expr("CAST(floor(c_acctbal * 1000) AS BIGINT)").alias("bal_milli"),
+        F.col("c_mktsegment").alias("seg"),
+    ).localCheckpoint(eager=False)  # feeds both join sides
+    def _bucket(salt: str, mod: int) -> str:
+        return (
+            f"CAST(conv(substr(md5(CAST(ck AS STRING) || '{salt}'), 1, 8),"
+            f" 16, 10) AS BIGINT) % {mod} = 0"
+        )
+
+    replica = base.select(
+        "ck",
+        "nk",
+        F.expr(
+            f"CASE WHEN {_bucket(':n', 4)}"
+            " THEN substr(name, 1, 10) || 'X' || substr(name, 12)"
+            " ELSE name END"
+        ).alias("name"),
+        F.expr(
+            f"CASE WHEN {_bucket(':a', 5)} THEN bal_milli + 10"
+            " ELSE bal_milli END"
+        ).alias("bal_milli"),
+        F.expr(
+            f"CASE WHEN {_bucket(':s', 7)} THEN 'UNKNOWN' ELSE seg END"
+        ).alias("seg"),
+    )
+    a = base.select(
+        F.col("ck").alias("ck_a"),
+        "nk",
+        F.col("name").alias("name_a"),
+        F.col("bal_milli").alias("bal_a"),
+        F.col("seg").alias("seg_a"),
+    )
+    b = replica.select(
+        F.col("ck").alias("ck_b"),
+        "nk",
+        F.col("name").alias("name_b"),
+        F.col("bal_milli").alias("bal_b"),
+        F.col("seg").alias("seg_b"),
+    )
+    cand = (
+        a.join(b, ["nk"])
+        .select(
+            (F.col("name_a") == F.col("name_b")).alias("name_eq"),
+            (F.col("bal_a") == F.col("bal_b")).alias("bal_eq"),
+            (F.col("seg_a") == F.col("seg_b")).alias("seg_eq"),
+            (F.col("ck_a") == F.col("ck_b")).alias("is_true"),
+        )
+        .localCheckpoint(eager=False)  # feeds stats AND scoring
+    )
+    stats = cand.agg(
+        F.sum(F.col("is_true").cast("int")).cast("long").alias("t_tot"),
+        F.sum((~F.col("is_true")).cast("int")).cast("long").alias("u_tot"),
+        F.sum((F.col("is_true") & F.col("name_eq")).cast("int")).cast("long").alias("m_name"),
+        F.sum((~F.col("is_true") & F.col("name_eq")).cast("int")).cast("long").alias("u_name"),
+        F.sum((F.col("is_true") & F.col("bal_eq")).cast("int")).cast("long").alias("m_bal"),
+        F.sum((~F.col("is_true") & F.col("bal_eq")).cast("int")).cast("long").alias("u_bal"),
+        F.sum((F.col("is_true") & F.col("seg_eq")).cast("int")).cast("long").alias("m_seg"),
+        F.sum((~F.col("is_true") & F.col("seg_eq")).cast("int")).cast("long").alias("u_seg"),
+    )
+    weights = stats.select(
+        "t_tot",
+        "u_tot",
+        *[
+            c
+            for field in ("name", "bal", "seg")
+            for c in (
+                F.expr(
+                    f"1000 * (m_{field} + 1) * (u_tot + 2)"
+                    f" div ((t_tot + 2) * (u_{field} + 1))"
+                ).alias(f"lr_{field}_a"),
+                F.expr(
+                    f"1000 * (t_tot - m_{field} + 1) * (u_tot + 2)"
+                    f" div ((t_tot + 2) * (u_tot - u_{field} + 1))"
+                ).alias(f"lr_{field}_d"),
+            )
+        ],
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    scored = cand.crossJoin(F.broadcast(weights)).select(
+        "is_true",
+        "t_tot",
+        F.expr(
+            dec.format("CASE WHEN name_eq THEN lr_name_a ELSE lr_name_d END")
+            + f" * {dec.format('CASE WHEN bal_eq THEN lr_bal_a ELSE lr_bal_d END')}"
+            + f" * {dec.format('CASE WHEN seg_eq THEN lr_seg_a ELSE lr_seg_d END')}"
+        ).alias("score"),
+    )
+    return scored.select(
+        F.expr(
+            f"CASE WHEN score >= {_FS_MATCH_MILLI3} THEN 'match'"
+            f" WHEN score >= {_FS_POSSIBLE_MILLI3} THEN 'possible'"
+            " ELSE 'nonmatch' END"
+        ).alias("tier"),
+        "is_true",
+        "t_tot",
+    ).groupBy("tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("is_true").cast("int")).cast("long").alias("n_true_pairs"),
+        F.expr(
+            "CAST(1000000 * sum(CAST(is_true AS INT)) div count(1) AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CAST(1000000 * sum(CAST(is_true AS INT)) div max(t_tot) AS BIGINT)"
+        ).alias("truth_share_ppm"),
+    )
