@@ -1896,3 +1896,213 @@ def preference_copeland_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "copeland_2x",
         F.rank().over(w).cast("long").alias("pref_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Off-policy evaluation (IPS): estimate what a DIFFERENT action policy would
+# have earned from logged interaction data — the counterfactual question
+# every recommendation / routing experiment asks before an A/B test.
+# Logged policy = the empirical per-segment action distribution; target
+# policy = uniform over the segment's observed actions. With these, the
+# importance-weighted estimator collapses to an exact rational:
+# V_IPS = (1/k) * sum_a R_a / n_sa  (k actions, per-action reward totals),
+# computed in micro fixed-point. The max importance weight per segment is
+# the support/overlap diagnostic that tells you when IPS is trustworthy.
+# ---------------------------------------------------------------------------
+_IPS_SQL = """
+WITH logged AS (
+  SELECT CAST(user_id % 4 AS BIGINT) AS segment, event_type AS action,
+         CAST(floor(value * 1000) AS BIGINT) AS reward_milli
+  FROM events
+),
+sa AS (
+  SELECT segment, action, CAST(count(*) AS BIGINT) AS n_sa,
+         CAST(sum(reward_milli) AS BIGINT) AS r_sa
+  FROM logged GROUP BY 1, 2
+),
+seg AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS n_actions,
+         CAST(sum(n_sa) AS BIGINT) AS n_logged,
+         CAST(sum(r_sa) AS BIGINT) AS r_logged
+  FROM sa GROUP BY 1
+)
+SELECT s.segment,
+       CAST(max(g.n_logged) AS BIGINT) AS n_logged,
+       CAST(max(g.n_actions) AS BIGINT) AS n_actions,
+       CAST(1000 * max(g.r_logged) // max(g.n_logged) AS BIGINT)
+         AS v_logged_micro,
+       CAST(sum(1000 * s.r_sa // (g.n_actions * s.n_sa)) AS BIGINT)
+         AS v_ips_micro,
+       CAST(sum(1000 * s.r_sa // (g.n_actions * s.n_sa))
+            - 1000 * max(g.r_logged) // max(g.n_logged) AS BIGINT)
+         AS lift_micro,
+       CAST(max(1000 * g.n_logged // (g.n_actions * s.n_sa)) AS BIGINT)
+         AS max_weight_milli
+FROM sa s JOIN seg g ON g.segment = s.segment
+GROUP BY s.segment
+"""
+
+
+@register(
+    "ips_offpolicy_eval",
+    oracle=_IPS_SQL,
+    doc="Off-policy evaluation: inverse-propensity-scored value of a uniform "
+    "target policy from logged interactions, per user segment — behavior "
+    "propensities are the empirical per-segment action rates, so the IPS "
+    "estimator collapses to an exact rational computed in micro fixed-point; "
+    "reports the logged-policy baseline, the counterfactual estimate, the "
+    "lift, and the max importance weight (the support diagnostic that says "
+    "when the estimate is trustworthy)",
+    tags=("ext", "behavior", "ml", "stats"),
+)
+def ips_offpolicy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one keyed aggregation on the uniform (segment, action)
+    key, a bounded per-segment rollup, and a broadcast join back — the raw
+    log is scanned once and never re-shuffled; every estimator term is an
+    integer division over per-action totals."""
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    logged = events.select(
+        (F.col("user_id") % 4).cast("long").alias("segment"),
+        F.col("event_type").alias("action"),
+        F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("reward_milli"),
+    )
+    sa = logged.groupBy("segment", "action").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sa"),
+        F.sum("reward_milli").cast("long").alias("r_sa"),
+    )
+    seg = sa.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_actions"),
+        F.sum("n_sa").cast("long").alias("n_logged"),
+        F.sum("r_sa").cast("long").alias("r_logged"),
+    )
+    joined = sa.join(F.broadcast(seg), "segment")
+    return joined.groupBy("segment").agg(
+        F.max("n_logged").cast("long").alias("n_logged"),
+        F.max("n_actions").cast("long").alias("n_actions"),
+        F.expr("CAST(1000 * max(r_logged) div max(n_logged) AS BIGINT)").alias(
+            "v_logged_micro"
+        ),
+        F.expr(
+            "CAST(sum(1000 * r_sa div (n_actions * n_sa)) AS BIGINT)"
+        ).alias("v_ips_micro"),
+        F.expr(
+            "CAST(sum(1000 * r_sa div (n_actions * n_sa))"
+            " - 1000 * max(r_logged) div max(n_logged) AS BIGINT)"
+        ).alias("lift_micro"),
+        F.expr(
+            "CAST(max(1000 * n_logged div (n_actions * n_sa)) AS BIGINT)"
+        ).alias("max_weight_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anonymization generalization ladder: k_anonymity_audit says WHETHER a
+# release fails; this sweep says WHICH generalization fixes it. Three QI
+# granularity levels — (day, value-decile) -> (week, value-quintile) ->
+# (month, any-value) — are audited in one pass (the melt device: each row
+# contributes one cell key per level), and the finest level that satisfies
+# both k and l is flagged per stream, with the utility cost (cell count
+# collapse) visible across rows. The lattice walk every privacy-release
+# pipeline does by hand, as a query.
+# ---------------------------------------------------------------------------
+_LADDER_SQL = f"""
+WITH melted AS (
+  SELECT 1 AS level, event_type, user_id,
+         date_trunc('day', ts) AS qi_t,
+         CAST(least(9, CAST(floor(value) AS BIGINT) // 10) AS BIGINT) AS qi_v
+  FROM events
+  UNION ALL
+  SELECT 2, event_type, user_id, date_trunc('week', ts),
+         CAST(least(4, CAST(floor(value) AS BIGINT) // 20) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 3, event_type, user_id, date_trunc('month', ts), CAST(0 AS BIGINT)
+  FROM events
+),
+cells AS (
+  SELECT level, event_type, qi_t, qi_v,
+         CAST(count(*) AS BIGINT) AS cell_rows,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS l_div
+  FROM melted GROUP BY 1, 2, 3, 4
+),
+levels AS (
+  SELECT level, event_type,
+         CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(min(cell_rows) AS BIGINT) AS min_cell_rows,
+         CAST(min(l_div) AS BIGINT) AS min_l_diversity,
+         CAST(sum(CASE WHEN cell_rows < {_KANON_K} THEN cell_rows ELSE 0 END)
+              AS BIGINT) AS rows_at_risk,
+         min(cell_rows) >= {_KANON_K} AND min(l_div) >= {_KANON_L} AS passes
+  FROM cells GROUP BY 1, 2
+)
+SELECT CAST(level AS BIGINT) AS level, event_type, n_cells, min_cell_rows,
+       min_l_diversity, rows_at_risk, passes,
+       level = min(CASE WHEN passes THEN level END)
+                 OVER (PARTITION BY event_type) AS chosen
+FROM levels
+"""
+
+
+@register(
+    "anonymization_ladder",
+    oracle=_LADDER_SQL,
+    doc="Privacy generalization lattice: the (day, decile) -> (week, "
+    "quintile) -> (month, any) quasi-identifier coarsening ladder audited "
+    "in one melted pass against the k/l thresholds of k_anonymity_audit; "
+    "per (stream, level) the cell minima, rows at risk, pass verdict, and "
+    "the finest passing level flagged — the release decision, not just "
+    "the failure report",
+    tags=("ext", "behavior", "privacy"),
+)
+def anonymization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the 3-way melt happens narrowly per row (stack — one
+    scan, not three), the cell aggregation keys on the uniform (level,
+    stream, qi) tuple, and the chosen-level window runs on the bounded
+    (streams x 3) rollup only."""
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    melted = events.select(
+        "event_type",
+        "user_id",
+        F.expr(
+            "stack(3,"
+            " 1, date_trunc('day', ts),"
+            "    CAST(least(9, CAST(floor(value) AS BIGINT) div 10) AS BIGINT),"
+            " 2, date_trunc('week', ts),"
+            "    CAST(least(4, CAST(floor(value) AS BIGINT) div 20) AS BIGINT),"
+            " 3, date_trunc('month', ts), CAST(0 AS BIGINT)"
+            ") AS (level, qi_t, qi_v)"
+        ),
+    )
+    cells = melted.groupBy("level", "event_type", "qi_t", "qi_v").agg(
+        F.count(F.lit(1)).cast("long").alias("cell_rows"),
+        F.countDistinct("user_id").cast("long").alias("l_div"),
+    )
+    levels = cells.groupBy("level", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.min("cell_rows").cast("long").alias("min_cell_rows"),
+        F.min("l_div").cast("long").alias("min_l_diversity"),
+        F.sum(
+            F.when(F.col("cell_rows") < _KANON_K, F.col("cell_rows")).otherwise(0)
+        )
+        .cast("long")
+        .alias("rows_at_risk"),
+        (
+            (F.min("cell_rows") >= _KANON_K) & (F.min("l_div") >= _KANON_L)
+        ).alias("passes"),
+    )
+    w = Window.partitionBy("event_type")
+    return levels.select(
+        F.col("level").cast("long").alias("level"),
+        "event_type",
+        "n_cells",
+        "min_cell_rows",
+        "min_l_diversity",
+        "rows_at_risk",
+        "passes",
+        (
+            F.col("level")
+            == F.min(F.when(F.col("passes"), F.col("level"))).over(w)
+        ).alias("chosen"),
+    )

@@ -2089,3 +2089,151 @@ def lake_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "max_depth",
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog application: a Debezium-shaped I/U/D operation log is
+# applied latest-version-wins with DELETE tombstones — the step that turns
+# a replicated change stream back into table state. The changelog is
+# synthesized deterministically from orders (every key INSERTs at v1, 1/3
+# UPDATE at v2 with a one-unit price bump, 1/5 DELETE at v3), applied via
+# arg-max-by-version per key, and audited against the closed-form direct
+# state (the CASE expression a human would write) — the equality boolean
+# rides in the value hash, so the apply mechanism is verified, not assumed.
+# ---------------------------------------------------------------------------
+_CDC_SQL = """
+WITH keys AS (
+  SELECT o_orderkey AS ok, o_orderpriority AS pri,
+         CAST(floor(o_totalprice * 1000) AS BIGINT) AS price_milli,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':u'), 1, 8))
+              AS BIGINT) % 3 = 0 AS has_u,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':d'), 1, 8))
+              AS BIGINT) % 5 = 0 AS has_d
+  FROM orders
+),
+changelog AS (
+  SELECT ok, pri, 1 AS version, 'I' AS op, price_milli FROM keys
+  UNION ALL
+  SELECT ok, pri, 2, 'U', price_milli + 1000000 FROM keys WHERE has_u
+  UNION ALL
+  SELECT ok, pri, 3, 'D', CAST(NULL AS BIGINT) FROM keys WHERE has_d
+),
+applied AS (
+  SELECT ok, pri,
+         CAST(count(*) AS BIGINT) AS n_ops,
+         arg_max(op, version) AS final_op,
+         arg_max(price_milli, version) AS final_price
+  FROM changelog GROUP BY 1, 2
+),
+direct AS (
+  SELECT ok,
+         NOT has_d AS live_direct,
+         CASE WHEN has_d THEN NULL
+              WHEN has_u THEN price_milli + 1000000
+              ELSE price_milli END AS price_direct
+  FROM keys
+),
+checked AS (
+  SELECT a.pri, a.n_ops,
+         a.final_op <> 'D' AS live,
+         CASE WHEN a.final_op = 'D' THEN NULL ELSE a.final_price END AS price,
+         (a.final_op <> 'D') = d.live_direct
+           AND COALESCE(CASE WHEN a.final_op = 'D' THEN NULL
+                             ELSE a.final_price END, -1)
+             = COALESCE(d.price_direct, -1) AS agree
+  FROM applied a JOIN direct d ON d.ok = a.ok
+)
+SELECT pri AS o_orderpriority,
+       CAST(sum(n_ops) AS BIGINT) AS n_changelog_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN live THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+       CAST(sum(CASE WHEN NOT live THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       CAST(sum(CASE WHEN live THEN price ELSE 0 END) AS BIGINT)
+         AS live_price_milli,
+       bool_and(agree) AS applied_equals_direct
+FROM checked GROUP BY 1
+"""
+
+
+@register(
+    "cdc_apply_changelog",
+    oracle=_CDC_SQL,
+    doc="CDC apply: a Debezium-shaped INSERT/UPDATE/DELETE changelog "
+    "(synthesized deterministically from orders) collapsed to table state "
+    "by arg-max-on-version per key with DELETE tombstones, audited row-for-"
+    "row against the closed-form direct state — per-priority live/deleted "
+    "counts, surviving price totals, and the apply==direct boolean in the "
+    "value hash. The changelog-to-state operator lake_merge_upsert's "
+    "upsert-only MERGE lacks",
+    tags=("ext", "lake", "dq"),
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the changelog melt is narrow (one scan, bounded 3 rows
+    per key), the apply is ONE aggregation on the uniform order key
+    (arg-max by version — no window over the changelog), and the audit
+    join is key-to-key co-partitioned. At 100 TB this is exactly the
+    nightly CDC compaction shape: shuffle on the key, never sort the log."""
+    configure_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderpriority").alias("pri"),
+        F.expr("CAST(floor(o_totalprice * 1000) AS BIGINT)").alias("price_milli"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(o_orderkey AS STRING) || ':u'), 1, 8),"
+            " 16, 10) AS BIGINT) % 3 = 0"
+        ).alias("has_u"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(o_orderkey AS STRING) || ':d'), 1, 8),"
+            " 16, 10) AS BIGINT) % 5 = 0"
+        ).alias("has_d"),
+    ).localCheckpoint(eager=False)  # feeds the changelog melt AND the direct twin
+    changelog = keys.select(
+        "ok",
+        "pri",
+        F.expr(
+            "explode(concat("
+            " array(struct(1 AS version, 'I' AS op, price_milli AS price_milli)),"
+            " CASE WHEN has_u THEN array(struct(2 AS version, 'U' AS op,"
+            "   price_milli + 1000000 AS price_milli)) ELSE array() END,"
+            " CASE WHEN has_d THEN array(struct(3 AS version, 'D' AS op,"
+            "   CAST(NULL AS BIGINT) AS price_milli)) ELSE array() END)) AS entry"
+        ),
+    ).select("ok", "pri", "entry.version", "entry.op", "entry.price_milli")
+    applied = changelog.groupBy("ok", "pri").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ops"),
+        F.expr("max_by(op, version)").alias("final_op"),
+        F.expr("max_by(price_milli, version)").alias("final_price"),
+    )
+    direct = keys.select(
+        "ok",
+        (~F.col("has_d")).alias("live_direct"),
+        F.expr(
+            "CASE WHEN has_d THEN NULL"
+            " WHEN has_u THEN price_milli + 1000000"
+            " ELSE price_milli END"
+        ).alias("price_direct"),
+    )
+    checked = applied.join(direct, "ok").select(
+        "pri",
+        "n_ops",
+        (F.col("final_op") != "D").alias("live"),
+        F.expr("CASE WHEN final_op = 'D' THEN NULL ELSE final_price END").alias(
+            "price"
+        ),
+        F.expr(
+            "((final_op <> 'D') = live_direct)"
+            " AND COALESCE(CASE WHEN final_op = 'D' THEN NULL ELSE final_price END,"
+            " -1) = COALESCE(price_direct, -1)"
+        ).alias("agree"),
+    )
+    return checked.groupBy(F.col("pri").alias("o_orderpriority")).agg(
+        F.sum("n_ops").cast("long").alias("n_changelog_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.col("live").cast("int")).cast("long").alias("n_live"),
+        F.sum((~F.col("live")).cast("int")).cast("long").alias("n_deleted"),
+        F.sum(F.expr("CASE WHEN live THEN price ELSE 0 END"))
+        .cast("long")
+        .alias("live_price_milli"),
+        F.min("agree").alias("applied_equals_direct"),
+    )
