@@ -3361,7 +3361,7 @@ def boilerplate_line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "line_no",
         F.length("line").alias("len"),
         F.md5("line").alias("h"),
-    )
+    ).localCheckpoint(eager=False)  # feeds the df table AND the join-back
     dfs = hashed.groupBy("source", "h").agg(
         F.countDistinct("doc_id").cast("long").alias("df")
     )

@@ -1495,3 +1495,193 @@ def test_control_chart_ensemble_consistent_with_standalone_charts(spark, sf_smal
     }
     for r in rows:
         assert r.ewma == ew[(r.stream_name, r.window_start_s)], r
+
+
+def test_shard_iterator_semantics_no_join_and_lattice_consistent(spark, sf_small):
+    """One scan + stack melt + one keyed agg — no join anywhere; and the
+    iterator lattice must hold: LATEST is a subset of TRIM_HORIZON,
+    AT_SEQUENCE reads exactly one more record than AFTER_SEQUENCE, and the
+    pre-retention AT_TIMESTAMP clamps to the trim horizon."""
+    plan = plan_of(spark, sf_small, "shard_iterator_semantics")
+    assert "Join" not in plan, plan
+    rows = QUERIES["shard_iterator_semantics"].builder(spark, sf_small).collect()
+    by = {(r.shard_id, r.iterator_type): r for r in rows}
+    shards = {s for s, _ in by}
+    for s in shards:
+        assert by[(s, "LATEST")].n_readable < by[(s, "TRIM_HORIZON")].n_readable
+        assert (
+            by[(s, "AT_SEQUENCE_NUMBER")].n_readable
+            == by[(s, "AFTER_SEQUENCE_NUMBER")].n_readable + 1
+        )
+        at_ts = by[(s, "AT_TIMESTAMP")]
+        assert at_ts.starts_at_trim and at_ts.n_readable == by[(s, "TRIM_HORIZON")].n_readable
+
+
+def test_producer_retry_dedup_accounting(spark, sf_small):
+    """Every duplicate must trace to exactly one retried record, and the
+    idempotent dedup must recover the original cardinality."""
+    plan = plan_of(spark, sf_small, "producer_retry_dedup")
+    assert "Join" not in plan, plan
+    for r in QUERIES["producer_retry_dedup"].builder(spark, sf_small).collect():
+        assert r.retry_accounting_ok, r
+        assert r.n_duplicates == r.n_retried, r
+        assert r.n_put_attempts == r.n_unique_records + r.n_duplicates, r
+
+
+def test_conformal_threshold_monotone_in_alpha(spark, sf_small):
+    """A stricter alpha (5%) can only raise the conformal threshold vs 10%,
+    and the plan must keep every join broadcast (the raw stream is never
+    shuffled onto the tiny rank/threshold tables)."""
+    plan = plan_of(spark, sf_small, "conformal_lag_bound")
+    assert "SortMergeJoin" not in plan, plan
+    rows = QUERIES["conformal_lag_bound"].builder(spark, sf_small).collect()
+    q = {(r.stream_name, r.alpha_ppm): r for r in rows}
+    for (stream, alpha), r in q.items():
+        if alpha == 50000:
+            assert r.q_lag_threshold >= q[(stream, 100000)].q_lag_threshold, r
+        assert r.k_rank <= r.n_cal, r
+        assert 0 <= r.covered_ppm <= 1000000, r
+
+
+def test_copeland_matches_python_model(spark, sf_small):
+    """Recompute the duel tournament with an independent Python model from
+    the raw parquet and compare Copeland scores exactly."""
+    import collections
+    import duckdb
+    import math
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, event_type, value FROM read_parquet('{sf_small}/events.parquet')"
+    ).fetchall()
+    totals = collections.defaultdict(int)
+    for u, et, v in rows:
+        totals[(u, et)] += math.floor(v * 1000)
+    by_user = collections.defaultdict(dict)
+    for (u, et), t in totals.items():
+        by_user[u][et] = t
+    wins = collections.Counter()
+    duels = collections.Counter()
+    for u, ets in by_user.items():
+        keys = sorted(ets)
+        for i, a in enumerate(keys):
+            for b in keys[i + 1 :]:
+                duels[(a, b)] += 1
+                if ets[a] > ets[b]:
+                    wins[(a, b)] += 1
+                elif ets[b] > ets[a]:
+                    wins[(b, a)] += 1
+    types = sorted({et for _, et in totals})
+    expect = {}
+    for t in types:
+        score = 0
+        for o in types:
+            if o == t:
+                continue
+            pair = (min(t, o), max(t, o))
+            n = duels[pair]
+            if n == 0:
+                continue
+            w_t, w_o = wins[(t, o)], wins[(o, t)]
+            if 2 * w_t > n:
+                score += 2
+            elif 2 * w_o <= n:
+                score += 1
+        expect[t] = score
+    got = {
+        r.event_type: r.copeland_2x
+        for r in QUERIES["preference_copeland_rank"].builder(spark, sf_small).collect()
+    }
+    assert got == expect, (got, expect)
+
+
+def test_boilerplate_scrub_detects_planted_lines(spark, sf_small):
+    """The planted header must be flagged in every source, at least one
+    boilerplate occurrence per doc must be removed, and no source loses
+    all its characters; the lines must come from ONE documents scan."""
+    plan = plan_of(spark, sf_small, "boilerplate_line_scrub")
+    # the hashed-lines table is checkpoint-pinned: both consumers (the
+    # doc-frequency aggregate and the join-back) read it, so the final
+    # plan re-scans no parquet at all.
+    assert plan.count("Scan parquet") == 0, plan
+    for r in QUERIES["boilerplate_line_scrub"].builder(spark, sf_small).collect():
+        assert r.header_detected, r
+        assert r.n_boiler_occurrences >= r.n_docs, r
+        assert 0 < r.chars_removed < r.chars_total, r
+
+
+def test_entity_resolution_tiers_partition_truth(spark, sf_small):
+    """Tier truth counts must partition the full truth set, the match tier
+    must be impostor-free (names are unique keys), and the m/u stats must
+    come from one aggregation broadcast back (no SortMergeJoin)."""
+    plan = plan_of(spark, sf_small, "entity_resolution_fs")
+    assert "SortMergeJoin" not in plan, plan
+    rows = QUERIES["entity_resolution_fs"].builder(spark, sf_small).collect()
+    import duckdb
+
+    n_cust = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{sf_small}/customer.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n_true_pairs for r in rows) == n_cust, rows
+    for r in rows:
+        if r.tier == "match":
+            assert r.precision_ppm == 1000000, r
+
+
+def test_ips_matches_python_model(spark, sf_small):
+    """Independent Python recomputation of the collapsed IPS estimator."""
+    import collections
+    import duckdb
+    import math
+
+    rows = duckdb.connect().execute(
+        f"SELECT user_id, event_type, value FROM read_parquet('{sf_small}/events.parquet')"
+    ).fetchall()
+    r_sa = collections.Counter()
+    n_sa = collections.Counter()
+    for u, et, v in rows:
+        seg = u % 4
+        r_sa[(seg, et)] += math.floor(v * 1000)
+        n_sa[(seg, et)] += 1
+    segs = {s for s, _ in n_sa}
+    expect = {}
+    for s in segs:
+        acts = [a for (sg, a) in n_sa if sg == s]
+        k = len(acts)
+        expect[s] = sum((1000 * r_sa[(s, a)]) // (k * n_sa[(s, a)]) for a in acts)
+    got = {
+        r.segment: r.v_ips_micro
+        for r in QUERIES["ips_offpolicy_eval"].builder(spark, sf_small).collect()
+    }
+    assert got == expect, (got, expect)
+
+
+def test_anonymization_ladder_monotone(spark, sf_small):
+    """Coarsening can only shrink the cell count and raise the minima; at
+    most one level is chosen per stream and a chosen level passes."""
+    rows = QUERIES["anonymization_ladder"].builder(spark, sf_small).collect()
+    import collections
+
+    by_stream = collections.defaultdict(list)
+    for r in rows:
+        by_stream[r.event_type].append(r)
+    for rs in by_stream.values():
+        rs.sort(key=lambda r: r.level)
+        assert [r.level for r in rs] == [1, 2, 3]
+        for a, b in zip(rs, rs[1:]):
+            assert a.n_cells >= b.n_cells, (a, b)
+            assert a.min_cell_rows <= b.min_cell_rows, (a, b)
+        chosen = [r for r in rs if r.chosen]
+        assert len(chosen) <= 1
+        for c in chosen:
+            assert c.passes
+            assert all(not r.passes for r in rs if r.level < c.level)
+
+
+def test_cdc_apply_agrees_with_direct_state(spark, sf_small):
+    """The arg-max-by-version apply must equal the closed-form state for
+    every key, and live + deleted must partition the key set."""
+    for r in QUERIES["cdc_apply_changelog"].builder(spark, sf_small).collect():
+        assert r.applied_equals_direct, r
+        assert r.n_keys == r.n_live + r.n_deleted, r
+        assert r.n_changelog_rows >= r.n_keys, r
