@@ -4142,3 +4142,150 @@ def conformal_lag_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("met_target"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Shadow-pipeline diff: before cutting the metric pipeline over from
+# arrival-time to payload-event-time (the F5 choice, operators/lag.py
+# event_time vs arrival), run both variants on the same feed and diff the
+# per-period aggregates and alarm verdicts — the migration audit that says
+# whether the cutover changes pages. A deterministic 1/7 of records carry a
+# 45 s-older payload instant (the delayed-relay class the payload rule
+# exists for); the rest have payload == arrival, so every difference is
+# attributable.
+# ---------------------------------------------------------------------------
+_SHADOW_SKEW_S = 45
+_SHADOW_THRESHOLD = 30
+
+_SHADOW_SQL = f"""
+WITH base AS (
+  SELECT event_type AS stream_name, ts AS arrival,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 7 = 0
+              THEN ts - INTERVAL {_SHADOW_SKEW_S} SECOND ELSE ts END AS ev
+  FROM events
+),
+va AS (
+  SELECT stream_name, date_trunc('minute', ev) AS ws,
+         max(CAST(epoch(date_trunc('minute', ev) + INTERVAL 1 MINUTE) AS BIGINT)
+             - CAST(epoch(date_trunc('second', ev)) AS BIGINT)) AS max_lag
+  FROM base GROUP BY 1, 2
+),
+vb AS (
+  SELECT stream_name, date_trunc('minute', arrival) AS ws,
+         max(CAST(epoch(date_trunc('minute', arrival) + INTERVAL 1 MINUTE) AS BIGINT)
+             - CAST(epoch(date_trunc('second', arrival)) AS BIGINT)) AS max_lag
+  FROM base GROUP BY 1, 2
+),
+diff AS (
+  SELECT COALESCE(va.stream_name, vb.stream_name) AS stream_name,
+         va.ws IS NOT NULL AS in_a, vb.ws IS NOT NULL AS in_b,
+         va.max_lag AS la, vb.max_lag AS lb,
+         (va.max_lag > {_SHADOW_THRESHOLD}) AS alarm_a,
+         (vb.max_lag > {_SHADOW_THRESHOLD}) AS alarm_b
+  FROM va FULL OUTER JOIN vb
+    ON vb.stream_name = va.stream_name AND vb.ws = va.ws
+)
+SELECT stream_name,
+       CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_periods_new,
+       CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_periods_old,
+       CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       CAST(sum(CASE WHEN in_a AND in_b AND la <> lb THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_value_diffs,
+       CAST(max(CASE WHEN in_a AND in_b THEN abs(la - lb) END) AS BIGINT)
+         AS max_abs_delta_s,
+       CAST(sum(CASE WHEN in_a AND in_b AND alarm_a <> alarm_b THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_alarm_flips,
+       CAST(sum(CASE WHEN in_a <> in_b THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_presence_diffs
+FROM diff GROUP BY 1
+"""
+
+
+@register(
+    "shadow_pipeline_diff",
+    oracle=_SHADOW_SQL,
+    doc="Pipeline-migration audit: the arrival-time and payload-event-time "
+    "variants of the flagship per-period max-lag metric run side by side "
+    "on one feed (1/7 of records carry a 45 s-older payload instant); the "
+    "full-outer period diff counts value differences, alarm-verdict flips "
+    "at the 30 s threshold, and period-presence changes — the shadow-"
+    "deployment evidence a cutover decision needs (F5, operators/lag.py)",
+    tags=("core", "healthcheck", "dq"),
+)
+def shadow_pipeline_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ONE scan feeds both variants (checkpoint-pinned base),
+    each variant is a keyed aggregation to its bounded period grid, and
+    the diff is a full-outer join of two grid-sized tables on the
+    (stream, period) key."""
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    base = events.select(
+        F.col("event_type").alias("stream_name"),
+        F.col("ts").alias("arrival"),
+        F.expr(
+            "CASE WHEN CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT) % 7 = 0"
+            f" THEN ts - INTERVAL {_SHADOW_SKEW_S} SECOND ELSE ts END"
+        ).alias("ev"),
+    ).localCheckpoint(eager=False)  # both variants read the same decode
+
+    def variant(col: str) -> DataFrame:
+        return base.groupBy(
+            "stream_name", F.date_trunc("minute", F.col(col)).alias("ws")
+        ).agg(
+            F.max(
+                F.unix_timestamp(F.date_trunc("minute", F.col(col)))
+                + 60
+                - F.unix_timestamp(F.date_trunc("second", F.col(col)))
+            ).alias("max_lag")
+        )
+
+    va = variant("ev").withColumnsRenamed({"max_lag": "la"})
+    vb = variant("arrival").select(
+        F.col("stream_name").alias("sb"), F.col("ws").alias("wsb"),
+        F.col("max_lag").alias("lb"),
+    )
+    diff = va.join(
+        vb,
+        (F.col("sb") == F.col("stream_name")) & (F.col("wsb") == F.col("ws")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("stream_name"), F.col("sb")).alias("stream_name"),
+        F.col("ws").isNotNull().alias("in_a"),
+        F.col("wsb").isNotNull().alias("in_b"),
+        "la",
+        "lb",
+        (F.col("la") > _SHADOW_THRESHOLD).alias("alarm_a"),
+        (F.col("lb") > _SHADOW_THRESHOLD).alias("alarm_b"),
+    )
+    return diff.groupBy("stream_name").agg(
+        F.sum(F.col("in_a").cast("int")).cast("long").alias("n_periods_new"),
+        F.sum(F.col("in_b").cast("int")).cast("long").alias("n_periods_old"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("int"))
+        .cast("long")
+        .alias("n_shared"),
+        F.sum(
+            (F.col("in_a") & F.col("in_b") & (F.col("la") != F.col("lb"))).cast(
+                "int"
+            )
+        )
+        .cast("long")
+        .alias("n_value_diffs"),
+        F.max(
+            F.expr("CASE WHEN in_a AND in_b THEN abs(la - lb) END")
+        )
+        .cast("long")
+        .alias("max_abs_delta_s"),
+        F.sum(
+            F.expr(
+                "CAST(in_a AND in_b AND alarm_a <> alarm_b AS INT)"
+            )
+        )
+        .cast("long")
+        .alias("n_alarm_flips"),
+        F.sum((F.col("in_a") != F.col("in_b")).cast("int"))
+        .cast("long")
+        .alias("n_presence_diffs"),
+    )

@@ -3243,3 +3243,266 @@ def entity_resolution_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(1000000 * sum(CAST(is_true AS INT)) div max(t_tot) AS BIGINT)"
         ).alias("truth_share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-origin forecast backtest: the evaluation loop behind every
+# capacity forecast — three one-step-ahead forecasters (naive-last,
+# 3-day moving average, drift) replayed over the DENSIFIED per-(stream,
+# day) arrival series, scored with exact integer MAE and pinball(0.9)
+# losses. Missing days are real zeros (the stream_correlation_matrix
+# stance); evaluation starts once every forecaster has its full history;
+# the per-stream winner is flagged from the bounded rollup.
+# ---------------------------------------------------------------------------
+_BACKTEST_SQL = """
+WITH daily AS (
+  SELECT event_type AS stream_name, date_trunc('day', ts) AS d,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+grid AS (
+  SELECT k.stream_name, g.d
+  FROM (SELECT DISTINCT stream_name FROM daily) k
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+              FROM bounds) g
+),
+dense AS (
+  SELECT g.stream_name, g.d, COALESCE(daily.y, 0) AS y
+  FROM grid g LEFT JOIN daily
+    ON daily.stream_name = g.stream_name AND daily.d = g.d
+),
+lagged AS (
+  SELECT stream_name, d, y,
+         lag(y, 1) OVER w AS y1, lag(y, 2) OVER w AS y2, lag(y, 3) OVER w AS y3
+  FROM dense WINDOW w AS (PARTITION BY stream_name ORDER BY d)
+),
+forecasts AS (
+  SELECT stream_name, d, y, model, f
+  FROM (
+    SELECT stream_name, d, y,
+           'naive' AS model, 1000 * y1 AS f FROM lagged WHERE y3 IS NOT NULL
+    UNION ALL
+    SELECT stream_name, d, y, 'ma3',
+           (1000 * (y1 + y2 + y3)) // 3 FROM lagged WHERE y3 IS NOT NULL
+    UNION ALL
+    SELECT stream_name, d, y, 'drift',
+           1000 * (2 * y1 - y2) FROM lagged WHERE y3 IS NOT NULL
+  )
+),
+scored AS (
+  SELECT stream_name, model,
+         CAST(count(*) AS BIGINT) AS n_eval_days,
+         CAST(sum(abs(1000 * y - f)) // count(*) AS BIGINT) AS mae_milli,
+         CAST(sum(CASE WHEN 1000 * y >= f THEN 900 * (1000 * y - f) // 1000
+                       ELSE 100 * (f - 1000 * y) // 1000 END) // count(*)
+              AS BIGINT) AS pinball90_milli
+  FROM forecasts GROUP BY 1, 2
+)
+SELECT stream_name, model, n_eval_days, mae_milli, pinball90_milli,
+       mae_milli = min(mae_milli) OVER (PARTITION BY stream_name) AS best_mae
+FROM scored
+"""
+
+
+@register(
+    "forecast_backtest",
+    oracle=_BACKTEST_SQL,
+    doc="Rolling-origin backtest of one-step forecasters (naive-last, 3-day "
+    "moving average, drift) over the densified per-stream daily arrival "
+    "series — exact integer MAE and pinball(0.9) losses per (stream, "
+    "model), winner flagged; the model-selection loop that turns the "
+    "engine's forecasts (holt_forecast_daily) into accountable choices",
+    tags=("ext", "timeseries", "stats"),
+)
+def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the raw stream collapses to the bounded (stream, day)
+    grid in one keyed aggregation; every window (lags, winner flag) runs on
+    grid-sized inputs; the 3-model melt is a narrow per-row stack."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("event_type").alias("stream_name"),
+        F.date_trunc("day", F.col("ts")).alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    daily = daily.localCheckpoint(eager=False)  # bounds, keys, AND the join
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    keys = daily.select("stream_name").distinct()
+    grid = keys.crossJoin(F.broadcast(bounds)).select(
+        "stream_name",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"),
+    )
+    dense = grid.join(daily, ["stream_name", "d"], "left").select(
+        "stream_name", "d", F.coalesce(F.col("y"), F.lit(0)).alias("y")
+    )
+    w = Window.partitionBy("stream_name").orderBy("d")
+    lagged = dense.select(
+        "stream_name",
+        "d",
+        "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 2).over(w).alias("y2"),
+        F.lag("y", 3).over(w).alias("y3"),
+    ).filter(F.col("y3").isNotNull())
+    forecasts = lagged.select(
+        "stream_name",
+        "d",
+        "y",
+        F.expr(
+            "stack(3,"
+            " 'naive', 1000 * y1,"
+            " 'ma3', (1000 * (y1 + y2 + y3)) div 3,"
+            " 'drift', 1000 * (2 * y1 - y2)"
+            ") AS (model, f)"
+        ),
+    )
+    scored = forecasts.groupBy("stream_name", "model").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_days"),
+        F.expr("CAST(sum(abs(1000 * y - f)) div count(1) AS BIGINT)").alias(
+            "mae_milli"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN 1000 * y >= f THEN 900 * (1000 * y - f) div 1000"
+            " ELSE 100 * (f - 1000 * y) div 1000 END) div count(1) AS BIGINT)"
+        ).alias("pinball90_milli"),
+    )
+    wb = Window.partitionBy("stream_name")
+    return scored.select(
+        "stream_name",
+        "model",
+        "n_eval_days",
+        "mae_milli",
+        "pinball90_milli",
+        (F.col("mae_milli") == F.min("mae_milli").over(wb)).alias("best_mae"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald SPRT: sequential hypothesis testing — decide "success rate is 0.55
+# vs 0.45" the moment the evidence suffices instead of after a fixed n.
+# Each trial (value > 50) adds a FIXED log-likelihood increment, declared
+# here as exact millibit integer constants (log2(11/9) ~ +/-290 mbits;
+# boundaries +/-log2(19) ~ 4248 mbits for alpha = beta = 0.05), so the
+# whole test is an integer cumulative walk over the per-minute trial
+# rollup with a first-crossing lookup — the always-valid alternative to
+# the fixed-horizon chi2_independence_2x2 screen.
+# ---------------------------------------------------------------------------
+_SPRT_STEP_MBITS = 290  # log2(0.55/0.45) in millibits, declared constant
+_SPRT_BOUND_MBITS = 4248  # log2((1-beta)/alpha) = log2(19), alpha=beta=0.05
+
+_SPRT_SQL = f"""
+WITH trials AS (
+  SELECT event_type AS stream_name, date_trunc('minute', ts) AS m,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS s
+  FROM events GROUP BY 1, 2
+),
+walk AS (
+  SELECT stream_name, m, n, s,
+         sum({_SPRT_STEP_MBITS} * (2 * s - n)) OVER w AS llr_mbits,
+         sum(n) OVER w AS cum_trials
+  FROM trials WINDOW w AS (PARTITION BY stream_name ORDER BY m)
+),
+crossings AS (
+  SELECT stream_name, m, llr_mbits, cum_trials
+  FROM walk WHERE abs(llr_mbits) >= {_SPRT_BOUND_MBITS}
+),
+first_cross AS (
+  SELECT stream_name,
+         min(m) AS decision_minute,
+         arg_min(llr_mbits, m) AS llr_at_decision,
+         arg_min(cum_trials, m) AS trials_at_decision
+  FROM crossings GROUP BY 1
+),
+totals AS (
+  SELECT stream_name, CAST(sum(n) AS BIGINT) AS n_trials,
+         CAST(count(*) AS BIGINT) AS n_minutes
+  FROM trials GROUP BY 1
+)
+SELECT t.stream_name, t.n_trials, t.n_minutes,
+       CASE WHEN f.stream_name IS NULL THEN 'continue'
+            WHEN f.llr_at_decision >= {_SPRT_BOUND_MBITS} THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision,
+       CAST(epoch(f.decision_minute) AS BIGINT) AS decision_minute_s,
+       CAST(f.trials_at_decision AS BIGINT) AS trials_at_decision,
+       CAST(f.llr_at_decision AS BIGINT) AS llr_at_decision_mbits,
+       CAST(CASE WHEN f.stream_name IS NULL THEN NULL
+                 ELSE 1000000 * f.trials_at_decision // t.n_trials END
+            AS BIGINT) AS sample_saving_ppm
+FROM totals t LEFT JOIN first_cross f ON f.stream_name = t.stream_name
+"""
+
+
+@register(
+    "sprt_sequential_test",
+    oracle=_SPRT_SQL,
+    doc="Wald sequential probability ratio test on per-minute trial rollups "
+    "— exact integer millibit log-likelihood walk with declared-constant "
+    "increments, first boundary crossing gives the decision, its minute, "
+    "the trials spent, and the sample saving vs the fixed-horizon test; "
+    "the sequential-testing family member next to the fixed-n chi-square "
+    "and the CUSUM drift charts",
+    tags=("ext", "stats", "timeseries", "alerting"),
+)
+def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one keyed aggregation to the bounded (stream, minute)
+    rollup; the LLR walk windows over that rollup only; first-crossing is
+    an arg-min aggregation, and the final join is stream-keyed over a
+    handful of rows."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    trials = events.groupBy(
+        F.col("event_type").alias("stream_name"),
+        F.date_trunc("minute", F.col("ts")).alias("m"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("value") > 50).cast("int")).cast("long").alias("s"),
+    )
+    trials = trials.localCheckpoint(eager=False)  # walk AND totals
+    w = (
+        Window.partitionBy("stream_name")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walk = trials.select(
+        "stream_name",
+        "m",
+        F.sum(F.expr(f"{_SPRT_STEP_MBITS} * (2 * s - n)")).over(w).alias("llr_mbits"),
+        F.sum("n").over(w).alias("cum_trials"),
+    )
+    crossings = walk.filter(F.expr(f"abs(llr_mbits) >= {_SPRT_BOUND_MBITS}"))
+    first_cross = crossings.groupBy("stream_name").agg(
+        F.min("m").alias("decision_minute"),
+        F.expr("min_by(llr_mbits, m)").alias("llr_at_decision"),
+        F.expr("min_by(cum_trials, m)").alias("trials_at_decision"),
+    )
+    totals = trials.groupBy("stream_name").agg(
+        F.sum("n").cast("long").alias("n_trials"),
+        F.count(F.lit(1)).cast("long").alias("n_minutes"),
+    )
+    joined = totals.join(
+        F.broadcast(first_cross.withColumnRenamed("stream_name", "fc_stream")),
+        F.col("stream_name") == F.col("fc_stream"),
+        "left",
+    )
+    return joined.select(
+        "stream_name",
+        "n_trials",
+        "n_minutes",
+        F.expr(
+            "CASE WHEN fc_stream IS NULL THEN 'continue'"
+            f" WHEN llr_at_decision >= {_SPRT_BOUND_MBITS} THEN 'accept_h1'"
+            " ELSE 'accept_h0' END"
+        ).alias("decision"),
+        F.unix_timestamp("decision_minute").alias("decision_minute_s"),
+        F.col("trials_at_decision").cast("long").alias("trials_at_decision"),
+        F.col("llr_at_decision").cast("long").alias("llr_at_decision_mbits"),
+        F.expr(
+            "CAST(CASE WHEN fc_stream IS NULL THEN NULL"
+            " ELSE 1000000 * trials_at_decision div n_trials END AS BIGINT)"
+        ).alias("sample_saving_ppm"),
+    )
