@@ -1685,3 +1685,83 @@ def test_cdc_apply_agrees_with_direct_state(spark, sf_small):
         assert r.applied_equals_direct, r
         assert r.n_keys == r.n_live + r.n_deleted, r
         assert r.n_changelog_rows >= r.n_keys, r
+
+
+def test_forecast_backtest_python_naive_model(spark, sf_small):
+    """Recompute the naive forecaster's MAE independently in Python from
+    the raw parquet (dense day grid, zeros filled) and match exactly;
+    every stream must carry all three models over the same eval days."""
+    import collections
+    import datetime as dt
+    import duckdb
+
+    rows = QUERIES["forecast_backtest"].builder(spark, sf_small).collect()
+    by_stream = collections.defaultdict(dict)
+    for r in rows:
+        by_stream[r.stream_name][r.model] = r
+    raw = duckdb.connect().execute(
+        f"SELECT event_type, CAST(date_trunc('day', ts) AS DATE), count(*) "
+        f"FROM read_parquet('{sf_small}/events.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    counts = {(s, d): c for s, d, c in raw}
+    days = sorted({d for _, d, _ in raw})
+    lo, hi = days[0], days[-1]
+    grid = [lo + dt.timedelta(days=i) for i in range((hi - lo).days + 1)]
+    for stream, models in by_stream.items():
+        assert set(models) == {"naive", "ma3", "drift"}
+        assert len({m.n_eval_days for m in models.values()}) == 1
+        assert any(m.best_mae for m in models.values())
+        series = [counts.get((stream, d), 0) for d in grid]
+        errs = [
+            abs(1000 * series[i] - 1000 * series[i - 1])
+            for i in range(3, len(series))
+        ]
+        assert models["naive"].mae_milli == sum(errs) // len(errs), stream
+
+
+def test_sprt_decision_consistent_with_walk(spark, sf_small):
+    """The decision must match the sign of the LLR at first crossing, and
+    an independent Python replay of the millibit walk must agree on the
+    decision point."""
+    import collections
+    import duckdb
+
+    rows = {r.stream_name: r for r in
+            QUERIES["sprt_sequential_test"].builder(spark, sf_small).collect()}
+    raw = duckdb.connect().execute(
+        f"SELECT event_type, date_trunc('minute', ts) AS m, count(*),"
+        f" sum(CASE WHEN value > 50 THEN 1 ELSE 0 END)"
+        f" FROM read_parquet('{sf_small}/events.parquet') GROUP BY 1, 2 ORDER BY 2"
+    ).fetchall()
+    walks = collections.defaultdict(list)
+    for s, m, n, su in raw:
+        walks[s].append((m, int(n), int(su)))
+    for stream, r in rows.items():
+        llr, trials, hit = 0, 0, None
+        for m, n, su in walks[stream]:
+            llr += 290 * (2 * su - n)
+            trials += n
+            if abs(llr) >= 4248:
+                hit = (m, llr, trials)
+                break
+        if hit is None:
+            assert r.decision == "continue", r
+        else:
+            want = "accept_h1" if hit[1] >= 4248 else "accept_h0"
+            assert r.decision == want, (r, hit)
+            assert r.trials_at_decision == hit[2], (r, hit)
+            assert r.llr_at_decision_mbits == hit[1], (r, hit)
+
+
+def test_shadow_diff_bounds_and_single_scan(spark, sf_small):
+    """Both variants must read ONE pinned decode (no parquet re-scan), and
+    the diff arithmetic must respect its own bounds: shared periods within
+    both presence counts, alarm flips only where values differ, and the
+    max delta bounded by skew + window width."""
+    plan = plan_of(spark, sf_small, "shadow_pipeline_diff")
+    assert plan.count("Scan parquet") == 0, plan
+    for r in QUERIES["shadow_pipeline_diff"].builder(spark, sf_small).collect():
+        assert r.n_shared <= min(r.n_periods_new, r.n_periods_old), r
+        assert r.n_value_diffs <= r.n_shared, r
+        assert r.n_alarm_flips <= r.n_value_diffs, r
+        assert r.max_abs_delta_s is None or r.max_abs_delta_s <= 45 + 59, r
