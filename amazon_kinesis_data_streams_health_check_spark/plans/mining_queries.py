@@ -3506,3 +3506,158 @@ def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 1000000 * trials_at_decision div n_trials END AS BIGINT)"
         ).alias("sample_saving_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift (PSI): the vector-space drift monitor a retrieval stack
+# runs between index builds — per-dimension Population Stability Index
+# between the early (md5-even vec_id) and late (md5-odd) populations over
+# fixed equal-width milli bins, in exact millibit integers via the BM25
+# fixed-point log2. The late population carries a DECLARED +0.25 shift on
+# dims 0-1 (the planted-ground-truth device), so the monitor must flag
+# exactly those dims and clear the rest.
+# ---------------------------------------------------------------------------
+_PSI_DIMS = 4
+_PSI_SHIFT_MILLI = 250
+#: 0.1 / 0.25 nats — the classic PSI action thresholds — in millibits.
+_PSI_MINOR_MBITS = 144
+_PSI_MAJOR_MBITS = 361
+
+
+def _psi_sql() -> str:
+    lr = (
+        _log2_milli(
+            "greatest(1, pa_ppm * 1000000 // pb_ppm)", _DUCK_BITS, _DUCK_SHIFT
+        )
+        + " - "
+        + _log2_milli("1000000", _DUCK_BITS, _DUCK_SHIFT)
+    )
+    return f"""
+WITH melted AS (
+  SELECT d.range AS dim,
+         CAST(('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 2 = 1 AS is_late,
+         CAST(floor(list_extract(e.embedding, CAST(d.range + 1 AS INTEGER))
+                    * 1000) AS BIGINT)
+           + CASE WHEN CAST(('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 2 = 1 AND d.range < 2
+                  THEN {_PSI_SHIFT_MILLI} ELSE 0 END AS milli
+  FROM read_parquet('{{sf}}/embeddings.parquet') e, range(0, {_PSI_DIMS}) d
+),
+binned AS (
+  SELECT dim,
+         least(7, greatest(0, (milli + 4000) * 8 // 8000)) AS bin,
+         CAST(sum(CASE WHEN NOT is_late THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM melted GROUP BY 1, 2
+),
+tot AS (
+  SELECT dim, CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+  FROM binned GROUP BY 1
+),
+shares AS (
+  SELECT x.dim,
+         (x.a + 1) * 1000000 // (t.na + 8) AS pa_ppm,
+         (x.b + 1) * 1000000 // (t.nb + 8) AS pb_ppm,
+         t.na, t.nb
+  FROM binned x JOIN tot t ON t.dim = x.dim
+),
+contribs AS (
+  SELECT dim, na, nb,
+         (pa_ppm - pb_ppm) * ({lr}) // 1000000 AS c_milli
+  FROM shares
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(max(na) AS BIGINT) AS n_early,
+       CAST(max(nb) AS BIGINT) AS n_late,
+       CAST(sum(c_milli) AS BIGINT) AS psi_millibits,
+       CASE WHEN sum(c_milli) >= {_PSI_MAJOR_MBITS} THEN 'major'
+            WHEN sum(c_milli) >= {_PSI_MINOR_MBITS} THEN 'moderate'
+            ELSE 'stable' END AS drift_class,
+       min(dim) < 2 AS planted
+FROM contribs GROUP BY 1
+"""
+
+
+@register(
+    "embedding_drift_psi",
+    oracle=_psi_sql().replace(
+        "read_parquet('{sf}/embeddings.parquet')", "embeddings"
+    ),
+    doc="Vector-space drift monitor: per-dimension Population Stability "
+    "Index between early and late embedding populations over fixed milli "
+    "bins, in exact millibit integers (the BM25 fixed-point log2); the "
+    "late half carries a declared +0.25 shift on dims 0-1, so the planted "
+    "dims must classify as drifted and the rest stable — the index-refresh "
+    "trigger an ANN serving stack monitors",
+    tags=("ext", "similarity", "embedding", "stats"),
+)
+def embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: a narrow 4-way dim melt per vector (no shuffle before
+    the bounded (dim, bin) aggregation), share arithmetic on the 32-row
+    bin table, and a per-dim rollup. The log2 is the shared fixed-point
+    primitive — no floats anywhere."""
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    lr = (
+        _log2_milli(
+            "greatest(1, pa_ppm * 1000000 div pb_ppm)", _SPARK_BITS, _SPARK_SHIFT
+        )
+        + " - "
+        + _log2_milli("1000000", _SPARK_BITS, _SPARK_SHIFT)
+    )
+    melted = emb.select(
+        F.explode(F.expr(f"sequence(0, {_PSI_DIMS - 1})")).alias("dim"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT) % 2 = 1"
+        ).alias("is_late"),
+        F.col("embedding"),
+    ).select(
+        "dim",
+        "is_late",
+        (
+            F.expr(
+                "CAST(floor(element_at(embedding, CAST(dim + 1 AS INT)) * 1000)"
+                " AS BIGINT)"
+            )
+            + F.expr(
+                f"CASE WHEN is_late AND dim < 2 THEN {_PSI_SHIFT_MILLI}"
+                " ELSE 0 END"
+            )
+        ).alias("milli"),
+    )
+    binned = melted.groupBy(
+        "dim",
+        F.expr("least(7, greatest(0, (milli + 4000) * 8 div 8000))").alias("bin"),
+    ).agg(
+        F.sum((~F.col("is_late")).cast("int")).cast("long").alias("a"),
+        F.sum(F.col("is_late").cast("int")).cast("long").alias("b"),
+    )
+    tot = binned.groupBy("dim").agg(
+        F.sum("a").cast("long").alias("na"), F.sum("b").cast("long").alias("nb")
+    )
+    shares = binned.join(F.broadcast(tot), "dim").select(
+        "dim",
+        F.expr("(a + 1) * 1000000 div (na + 8)").alias("pa_ppm"),
+        F.expr("(b + 1) * 1000000 div (nb + 8)").alias("pb_ppm"),
+        "na",
+        "nb",
+    )
+    contribs = shares.select(
+        "dim",
+        "na",
+        "nb",
+        F.expr(f"(pa_ppm - pb_ppm) * ({lr}) div 1000000").alias("c_milli"),
+    )
+    return contribs.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        F.max("na").cast("long").alias("n_early"),
+        F.max("nb").cast("long").alias("n_late"),
+        F.sum("c_milli").cast("long").alias("psi_millibits"),
+        F.expr(
+            f"CASE WHEN sum(c_milli) >= {_PSI_MAJOR_MBITS} THEN 'major'"
+            f" WHEN sum(c_milli) >= {_PSI_MINOR_MBITS} THEN 'moderate'"
+            " ELSE 'stable' END"
+        ).alias("drift_class"),
+        F.expr("min(dim) < 2").alias("planted"),
+    )

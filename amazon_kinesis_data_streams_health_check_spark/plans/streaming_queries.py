@@ -34,6 +34,9 @@ from amazon_kinesis_data_streams_health_check_spark.plans.healthcheck_queries im
     _FLAGSHIP_SQL,
     _HYST_SQL,
 )
+from amazon_kinesis_data_streams_health_check_spark.plans.mining_queries import (
+    _BACKTEST_SQL,
+)
 from amazon_kinesis_data_streams_health_check_spark.plans.registry import register
 from amazon_kinesis_data_streams_health_check_spark.session import configure_session
 from amazon_kinesis_data_streams_health_check_spark.sources.tables import (
@@ -3389,3 +3392,115 @@ def producer_retry_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.countDistinct(F.expr("CASE WHEN retried THEN pk END"))
         ).alias("retry_accounting_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming forecast residuals: the forecast_backtest evaluated ONLINE —
+# the state store carries each stream's last 3 daily counts (exactly what
+# the batch lag window reads), so the per-day forecasts are byte-identical
+# to the batch computation under any micro-batch slicing, and the batch
+# query's SQL is the oracle verbatim after the same loss rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_forecast_residuals",
+    oracle=_BACKTEST_SQL,  # the batch twin's SQL verbatim
+    doc="One-step forecast monitoring run the way production runs it: the "
+    "densified daily series feeds 4 mtime-ordered chunks through "
+    "applyInPandasWithState holding the 3-day history per stream; the "
+    "drained per-day forecasts roll up to the identical (stream, model) "
+    "loss table, so forecast_backtest's SQL value-hashes the whole drive",
+    tags=("ext", "streaming", "timeseries"),
+)
+def streaming_forecast_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: state is O(streams * 3); the feed is the bounded daily
+    grid, not raw events; the post-drain rollup and winner window run on
+    (streams x 3 models) rows."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from amazon_kinesis_data_streams_health_check_spark.streaming.forecast import (
+        forecast_stream,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("event_type").alias("stream_name"),
+        F.date_trunc("day", F.col("ts")).alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    daily = daily.localCheckpoint(eager=False)
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    keys = daily.select("stream_name").distinct()
+    dense = (
+        keys.crossJoin(F.broadcast(bounds))
+        .select(
+            "stream_name",
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"),
+        )
+        .join(daily, ["stream_name", "d"], "left")
+        .select(
+            "stream_name",
+            F.unix_timestamp("d").alias("d_s"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+    )
+    b = dense.agg(F.min("d_s").alias("lo"), F.max("d_s").alias("hi")).collect()[0]
+    lo_s, hi_s = int(b["lo"]), int(b["hi"])
+    feed_dir = tempfile.mkdtemp(prefix="fcst_feed_")
+    n_chunks = 4
+    day = 86400
+    span = hi_s - lo_s + day
+    step = max(day, (span // n_chunks // day) * day)
+    cuts = [lo_s + i * step for i in range(n_chunks)] + [hi_s + 2 * day]
+    for i in range(n_chunks):
+        chunk = dense.filter(
+            (F.col("d_s") >= cuts[i]) & (F.col("d_s") < cuts[i + 1])
+        )
+        tmp = tempfile.mkdtemp(prefix=f"fcst_chunk{i}_")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p
+            for p in sorted(os.listdir(tmp))
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = os.path.join(feed_dir, f"chunk_{i:02d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    feed = (
+        spark.readStream.schema("stream_name string, d_s long, y long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    drained = _run_to_memory(
+        forecast_stream(feed), "fcst", output_mode="update"
+    )
+    forecasts = drained.select(
+        "stream_name",
+        "y",
+        F.expr(
+            "stack(3, 'naive', f_naive, 'ma3', f_ma3, 'drift', f_drift)"
+            " AS (model, f)"
+        ),
+    )
+    scored = forecasts.groupBy("stream_name", "model").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_days"),
+        F.expr("CAST(sum(abs(1000 * y - f)) div count(1) AS BIGINT)").alias(
+            "mae_milli"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN 1000 * y >= f THEN 900 * (1000 * y - f) div 1000"
+            " ELSE 100 * (f - 1000 * y) div 1000 END) div count(1) AS BIGINT)"
+        ).alias("pinball90_milli"),
+    )
+    wb = Window.partitionBy("stream_name")
+    return scored.select(
+        "stream_name",
+        "model",
+        "n_eval_days",
+        "mae_milli",
+        "pinball90_milli",
+        (F.col("mae_milli") == F.min("mae_milli").over(wb)).alias("best_mae"),
+    )
+
