@@ -1765,3 +1765,72 @@ def test_shadow_diff_bounds_and_single_scan(spark, sf_small):
         assert r.n_value_diffs <= r.n_shared, r
         assert r.n_alarm_flips <= r.n_value_diffs, r
         assert r.max_abs_delta_s is None or r.max_abs_delta_s <= 45 + 59, r
+
+
+def test_psi_flags_planted_dims_and_matches_python(spark, sf_small):
+    """The +0.25-shifted dims must classify as drifted and the untouched
+    dims stable; an independent Python replay of the binning, Laplace
+    shares, and LUT log2 must reproduce every PSI value exactly."""
+    import collections
+    import duckdb
+    import math
+
+    rows = {r.dim: r for r in
+            QUERIES["embedding_drift_psi"].builder(spark, sf_small).collect()}
+    for d, r in rows.items():
+        assert r.planted == (d < 2), r
+        if r.planted:
+            assert r.drift_class in ("moderate", "major"), r
+        else:
+            assert r.drift_class == "stable", r
+
+    raw = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_small}/embeddings.parquet')"
+    ).fetchall()
+    lut = (0, 87, 170, 248, 322, 392, 459, 524, 585, 644, 700, 755, 807, 858, 907, 954)
+
+    def log2m(x):
+        bits = x.bit_length() - 1
+        mant = ((x * 16) >> bits) - 16
+        return 1000 * bits + (lut[mant] if 0 <= mant < 16 else 0)
+
+    import hashlib
+
+    def is_late(vid):
+        return int(hashlib.md5(str(vid).encode()).hexdigest()[:8], 16) % 2 == 1
+
+    for d in range(4):
+        bins = collections.defaultdict(lambda: [0, 0])
+        for vid, emb in raw:
+            milli = math.floor(float(emb[d]) * 1000)
+            if is_late(vid) and d < 2:
+                milli += 250
+            b = min(7, max(0, (milli + 4000) * 8 // 8000))
+            bins[b][1 if is_late(vid) else 0] += 1
+        na = sum(v[0] for v in bins.values())
+        nb = sum(v[1] for v in bins.values())
+        psi = 0
+        for a, b_ in bins.values():
+            pa = (a + 1) * 1000000 // (na + 8)
+            pb = (b_ + 1) * 1000000 // (nb + 8)
+            lr = log2m(max(1, pa * 1000000 // pb)) - log2m(1000000)
+            # Spark/DuckDB integer `div` truncates toward zero; Python //
+            # floors — match the engines' semantics for negative products.
+            prod = (pa - pb) * lr
+            psi += abs(prod) // 1000000 * (1 if prod >= 0 else -1)
+        assert rows[d].psi_millibits == psi, (d, rows[d].psi_millibits, psi)
+
+
+def test_streaming_forecast_equals_batch(spark, sf_small):
+    """The online drive must reproduce the batch backtest table exactly —
+    cross-batch state continuity is load-bearing (the 4-chunk feed slices
+    every stream's history across triggers)."""
+    got = {
+        (r.stream_name, r.model): (r.n_eval_days, r.mae_milli, r.pinball90_milli, r.best_mae)
+        for r in QUERIES["streaming_forecast_residuals"].builder(spark, sf_small).collect()
+    }
+    want = {
+        (r.stream_name, r.model): (r.n_eval_days, r.mae_milli, r.pinball90_milli, r.best_mae)
+        for r in QUERIES["forecast_backtest"].builder(spark, sf_small).collect()
+    }
+    assert got == want
