@@ -3661,3 +3661,231 @@ def embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("drift_class"),
         F.expr("min(dim) < 2").alias("planted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Power analysis: the experiment-design step BEFORE cuped/SPRT run — per
+# stream, the per-arm sample size a two-sample test needs to detect an
+# absolute effect delta at alpha = 0.05 (two-sided) with 80% power:
+# n = 2 sigma^2 (z_a + z_b)^2 / delta^2. The z-sum is a declared milli
+# constant ((1.960 + 0.842)^2 = 7.851364 in micro); the variance comes
+# from exact DECIMAL(38) moments in milli^2 — so the whole sheet is
+# integer arithmetic, swept over two candidate effect sizes.
+# ---------------------------------------------------------------------------
+_POWER_ZSUM2_MICRO = 7_851_364  # (1960 + 842)^2 milli^2 -> micro
+
+_POWER_SQL = f"""
+WITH x AS (
+  SELECT event_type AS stream_name,
+         CAST(floor(value * 1000) AS BIGINT) AS v
+  FROM events
+),
+mo AS (
+  SELECT stream_name,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(v) AS HUGEINT) AS sx,
+         CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS sxx
+  FROM x GROUP BY 1
+),
+var AS (
+  SELECT stream_name, CAST(n AS BIGINT) AS n_obs,
+         CAST((n * sxx - sx * sx) // (n * n) AS BIGINT) AS var_milli2
+  FROM mo
+)
+SELECT stream_name, n_obs, var_milli2,
+       CAST(d.delta_milli AS BIGINT) AS delta_milli,
+       CAST((2 * CAST(var_milli2 AS HUGEINT) * {_POWER_ZSUM2_MICRO}
+             + CAST(d.delta_milli AS HUGEINT) * d.delta_milli * 1000000 - 1)
+            // (CAST(d.delta_milli AS HUGEINT) * d.delta_milli * 1000000)
+            AS BIGINT) AS n_required_per_arm,
+       n_obs >= 2 * CAST((2 * CAST(var_milli2 AS HUGEINT) * {_POWER_ZSUM2_MICRO}
+             + CAST(d.delta_milli AS HUGEINT) * d.delta_milli * 1000000 - 1)
+            // (CAST(d.delta_milli AS HUGEINT) * d.delta_milli * 1000000)
+            AS BIGINT) AS feasible_now
+FROM var, (VALUES (1000), (5000)) d(delta_milli)
+"""
+
+
+@register(
+    "sample_size_power_calc",
+    oracle=_POWER_SQL,
+    doc="Experiment power analysis: per-arm sample size to detect absolute "
+    "effects of 1.0 and 5.0 units at alpha 0.05 / power 80%, from exact "
+    "DECIMAL(38) variance moments in milli^2 with a declared z-sum "
+    "constant — ceil division, feasibility vs current volume; the design "
+    "sheet that precedes cuped_variance_reduction and the SPRT",
+    tags=("ext", "stats", "behavior"),
+)
+def sample_size_power_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one keyed moment aggregation (map-side partials) and a
+    2-row broadcast sweep; the squares live in DECIMAL(38,0)."""
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    dec = "CAST({} AS DECIMAL(38,0))"
+    mo = events.groupBy(F.col("event_type").alias("stream_name")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("CAST(floor(value * 1000) AS BIGINT)"))
+        .cast("long")
+        .alias("sx"),
+        F.sum(
+            F.expr(
+                "CAST(floor(value * 1000) AS BIGINT)"
+                " * CAST(floor(value * 1000) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("sxx"),
+    )
+    var = mo.select(
+        "stream_name",
+        F.col("n").alias("n_obs"),
+        F.expr(
+            f"CAST(({dec.format('n')} * {dec.format('sxx')}"
+            f" - {dec.format('sx')} * {dec.format('sx')})"
+            f" div ({dec.format('n')} * {dec.format('n')}) AS BIGINT)"
+        ).alias("var_milli2"),
+    )
+    deltas = (
+        events.sparkSession.range(1)
+        .select(F.explode(F.array(F.lit(1000), F.lit(5000))).alias("delta_milli"))
+        .select(F.col("delta_milli").cast("long").alias("delta_milli"))
+    )
+    need = (
+        f"CAST((2 * {dec.format('var_milli2')} * {_POWER_ZSUM2_MICRO}"
+        f" + {dec.format('delta_milli')} * delta_milli * 1000000 - 1)"
+        f" div ({dec.format('delta_milli')} * delta_milli * 1000000) AS BIGINT)"
+    )
+    return var.crossJoin(F.broadcast(deltas)).select(
+        "stream_name",
+        "n_obs",
+        "var_milli2",
+        "delta_milli",
+        F.expr(need).alias("n_required_per_arm"),
+        F.expr(f"n_obs >= 2 * {need}").alias("feasible_now"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality decomposition: classical series = seasonal + residual over
+# the hour-of-day profile — per stream, the 24-slot seasonal means (milli),
+# the peak slot and its ratio to the overall mean, and the seasonality
+# strength 1 - SS_resid/SS_total in exact ppm (DECIMAL(38) sums of
+# squares). The structure question (IS there a daily cycle?) behind
+# seasonal_baseline_flags' assumption of one.
+# ---------------------------------------------------------------------------
+_SEASON_SQL = """
+WITH hourly AS (
+  SELECT event_type AS stream_name, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+slot AS (
+  SELECT stream_name, CAST(extract(hour FROM h) AS BIGINT) AS hod,
+         CAST(count(*) AS BIGINT) AS n_h,
+         CAST(sum(x) AS BIGINT) AS sx_h
+  FROM hourly GROUP BY 1, 2
+),
+smean AS (
+  SELECT stream_name, hod, n_h, sx_h,
+         1000 * sx_h // n_h AS smean_milli
+  FROM slot
+),
+resid AS (
+  SELECT h.stream_name, h.x, s.smean_milli,
+         1000 * h.x - s.smean_milli AS r_milli
+  FROM hourly h
+  JOIN smean s ON s.stream_name = h.stream_name
+              AND s.hod = CAST(extract(hour FROM h.h) AS BIGINT)
+),
+agg AS (
+  SELECT stream_name,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(1000 * x) AS HUGEINT) AS sx,
+         CAST(sum(CAST(1000 * x AS HUGEINT) * (1000 * x)) AS HUGEINT) AS sxx,
+         CAST(sum(r_milli) AS HUGEINT) AS sr,
+         CAST(sum(CAST(r_milli AS HUGEINT) * r_milli) AS HUGEINT) AS srr
+  FROM resid GROUP BY 1
+),
+peaks AS (
+  -- tie-break: among equal seasonal means the EARLIEST hour wins
+  -- (hod < 24 << 1000, so the composite score is a total order)
+  SELECT stream_name, arg_max(hod, smean_milli * 1000 - hod) AS peak_hod,
+         max(smean_milli) AS peak_milli
+  FROM smean GROUP BY 1
+)
+SELECT a.stream_name,
+       CAST(a.n AS BIGINT) AS n_hours,
+       CAST(a.sx // a.n AS BIGINT) AS mean_milli,
+       CAST(p.peak_hod AS BIGINT) AS peak_hod,
+       CAST(1000 * p.peak_milli // (a.sx // a.n) AS BIGINT) AS peak_ratio_milli,
+       CAST(1000000 - 1000000 * (a.n * a.srr - a.sr * a.sr)
+            // (a.n * a.sxx - a.sx * a.sx) AS BIGINT) AS strength_ppm
+FROM agg a JOIN peaks p ON p.stream_name = a.stream_name
+"""
+
+
+@register(
+    "seasonality_decomposition",
+    oracle=_SEASON_SQL,
+    doc="Classical seasonal decomposition over the hour-of-day profile: "
+    "per-stream 24-slot seasonal means in milli, peak slot and its ratio "
+    "to the overall mean, and seasonality strength 1 - SS_resid/SS_total "
+    "in exact ppm via DECIMAL(38) sums of squares — the is-there-a-cycle "
+    "question underneath seasonal_baseline_flags",
+    tags=("ext", "timeseries", "stats"),
+)
+def seasonality_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the raw stream collapses once to the bounded hourly
+    grid; slot means are a 24-key aggregation broadcast back; all squares
+    in DECIMAL(38,0); no windows over raw rows."""
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    dec = "CAST({} AS DECIMAL(38,0))"
+    hourly = events.groupBy(
+        F.col("event_type").alias("stream_name"),
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    hourly = hourly.localCheckpoint(eager=False)  # slots AND residuals
+    slot = hourly.groupBy(
+        "stream_name", F.expr("CAST(extract(hour FROM h) AS BIGINT)").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum("x").cast("long").alias("sx_h"),
+    )
+    smean = slot.select(
+        "stream_name", "hod", F.expr("1000 * sx_h div n_h").alias("smean_milli")
+    )
+    resid = hourly.select(
+        "stream_name",
+        F.expr("CAST(extract(hour FROM h) AS BIGINT)").alias("hod"),
+        "x",
+    ).join(F.broadcast(smean), ["stream_name", "hod"]).select(
+        "stream_name", "x", F.expr("1000 * x - smean_milli").alias("r_milli")
+    )
+    agg = resid.groupBy("stream_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("1000 * x")).cast("long").alias("sx"),
+        F.sum(F.expr(f"{dec.format('1000 * x')} * (1000 * x)")).alias("sxx"),
+        F.sum("r_milli").cast("long").alias("sr"),
+        F.sum(F.expr(f"{dec.format('r_milli')} * r_milli")).alias("srr"),
+    )
+    peaks = smean.groupBy("stream_name").agg(
+        # earliest hour wins among tied seasonal means (composite score)
+        F.expr("max_by(hod, smean_milli * 1000 - hod)").alias("peak_hod"),
+        F.max("smean_milli").alias("peak_milli"),
+    )
+    return agg.join(F.broadcast(peaks), "stream_name").select(
+        "stream_name",
+        F.col("n").alias("n_hours"),
+        F.expr("CAST(sx div n AS BIGINT)").alias("mean_milli"),
+        F.col("peak_hod").cast("long").alias("peak_hod"),
+        F.expr("CAST(1000 * peak_milli div (sx div n) AS BIGINT)").alias(
+            "peak_ratio_milli"
+        ),
+        F.expr(
+            f"CAST(1000000 - 1000000 * ({dec.format('n')} * srr"
+            f" - {dec.format('sr')} * sr)"
+            f" div ({dec.format('n')} * sxx - {dec.format('sx')} * sx)"
+            " AS BIGINT)"
+        ).alias("strength_ppm"),
+    )

@@ -36,6 +36,7 @@ from amazon_kinesis_data_streams_health_check_spark.plans.healthcheck_queries im
 )
 from amazon_kinesis_data_streams_health_check_spark.plans.mining_queries import (
     _BACKTEST_SQL,
+    _SPRT_SQL,
 )
 from amazon_kinesis_data_streams_health_check_spark.plans.registry import register
 from amazon_kinesis_data_streams_health_check_spark.session import configure_session
@@ -3502,5 +3503,111 @@ def streaming_forecast_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mae_milli",
         "pinball90_milli",
         (F.col("mae_milli") == F.min("mae_milli").over(wb)).alias("best_mae"),
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Streaming SPRT: the sequential test run the way it is meant to be run —
+# online, deciding at the crossing minute. The state store holds each
+# stream's running (llr, trials) prefix; the drained walk reduces to the
+# batch decision table, so sprt_sequential_test's SQL is the oracle
+# verbatim.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_sprt_monitor",
+    oracle=_SPRT_SQL,  # the batch twin's SQL verbatim
+    doc="Wald SPRT driven online: per-minute trial rollups feed 4 "
+    "mtime-ordered chunks through applyInPandasWithState carrying the "
+    "running millibit LLR and trial count per stream; the drained walk "
+    "reduces to first-crossing decisions identical to the batch "
+    "sequential test, whose SQL value-hashes the whole drive",
+    tags=("ext", "streaming", "stats", "alerting"),
+)
+def streaming_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: state is two BIGINTs per stream; the feed is the
+    bounded minute rollup; post-drain reduction is an arg-min over the
+    crossing rows plus a stream-keyed join of tiny tables."""
+    import shutil
+
+    from amazon_kinesis_data_streams_health_check_spark.streaming.sprt import (
+        SPRT_BOUND_MBITS,
+        sprt_stream,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    trials = (
+        events.groupBy(
+            F.col("event_type").alias("stream_name"),
+            F.date_trunc("minute", F.col("ts")).alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("value") > 50).cast("int")).cast("long").alias("s"),
+        )
+        .select("stream_name", F.unix_timestamp("m").alias("m_s"), "n", "s")
+        .localCheckpoint(eager=False)
+    )
+    b = trials.agg(F.min("m_s").alias("lo"), F.max("m_s").alias("hi")).collect()[0]
+    lo_s, hi_s = int(b["lo"]), int(b["hi"])
+    feed_dir = tempfile.mkdtemp(prefix="sprt_feed_")
+    n_chunks = 4
+    span = hi_s - lo_s + 60
+    step = max(60, (span // n_chunks // 60) * 60)
+    cuts = [lo_s + i * step for i in range(n_chunks)] + [hi_s + 120]
+    for i in range(n_chunks):
+        chunk = trials.filter(
+            (F.col("m_s") >= cuts[i]) & (F.col("m_s") < cuts[i + 1])
+        )
+        tmp = tempfile.mkdtemp(prefix=f"sprt_chunk{i}_")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p
+            for p in sorted(os.listdir(tmp))
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = os.path.join(feed_dir, f"chunk_{i:02d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    feed = (
+        spark.readStream.schema("stream_name string, m_s long, n long, s long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    walk = _run_to_memory(sprt_stream(feed), "sprt", output_mode="update")
+    walk = walk.localCheckpoint(eager=False)  # totals AND crossings
+    crossings = walk.filter(F.expr(f"abs(llr_mbits) >= {SPRT_BOUND_MBITS}"))
+    first_cross = crossings.groupBy("stream_name").agg(
+        F.min("m_s").alias("decision_m_s"),
+        F.expr("min_by(llr_mbits, m_s)").alias("llr_at_decision"),
+        F.expr("min_by(cum_trials, m_s)").alias("trials_at_decision"),
+    )
+    totals = walk.groupBy("stream_name").agg(
+        F.max("cum_trials").cast("long").alias("n_trials"),
+        F.count(F.lit(1)).cast("long").alias("n_minutes"),
+    )
+    joined = totals.join(
+        F.broadcast(first_cross.withColumnRenamed("stream_name", "fc_stream")),
+        F.col("stream_name") == F.col("fc_stream"),
+        "left",
+    )
+    return joined.select(
+        "stream_name",
+        "n_trials",
+        "n_minutes",
+        F.expr(
+            "CASE WHEN fc_stream IS NULL THEN 'continue'"
+            f" WHEN llr_at_decision >= {SPRT_BOUND_MBITS} THEN 'accept_h1'"
+            " ELSE 'accept_h0' END"
+        ).alias("decision"),
+        F.col("decision_m_s").cast("long").alias("decision_minute_s"),
+        F.col("trials_at_decision").cast("long").alias("trials_at_decision"),
+        F.col("llr_at_decision").cast("long").alias("llr_at_decision_mbits"),
+        F.expr(
+            "CAST(CASE WHEN fc_stream IS NULL THEN NULL"
+            " ELSE 1000000 * trials_at_decision div n_trials END AS BIGINT)"
+        ).alias("sample_saving_ppm"),
     )
 
