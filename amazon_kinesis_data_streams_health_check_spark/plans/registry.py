@@ -78,29 +78,30 @@ PINNED: tuple[str, ...] = (
     "inverted_index",
 )
 
-#: Round-4 rotation — 18 never-driver-checked queries (first-ever rows):
-#: the judge's candidate list (lake/streaming/embedding/kinesis blocks),
-#: the three heavy LLM-pipeline queries newly promoted to the bench set,
-#: and the K1 put-sink legs.
+#: Round-5 rotation — 18 never-driver-checked queries (first-ever rows):
+#: the round-4 verdict's candidate list, with two batch picks
+#: (auc_rank_exact, prefix_cache_hit_estimate — deferred to round 6)
+#: swapped for two more streaming state-store twins so the window carries
+#: >=4 streaming first-ever rows (round-4 verdict item 4).
 ROTATION: tuple[str, ...] = (
-    "lake_bloom_skip",
-    "dup_span_stats",
-    "streaming_lake_ingest",  # W2 checkpoint-restart driven for real
-    "embedding_pca_project",
-    "shard_reshard_routing",
-    "kmeans_lloyd_exact",
-    "dedup_jaccard_allpairs",
-    "dedup_lsh_recall",
-    "bm25_topk",
-    "cusum_changepoint",
-    "streaming_cusum",
-    "dedup_fuzzy_edit",  # bench headline (round-4 addition)
-    "bpe_merge_learn",  # bench headline (round-4 addition)
-    "doc_bigram_surprisal",  # bench headline (round-4 addition)
-    "kinesis_put_sink_roundtrip",
-    "kinesis_kpl_deaggregate",  # KPL aggregated wire (round-4 addition)
-    "streaming_trigger_cadence",  # W1 driver-visible (round-4 addition)
-    "shard_order_audit",  # X2 driver-visible (round-4 addition)
+    "kinesis_e2e_pipeline",  # produce->shard->consume->alarm, end to end
+    "kcl_subsequence_checkpoint",  # KCL (seq, subseq) resume over KPL blobs
+    "streaming_schema_drift",  # streaming twin: payload-evolution monitor
+    "wordpiece_segment",  # top-down subword tokenizer (vs bottom-up BPE)
+    "span_corruption_plan",  # T5 span-corruption planning, md5-reproducible
+    "nb_margin_calibration",  # Naive-Bayes margin vs accuracy calibration
+    "quality_matched_resample",  # distribution-matched importance resample
+    "kneser_ney_bigram",  # interpolated KN bigram LM, exact integer core
+    "media_interleave_pack",  # MMC4-style multimodal sequence packing
+    "streaming_ewma_chart",  # streaming twin: EWMA control chart state
+    "ngram_novelty_decay",  # first-occurrence novelty, bench headline
+    "streaming_forecast_residuals",  # streaming twin: forecast residuals
+    "shard_autoscale_plan",  # split/merge planning vs real key distribution
+    "json_schema_drift",  # batch payload-evolution monitor
+    "streaming_kpl_consume",  # streaming twin: KPL deaggregation consume
+    "consumer_dlq_replay",  # F4 extension: DLQ routing + replay
+    "maxsim_late_interaction",  # ColBERT-style MaxSim retrieval
+    "lake_dpp_join",  # dynamic partition pruning join audit
 )
 
 _PRIORITY: tuple[str, ...] = PINNED + ROTATION

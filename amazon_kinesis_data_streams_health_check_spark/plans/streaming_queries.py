@@ -52,21 +52,38 @@ from amazon_kinesis_data_streams_health_check_spark.streaming.pipeline import (
 
 
 def _run_to_memory(stream: DataFrame, name_prefix: str, output_mode: str = "append") -> DataFrame:
-    """Drive a bounded stream to completion into a memory sink; return it."""
+    """Drive a bounded stream to completion into a memory sink; return it.
+
+    The stateful operators' state-store partition count is frozen from
+    ``spark.sql.shuffle.partitions`` at the first micro-batch. Under the
+    driver's default session that is 200, and AQE does NOT coalesce
+    streaming stateful shuffles — so a 4-chunk drive schedules 800 near
+    -empty state tasks (~70s observed for the EWMA/forecast drives at
+    sf0.01). Clamp to the session's core count for the drive and restore
+    after; results are partitioning-independent (every drive value-hashes
+    against its batch twin regardless).
+    """
     spark = stream.sparkSession
     qname = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name_prefix}_")
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    if q.isActive:  # pragma: no cover - defensive against a hung source
-        q.stop()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    clamp = max(4, min(int(spark.sparkContext.defaultParallelism), 16))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(clamp))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.isActive:  # pragma: no cover - defensive against a hung source
+            q.stop()
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname)
 
 

@@ -51,15 +51,29 @@ def test_pinned_core_never_leaves_window():
 def test_rotation_slots_are_first_ever_driver_rows():
     """A ROTATION slot spent on an already-green query is a wasted slot
     while never-checked queries remain — fail loudly (cumulative-coverage
-    guard, round-3 verdict item 7)."""
-    fg = first_green(driver_history())
+    guard, round-3 verdict item 7).
+
+    End-of-round carve-out (round-4 verdict item 5): when the driver drops
+    the round's CORRECTNESS artifact, the just-rotated slots become "green
+    in history" by construction. A reburned slot whose ONLY green round is
+    the newest artifact is that designed end state, not a wasted slot, so
+    it is excused here; the full-history rule is enforced at round start by
+    ``tools/round_start_check.py`` (which has no carve-out)."""
+    hist = driver_history()
+    fg = first_green(hist)
     qs = all_queries()
     never_checked = {n for n in qs if n not in fg}
     # Only enforce while there is actually a backlog to burn down.
     backlog = never_checked - set(ROTATION)
     if not backlog:
         return
-    reburned = [n for n in ROTATION if n in fg]
+    newest_round = max((r for rounds in hist.values() for r in rounds), default=0)
+    reburned = [
+        n
+        for n in ROTATION
+        if n in fg
+        and set(r for r, ok in hist[n].items() if ok) != {newest_round}
+    ]
     assert not reburned, (
         f"rotation slots re-burned on already-driver-green queries {reburned} "
         f"while {len(backlog)} never-checked queries remain — point them at "
@@ -71,3 +85,20 @@ def test_entry_module_order_matches_registry():
     import __spark_entry__ as entry
 
     assert list(entry.queries()) == list(all_queries())
+
+
+def test_readme_registry_count_matches_runtime():
+    """README's 'NNN registered queries' line drifted twice (ADVICE r03,
+    r04); tools/readme_counts.py rewrites it from the live registry and
+    this pin keeps it honest at HEAD."""
+    import re
+
+    readme = os.path.join(os.path.dirname(__file__), "..", "README.md")
+    with open(readme) as f:
+        m = re.search(r"^(\d+) registered queries;", f.read(), re.MULTILINE)
+    assert m, "README.md lost its 'NNN registered queries;' line"
+    n = len(all_queries())
+    assert int(m.group(1)) == n, (
+        f"README says {m.group(1)} registered queries but the registry has "
+        f"{n} — run: python tools/readme_counts.py"
+    )
