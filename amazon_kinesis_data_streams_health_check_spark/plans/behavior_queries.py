@@ -2106,3 +2106,218 @@ def anonymization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.min(F.when(F.col("passes"), F.col("level"))).over(w)
         ).alias("chosen"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry preference-strength MLE (Zermelo 1929; the MM iteration of
+# Hunter 2004) over the same per-user event-type duels the Copeland rank
+# uses — where Copeland counts majority wins, BT fits a latent strength
+# p_i such that P(i beats j) = p_i / (p_i + p_j): the model a reward-model
+# / eval pipeline fits over pairwise comparison data.
+#
+# Cross-engine exactness: the MM update is run in FIXED-POINT integers
+# (strengths in 1e-6 units, per-pair terms floored at 1e-12 scale) for a
+# fixed 12 iterations, so every engine computes the identical integer
+# sequence — no float summation order anywhere. Matchups get Laplace
+# smoothing (+1 win each side, +2 duels) so the comparison graph is
+# connected and every strength is positive.
+# ---------------------------------------------------------------------------
+_BT_SCALE = 10**6
+_BT_BIG = 10**12
+_BT_ITERS = 12
+
+_BT_MATCHUP_CTES = """
+WITH totals AS (
+  SELECT user_id, event_type,
+         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v_milli
+  FROM events GROUP BY 1, 2
+),
+duels AS (
+  SELECT a.event_type AS et_a, b.event_type AS et_b,
+         CASE WHEN a.v_milli > b.v_milli THEN 1 ELSE 0 END AS a_wins,
+         CASE WHEN b.v_milli > a.v_milli THEN 1 ELSE 0 END AS b_wins
+  FROM totals a JOIN totals b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+),
+matchups AS MATERIALIZED (
+  SELECT et_a, et_b,
+         CAST(count(*) AS BIGINT) AS n_duels,
+         CAST(sum(a_wins) AS BIGINT) AS wins_a,
+         CAST(sum(b_wins) AS BIGINT) AS wins_b
+  FROM duels GROUP BY 1, 2
+),
+pairs AS MATERIALIZED (
+  SELECT et_a AS i, et_b AS j, wins_a AS w_raw,
+         CAST(wins_a + 1 AS BIGINT) AS w, CAST(n_duels + 2 AS BIGINT) AS n,
+         n_duels
+  FROM matchups
+  UNION ALL
+  SELECT et_b, et_a, wins_b,
+         CAST(wins_b + 1 AS BIGINT), CAST(n_duels + 2 AS BIGINT), n_duels
+  FROM matchups
+),
+nitems AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS n FROM pairs),
+p0 AS MATERIALIZED (
+  SELECT DISTINCT i AS item, CAST({scale} AS BIGINT) AS p FROM pairs
+)"""
+
+
+def _bt_oracle_sql() -> str:
+    """Unrolled fixed-point MM iterations as MATERIALIZED CTEs (each state
+    is referenced twice per step — materialization keeps the plan linear
+    in the iteration count instead of exponential)."""
+    ctes = [_BT_MATCHUP_CTES.format(scale=_BT_SCALE)]
+    for k in range(_BT_ITERS):
+        ctes.append(
+            f""",
+r{k} AS MATERIALIZED (
+  SELECT pr.i AS item,
+         CAST(sum(pr.w) * {_BT_BIG}
+              // sum(CAST(pr.n AS HUGEINT) * {_BT_BIG} // (pi.p + pj.p))
+              AS BIGINT) AS praw
+  FROM pairs pr
+  JOIN p{k} pi ON pi.item = pr.i
+  JOIN p{k} pj ON pj.item = pr.j
+  GROUP BY pr.i
+),
+p{k + 1} AS MATERIALIZED (
+  SELECT r.item,
+         CAST(greatest(1, CAST(r.praw AS HUGEINT) * n.n * {_BT_SCALE}
+                          // (SELECT sum(praw) FROM r{k})) AS BIGINT) AS p
+  FROM r{k} r CROSS JOIN nitems n
+)"""
+        )
+    ctes.append(
+        f"""
+SELECT s.item AS event_type,
+       CAST(s.n_opponents AS BIGINT) AS n_opponents,
+       CAST(s.n_duels AS BIGINT) AS n_duels,
+       CAST(s.n_wins AS BIGINT) AS n_wins,
+       p.p AS bt_strength_ppm,
+       CAST(rank() OVER (ORDER BY p.p DESC, s.item) AS BIGINT) AS bt_rank
+FROM (
+  SELECT i AS item, count(*) AS n_opponents, sum(n_duels) AS n_duels,
+         sum(w_raw) AS n_wins
+  FROM pairs GROUP BY i
+) s JOIN p{_BT_ITERS} p ON p.item = s.item
+"""
+    )
+    return "".join(ctes)
+
+
+def _bt_fixed_point(
+    matchups: list, iters: int = _BT_ITERS
+) -> dict[str, int]:
+    """The identical integer MM sequence the oracle runs, on the collected
+    BOUNDED matchup table (<= C(|type vocab|, 2) rows). Integer adds
+    commute exactly, so collect order is irrelevant."""
+    pairs = []
+    for a, b, n, wa, wb in matchups:
+        pairs.append((a, b, wa + 1, n + 2))
+        pairs.append((b, a, wb + 1, n + 2))
+    items = sorted({i for i, _, _, _ in pairs})
+    p = {i: _BT_SCALE for i in items}
+    for _ in range(iters):
+        denom = {i: 0 for i in items}
+        wins = {i: 0 for i in items}
+        for i, j, w, n in pairs:
+            denom[i] += (n * _BT_BIG) // (p[i] + p[j])
+            wins[i] += w
+        praw = {i: (wins[i] * _BT_BIG) // denom[i] for i in items}
+        s = sum(praw.values())
+        p = {
+            i: max(1, (praw[i] * len(items) * _BT_SCALE) // s) for i in items
+        }
+    return p
+
+
+@register(
+    "bradley_terry_rank",
+    oracle=_bt_oracle_sql(),
+    doc="Bradley-Terry strength MLE over per-user event-type duels: 12 "
+    "fixed-point integer MM iterations (Hunter 2004) on the Laplace-"
+    "smoothed matchup table; per type its raw duel record, the fitted "
+    "strength in 1e-6 units (P(i beats j) = p_i/(p_i+p_j)), and the "
+    "strength rank — the preference-model fit an RLHF comparison pipeline "
+    "runs where Copeland only counts majority wins",
+    tags=("ext", "behavior", "ml"),
+)
+def bradley_terry_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: per-(user, type) totals shuffle once on the uniform
+    user key; the duel self-join is per-user and bounded by the squared
+    type vocabulary — identical to `preference_copeland_rank` up to the
+    matchup table. That table is BOUNDED METADATA (<= C(|V|, 2) rows, |V|
+    = event-type vocabulary), so the MM iterations run driver-side on the
+    collected aggregate — the k-means/PCA bounded-iteration pattern — and
+    the fitted strengths broadcast back onto the per-item aggregate. No
+    iteration ever touches raw events."""
+    configure_session(spark)
+    events = parallel_scan(spark, sf_dir, "events")
+    totals = events.groupBy("user_id", "event_type").agg(
+        F.sum(F.expr("CAST(floor(value * 1000) AS BIGINT)"))
+        .cast("long")
+        .alias("v_milli")
+    )
+    a = totals.select(
+        "user_id",
+        F.col("event_type").alias("et_a"),
+        F.col("v_milli").alias("v_a"),
+    )
+    b = totals.select(
+        "user_id",
+        F.col("event_type").alias("et_b"),
+        F.col("v_milli").alias("v_b"),
+    )
+    duels = a.join(b, "user_id").filter(F.col("et_a") < F.col("et_b"))
+    matchups = duels.groupBy("et_a", "et_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_duels"),
+        F.sum((F.col("v_a") > F.col("v_b")).cast("int"))
+        .cast("long")
+        .alias("wins_a"),
+        F.sum((F.col("v_b") > F.col("v_a")).cast("int"))
+        .cast("long")
+        .alias("wins_b"),
+    )
+    matchups = matchups.localCheckpoint(eager=False)  # collect + sides legs
+
+    rows = [
+        (r.et_a, r.et_b, r.n_duels, r.wins_a, r.wins_b)
+        for r in matchups.collect()  # bounded: <= C(|type vocab|, 2) rows
+    ]
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            "event_type string, n_opponents long, n_duels long, "
+            "n_wins long, bt_strength_ppm long, bt_rank long",
+        )
+    fitted = _bt_fixed_point(rows)
+    strengths = spark.createDataFrame(
+        [(k, v) for k, v in sorted(fitted.items())],
+        "item string, bt_strength_ppm long",
+    )
+
+    sides = matchups.select(
+        F.col("et_a").alias("item"),
+        F.col("n_duels"),
+        F.col("wins_a").alias("n_wins"),
+    ).unionAll(
+        matchups.select(
+            F.col("et_b").alias("item"),
+            F.col("n_duels"),
+            F.col("wins_b").alias("n_wins"),
+        )
+    )
+    per_item = sides.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("n_opponents"),
+        F.sum("n_duels").cast("long").alias("n_duels"),
+        F.sum("n_wins").cast("long").alias("n_wins"),
+    )
+    w = Window.orderBy(F.col("bt_strength_ppm").desc(), "item")
+    return per_item.join(F.broadcast(strengths), "item").select(
+        F.col("item").alias("event_type"),
+        "n_opponents",
+        "n_duels",
+        "n_wins",
+        "bt_strength_ppm",
+        F.rank().over(w).cast("long").alias("bt_rank"),
+    )

@@ -3398,3 +3398,336 @@ def boilerplate_line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_docs_fully_scrubbed"),
         F.min("header_flagged").alias("header_detected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Suffix-array-style exact-substring dedup (distributed formulation).
+#
+# The single-node approach ("Deduplicating Training Data Makes Language
+# Models Better", Lee et al. 2022) builds one suffix array over the
+# concatenated corpus and marks any substring with >=2 occurrences. The
+# distributed re-expression: a duplicated substring of >= N tokens implies
+# two corpus suffixes sharing an N-token prefix, so grouping suffixes by
+# their leading word-N-gram hash puts every such pair in one group, and
+# within a group the maximum common prefix of a suffix is attained at a
+# NEIGHBOR in suffix-sorted order (the suffix-array LCP property). Each
+# suffix ships only a BOUNDED window (anchor N plus an extension, MAX_T
+# tokens total), so exact duplicated-substring lengths are measured in
+# [N, MAX_T] and longer runs are reported as the MAX_T cap.
+# ---------------------------------------------------------------------------
+_SFX_N = _SPAN_N  # 8-token anchor, same granularity as the span family
+_SFX_MAX_T = 32  # bounded suffix window (tokens) = exact-length cap
+_SFX_L = 16  # report positions whose duplicated run reaches 2x the anchor
+
+
+def _duck_lcp(a: str, b: str) -> str:
+    """Token-LCP of two DuckDB lists; 0 when the neighbor is absent.
+
+    ``list_position(..., false)`` yields 0 (not NULL) when every probe
+    position matched — which can only happen for equal-length fully-equal
+    lists, so ``nullif`` routes that case to ``len(a)``.
+    """
+    probe = (
+        f"list_position(list_transform(range(1, greatest(len({a}), len({b})) + 1),"
+        f" i -> coalesce({a}[i] = {b}[i], false)), false)"
+    )
+    return (
+        f"CASE WHEN {b} IS NULL THEN 0"
+        f" ELSE coalesce(nullif({probe}, 0) - 1, len({a})) END"
+    )
+
+
+# Shared CTE prefix down to per-position scores — consumed by the per-doc
+# report below AND the scrub-plan query that follows it.
+_SFX_SCORE_CTES = f"""
+WITH base AS (
+  SELECT doc_id, source, {_DUCK_TOK} AS t FROM documents
+),
+docs AS (
+  SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens, t FROM base
+),
+pos AS (
+  SELECT doc_id, unnest(range(1, len(t) - {_SFX_N - 2})) AS p, t
+  FROM docs WHERE len(t) >= {_SFX_N}
+),
+sfx AS (
+  SELECT doc_id, p,
+         md5(array_to_string(t[p:p + {_SFX_N - 1}], ' ')) AS anchor,
+         t[p:p + {_SFX_MAX_T - 1}] AS ext
+  FROM pos
+),
+nb AS (
+  SELECT doc_id, p, ext,
+         lag(ext) OVER w AS pe,
+         lead(ext) OVER w AS ne
+  FROM sfx
+  WINDOW w AS (PARTITION BY anchor ORDER BY ext, doc_id, p)
+),
+sc AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS p,
+         greatest({_duck_lcp("ext", "pe")}, {_duck_lcp("ext", "ne")}) AS maxdup
+  FROM nb
+)"""
+
+_EXACT_SUBSTRING_SQL = (
+    _SFX_SCORE_CTES
+    + f""",
+agg AS (
+  SELECT doc_id,
+         CAST(max(maxdup) AS BIGINT) AS longest_dup_tokens,
+         CAST(sum(CASE WHEN maxdup >= {_SFX_L} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_positions
+  FROM sc GROUP BY doc_id
+)
+SELECT d.doc_id, d.source, d.n_tokens,
+       coalesce(agg.longest_dup_tokens, 0) AS longest_dup_tokens,
+       coalesce(agg.n_dup_positions, 0) AS n_dup_positions,
+       CASE WHEN d.n_tokens >= {_SFX_N} THEN round(
+         CAST(coalesce(agg.n_dup_positions, 0) AS DOUBLE)
+           / CAST(d.n_tokens - {_SFX_N - 1} AS DOUBLE), 6)
+         ELSE 0.0 END AS dup_pos_frac
+FROM docs d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+)
+
+
+def _spark_lcp(a: str, b: str) -> str:
+    """Token-LCP via zip_with null-safe equality; 0 when neighbor absent.
+
+    ``zip_with`` pads the shorter array with NULL, so ``x <=> y`` turns a
+    length mismatch into the first ``false`` — identical semantics to the
+    DuckDB twin's out-of-range NULL -> false coalesce.
+    """
+    arr = f"zip_with({a}, {b}, (x, y) -> x <=> y)"
+    return (
+        f"CASE WHEN {b} IS NULL THEN 0"
+        f" WHEN array_position({arr}, false) = 0 THEN size({a})"
+        f" ELSE array_position({arr}, false) - 1 END"
+    )
+
+
+def _sfx_scores(spark: SparkSession, sf_dir: str):
+    """Shared Spark legs of the suffix family: the checkpointed tokenized
+    docs table and the per-position (doc_id, p, maxdup) score relation —
+    mirrors the ``_SFX_SCORE_CTES`` SQL prefix."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.expr(_SPARK_TOK).alias("t")
+    ).select(
+        "doc_id",
+        "source",
+        F.expr("size(t)").cast("long").alias("n_tokens"),
+        "t",
+    )
+    # Feeds the identity side and the suffix side; pin the tokenize once.
+    tok = tok.localCheckpoint(eager=False)
+    sfx = (
+        tok.filter(F.col("n_tokens") >= _SFX_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {_SFX_N - 1}),"
+                    f" p -> named_struct("
+                    f"   'p', p,"
+                    f"   'anchor', md5(concat_ws(' ', slice(t, p, {_SFX_N}))),"
+                    f"   'ext', slice(t, p, {_SFX_MAX_T})))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.p", "s.anchor", "s.ext")
+    )
+    w = Window.partitionBy("anchor").orderBy("ext", "doc_id", "p")
+    sc = (
+        sfx.withColumn("pe", F.lag("ext").over(w))
+        .withColumn("ne", F.lead("ext").over(w))
+        .selectExpr(
+            "doc_id",
+            "CAST(p AS BIGINT) AS p",
+            f"greatest({_spark_lcp('ext', 'pe')}, {_spark_lcp('ext', 'ne')})"
+            " AS maxdup",
+        )
+    )
+    return tok, sc
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=_EXACT_SUBSTRING_SQL,
+    doc="Suffix-array-style exact-substring dedup: suffixes grouped by their "
+    "leading 8-gram hash, suffix-sorted within each group, neighbor token-LCP "
+    "= the exact maximal duplicated-substring length at every corpus position "
+    "(measured up to a 32-token window); per-doc longest run, count of "
+    "positions with >=16-token runs, and their fraction — the cut signal "
+    "substring-level train-set dedup (Lee et al. 2022) removes on",
+    tags=("ext", "corpus", "dedup"),
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where ``dup_span_stats`` chains fixed 8-gram matches into runs, this
+    measures EXACT duplicated-substring lengths the way a suffix array
+    does — including runs whose copies diverge mid-shingle — at the cost of
+    a capped measurement window.
+
+    Scale shape: the suffix explode is narrow and each row carries at most
+    ``_SFX_MAX_T`` tokens (the corpus ships ~MAX_T/1 amplified once — the
+    same factor Lee et al.'s sharded suffix arrays pay). ONE wide stage
+    does all the comparison work: a window sort within anchor groups
+    (partition count = distinct 8-grams, sizes = their occurrence counts —
+    the documented skew knob; a stop-gram cap on group size is the 100 TB
+    escape hatch). Neighbor LCP is whole-stage-codegen'd ``zip_with``; the
+    per-doc rollup is an ordinary groupBy. No self-join, no all-pairs."""
+    tok, sc = _sfx_scores(spark, sf_dir)
+    agg = sc.groupBy("doc_id").agg(
+        F.max("maxdup").cast("long").alias("longest_dup_tokens"),
+        F.sum((F.col("maxdup") >= _SFX_L).cast("long"))
+        .cast("long")
+        .alias("n_dup_positions"),
+    )
+    out = tok.select("doc_id", "source", "n_tokens").join(agg, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.coalesce("longest_dup_tokens", F.lit(0)).cast("long").alias(
+            "longest_dup_tokens"
+        ),
+        F.coalesce("n_dup_positions", F.lit(0)).cast("long").alias(
+            "n_dup_positions"
+        ),
+        F.when(
+            F.col("n_tokens") >= _SFX_N,
+            F.round(
+                F.coalesce("n_dup_positions", F.lit(0)).cast("double")
+                / (F.col("n_tokens") - F.lit(_SFX_N - 1)).cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_pos_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring SCRUB PLAN: where `dedup_exact_substring` reports the
+# signal, this emits the cut sheet — per document the merged token
+# intervals that substring-level dedup (Lee et al. 2022 remove EVERY
+# occurrence of a >=L-token duplicated run) would excise, and what
+# survives. Interval merge is gaps-and-islands per doc: a position p with
+# maxdup >= L covers [p, p + maxdup); overlapping covers pool into
+# islands via the running-max-end device.
+# ---------------------------------------------------------------------------
+_SCRUB_SQL = (
+    _SFX_SCORE_CTES
+    + f""",
+cuts AS (
+  SELECT doc_id, p, p + maxdup AS e FROM sc WHERE maxdup >= {_SFX_L}
+),
+isl AS (
+  SELECT doc_id, p, e,
+         CASE WHEN p > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY p
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS is_new
+  FROM cuts
+),
+isl2 AS (
+  SELECT doc_id, p, e,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY p) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island,
+         min(p) AS span_start, max(e) AS span_end
+  FROM isl2 GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_cut_spans,
+         CAST(sum(span_end - span_start) AS BIGINT) AS tokens_cut
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id, d.source, d.n_tokens,
+       coalesce(pd.n_cut_spans, 0) AS n_cut_spans,
+       coalesce(pd.tokens_cut, 0) AS tokens_cut,
+       d.n_tokens - coalesce(pd.tokens_cut, 0) AS tokens_kept,
+       CASE WHEN d.n_tokens > 0 THEN round(
+         CAST(coalesce(pd.tokens_cut, 0) AS DOUBLE)
+           / CAST(d.n_tokens AS DOUBLE), 6)
+         ELSE 0.0 END AS cut_frac
+FROM docs d LEFT JOIN per_doc pd ON pd.doc_id = d.doc_id
+"""
+)
+
+
+@register(
+    "exact_substring_scrub",
+    oracle=_SCRUB_SQL,
+    doc="Substring-dedup cut sheet: merged per-doc token intervals covered "
+    "by >=16-token exact duplicated runs (gaps-and-islands over the suffix "
+    "LCP scores), with tokens cut/kept and the cut fraction — the actual "
+    "removal plan substring-level train-set dedup executes",
+    tags=("ext", "corpus", "dedup"),
+)
+def exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: identical to `dedup_exact_substring` up to the shared
+    per-position score relation (`_sfx_scores`); the interval merge adds
+    two windows partitioned by doc_id — bounded by document length, the
+    same contract as the span family — and a per-doc rollup. Nothing
+    beyond the one anchor-partitioned wide stage touches corpus-scale
+    data."""
+    from pyspark.sql import Window
+
+    tok, sc = _sfx_scores(spark, sf_dir)
+    cuts = sc.filter(F.col("maxdup") >= _SFX_L).select(
+        "doc_id", "p", (F.col("p") + F.col("maxdup")).alias("e")
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = cuts.withColumn(
+        "is_new",
+        (
+            F.col("p") > F.coalesce(F.max("e").over(wprev), F.lit(-1))
+        ).cast("int"),
+    ).withColumn("island", F.sum("is_new").over(wrun))
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("p").alias("span_start"), F.max("e").alias("span_end")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cut_spans"),
+        F.sum(F.col("span_end") - F.col("span_start"))
+        .cast("long")
+        .alias("tokens_cut"),
+    )
+    out = tok.select("doc_id", "source", "n_tokens").join(
+        per_doc, "doc_id", "left"
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.coalesce("n_cut_spans", F.lit(0)).cast("long").alias("n_cut_spans"),
+        F.coalesce("tokens_cut", F.lit(0)).cast("long").alias("tokens_cut"),
+        (F.col("n_tokens") - F.coalesce("tokens_cut", F.lit(0)))
+        .cast("long")
+        .alias("tokens_kept"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.coalesce("tokens_cut", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cut_frac"),
+    )

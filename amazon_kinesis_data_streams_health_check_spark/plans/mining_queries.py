@@ -34,6 +34,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from amazon_kinesis_data_streams_health_check_spark.operators.calibrate import (
+    duckdb_isotonic_ctes,
+    isotonic_fit,
+)
 from amazon_kinesis_data_streams_health_check_spark.operators.textstats import TOKEN_RE
 from amazon_kinesis_data_streams_health_check_spark.plans.registry import register
 from amazon_kinesis_data_streams_health_check_spark.session import configure_session
@@ -2398,7 +2402,9 @@ def wordpiece_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NBCAL_BIN_BITS = 16
 _NBCAL_MAX_BIN = 7  # margins >= 7*16 bits share the top bucket
 
-_NB_CALIB_SQL = (
+# Shared CTE prefix: per-doc (correct, margin-bin) — consumed by the
+# reliability rollup below AND the isotonic fit on top of it.
+_NB_MARGIN_CTES = (
     _NB_SCORED_CTES
     + f""",
 best AS (
@@ -2424,7 +2430,12 @@ m AS (
   FROM pred p
   JOIN best b ON b.doc_id = p.doc_id
   LEFT JOIN second sec ON sec.doc_id = p.doc_id
+)"""
 )
+
+_NB_CALIB_SQL = (
+    _NB_MARGIN_CTES
+    + f"""
 SELECT CAST(bin AS BIGINT) AS margin_bin,
        CAST(bin * {_NBCAL_BIN_BITS} AS BIGINT) AS margin_lo_bits,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -3888,4 +3899,78 @@ def seasonality_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div ({dec.format('n')} * sxx - {dec.format('sx')} * sx)"
             " AS BIGINT)"
         ).alias("strength_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration of the reliability curve: PAV (pool-adjacent-
+# violators) over the margin-bin table, via the interval-average minimax
+# closed form in `operators/calibrate.py`. The raw per-bin accuracies are
+# not guaranteed monotone in margin; the isotonic fit is the canonical
+# monotone repair (Zadrozny & Elkan 2002) and its pooled value is what a
+# deployed filter should read as P(correct | margin).
+# ---------------------------------------------------------------------------
+_ISO_MARGIN_SQL = (
+    _NB_MARGIN_CTES
+    + f""",
+bins AS (
+  SELECT CAST(bin AS BIGINT) AS margin_bin,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct
+  FROM m GROUP BY bin
+),"""
+    + duckdb_isotonic_ctes("bins", "margin_bin", "n_correct", "n_docs")
+    + f"""
+SELECT b.margin_bin,
+       CAST(b.margin_bin * {_NBCAL_BIN_BITS} AS BIGINT) AS margin_lo_bits,
+       b.n_docs, b.n_correct,
+       CAST(1000000 * b.n_correct // b.n_docs AS BIGINT) AS accuracy_ppm,
+       CAST(floor(iso.iso_avg * 1000000) AS BIGINT) AS iso_accuracy_ppm,
+       iso.iso_avg <> CAST(b.n_correct AS DOUBLE) / CAST(b.n_docs AS DOUBLE)
+         AS pooled
+FROM bins b JOIN iso ON iso.margin_bin = b.margin_bin
+"""
+)
+
+
+@register(
+    "isotonic_margin_fit",
+    oracle=_ISO_MARGIN_SQL,
+    doc="Isotonic (PAV) calibration of the NB margin reliability curve: "
+    "per margin bin the raw accuracy, the monotone pooled accuracy from "
+    "the interval-average minimax closed form, and whether PAV pooled the "
+    "bin — the score->P(correct) map a deployed quality/lang-ID filter "
+    "thresholds against",
+    tags=("ext", "mining", "ml"),
+)
+def isotonic_margin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the corpus reduces to <= {_NBCAL_MAX_BIN}+1 margin-bin
+    rows through `nb_margin_calibration`'s keyed aggregations; the PAV fit
+    then runs entirely on that bounded table via broadcast-nested-loop
+    self-joins (`operators/calibrate.py:isotonic_fit`). No new wide stage
+    over raw data is introduced — the fit's cost is O(bins^3) on <= 8
+    rows."""
+    configure_session(spark)
+    base = nb_margin_calibration(spark, sf_dir).localCheckpoint(eager=False)
+    bins = base.select("margin_bin", "n_docs", "n_correct")
+    fitted = isotonic_fit(bins, "margin_bin", "n_correct", "n_docs")
+    return fitted.select(
+        "margin_bin",
+        (F.col("margin_bin") * _NBCAL_BIN_BITS)
+        .cast("long")
+        .alias("margin_lo_bits"),
+        "n_docs",
+        "n_correct",
+        F.expr("CAST(1000000 * n_correct div n_docs AS BIGINT)").alias(
+            "accuracy_ppm"
+        ),
+        F.floor(F.col("iso_avg") * 1000000)
+        .cast("long")
+        .alias("iso_accuracy_ppm"),
+        (
+            F.col("iso_avg")
+            != F.col("n_correct").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("pooled"),
     )

@@ -1834,3 +1834,55 @@ def test_streaming_forecast_equals_batch(spark, sf_small):
         for r in QUERIES["forecast_backtest"].builder(spark, sf_small).collect()
     }
     assert got == want
+
+
+def test_exact_substring_window_partitions_by_anchor(spark, sf_small):
+    """The one wide stage is the suffix sort WITHIN anchor groups — the
+    window must partition by the 8-gram anchor hash (group sizes = shingle
+    occurrence counts, the documented skew knob), never globally; the
+    identity join-back must not be a cartesian and the suffix explode must
+    stay codegen'd (no Python workers in this query at all)."""
+    plan = plan_of(spark, sf_small, "dedup_exact_substring")
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs, plan
+    assert all("anchor" in s for s in specs), plan
+    assert "CartesianProduct" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+
+
+def test_isotonic_fit_stays_on_broadcast_joins(spark, sf_small):
+    """The PAV stage must not add any wide construct: its self-joins on the
+    <=8-row bin table are broadcast-nested-loop (range predicates can't
+    hash), never cartesian, and the fit introduces no window/sort — at
+    100 TB the only full-scale work remains the upstream NB aggregation."""
+    plan = plan_of(spark, sf_small, "isotonic_margin_fit")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_bradley_terry_iteration_never_touches_events(spark, sf_small):
+    """The MM fit runs on collected BOUNDED matchup metadata; the Spark
+    plan must therefore contain exactly the Copeland-shaped work — one
+    per-user duel self-join, per-type aggregates, a broadcast attach of
+    the fitted strengths, and the bounded rank window — with no cartesian
+    and no Python workers."""
+    plan = plan_of(spark, sf_small, "bradley_terry_rank")
+    assert "CartesianProduct" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_exact_substring_scrub_windows_bounded(spark, sf_small):
+    """The scrub adds only doc_id-partitioned interval-merge windows
+    (bounded by document length) on top of the shared anchor-partitioned
+    suffix sort — no global window, no cartesian, no Python workers."""
+    plan = plan_of(spark, sf_small, "exact_substring_scrub")
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs, plan
+    assert all("anchor" in s or "doc_id" in s for s in specs), plan
+    assert "CartesianProduct" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan

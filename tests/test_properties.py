@@ -329,3 +329,249 @@ def test_jaccard_allpairs_prefix_filter_is_lossless(spark, docs):
         if 2 * len(sh[a] & sh[b]) >= len(sh[a] | sh[b])
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Suffix-array exact-substring dedup == brute-force all-pairs LCP model
+# ---------------------------------------------------------------------------
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        # Tiny vocab + lengths past the 8-token anchor => dense shared
+        # 8-grams, exercising full-window ties, mid-shingle divergence, and
+        # the 32-token cap.
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=45).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_exact_substring_matches_bruteforce_lcp(spark, tmp_path_factory, docs):
+    """The anchor-group + sorted-neighbor-LCP formulation must equal the
+    brute-force model: for every suffix, the max token-LCP (capped at 32)
+    against EVERY other corpus suffix sharing its leading 8-gram — the
+    suffix-array property the distributed query relies on."""
+    import re as _re
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    sf_dir = str(tmp_path_factory.mktemp("sfxcorpus"))
+    rows = [(i, t, "en", "src0", len(t)) for i, t in enumerate(docs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in get("dedup_exact_substring").builder(spark, sf_dir).collect()
+    }
+    assert set(got) == set(range(len(docs)))
+
+    toks = [_re.findall(r"[a-z0-9]+", t.lower()) for t in docs]
+    sfx = [
+        (d, p, tuple(ts[p : p + 8]), tuple(ts[p : p + 32]))
+        for d, ts in enumerate(toks)
+        if len(ts) >= 8
+        for p in range(len(ts) - 7)
+    ]
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    for d, ts in enumerate(toks):
+        maxdups = [
+            max(
+                (
+                    lcp(ext, e2)
+                    for d2, p2, a2, e2 in sfx
+                    if a2 == anchor and (d2, p2) != (d, p)
+                ),
+                default=0,
+            )
+            for dd, p, anchor, ext in sfx
+            if dd == d
+        ]
+        n_pos = len(ts) - 7
+        row = got[d]
+        assert row["n_tokens"] == len(ts)
+        assert row["longest_dup_tokens"] == (max(maxdups) if maxdups else 0)
+        n_dup = sum(1 for m in maxdups if m >= 16)
+        assert row["n_dup_positions"] == n_dup
+        assert row["dup_pos_frac"] == (
+            round(n_dup / n_pos, 6) if len(ts) >= 8 else 0.0
+        )
+
+    # The scrub plan on the same corpus: merged cover intervals == the
+    # brute-force union of [p, p+maxdup) for every position with a
+    # >=16-token run.
+    scrub = {
+        r["doc_id"]: r.asDict()
+        for r in get("exact_substring_scrub").builder(spark, sf_dir).collect()
+    }
+    assert set(scrub) == set(range(len(docs)))
+    for d, ts in enumerate(toks):
+        covers = sorted(
+            (p, p + m)
+            for (dd, p, anchor, ext), m in [
+                (
+                    s,
+                    max(
+                        (
+                            lcp(s[3], e2)
+                            for d2, p2, a2, e2 in sfx
+                            if a2 == s[2] and (d2, p2) != (s[0], s[1])
+                        ),
+                        default=0,
+                    ),
+                )
+                for s in sfx
+                if s[0] == d
+            ]
+            if m >= 16
+        )
+        merged: list[list[int]] = []
+        for p, e in covers:
+            if merged and p <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([p, e])
+        cut = sum(e - p for p, e in merged)
+        row = scrub[d]
+        assert row["n_cut_spans"] == len(merged), (d, merged, row)
+        assert row["tokens_cut"] == cut
+        assert row["tokens_kept"] == len(ts) - cut
+        assert row["cut_frac"] == (
+            round(cut / len(ts), 6) if ts else 0.0
+        )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic fit (interval-average minimax) == classic sequential PAV model
+# ---------------------------------------------------------------------------
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    bins=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(1, 9)),  # (num<=den), den
+        min_size=1,
+        max_size=9,
+    )
+)
+def test_isotonic_fit_matches_sequential_pav(spark, bins):
+    """The minimax closed form must equal the textbook sequential
+    pool-adjacent-violators algorithm on every weighted input — including
+    already-monotone curves (identity) and fully-reversed ones (one pool)."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.calibrate import (
+        isotonic_fit,
+    )
+
+    rows = [(i, min(c, d), d) for i, (c, d) in enumerate(bins)]
+    df = spark.createDataFrame(rows, "k long, num long, den long")
+    got = {
+        r.k: r.iso_avg for r in isotonic_fit(df, "k", "num", "den").collect()
+    }
+
+    # Sequential PAV on exact fractions, one block list pass.
+    blocks = [
+        (float(num), float(den)) for _, num, den in rows
+    ]  # (sum_num, sum_den) per block, in key order
+    stack: list[list[float]] = []
+    for n, d in blocks:
+        stack.append([n, d, 1])  # num, den, width
+        while len(stack) >= 2 and (
+            stack[-2][0] * stack[-1][1] >= stack[-1][0] * stack[-2][1]
+            and not (
+                stack[-2][0] * stack[-1][1] == stack[-1][0] * stack[-2][1]
+            )
+        ):
+            b = stack.pop()
+            stack[-1][0] += b[0]
+            stack[-1][1] += b[1]
+            stack[-1][2] += b[2]
+    want: list[float] = []
+    for n, d, w in stack:
+        want.extend([n / d] * int(w))
+    for i, _ in enumerate(rows):
+        assert abs(got[i] - want[i]) < 1e-12, (i, got, want)
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry fixed-point MM == float MM (quantization-only divergence)
+# ---------------------------------------------------------------------------
+@settings(max_examples=15, deadline=None)
+@given(
+    ms=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30), st.integers(0, 5)),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bt_fixed_point_matches_float_mm(ms):
+    """The 1e-6 fixed-point MM must track a plain float implementation of
+    the same smoothed update, iteration for iteration, to within
+    quantization error — pinning the integer scaling/floor arithmetic."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.behavior_queries import (
+        _BT_ITERS,
+        _BT_SCALE,
+        _bt_fixed_point,
+    )
+
+    items = ["a", "b", "c", "d"]
+    matchups = []
+    seen = set()
+    for wa, wb, pair_idx in ms:
+        pairs = [(x, y) for i, x in enumerate(items) for y in items[i + 1 :]]
+        a, b = pairs[pair_idx % len(pairs)]
+        if (a, b) in seen:
+            continue
+        seen.add((a, b))
+        matchups.append((a, b, wa + wb, wa, wb))
+
+    got = _bt_fixed_point(matchups)
+
+    pairs = []
+    for a, b, n, wa, wb in matchups:
+        pairs.append((a, b, wa + 1.0, n + 2.0))
+        pairs.append((b, a, wb + 1.0, n + 2.0))
+    its = sorted({i for i, _, _, _ in pairs})
+    p = {i: 1.0 for i in its}
+    for _ in range(_BT_ITERS):
+        denom = {i: 0.0 for i in its}
+        wins = {i: 0.0 for i in its}
+        for i, j, w, n in pairs:
+            denom[i] += n / (p[i] + p[j])
+            wins[i] += w
+        praw = {i: wins[i] / denom[i] for i in its}
+        s = sum(praw.values())
+        p = {i: praw[i] * len(its) / s for i in its}
+
+    assert set(got) == set(its)
+    total = sum(got.values())
+    assert abs(total - len(its) * _BT_SCALE) <= 2 * len(its)  # floor slack
+    for i in its:
+        assert got[i] >= 1
+        assert abs(got[i] / _BT_SCALE - p[i]) < 1e-3 * max(1.0, p[i]), (
+            i,
+            got,
+            p,
+        )
+
+
+def test_bt_separated_example_ranks_correctly():
+    """c beats everyone, a loses to everyone -> strengths must order
+    c > b > a with P(c beats a) clearly above 1/2."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.behavior_queries import (
+        _bt_fixed_point,
+    )
+
+    got = _bt_fixed_point(
+        [("a", "b", 10, 2, 8), ("a", "c", 10, 1, 9), ("b", "c", 10, 3, 7)]
+    )
+    assert got["c"] > got["b"] > got["a"]
+    p_c_beats_a = got["c"] / (got["c"] + got["a"])
+    assert p_c_beats_a > 0.75
