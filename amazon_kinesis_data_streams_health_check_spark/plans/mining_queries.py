@@ -3974,3 +3974,232 @@ def isotonic_margin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_docs").cast("double")
         ).alias("pooled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer, one hard-EM round (SentencePiece; Kudo 2018): seed
+# a piece vocabulary from weighted word-internal substrings, Viterbi-
+# segment every word TYPE against integer surprisal costs, then re-count
+# pieces from the chosen segmentations — the E-step statistics the next
+# M-step renormalizes on (hard EM: argmax path instead of expectations).
+#
+# Cross-engine exactness devices:
+# - piece costs are integer floor-log2 surprisal bits (the
+#   ``length(bin(total // weight)) - 1`` device shared with NB scoring);
+# - Viterbi state is a FIXED-WIDTH-ENCODED string
+#   ``lpad(cost,8)||lpad(n_pieces,4)||path`` so ``min()`` over candidate
+#   strings is a deterministic total order (cost, then piece count, then
+#   path bytes) in both engines — no float, no tie ambiguity;
+# - Spark runs the whole DP as ONE ``aggregate()`` fold over positions
+#   inside codegen (zero joins in the hot loop); the DuckDB twin is a
+#   recursive CTE carrying the same dist list.
+# ---------------------------------------------------------------------------
+_UG_MAXLEN = 6  # longest candidate piece in characters
+_UG_REL_PPK = 25  # keep a piece iff 1000 * weight >= 25 * candidate mass
+
+
+def _ug_spark_fold(word: str = "word", om: str = "om") -> str:
+    """The Viterbi DP as a single SQL ``aggregate`` fold: acc[k+1] holds
+    the encoded best state for the k-char prefix; step j minimizes over
+    the pieces ending at j (``om[j]``, always non-empty — single chars are
+    unconditionally in the vocabulary)."""
+    prev = "element_at(acc, cast(j + 1 - o.len as int))"
+    piece = f"substr({word}, cast(j - o.len + 1 as int), cast(o.len as int))"
+    cand = (
+        f"concat("
+        f"lpad(cast(cast(substr({prev}, 1, 8) as bigint) + o.cost as string), 8, '0'), "
+        f"lpad(cast(cast(substr({prev}, 9, 4) as bigint) + 1 as string), 4, '0'), "
+        f"case when cast(substr({prev}, 9, 4) as bigint) = 0 then {piece} "
+        f"else concat(substr({prev}, 13), ' ', {piece}) end"
+        f")"
+    )
+    enc0 = "0" * 12
+    return (
+        f"aggregate("
+        f"sequence(1, length({word})), "
+        f"array('{enc0}'), "
+        f"(acc, j) -> array_append(acc, "
+        f"array_min(transform(element_at({om}, j), o -> {cand}))), "
+        f"acc -> element_at(acc, cast(length({word}) + 1 as int))"
+        f")"
+    )
+
+
+_UNIGRAM_SQL = f"""
+WITH RECURSIVE
+tok AS (
+  SELECT unnest({_DUCK_TOK}) AS word FROM documents
+),
+types AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY word
+),
+cand AS MATERIALIZED (
+  SELECT word, n,
+         unnest(flatten(list_transform(range(1, length(word) + 1), p ->
+           list_transform(range(1, least({_UG_MAXLEN}, length(word) - p + 1) + 1),
+             l -> struct_pack(pos := p, len := l,
+                    sub := substr(word, CAST(p AS INT), CAST(l AS INT))))))) AS c
+  FROM types
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cand),
+vocab AS MATERIALIZED (
+  SELECT c.sub AS sub, CAST(sum(n) AS BIGINT) AS seed_weight,
+         CAST(length(bin((SELECT total FROM tot) // sum(n))) - 1 AS BIGINT)
+           AS seed_cost_bits
+  FROM cand
+  GROUP BY c.sub
+  HAVING 1000 * sum(n) >= {_UG_REL_PPK} * (SELECT total FROM tot)
+      OR length(c.sub) = 1
+),
+opts AS MATERIALIZED (
+  SELECT cc.word, cc.c.pos + cc.c.len - 1 AS endpos,
+         list(struct_pack(len := cc.c.len, cost := v.seed_cost_bits)) AS opts
+  FROM cand cc JOIN vocab v ON v.sub = cc.c.sub
+  GROUP BY cc.word, cc.c.pos + cc.c.len - 1
+),
+walk(word, n, j, dists) AS (
+  SELECT word, n, 0, ['{"0" * 12}'] FROM types
+  UNION ALL
+  SELECT w.word, w.n, w.j + 1,
+    w.dists || [list_min(list_transform(e.opts, o ->
+      lpad(CAST(CAST(substr(w.dists[CAST(w.j + 2 - o.len AS INT)], 1, 8)
+                     AS BIGINT) + o.cost AS VARCHAR), 8, '0')
+      || lpad(CAST(CAST(substr(w.dists[CAST(w.j + 2 - o.len AS INT)], 9, 4)
+                        AS BIGINT) + 1 AS VARCHAR), 4, '0')
+      || CASE WHEN CAST(substr(w.dists[CAST(w.j + 2 - o.len AS INT)], 9, 4)
+                   AS BIGINT) = 0
+              THEN substr(w.word, CAST(w.j - o.len + 2 AS INT),
+                          CAST(o.len AS INT))
+              ELSE substr(w.dists[CAST(w.j + 2 - o.len AS INT)], 13) || ' '
+                   || substr(w.word, CAST(w.j - o.len + 2 AS INT),
+                             CAST(o.len AS INT)) END))]
+  FROM walk w JOIN opts e ON e.word = w.word AND e.endpos = w.j + 1
+  WHERE w.j < length(w.word)
+),
+seg AS MATERIALIZED (
+  SELECT word, n, dists[length(word) + 1] AS enc
+  FROM walk WHERE j = length(word)
+),
+em AS MATERIALIZED (
+  SELECT piece, CAST(sum(n) AS BIGINT) AS em_count
+  FROM (SELECT n, unnest(string_split(substr(enc, 13), ' ')) AS piece
+        FROM seg)
+  GROUP BY piece
+),
+em_tot AS (SELECT CAST(sum(em_count) AS BIGINT) AS total FROM em)
+SELECT v.sub AS piece, v.seed_weight, v.seed_cost_bits,
+       coalesce(em.em_count, 0) AS em_count,
+       CASE WHEN em.em_count IS NOT NULL
+            THEN CAST(length(bin((SELECT total FROM em_tot) // em.em_count))
+                      - 1 AS BIGINT)
+            ELSE -1 END AS em_cost_bits,
+       em.em_count IS NOT NULL AS survives
+FROM vocab v LEFT JOIN em ON em.piece = v.sub
+"""
+
+
+@register(
+    "unigram_lm_viterbi",
+    oracle=_UNIGRAM_SQL,
+    doc="Unigram-LM tokenizer hard-EM round (SentencePiece, Kudo 2018): "
+    "substring-seeded piece vocabulary with integer surprisal costs, exact "
+    "Viterbi segmentation of every word type via a fixed-width-encoded "
+    "(cost, piece-count, path) total order, and the re-counted piece "
+    "statistics with post-EM costs and survival — the step that prunes a "
+    "seed vocabulary toward the final tokenizer",
+    tags=("ext", "mining", "tokenizer"),
+)
+def unigram_lm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the corpus is touched ONCE (token explode into the
+    map-side-combined word TYPE table; Heaps' law bounds everything after).
+    Candidates explode per type (O(len * {_UG_MAXLEN}) rows each), the
+    vocabulary broadcasts into the cost attach, and the Viterbi DP is a
+    single codegen'd ``aggregate`` fold per word — no joins, no state rows,
+    no Python. The per-(word, end) option lists ride a word-keyed map
+    column, so the whole segmentation stage is embarrassingly parallel
+    over types."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    types = (
+        docs.select(F.explode(F.expr(_SPARK_TOK)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)  # feeds cand AND the fold input
+    )
+    cand = types.select(
+        "word",
+        "n",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, length(word)), p ->"
+                f" transform(sequence(1, least({_UG_MAXLEN},"
+                f" length(word) - p + 1)),"
+                f" l -> struct(cast(p as bigint) as pos,"
+                f" cast(l as bigint) as len, substr(word, p, l) as sub))))"
+            )
+        ).alias("c"),
+    ).select("word", "n", "c.*")
+    cand = cand.localCheckpoint(eager=False)  # feeds tot, vocab AND pc
+    tot = cand.agg(F.sum("n").cast("long").alias("total"))
+    vocab = (
+        cand.groupBy("sub")
+        .agg(F.sum("n").cast("long").alias("seed_weight"))
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            (1000 * F.col("seed_weight") >= _UG_REL_PPK * F.col("total"))
+            | (F.length("sub") == 1)
+        )
+        .select(
+            "sub",
+            "seed_weight",
+            F.expr("CAST(length(bin(total div seed_weight)) - 1 AS BIGINT)")
+            .alias("seed_cost_bits"),
+        )
+    )
+    vocab = vocab.localCheckpoint(eager=False)  # feeds pc AND the output
+    pc = cand.join(F.broadcast(vocab), "sub").select(
+        "word",
+        (F.col("pos") + F.col("len") - 1).alias("endpos"),
+        "len",
+        F.col("seed_cost_bits").alias("cost"),
+    )
+    omap = (
+        pc.groupBy("word", "endpos")
+        .agg(F.collect_list(F.struct("len", "cost")).alias("opts"))
+        .groupBy("word")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("endpos", "opts"))
+            ).alias("om")
+        )
+    )
+    seg = types.join(omap, "word").select(
+        "n", F.expr(_ug_spark_fold()).alias("enc")
+    )
+    em = (
+        seg.select(
+            "n", F.explode(F.split(F.expr("substr(enc, 13)"), " ")).alias("piece")
+        )
+        .groupBy("piece")
+        .agg(F.sum("n").cast("long").alias("em_count"))
+    )
+    em = em.localCheckpoint(eager=False)  # feeds em_tot AND the join
+    em_tot = em.agg(F.sum("em_count").cast("long").alias("em_total"))
+    return (
+        vocab.join(em, vocab["sub"] == em["piece"], "left")
+        .crossJoin(F.broadcast(em_tot))
+        .select(
+            F.col("sub").alias("piece"),
+            "seed_weight",
+            "seed_cost_bits",
+            F.coalesce("em_count", F.lit(0)).cast("long").alias("em_count"),
+            F.when(
+                F.col("em_count").isNotNull(),
+                F.expr("CAST(length(bin(em_total div em_count)) - 1 AS BIGINT)"),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("em_cost_bits"),
+            F.col("em_count").isNotNull().alias("survives"),
+        )
+    )

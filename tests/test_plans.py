@@ -1886,3 +1886,27 @@ def test_exact_substring_scrub_windows_bounded(spark, sf_small):
     assert "CartesianProduct" not in plan, plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, plan
+
+
+def test_unigram_lm_fold_has_no_joins_in_hot_loop(spark, sf_small):
+    """The Viterbi DP must be ONE codegen'd aggregate fold per word type —
+    no per-step joins, no Python workers, no windows; the vocabulary cost
+    attach broadcasts; nothing shuffles except the word/piece-keyed
+    aggregations."""
+    plan = plan_of(spark, sf_small, "unigram_lm_viterbi")
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+    # The fold itself sits behind the em localCheckpoint boundary and is
+    # invisible to the formatted plan; its single-expression shape is
+    # pinned structurally instead: the builder source contains exactly one
+    # aggregate() fold and no join inside the segmentation stage.
+    import inspect
+
+    from amazon_kinesis_data_streams_health_check_spark.plans import (
+        mining_queries as mq,
+    )
+
+    src = inspect.getsource(mq._ug_spark_fold)
+    assert "aggregate(" in src and "join" not in src

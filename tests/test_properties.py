@@ -575,3 +575,93 @@ def test_bt_separated_example_ranks_correctly():
     assert got["c"] > got["b"] > got["a"]
     p_c_beats_a = got["c"] / (got["c"] + got["a"])
     assert p_c_beats_a > 0.75
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM hard-EM round == brute-force Python pipeline model
+# ---------------------------------------------------------------------------
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aba", "abab", "bb", "a", "cabab", "ccc"]),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_unigram_lm_matches_python_model(spark, tmp_path_factory, texts):
+    """Seed vocabulary, integer costs, Viterbi with the (cost, piece count,
+    path) total order, and hard-EM recounts — all re-derived independently
+    in plain Python and compared piece for piece."""
+    import math
+    import re as _re
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.mining_queries import (
+        _UG_MAXLEN,
+        _UG_REL_PPK,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    sf_dir = str(tmp_path_factory.mktemp("ugcorpus"))
+    rows = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        r["piece"]: r.asDict()
+        for r in get("unigram_lm_viterbi").builder(spark, sf_dir).collect()
+    }
+
+    # Model: word types -> candidates -> vocab/costs -> Viterbi -> EM.
+    wcount: dict[str, int] = {}
+    for t in texts:
+        for w in _re.findall(r"[a-z0-9]+", t.lower()):
+            wcount[w] = wcount.get(w, 0) + 1
+    weight: dict[str, int] = {}
+    total = 0
+    for w, n in wcount.items():
+        for p in range(len(w)):
+            for l in range(1, min(_UG_MAXLEN, len(w) - p) + 1):
+                weight[w[p : p + l]] = weight.get(w[p : p + l], 0) + n
+                total += n
+    vocab = {
+        s: (wt, int(math.log2(total // wt)))
+        for s, wt in weight.items()
+        if 1000 * wt >= _UG_REL_PPK * total or len(s) == 1
+    }
+
+    def viterbi(w: str) -> list[str]:
+        dist = ["%08d%04d" % (0, 0)]
+        for j in range(1, len(w) + 1):
+            cands = []
+            for l in range(1, min(_UG_MAXLEN, j) + 1):
+                piece = w[j - l : j]
+                if piece not in vocab:
+                    continue
+                prev = dist[j - l]
+                cost = int(prev[:8]) + vocab[piece][1]
+                np_ = int(prev[8:12]) + 1
+                path = piece if int(prev[8:12]) == 0 else prev[12:] + " " + piece
+                cands.append("%08d%04d%s" % (cost, np_, path))
+            dist.append(min(cands))
+        return dist[len(w)][12:].split(" ")
+
+    em: dict[str, int] = {}
+    for w, n in wcount.items():
+        for piece in viterbi(w):
+            em[piece] = em.get(piece, 0) + n
+    em_total = sum(em.values())
+
+    assert set(got) == set(vocab)
+    for s, (wt, cost) in vocab.items():
+        row = got[s]
+        assert row["seed_weight"] == wt
+        assert row["seed_cost_bits"] == cost
+        assert row["em_count"] == em.get(s, 0), (s, row, em)
+        assert row["survives"] == (s in em)
+        want_cost = int(math.log2(em_total // em[s])) if s in em else -1
+        assert row["em_cost_bits"] == want_cost
