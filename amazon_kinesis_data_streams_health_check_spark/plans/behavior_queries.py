@@ -2321,3 +2321,100 @@ def bradley_terry_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bt_strength_ppm",
         F.rank().over(w).cast("long").alias("bt_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Journey surprisal under the fitted first-order Markov chain: score each
+# user's event path by how improbable its transitions are under the
+# corpus-wide transition matrix — the behavioral analogue of the CCNet
+# unigram quality gate (doc_surprisal_score), and the standard anomalous-
+# session screen. Integer-exact: per-edge cost is
+# floor(log2(row_total / edge_count)) bits via the shared
+# ``length(bin(a // b)) - 1`` device.
+# ---------------------------------------------------------------------------
+_JOURNEY_SURPRISAL_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+),
+edges AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+),
+rows_ AS (
+  SELECT from_type, CAST(sum(c) AS BIGINT) AS row_total
+  FROM edges GROUP BY from_type
+),
+costs AS (
+  SELECT e.from_type, e.to_type,
+         CAST(length(bin(r.row_total // e.c)) - 1 AS BIGINT) AS bits
+  FROM edges e JOIN rows_ r ON r.from_type = e.from_type
+)
+SELECT s.user_id,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(sum(c.bits) AS BIGINT) AS sum_bits,
+       CAST(1000000 * sum(c.bits) // count(*) AS BIGINT) AS score_micro_bits
+FROM seq s JOIN costs c
+  ON c.from_type = s.from_type AND c.to_type = s.to_type
+WHERE s.to_type IS NOT NULL
+GROUP BY s.user_id
+"""
+
+
+@register(
+    "journey_markov_surprisal",
+    oracle=_JOURNEY_SURPRISAL_SQL,
+    doc="Anomalous-session screen: per-user journey surprisal under the "
+    "corpus-fitted first-order Markov chain — integer floor-log2 bits per "
+    "transition (conditional on the from-state row total), summed and "
+    "averaged per user in micro-units; the behavioral twin of the unigram "
+    "doc-quality gate",
+    tags=("ext", "behavior"),
+)
+def journey_markov_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one user-keyed window builds the transition stream
+    (uniform key); the transition matrix is bounded by the squared type
+    vocabulary and BROADCASTS into the scoring pass, so the hot edges
+    ('view -> view' at corpus scale) never concentrate on a reducer; the
+    final aggregation shuffles on the uniform user key."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .localCheckpoint(eager=False)  # feeds the edge fit AND the scoring
+    )
+    edges = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    rows_ = edges.groupBy("from_type").agg(
+        F.sum("c").cast("long").alias("row_total")
+    )
+    costs = edges.join(rows_, "from_type").select(
+        "from_type",
+        "to_type",
+        (F.length(F.expr("bin(row_total div c)")) - 1)
+        .cast("long")
+        .alias("bits"),
+    )
+    return (
+        seq.join(F.broadcast(costs), ["from_type", "to_type"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.sum("bits").cast("long").alias("sum_bits"),
+            F.expr("CAST(1000000 * sum(bits) div count(1) AS BIGINT)").alias(
+                "score_micro_bits"
+            ),
+        )
+    )

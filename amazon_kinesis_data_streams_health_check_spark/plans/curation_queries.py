@@ -1669,3 +1669,151 @@ def layout_determinism_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component string, n_rows long, layout_invariant boolean"
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiplicative-weights domain reweighting (the Arora-Hazan-Kale update
+# w <- w * (1 + eta * gain), the exact step DoReMi's Group-DRO reweighting
+# instantiates with a proxy-model loss): domains whose tokens carry more
+# excess surprisal under the corpus unigram LM (harder / rarer text) get
+# upweighted, capped, and renormalized. Everything is integer-exact —
+# surprisal in floor-log2 bits, means in micro-bits, the multiplier and
+# the renormalized mixture in ppm — so both engines emit identical rows
+# (no exp(), no float summation).
+# ---------------------------------------------------------------------------
+_MW_ETA_DIV = 8  # eta = 1/8 per micro-bit of excess
+_MW_MULT_MIN = 250_000  # clamp: no domain shrinks below 1/4 ...
+_MW_MULT_MAX = 4_000_000  # ... or grows beyond 4x in one step
+
+_MW_REWEIGHT_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest({_DUCK_TOK}) AS t FROM documents
+),
+vocab AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok),
+scored AS (
+  SELECT tok.source,
+         CAST(length(bin(n.total // vocab.c)) - 1 AS BIGINT) AS bits
+  FROM tok JOIN vocab ON tok.t = vocab.t CROSS JOIN n
+),
+per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(bits) AS BIGINT) AS sum_bits,
+         CAST(1000000 * sum(bits) // count(*) AS BIGINT) AS mean_micro_bits
+  FROM scored GROUP BY source
+),
+gstats AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS all_tokens,
+         CAST(1000000 * sum(sum_bits) // sum(n_tokens) AS BIGINT)
+           AS global_micro_bits
+  FROM per_src
+),
+stepped AS (
+  SELECT s.source, s.n_tokens, s.mean_micro_bits,
+         CAST(1000000 * s.n_tokens // g.all_tokens AS BIGINT)
+           AS token_share_ppm,
+         s.mean_micro_bits - g.global_micro_bits AS excess_micro_bits,
+         greatest({_MW_MULT_MIN}, least({_MW_MULT_MAX},
+           1000000 + (s.mean_micro_bits - g.global_micro_bits)
+                     // {_MW_ETA_DIV})) AS mult_ppm
+  FROM per_src s CROSS JOIN gstats g
+)
+SELECT source, n_tokens, token_share_ppm, mean_micro_bits,
+       excess_micro_bits, mult_ppm,
+       CAST(CAST(token_share_ppm AS HUGEINT) * mult_ppm * 1000000
+            // (SELECT sum(CAST(token_share_ppm AS HUGEINT) * mult_ppm)
+                FROM stepped) AS BIGINT) AS new_weight_ppm
+FROM stepped
+"""
+
+
+@register(
+    "domain_mw_reweight",
+    oracle=_MW_REWEIGHT_SQL,
+    doc="DoReMi-style domain reweighting as one exact multiplicative-"
+    "weights step (Arora-Hazan-Kale): per-source mean unigram surprisal "
+    "in integer micro-bits, excess vs the corpus mean, a clamped "
+    "1 + eta*excess multiplier in ppm, and the renormalized mixture — "
+    "upweights the domains the LM finds hardest without a single float",
+    tags=("ext", "curation", "ml"),
+)
+def domain_mw_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the unigram vocabulary is Heaps-bounded and BROADCASTS
+    into the one corpus-scale scoring pass (no token-keyed shuffle, so
+    stop-word hot keys never pile up); per-source sums are a bounded-key
+    aggregation and the MW step itself runs on the |sources|-row table
+    with a 1-row broadcast of the global mean."""
+    configure_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+        ).alias("t"),
+    )
+    tok = tok.localCheckpoint(eager=False)  # feeds vocab, total AND scoring
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    per_src = (
+        tok.join(F.broadcast(vocab), "t")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            (F.length(F.expr("bin(total div c)")) - 1)
+            .cast("long")
+            .alias("bits"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("bits").cast("long").alias("sum_bits"),
+            F.expr(
+                "CAST(1000000 * sum(bits) div count(1) AS BIGINT)"
+            ).alias("mean_micro_bits"),
+        )
+    )
+    per_src = per_src.localCheckpoint(eager=False)  # feeds glob AND the step
+    glob = per_src.agg(
+        F.sum("n_tokens").cast("long").alias("all_tokens"),
+        F.expr(
+            "CAST(1000000 * sum(sum_bits) div sum(n_tokens) AS BIGINT)"
+        ).alias("global_micro_bits"),
+    )
+    stepped = per_src.crossJoin(F.broadcast(glob)).select(
+        "source",
+        "n_tokens",
+        "mean_micro_bits",
+        F.expr("CAST(1000000 * n_tokens div all_tokens AS BIGINT)").alias(
+            "token_share_ppm"
+        ),
+        (F.col("mean_micro_bits") - F.col("global_micro_bits")).alias(
+            "excess_micro_bits"
+        ),
+        F.expr(
+            f"greatest({_MW_MULT_MIN}, least({_MW_MULT_MAX},"
+            f" 1000000 + (mean_micro_bits - global_micro_bits)"
+            f" div {_MW_ETA_DIV}))"
+        ).alias("mult_ppm"),
+    )
+    stepped = stepped.localCheckpoint(eager=False)  # feeds norm AND output
+    norm = stepped.agg(
+        F.sum(
+            F.col("token_share_ppm").cast("decimal(38,0)")
+            * F.col("mult_ppm").cast("decimal(38,0)")
+        ).alias("z")
+    )
+    return stepped.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_tokens",
+        "token_share_ppm",
+        "mean_micro_bits",
+        "excess_micro_bits",
+        "mult_ppm",
+        F.expr(
+            "CAST(CAST(token_share_ppm AS DECIMAL(38,0)) * mult_ppm"
+            " * 1000000 div z AS BIGINT)"
+        ).alias("new_weight_ppm"),
+    )

@@ -1910,3 +1910,27 @@ def test_unigram_lm_fold_has_no_joins_in_hot_loop(spark, sf_small):
 
     src = inspect.getsource(mq._ug_spark_fold)
     assert "aggregate(" in src and "join" not in src
+
+
+def test_journey_surprisal_broadcasts_edge_costs(spark, sf_small):
+    """The scoring pass must join the bounded transition-cost matrix as a
+    BROADCAST (hot edges like view->view would pile onto one reducer in a
+    shuffle join); the only window partitions by user_id."""
+    plan = plan_of(spark, sf_small, "journey_markov_surprisal")
+    assert "CartesianProduct" not in plan, plan
+    for spec in re.findall(r"windowspecdefinition\(([^,]+),", plan):
+        assert "user_id" in spec, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_domain_mw_reweight_is_broadcast_only(spark, sf_small):
+    """One corpus-scale scoring pass with the Heaps-bounded vocabulary
+    broadcast; the MW step itself runs on the |sources|-row aggregate with
+    1-row broadcast attaches — no sort-merge join, no window, no
+    cartesian."""
+    plan = plan_of(spark, sf_small, "domain_mw_reweight")
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan

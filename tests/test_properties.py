@@ -665,3 +665,130 @@ def test_unigram_lm_matches_python_model(spark, tmp_path_factory, texts):
         assert row["survives"] == (s in em)
         want_cost = int(math.log2(em_total // em[s])) if s in em else -1
         assert row["em_cost_bits"] == want_cost
+
+
+# ---------------------------------------------------------------------------
+# Journey Markov surprisal == Python counter model
+# ---------------------------------------------------------------------------
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    evs=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500),
+                  st.sampled_from(["view", "click", "purchase"])),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_journey_surprisal_matches_python_model(spark, tmp_path_factory, evs):
+    import math
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    tmpdir = str(tmp_path_factory.mktemp("jms"))
+    rows = [
+        (i, u, k, T0 + dt.timedelta(minutes=m), 1.0)
+        for i, (u, m, k) in enumerate(evs)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/events.parquet")
+
+    got = {
+        r.user_id: (r.n_transitions, r.sum_bits, r.score_micro_bits)
+        for r in get("journey_markov_surprisal").builder(spark, tmpdir).collect()
+    }
+
+    by_user: dict[int, list] = {}
+    for i, (u, m, k) in enumerate(evs):
+        by_user.setdefault(u, []).append((m, i, k))
+    edges: dict[tuple, int] = {}
+    trans: dict[int, list] = {}
+    for u, items in by_user.items():
+        seq = [k for _, _, k in sorted(items)]
+        for a, b in zip(seq, seq[1:]):
+            edges[(a, b)] = edges.get((a, b), 0) + 1
+            trans.setdefault(u, []).append((a, b))
+    row_tot: dict[str, int] = {}
+    for (a, _), c in edges.items():
+        row_tot[a] = row_tot.get(a, 0) + c
+    want = {}
+    for u, ts_ in trans.items():
+        bits = [int(math.log2(row_tot[a] // edges[(a, b)])) for a, b in ts_]
+        want[u] = (len(bits), sum(bits), 10**6 * sum(bits) // len(bits))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Domain MW reweight == Python integer model
+# ---------------------------------------------------------------------------
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1", "s2"]),
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd", "rare1", "rare2"]),
+                min_size=1,
+                max_size=10,
+            ).map(" ".join),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_domain_mw_reweight_matches_python_model(spark, tmp_path_factory, texts):
+    import math
+    import re as _re
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.curation_queries import (
+        _MW_ETA_DIV,
+        _MW_MULT_MAX,
+        _MW_MULT_MIN,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    sf_dir = str(tmp_path_factory.mktemp("mwcorpus"))
+    rows = [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        r.source: r.asDict()
+        for r in get("domain_mw_reweight").builder(spark, sf_dir).collect()
+    }
+
+    vocab: dict[str, int] = {}
+    toks = [(s, _re.findall(r"[a-z0-9]+", t.lower())) for s, t in texts]
+    for _, ts_ in toks:
+        for t in ts_:
+            vocab[t] = vocab.get(t, 0) + 1
+    total = sum(vocab.values())
+    per: dict[str, list[int]] = {}
+    for s, ts_ in toks:
+        per.setdefault(s, []).extend(
+            int(math.log2(total // vocab[t])) for t in ts_
+        )
+    all_tokens = sum(len(v) for v in per.values())
+    g_micro = 10**6 * sum(sum(v) for v in per.values()) // all_tokens
+    stepped = {}
+    for s, bits in per.items():
+        mean = 10**6 * sum(bits) // len(bits)
+        excess = mean - g_micro
+        # Python // floors toward -inf; SQL div truncates toward 0.
+        eta_term = abs(excess) // _MW_ETA_DIV * (1 if excess >= 0 else -1)
+        mult = max(_MW_MULT_MIN, min(_MW_MULT_MAX, 10**6 + eta_term))
+        stepped[s] = (len(bits), mean, excess, mult)
+    z = sum(
+        (10**6 * n // all_tokens) * mult for n, _, _, mult in stepped.values()
+    )
+    for s, (n, mean, excess, mult) in stepped.items():
+        row = got[s]
+        share = 10**6 * n // all_tokens
+        assert row["n_tokens"] == n
+        assert row["token_share_ppm"] == share
+        assert row["mean_micro_bits"] == mean
+        assert row["excess_micro_bits"] == excess
+        assert row["mult_ppm"] == mult, (s, row, stepped)
+        assert row["new_weight_ppm"] == share * mult * 10**6 // z
