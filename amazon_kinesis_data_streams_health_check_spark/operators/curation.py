@@ -190,3 +190,50 @@ def connected_components(
         if not any_changed:
             break
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def label_propagation(
+    edges: DataFrame, nodes: DataFrame, iterations: int = 4
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007): ``iterations``
+    rounds of "take the neighbor-majority label, smallest label on ties",
+    starting from label = own id. Finds DENSE communities where
+    ``connected_components`` only finds reachability.
+
+    Inputs: ``edges`` with (src, dst) — pass the graph pre-symmetrized if
+    undirected semantics are wanted — and ``nodes`` with (vec_id).
+
+    Determinism device: the per-node argmax is ``min()`` over fixed-width
+    ``lpad(inverted_count) || lpad(label)`` strings — a total order, so the
+    synchronous rounds are reproducible under any partitioning and twin
+    SQL engines compute the identical sequence. Each round is one
+    uniform-key join plus two keyed aggregations over the EDGE set
+    (Pregel-by-joins); rounds unroll into one lazy DAG, no driver traffic.
+    """
+    inv = 10**12
+    enc = (
+        f"lpad(CAST({inv} - c AS STRING), 13, '0')"
+        " || lpad(CAST(label AS STRING), 12, '0')"
+    )
+    labels = nodes.select("vec_id", F.col("vec_id").cast("long").alias("label"))
+    for _ in range(iterations):
+        cnt = (
+            edges.join(
+                labels.select(F.col("vec_id").alias("src"), "label"), "src"
+            )
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        best = cnt.groupBy("dst").agg(F.min(F.expr(enc)).alias("enc"))
+        labels = (
+            nodes.join(best.withColumnRenamed("dst", "vec_id"), "vec_id", "left")
+            .join(labels.withColumnRenamed("label", "old_label"), "vec_id")
+            .select(
+                "vec_id",
+                F.coalesce(
+                    F.expr("CAST(substr(enc, 14) AS BIGINT)"),
+                    F.col("old_label"),
+                ).alias("label"),
+            )
+        )
+    return labels

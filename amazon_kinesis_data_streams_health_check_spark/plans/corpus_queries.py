@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
     duck_hash_uniform,
     hash_uniform,
+    label_propagation,
 )
 from amazon_kinesis_data_streams_health_check_spark.operators.similarity import (
     cosine_precomp,
@@ -3730,4 +3731,149 @@ def exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
         .alias("cut_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities over the kNN graph (synchronous LPA,
+# Raghavan et al. 2007) — where connected_components answers "which docs
+# are transitively linked", LPA finds DENSE neighborhoods inside a
+# component: the cluster structure semantic curation samples from.
+# Determinism device: each round's new label is the neighbor-majority
+# label with ties broken by SMALLEST label, computed as min() over
+# fixed-width-encoded (inverted-count || label) strings — a total order,
+# so synchronous rounds are engine-identical with zero floats.
+# ---------------------------------------------------------------------------
+_LPA_ITERS = 4
+_LPA_INV = 10**12  # count inversion base for the min()-as-argmax encoding
+
+
+def _lpa_enc_sql(cnt: str, label: str) -> str:
+    return (
+        f"lpad(CAST({_LPA_INV} - {cnt} AS STRING), 13, '0')"
+        f" || lpad(CAST({label} AS STRING), 12, '0')"
+    )
+
+
+def _lpa_round_sql(k: int) -> str:
+    return f""",
+cnt{k} AS (
+  SELECT e.dst, l.label, CAST(count(*) AS BIGINT) AS c
+  FROM edges e JOIN lab{k} l ON l.vec_id = e.src
+  GROUP BY e.dst, l.label
+),
+best{k} AS (
+  SELECT dst, min({_lpa_enc_sql('c', 'label')}) AS enc
+  FROM cnt{k} GROUP BY dst
+),
+lab{k + 1} AS MATERIALIZED (
+  SELECT n.vec_id,
+         coalesce(CAST(substr(b.enc, 14) AS BIGINT), l.label) AS label
+  FROM nodes n
+  LEFT JOIN best{k} b ON b.dst = n.vec_id
+  JOIN lab{k} l ON l.vec_id = n.vec_id
+)"""
+
+
+_LPA_SQL = (
+    f"""
+WITH knn AS ({_KNN_SQL}),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT query_id AS src, neighbor_id AS dst FROM knn
+    UNION ALL
+    SELECT neighbor_id, query_id FROM knn
+  )
+),
+nodes AS MATERIALIZED (SELECT vec_id FROM embeddings),
+lab0 AS (SELECT vec_id, CAST(vec_id AS BIGINT) AS label FROM nodes)"""
+    + "".join(_lpa_round_sql(k) for k in range(_LPA_ITERS))
+    + f""",
+final AS (SELECT vec_id, label FROM lab{_LPA_ITERS}),
+members AS (
+  SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+  FROM final GROUP BY label
+),
+edge_labels AS (
+  SELECT ls.label AS src_label, ld.label AS dst_label
+  FROM edges e
+  JOIN final ls ON ls.vec_id = e.src
+  JOIN final ld ON ld.vec_id = e.dst
+),
+per_comm AS (
+  SELECT src_label AS community,
+         CAST(sum(CASE WHEN src_label = dst_label THEN 1 ELSE 0 END) // 2
+              AS BIGINT) AS n_internal_edges,
+         CAST(sum(CASE WHEN src_label <> dst_label THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_boundary_edges
+  FROM edge_labels GROUP BY src_label
+)
+SELECT m.community, m.n_members,
+       coalesce(p.n_internal_edges, 0) AS n_internal_edges,
+       coalesce(p.n_boundary_edges, 0) AS n_boundary_edges
+FROM members m LEFT JOIN per_comm p ON p.community = m.community
+"""
+)
+
+
+@register(
+    "knn_label_propagation",
+    oracle=_LPA_SQL,
+    doc="Community detection on the LSH-kNN document graph: 4 synchronous "
+    "label-propagation rounds (Raghavan et al. 2007) with neighbor-majority "
+    "labels and min-label tie-breaks via the fixed-width (inverted-count, "
+    "label) min()-encoding — per community its size, internal edge count, "
+    "and boundary edge count; the dense-cluster structure semantic "
+    "curation samples from, one level finer than connected components",
+    tags=("ext", "corpus", "graph"),
+)
+def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the symmetrized edge set is computed once and pinned
+    (lazy localCheckpoint — the pagerank_knn stance); each round is one
+    uniform-key join + two keyed aggregations whose argmax is a string
+    min() (order-free, partitioning-independent). Rounds unroll into one
+    lazy DAG — Pregel-by-joins, the classic Spark formulation. At 100 TB
+    the per-round shuffle keys on (dst, label): bounded by the kNN fanout,
+    no skew beyond community size itself."""
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    knn = knn_graph_lsh(spark, sf_dir).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    edges = (
+        knn.unionAll(knn.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)  # one LSH+top-k compute for all rounds
+    )
+    nodes = emb.select("vec_id").localCheckpoint(eager=False)
+    labels = label_propagation(edges, nodes, iterations=_LPA_ITERS)
+    final = labels.localCheckpoint(eager=False)  # members AND edge labels
+    members = final.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    edge_labels = edges.join(
+        final.select(F.col("vec_id").alias("src"), F.col("label").alias("src_label")),
+        "src",
+    ).join(
+        final.select(F.col("vec_id").alias("dst"), F.col("label").alias("dst_label")),
+        "dst",
+    )
+    per_comm = edge_labels.groupBy(F.col("src_label").alias("community")).agg(
+        F.expr(
+            "CAST(sum(CASE WHEN src_label = dst_label THEN 1 ELSE 0 END)"
+            " div 2 AS BIGINT)"
+        ).alias("n_internal_edges"),
+        F.sum((F.col("src_label") != F.col("dst_label")).cast("int"))
+        .cast("long")
+        .alias("n_boundary_edges"),
+    )
+    return members.join(per_comm, "community", "left").select(
+        "community",
+        "n_members",
+        F.coalesce("n_internal_edges", F.lit(0))
+        .cast("long")
+        .alias("n_internal_edges"),
+        F.coalesce("n_boundary_edges", F.lit(0))
+        .cast("long")
+        .alias("n_boundary_edges"),
     )

@@ -1934,3 +1934,15 @@ def test_domain_mw_reweight_is_broadcast_only(spark, sf_small):
     assert "windowspecdefinition" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_lpa_rounds_are_pregel_by_joins(spark, sf_small):
+    """Each LPA round must be join + keyed aggregation over the pinned edge
+    set — no cartesian, no window beyond the kNN top-k's per-query rank,
+    no Python workers; the argmax is a string min() (order-free)."""
+    plan = plan_of(spark, sf_small, "knn_label_propagation")
+    assert "CartesianProduct" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+    for spec in re.findall(r"windowspecdefinition\(([^,]+),", plan):
+        assert "query_id" in spec or "vec_id" in spec, plan

@@ -792,3 +792,50 @@ def test_domain_mw_reweight_matches_python_model(spark, tmp_path_factory, texts)
         assert row["excess_micro_bits"] == excess
         assert row["mult_ppm"] == mult, (s, row, stepped)
         assert row["new_weight_ppm"] == share * mult * 10**6 // z
+
+
+# ---------------------------------------------------------------------------
+# Label propagation == Python synchronous-LPA model
+# ---------------------------------------------------------------------------
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    raw_edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1,
+        max_size=16,
+    ),
+    iters=st.integers(1, 3),
+)
+def test_label_propagation_matches_python_model(spark, raw_edges, iters):
+    """Synchronous rounds, neighbor-majority labels, min-label ties —
+    against a direct Python model on random small graphs (self-loops and
+    isolated nodes included)."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        label_propagation,
+    )
+
+    nodes = sorted({v for e in raw_edges for v in e})
+    sym = sorted({(a, b) for a, b in raw_edges} | {(b, a) for a, b in raw_edges})
+    edf = spark.createDataFrame(sym, "src long, dst long")
+    ndf = spark.createDataFrame([(v,) for v in nodes], "vec_id long")
+    got = {
+        r.vec_id: r.label
+        for r in label_propagation(edf, ndf, iterations=iters).collect()
+    }
+
+    lab = {v: v for v in nodes}
+    for _ in range(iters):
+        new = {}
+        for v in nodes:
+            votes: dict[int, int] = {}
+            for a, b in sym:
+                if b == v:
+                    votes[lab[a]] = votes.get(lab[a], 0) + 1
+            if votes:
+                new[v] = min(
+                    votes, key=lambda l: (-votes[l], l)
+                )
+            else:
+                new[v] = lab[v]
+        lab = new
+    assert got == lab
