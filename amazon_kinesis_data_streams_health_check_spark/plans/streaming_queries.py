@@ -3628,3 +3628,154 @@ def streaming_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sample_saving_ppm"),
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Streaming journey surprisal: the online twin of journey_markov_surprisal.
+# The edge-cost matrix (bounded by the squared type vocabulary) is fit
+# offline from the full feed — the deploy pattern for any model-backed
+# stream scorer — and ships to the workers as a captured dict; the state
+# store carries (last_type, n_transitions, sum_bits) per user. Every
+# transition emits the running prefix row, so the sink equals the batch
+# window cumsum over all journey prefixes — one shared oracle.
+# ---------------------------------------------------------------------------
+_SJOURNEY_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER w AS to_type,
+         row_number() OVER w AS idx
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+edges AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+),
+rows_ AS (
+  SELECT from_type, CAST(sum(c) AS BIGINT) AS row_total
+  FROM edges GROUP BY from_type
+),
+costs AS (
+  SELECT e.from_type, e.to_type,
+         CAST(length(bin(r.row_total // e.c)) - 1 AS BIGINT) AS bits
+  FROM edges e JOIN rows_ r ON r.from_type = e.from_type
+),
+scored AS (
+  SELECT s.user_id, s.idx, c.bits
+  FROM seq s JOIN costs c
+    ON c.from_type = s.from_type AND c.to_type = s.to_type
+  WHERE s.to_type IS NOT NULL
+),
+pref AS (
+  SELECT user_id,
+         CAST(row_number() OVER wp AS BIGINT) AS n_transitions,
+         CAST(sum(bits) OVER wp AS BIGINT) AS sum_bits
+  FROM scored
+  WINDOW wp AS (PARTITION BY user_id ORDER BY idx)
+)
+SELECT user_id, n_transitions, sum_bits,
+       CAST(1000000 * sum_bits // n_transitions AS BIGINT)
+         AS score_micro_bits
+FROM pref
+"""
+
+
+@register(
+    "streaming_journey_surprisal",
+    oracle=_SJOURNEY_SQL,
+    doc="Streaming journey surprisal: applyInPandasWithState carrying "
+    "(last event type, running transition count, running bits) per user, "
+    "scoring each arrival against the offline-fit Markov edge-cost matrix "
+    "— 4 mtime-ordered feed chunks (cross-batch state for real), every "
+    "transition emits its running prefix row, value-hash checked against "
+    "the batch window-cumsum over all journey prefixes",
+    tags=("ext", "streaming", "behavior"),
+)
+def streaming_journey_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the offline fit is two bounded-key aggregations (the
+    matrix is |type vocab|^2 rows — collected as bounded metadata, the
+    k-means/BT pattern); online, state is 3 scalars per user and each
+    micro-batch folds its rows in event order. Emitting every prefix makes
+    the drive's sink independent of how the feed is sliced — the
+    strongest replay-equivalence check available for per-key running
+    state."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from amazon_kinesis_data_streams_health_check_spark.streaming.journey import (
+        journey_stream,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    edges = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    rows_ = edges.groupBy("from_type").agg(
+        F.sum("c").cast("long").alias("row_total")
+    )
+    cost_rows = (
+        edges.join(rows_, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            (F.length(F.expr("bin(row_total div c)")) - 1)
+            .cast("long")
+            .alias("bits"),
+        )
+        .collect()  # bounded: |event-type vocab|^2 rows
+    )
+    costs = {(r.from_type, r.to_type): int(r.bits) for r in cost_rows}
+
+    feed_rows = events.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+        "event_type",
+    ).localCheckpoint(eager=False)
+    b = feed_rows.agg(
+        F.min("ts_s").alias("lo"), F.max("ts_s").alias("hi")
+    ).collect()[0]
+    lo_s, hi_s = int(b["lo"]), int(b["hi"])
+
+    feed_dir = tempfile.mkdtemp(prefix="journey_feed_")
+    n_chunks = 4
+    span = hi_s - lo_s + 1
+    step = max(1, span // n_chunks)
+    cuts = [lo_s + i * step for i in range(n_chunks)] + [hi_s + 1]
+    for i in range(n_chunks):
+        chunk = feed_rows.filter(
+            (F.col("ts_s") >= cuts[i]) & (F.col("ts_s") < cuts[i + 1])
+        )
+        tmp = tempfile.mkdtemp(prefix=f"journey_chunk{i}_")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p
+            for p in sorted(os.listdir(tmp))
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = os.path.join(feed_dir, f"chunk_{i:02d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    feed = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts_s long, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    return _run_to_memory(
+        journey_stream(feed, costs), "journey", output_mode="update"
+    )

@@ -575,3 +575,76 @@ def test_ensemble_slicing_invariant(spark, tmp_path):
     for r in one:
         assert r[6] == int(r[3]) + int(r[4]) + int(r[5]), r
         assert r[7] == (r[6] >= 2), r
+
+
+def test_journey_stream_slicing_invariant_and_matches_python(spark, tmp_path):
+    """The streaming journey scorer emits identical prefix rows whether the
+    feed arrives as one micro-batch or three, and the running bits match a
+    direct Python fold with the same cost matrix."""
+    import os
+
+    from amazon_kinesis_data_streams_health_check_spark.streaming.journey import (
+        journey_stream,
+    )
+
+    costs = {
+        ("v", "v"): 1, ("v", "c"): 2, ("v", "p"): 5,
+        ("c", "v"): 2, ("c", "c"): 3, ("c", "p"): 1,
+        ("p", "v"): 0, ("p", "c"): 4, ("p", "p"): 6,
+    }
+    journeys = {
+        1: ["v", "v", "c", "p", "v"],
+        2: ["c", "c"],
+        3: ["p"],  # no transition — must emit nothing
+    }
+    feed_rows = [
+        (u, 100 * u + i, 1000 + i * 7, et)
+        for u, ets in journeys.items()
+        for i, et in enumerate(ets)
+    ]
+    ddl = "user_id long, event_id long, ts_s long, event_type string"
+    feed_df = spark.createDataFrame(feed_rows, ddl)
+
+    def drive(n_chunks: int, tag: str):
+        src = tmp_path / f"jfeed_{tag}"
+        os.makedirs(src)
+        lo, hi = 1000, 1000 + 5 * 7
+        per = (hi - lo) // n_chunks + 1
+        for i in range(n_chunks):
+            c = feed_df.filter(
+                (F.col("ts_s") >= lo + i * per) & (F.col("ts_s") < lo + (i + 1) * per)
+            )
+            d = tmp_path / f"jw_{tag}_{i}"
+            c.coalesce(1).write.parquet(str(d))
+            part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+            dst = src / f"chunk_{i:02d}.parquet"
+            os.rename(d / part, dst)
+            os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+        stream = (
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            journey_stream(stream, costs)
+            .writeStream.format("memory")
+            .queryName(f"journey_{tag}")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"jckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return sorted(tuple(r) for r in spark.table(f"journey_{tag}").collect())
+
+    one = drive(1, "one")
+    three = drive(3, "three")
+    assert one == three
+
+    want = []
+    for u, ets in journeys.items():
+        s = 0
+        for i, (a, b) in enumerate(zip(ets, ets[1:]), start=1):
+            s += costs[(a, b)]
+            want.append((u, i, s, 10**6 * s // i))
+    assert one == sorted(want)
