@@ -38,6 +38,7 @@ from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
     label_propagation,
 )
 from amazon_kinesis_data_streams_health_check_spark.operators.similarity import (
+    cosine_expr,
     cosine_precomp,
     duck_bucket,
     duck_cosine,
@@ -3877,3 +3878,227 @@ def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_boundary_edges"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval (maximal marginal relevance, Carbonell &
+# Goldstein 1998): greedy top-k where each pick maximizes
+# lambda*rel - (1-lambda)*max-sim-to-already-picked — the de-duplicating
+# retrieval step RAG context assembly and diverse few-shot selection use
+# so the k results aren't k near-copies. lambda = 1/2 (exact double
+# halves); ties broken by neighbor id, so the greedy sequence is
+# deterministic in both engines.
+# ---------------------------------------------------------------------------
+_MMR_QUERIES = 10
+_MMR_POOL = 8  # relevance candidates per query entering the greedy stage
+_MMR_K = 3  # diversified picks emitted
+
+
+_MMR_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qemb FROM embeddings
+  WHERE vec_id < {_MMR_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS cid, e.embedding,
+         {duck_cosine('q.qemb', 'e.embedding')} AS rel
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+cands AS MATERIALIZED (
+  SELECT query_id, cid, embedding, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, cid) AS rnk
+    FROM scored
+  ) WHERE rnk <= {_MMR_POOL}
+),
+pairsim AS MATERIALIZED (
+  SELECT a.query_id, a.cid AS ca, b.cid AS cb,
+         {duck_cosine('a.embedding', 'b.embedding')} AS sim
+  FROM cands a JOIN cands b
+    ON a.query_id = b.query_id AND a.cid <> b.cid
+),
+s1 AS MATERIALIZED (
+  SELECT query_id, cid, rel, rel AS mmr FROM (
+    SELECT query_id, cid, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, cid) AS rn
+    FROM cands
+  ) WHERE rn = 1
+),
+r2 AS (
+  SELECT c.query_id, c.cid, c.rel,
+         0.5 * c.rel - 0.5 * p.sim AS mmr
+  FROM cands c
+  JOIN s1 ON s1.query_id = c.query_id AND c.cid <> s1.cid
+  JOIN pairsim p ON p.query_id = c.query_id
+                AND p.ca = c.cid AND p.cb = s1.cid
+),
+s2 AS MATERIALIZED (
+  SELECT query_id, cid, rel, mmr FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, cid) AS rn
+    FROM r2
+  ) WHERE rn = 1
+),
+r3 AS (
+  SELECT c.query_id, c.cid, c.rel,
+         0.5 * c.rel - 0.5 * greatest(p1.sim, p2.sim) AS mmr
+  FROM cands c
+  JOIN s1 ON s1.query_id = c.query_id AND c.cid <> s1.cid
+  JOIN s2 ON s2.query_id = c.query_id AND c.cid <> s2.cid
+  JOIN pairsim p1 ON p1.query_id = c.query_id
+                 AND p1.ca = c.cid AND p1.cb = s1.cid
+  JOIN pairsim p2 ON p2.query_id = c.query_id
+                 AND p2.ca = c.cid AND p2.cb = s2.cid
+),
+s3 AS (
+  SELECT query_id, cid, rel, mmr FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, cid) AS rn
+    FROM r3
+  ) WHERE rn = 1
+)
+SELECT query_id, 1 AS mmr_rank, cid AS vec_id,
+       round(rel, 6) AS cosine, round(mmr, 6) AS mmr_score FROM s1
+UNION ALL
+SELECT query_id, 2, cid, round(rel, 6), round(mmr, 6) FROM s2
+UNION ALL
+SELECT query_id, 3, cid, round(rel, 6), round(mmr, 6) FROM s3
+"""
+
+
+@register(
+    "mmr_diversified_topk",
+    oracle=_MMR_SQL,
+    doc=f"MMR diversified retrieval (Carbonell-Goldstein): per query the "
+    f"top-{_MMR_POOL} relevance pool, then {_MMR_K} greedy picks each "
+    "maximizing 0.5*rel - 0.5*max-sim-to-picked with id tie-breaks — the "
+    "near-copy-suppressing retrieval step RAG context assembly and "
+    "diverse few-shot selection run after ANN",
+    tags=("ext", "corpus", "similarity"),
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: relevance scoring broadcasts the bounded query set over
+    the corpus (one narrow pass, the hybrid_search stance) and keeps only
+    the per-query pool via TakeOrdered-style rank <= {_MMR_POOL}; the
+    greedy stage then touches ONLY pool-sized relations — the pairwise
+    sim table is |pool|^2 per query — with per-query windows (bounded
+    frames) and broadcast joins of the 1-row-per-query picks. The greedy
+    depth is the plan-unroll constant; doubling k adds two bounded
+    stages, never another corpus pass."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _MMR_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cid"),
+            "embedding",
+            cosine_expr("qemb", "embedding").alias("rel"),
+        )
+    )
+    wrel = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "cid")
+    cands = (
+        scored.withColumn("rnk", F.row_number().over(wrel))
+        .filter(F.col("rnk") <= _MMR_POOL)
+        .drop("rnk")
+        .localCheckpoint(eager=False)  # pool feeds pairsim + every round
+    )
+    a = cands.select(
+        "query_id", F.col("cid").alias("ca"), F.col("embedding").alias("ea")
+    )
+    b = cands.select(
+        F.col("query_id").alias("qb"),
+        F.col("cid").alias("cb"),
+        F.col("embedding").alias("eb"),
+    )
+    pairsim = (
+        a.join(F.broadcast(b), (a.query_id == b.qb) & (a.ca != b.cb))
+        .select("query_id", "ca", "cb", cosine_expr("ea", "eb").alias("sim"))
+        .localCheckpoint(eager=False)  # read by rounds 2..k
+    )
+
+    def pick(df, score_col):
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(score_col).desc(), "cid"
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "cid", "rel", F.col(score_col).alias("mmr"))
+        )
+
+    s1 = F.broadcast(pick(cands.withColumn("mmr0", F.col("rel")), "mmr0"))
+    p1 = F.broadcast(pairsim.select(
+        F.col("query_id").alias("q1"), F.col("ca").alias("ca1"),
+        F.col("cb").alias("cb1"), F.col("sim").alias("sim1"),
+    ))
+    r2 = (
+        cands.join(
+            s1.select("query_id", F.col("cid").alias("s1cid")), "query_id"
+        )
+        .filter(F.col("cid") != F.col("s1cid"))
+        .join(
+            p1,
+            (F.col("q1") == F.col("query_id"))
+            & (F.col("ca1") == F.col("cid"))
+            & (F.col("cb1") == F.col("s1cid")),
+        )
+        .select(
+            "query_id", "cid", "rel",
+            (0.5 * F.col("rel") - 0.5 * F.col("sim1")).alias("mmr2"),
+        )
+    )
+    s2 = F.broadcast(pick(r2, "mmr2"))
+    p2 = F.broadcast(pairsim.select(
+        F.col("query_id").alias("q2"), F.col("ca").alias("ca2"),
+        F.col("cb").alias("cb2"), F.col("sim").alias("sim2"),
+    ))
+    r3 = (
+        cands.join(
+            s1.select("query_id", F.col("cid").alias("s1cid")), "query_id"
+        )
+        .join(
+            s2.select(F.col("query_id").alias("qs2"), F.col("cid").alias("s2cid")),
+            F.col("qs2") == F.col("query_id"),
+        )
+        .filter((F.col("cid") != F.col("s1cid")) & (F.col("cid") != F.col("s2cid")))
+        .join(
+            p1,
+            (F.col("q1") == F.col("query_id"))
+            & (F.col("ca1") == F.col("cid"))
+            & (F.col("cb1") == F.col("s1cid")),
+        )
+        .join(
+            p2,
+            (F.col("q2") == F.col("query_id"))
+            & (F.col("ca2") == F.col("cid"))
+            & (F.col("cb2") == F.col("s2cid")),
+        )
+        .select(
+            cands.query_id, "cid", "rel",
+            (
+                0.5 * F.col("rel")
+                - 0.5 * F.greatest("sim1", "sim2")
+            ).alias("mmr3"),
+        )
+    )
+    s3 = pick(r3, "mmr3")
+
+    def out(df, rank):
+        return df.select(
+            "query_id",
+            F.lit(rank).cast("int").alias("mmr_rank"),
+            F.col("cid").alias("vec_id"),
+            F.round("rel", 6).alias("cosine"),
+            F.round("mmr", 6).alias("mmr_score"),
+        )
+
+    return out(s1, 1).unionAll(out(s2, 2)).unionAll(out(s3, 3))

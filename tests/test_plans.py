@@ -1946,3 +1946,17 @@ def test_lpa_rounds_are_pregel_by_joins(spark, sf_small):
         assert marker not in plan, plan
     for spec in re.findall(r"windowspecdefinition\(([^,]+),", plan):
         assert "query_id" in spec or "vec_id" in spec, plan
+
+
+def test_mmr_single_corpus_pass_then_pool_sized(spark, sf_small):
+    """One corpus-scale relevance pass (broadcast query set — BNL, never a
+    CartesianProduct); everything after the rank <= POOL cut is pool-sized:
+    windows partition by query_id only, no Python workers, no sort-merge
+    join."""
+    plan = plan_of(spark, sf_small, "mmr_diversified_topk")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+    for spec in re.findall(r"windowspecdefinition\(([^,]+),", plan):
+        assert "query_id" in spec, plan

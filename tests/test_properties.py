@@ -839,3 +839,80 @@ def test_label_propagation_matches_python_model(spark, raw_edges, iters):
                 new[v] = lab[v]
         lab = new
     assert got == lab
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k == Python greedy model
+# ---------------------------------------------------------------------------
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(-3, 3).map(float), min_size=4, max_size=4
+        ).filter(lambda v: any(x != 0 for x in v)),
+        min_size=3,
+        max_size=14,
+    )
+)
+def test_mmr_matches_python_greedy(spark, tmp_path_factory, vecs):
+    """The unrolled greedy picks must equal a direct Python MMR over the
+    same pool, including float score near-ties (ordered-fold doubles are
+    engine-identical, so the tie-break id path is exercised for real on
+    duplicate vectors)."""
+    import math
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.corpus_queries import (
+        _MMR_K,
+        _MMR_POOL,
+        _MMR_QUERIES,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    sf_dir = str(tmp_path_factory.mktemp("mmremb"))
+    rows = [(i, v, 0) for i, v in enumerate(vecs)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+
+    got = {
+        (r.query_id, r.mmr_rank): (r.vec_id, r.mmr_score)
+        for r in get("mmr_diversified_topk").builder(spark, sf_dir).collect()
+    }
+
+    f32 = [[float(__import__("numpy").float32(x)) for x in v] for v in vecs]
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(f32[a], f32[b]):
+            dot += x * y
+        na = 0.0
+        nb = 0.0
+        for x in f32[a]:
+            na += x * x
+        for y in f32[b]:
+            nb += y * y
+        return dot / math.sqrt(na * nb)
+
+    want = {}
+    for q in range(min(_MMR_QUERIES, len(vecs))):
+        pool = sorted(
+            (i for i in range(len(vecs)) if i != q),
+            key=lambda i: (-cos(q, i), i),
+        )[:_MMR_POOL]
+        selected: list[int] = []
+        for rank in range(1, min(_MMR_K, len(pool)) + 1):
+            remaining = [c for c in pool if c not in selected]
+            if not remaining:
+                break
+            if not selected:
+                scores = {c: cos(q, c) for c in remaining}
+            else:
+                scores = {
+                    c: 0.5 * cos(q, c)
+                    - 0.5 * max(cos(c, s) for s in selected)
+                    for c in remaining
+                }
+            pickc = min(remaining, key=lambda c: (-scores[c], c))
+            selected.append(pickc)
+            want[(q, rank)] = (pickc, round(scores[pickc], 6))
+    assert got == want
