@@ -2418,3 +2418,186 @@ def journey_markov_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Absorbing-chain funnel analytics: treat 'purchase' as the absorbing
+# state of the user-journey Markov chain and compute, per transient event
+# type, the K-step-truncated absorption probability and expected
+# steps-to-purchase — the fundamental-matrix quantities ((I-Q)^-1 columns)
+# evaluated by K fixed-point sweeps t' = 1 + Q t / a' = R + Q a, which is
+# exactly how they're computed at scale anyway (no matrix inversion). All
+# arithmetic is integer ppm/micro fixed-point: each term is floored before
+# the order-free BIGINT sum, so both engines produce the identical
+# sequence. Transitions OUT of 'purchase' are discarded (the absorbing
+# redefinition); truncation at K makes the quantities well-defined even
+# for users who never convert.
+# ---------------------------------------------------------------------------
+_ABSORB_STATE = "purchase"
+_ABSORB_ITERS = 16
+_ABSORB_SCALE = 10**6
+
+_ABSORB_MATRIX_CTES = f"""
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+),
+edges AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS c
+  FROM seq
+  WHERE to_type IS NOT NULL AND from_type <> '{_ABSORB_STATE}'
+  GROUP BY from_type, to_type
+),
+rows_ AS (
+  SELECT from_type, CAST(sum(c) AS BIGINT) AS row_total
+  FROM edges GROUP BY from_type
+),
+q AS MATERIALIZED (
+  SELECT e.from_type AS src, e.to_type AS dst,
+         CAST({_ABSORB_SCALE} * e.c // r.row_total AS BIGINT) AS p_ppm
+  FROM edges e JOIN rows_ r ON r.from_type = e.from_type
+),
+states AS MATERIALIZED (SELECT DISTINCT src AS state FROM q),
+it0 AS (
+  SELECT state, CAST(0 AS BIGINT) AS t_micro, CAST(0 AS BIGINT) AS a_ppm
+  FROM states
+)"""
+
+
+def _absorb_iter_sql(k: int) -> str:
+    return f""",
+it{k + 1} AS MATERIALIZED (
+  SELECT s.state,
+         CAST({_ABSORB_SCALE} + coalesce(sum(
+           CASE WHEN q.dst <> '{_ABSORB_STATE}'
+                THEN q.p_ppm * p.t_micro // {_ABSORB_SCALE} END), 0)
+           AS BIGINT) AS t_micro,
+         CAST(coalesce(sum(
+           CASE WHEN q.dst = '{_ABSORB_STATE}' THEN q.p_ppm
+                ELSE q.p_ppm * p.a_ppm // {_ABSORB_SCALE} END), 0)
+           AS BIGINT) AS a_ppm
+  FROM states s
+  LEFT JOIN q ON q.src = s.state
+  LEFT JOIN it{k} p ON p.state = q.dst
+  GROUP BY s.state
+)"""
+
+
+_ABSORB_SQL = (
+    _ABSORB_MATRIX_CTES
+    + "".join(_absorb_iter_sql(k) for k in range(_ABSORB_ITERS))
+    + f"""
+SELECT s.state AS from_type,
+       r.row_total AS n_out_transitions,
+       CAST(coalesce((SELECT p_ppm FROM q
+                      WHERE q.src = s.state
+                        AND q.dst = '{_ABSORB_STATE}'), 0) AS BIGINT)
+         AS p_direct_purchase_ppm,
+       f.a_ppm AS absorb_prob_ppm,
+       f.t_micro AS exp_steps_micro
+FROM states s
+JOIN rows_ r ON r.from_type = s.state
+JOIN it{_ABSORB_ITERS} f ON f.state = s.state
+"""
+)
+
+
+def _absorb_fixed_point(
+    q: dict[tuple[str, str], int], iters: int = _ABSORB_ITERS
+) -> dict[str, tuple[int, int]]:
+    """The identical integer sweep on the collected BOUNDED matrix:
+    state -> (t_micro, a_ppm) after ``iters`` rounds."""
+    states = sorted({s for s, _ in q})
+    t = {s: 0 for s in states}
+    a = {s: 0 for s in states}
+    for _ in range(iters):
+        nt, na = {}, {}
+        for s in states:
+            tsum = 0
+            asum = 0
+            for (src, dst), p in q.items():
+                if src != s:
+                    continue
+                if dst == _ABSORB_STATE:
+                    asum += p
+                else:
+                    tsum += p * t.get(dst, 0) // _ABSORB_SCALE
+                    asum += p * a.get(dst, 0) // _ABSORB_SCALE
+            nt[s] = _ABSORB_SCALE + tsum
+            na[s] = asum
+        t, a = nt, na
+    return {s: (t[s], a[s]) for s in states}
+
+
+@register(
+    "funnel_absorbing_markov",
+    oracle=_ABSORB_SQL,
+    doc=f"Absorbing-chain funnel: with '{_ABSORB_STATE}' absorbing, the "
+    f"{_ABSORB_ITERS}-step-truncated absorption probability and expected "
+    "steps-to-purchase per starting event type — fundamental-matrix "
+    "quantities by integer ppm fixed-point sweeps (t' = 1 + Qt, "
+    "a' = R + Qa), engine-exact with zero floats",
+    tags=("ext", "behavior", "ml"),
+)
+def funnel_absorbing_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one user-keyed window + one bounded-key aggregation
+    build the ppm transition matrix (<= |type vocab|^2 rows — bounded
+    metadata, collected like the BT/k-means iterations); the sweeps run
+    driver-side on that aggregate and the results broadcast back onto the
+    per-state row. No iteration touches raw events."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(
+        F.col("to_type").isNotNull()
+        & (F.col("from_type") != _ABSORB_STATE)
+    )
+    edges = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    rows_ = edges.groupBy("from_type").agg(
+        F.sum("c").cast("long").alias("row_total")
+    )
+    rows_ = rows_.localCheckpoint(eager=False)  # feeds q AND the output
+    qdf = edges.join(rows_, "from_type").select(
+        F.col("from_type").alias("src"),
+        F.col("to_type").alias("dst"),
+        F.expr(f"CAST({_ABSORB_SCALE} * c div row_total AS BIGINT)").alias(
+            "p_ppm"
+        ),
+    )
+    q_rows = qdf.collect()  # bounded: <= |event-type vocab|^2 rows
+    q = {(r.src, r.dst): int(r.p_ppm) for r in q_rows}
+    if not q:
+        return spark.createDataFrame(
+            [],
+            "from_type string, n_out_transitions long, "
+            "p_direct_purchase_ppm long, absorb_prob_ppm long, "
+            "exp_steps_micro long",
+        )
+    fitted = _absorb_fixed_point(q)
+    direct = {s: q.get((s, _ABSORB_STATE), 0) for s, _ in fitted.items()}
+    res = spark.createDataFrame(
+        [
+            (s, direct[s], a_ppm, t_micro)
+            for s, (t_micro, a_ppm) in sorted(fitted.items())
+        ],
+        "from_type string, p_direct_purchase_ppm long, "
+        "absorb_prob_ppm long, exp_steps_micro long",
+    )
+    return rows_.join(F.broadcast(res), "from_type").select(
+        "from_type",
+        F.col("row_total").alias("n_out_transitions"),
+        "p_direct_purchase_ppm",
+        "absorb_prob_ppm",
+        "exp_steps_micro",
+    )

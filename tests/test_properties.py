@@ -916,3 +916,77 @@ def test_mmr_matches_python_greedy(spark, tmp_path_factory, vecs):
             selected.append(pickc)
             want[(q, rank)] = (pickc, round(scores[pickc], 6))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Absorbing-funnel fixed point == float sweep + closed-form example
+# ---------------------------------------------------------------------------
+@settings(max_examples=12, deadline=None)
+@given(
+    edges=st.dictionaries(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.sampled_from(["a", "b", "c", "purchase"]),
+        ),
+        st.integers(1, 20),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_absorbing_sweep_matches_float_iteration(edges):
+    from amazon_kinesis_data_streams_health_check_spark.plans.behavior_queries import (
+        _ABSORB_ITERS,
+        _ABSORB_SCALE,
+        _absorb_fixed_point,
+    )
+
+    rt = {}
+    for (s, _), c in edges.items():
+        rt[s] = rt.get(s, 0) + c
+    q = {
+        (s, d): _ABSORB_SCALE * c // rt[s] for (s, d), c in edges.items()
+    }
+    got = _absorb_fixed_point(q)
+
+    states = sorted(rt)
+    t = {s: 0.0 for s in states}
+    a = {s: 0.0 for s in states}
+    for _ in range(_ABSORB_ITERS):
+        nt, na = {}, {}
+        for s in states:
+            nt[s] = 1.0 + sum(
+                (p / _ABSORB_SCALE) * t.get(d, 0.0)
+                for (src, d), p in q.items()
+                if src == s and d != "purchase"
+            )
+            na[s] = sum(
+                (p / _ABSORB_SCALE)
+                * (1.0 if d == "purchase" else a.get(d, 0.0))
+                for (src, d), p in q.items()
+                if src == s
+            )
+        t, a = nt, na
+    for s in states:
+        t_micro, a_ppm = got[s]
+        assert 0 <= a_ppm <= _ABSORB_SCALE
+        assert abs(t_micro / _ABSORB_SCALE - t[s]) < 1e-3 * max(1.0, t[s])
+        assert abs(a_ppm / _ABSORB_SCALE - a[s]) < 1e-3
+
+
+def test_absorbing_sweep_closed_form_self_loop():
+    """A -> purchase w.p. 1/2, A -> A w.p. 1/2: truncated absorption
+    1 - 2^-K; truncated expected steps 2*(1 - 2^-K)."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.behavior_queries import (
+        _ABSORB_ITERS,
+        _ABSORB_SCALE,
+        _absorb_fixed_point,
+    )
+
+    got = _absorb_fixed_point(
+        {("a", "purchase"): _ABSORB_SCALE // 2, ("a", "a"): _ABSORB_SCALE // 2}
+    )
+    t_micro, a_ppm = got["a"]
+    want_a = (1 - 0.5**_ABSORB_ITERS) * _ABSORB_SCALE
+    want_t = 2 * (1 - 0.5**_ABSORB_ITERS) * _ABSORB_SCALE
+    assert abs(a_ppm - want_a) < 50  # integer-floor slack
+    assert abs(t_micro - want_t) < 100
