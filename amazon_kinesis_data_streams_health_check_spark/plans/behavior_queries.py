@@ -2601,3 +2601,94 @@ def funnel_absorbing_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "absorb_prob_ppm",
         "exp_steps_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact pass@k estimation (the unbiased estimator of Chen et al. 2021,
+# "Evaluating LLMs Trained on Code": pass@k = 1 - C(n-c,k)/C(n,k)) over an
+# (entity, n samples, c successes) table — here per user with events as
+# samples and purchases as successes: "P(a random k-subset of this user's
+# interactions contains a conversion)", the same math an eval harness
+# runs per task. The hypergeometric ratio is computed as a STEPWISE-
+# FLOORED micro-probability — f_0 = 1e6, f_{j+1} = f_j*(n-c-j) div (n-j)
+# — so every intermediate stays under 1e12 (BIGINT-safe at ANY n, unlike
+# the naive factorial products) and both engines floor identically.
+# ---------------------------------------------------------------------------
+_PASSK_KS = (1, 5, 10)
+_PASSK_SCALE = 10**6
+
+
+def _passk_fail_expr(k: int, div: str) -> str:
+    """fail@k in micro-units via the stepwise-floored product."""
+    e = f"CAST({_PASSK_SCALE} AS BIGINT)"
+    for j in range(k):
+        e = f"({e} * greatest(0, n - c - {j}) {div} (n - {j}))"
+    return e
+
+
+def _passk_sql() -> str:
+    legs = []
+    for k in _PASSK_KS:
+        legs.append(f"""
+SELECT {k} AS k,
+       CAST(count(*) AS BIGINT) AS n_tasks,
+       CAST(sum(n) AS BIGINT) AS n_samples,
+       CAST(sum(c) AS BIGINT) AS n_successes,
+       CAST(sum({_PASSK_SCALE} - {_passk_fail_expr(k, '//')}) // count(*)
+            AS BIGINT) AS mean_pass_ppm
+FROM tasks WHERE n >= {k}""")
+    return (
+        """
+WITH tasks AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM events GROUP BY user_id
+)"""
+        + " UNION ALL ".join(legs)
+    )
+
+
+@register(
+    "pass_at_k_eval",
+    oracle=_passk_sql(),
+    doc="Exact pass@k (Chen et al. 2021 unbiased hypergeometric estimator) "
+    "over the per-user (n interactions, c conversions) table for k in "
+    f"{_PASSK_KS} — stepwise-floored integer micro-probabilities keep "
+    "every intermediate BIGINT-safe at any n; per k the task count, "
+    "sample/success totals, and the mean pass@k in ppm",
+    tags=("ext", "behavior", "eval"),
+)
+def pass_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ONE uniform user-keyed aggregation builds the task
+    table; each k-leg is a bounded arithmetic projection + single-row
+    aggregate over it (the task table is |users|-sized, the output is
+    |ks| rows). No windows, no joins, no floats."""
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    tasks = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long")
+        .alias("c"),
+    )
+    tasks = tasks.localCheckpoint(eager=False)  # one compute, |ks| legs
+    legs = []
+    for k in _PASSK_KS:
+        legs.append(
+            tasks.filter(F.col("n") >= k).agg(
+                F.lit(k).cast("int").alias("k"),
+                F.count(F.lit(1)).cast("long").alias("n_tasks"),
+                F.sum("n").cast("long").alias("n_samples"),
+                F.sum("c").cast("long").alias("n_successes"),
+                F.expr(
+                    f"CAST(sum({_PASSK_SCALE} - {_passk_fail_expr(k, 'div')})"
+                    " div count(1) AS BIGINT)"
+                ).alias("mean_pass_ppm"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out

@@ -4710,3 +4710,135 @@ def lsh_s_curve_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "measured_collision_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cosine -> duplicate-probability calibration: the curve that turns a
+# similarity score into a dedup THRESHOLD. Ground truth = exact text
+# duplication (md5 of the lowercased text); score = embedding cosine on
+# the label-blocked pair set; the isotonic fit (operators/calibrate.py,
+# second consumer after the NB margin curve) is the monotone
+# P(duplicate | cosine bin) a pipeline reads the operating point off.
+# ---------------------------------------------------------------------------
+from amazon_kinesis_data_streams_health_check_spark.operators.calibrate import (  # noqa: E402
+    duckdb_isotonic_ctes,
+    isotonic_fit,
+)
+
+_COSCAL_BINS = 10  # cosine deciles over [-1, 1], width 0.2
+
+_COSCAL_BIN_EXPR = "least(9, greatest(0, CAST(floor((cos_raw + 1.0) * 5.0) AS BIGINT)))"
+
+_COSCAL_SAMPLE_PCT = 25  # deterministic md5 pair sample — the 100 TB knob
+
+_COSCAL_SQL = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {duck_cosine('a.embedding', 'b.embedding')} AS cos_raw,
+         CASE WHEN da.h = db.h THEN 1 ELSE 0 END AS is_dup
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  JOIN (SELECT doc_id, md5(lower(text)) AS h FROM documents) da
+    ON da.doc_id = a.vec_id
+  JOIN (SELECT doc_id, md5(lower(text)) AS h FROM documents) db
+    ON db.doc_id = b.vec_id
+  WHERE {duck_hash_uniform("a.vec_id || '_' || b.vec_id")} * 100
+        < {_COSCAL_SAMPLE_PCT} * 4294967296
+),
+bins AS (
+  SELECT {_COSCAL_BIN_EXPR} AS cos_bin,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(is_dup) AS BIGINT) AS n_dups
+  FROM pairs GROUP BY 1
+),{duckdb_isotonic_ctes("bins", "cos_bin", "n_dups", "n_pairs")}
+SELECT b.cos_bin,
+       CAST(b.cos_bin * 200 - 1000 AS BIGINT) AS cos_lo_milli,
+       b.n_pairs, b.n_dups,
+       CAST(1000000 * b.n_dups // b.n_pairs AS BIGINT) AS dup_rate_ppm,
+       CAST(floor(iso.iso_avg * 1000000) AS BIGINT) AS iso_dup_rate_ppm,
+       iso.iso_avg <> CAST(b.n_dups AS DOUBLE) / CAST(b.n_pairs AS DOUBLE)
+         AS pooled
+FROM bins b JOIN iso ON iso.cos_bin = b.cos_bin
+"""
+
+
+@register(
+    "isotonic_cosine_dup_curve",
+    oracle=_COSCAL_SQL,
+    doc="Dedup-threshold calibration: exact-duplicate rate per embedding-"
+    "cosine decile on the label-blocked pair set, with the isotonic (PAV) "
+    "monotone fit — the P(duplicate | cosine) curve a pipeline reads its "
+    "dedup operating point off; second consumer of the shared isotonic "
+    "operator",
+    tags=("ext", "similarity", "ml"),
+)
+def isotonic_cosine_dup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: pair generation is the label-blocked self-join (the
+    embedding_near_dups stance) THINNED by a deterministic md5 pair sample
+    ({_COSCAL_SAMPLE_PCT}% — calibration needs a rate estimate per bin,
+    not every pair, and the sample rate is the knob that keeps the
+    within-block quadratic growth paid only at the rate the curve needs);
+    the md5 text-hash attach broadcasts the 2-column doc digest; the
+    corpus then reduces to <= {_COSCAL_BINS} bins and the PAV fit runs on
+    that bounded table via broadcast-nested-loop self-joins."""
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    docs = parallel_scan(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.lower("text")).alias("h")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), "label",
+        F.col("embedding").alias("emb_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), "label",
+        F.col("embedding").alias("emb_b"),
+    )
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        hash_uniform,
+    )
+
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(
+            hash_uniform("concat(CAST(vec_a AS STRING), '_', CAST(vec_b AS STRING))")
+            * 100
+            < F.lit(_COSCAL_SAMPLE_PCT) * F.lit(4294967296)
+        )
+        .join(
+            F.broadcast(docs.select(F.col("doc_id").alias("vec_a"),
+                                    F.col("h").alias("ha"))),
+            "vec_a",
+        )
+        .join(
+            F.broadcast(docs.select(F.col("doc_id").alias("vec_b"),
+                                    F.col("h").alias("hb"))),
+            "vec_b",
+        )
+        .select(
+            cosine_expr("emb_a", "emb_b").alias("cos_raw"),
+            (F.col("ha") == F.col("hb")).cast("int").alias("is_dup"),
+        )
+    )
+    bins = pairs.groupBy(F.expr(_COSCAL_BIN_EXPR).alias("cos_bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("is_dup").cast("long").alias("n_dups"),
+    )
+    fitted = isotonic_fit(bins, "cos_bin", "n_dups", "n_pairs")
+    return fitted.select(
+        "cos_bin",
+        (F.col("cos_bin") * 200 - 1000).cast("long").alias("cos_lo_milli"),
+        "n_pairs",
+        "n_dups",
+        F.expr("CAST(1000000 * n_dups div n_pairs AS BIGINT)").alias(
+            "dup_rate_ppm"
+        ),
+        F.floor(F.col("iso_avg") * 1000000).cast("long").alias(
+            "iso_dup_rate_ppm"
+        ),
+        (
+            F.col("iso_avg")
+            != F.col("n_dups").cast("double") / F.col("n_pairs").cast("double")
+        ).alias("pooled"),
+    )

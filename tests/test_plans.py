@@ -1960,3 +1960,23 @@ def test_mmr_single_corpus_pass_then_pool_sized(spark, sf_small):
         assert marker not in plan, plan
     for spec in re.findall(r"windowspecdefinition\(([^,]+),", plan):
         assert "query_id" in spec, plan
+
+
+def test_pass_at_k_single_aggregation_no_joins(spark, sf_small):
+    """One user-keyed aggregation builds the task table; the k-legs are
+    arithmetic projections — no joins, no windows, no Python workers."""
+    plan = plan_of(spark, sf_small, "pass_at_k_eval")
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+
+
+def test_cosine_dup_curve_broadcasts_digest_and_fit(spark, sf_small):
+    """The md5 digest attaches broadcast; pair generation stays the
+    label-blocked join; the PAV stage is broadcast-nested-loop on the
+    <=10-bin table — no sort-merge join anywhere."""
+    plan = plan_of(spark, sf_small, "isotonic_cosine_dup_curve")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan

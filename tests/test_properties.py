@@ -990,3 +990,34 @@ def test_absorbing_sweep_closed_form_self_loop():
     want_t = 2 * (1 - 0.5**_ABSORB_ITERS) * _ABSORB_SCALE
     assert abs(a_ppm - want_a) < 50  # integer-floor slack
     assert abs(t_micro - want_t) < 100
+
+
+# ---------------------------------------------------------------------------
+# pass@k stepwise-floored estimator == exact hypergeometric (comb) value
+# ---------------------------------------------------------------------------
+@settings(max_examples=40, deadline=None)
+@given(n=st.integers(1, 400), c_frac=st.integers(0, 100), k=st.sampled_from([1, 5, 10]))
+def test_pass_at_k_floored_product_tracks_exact(n, c_frac, k):
+    """f_0=1e6, f_{j+1}=f_j*(n-c-j) div (n-j) must equal the exact
+    1e6*C(n-c,k)/C(n,k) up to k floor units, never exceeding it."""
+    import math
+
+    if n < k:
+        return
+    c = n * c_frac // 100
+    f = 10**6
+    for j in range(k):
+        f = f * max(0, n - c - j) // (n - j)
+    exact = 10**6 * math.comb(n - c, k) // math.comb(n, k) if n - c >= k else 0
+    assert f <= exact + 1  # floors only push down; +1 for the exact's own floor
+    assert exact - f <= k
+    # brute-force sanity at tiny n: P(k-subset all-fail) via enumeration
+    if n <= 8:
+        import itertools
+
+        fails = [1] * (n - c) + [0] * c
+        allfail = sum(
+            1 for s in itertools.combinations(fails, k) if all(s)
+        )
+        total = math.comb(n, k)
+        assert abs(f - 10**6 * allfail // total) <= k
