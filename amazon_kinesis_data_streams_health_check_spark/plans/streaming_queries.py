@@ -3779,3 +3779,118 @@ def streaming_journey_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(
         journey_stream(feed, costs), "journey", output_mode="update"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sequence packing: the online twin of curation_pack_sequences.
+# Docs arrive in the deterministic md5-shuffle order (the layout service's
+# delivery order) and each is bin-assigned on arrival; the state store
+# carries ONE BIGINT per source (the running token total), so the sink's
+# (cum_tokens, bin) pairs equal the batch window cumsum exactly — one
+# shared per-doc oracle.
+# ---------------------------------------------------------------------------
+_SPACK_BUDGET = 512
+
+
+def _spack_sql() -> str:
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        duck_hash_uniform,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.operators.textstats import (
+        TOKEN_RE,
+    )
+
+    duck_tok = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, CAST(len({duck_tok}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY source
+           ORDER BY {duck_hash_uniform('doc_id')}, doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum_tokens
+  FROM tok
+)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(floor((cum_tokens - 1) / {_SPACK_BUDGET}) AS BIGINT) AS bin
+FROM packed
+"""
+
+
+@register(
+    "streaming_pack_assign",
+    oracle=_spack_sql(),
+    doc="Streaming sequence packing: applyInPandasWithState carrying one "
+    "running token total per source, assigning each arriving doc its "
+    f"{_SPACK_BUDGET}-token training bin in md5-shuffle delivery order — "
+    "4 mtime-ordered feed chunks cut on shuffle-key ranges (cross-batch "
+    "state for real), value-hash checked against the batch packing "
+    "window's per-doc cumsum",
+    tags=("ext", "streaming", "curation"),
+)
+def streaming_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: state is ONE BIGINT per source; each micro-batch folds
+    its docs in shuffle-key order. The drive cuts feed files on
+    shuffle-key ranges so per-source arrival order equals the batch
+    window's order — the condition the real layout service guarantees by
+    construction (it IS the thing emitting the order)."""
+    import shutil
+
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        hash_uniform,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.operators.textstats import (
+        TOKEN_RE,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.streaming.pack import (
+        pack_stream,
+    )
+
+    configure_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    feed_rows = docs.select(
+        "source",
+        hash_uniform("doc_id").alias("ou"),
+        "doc_id",
+        F.expr(
+            f"CAST(size(regexp_extract_all(lower(text), '{TOKEN_RE}', 0))"
+            " AS BIGINT)"
+        ).alias("n_tokens"),
+    ).localCheckpoint(eager=False)
+
+    # 4 single-file chunks cut on shuffle-key (ou) ranges, mtimes strictly
+    # ascending: per-source arrival order across micro-batches equals the
+    # batch window's (ou, doc_id) order.
+    feed_dir = tempfile.mkdtemp(prefix="spack_feed_")
+    n_chunks = 4
+    step = (1 << 32) // n_chunks
+    cuts = [i * step for i in range(n_chunks)] + [1 << 32]
+    for i in range(n_chunks):
+        chunk = feed_rows.filter(
+            (F.col("ou") >= cuts[i]) & (F.col("ou") < cuts[i + 1])
+        )
+        tmp = tempfile.mkdtemp(prefix=f"spack_chunk{i}_")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p
+            for p in sorted(os.listdir(tmp))
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = os.path.join(feed_dir, f"chunk_{i:02d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    feed = (
+        spark.readStream.schema(
+            "source string, ou long, doc_id long, n_tokens long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    return _run_to_memory(
+        pack_stream(feed, _SPACK_BUDGET), "spack", output_mode="update"
+    )

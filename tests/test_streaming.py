@@ -648,3 +648,63 @@ def test_journey_stream_slicing_invariant_and_matches_python(spark, tmp_path):
             s += costs[(a, b)]
             want.append((u, i, s, 10**6 * s // i))
     assert one == sorted(want)
+
+
+def test_pack_stream_slicing_invariant_and_matches_python(spark, tmp_path):
+    """The streaming packer emits identical bin assignments whether the
+    feed arrives as one micro-batch or three, matching a direct Python
+    cumsum in shuffle-key order."""
+    import os
+
+    from amazon_kinesis_data_streams_health_check_spark.streaming.pack import (
+        pack_stream,
+    )
+
+    rows = [  # (source, ou, doc_id, n_tokens) — ou pre-assigned
+        ("s0", 10, 1, 300), ("s0", 20, 2, 300), ("s0", 30, 3, 100),
+        ("s0", 40, 4, 900), ("s1", 15, 5, 512), ("s1", 35, 6, 1),
+    ]
+    ddl = "source string, ou long, doc_id long, n_tokens long"
+    feed_df = spark.createDataFrame(rows, ddl)
+
+    def drive(n_chunks: int, tag: str):
+        src = tmp_path / f"pfeed_{tag}"
+        os.makedirs(src)
+        per = 50 // n_chunks + 1
+        for i in range(n_chunks):
+            c = feed_df.filter(
+                (F.col("ou") >= i * per) & (F.col("ou") < (i + 1) * per)
+            )
+            d = tmp_path / f"pw_{tag}_{i}"
+            c.coalesce(1).write.parquet(str(d))
+            part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+            dst = src / f"chunk_{i:02d}.parquet"
+            os.rename(d / part, dst)
+            os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+        stream = (
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            pack_stream(stream, 512)
+            .writeStream.format("memory")
+            .queryName(f"pack_{tag}")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"pckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return sorted(tuple(r) for r in spark.table(f"pack_{tag}").collect())
+
+    one = drive(1, "one")
+    three = drive(3, "three")
+    assert one == three
+
+    want = []
+    cum: dict[str, int] = {}
+    for s, ou, d, n in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        cum[s] = cum.get(s, 0) + n
+        want.append((d, s, n, cum[s], (cum[s] - 1) // 512))
+    assert one == sorted(want)
