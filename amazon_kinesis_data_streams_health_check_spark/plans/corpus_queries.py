@@ -4102,3 +4102,136 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return out(s1, 1).unionAll(out(s2, 2)).unionAll(out(s3, 3))
+
+
+# ---------------------------------------------------------------------------
+# Earth-mover drift between per-source length distributions: the transport
+# metric the drift family was missing next to PSI (embedding_drift_psi)
+# and KS (ks_drift_test) — unlike both, EMD weighs HOW FAR mass moved, so
+# a one-bin shift and a ten-bin shift stop looking alike. Over a bounded
+# fixed-bin histogram, 1-D EMD = sum of |cumulative differences|, which is
+# exact integer arithmetic in ppm mass units — zero floats.
+# ---------------------------------------------------------------------------
+_EMD_BIN_W = 64  # doc-length (tokens) bin width
+_EMD_BINS = 32  # fixed bin count; the tail shares the top bin
+
+_EMD_SQL = f"""
+WITH lens AS (
+  SELECT source,
+         least({_EMD_BINS - 1}, CAST(len({_DUCK_TOK}) AS BIGINT)
+               // {_EMD_BIN_W}) AS bin
+  FROM documents
+),
+per_src AS (
+  SELECT source, bin, CAST(count(*) AS BIGINT) AS c
+  FROM lens GROUP BY source, bin
+),
+src_tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM per_src GROUP BY source
+),
+gbins AS (
+  SELECT bin, CAST(sum(c) AS BIGINT) AS gc FROM per_src GROUP BY bin
+),
+glob_tot AS (SELECT CAST(sum(gc) AS BIGINT) AS gn FROM gbins),
+grid AS (
+  SELECT s.source, b.bin,
+         coalesce(p.c, 0) AS c, s.n, coalesce(g.gc, 0) AS gc, t.gn
+  FROM src_tot s
+  CROSS JOIN (SELECT unnest(range(0, {_EMD_BINS})) AS bin) b
+  LEFT JOIN per_src p ON p.source = s.source AND p.bin = b.bin
+  LEFT JOIN gbins g ON g.bin = b.bin
+  CROSS JOIN glob_tot t
+),
+cum AS (
+  SELECT source, bin,
+         sum(1000000 * c // n) OVER w AS cum_src_ppm,
+         sum(1000000 * gc // gn) OVER w AS cum_glob_ppm
+  FROM grid
+  WINDOW w AS (PARTITION BY source ORDER BY bin ROWS UNBOUNDED PRECEDING)
+)
+SELECT source,
+       CAST(sum(abs(cum_src_ppm - cum_glob_ppm)) AS BIGINT)
+         AS emd_ppm_bins,
+       CAST(max(abs(cum_src_ppm - cum_glob_ppm)) AS BIGINT) AS ks_ppm,
+       CAST(sum(CASE WHEN cum_src_ppm <> cum_glob_ppm THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bins_moved
+FROM cum GROUP BY source
+"""
+
+
+@register(
+    "length_emd_drift",
+    oracle=_EMD_SQL,
+    doc=f"Distribution drift as transport cost: 1-D earth-mover distance "
+    f"(sum of |cumulative differences| over {_EMD_BINS} fixed "
+    f"{_EMD_BIN_W}-token length bins, exact integer ppm-mass units) of "
+    "each source's doc-length histogram vs the pooled corpus, with the "
+    "KS statistic and moved-bin count riding the same cumsum — the drift "
+    "metric that distinguishes a one-bin shift from a ten-bin shift "
+    "where PSI and KS cannot",
+    tags=("ext", "corpus", "quality"),
+)
+def length_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one corpus pass into a (source, bin)-keyed aggregate
+    (bounded: |sources| * {_EMD_BINS} rows); the grid densification,
+    cumulative sums, and EMD rollup all run on that bounded table — the
+    windows partition by source over {_EMD_BINS}-row frames."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    lens = docs.select(
+        "source",
+        F.least(
+            F.lit(_EMD_BINS - 1),
+            F.expr(f"CAST(size({_SPARK_TOK}) AS BIGINT) div {_EMD_BIN_W}"),
+        ).alias("bin"),
+    )
+    per_src = lens.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_src = per_src.localCheckpoint(eager=False)  # feeds 3 aggregates
+    src_tot = per_src.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    glob = per_src.groupBy("bin").agg(F.sum("c").cast("long").alias("gc"))
+    glob_tot = per_src.agg(F.sum("c").cast("long").alias("gn"))
+    bins = spark.range(_EMD_BINS).select(F.col("id").cast("long").alias("bin"))
+    grid = (
+        src_tot.crossJoin(F.broadcast(bins))
+        .join(per_src, ["source", "bin"], "left")
+        .join(F.broadcast(glob), "bin", "left")
+        .crossJoin(F.broadcast(glob_tot))
+        .select(
+            "source",
+            "bin",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            "n",
+            F.coalesce("gc", F.lit(0)).alias("gc"),
+            "gn",
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "source",
+        "bin",
+        F.sum(F.expr("1000000 * c div n")).over(w).alias("cum_src_ppm"),
+        F.sum(F.expr("1000000 * gc div gn")).over(w).alias("cum_glob_ppm"),
+    )
+    return cum.groupBy("source").agg(
+        F.sum(F.abs(F.col("cum_src_ppm") - F.col("cum_glob_ppm")))
+        .cast("long")
+        .alias("emd_ppm_bins"),
+        F.max(F.abs(F.col("cum_src_ppm") - F.col("cum_glob_ppm")))
+        .cast("long")
+        .alias("ks_ppm"),
+        F.sum(
+            (F.col("cum_src_ppm") != F.col("cum_glob_ppm")).cast("int")
+        )
+        .cast("long")
+        .alias("n_bins_moved"),
+    )

@@ -1980,3 +1980,14 @@ def test_cosine_dup_curve_broadcasts_digest_and_fit(spark, sf_small):
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_length_emd_windows_bounded_by_source(spark, sf_small):
+    """All work after the one (source, bin)-keyed corpus aggregation runs
+    on the bounded grid: windows partition by source over 32-row frames,
+    every dimension join broadcasts, no cartesian."""
+    plan = plan_of(spark, sf_small, "length_emd_drift")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    for spec in re.findall(r"windowspecdefinition\(([^,]+),", plan):
+        assert "source" in spec, plan

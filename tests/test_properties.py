@@ -1021,3 +1021,58 @@ def test_pass_at_k_floored_product_tracks_exact(n, c_frac, k):
         )
         total = math.comb(n, k)
         assert abs(f - 10**6 * allfail // total) <= k
+
+
+# ---------------------------------------------------------------------------
+# Length EMD drift == Python cumulative-histogram model
+# ---------------------------------------------------------------------------
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["s0", "s1"]), st.integers(0, 2200)),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_length_emd_matches_python_model(spark, tmp_path_factory, docs):
+    from amazon_kinesis_data_streams_health_check_spark.plans.corpus_queries import (
+        _EMD_BIN_W,
+        _EMD_BINS,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    sf_dir = str(tmp_path_factory.mktemp("emdcorpus"))
+    rows = [
+        (i, " ".join(["w"] * n), "en", s, 2 * n)
+        for i, (s, n) in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        r.source: (r.emd_ppm_bins, r.ks_ppm, r.n_bins_moved)
+        for r in get("length_emd_drift").builder(spark, sf_dir).collect()
+    }
+
+    def hist(items):
+        h = [0] * _EMD_BINS
+        for n in items:
+            h[min(_EMD_BINS - 1, n // _EMD_BIN_W)] += 1
+        return h
+
+    all_lens = [n for _, n in docs]
+    gh, gn = hist(all_lens), len(all_lens)
+    want = {}
+    for s in {s for s, _ in docs}:
+        sl = [n for src, n in docs if src == s]
+        sh, sn = hist(sl), len(sl)
+        cs = cg = emd = ks = moved = 0
+        for b in range(_EMD_BINS):
+            cs += 10**6 * sh[b] // sn
+            cg += 10**6 * gh[b] // gn
+            emd += abs(cs - cg)
+            ks = max(ks, abs(cs - cg))
+            moved += 1 if cs != cg else 0
+        want[s] = (emd, ks, moved)
+    assert got == want
