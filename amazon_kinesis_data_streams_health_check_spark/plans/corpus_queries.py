@@ -3439,9 +3439,9 @@ def _duck_lcp(a: str, b: str) -> str:
     )
 
 
-# Shared CTE prefix down to per-position scores — consumed by the per-doc
-# report below AND the scrub-plan query that follows it.
-_SFX_SCORE_CTES = f"""
+# Shared CTE prefixes: suffixes (consumed by the ingest probe too), then
+# per-position scores — consumed by the per-doc report AND the scrub plan.
+_SFX_BASE_CTES = f"""
 WITH base AS (
   SELECT doc_id, source, {_DUCK_TOK} AS t FROM documents
 ),
@@ -3457,7 +3457,9 @@ sfx AS (
          md5(array_to_string(t[p:p + {_SFX_N - 1}], ' ')) AS anchor,
          t[p:p + {_SFX_MAX_T - 1}] AS ext
   FROM pos
-),
+)"""
+
+_SFX_SCORE_CTES = _SFX_BASE_CTES + f""",
 nb AS (
   SELECT doc_id, p, ext,
          lag(ext) OVER w AS pe,
@@ -3508,12 +3510,9 @@ def _spark_lcp(a: str, b: str) -> str:
     )
 
 
-def _sfx_scores(spark: SparkSession, sf_dir: str):
-    """Shared Spark legs of the suffix family: the checkpointed tokenized
-    docs table and the per-position (doc_id, p, maxdup) score relation —
-    mirrors the ``_SFX_SCORE_CTES`` SQL prefix."""
-    from pyspark.sql import Window
-
+def _sfx_suffixes(spark: SparkSession, sf_dir: str):
+    """Checkpointed tokenized docs + the (doc_id, p, anchor, ext) suffix
+    relation — mirrors the ``_SFX_BASE_CTES`` SQL prefix."""
     configure_session(spark)
     docs = parallel_scan(spark, sf_dir, "documents")
     tok = docs.select(
@@ -3542,6 +3541,16 @@ def _sfx_scores(spark: SparkSession, sf_dir: str):
         )
         .select("doc_id", "s.p", "s.anchor", "s.ext")
     )
+    return tok, sfx
+
+
+def _sfx_scores(spark: SparkSession, sf_dir: str):
+    """Shared Spark legs of the suffix family: the checkpointed tokenized
+    docs table and the per-position (doc_id, p, maxdup) score relation —
+    mirrors the ``_SFX_SCORE_CTES`` SQL prefix."""
+    from pyspark.sql import Window
+
+    tok, sfx = _sfx_suffixes(spark, sf_dir)
     w = Window.partitionBy("anchor").orderBy("ext", "doc_id", "p")
     sc = (
         sfx.withColumn("pe", F.lag("ext").over(w))
@@ -4234,4 +4243,130 @@ def length_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("n_bins_moved"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring INGEST PROBE: incremental form of dedup_exact_substring.
+# At 100 TB a new ingest batch must not re-sort the corpus suffix index:
+# the (anchor, ext) rows of history are PERSISTED once in the snapshot
+# lake, and each batch probes the stored index for its own duplicated
+# runs against history — per new doc the longest cross-corpus run, the
+# count of >=16-token positions, and the contamination fraction. This is
+# also exactly the decontamination shape ("does the new batch overlap the
+# held-out set") with history = the protected corpus.
+# ---------------------------------------------------------------------------
+_SFX_PROBE_SQL = (
+    _SFX_BASE_CTES
+    + f""",
+hist AS (SELECT * FROM sfx WHERE doc_id % 2 = 0),
+inc AS (SELECT * FROM sfx WHERE doc_id % 2 = 1),
+probe AS (
+  SELECT i.doc_id, i.p,
+         max({_duck_lcp('i.ext', 'h.ext')}) AS maxdup
+  FROM inc i JOIN hist h ON h.anchor = i.anchor
+  GROUP BY i.doc_id, i.p
+),
+agg AS (
+  SELECT doc_id,
+         CAST(max(maxdup) AS BIGINT) AS longest_hist_dup,
+         CAST(sum(CASE WHEN maxdup >= {_SFX_L} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hist_dup_positions
+  FROM probe GROUP BY doc_id
+)
+SELECT d.doc_id, d.source, d.n_tokens,
+       coalesce(agg.longest_hist_dup, 0) AS longest_hist_dup,
+       coalesce(agg.n_hist_dup_positions, 0) AS n_hist_dup_positions,
+       CASE WHEN d.n_tokens >= {_SFX_N} THEN round(
+         CAST(coalesce(agg.n_hist_dup_positions, 0) AS DOUBLE)
+           / CAST(d.n_tokens - {_SFX_N - 1} AS DOUBLE), 6)
+         ELSE 0.0 END AS hist_dup_frac
+FROM docs d LEFT JOIN agg ON agg.doc_id = d.doc_id
+WHERE d.doc_id % 2 = 1
+"""
+)
+
+
+@register(
+    "exact_substring_ingest_probe",
+    oracle=_SFX_PROBE_SQL,
+    doc="Incremental substring dedup at ingest: the history suffix index "
+    "(anchor-keyed 32-token windows) is persisted in the snapshot lake "
+    "once; a new batch probes the STORED index for >=16-token exact runs "
+    "against history — per new doc the longest cross-corpus run and "
+    "contamination fraction. Index maintenance, not corpus recompute; "
+    "identical shape to a held-out decontamination check",
+    tags=("ext", "corpus", "dedup", "lake"),
+)
+def exact_substring_ingest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the probe joins the BATCH's suffix rows against the
+    persisted index on the md5 anchor key — cost scales with the batch
+    times the anchor-group hit sizes (the documented stop-gram knob;
+    boilerplate anchors are exactly where a cap belongs), never with
+    corpus x corpus. Per-pair LCP is codegen'd ``zip_with``; the per-
+    position max and per-doc rollup are ordinary keyed aggregations. The
+    index read comes BACK from the lake manifest, so a persistence bug
+    changes the counts and fails the oracle hash. The history/increment
+    split is doc_id parity (deterministic)."""
+    import tempfile as _tf
+
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_overwrite,
+    )
+
+    tok, sfx = _sfx_suffixes(spark, sf_dir)
+    sfx = sfx.localCheckpoint(eager=False)  # feeds the index write AND probe
+
+    lake = _tf.mkdtemp(prefix="sfx_index_")
+    hist = sfx.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "panchor", F.substring("anchor", 1, 1)
+    )
+    snapshot_overwrite(spark, hist, lake, partition_col="panchor")
+
+    index = read_snapshot(spark, lake).select(
+        F.col("anchor").alias("h_anchor"), F.col("ext").alias("h_ext")
+    )
+    inc = sfx.filter(F.col("doc_id") % 2 == 1)
+    probe = (
+        inc.join(index, inc["anchor"] == index["h_anchor"])
+        .selectExpr(
+            "doc_id",
+            "p",
+            f"{_spark_lcp('ext', 'h_ext')} AS lcp",
+        )
+        .groupBy("doc_id", "p")
+        .agg(F.max("lcp").alias("maxdup"))
+    )
+    agg = probe.groupBy("doc_id").agg(
+        F.max("maxdup").cast("long").alias("longest_hist_dup"),
+        F.sum((F.col("maxdup") >= _SFX_L).cast("long"))
+        .cast("long")
+        .alias("n_hist_dup_positions"),
+    )
+    out = (
+        tok.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "source", "n_tokens")
+        .join(agg, "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.coalesce("longest_hist_dup", F.lit(0))
+        .cast("long")
+        .alias("longest_hist_dup"),
+        F.coalesce("n_hist_dup_positions", F.lit(0))
+        .cast("long")
+        .alias("n_hist_dup_positions"),
+        F.when(
+            F.col("n_tokens") >= _SFX_N,
+            F.round(
+                F.coalesce("n_hist_dup_positions", F.lit(0)).cast("double")
+                / (F.col("n_tokens") - F.lit(_SFX_N - 1)).cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("hist_dup_frac"),
     )

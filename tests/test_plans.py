@@ -1991,3 +1991,15 @@ def test_length_emd_windows_bounded_by_source(spark, sf_small):
     assert "SortMergeJoin" not in plan, plan
     for spec in re.findall(r"windowspecdefinition\(([^,]+),", plan):
         assert "source" in spec, plan
+
+
+def test_absorbing_funnel_iteration_never_touches_events(spark, sf_small):
+    """Same contract as Bradley-Terry: the sweeps run on collected bounded
+    matrix metadata, so the Spark plan is one user window + bounded-key
+    aggregates + a broadcast attach — no cartesian, no Python workers."""
+    plan = plan_of(spark, sf_small, "funnel_absorbing_markov")
+    assert "CartesianProduct" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+    for spec in re.findall(r"windowspecdefinition\(([^,]+),", plan):
+        assert "user_id" in spec, plan

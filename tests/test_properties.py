@@ -450,6 +450,39 @@ def test_exact_substring_matches_bruteforce_lcp(spark, tmp_path_factory, docs):
             round(cut / len(ts), 6) if ts else 0.0
         )
 
+    # The ingest probe on the same corpus: odd docs scored against the
+    # persisted EVEN-doc suffix index only.
+    pr = {
+        r["doc_id"]: r.asDict()
+        for r in get("exact_substring_ingest_probe")
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    odd = [d for d in range(len(docs)) if d % 2 == 1]
+    assert set(pr) == set(odd)
+    for d in odd:
+        ts = toks[d]
+        maxdups = [
+            max(
+                (
+                    lcp(ext, e2)
+                    for d2, p2, a2, e2 in sfx
+                    if a2 == anchor and d2 % 2 == 0
+                ),
+                default=0,
+            )
+            for dd, p, anchor, ext in sfx
+            if dd == d
+        ]
+        row = pr[d]
+        assert row["n_tokens"] == len(ts)
+        assert row["longest_hist_dup"] == (max(maxdups) if maxdups else 0)
+        n_dup = sum(1 for m in maxdups if m >= 16)
+        assert row["n_hist_dup_positions"] == n_dup
+        assert row["hist_dup_frac"] == (
+            round(n_dup / (len(ts) - 7), 6) if len(ts) >= 8 else 0.0
+        )
+
 
 # ---------------------------------------------------------------------------
 # Isotonic fit (interval-average minimax) == classic sequential PAV model
