@@ -2692,3 +2692,158 @@ def pass_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionAll(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bootstrap CI on pass@k: the deterministic Poisson bootstrap (the
+# bootstrap_ci_poisson device — md5-inverse-CDF weights, one weighted
+# pass, never B scans) composed over the pass@k estimator, paired across
+# k (the same per-(task, replicate) draw reweights every k), giving the
+# error bars an eval harness quotes next to the point estimate.
+# ---------------------------------------------------------------------------
+_PKB_B = 64
+
+
+def _pkb_sql() -> str:
+    from amazon_kinesis_data_streams_health_check_spark.plans.mining_queries import (
+        _boot_weight_case,
+    )
+
+    u32 = (
+        f"CAST(('0x' || substr(md5(CAST(f.user_id * {_PKB_B} + b AS VARCHAR)),"
+        " 1, 8)) AS BIGINT)"
+    )
+    legs = []
+    for k in _PASSK_KS:
+        legs.append(f"""
+SELECT {k} AS k,
+       pt{k}.n_tasks, pt{k}.mean_pass_ppm,
+       ci{k}.n_replicates,
+       CAST(ci{k}.ms[2] AS BIGINT) AS ci_lo_ppm,
+       CAST(ci{k}.ms[{_PKB_B - 1}] AS BIGINT) AS ci_hi_ppm
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_tasks,
+         CAST(sum(pass_ppm) // count(*) AS BIGINT) AS mean_pass_ppm
+  FROM scored{k}
+) pt{k} CROSS JOIN (
+  SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+         list_sort(list(mean_ppm)) AS ms
+  FROM (
+    SELECT b, CAST(sum(wt * pass_ppm) // sum(wt) AS BIGINT) AS mean_ppm
+    FROM (
+      SELECT s.pass_ppm, f.b,
+             {_boot_weight_case(u32)} AS wt
+      FROM scored{k} s
+      JOIN (SELECT user_id, unnest(range(0, {_PKB_B})) AS b
+            FROM tasks) f ON f.user_id = s.user_id
+    ) GROUP BY b HAVING sum(wt) > 0
+  )
+) ci{k}""")
+    scored = ",".join(
+        f"""
+scored{k} AS MATERIALIZED (
+  SELECT user_id, {_PASSK_SCALE} - {_passk_fail_expr(k, '//')} AS pass_ppm
+  FROM tasks WHERE n >= {k}
+)"""
+        for k in _PASSK_KS
+    )
+    return (
+        """
+WITH tasks AS MATERIALIZED (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM events GROUP BY user_id
+),"""
+        + scored
+        + " ".join(f"{'' if i == 0 else 'UNION ALL'}{leg}" for i, leg in enumerate(legs))
+    )
+
+
+@register(
+    "pass_at_k_bootstrap_ci",
+    oracle=_pkb_sql(),
+    doc=f"Error bars for pass@k: {_PKB_B} deterministic md5-Poisson "
+    "bootstrap replicates of the mean pass@k (paired draws across k in "
+    f"{_PASSK_KS}) in ONE weighted pass — point estimate with ~95% "
+    "percentile CI per k, the confidence sheet an eval harness quotes",
+    tags=("ext", "behavior", "eval", "stats"),
+)
+def pass_at_k_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the task table is one uniform user-keyed aggregation;
+    each k-leg fans it x{_PKB_B} with a narrow constant-array explode (no
+    shuffle), aggregates replicate means on the uniform b key, and
+    collects exactly {_PKB_B} integers — bounded state. Never {_PKB_B}
+    scans; weights are md5-inverse-CDF draws so any partitioning or retry
+    reproduces the identical resample."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.mining_queries import (
+        _boot_weight_case,
+    )
+
+    configure_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    tasks = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long")
+        .alias("c"),
+    )
+    tasks = tasks.localCheckpoint(eager=False)  # one compute, 2*|ks| legs
+    u32 = (
+        f"CAST(conv(substr(md5(CAST(user_id * {_PKB_B} + b AS STRING)), 1, 8),"
+        " 16, 10) AS BIGINT)"
+    )
+    legs = []
+    for k in _PASSK_KS:
+        scored = tasks.filter(F.col("n") >= k).select(
+            "user_id",
+            F.expr(
+                f"CAST({_PASSK_SCALE} - {_passk_fail_expr(k, 'div')} AS BIGINT)"
+            ).alias("pass_ppm"),
+        )
+        scored = scored.localCheckpoint(eager=False)  # point AND replicates
+        pt = scored.agg(
+            F.count(F.lit(1)).cast("long").alias("n_tasks"),
+            F.expr("CAST(sum(pass_ppm) div count(1) AS BIGINT)").alias(
+                "mean_pass_ppm"
+            ),
+        )
+        fan = scored.select(
+            "user_id",
+            "pass_ppm",
+            F.explode(F.expr(f"sequence(0, {_PKB_B - 1})")).alias("b"),
+        )
+        reps = (
+            fan.select(
+                "b",
+                "pass_ppm",
+                F.expr(_boot_weight_case(u32)).alias("wt"),
+            )
+            .groupBy("b")
+            .agg(
+                F.expr("CAST(sum(wt * pass_ppm) div sum(wt) AS BIGINT)").alias(
+                    "mean_ppm"
+                ),
+                F.sum("wt").alias("sw"),
+            )
+            .filter(F.col("sw") > 0)
+        )
+        ci = reps.agg(
+            F.count(F.lit(1)).cast("long").alias("n_replicates"),
+            F.array_sort(F.collect_list("mean_ppm")).alias("ms"),
+        )
+        legs.append(
+            pt.crossJoin(F.broadcast(ci)).select(
+                F.lit(k).cast("int").alias("k"),
+                "n_tasks",
+                "mean_pass_ppm",
+                "n_replicates",
+                F.element_at("ms", 2).cast("long").alias("ci_lo_ppm"),
+                F.element_at("ms", _PKB_B - 1).cast("long").alias("ci_hi_ppm"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out
