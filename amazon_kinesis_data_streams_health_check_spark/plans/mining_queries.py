@@ -4203,3 +4203,274 @@ def unigram_lm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("em_count").isNotNull().alias("survives"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM round 2 — the M-step + re-segmentation that completes the
+# hard-EM cycle: prune the seed vocabulary to Viterbi-used pieces (single
+# chars always kept — dropping one can make a word unsegmentable),
+# re-derive costs from the Laplace-smoothed EM counts, and Viterbi again.
+# The emitted sheet is the convergence evidence a tokenizer-training run
+# watches: corpus bits and pieces-per-word before/after, how many word
+# types changed segmentation, and the vocabulary shrink.
+# ---------------------------------------------------------------------------
+def _ug_walk_sql(tag: str, opts_cte: str) -> str:
+    """One recursive Viterbi walk (the round-1 walk, parameterized by the
+    (word, endpos) -> options CTE) named ``walk_{tag}``."""
+    d = f"w.dists[CAST(w.j + 2 - o.len AS INT)]"
+    return f"""
+walk_{tag}(word, n, j, dists) AS (
+  SELECT word, n, 0, ['{"0" * 12}'] FROM types
+  UNION ALL
+  SELECT w.word, w.n, w.j + 1,
+    w.dists || [list_min(list_transform(e.opts, o ->
+      lpad(CAST(CAST(substr({d}, 1, 8) AS BIGINT) + o.cost AS VARCHAR), 8, '0')
+      || lpad(CAST(CAST(substr({d}, 9, 4) AS BIGINT) + 1 AS VARCHAR), 4, '0')
+      || CASE WHEN CAST(substr({d}, 9, 4) AS BIGINT) = 0
+              THEN substr(w.word, CAST(w.j - o.len + 2 AS INT),
+                          CAST(o.len AS INT))
+              ELSE substr({d}, 13) || ' '
+                   || substr(w.word, CAST(w.j - o.len + 2 AS INT),
+                             CAST(o.len AS INT)) END))]
+  FROM walk_{tag} w JOIN {opts_cte} e
+    ON e.word = w.word AND e.endpos = w.j + 1
+  WHERE w.j < length(w.word)
+),
+seg_{tag} AS MATERIALIZED (
+  SELECT word, n, dists[length(word) + 1] AS enc
+  FROM walk_{tag} WHERE j = length(word)
+)"""
+
+
+_UNIGRAM2_SQL = f"""
+WITH RECURSIVE
+tok AS (
+  SELECT unnest({_DUCK_TOK}) AS word FROM documents
+),
+types AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY word
+),
+cand AS MATERIALIZED (
+  SELECT word, n,
+         unnest(flatten(list_transform(range(1, length(word) + 1), p ->
+           list_transform(range(1, least({_UG_MAXLEN}, length(word) - p + 1) + 1),
+             l -> struct_pack(pos := p, len := l,
+                    sub := substr(word, CAST(p AS INT), CAST(l AS INT))))))) AS c
+  FROM types
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cand),
+vocab AS MATERIALIZED (
+  SELECT c.sub AS sub, CAST(sum(n) AS BIGINT) AS seed_weight,
+         CAST(length(bin((SELECT total FROM tot) // sum(n))) - 1 AS BIGINT)
+           AS seed_cost_bits
+  FROM cand
+  GROUP BY c.sub
+  HAVING 1000 * sum(n) >= {_UG_REL_PPK} * (SELECT total FROM tot)
+      OR length(c.sub) = 1
+),
+opts1 AS MATERIALIZED (
+  SELECT cc.word, cc.c.pos + cc.c.len - 1 AS endpos,
+         list(struct_pack(len := cc.c.len, cost := v.seed_cost_bits)) AS opts
+  FROM cand cc JOIN vocab v ON v.sub = cc.c.sub
+  GROUP BY cc.word, cc.c.pos + cc.c.len - 1
+),
+{_ug_walk_sql("r1", "opts1")},
+em AS MATERIALIZED (
+  SELECT piece, CAST(sum(n) AS BIGINT) AS em_count
+  FROM (SELECT n, unnest(string_split(substr(enc, 13), ' ')) AS piece
+        FROM seg_r1)
+  GROUP BY piece
+),
+vocab2 AS MATERIALIZED (
+  SELECT v.sub, CAST(coalesce(em.em_count, 0) + 1 AS BIGINT) AS w1
+  FROM vocab v LEFT JOIN em ON em.piece = v.sub
+  WHERE em.em_count IS NOT NULL OR length(v.sub) = 1
+),
+tot2 AS (SELECT CAST(sum(w1) AS BIGINT) AS total FROM vocab2),
+costs2 AS MATERIALIZED (
+  SELECT sub, CAST(length(bin((SELECT total FROM tot2) // w1)) - 1 AS BIGINT)
+           AS cost
+  FROM vocab2
+),
+opts2 AS MATERIALIZED (
+  SELECT cc.word, cc.c.pos + cc.c.len - 1 AS endpos,
+         list(struct_pack(len := cc.c.len, cost := c2.cost)) AS opts
+  FROM cand cc JOIN costs2 c2 ON c2.sub = cc.c.sub
+  GROUP BY cc.word, cc.c.pos + cc.c.len - 1
+),
+{_ug_walk_sql("r2", "opts2")}
+SELECT
+  CAST((SELECT count(*) FROM types) AS BIGINT) AS n_word_types,
+  CAST((SELECT count(*) FROM vocab) AS BIGINT) AS vocab_r1,
+  CAST((SELECT count(*) FROM vocab2) AS BIGINT) AS vocab_r2,
+  CAST(sum(s1.n * CAST(substr(s1.enc, 1, 8) AS BIGINT)) AS BIGINT)
+    AS corpus_bits_r1,
+  CAST(sum(s1.n * CAST(substr(s2.enc, 1, 8) AS BIGINT)) AS BIGINT)
+    AS corpus_bits_r2,
+  CAST(sum(s1.n * CAST(substr(s1.enc, 9, 4) AS BIGINT)) AS BIGINT)
+    AS corpus_pieces_r1,
+  CAST(sum(s1.n * CAST(substr(s2.enc, 9, 4) AS BIGINT)) AS BIGINT)
+    AS corpus_pieces_r2,
+  CAST(sum(CASE WHEN substr(s1.enc, 13) <> substr(s2.enc, 13)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_types_changed
+FROM seg_r1 s1 JOIN seg_r2 s2 ON s2.word = s1.word
+"""
+
+
+@register(
+    "unigram_lm_em2",
+    oracle=_UNIGRAM2_SQL,
+    doc="Unigram-LM hard-EM round 2: prune the seed vocabulary to Viterbi-"
+    "used pieces (chars always kept), re-cost from Laplace-smoothed EM "
+    "counts, re-segment — emitting the convergence sheet (corpus bits and "
+    "pieces before/after, word types whose segmentation changed, vocab "
+    "shrink) a tokenizer-training run watches per round",
+    tags=("ext", "mining", "tokenizer"),
+)
+def unigram_lm_em2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: identical to round 1 twice over — the corpus is still
+    touched ONCE (the word TYPE table feeds both rounds); each round's
+    Viterbi is the single codegen'd ``aggregate`` fold per word with a
+    different broadcast-derived cost map. The round-2 vocabulary derives
+    from round-1 counts (Heaps-bounded), so the whole EM cycle is
+    type-table arithmetic."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    types = (
+        docs.select(F.explode(F.expr(_SPARK_TOK)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    cand = types.select(
+        "word",
+        "n",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, length(word)), p ->"
+                f" transform(sequence(1, least({_UG_MAXLEN},"
+                f" length(word) - p + 1)),"
+                f" l -> struct(cast(p as bigint) as pos,"
+                f" cast(l as bigint) as len, substr(word, p, l) as sub))))"
+            )
+        ).alias("c"),
+    ).select("word", "n", "c.*")
+    cand = cand.localCheckpoint(eager=False)
+    tot = cand.agg(F.sum("n").cast("long").alias("total"))
+    vocab = (
+        cand.groupBy("sub")
+        .agg(F.sum("n").cast("long").alias("seed_weight"))
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            (1000 * F.col("seed_weight") >= _UG_REL_PPK * F.col("total"))
+            | (F.length("sub") == 1)
+        )
+        .select(
+            "sub",
+            F.expr("CAST(length(bin(total div seed_weight)) - 1 AS BIGINT)")
+            .alias("cost"),
+        )
+    )
+    vocab = vocab.localCheckpoint(eager=False)
+
+    def omap_for(costs):
+        pc = cand.join(F.broadcast(costs), "sub").select(
+            "word",
+            (F.col("pos") + F.col("len") - 1).alias("endpos"),
+            "len",
+            "cost",
+        )
+        return (
+            pc.groupBy("word", "endpos")
+            .agg(F.collect_list(F.struct("len", "cost")).alias("opts"))
+            .groupBy("word")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("endpos", "opts"))
+                ).alias("om")
+            )
+        )
+
+    seg1 = types.join(omap_for(vocab), "word").select(
+        "word", "n", F.expr(_ug_spark_fold()).alias("enc")
+    )
+    seg1 = seg1.localCheckpoint(eager=False)  # feeds em AND the final join
+
+    em = (
+        seg1.select(
+            "n",
+            F.explode(F.split(F.expr("substr(enc, 13)"), " ")).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("n").cast("long").alias("em_count"))
+    )
+    vocab2 = (
+        vocab.join(em, vocab["sub"] == em["piece"], "left")
+        .filter(F.col("em_count").isNotNull() | (F.length("sub") == 1))
+        .select("sub", (F.coalesce("em_count", F.lit(0)) + 1).alias("w1"))
+    )
+    vocab2 = vocab2.localCheckpoint(eager=False)  # feeds tot2 AND costs2
+    tot2 = vocab2.agg(F.sum("w1").cast("long").alias("total2"))
+    costs2 = vocab2.crossJoin(F.broadcast(tot2)).select(
+        "sub",
+        F.expr("CAST(length(bin(total2 div w1)) - 1 AS BIGINT)").alias(
+            "cost"
+        ),
+    )
+    seg2 = types.join(omap_for(costs2), "word").select(
+        F.col("word").alias("word2"), F.expr(_ug_spark_fold()).alias("enc2")
+    )
+
+    joined = seg1.join(seg2, seg1["word"] == seg2["word2"])
+    counts = (
+        types.agg(F.count(F.lit(1)).cast("long").alias("n_word_types"))
+        .crossJoin(
+            F.broadcast(
+                vocab.agg(F.count(F.lit(1)).cast("long").alias("vocab_r1"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                vocab2.agg(F.count(F.lit(1)).cast("long").alias("vocab_r2"))
+            )
+        )
+    )
+    sums = joined.agg(
+        F.sum(
+            F.col("n") * F.expr("CAST(substr(enc, 1, 8) AS BIGINT)")
+        )
+        .cast("long")
+        .alias("corpus_bits_r1"),
+        F.sum(
+            F.col("n") * F.expr("CAST(substr(enc2, 1, 8) AS BIGINT)")
+        )
+        .cast("long")
+        .alias("corpus_bits_r2"),
+        F.sum(
+            F.col("n") * F.expr("CAST(substr(enc, 9, 4) AS BIGINT)")
+        )
+        .cast("long")
+        .alias("corpus_pieces_r1"),
+        F.sum(
+            F.col("n") * F.expr("CAST(substr(enc2, 9, 4) AS BIGINT)")
+        )
+        .cast("long")
+        .alias("corpus_pieces_r2"),
+        F.sum(
+            (
+                F.expr("substr(enc, 13)") != F.expr("substr(enc2, 13)")
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("n_types_changed"),
+    )
+    return counts.crossJoin(F.broadcast(sums)).select(
+        "n_word_types",
+        "vocab_r1",
+        "vocab_r2",
+        "corpus_bits_r1",
+        "corpus_bits_r2",
+        "corpus_pieces_r1",
+        "corpus_pieces_r2",
+        "n_types_changed",
+    )

@@ -1109,3 +1109,109 @@ def test_length_emd_matches_python_model(spark, tmp_path_factory, docs):
             moved += 1 if cs != cg else 0
         want[s] = (emd, ks, moved)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM round 2 == full two-round Python pipeline model
+# ---------------------------------------------------------------------------
+@settings(max_examples=4, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aba", "abab", "bb", "cabab", "ccc"]),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_unigram_em2_matches_python_model(spark, tmp_path_factory, texts):
+    import math
+    import re as _re
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.mining_queries import (
+        _UG_MAXLEN,
+        _UG_REL_PPK,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    sf_dir = str(tmp_path_factory.mktemp("ug2corpus"))
+    rows = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    row = get("unigram_lm_em2").builder(spark, sf_dir).collect()[0].asDict()
+
+    wcount: dict[str, int] = {}
+    for t in texts:
+        for w in _re.findall(r"[a-z0-9]+", t.lower()):
+            wcount[w] = wcount.get(w, 0) + 1
+    weight: dict[str, int] = {}
+    total = 0
+    for w, n in wcount.items():
+        for p in range(len(w)):
+            for l in range(1, min(_UG_MAXLEN, len(w) - p) + 1):
+                weight[w[p : p + l]] = weight.get(w[p : p + l], 0) + n
+                total += n
+    costs1 = {
+        s: int(math.log2(total // wt))
+        for s, wt in weight.items()
+        if 1000 * wt >= _UG_REL_PPK * total or len(s) == 1
+    }
+
+    def viterbi(w: str, costs: dict[str, int]):
+        dist = ["%08d%04d" % (0, 0)]
+        for j in range(1, len(w) + 1):
+            cands = []
+            for l in range(1, min(_UG_MAXLEN, j) + 1):
+                piece = w[j - l : j]
+                if piece not in costs:
+                    continue
+                prev = dist[j - l]
+                cands.append(
+                    "%08d%04d%s"
+                    % (
+                        int(prev[:8]) + costs[piece],
+                        int(prev[8:12]) + 1,
+                        piece
+                        if int(prev[8:12]) == 0
+                        else prev[12:] + " " + piece,
+                    )
+                )
+            dist.append(min(cands))
+        return dist[len(w)]
+
+    seg1 = {w: viterbi(w, costs1) for w in wcount}
+    em: dict[str, int] = {}
+    for w, n in wcount.items():
+        for piece in seg1[w][12:].split(" "):
+            em[piece] = em.get(piece, 0) + n
+    v2 = {
+        s: em.get(s, 0) + 1
+        for s in costs1
+        if s in em or len(s) == 1
+    }
+    tot2 = sum(v2.values())
+    costs2 = {s: int(math.log2(tot2 // w1)) for s, w1 in v2.items()}
+    seg2 = {w: viterbi(w, costs2) for w in wcount}
+
+    assert row["n_word_types"] == len(wcount)
+    assert row["vocab_r1"] == len(costs1)
+    assert row["vocab_r2"] == len(v2)
+    assert row["corpus_bits_r1"] == sum(
+        n * int(seg1[w][:8]) for w, n in wcount.items()
+    )
+    assert row["corpus_bits_r2"] == sum(
+        n * int(seg2[w][:8]) for w, n in wcount.items()
+    )
+    assert row["corpus_pieces_r1"] == sum(
+        n * int(seg1[w][8:12]) for w, n in wcount.items()
+    )
+    assert row["corpus_pieces_r2"] == sum(
+        n * int(seg2[w][8:12]) for w, n in wcount.items()
+    )
+    assert row["n_types_changed"] == sum(
+        1 for w in wcount if seg1[w][12:] != seg2[w][12:]
+    )
