@@ -4370,3 +4370,153 @@ def exact_substring_ingest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("hist_dup_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Held-out perplexity: the eval-hygiene twin of doc_surprisal_score. The
+# unigram LM is fit on the md5-deterministic TRAIN split only and scores
+# the HELD-OUT split (Laplace add-one over the train vocabulary, so OOV
+# tokens get the max cost instead of crashing the log) — the
+# generalization gap (held-out minus train mean bits) is the number that
+# catches leakage, over-filtering, and distribution mismatch before a
+# training run does. Integer floor-log2 bits end to end.
+# ---------------------------------------------------------------------------
+_HELDOUT_PCT = 20  # md5(doc_id) bucket: ~20% held out
+
+_HELDOUT_SQL = f"""
+WITH split AS (
+  SELECT doc_id, source, text,
+         {duck_hash_uniform('doc_id')} * 100 < {_HELDOUT_PCT} * 4294967296
+           AS held_out
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, source, held_out, unnest({_DUCK_TOK}) AS t FROM split
+),
+vocab AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c
+  FROM tok WHERE NOT held_out GROUP BY t
+),
+vstats AS (
+  SELECT CAST(sum(c) AS BIGINT) AS train_total,
+         CAST(count(*) AS BIGINT) AS v
+  FROM vocab
+),
+scored AS (
+  SELECT tok.source, tok.held_out,
+         CAST(length(bin((s.train_total + s.v + 1)
+                         // (coalesce(vc.c, 0) + 1))) - 1 AS BIGINT) AS bits,
+         CASE WHEN vc.c IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tok
+  LEFT JOIN vocab vc ON vc.t = tok.t
+  CROSS JOIN vstats s
+)
+SELECT source,
+       CAST(sum(CASE WHEN held_out THEN 1 ELSE 0 END) AS BIGINT)
+         AS heldout_tokens,
+       CAST(sum(CASE WHEN NOT held_out THEN 1 ELSE 0 END) AS BIGINT)
+         AS train_tokens,
+       CAST(1000000 * sum(CASE WHEN held_out THEN bits ELSE 0 END)
+            // sum(CASE WHEN held_out THEN 1 ELSE 0 END) AS BIGINT)
+         AS heldout_micro_bits,
+       CAST(1000000 * sum(CASE WHEN NOT held_out THEN bits ELSE 0 END)
+            // sum(CASE WHEN NOT held_out THEN 1 ELSE 0 END) AS BIGINT)
+         AS train_micro_bits,
+       CAST(1000000 * sum(CASE WHEN held_out THEN bits ELSE 0 END)
+            // sum(CASE WHEN held_out THEN 1 ELSE 0 END)
+          - 1000000 * sum(CASE WHEN NOT held_out THEN bits ELSE 0 END)
+            // sum(CASE WHEN NOT held_out THEN 1 ELSE 0 END) AS BIGINT)
+         AS generalization_gap_micro,
+       CAST(1000000 * sum(CASE WHEN held_out THEN oov ELSE 0 END)
+            // sum(CASE WHEN held_out THEN 1 ELSE 0 END) AS BIGINT)
+         AS heldout_oov_ppm
+FROM scored
+GROUP BY source
+HAVING sum(CASE WHEN held_out THEN 1 ELSE 0 END) > 0
+   AND sum(CASE WHEN NOT held_out THEN 1 ELSE 0 END) > 0
+"""
+
+
+@register(
+    "heldout_unigram_perplexity",
+    oracle=_HELDOUT_SQL,
+    doc=f"Eval hygiene: unigram LM fit on the md5-deterministic "
+    f"{100 - _HELDOUT_PCT}% train split, scored on the {_HELDOUT_PCT}% "
+    "held-out split with Laplace add-one (OOV gets the max cost) — per "
+    "source the held-out vs train mean surprisal, the generalization gap "
+    "that catches leakage/over-filtering, and the held-out OOV rate; "
+    "integer floor-log2 bits throughout",
+    tags=("ext", "corpus", "quality", "eval"),
+)
+def heldout_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one corpus pass tags the split (a pure md5 projection —
+    no shuffle); the train-only vocabulary is Heaps-bounded and BROADCASTS
+    into the single scoring pass over ALL tokens (train and held-out score
+    in the same pass, split by a CASE); the rollup keys on the bounded
+    source dimension."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    split = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        (hash_uniform("doc_id") * 100 < _HELDOUT_PCT * 4294967296).alias(
+            "held_out"
+        ),
+    )
+    tok = split.select(
+        "source", "held_out", F.explode(F.expr(_SPARK_TOK)).alias("t")
+    )
+    tok = tok.localCheckpoint(eager=False)  # feeds vocab AND scoring
+    vocab = tok.filter(~F.col("held_out")).groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    vstats = vocab.agg(
+        F.sum("c").cast("long").alias("train_total"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    scored = (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .crossJoin(F.broadcast(vstats))
+        .select(
+            "source",
+            "held_out",
+            F.expr(
+                "CAST(length(bin((train_total + v + 1) div (coalesce(c, 0)"
+                " + 1))) - 1 AS BIGINT)"
+            ).alias("bits"),
+            F.col("c").isNull().cast("int").alias("oov"),
+        )
+    )
+    ho = F.when(F.col("held_out"), F.col("bits")).otherwise(0)
+    tr = F.when(~F.col("held_out"), F.col("bits")).otherwise(0)
+    hn = F.sum(F.col("held_out").cast("int"))
+    tn = F.sum((~F.col("held_out")).cast("int"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            hn.cast("long").alias("heldout_tokens"),
+            tn.cast("long").alias("train_tokens"),
+            F.expr(
+                "CAST(1000000 * sum(CASE WHEN held_out THEN bits ELSE 0 END)"
+                " div sum(CASE WHEN held_out THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("heldout_micro_bits"),
+            F.expr(
+                "CAST(1000000 * sum(CASE WHEN NOT held_out THEN bits ELSE 0 END)"
+                " div sum(CASE WHEN NOT held_out THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("train_micro_bits"),
+            F.expr(
+                "CAST(1000000 * sum(CASE WHEN held_out THEN bits ELSE 0 END)"
+                " div sum(CASE WHEN held_out THEN 1 ELSE 0 END)"
+                " - 1000000 * sum(CASE WHEN NOT held_out THEN bits ELSE 0 END)"
+                " div sum(CASE WHEN NOT held_out THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("generalization_gap_micro"),
+            F.expr(
+                "CAST(1000000 * sum(CASE WHEN held_out THEN oov ELSE 0 END)"
+                " div sum(CASE WHEN held_out THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("heldout_oov_ppm"),
+        )
+        .filter(
+            (F.col("heldout_tokens") > 0) & (F.col("train_tokens") > 0)
+        )
+    )

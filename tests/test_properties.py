@@ -1215,3 +1215,89 @@ def test_unigram_em2_matches_python_model(spark, tmp_path_factory, texts):
     assert row["n_types_changed"] == sum(
         1 for w in wcount if seg1[w][12:] != seg2[w][12:]
     )
+
+
+# ---------------------------------------------------------------------------
+# Held-out perplexity == Python split/fit/score model
+# ---------------------------------------------------------------------------
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1"]),
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "zz9"]),
+                min_size=1,
+                max_size=8,
+            ).map(" ".join),
+        ),
+        min_size=4,
+        max_size=20,
+    )
+)
+def test_heldout_perplexity_matches_python_model(spark, tmp_path_factory, texts):
+    import math
+    import re as _re
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.corpus_queries import (
+        _HELDOUT_PCT,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    sf_dir = str(tmp_path_factory.mktemp("hocorpus"))
+    rows = [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        r.source: r.asDict()
+        for r in get("heldout_unigram_perplexity").builder(spark, sf_dir).collect()
+    }
+
+    held = {
+        i: _md5_u32(i) * 100 < _HELDOUT_PCT * 4_294_967_296
+        for i, _ in enumerate(texts)
+    }
+    toks = [
+        (s, held[i], _re.findall(r"[a-z0-9]+", t.lower()))
+        for i, (s, t) in enumerate(texts)
+    ]
+    vocab: dict[str, int] = {}
+    for _, h, ts in toks:
+        if not h:
+            for t in ts:
+                vocab[t] = vocab.get(t, 0) + 1
+    train_total, v = sum(vocab.values()), len(vocab)
+    per: dict[str, dict] = {}
+    for s, h, ts in toks:
+        d = per.setdefault(
+            s, {"hb": 0, "tb": 0, "hn": 0, "tn": 0, "oov": 0}
+        )
+        for t in ts:
+            bits = int(
+                math.log2((train_total + v + 1) // (vocab.get(t, 0) + 1))
+            )
+            if h:
+                d["hb"] += bits
+                d["hn"] += 1
+                d["oov"] += 0 if t in vocab else 1
+            else:
+                d["tb"] += bits
+                d["tn"] += 1
+    want = {}
+    for s, d in per.items():
+        if d["hn"] == 0 or d["tn"] == 0:
+            continue
+        hm = 10**6 * d["hb"] // d["hn"]
+        tm = 10**6 * d["tb"] // d["tn"]
+        want[s] = (d["hn"], d["tn"], hm, tm, hm - tm,
+                   10**6 * d["oov"] // d["hn"])
+    assert {
+        s: (
+            r["heldout_tokens"], r["train_tokens"], r["heldout_micro_bits"],
+            r["train_micro_bits"], r["generalization_gap_micro"],
+            r["heldout_oov_ppm"],
+        )
+        for s, r in got.items()
+    } == want
