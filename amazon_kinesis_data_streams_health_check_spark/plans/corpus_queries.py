@@ -46,7 +46,10 @@ from amazon_kinesis_data_streams_health_check_spark.operators.similarity import 
     with_lsh_bucket,
     with_sq_norm,
 )
-from amazon_kinesis_data_streams_health_check_spark.operators.dedup import duck_shingles
+from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (
+    duck_shingles,
+    with_shingles,
+)
 from amazon_kinesis_data_streams_health_check_spark.operators.textstats import TOKEN_RE
 from amazon_kinesis_data_streams_health_check_spark.plans.registry import register
 from amazon_kinesis_data_streams_health_check_spark.session import configure_session
@@ -4519,4 +4522,107 @@ def heldout_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("heldout_tokens") > 0) & (F.col("train_tokens") > 0)
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Directional source containment over content shingles: where
+# source_overlap_jaccard compares WHOLE-DOC hashes (symmetric, misses
+# partial mirrors), this measures, per ordered source pair, what fraction
+# of A's distinct 3-gram shingles also occur in B — the asymmetric
+# "is A essentially inside B" signal (CommonCrawl-derivative detection)
+# that decides whether two sources should dedup jointly, and in which
+# direction survivorship should point.
+# ---------------------------------------------------------------------------
+_CONTAIN_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT source, unnest({duck_shingles()}) AS s FROM documents
+),
+sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_shingles
+  FROM sh GROUP BY source
+),
+sets AS (
+  SELECT s, list_sort(list(source)) AS srcs FROM sh GROUP BY s
+),
+combos AS (
+  SELECT srcs, CAST(count(*) AS BIGINT) AS cnt FROM sets GROUP BY srcs
+),
+pairs AS (
+  SELECT a AS source_a, b AS source_b, CAST(sum(cnt) AS BIGINT) AS n_common
+  FROM (
+    SELECT cnt, unnest(srcs) AS a, srcs FROM combos
+  ), LATERAL (SELECT unnest(srcs) AS b) u
+  WHERE a <> b
+  GROUP BY a, b
+)
+SELECT sa.source AS source_a, sb.source AS source_b,
+       sa.n_shingles AS n_shingles_a,
+       coalesce(i.n_common, 0) AS n_common,
+       CAST(1000000 * coalesce(i.n_common, 0) // sa.n_shingles AS BIGINT)
+         AS containment_ppm
+FROM sizes sa
+JOIN sizes sb ON sa.source <> sb.source
+LEFT JOIN pairs i ON i.source_a = sa.source AND i.source_b = sb.source
+"""
+
+
+@register(
+    "source_containment_matrix",
+    oracle=_CONTAIN_SQL,
+    doc="Corpus audit: directional containment matrix — per ordered source "
+    "pair, the ppm fraction of A's distinct 3-gram shingles that also "
+    "occur in B; the asymmetric partial-mirror signal (doc-hash overlap "
+    "misses near-derivatives) that orients joint dedup and survivorship",
+    tags=("ext", "corpus", "dedup"),
+)
+def source_containment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: NO shingle self-join. One distinct on (source,
+    shingle), one shingle-keyed aggregation into the shingle\'s SOURCE SET
+    (bounded by |sources|), one count per distinct set — and pair counts
+    come from exploding the counted COMBO table (<= 2^|sources| rows in
+    theory, hundreds in practice), never per-shingle pairs. Work is
+    linear in distinct (source, shingle) rows regardless of how many
+    sources share a shingle — the saturation blow-up the naive
+    self-join formulation measured (growth exponent 0.79) is gone."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    sh = (
+        with_shingles(docs)
+        .select("source", F.explode("sh").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds sizes AND the set agg
+    )
+    sizes = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    sizes = F.broadcast(sizes.localCheckpoint(eager=False))
+    sets = sh.groupBy("s").agg(
+        F.sort_array(F.collect_list("source")).alias("srcs")
+    )
+    combos = sets.groupBy("srcs").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    pairs = (
+        combos.select("cnt", F.explode("srcs").alias("source_a"), "srcs")
+        .select("cnt", "source_a", F.explode("srcs").alias("source_b"))
+        .filter(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("cnt").cast("long").alias("n_common"))
+    )
+    grid = (
+        sizes.select(F.col("source").alias("source_a"), "n_shingles")
+        .crossJoin(
+            F.broadcast(sizes.select(F.col("source").alias("source_b")))
+        )
+        .filter(F.col("source_a") != F.col("source_b"))
+    )
+    return grid.join(pairs, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.col("n_shingles").alias("n_shingles_a"),
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        F.expr(
+            "CAST(1000000 * coalesce(n_common, 0) div n_shingles AS BIGINT)"
+        ).alias("containment_ppm"),
     )

@@ -1301,3 +1301,59 @@ def test_heldout_perplexity_matches_python_model(spark, tmp_path_factory, texts)
         )
         for s, r in got.items()
     } == want
+
+
+# ---------------------------------------------------------------------------
+# Source containment matrix == Python set model
+# ---------------------------------------------------------------------------
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1", "s2"]),
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd"]),
+                min_size=1,
+                max_size=8,
+            ).map(" ".join),
+        ),
+        min_size=2,
+        max_size=15,
+    )
+)
+def test_source_containment_matches_set_model(spark, tmp_path_factory, docs):
+    import re as _re
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.registry import get
+
+    sf_dir = str(tmp_path_factory.mktemp("contain"))
+    rows = [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(docs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        (r.source_a, r.source_b): (r.n_shingles_a, r.n_common, r.containment_ppm)
+        for r in get("source_containment_matrix").builder(spark, sf_dir).collect()
+    }
+
+    def shingles(t):
+        toks = _re.findall(r"[a-z0-9]+", t.lower())
+        upper = max(len(toks) - 2, 1)
+        return {" ".join(toks[i : i + 3]) for i in range(upper)}
+
+    per: dict[str, set] = {}
+    for s, t in docs:
+        per.setdefault(s, set()).update(shingles(t))
+    want = {}
+    for a in per:
+        for b in per:
+            if a == b:
+                continue
+            common = len(per[a] & per[b])
+            want[(a, b)] = (
+                len(per[a]),
+                common,
+                10**6 * common // len(per[a]),
+            )
+    assert got == want
