@@ -2003,3 +2003,14 @@ def test_absorbing_funnel_iteration_never_touches_events(spark, sf_small):
         assert marker not in plan, plan
     for spec in re.findall(r"windowspecdefinition\(([^,]+),", plan):
         assert "user_id" in spec, plan
+
+
+def test_source_containment_has_no_shingle_self_join(spark, sf_small):
+    """Pair counts must come from the counted source-set combos, never a
+    shingle self-join: exactly zero non-broadcast joins on the shingle
+    column, no cartesian, and the only windows (none expected) would be
+    bounded."""
+    plan = plan_of(spark, sf_small, "source_containment_matrix")
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
