@@ -3906,7 +3906,7 @@ _MMR_POOL = 8  # relevance candidates per query entering the greedy stage
 _MMR_K = 3  # diversified picks emitted
 
 
-_MMR_SQL = f"""
+_MMR_CTES = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qemb FROM embeddings
   WHERE vec_id < {_MMR_QUERIES}
@@ -3970,7 +3970,11 @@ s3 AS (
                                  ORDER BY mmr DESC, cid) AS rn
     FROM r3
   ) WHERE rn = 1
-)
+)"""
+
+_MMR_SQL = (
+    _MMR_CTES
+    + """
 SELECT query_id, 1 AS mmr_rank, cid AS vec_id,
        round(rel, 6) AS cosine, round(mmr, 6) AS mmr_score FROM s1
 UNION ALL
@@ -3978,27 +3982,13 @@ SELECT query_id, 2, cid, round(rel, 6), round(mmr, 6) FROM s2
 UNION ALL
 SELECT query_id, 3, cid, round(rel, 6), round(mmr, 6) FROM s3
 """
-
-
-@register(
-    "mmr_diversified_topk",
-    oracle=_MMR_SQL,
-    doc=f"MMR diversified retrieval (Carbonell-Goldstein): per query the "
-    f"top-{_MMR_POOL} relevance pool, then {_MMR_K} greedy picks each "
-    "maximizing 0.5*rel - 0.5*max-sim-to-picked with id tie-breaks — the "
-    "near-copy-suppressing retrieval step RAG context assembly and "
-    "diverse few-shot selection run after ANN",
-    tags=("ext", "corpus", "similarity"),
 )
-def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: relevance scoring broadcasts the bounded query set over
-    the corpus (one narrow pass, the hybrid_search stance) and keeps only
-    the per-query pool via TakeOrdered-style rank <= {_MMR_POOL}; the
-    greedy stage then touches ONLY pool-sized relations — the pairwise
-    sim table is |pool|^2 per query — with per-query windows (bounded
-    frames) and broadcast joins of the 1-row-per-query picks. The greedy
-    depth is the plan-unroll constant; doubling k adds two bounded
-    stages, never another corpus pass."""
+
+
+def _mmr_parts(spark: SparkSession, sf_dir: str):
+    """Shared MMR legs: (cands, pairsim, s1, s2, s3) — the pool, the
+    pool-pairwise sims, and the three greedy picks; mirrors the
+    ``_MMR_CTES`` SQL prefix."""
     from pyspark.sql import Window
 
     configure_session(spark)
@@ -4103,6 +4093,29 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     s3 = pick(r3, "mmr3")
+    return cands, pairsim, s1, s2, s3
+
+
+@register(
+    "mmr_diversified_topk",
+    oracle=_MMR_SQL,
+    doc=f"MMR diversified retrieval (Carbonell-Goldstein): per query the "
+    f"top-{_MMR_POOL} relevance pool, then {_MMR_K} greedy picks each "
+    "maximizing 0.5*rel - 0.5*max-sim-to-picked with id tie-breaks — the "
+    "near-copy-suppressing retrieval step RAG context assembly and "
+    "diverse few-shot selection run after ANN",
+    tags=("ext", "corpus", "similarity"),
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: relevance scoring broadcasts the bounded query set over
+    the corpus (one narrow pass, the hybrid_search stance) and keeps only
+    the per-query pool via TakeOrdered-style rank <= {_MMR_POOL}; the
+    greedy stage then touches ONLY pool-sized relations — the pairwise
+    sim table is |pool|^2 per query — with per-query windows (bounded
+    frames) and broadcast joins of the 1-row-per-query picks. The greedy
+    depth is the plan-unroll constant; doubling k adds two bounded
+    stages, never another corpus pass."""
+    cands, pairsim, s1, s2, s3 = _mmr_parts(spark, sf_dir)
 
     def out(df, rank):
         return df.select(
@@ -4625,4 +4638,172 @@ def source_containment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(1000000 * coalesce(n_common, 0) div n_shingles AS BIGINT)"
         ).alias("containment_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity audit: what did diversification BUY and COST? Per query,
+# compare the MMR picks against the plain relevance top-k on two axes —
+# mean relevance (the cost) and mean intra-set pairwise similarity (the
+# gain) — in order-free integer micro-cosines (each value is rounded to
+# micro units BEFORE summing, so group aggregation order cannot perturb
+# the mean). The sheet that justifies (or rejects) the lambda choice.
+# ---------------------------------------------------------------------------
+_MMR_AUDIT_SQL = (
+    _MMR_CTES
+    + f""",
+picks_mmr AS (
+  SELECT query_id, cid, rel FROM s1
+  UNION ALL SELECT query_id, cid, rel FROM s2
+  UNION ALL SELECT query_id, cid, rel FROM s3
+),
+picks_top AS (
+  SELECT query_id, cid, rel FROM (
+    SELECT query_id, cid, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, cid) AS rn
+    FROM cands
+  ) WHERE rn <= {_MMR_K}
+),
+rels AS (
+  SELECT m.query_id,
+         CAST(count(*) AS BIGINT) AS n_picks,
+         CAST(sum(CAST(round(t.rel * 1000000) AS BIGINT)) // count(*)
+              AS BIGINT) AS rel_top_micro,
+         CAST(sum(CAST(round(m.rel * 1000000) AS BIGINT)) // count(*)
+              AS BIGINT) AS rel_mmr_micro
+  FROM (SELECT query_id, rel,
+               row_number() OVER (PARTITION BY query_id ORDER BY cid) AS i
+        FROM picks_mmr) m
+  JOIN (SELECT query_id, rel,
+               row_number() OVER (PARTITION BY query_id ORDER BY cid) AS i
+        FROM picks_top) t
+    ON t.query_id = m.query_id AND t.i = m.i
+  GROUP BY m.query_id
+),
+intra AS (
+  SELECT a.query_id, 'mmr' AS tag,
+         CAST(sum(CAST(round(p.sim * 1000000) AS BIGINT)) // count(*)
+              AS BIGINT) AS intra_micro
+  FROM picks_mmr a
+  JOIN picks_mmr b ON b.query_id = a.query_id AND a.cid < b.cid
+  JOIN pairsim p ON p.query_id = a.query_id
+                AND p.ca = a.cid AND p.cb = b.cid
+  GROUP BY a.query_id
+  UNION ALL
+  SELECT a.query_id, 'top',
+         CAST(sum(CAST(round(p.sim * 1000000) AS BIGINT)) // count(*)
+              AS BIGINT)
+  FROM picks_top a
+  JOIN picks_top b ON b.query_id = a.query_id AND a.cid < b.cid
+  JOIN pairsim p ON p.query_id = a.query_id
+                AND p.ca = a.cid AND p.cb = b.cid
+  GROUP BY a.query_id
+)
+SELECT r.query_id, r.n_picks, r.rel_top_micro, r.rel_mmr_micro,
+       coalesce(it.intra_micro, 0) AS intra_top_micro,
+       coalesce(im.intra_micro, 0) AS intra_mmr_micro,
+       coalesce(it.intra_micro, 0) - coalesce(im.intra_micro, 0)
+         AS diversity_gain_micro,
+       r.rel_top_micro - r.rel_mmr_micro AS relevance_cost_micro
+FROM rels r
+LEFT JOIN intra im ON im.query_id = r.query_id AND im.tag = 'mmr'
+LEFT JOIN intra it ON it.query_id = r.query_id AND it.tag = 'top'
+"""
+)
+
+
+@register(
+    "mmr_diversity_audit",
+    oracle=_MMR_AUDIT_SQL,
+    doc="The lambda justification sheet for MMR: per query, mean relevance "
+    "and mean intra-set pairwise cosine of the MMR picks vs the plain "
+    "relevance top-k (order-free integer micro-cosines — values rounded "
+    "to micro units BEFORE summing), with the diversity gain and the "
+    "relevance cost side by side",
+    tags=("ext", "corpus", "similarity"),
+)
+def mmr_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: shares `_mmr_parts` with the retrieval query — one
+    corpus-scale broadcast pass, then everything here runs on pick-sized
+    relations (3 rows per query, 3 intra pairs) with broadcast joins and
+    per-query windows. Micro-rounding before summation makes every mean
+    independent of aggregation order."""
+    from pyspark.sql import Window
+
+    cands, pairsim, s1, s2, s3 = _mmr_parts(spark, sf_dir)
+    picks_mmr = (
+        s1.select("query_id", "cid", "rel")
+        .unionAll(s2.select("query_id", "cid", "rel"))
+        .unionAll(s3.select("query_id", "cid", "rel"))
+        .localCheckpoint(eager=False)  # rels AND intra legs
+    )
+    wtop = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "cid")
+    picks_top = (
+        cands.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= _MMR_K)
+        .select("query_id", "cid", "rel")
+        .localCheckpoint(eager=False)
+    )
+    def rel_mean(df, name):
+        return df.groupBy("query_id").agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{name}"),
+            F.expr(
+                "CAST(sum(CAST(round(rel * 1000000) AS BIGINT))"
+                " div count(1) AS BIGINT)"
+            ).alias(f"rel_{name}_micro"),
+        )
+
+    def intra_mean(df, name):
+        a = df.select("query_id", F.col("cid").alias("ia"))
+        b = df.select(
+            F.col("query_id").alias("qb"), F.col("cid").alias("ib")
+        )
+        pj = pairsim.select(
+            F.col("query_id").alias("qp"), "ca", "cb", "sim"
+        )
+        return (
+            a.join(F.broadcast(b), (a.query_id == b.qb) & (a.ia < b.ib))
+            .join(
+                F.broadcast(pj),
+                (F.col("qp") == F.col("query_id"))
+                & (F.col("ca") == F.col("ia"))
+                & (F.col("cb") == F.col("ib")),
+            )
+            .groupBy("query_id")
+            .agg(
+                F.expr(
+                    "CAST(sum(CAST(round(sim * 1000000) AS BIGINT))"
+                    " div count(1) AS BIGINT)"
+                ).alias(f"intra_{name}_micro")
+            )
+        )
+
+    rels = rel_mean(picks_top, "top").join(
+        rel_mean(picks_mmr, "mmr"), "query_id"
+    )
+    out = (
+        rels.join(intra_mean(picks_top, "top"), "query_id", "left")
+        .join(intra_mean(picks_mmr, "mmr"), "query_id", "left")
+    )
+    return out.select(
+        "query_id",
+        F.col("n_mmr").alias("n_picks"),
+        "rel_top_micro",
+        "rel_mmr_micro",
+        F.coalesce("intra_top_micro", F.lit(0))
+        .cast("long")
+        .alias("intra_top_micro"),
+        F.coalesce("intra_mmr_micro", F.lit(0))
+        .cast("long")
+        .alias("intra_mmr_micro"),
+        (
+            F.coalesce("intra_top_micro", F.lit(0))
+            - F.coalesce("intra_mmr_micro", F.lit(0))
+        )
+        .cast("long")
+        .alias("diversity_gain_micro"),
+        (F.col("rel_top_micro") - F.col("rel_mmr_micro"))
+        .cast("long")
+        .alias("relevance_cost_micro"),
     )
