@@ -78,30 +78,30 @@ PINNED: tuple[str, ...] = (
     "inverted_index",
 )
 
-#: Round-5 rotation — 18 never-driver-checked queries (first-ever rows):
-#: the round-4 verdict's candidate list, with two batch picks
-#: (auc_rank_exact, prefix_cache_hit_estimate — deferred to round 6)
-#: swapped for two more streaming state-store twins so the window carries
-#: >=4 streaming first-ever rows (round-4 verdict item 4).
+#: Round-6 rotation — 18 never-driver-checked queries (first-ever rows):
+#: the round-5 verdict's candidate list (its 22 names trimmed to the 18-slot
+#: window by deferring length_emd_drift and 3 overflow picks to round 7),
+#: carrying all FOUR streaming state-store twins so the window satisfies
+#: the standing >=4-streaming quota (round-5 verdict items 1 and 6).
 ROTATION: tuple[str, ...] = (
-    "kinesis_e2e_pipeline",  # produce->shard->consume->alarm, end to end
-    "kcl_subsequence_checkpoint",  # KCL (seq, subseq) resume over KPL blobs
-    "streaming_schema_drift",  # streaming twin: payload-evolution monitor
-    "wordpiece_segment",  # top-down subword tokenizer (vs bottom-up BPE)
-    "span_corruption_plan",  # T5 span-corruption planning, md5-reproducible
-    "nb_margin_calibration",  # Naive-Bayes margin vs accuracy calibration
-    "quality_matched_resample",  # distribution-matched importance resample
-    "kneser_ney_bigram",  # interpolated KN bigram LM, exact integer core
-    "media_interleave_pack",  # MMC4-style multimodal sequence packing
-    "streaming_ewma_chart",  # streaming twin: EWMA control chart state
-    "ngram_novelty_decay",  # first-occurrence novelty, bench headline
-    "streaming_forecast_residuals",  # streaming twin: forecast residuals
-    "shard_autoscale_plan",  # split/merge planning vs real key distribution
-    "json_schema_drift",  # batch payload-evolution monitor
-    "streaming_kpl_consume",  # streaming twin: KPL deaggregation consume
-    "consumer_dlq_replay",  # F4 extension: DLQ routing + replay
-    "maxsim_late_interaction",  # ColBERT-style MaxSim retrieval
-    "lake_dpp_join",  # dynamic partition pruning join audit
+    "dedup_exact_substring",  # suffix-array exact-substring dedup (Lee 2022)
+    "exact_substring_scrub",  # cut sheet: merged >=16-token dup intervals
+    "exact_substring_ingest_probe",  # persisted suffix index incremental probe
+    "unigram_lm_viterbi",  # SentencePiece unigram-LM hard-EM round 1
+    "unigram_lm_em2",  # second Viterbi EM round over refit costs
+    "isotonic_margin_fit",  # PAV isotonic calibration of NB margins
+    "isotonic_cosine_dup_curve",  # PAV cosine->dup-probability curve
+    "bradley_terry_rank",  # BT preference MLE, fixed-point integer MM
+    "funnel_absorbing_markov",  # absorbing-chain funnel conversion
+    "journey_markov_surprisal",  # per-user journey surprisal vs fitted chain
+    "domain_mw_reweight",  # DoReMi-style multiplicative-weights domains
+    "knn_label_propagation",  # community labels via Pregel-by-joins
+    "mmr_diversified_topk",  # MMR diversified retrieval
+    "pass_at_k_eval",  # unbiased hypergeometric pass@k
+    "streaming_journey_surprisal",  # streaming twin: journey surprisal state
+    "streaming_pack_assign",  # streaming twin: online sequence packing
+    "streaming_control_ensemble",  # streaming twin: control-chart ensemble
+    "streaming_rate_limit",  # streaming twin: token-bucket rate limiting
 )
 
 _PRIORITY: tuple[str, ...] = PINNED + ROTATION
