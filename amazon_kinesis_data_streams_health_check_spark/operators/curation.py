@@ -210,10 +210,14 @@ def label_propagation(
     uniform-key join plus two keyed aggregations over the EDGE set
     (Pregel-by-joins); rounds unroll into one lazy DAG, no driver traffic.
     """
-    inv = 10**12
+    # Field widths cover the full BIGINT range: labels are vec_ids (<= 19
+    # digits), neighbor counts invert against 10^18 (degree bound far above
+    # any real graph). lpad TRUNCATES over-length strings, so an undersized
+    # field would silently corrupt the substr() decode — hence 19/19.
+    inv = 10**18
     enc = (
-        f"lpad(CAST({inv} - c AS STRING), 13, '0')"
-        " || lpad(CAST(label AS STRING), 12, '0')"
+        f"lpad(CAST({inv} - c AS STRING), 19, '0')"
+        " || lpad(CAST(label AS STRING), 19, '0')"
     )
     labels = nodes.select("vec_id", F.col("vec_id").cast("long").alias("label"))
     for _ in range(iterations):
@@ -231,7 +235,7 @@ def label_propagation(
             .select(
                 "vec_id",
                 F.coalesce(
-                    F.expr("CAST(substr(enc, 14) AS BIGINT)"),
+                    F.expr("CAST(substr(enc, 20) AS BIGINT)"),
                     F.col("old_label"),
                 ).alias("label"),
             )

@@ -2172,7 +2172,7 @@ def _bt_oracle_sql() -> str:
             f""",
 r{k} AS MATERIALIZED (
   SELECT pr.i AS item,
-         CAST(sum(pr.w) * {_BT_BIG}
+         CAST(CAST(sum(pr.w) AS HUGEINT) * {_BT_BIG}
               // sum(CAST(pr.n AS HUGEINT) * {_BT_BIG} // (pi.p + pj.p))
               AS BIGINT) AS praw
   FROM pairs pr

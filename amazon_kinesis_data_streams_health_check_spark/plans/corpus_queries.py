@@ -3577,7 +3577,7 @@ def _sfx_scores(spark: SparkSession, sf_dir: str):
     "(measured up to a 32-token window); per-doc longest run, count of "
     "positions with >=16-token runs, and their fraction — the cut signal "
     "substring-level train-set dedup (Lee et al. 2022) removes on",
-    tags=("ext", "corpus", "dedup"),
+    tags=("ext", "corpus", "dedup", "bench"),
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Where ``dup_span_stats`` chains fixed 8-gram matches into runs, this
@@ -3758,13 +3758,16 @@ def exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so synchronous rounds are engine-identical with zero floats.
 # ---------------------------------------------------------------------------
 _LPA_ITERS = 4
-_LPA_INV = 10**12  # count inversion base for the min()-as-argmax encoding
+#: count inversion base for the min()-as-argmax encoding; 10^18 with 19/19
+#: field widths covers the full BIGINT label range (lpad truncates
+#: over-length strings, so undersized fields would corrupt the decode).
+_LPA_INV = 10**18
 
 
 def _lpa_enc_sql(cnt: str, label: str) -> str:
     return (
-        f"lpad(CAST({_LPA_INV} - {cnt} AS STRING), 13, '0')"
-        f" || lpad(CAST({label} AS STRING), 12, '0')"
+        f"lpad(CAST({_LPA_INV} - {cnt} AS STRING), 19, '0')"
+        f" || lpad(CAST({label} AS STRING), 19, '0')"
     )
 
 
@@ -3781,7 +3784,7 @@ best{k} AS (
 ),
 lab{k + 1} AS MATERIALIZED (
   SELECT n.vec_id,
-         coalesce(CAST(substr(b.enc, 14) AS BIGINT), l.label) AS label
+         coalesce(CAST(substr(b.enc, 20) AS BIGINT), l.label) AS label
   FROM nodes n
   LEFT JOIN best{k} b ON b.dst = n.vec_id
   JOIN lab{k} l ON l.vec_id = n.vec_id
@@ -4302,6 +4305,33 @@ WHERE d.doc_id % 2 = 1
 """
 )
 
+#: Session-scoped scratch lakes for the ingest probe, keyed by sf_dir.
+#: One dir per (process, scale factor), wiped at the start of each
+#: invocation (snapshot versions would otherwise accumulate) and removed
+#: at interpreter exit — repeated bench/correctness runs must not leak the
+#: persisted suffix index (one row per corpus position) on disk.
+_SFX_PROBE_LAKES: dict[str, str] = {}
+
+
+def _sfx_probe_lake(sf_dir: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile as _tf
+
+    lake = _SFX_PROBE_LAKES.get(sf_dir)
+    if lake is None:
+        lake = _tf.mkdtemp(prefix="sfx_index_")
+        _SFX_PROBE_LAKES[sf_dir] = lake
+        atexit.register(shutil.rmtree, lake, ignore_errors=True)
+    else:
+        # Fresh invocation: drop the previous snapshot versions. Any
+        # still-lazy DataFrame from a PRIOR call goes stale here — the
+        # probe's contract is consume-before-recompute.
+        shutil.rmtree(lake, ignore_errors=True)
+        os.makedirs(lake, exist_ok=True)
+    return lake
+
 
 @register(
     "exact_substring_ingest_probe",
@@ -4324,8 +4354,6 @@ def exact_substring_ingest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     index read comes BACK from the lake manifest, so a persistence bug
     changes the counts and fails the oracle hash. The history/increment
     split is doc_id parity (deterministic)."""
-    import tempfile as _tf
-
     from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
         read_snapshot,
         snapshot_overwrite,
@@ -4334,7 +4362,7 @@ def exact_substring_ingest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok, sfx = _sfx_suffixes(spark, sf_dir)
     sfx = sfx.localCheckpoint(eager=False)  # feeds the index write AND probe
 
-    lake = _tf.mkdtemp(prefix="sfx_index_")
+    lake = _sfx_probe_lake(sf_dir)
     hist = sfx.filter(F.col("doc_id") % 2 == 0).withColumn(
         "panchor", F.substring("anchor", 1, 1)
     )
@@ -4587,7 +4615,7 @@ LEFT JOIN pairs i ON i.source_a = sa.source AND i.source_b = sb.source
     "pair, the ppm fraction of A's distinct 3-gram shingles that also "
     "occur in B; the asymmetric partial-mirror signal (doc-hash overlap "
     "misses near-derivatives) that orients joint dedup and survivorship",
-    tags=("ext", "corpus", "dedup"),
+    tags=("ext", "corpus", "dedup", "bench"),
 )
 def source_containment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: NO shingle self-join. One distinct on (source,

@@ -4325,7 +4325,7 @@ FROM seg_r1 s1 JOIN seg_r2 s2 ON s2.word = s1.word
     "counts, re-segment — emitting the convergence sheet (corpus bits and "
     "pieces before/after, word types whose segmentation changed, vocab "
     "shrink) a tokenizer-training run watches per round",
-    tags=("ext", "mining", "tokenizer"),
+    tags=("ext", "mining", "tokenizer", "bench"),
 )
 def unigram_lm_em2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: identical to round 1 twice over — the corpus is still

@@ -3738,14 +3738,17 @@ def streaming_journey_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     costs = {(r.from_type, r.to_type): int(r.bits) for r in cost_rows}
 
+    # Microsecond epoch — the full precision of a Spark TIMESTAMP — so the
+    # stateful fold's (ts_us, event_id) sort matches the batch oracle's
+    # ORDER BY ts, event_id even for same-second events of one user.
     feed_rows = events.select(
         "user_id",
         "event_id",
-        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+        F.unix_micros("ts").alias("ts_us"),
         "event_type",
     ).localCheckpoint(eager=False)
     b = feed_rows.agg(
-        F.min("ts_s").alias("lo"), F.max("ts_s").alias("hi")
+        F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
     ).collect()[0]
     lo_s, hi_s = int(b["lo"]), int(b["hi"])
 
@@ -3756,7 +3759,7 @@ def streaming_journey_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts = [lo_s + i * step for i in range(n_chunks)] + [hi_s + 1]
     for i in range(n_chunks):
         chunk = feed_rows.filter(
-            (F.col("ts_s") >= cuts[i]) & (F.col("ts_s") < cuts[i + 1])
+            (F.col("ts_us") >= cuts[i]) & (F.col("ts_us") < cuts[i + 1])
         )
         tmp = tempfile.mkdtemp(prefix=f"journey_chunk{i}_")
         chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -3771,7 +3774,7 @@ def streaming_journey_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feed = (
         spark.readStream.schema(
-            "user_id long, event_id long, ts_s long, event_type string"
+            "user_id long, event_id long, ts_us long, event_type string"
         )
         .option("maxFilesPerTrigger", "1")
         .parquet(feed_dir)

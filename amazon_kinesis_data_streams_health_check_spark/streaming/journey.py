@@ -13,8 +13,10 @@ feed is sliced across micro-batches.
 
 Rows must arrive in nondecreasing time order per user ACROSS micro-batches
 (the bounded drive orders its feed files by modification time); within a
-micro-batch the fold sorts on (ts_s, event_id), matching the batch
-window's compound order key.
+micro-batch the fold sorts on (ts_us, event_id) — microsecond epoch, the
+full precision of a Spark TIMESTAMP — so the fold's order matches the
+batch window's ``ORDER BY ts, event_id`` exactly even when two events for
+one user share the same wall-clock second.
 """
 
 from __future__ import annotations
@@ -53,9 +55,16 @@ JOURNEY_STATE_SCHEMA = StructType(
 
 
 def make_journey_fn(costs: dict[tuple[str, str], int]):
-    """applyInPandasWithState function: fold (ts_s, event_id, event_type)
+    """applyInPandasWithState function: fold (ts_us, event_id, event_type)
     rows into running journey-surprisal prefixes, one output row per
-    transition."""
+    transition.
+
+    Transition pairs absent from the offline-fit cost matrix fall back to
+    one bit above the matrix's maximum cost (a worst-case surprisal) rather
+    than raising — the registered drive fits the matrix on the same feed so
+    the fallback never fires there, but an open-vocabulary feed must not
+    kill the streaming query."""
+    fallback_cost = max(costs.values(), default=0) + 1
 
     def journey_fn(
         key: tuple[Any, ...],
@@ -70,13 +79,13 @@ def make_journey_fn(costs: dict[tuple[str, str], int]):
 
         out: dict[str, list] = {f.name: [] for f in JOURNEY_OUTPUT_SCHEMA.fields}
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
-            ["ts_s", "event_id"]
+            ["ts_us", "event_id"]
         )
         for et in pdf["event_type"]:
             et = str(et)
             if last_type is not None:
                 n_trans += 1
-                sum_bits += costs[(last_type, et)]
+                sum_bits += costs.get((last_type, et), fallback_cost)
                 out["user_id"].append(user_id)
                 out["n_transitions"].append(n_trans)
                 out["sum_bits"].append(sum_bits)
@@ -91,7 +100,7 @@ def make_journey_fn(costs: dict[tuple[str, str], int]):
 def journey_stream(
     feed: DataFrame, costs: dict[tuple[str, str], int]
 ) -> DataFrame:
-    """Wire the scorer onto a streaming (user_id, event_id, ts_s,
+    """Wire the scorer onto a streaming (user_id, event_id, ts_us,
     event_type) feed."""
     return feed.groupBy("user_id").applyInPandasWithState(
         make_journey_fn(costs),

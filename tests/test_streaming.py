@@ -602,7 +602,7 @@ def test_journey_stream_slicing_invariant_and_matches_python(spark, tmp_path):
         for u, ets in journeys.items()
         for i, et in enumerate(ets)
     ]
-    ddl = "user_id long, event_id long, ts_s long, event_type string"
+    ddl = "user_id long, event_id long, ts_us long, event_type string"
     feed_df = spark.createDataFrame(feed_rows, ddl)
 
     def drive(n_chunks: int, tag: str):
@@ -612,7 +612,7 @@ def test_journey_stream_slicing_invariant_and_matches_python(spark, tmp_path):
         per = (hi - lo) // n_chunks + 1
         for i in range(n_chunks):
             c = feed_df.filter(
-                (F.col("ts_s") >= lo + i * per) & (F.col("ts_s") < lo + (i + 1) * per)
+                (F.col("ts_us") >= lo + i * per) & (F.col("ts_us") < lo + (i + 1) * per)
             )
             d = tmp_path / f"jw_{tag}_{i}"
             c.coalesce(1).write.parquet(str(d))
