@@ -4618,29 +4618,37 @@ LEFT JOIN pairs i ON i.source_a = sa.source AND i.source_b = sb.source
     tags=("ext", "corpus", "dedup", "bench"),
 )
 def source_containment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: NO shingle self-join. One distinct on (source,
-    shingle), one shingle-keyed aggregation into the shingle\'s SOURCE SET
-    (bounded by |sources|), one count per distinct set — and pair counts
-    come from exploding the counted COMBO table (<= 2^|sources| rows in
-    theory, hundreds in practice), never per-shingle pairs. Work is
-    linear in distinct (source, shingle) rows regardless of how many
-    sources share a shingle — the saturation blow-up the naive
-    self-join formulation measured (growth exponent 0.79) is gone."""
+    """Scale shape: NO shingle self-join, and the corpus crosses exactly
+    ONE shuffle. Shingles are deduped WITHIN each doc (``array_distinct``
+    before the explode — pure map work) and the (source, shingle) distinct
+    is folded into the shingle-keyed ``collect_set`` aggregation, whose
+    map-side partial dedups before the exchange. Everything downstream of
+    that single aggregation is bounded metadata: per-shingle SOURCE SETS
+    (<= |sources| wide), distinct-set counts (<= 2^|sources| rows in
+    theory, hundreds in practice), per-source sizes from exploding the
+    counted sets. Pair counts never touch per-shingle pairs, so work is
+    linear in shingle positions regardless of how many sources share a
+    shingle — the saturation blow-up the naive self-join formulation
+    measured (growth exponent 0.79) is gone, and the round-5 version's
+    second corpus-scale shuffle (a pre-aggregation ``distinct``) with it."""
     configure_session(spark)
     docs = parallel_scan(spark, sf_dir, "documents")
-    sh = (
+    sets = (
         with_shingles(docs)
-        .select("source", F.explode("sh").alias("s"))
-        .distinct()
-        .localCheckpoint(eager=False)  # feeds sizes AND the set agg
+        .select(
+            "source",
+            F.explode(F.array_distinct("sh")).alias("s"),
+        )
+        .groupBy("s")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .localCheckpoint(eager=False)  # feeds sizes AND the combo count
     )
-    sizes = sh.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    sizes = (
+        sets.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"))
     )
     sizes = F.broadcast(sizes.localCheckpoint(eager=False))
-    sets = sh.groupBy("s").agg(
-        F.sort_array(F.collect_list("source")).alias("srcs")
-    )
     combos = sets.groupBy("srcs").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
