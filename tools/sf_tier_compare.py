@@ -1,0 +1,102 @@
+"""Measure real sf0.1 -> sf1.0 growth exponents (round-5 verdict item 2).
+
+Runs each requested query (default: the bench headline set plus the rest
+of the suffix-array family) at /root/testdata/sf0.1 and at the build_sf1
+tier, each timed best-of-N after a JVM warm-up, and reports per query
+
+    exponent = log(t_sf1 / t_sf01) / log(10)
+
+plus output-row growth. Exponent <= ~1 means the plan scales at-or-better
+than linearly in data volume across a REAL 10x — the first scale evidence
+for this engine above sf0.1. Queries whose runtime is fixed-overhead
+dominated at sf0.1 (sub-second) legitimately show exponents near 0.
+
+Usage: python tools/sf_tier_compare.py [--queries a,b,c] [--samples 2]
+       (expects /tmp/scale_tier/sf1.0 — run tools/build_sf1.py first)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from amazon_kinesis_data_streams_health_check_spark.plans.registry import all_queries
+from amazon_kinesis_data_streams_health_check_spark.session import get_spark
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/scale_tier/sf1.0"
+EXTRA = ("exact_substring_scrub", "exact_substring_ingest_probe")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", default="")
+    ap.add_argument("--samples", type=int, default=2)
+    ap.add_argument("--sf1", default=SF1)
+    args = ap.parse_args()
+
+    qs = all_queries()
+    if args.queries:
+        names = [n for n in args.queries.split(",") if n]
+    else:
+        names = sorted(
+            [n for n, q in qs.items() if "bench" in q.tags] + list(EXTRA)
+        )
+    missing = [n for n in names if n not in qs]
+    assert not missing, f"unknown queries: {missing}"
+    assert os.path.isdir(args.sf1), f"run tools/build_sf1.py first ({args.sf1})"
+
+    spark = get_spark(app_name="sf-tier-compare")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen caches on both dirs before timing anything.
+    for d in (SF01, args.sf1):
+        qs[names[0]].builder(spark, d).limit(1).collect()
+
+    report: dict[str, dict] = {}
+    for name in names:
+        row: dict[str, dict | float] = {"sec": {}, "out_rows": {}}
+        for label, d in (("sf0.1", SF01), ("sf1.0", args.sf1)):
+            best, rows = float("inf"), -1
+            for _ in range(max(1, args.samples)):
+                t0 = time.perf_counter()
+                df = qs[name].builder(spark, d)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            rows = qs[name].builder(spark, d).count()
+            row["sec"][label] = round(best, 3)
+            row["out_rows"][label] = rows
+        t1, t10 = row["sec"]["sf0.1"], row["sec"]["sf1.0"]
+        r1, r10 = row["out_rows"]["sf0.1"], row["out_rows"]["sf1.0"]
+        row["runtime_exponent"] = round(math.log(t10 / t1) / math.log(10), 3)
+        row["output_exponent"] = round(
+            math.log(max(r10, 1) / max(r1, 1)) / math.log(10), 3
+        )
+        report[name] = row
+        print(
+            f"{name}: {t1:.2f}s -> {t10:.2f}s  exp={row['runtime_exponent']}"
+            f"  rows {r1} -> {r10}",
+            file=sys.stderr,
+        )
+
+    print(
+        json.dumps(
+            {
+                "mult": 10,
+                "load1_at_start": round(os.getloadavg()[0], 2),
+                "report": report,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
