@@ -108,6 +108,14 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]" if cpus else "local[*]"
     builder = SparkSession.builder.appName(app_name).master(master)
+    # Local mode puts ALL executor threads in the driver JVM, whose default
+    # 1g heap starves 32 concurrent tasks at sf>=1.0 (observed: GCLocker
+    # retry storms, then executor deaths that cascade into missing-shuffle-
+    # file errors). Size the heap like a real executor would be sized.
+    # Only effective if the JVM is not already running (getOrCreate reuse).
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    )
     for k, v in BUILD_CONFS.items():
         builder = builder.config(k, v)
     if shuffle_partitions is None:
