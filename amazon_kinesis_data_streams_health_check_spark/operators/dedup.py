@@ -33,18 +33,35 @@ LSH_BANDS = 4
 LSH_ROWS = MINHASH_PERMS // LSH_BANDS
 
 #: SimHash: 32 bits (hex-digit parity of md5 — one bit per md5 hex digit),
-#: compared in 4 bands of 8 bits. 8-bit band keys give 256 values per band;
-#: at 16 values (the old 4-bit config) every band bucket was hot at any
-#: realistic corpus size and candidate generation went quadratic.
-SIMHASH_BITS = 32
-SIMHASH_BANDS = 4
+#: 64-bit fingerprints in 8 bands of 8 bits, candidate keys = CONCATENATED
+#: BAND PAIRS (C(8,2) = 28 sixteen-bit composite keys per doc) — the Manku
+#: et al. 2007 (WWW, "Detecting near-duplicate web pages") block-permutation
+#: design. The round-5 config (32-bit sigs, 4 single bands of 8 bits) had a
+#: 256-value key space per band: every bucket saturates as the corpus grows
+#: and candidate generation goes quadratic (measured: dedup_fuzzy_edit grew
+#: at exponent 1.5 across a REAL sf0.1 -> sf1.0 step). 16-bit composite
+#: keys give 65536 values per table, pushing the saturation point out 256x
+#: while KEEPING recall: Hamming <= 6 flips at most 6 of the 8 bands, so at
+#: least one of the 28 band PAIRS survives intact (pigeonhole on 2-of-8).
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 8
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 
-#: With B bands, any pair within Hamming distance B-1 leaves at least one
-#: band untouched (pigeonhole) — banding is exactly lossless at this
-#: threshold. Distance-B pairs could flip one bit in every band, so a
-#: threshold of B would silently lose recall; keep it at B-1.
-SIMHASH_MAX_HAMMING = SIMHASH_BANDS - 1
+#: With composite 2-of-B band keys, any pair within Hamming distance B-2
+#: leaves at least two bands untouched (pigeonhole) — their pair key is an
+#: exact candidate match, so banding is lossless at this threshold.
+#: Measured on the driver corpus: Levenshtein-verified near-dup pairs sit
+#: at 64-bit Hamming <= 6 for 23/25 pairs (<= 3 caught only half) — use
+#: this as the CANDIDATE bound for pipelines with a downstream exact
+#: verify (dedup_fuzzy_edit).
+SIMHASH_MAX_HAMMING = SIMHASH_BANDS - 2
+
+#: Reporting threshold for unverified SimHash dedup (dedup_simhash):
+#: Manku et al.'s production setting (k = 3 on 64-bit fingerprints).
+#: Hamming <= 6 without a verify returns a quadratically-growing "vaguely
+#: similar" mass on dense corpora (measured: output exponent 2.8 across
+#: sf0.1 -> sf1.0); <= 3 is the published near-DUPLICATE operating point.
+SIMHASH_REPORT_HAMMING = 3
 
 _HEX = "0123456789abcdef"
 
@@ -206,18 +223,19 @@ def verified_jaccard(pairs: DataFrame, shingled: DataFrame, id_col: str = "doc_i
 # SimHash
 # ---------------------------------------------------------------------------
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-doc 16-bit SimHash as a '0'/'1' string.
+    """Per-doc 64-bit SimHash as a '0'/'1' string.
 
-    Bit i's vote is the parity of md5(token)'s i-th hex digit, summed +1/-1
-    over tokens WITH multiplicity (explode -> groupBy: one shuffle on doc_id,
-    partial-aggregated map-side).
+    Bit i's vote is bit (i % 4) of md5(token)'s hex digit (i // 4), summed
+    +1/-1 over tokens WITH multiplicity (explode -> groupBy: one shuffle on
+    doc_id, partial-aggregated map-side).
     """
     toks = df.select(F.col(id_col), F.explode(F.expr(_tok(text_col))).alias("tok"))
     votes = [
         F.sum(
             F.when(
                 F.expr(
-                    f"(instr('{_HEX}', substr(md5(tok), {i + 1}, 1)) - 1) % 2"
+                    f"((instr('{_HEX}', substr(md5(tok), {i // 4 + 1}, 1)) - 1)"
+                    f" div {1 << (i % 4)}) % 2"
                 )
                 == 1,
                 1,
@@ -241,33 +259,52 @@ def simhash_near_pairs(
     max_hamming: int = SIMHASH_MAX_HAMMING,
     salt: int = BAND_SALT,
 ) -> DataFrame:
-    """Band-join on 8-bit sig substrings, then exact Hamming distance filter.
+    """Band-PAIR join (Manku et al. 2007) then exact Hamming filter.
 
-    Any pair within Hamming distance ``SIMHASH_BANDS - 1`` of a 32-bit sig
-    shares at least one of the 4 bands (pigeonhole), so banding loses no
-    true positives at the default threshold. Band keys still concentrate on
-    common signature patterns at scale, so the self-join stays salted.
+    Each doc emits C(8,2) = 28 composite keys — one per unordered pair of
+    8-bit bands. Any pair within Hamming distance ``SIMHASH_BANDS - 2``
+    flips bits in at most 6 bands, leaving >= 2 bands equal, so the
+    composite key of SOME band pair matches exactly (pigeonhole) — banding
+    is lossless at the default threshold. The 16-bit composite key space
+    (65536 values/table vs 256 for single bands) is what keeps candidate
+    groups from saturating as the corpus grows; residual hot keys (empty
+    docs, boilerplate) are handled by the salted join.
     """
-    # Carry the signature as a 16-bit integer through the join: the exact
-    # Hamming verify is then one XOR + popcount per candidate pair instead
-    # of 16 per-character string compares — the verify runs over O(pairs)
-    # rows (millions at scale), so constant factors here dominate the op.
+    from itertools import combinations
+
+    # Carry the signature as two 32-bit integers through the join: the
+    # exact Hamming verify is then two XOR + popcounts per candidate pair
+    # instead of 64 per-character string compares — the verify runs over
+    # O(pairs) rows (millions at scale), so constant factors dominate.
+    # (A single 64-bit conv() would overflow BIGINT for sigs with the top
+    # bit set — conv returns a STRING holding the unsigned value.)
+    combos = list(combinations(range(SIMHASH_BANDS), 2))
     bands = sigs.select(
         F.col(id_col),
-        F.expr("cast(conv(sig, 2, 10) as bigint)").alias("sig_int"),
+        F.expr("cast(conv(substr(sig, 1, 32), 2, 10) as bigint)").alias("sig_hi"),
+        F.expr("cast(conv(substr(sig, 33, 32), 2, 10) as bigint)").alias("sig_lo"),
         F.posexplode(
             F.array(
                 *[
-                    F.expr(f"substr(sig, {b * SIMHASH_BAND_BITS + 1}, {SIMHASH_BAND_BITS})")
-                    for b in range(SIMHASH_BANDS)
+                    F.expr(
+                        f"concat(substr(sig, {i * SIMHASH_BAND_BITS + 1}, {SIMHASH_BAND_BITS}),"
+                        f" substr(sig, {j * SIMHASH_BAND_BITS + 1}, {SIMHASH_BAND_BITS}))"
+                    )
+                    for i, j in combos
                 ]
             )
         ).alias("band_idx", "band_key"),
     )
-    pairs = _salted_band_self_join(bands, id_col, extra_cols=("sig_int",), salt=salt)
+    pairs = _salted_band_self_join(
+        bands, id_col, extra_cols=("sig_hi", "sig_lo"), salt=salt
+    )
     return (
         pairs.withColumn(
-            "hamming", F.expr("bit_count(sig_int_a ^ sig_int_b)").cast("long")
+            "hamming",
+            (
+                F.expr("bit_count(sig_hi_a ^ sig_hi_b)")
+                + F.expr("bit_count(sig_lo_a ^ sig_lo_b)")
+            ).cast("long"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")

@@ -207,6 +207,7 @@ from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (  # 
     SIMHASH_BANDS,
     SIMHASH_BAND_BITS,
     SIMHASH_MAX_HAMMING,
+    SIMHASH_REPORT_HAMMING,
     _salted_band_self_join,
     jaccard_allpairs_pairs,
 )
@@ -304,11 +305,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIMHASH_BANDS_UNION = "\n  UNION ALL\n  ".join(
-    f"SELECT doc_id, sig, {b} AS band_idx, substr(sig, {b * SIMHASH_BAND_BITS + 1}, {SIMHASH_BAND_BITS}) AS band_key FROM sigs"
-    for b in range(SIMHASH_BANDS)
+    f"SELECT doc_id, sig, {idx} AS band_idx, "
+    f"substr(sig, {i * SIMHASH_BAND_BITS + 1}, {SIMHASH_BAND_BITS})"
+    f" || substr(sig, {j * SIMHASH_BAND_BITS + 1}, {SIMHASH_BAND_BITS}) AS band_key FROM sigs"
+    for idx, (i, j) in enumerate(
+        (i, j)
+        for i in range(SIMHASH_BANDS)
+        for j in range(i + 1, SIMHASH_BANDS)
+    )
 )
 _SIMHASH_VOTES = ",\n         ".join(
-    f"sum(CASE WHEN (instr('0123456789abcdef', substr(md5(tok), {i + 1}, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END) AS v_{i}"
+    f"sum(CASE WHEN ((instr('0123456789abcdef', substr(md5(tok), {i // 4 + 1}, 1)) - 1) // {1 << (i % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS v_{i}"
     for i in range(SIMHASH_BITS)
 )
 _SIMHASH_SIG = " || ".join(
@@ -342,21 +349,24 @@ pairs AS (
   JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
               AND x.doc_id < y.doc_id
 )
-SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {SIMHASH_MAX_HAMMING}
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {SIMHASH_REPORT_HAMMING}
 """
 
 
 @register(
     "dedup_simhash",
     oracle=_SIMHASH_SQL,
-    doc=f"E1: {SIMHASH_BITS}-bit SimHash near-dup pairs ({SIMHASH_BAND_BITS}-bit band join, Hamming <= {SIMHASH_MAX_HAMMING} — lossless by pigeonhole)",
+    doc=f"E1: {SIMHASH_BITS}-bit SimHash near-dup pairs (Manku 2007 band-pair "
+    f"join, reported at the production Hamming <= {SIMHASH_REPORT_HAMMING} "
+    f"threshold — candidate generation is lossless to <= {SIMHASH_MAX_HAMMING} "
+    f"by 2-of-{SIMHASH_BANDS} pigeonhole)",
     tags=("ext", "dedup"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
     docs = parallel_scan(spark, sf_dir, "documents")
     sigs = simhash_signatures(docs)
-    return simhash_near_pairs(sigs)
+    return simhash_near_pairs(sigs, max_hamming=SIMHASH_REPORT_HAMMING)
 
 
 _NGRAM_JACCARD_THRESHOLD = 0.2
@@ -4841,4 +4851,322 @@ def isotonic_cosine_dup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("iso_avg")
             != F.col("n_dups").cast("double") / F.col("n_pairs").cast("double")
         ).alias("pooled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup pruning —
+# k-means-cluster the embedding corpus, then WITHIN each cluster drop every
+# vector that is eps-cosine-close to a higher-ranked member, where rank is
+# distance-to-centroid DESC (the paper's "keep the examples least similar
+# to the centroid" rule). Closes the last named dedup family from the
+# training-data literature: exact / MinHash / SimHash / containment /
+# fuzzy-edit / suffix-array substring / SEMANTIC.
+#
+# Cross-engine exactness: the whole pipeline is the kmeans_lloyd_exact
+# integer machinery (quantized BIGINT vectors, md5 seeding, exact squared-
+# L2 argmin with id tie-breaks, sign-aware integer-mean updates), and the
+# eps-cosine test is the exact integer predicate
+#     dot > 0  AND  DEN * dot^2 >= NUM * |a|^2 * |b|^2
+# evaluated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — no sqrt, no
+# float, so keep/drop decisions are bit-identical across engines.
+#
+# Scale design: cluster granularity is the fan-out knob — k grows with the
+# corpus (smallest power of two with k * 64 >= n, the paper's k ~ n/1000
+# stance at its 134M scale), so expected cluster size stays ~constant and
+# the within-cluster pair set stays ~linear in n. Pairs never cross
+# clusters.
+# ---------------------------------------------------------------------------
+_SEM_D = 64
+_SEM_Q = 10_000
+_SEM_T = 3
+_SEM_CAP = 64  # target mean cluster size — bounds within-cluster fan-out
+_SEM_KS = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+_SEM_NUM = 900  # eps^2 as a rational: eps = 0.3 -> 900 / 10000 — the
+# corpus near-dup operating point (embedding_near_dups uses cos >= 0.3;
+# the driver embedding table tops out at cos ~0.45, so a web-corpus-ish
+# 0.8 would never fire here)
+_SEM_DEN = 10_000
+
+
+def _sem_k(n: int) -> int:
+    """Smallest power-of-two k with k * CAP >= n (clamped to the table) —
+    the identical formula the oracle evaluates in SQL."""
+    for p in _SEM_KS:
+        if p * _SEM_CAP >= n:
+            return p
+    return _SEM_KS[-1]
+
+
+def _sem_dot(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, {_SEM_D} + 1),"
+        f" i -> {a}.q[i] * {b}.q[i])) AS HUGEINT)"
+    )
+
+
+def _sem_oracle_sql() -> str:
+    ks = ", ".join(f"({p})" for p in _SEM_KS)
+    head = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {_SEM_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+kp AS (
+  SELECT CAST(min(p) AS BIGINT) AS k
+  FROM (VALUES {ks}) t(p), np
+  WHERE p * {_SEM_CAP} >= np.n OR p = {_SEM_KS[-1]}
+),
+seeded AS (
+  SELECT vec_id, q,
+         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT k FROM kp) AS bucket,
+         md5(CAST(vec_id AS VARCHAR)) AS h
+  FROM q
+),
+c0 AS (
+  SELECT bucket AS j, q AS c
+  FROM (SELECT bucket, q,
+               row_number() OVER (PARTITION BY bucket ORDER BY h, vec_id) AS rn
+        FROM seeded)
+  WHERE rn = 1
+)"""
+    steps = []
+    for t in range(1, _SEM_T + 1):
+        steps.append(f""",
+a{t} AS (
+  SELECT vec_id, q, j, dist
+  FROM (
+    SELECT q.vec_id, q.q, c.j,
+           CAST(list_sum(list_transform(range(1, {_SEM_D} + 1),
+             i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))) AS BIGINT) AS dist,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY CAST(list_sum(list_transform(range(1, {_SEM_D} + 1),
+                                i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))) AS BIGINT), c.j) AS rn
+    FROM q CROSS JOIN c{t - 1} c
+  ) WHERE rn = 1
+),
+u{t} AS (
+  SELECT j, i AS d,
+         (CASE WHEN sum(v) >= 0 THEN 1 ELSE -1 END)
+           * (abs(CAST(sum(v) AS BIGINT)) // CAST(count(*) AS BIGINT)) AS val
+  FROM (SELECT j, unnest(range(1, {_SEM_D} + 1)) AS i, unnest(q) AS v FROM a{t})
+  GROUP BY j, i
+),
+c{t} AS (
+  SELECT prev.j,
+         coalesce(upd.c, prev.c) AS c
+  FROM c{t - 1} prev
+  LEFT JOIN (SELECT j, list(val ORDER BY d) AS c FROM u{t} GROUP BY j) upd
+    ON prev.j = upd.j
+)"""
+        )
+    tail = f""",
+a4 AS (
+  SELECT vec_id, q, j, dist
+  FROM (
+    SELECT q.vec_id, q.q, c.j,
+           CAST(list_sum(list_transform(range(1, {_SEM_D} + 1),
+             i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))) AS BIGINT) AS dist,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY CAST(list_sum(list_transform(range(1, {_SEM_D} + 1),
+                                i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))) AS BIGINT), c.j) AS rn
+    FROM q CROSS JOIN c{_SEM_T} c
+  ) WHERE rn = 1
+),
+r AS (
+  SELECT vec_id, q, j, dist,
+         row_number() OVER (PARTITION BY j ORDER BY dist DESC, vec_id)
+           AS c_rank,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+  FROM a4
+),
+sz AS (SELECT j, CAST(count(*) AS BIGINT) AS cluster_size FROM r GROUP BY j),
+drops AS (
+  SELECT DISTINCT a.vec_id
+  FROM r a JOIN r b ON a.j = b.j AND b.c_rank < a.c_rank
+  WHERE {_sem_dot('a', 'b')} > 0
+    AND {_SEM_DEN} * {_sem_dot('a', 'b')} * {_sem_dot('a', 'b')}
+        >= {_SEM_NUM} * CAST(a.n2 AS HUGEINT) * CAST(b.n2 AS HUGEINT)
+)
+SELECT r.vec_id,
+       CAST(r.j AS BIGINT) AS cluster,
+       sz.cluster_size,
+       CAST(r.c_rank AS BIGINT) AS c_rank,
+       d.vec_id IS NULL AS keep
+FROM r
+JOIN sz ON sz.j = r.j
+LEFT JOIN drops d ON d.vec_id = r.vec_id
+"""
+    return head + "".join(steps) + tail
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=_sem_oracle_sql(),
+    doc="SemDeDup (Abbas et al. 2023): corpus-scaled exact-integer k-means "
+    "over the embeddings (k = smallest power of two with k*64 >= n, 3 "
+    "Lloyd rounds), then within each cluster drop every vector eps-cosine-"
+    "close (eps = 0.3, exact integer predicate) to a member ranked farther "
+    "from the centroid — per vector its cluster, cluster size, centroid-"
+    "distance rank, and keep flag; the semantic member of the dedup "
+    "family, catching paraphrases and re-encodings no lexical signal sees",
+    tags=("ext", "embedding", "dedup", "similarity"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: assignment is a BROADCAST join against the k-row
+    centroid table (k*d ints — 25 MB even at the paper's k = 50k) with the
+    argmin as a partial-aggregatable min(struct(dist, j)) — no shuffle
+    wider than one row per vector; each Lloyd update aggregates onto
+    k*d keys with map-side partial sums and only the k*d centroid ints
+    ever reach the driver (the PCA/k-means bounded-control-plane
+    contract). The within-cluster pair join keys on cluster id with
+    expected fan-out CAP^2 per cluster; k growing with n keeps the total
+    pair set ~linear (SemDeDup's own scaling stance), and a degenerate
+    giant cluster is AQE-skew-split territory, not a plan change.
+    Reference cost anchor: the reference repo has no embedding surface —
+    this extends SURVEY.md section 2.10's north-star scope."""
+    from pyspark.sql import Window
+
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        hash_uniform,
+    )
+
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_SEM_Q}) AS BIGINT))"
+        ).alias("q"),
+    ).localCheckpoint(eager=False)  # feeds count, seeding, T+1 assignment passes
+    k = _sem_k(q.count())
+
+    rn = F.row_number().over(
+        Window.partitionBy("bucket").orderBy("h", "vec_id")
+    )
+    c_rows = (
+        q.select(
+            "vec_id",
+            "q",
+            (hash_uniform("vec_id") % k).alias("bucket"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(F.col("bucket").alias("j"), "q")
+        .collect()
+    )
+    centroids = {int(r.j): list(r.q) for r in c_rows}
+
+    def assign():
+        cents = spark.createDataFrame(
+            [(j, centroids[j]) for j in sorted(centroids)],
+            "j int, c array<bigint>",
+        )
+        scored = q.join(F.broadcast(cents)).select(
+            "vec_id",
+            "q",
+            "j",
+            F.expr(
+                "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("dist"),
+        )
+        return scored.groupBy("vec_id").agg(
+            F.min(F.struct("dist", "j")).alias("b"),
+            F.any_value("q").alias("q"),  # identical across the k copies
+        ).select(
+            "vec_id", "q", F.col("b.j").alias("j"), F.col("b.dist").alias("dist")
+        )
+
+    for _ in range(_SEM_T):
+        sums = (
+            assign()
+            .select("j", F.expr("posexplode(q) AS (d, v)"))
+            .groupBy("j", "d")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: k * d rows of control-plane ints
+        )
+        upd: dict[int, list[int]] = {}
+        for r in sums:
+            upd.setdefault(int(r.j), [0] * _SEM_D)[r.d] = (
+                1 if r.s >= 0 else -1
+            ) * (abs(r.s) // r.n)
+        for j, c in upd.items():
+            centroids[j] = c
+
+    ranked = (
+        assign()
+        .select(
+            "vec_id",
+            "q",
+            "j",
+            "dist",
+            F.expr(
+                "aggregate(zip_with(q, q, (x, y) -> x * y),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("n2"),
+        )
+        .withColumn(
+            "c_rank",
+            F.row_number().over(
+                Window.partitionBy("j").orderBy(F.desc("dist"), "vec_id")
+            ),
+        )
+        .localCheckpoint(eager=False)  # feeds sizes + both pair-join sides
+    )
+    sizes = ranked.groupBy("j").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    a = ranked.select(
+        F.col("vec_id").alias("va"),
+        F.col("j").alias("ja"),
+        F.col("c_rank").alias("ra"),
+        F.col("q").alias("qa"),
+        F.col("n2").alias("na2"),
+    )
+    b = ranked.select(
+        F.col("j").alias("jb"),
+        F.col("c_rank").alias("rb"),
+        F.col("q").alias("qb"),
+        F.col("n2").alias("nb2"),
+    )
+    dot = (
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    drops = (
+        a.join(b, (F.col("ja") == F.col("jb")) & (F.col("rb") < F.col("ra")))
+        .withColumn("dot", F.expr(dot))
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.expr(
+                    f"CAST({_SEM_DEN} AS DECIMAL(38, 0))"
+                    " * CAST(dot AS DECIMAL(38, 0)) * CAST(dot AS DECIMAL(38, 0))"
+                )
+                >= F.expr(
+                    f"CAST({_SEM_NUM} AS DECIMAL(38, 0))"
+                    " * CAST(na2 AS DECIMAL(38, 0)) * CAST(nb2 AS DECIMAL(38, 0))"
+                )
+            )
+        )
+        .select(F.col("va").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        ranked.join(sizes, "j")
+        .join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("j").cast("long").alias("cluster"),
+            "cluster_size",
+            F.col("c_rank").cast("long").alias("c_rank"),
+            F.col("dropped").isNull().alias("keep"),
+        )
     )

