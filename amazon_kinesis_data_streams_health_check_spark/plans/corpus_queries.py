@@ -4843,3 +4843,129 @@ def mmr_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("relevance_cost_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score every raw document by the log-likelihood ratio
+# of a TARGET distribution vs the RAW distribution under hashed-bigram
+# unigram models. Here the target is the English slice (the "domain you
+# want more of"); features are md5-hashed bigrams in 1024 buckets; both
+# models are Laplace-smoothed bucket frequencies; the per-bucket log ratio
+# is the floor-log2 bits device (length(bin(tot // (c+1))) differences),
+# so weights are exact integers in both engines.
+# ---------------------------------------------------------------------------
+_DSIR_BUCKETS = 1024
+_DSIR_TARGET_LANG = "en"
+
+_DSIR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, {_DUCK_TOK} AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, lang, unnest({_duck_ngrams('t', 2)}) AS g FROM tok
+),
+bk AS (
+  SELECT doc_id, lang,
+         {duck_hash_uniform('g')} % {_DSIR_BUCKETS} AS bucket
+  FROM bg
+),
+counts AS MATERIALIZED (
+  SELECT bucket,
+         CAST(count(*) AS BIGINT) AS c_r,
+         CAST(sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+  FROM bk GROUP BY bucket
+),
+tots AS (
+  SELECT CAST(sum(c_r) + {_DSIR_BUCKETS} AS BIGINT) AS tot_r,
+         CAST(sum(c_t) + {_DSIR_BUCKETS} AS BIGINT) AS tot_t
+  FROM counts
+),
+delta AS (
+  SELECT c.bucket,
+         CAST(length(bin(t.tot_r // (c.c_r + 1)))
+              - length(bin(t.tot_t // (c.c_t + 1))) AS BIGINT) AS dbits
+  FROM counts c CROSS JOIN tots t
+),
+scored AS (
+  SELECT b.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(d.dbits) AS BIGINT) AS dsir_weight_bits
+  FROM bk b JOIN delta d ON d.bucket = b.bucket
+  GROUP BY b.doc_id
+)
+SELECT t.doc_id, t.lang,
+       coalesce(s.n_bigrams, 0) AS n_bigrams,
+       coalesce(s.dsir_weight_bits, 0) AS dsir_weight_bits,
+       coalesce(s.dsir_weight_bits, 0) > 0 AS target_leaning
+FROM tok t LEFT JOIN scored s ON s.doc_id = t.doc_id
+"""
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=_DSIR_SQL,
+    doc="DSIR data selection (Xie et al. 2023): per-doc importance weight "
+    "= hashed-bigram log-likelihood ratio of the English target slice vs "
+    "the raw corpus (1024 md5 buckets, Laplace-smoothed, exact floor-log2 "
+    "integer bits) with the target-leaning selection flag — the importance-"
+    "resampling scorer that upsamples domain-matched raw data",
+    tags=("ext", "corpus", "curation"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one exploded-bigram pass builds the 1024-bucket count
+    table (keyed aggregation with map-side partials onto a FIXED key
+    space); totals ride a 1-row cross join; the per-doc score re-joins the
+    exploded stream against the BROADCAST 1024-row delta table and folds
+    per doc_id. Nothing anywhere scales worse than the token stream, and
+    the model state is bucket-bounded exactly as in the paper."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        hash_uniform,
+    )
+
+    tok = docs.select(
+        "doc_id", "lang", F.expr(_SPARK_TOK).alias("t")
+    ).localCheckpoint(eager=False)  # feeds the bigram stream AND final join
+    bk = tok.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr(_spark_ngrams("t", 2))).alias("g"),
+    ).select(
+        "doc_id",
+        "lang",
+        (hash_uniform("g") % _DSIR_BUCKETS).alias("bucket"),
+    ).localCheckpoint(eager=False)  # feeds the count pass AND the scoring pass
+    counts = bk.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c_r"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+        ).cast("long").alias("c_t"),
+    )
+    tots = counts.agg(
+        (F.sum("c_r") + F.lit(_DSIR_BUCKETS)).cast("long").alias("tot_r"),
+        (F.sum("c_t") + F.lit(_DSIR_BUCKETS)).cast("long").alias("tot_t"),
+    )
+    delta = counts.crossJoin(F.broadcast(tots)).select(
+        "bucket",
+        F.expr(
+            "CAST(length(bin(tot_r div (c_r + 1)))"
+            " - length(bin(tot_t div (c_t + 1))) AS BIGINT)"
+        ).alias("dbits"),
+    )
+    scored = (
+        bk.join(F.broadcast(delta), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("dbits").cast("long").alias("dsir_weight_bits"),
+        )
+    )
+    return tok.select("doc_id", "lang").join(scored, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("dsir_weight_bits", F.lit(0)).cast("long").alias("dsir_weight_bits"),
+        (F.coalesce("dsir_weight_bits", F.lit(0)) > 0).alias("target_leaning"),
+    )

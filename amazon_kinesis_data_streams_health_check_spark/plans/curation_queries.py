@@ -1817,3 +1817,229 @@ def domain_mw_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div z AS BIGINT)"
         ).alias("new_weight_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-rule battery (Rae et al. 2021, "Scaling Language Models",
+# appendix A1.1) — the canonical pre-training heuristic filter: word-count
+# bounds, mean-word-length bounds, symbol-to-word ratio, bullet/ellipsis
+# line fractions, alphabetic-word fraction, stop-word presence. Every rule
+# is an EXACT integer comparison (3 <= mean <= 10 becomes 3n <= chars AND
+# chars <= 10n), so flags are engine-identical with zero float division.
+# ---------------------------------------------------------------------------
+_GOPHER_STOPS = ("and", "be", "have", "of", "that", "the", "to", "with")
+
+
+def _gopher_flags(n, chars, sym, bull, ell_l, lines, alpha, stops):
+    """(spark_sql, duck_sql)-shared flag expressions over named count
+    columns — the rule arithmetic is identical in both dialects."""
+    return {
+        "r_word_count": f"{n} BETWEEN 50 AND 100000",
+        "r_mean_word_len": f"{n} > 0 AND 3 * {n} <= {chars} AND {chars} <= 10 * {n}",
+        "r_symbol_ratio": f"{n} > 0 AND 10 * {sym} <= {n}",
+        "r_bullet_lines": f"10 * {bull} <= 9 * {lines}",
+        "r_ellipsis_lines": f"10 * {ell_l} <= 3 * {lines}",
+        "r_alpha_words": f"{n} > 0 AND 5 * {alpha} >= 4 * {n}",
+        "r_stop_words": f"{stops} >= 2",
+    }
+
+
+_GOPHER_FLAGS = _gopher_flags(
+    "n_tokens", "total_chars", "n_symbols", "n_bullet_lines",
+    "n_ellipsis_lines", "n_lines", "n_alpha_words", "n_stops_present",
+)
+_GOPHER_STOP_ARR = "(" + ", ".join(f"'{w}'" for w in _GOPHER_STOPS) + ")"
+
+_GOPHER_SQL = f"""
+WITH c AS (
+  SELECT doc_id, source,
+         CAST(len({{tok}}) AS BIGINT) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform({{tok}}, x -> length(x))), 0) AS BIGINT) AS total_chars,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(string_split(text, chr(10)),
+              l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS n_bullet_lines,
+         CAST(len(list_filter(string_split(text, chr(10)),
+              l -> l LIKE '%...')) AS BIGINT) AS n_ellipsis_lines,
+         CAST(len(list_filter({{tok}}, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+         CAST(len(list_filter({{stops}}, w -> list_contains({{tok}}, w))) AS BIGINT) AS n_stops_present
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       {", ".join(f"({e}) AS {k}" for k, e in _GOPHER_FLAGS.items())},
+       ({") AND (".join(_GOPHER_FLAGS.values())}) AS passes_gopher
+FROM c
+""".format(
+    tok=f"regexp_extract_all(lower(text), '{TOKEN_RE}')",
+    stops="[" + ", ".join(f"'{w}'" for w in _GOPHER_STOPS) + "]",
+)
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=_GOPHER_SQL,
+    doc="Gopher rule battery (Rae et al. 2021 A1.1): per doc the seven "
+    "canonical heuristic-filter flags — word-count bounds, mean word "
+    "length 3-10, symbol-to-word ratio, bullet/ellipsis line fractions, "
+    "80% alphabetic words, >=2 core stop words — plus the overall pass, "
+    "every rule an exact integer comparison",
+    tags=("ext", "curation", "quality"),
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one narrow codegen'd projection over the documents scan
+    — zero joins, zero shuffles, zero UDFs; the whole rule battery rides
+    WholeStageCodegen and scales exactly with scan bandwidth (the ideal
+    100 TB filter stage). Reference scope: quality filtering extends
+    SURVEY.md section 2.10's curation block."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    tok = f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"
+    stops_arr = "array(" + ", ".join(f"'{w}'" for w in _GOPHER_STOPS) + ")"
+    c = docs.select(
+        "doc_id",
+        "source",
+        F.expr(f"CAST(size({tok}) AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            f"aggregate(transform({tok}, x -> CAST(length(x) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("total_chars"),
+        F.expr(
+            "CAST(length(text) - length(replace(text, '#', ''))"
+            " + (length(text) - length(replace(text, '...', ''))) div 3 AS BIGINT)"
+        ).alias("n_symbols"),
+        F.expr(r"CAST(size(split(text, '\n', -1)) AS BIGINT)").alias("n_lines"),
+        F.expr(
+            r"CAST(size(filter(split(text, '\n', -1),"
+            " l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT)"
+        ).alias("n_bullet_lines"),
+        F.expr(
+            r"CAST(size(filter(split(text, '\n', -1),"
+            " l -> l LIKE '%...')) AS BIGINT)"
+        ).alias("n_ellipsis_lines"),
+        F.expr(
+            f"CAST(size(filter({tok}, x -> x rlike '[a-z]')) AS BIGINT)"
+        ).alias("n_alpha_words"),
+        F.expr(
+            f"CAST(size(filter({stops_arr}, w -> array_contains({tok}, w))) AS BIGINT)"
+        ).alias("n_stops_present"),
+    )
+    flags = [F.expr(e).alias(k) for k, e in _GOPHER_FLAGS.items()]
+    passes = F.expr("(" + ") AND (".join(_GOPHER_FLAGS.values()) + ")")
+    return c.select(
+        "doc_id", "source", "n_tokens", *flags, passes.alias("passes_gopher")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Packing-efficiency audit: what does each candidate token budget COST in
+# tail waste and document fragmentation? Concat-and-chunk packing fills
+# every bin exactly except each source's last (tail waste) but SPLITS docs
+# across bin boundaries (attention discontinuities at training time) — the
+# budget choice trades the two. One corpus pass sweeps all budgets.
+# ---------------------------------------------------------------------------
+_PACK_AUDIT_BUDGETS = (128, 256, 512, 1024)
+
+_PACK_AUDIT_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (SELECT unnest([{", ".join(str(b) for b in _PACK_AUDIT_BUDGETS)}]) AS budget),
+packed AS (
+  SELECT b.budget, t.doc_id, t.source, t.n_tokens,
+         sum(t.n_tokens) OVER (
+           PARTITION BY b.budget, t.source
+           ORDER BY {duck_hash_uniform('t.doc_id')}, t.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM tok t CROSS JOIN b
+),
+per_doc AS (
+  SELECT budget, source, doc_id, n_tokens, cum,
+         CASE WHEN n_tokens > 0
+              AND (cum - n_tokens) // budget < (cum - 1) // budget
+              THEN 1 ELSE 0 END AS straddles
+  FROM packed
+),
+per_source AS (
+  SELECT budget, source,
+         max(cum) AS src_tokens,
+         CAST(sum(straddles) AS BIGINT) AS n_straddling,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM per_doc GROUP BY budget, source
+)
+SELECT budget,
+       CAST(count(*) AS BIGINT) AS n_sources,
+       CAST(sum((src_tokens + budget - 1) // budget) AS BIGINT) AS n_bins,
+       CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum((budget - src_tokens % budget) % budget) AS BIGINT) AS tail_waste_tokens,
+       CAST(sum(n_straddling) AS BIGINT) AS straddling_docs,
+       CAST(1000000 * sum(n_straddling) // sum(n_docs) AS BIGINT) AS straddle_ppm
+FROM per_source GROUP BY budget
+"""
+
+
+@register(
+    "pack_efficiency_audit",
+    oracle=_PACK_AUDIT_SQL,
+    doc="Packing-budget sweep: for each candidate training sequence length "
+    "(128/256/512/1024), the bins used, tail waste, and how many docs get "
+    "split across bin boundaries by concat-and-chunk packing — the sheet "
+    "that picks the budget, from ONE corpus pass",
+    tags=("ext", "curation"),
+)
+def pack_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the corpus is tokenized once; the budget sweep rides a
+    4-row broadcast cross join, so the only wide operation is one window
+    cumsum partitioned by (budget, source) — the same per-source
+    independence argument as pack_sequences, 4x the rows. Straddle and
+    waste both fold from per-source aggregates (no per-bin grouping)."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"CAST(size(regexp_extract_all(lower(text), '{TOKEN_RE}', 0)) AS BIGINT)"
+        ).alias("n_tokens"),
+    )
+    b = spark.createDataFrame(
+        [(int(x),) for x in _PACK_AUDIT_BUDGETS], "budget long"
+    )
+    w = (
+        Window.partitionBy("budget", "source")
+        .orderBy(hash_uniform("doc_id"), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = tok.crossJoin(F.broadcast(b)).withColumn(
+        "cum", F.sum("n_tokens").over(w)
+    )
+    per_doc = packed.withColumn(
+        "straddles",
+        F.expr(
+            "CASE WHEN n_tokens > 0"
+            " AND (cum - n_tokens) div budget < (cum - 1) div budget"
+            " THEN 1 ELSE 0 END"
+        ),
+    )
+    per_source = per_doc.groupBy("budget", "source").agg(
+        F.max("cum").alias("src_tokens"),
+        F.sum("straddles").cast("long").alias("n_straddling"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    return per_source.groupBy("budget").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.expr("CAST(sum((src_tokens + budget - 1) div budget) AS BIGINT)").alias("n_bins"),
+        F.sum("src_tokens").cast("long").alias("total_tokens"),
+        F.expr(
+            "CAST(sum((budget - src_tokens % budget) % budget) AS BIGINT)"
+        ).alias("tail_waste_tokens"),
+        F.sum("n_straddling").cast("long").alias("straddling_docs"),
+        F.expr(
+            "CAST(1000000 * sum(n_straddling) div sum(n_docs) AS BIGINT)"
+        ).alias("straddle_ppm"),
+    )

@@ -5170,3 +5170,118 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dropped").isNull().alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash blocking-recall audit: does the 2-of-8 band-pair candidate
+# generation really lose nothing up to Hamming 6 (the pigeonhole claim),
+# and what does the collision tail look like above it? Ground truth is the
+# EXACT all-pairs Hamming histogram on a deterministically thinned doc
+# sample (the calibration-query thinning pattern — never the full corpus);
+# candidates are the production band-pair join on the same sample. The
+# recall column is checked DATA: any value below 10^6 for h <= 6 is a
+# blocking bug surfaced by the oracle hash.
+# ---------------------------------------------------------------------------
+_SBR_SAMPLE_MOD = 4  # keep doc_ids with md5-uint32 % 4 == 0 (~25%)
+_SBR_MAX_H = SIMHASH_MAX_HAMMING
+
+_SBR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+  WHERE {duck_hash_uniform('doc_id')} % {_SBR_SAMPLE_MOD} = 0
+),
+votes AS (
+  SELECT doc_id,
+         {_SIMHASH_VOTES}
+  FROM toks GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, {_SIMHASH_SIG} AS sig FROM votes
+),
+truth AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         CAST({_SIMHASH_HAMMING} AS BIGINT) AS hamming
+  FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+  WHERE {_SIMHASH_HAMMING} <= {_SBR_MAX_H}
+),
+bands AS (
+  {_SIMHASH_BANDS_UNION}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         CAST({_SIMHASH_HAMMING} AS BIGINT) AS hamming
+  FROM bands x
+  JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              AND x.doc_id < y.doc_id
+  WHERE {_SIMHASH_HAMMING} <= {_SBR_MAX_H}
+),
+t AS (SELECT hamming, CAST(count(*) AS BIGINT) AS n_true FROM truth GROUP BY hamming),
+c AS (SELECT hamming, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY hamming)
+SELECT t.hamming, t.n_true, coalesce(c.n_cand, 0) AS n_cand,
+       CAST(1000000 * coalesce(c.n_cand, 0) // t.n_true AS BIGINT) AS recall_ppm
+FROM t LEFT JOIN c ON c.hamming = t.hamming
+"""
+
+
+@register(
+    "simhash_blocking_recall",
+    oracle=_SBR_SQL,
+    doc="Blocking-recall audit for the Manku band-pair SimHash join: exact "
+    "all-pairs Hamming truth on a deterministic 25% doc sample vs the "
+    "production candidate generator on the same sample, per Hamming value "
+    "— recall_ppm must be 1000000 up to the pigeonhole bound (<= 6), and "
+    "the hash-checked output proves it on real data, not just on paper",
+    tags=("ext", "dedup", "eval"),
+)
+def simhash_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the all-pairs truth leg runs ONLY on the md5-thinned
+    sample (the explicitly-thinned calibration stance — at 100 TB the mod
+    constant grows with the corpus so the sampled pair set stays bounded),
+    via a broadcast self-join on the sampled signature table; the
+    candidate leg is the production salted band-pair join, also on the
+    sample. Both legs fold to per-Hamming counts before the tiny
+    comparison join."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        hash_uniform,
+    )
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents").filter(
+        hash_uniform("doc_id") % _SBR_SAMPLE_MOD == 0
+    )
+    sigs = simhash_signatures(docs).localCheckpoint(
+        eager=False
+    )  # feeds the truth self-join AND the band-pair candidates
+    ints = sigs.select(
+        "doc_id",
+        F.expr("cast(conv(substr(sig, 1, 32), 2, 10) as bigint)").alias("hi"),
+        F.expr("cast(conv(substr(sig, 33, 32), 2, 10) as bigint)").alias("lo"),
+    )
+    x = ints.select(
+        F.col("doc_id").alias("doc_a"), F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a")
+    )
+    y = ints.select(
+        F.col("doc_id").alias("doc_b"), F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b")
+    )
+    truth = (
+        x.join(F.broadcast(y), F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming",
+            (
+                F.expr("bit_count(hi_a ^ hi_b)") + F.expr("bit_count(lo_a ^ lo_b)")
+            ).cast("long"),
+        )
+        .filter(F.col("hamming") <= _SBR_MAX_H)
+    )
+    t = truth.groupBy("hamming").agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    cand = simhash_near_pairs(sigs, max_hamming=_SBR_MAX_H)
+    c = cand.groupBy("hamming").agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    return t.join(c, "hamming", "left").select(
+        "hamming",
+        "n_true",
+        F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
+        F.expr(
+            "CAST(1000000 * coalesce(n_cand, 0) div n_true AS BIGINT)"
+        ).alias("recall_ppm"),
+    )

@@ -265,3 +265,65 @@ def test_semantic_dedup_matches_python_model(spark, tmp_path_factory, seed, n):
     }
     want = _sem_model({i: [float(x) for x in vecs[i]] for i in range(n)})
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule battery: independent pure-Python re-implementation over
+# randomized texts with newlines, bullets, ellipses, '#' symbols, digit
+# tokens, and canonical stop words — every flag compared per doc.
+# ---------------------------------------------------------------------------
+_GOPHER_WORDS = ["spark", "batch", "the", "of", "and", "x9", "42", "query", "to"]
+_GOPHER_PIECES = _GOPHER_WORDS + ["\n", "\n- ", "\n* ", "...", "#", "..."]
+
+gopher_strategy = st.lists(
+    st.sampled_from(_GOPHER_PIECES), min_size=0, max_size=120
+)
+
+
+def _gopher_model(text: str):
+    toks = _re.findall("[a-z0-9]+", text.lower())
+    n = len(toks)
+    chars = sum(len(t) for t in toks)
+    sym = text.count("#") + text.count("...")
+    lines = text.split("\n")
+    nl = len(lines)
+    bull = sum(1 for l in lines if l.startswith("- ") or l.startswith("* "))
+    ell = sum(1 for l in lines if l.endswith("..."))
+    alpha = sum(1 for t in toks if _re.search("[a-z]", t))
+    stops = sum(
+        1
+        for w in ("and", "be", "have", "of", "that", "the", "to", "with")
+        if w in toks
+    )
+    flags = (
+        50 <= n <= 100000,
+        n > 0 and 3 * n <= chars <= 10 * n,
+        n > 0 and 10 * sym <= n,
+        10 * bull <= 9 * nl,
+        10 * ell <= 3 * nl,
+        n > 0 and 5 * alpha >= 4 * n,
+        stops >= 2,
+    )
+    return (n, *flags, all(flags))
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(docs=st.lists(gopher_strategy, min_size=1, max_size=12))
+def test_gopher_rules_match_python_model(spark, tmp_path_factory, docs):
+    tmpdir = str(tmp_path_factory.mktemp("gq"))
+    texts = [" ".join(p for p in d) for d in docs]
+    spark.createDataFrame(
+        [(i, t, "src0") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/documents.parquet")
+    rows = QUERIES["gopher_quality_rules"].builder(spark, tmpdir).collect()
+    got = {
+        r.doc_id: (
+            r.n_tokens, r.r_word_count, r.r_mean_word_len, r.r_symbol_ratio,
+            r.r_bullet_lines, r.r_ellipsis_lines, r.r_alpha_words,
+            r.r_stop_words, r.passes_gopher,
+        )
+        for r in rows
+    }
+    want = {i: _gopher_model(t) for i, t in enumerate(texts)}
+    assert got == want
