@@ -1894,6 +1894,12 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY.md section 2.10's curation block."""
     configure_session(spark)
     docs = parallel_scan(spark, sf_dir, "documents")
+    return gopher_flags_df(docs)
+
+
+def gopher_flags_df(docs: DataFrame) -> DataFrame:
+    """The rule battery as a reusable projection (shared by the batch query
+    and the streaming gate's feed)."""
     tok = f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"
     stops_arr = "array(" + ", ".join(f"'{w}'" for w in _GOPHER_STOPS) + ")"
     c = docs.select(

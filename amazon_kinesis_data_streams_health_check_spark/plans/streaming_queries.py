@@ -3897,3 +3897,109 @@ def streaming_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(
         pack_stream(feed, _SPACK_BUDGET), "spack", output_mode="update"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming quality gate: the online twin of gopher_quality_rules — rule
+# evaluation rides the feed projection (stateless, same codegen'd exprs),
+# while the state store carries each source's running (seen, passed)
+# totals so ingest drift is visible per arriving doc. One shared per-doc
+# oracle: the batch window cumsum in md5-shuffle delivery order.
+# ---------------------------------------------------------------------------
+def _sgate_sql() -> str:
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        duck_hash_uniform,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.plans.curation_queries import (
+        _GOPHER_SQL,
+    )
+
+    return f"""
+WITH g AS ({_GOPHER_SQL}),
+seq AS (
+  SELECT doc_id, source, passes_gopher AS passed,
+         CAST(count(*) OVER w AS BIGINT) AS n_seen,
+         CAST(sum(CASE WHEN passes_gopher THEN 1 ELSE 0 END) OVER w AS BIGINT)
+           AS n_passed
+  FROM g
+  WINDOW w AS (PARTITION BY source
+               ORDER BY {duck_hash_uniform('doc_id')}, doc_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT doc_id, source, passed, n_seen, n_passed,
+       CAST(1000000 * n_passed // n_seen AS BIGINT) AS accept_ppm
+FROM seq
+"""
+
+
+@register(
+    "streaming_quality_gate",
+    oracle=_sgate_sql(),
+    doc="Streaming twin of the Gopher rule battery: stateless rule "
+    "evaluation on the feed, applyInPandasWithState carrying each "
+    "source's running (seen, passed) totals, every arriving doc emitting "
+    "its acceptance-trajectory prefix row — 4 mtime-ordered feed chunks "
+    "cut on shuffle-key ranges, value-hash checked against the batch "
+    "window cumsum",
+    tags=("ext", "streaming", "curation", "quality"),
+)
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: state is TWO BIGINTs per source; the rule battery runs
+    in the feed's codegen'd projection, never inside the Python fold (the
+    fold only counts booleans). The drive cuts feed files on shuffle-key
+    ranges so per-source arrival order equals the batch window's order —
+    the same replay-equivalence device as streaming_pack_assign."""
+    import shutil
+
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        hash_uniform,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.plans.curation_queries import (
+        gopher_flags_df,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.streaming.quality_gate import (
+        quality_gate_stream,
+    )
+
+    configure_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    feed_rows = (
+        gopher_flags_df(docs)
+        .select(
+            "source",
+            hash_uniform("doc_id").alias("ou"),
+            "doc_id",
+            F.col("passes_gopher").alias("passed"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    feed_dir = tempfile.mkdtemp(prefix="sgate_feed_")
+    n_chunks = 4
+    step = (1 << 32) // n_chunks
+    cuts = [i * step for i in range(n_chunks)] + [1 << 32]
+    for i in range(n_chunks):
+        chunk = feed_rows.filter(
+            (F.col("ou") >= cuts[i]) & (F.col("ou") < cuts[i + 1])
+        )
+        tmp = tempfile.mkdtemp(prefix=f"sgate_chunk{i}_")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p
+            for p in sorted(os.listdir(tmp))
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = os.path.join(feed_dir, f"chunk_{i:02d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    feed = (
+        spark.readStream.schema(
+            "source string, ou long, doc_id long, passed boolean"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    return _run_to_memory(
+        quality_gate_stream(feed), "sgate", output_mode="update"
+    )

@@ -53,6 +53,7 @@ def main() -> None:
     assert not missing, f"unknown queries: {missing}"
     assert os.path.isdir(args.sf1), f"run tools/build_sf1.py first ({args.sf1})"
 
+    load1_at_start = round(os.getloadavg()[0], 2)
     spark = get_spark(app_name="sf-tier-compare")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -90,7 +91,7 @@ def main() -> None:
         json.dumps(
             {
                 "mult": 10,
-                "load1_at_start": round(os.getloadavg()[0], 2),
+                "load1_at_start": load1_at_start,
                 "report": report,
             }
         )
