@@ -5285,3 +5285,149 @@ def simhash_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(1000000 * coalesce(n_cand, 0) div n_true AS BIGINT)"
         ).alias("recall_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation: nDCG@k and MRR for the brute-force cosine top-k,
+# with binary relevance = "neighbor shares the query's cluster label" (the
+# corpus ground truth the embeddings carry). Discounts 1/log2(i+1) are
+# IRRATIONAL, so both engines consume the same precomputed floor(1e6 /
+# log2(i+1)) integer table — metric arithmetic is then pure BIGINT and the
+# scores hash-compare exactly.
+# ---------------------------------------------------------------------------
+import math as _math
+
+_NDCG_K = _ANN_K
+_NDCG_D = [int(_math.floor(1_000_000 / _math.log2(i + 1))) for i in range(1, _NDCG_K + 1)]
+_NDCG_P = [0]
+for _d in _NDCG_D:
+    _NDCG_P.append(_NDCG_P[-1] + _d)
+
+_NDCG_D_SQL = "[" + ", ".join(str(d) for d in _NDCG_D) + "]"
+_NDCG_P_SQL = "[" + ", ".join(str(p) for p in _NDCG_P[1:]) + "]"
+_NDCG_D_SPARK = "array(" + ", ".join(f"{d}L" for d in _NDCG_D) + ")"
+_NDCG_P_SPARK = "array(" + ", ".join(f"{p}L" for p in _NDCG_P[1:]) + ")"
+
+_NDCG_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, q.label AS q_label,
+         v.vec_id AS neighbor_id, v.label AS n_label,
+         {duck_cosine('q.embedding', 'v.embedding')} AS cos_raw
+  FROM embeddings q
+  JOIN embeddings v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id < {_ANN_QUERY_LIMIT}
+),
+topk AS (
+  SELECT query_id, q_label, n_label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+  QUALIFY rank <= {_NDCG_K}
+),
+per_q AS (
+  SELECT query_id,
+         CAST(sum(CASE WHEN n_label = q_label
+                       THEN ({_NDCG_D_SQL})[rank] ELSE 0 END) AS BIGINT) AS dcg_micro,
+         CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_topk,
+         min(CASE WHEN n_label = q_label THEN rank END) AS first_rel_rank
+  FROM topk GROUP BY query_id
+),
+rtot AS (
+  SELECT q.vec_id AS query_id,
+         CAST(count(*) FILTER (WHERE v.label = q.label AND v.vec_id <> q.vec_id)
+              AS BIGINT) AS r_tot
+  FROM embeddings q, embeddings v
+  WHERE q.vec_id < {_ANN_QUERY_LIMIT}
+  GROUP BY q.vec_id
+)
+SELECT p.query_id, p.n_rel_topk, r.r_tot,
+       p.dcg_micro,
+       CASE WHEN r.r_tot = 0 THEN 0
+            ELSE CAST(1000000 * p.dcg_micro
+                      // ({_NDCG_P_SQL})[least(r.r_tot, {_NDCG_K})] AS BIGINT)
+       END AS ndcg_ppm,
+       CASE WHEN p.first_rel_rank IS NULL THEN 0
+            ELSE CAST(1000000 // p.first_rel_rank AS BIGINT)
+       END AS mrr_micro
+FROM per_q p JOIN rtot r ON r.query_id = p.query_id
+"""
+
+
+@register(
+    "retrieval_ndcg_mrr",
+    oracle=_NDCG_SQL,
+    doc=f"Retrieval eval: nDCG@{_NDCG_K} and MRR for the brute-force cosine "
+    "top-k with label-match binary relevance — discount table precomputed "
+    "as floor(1e6/log2(i+1)) integers so both engines score in exact "
+    "BIGINT; the metric sheet that judges every ANN variant in the repo",
+    tags=("ext", "embedding", "eval"),
+)
+def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: identical cost class to ann_topk_bruteforce — the
+    bounded query set (vec_id < limit) broadcasts against the corpus, the
+    per-query top-k is a rank window over the query-partitioned scores,
+    and r_tot folds from a label-keyed corpus aggregate joined back
+    broadcast. Metrics are pure per-group integer folds."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _ANN_QUERY_LIMIT).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("emb_q"),
+    )
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("n_label"),
+            F.col("embedding").alias("emb_n"),
+        )
+        .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_label",
+            "neighbor_id",
+            "n_label",
+            cosine_expr("emb_q", "emb_n").alias("cos_raw"),
+        )
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")
+    )
+    topk = scored.withColumn("rank", rank).filter(F.col("rank") <= _NDCG_K)
+    per_q = topk.groupBy("query_id").agg(
+        F.sum(
+            F.when(
+                F.col("n_label") == F.col("q_label"),
+                F.expr(f"element_at({_NDCG_D_SPARK}, rank)"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("dcg_micro"),
+        F.sum(
+            F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0)
+        ).cast("long").alias("n_rel_topk"),
+        F.min(
+            F.when(F.col("n_label") == F.col("q_label"), F.col("rank"))
+        ).alias("first_rel_rank"),
+    )
+    lbl = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_lbl"))
+    rtot = (
+        q.join(F.broadcast(lbl), q["q_label"] == lbl["label"])
+        .select("query_id", (F.col("n_lbl") - 1).cast("long").alias("r_tot"))
+    )
+    return per_q.join(rtot, "query_id").select(
+        "query_id",
+        "n_rel_topk",
+        "r_tot",
+        "dcg_micro",
+        F.expr(
+            f"CASE WHEN r_tot = 0 THEN 0"
+            f" ELSE CAST(1000000 * dcg_micro"
+            f" div element_at({_NDCG_P_SPARK},"
+            f" CAST(least(r_tot, {_NDCG_K}) AS INT)) AS BIGINT) END"
+        ).alias("ndcg_ppm"),
+        F.expr(
+            "CASE WHEN first_rel_rank IS NULL THEN 0"
+            " ELSE CAST(1000000 div first_rel_rank AS BIGINT) END"
+        ).alias("mrr_micro"),
+    )
