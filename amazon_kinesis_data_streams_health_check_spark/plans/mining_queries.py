@@ -4474,3 +4474,103 @@ def unigram_lm_em2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "corpus_pieces_r2",
         "n_types_changed",
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet: Extracting
+# high quality monolingual datasets from web crawl data"): score every doc
+# by bits-per-token under a LANGUAGE-CONDITIONED unigram LM fit on that
+# language's own slice, then split each language into head/middle/tail
+# perplexity terciles — the classic LM-quality partitioner (head feeds
+# training, tail gets dropped or down-weighted). Costs are the exact
+# floor-log2 integer-bits device, so scores and bucket boundaries are
+# engine-identical.
+# ---------------------------------------------------------------------------
+_CCNET_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_DUCK_TOK}) AS w FROM documents
+),
+cnt AS MATERIALIZED (
+  SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY lang, w
+),
+tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY lang),
+costs AS (
+  SELECT c.lang, c.w,
+         CAST(length(bin(t.t // c.c)) - 1 AS BIGINT) AS bits
+  FROM cnt c JOIN tot t ON t.lang = c.lang
+),
+scored AS (
+  SELECT k.doc_id, k.lang,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(1000000 * sum(co.bits) // count(*) AS BIGINT) AS micro_bits_per_token
+  FROM tok k JOIN costs co ON co.lang = k.lang AND co.w = k.w
+  GROUP BY k.doc_id, k.lang
+),
+bucketed AS (
+  SELECT doc_id, lang, n_tokens, micro_bits_per_token,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY micro_bits_per_token, doc_id) AS tercile
+  FROM scored
+)
+SELECT doc_id, lang, n_tokens, micro_bits_per_token,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS ppl_bucket
+FROM bucketed
+"""
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=_CCNET_SQL,
+    doc="CCNet bucketing (Wenzek et al. 2020): per-doc bits-per-token under "
+    "a language-conditioned unigram LM (exact floor-log2 integer bits), "
+    "split into head/middle/tail perplexity terciles WITHIN each language "
+    "— the LM-quality partitioner that decides what web-crawl text trains",
+    tags=("ext", "mining", "curation", "quality"),
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the LM is the Heaps-bounded (lang, token) TYPE table
+    (one keyed aggregation with map-side partials); scoring re-joins the
+    token stream against it on (lang, token) and folds per doc. The
+    tercile window partitions by LANGUAGE — at 100 TB each language's
+    scored-doc relation is narrow (3 ints per doc) and CCNet itself
+    computes these cutoffs offline per language; an approximate-percentile
+    cutoff swap is the documented escape hatch if a single language's doc
+    count outgrows a partition sort."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.expr(_SPARK_TOK)).alias("w")
+    ).localCheckpoint(eager=False)  # feeds the count pass AND the scoring pass
+    cnt = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("t"))
+    costs = cnt.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "w",
+        F.expr("CAST(length(bin(t div c)) - 1 AS BIGINT)").alias("bits"),
+    )
+    scored = (
+        tok.join(costs, ["lang", "w"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.expr(
+                "CAST(1000000 * sum(bits) div count(*) AS BIGINT)"
+            ).alias("micro_bits_per_token"),
+        )
+    )
+    tercile = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy("micro_bits_per_token", "doc_id")
+    )
+    return scored.withColumn("tercile", tercile).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "micro_bits_per_token",
+        F.expr(
+            "CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'"
+            " ELSE 'tail' END"
+        ).alias("ppl_bucket"),
+    )
