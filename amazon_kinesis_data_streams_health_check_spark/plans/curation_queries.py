@@ -29,6 +29,7 @@ from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
 )
 from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (
     duck_shingles,
+    shingles_expr,
     with_shingles,
 )
 from amazon_kinesis_data_streams_health_check_spark.operators.textstats import TOKEN_RE, duck_stop_list
@@ -2048,4 +2049,238 @@ def pack_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(1000000 * sum(n_straddling) div sum(n_docs) AS BIGINT)"
         ).alias("straddle_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation cascade (the FineWeb / RedPajama pipeline shape):
+# structural quality rules -> exact dedup -> near-dedup -> perplexity
+# filter, each stage computed ON THE PREVIOUS STAGE'S SURVIVORS, reported
+# as the funnel sheet (docs / tokens / kept_ppm per stage) every dataset
+# release publishes. Every stage reuses a proven engine device: the Gopher
+# integer rules (minus the stop-word rule — this corpus's synthetic vocab
+# contains no English stop words, which would zero the funnel), md5
+# canonical exact dedup, source-blocked 3-gram Jaccard dominance
+# (2*|intersect| >= |union| — integer cross-multiplication, no float), and
+# CCNet tail-tercile drop under a lang-conditioned unigram LM fit on the
+# stage's own survivors.
+# ---------------------------------------------------------------------------
+_PIPE_STAGES = ("raw", "quality", "exact_dedup", "near_dedup", "ppl_filter")
+
+_PIPE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, lang, text,
+         CAST(len({{tok}}) AS BIGINT) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform({{tok}}, x -> length(x))), 0)
+              AS BIGINT) AS total_chars,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) // 3
+              AS BIGINT) AS n_symbols,
+         CAST(len(list_filter({{tok}}, x -> regexp_matches(x, '[a-z]')))
+              AS BIGINT) AS n_alpha
+  FROM documents
+),
+s1 AS MATERIALIZED (
+  SELECT doc_id, source, lang, text, n_tokens FROM base
+  WHERE n_tokens BETWEEN 50 AND 100000
+    AND 3 * n_tokens <= total_chars AND total_chars <= 10 * n_tokens
+    AND 10 * n_symbols <= n_tokens
+    AND 5 * n_alpha >= 4 * n_tokens
+),
+s2 AS MATERIALIZED (
+  SELECT doc_id, source, lang, text, n_tokens
+  FROM (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canon FROM s1)
+  WHERE doc_id = canon
+),
+sh2 AS (SELECT doc_id, source, lang, text, n_tokens,
+               {{shingles}} AS sh FROM s2),
+s3 AS MATERIALIZED (
+  SELECT b.doc_id, b.source, b.lang, b.text, b.n_tokens
+  FROM sh2 b
+  LEFT JOIN sh2 a ON a.source = b.source AND a.doc_id < b.doc_id
+      AND 2 * len(list_intersect(a.sh, b.sh))
+          >= len(list_distinct(a.sh || b.sh))
+  WHERE a.doc_id IS NULL
+),
+tok3 AS (SELECT doc_id, lang, unnest({{tok}}) AS w FROM s3),
+cnt3 AS MATERIALIZED (
+  SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM tok3 GROUP BY lang, w
+),
+tot3 AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cnt3 GROUP BY lang),
+scored3 AS (
+  SELECT k.doc_id,
+         CAST(1000000 * sum(length(bin(t.t // c.c)) - 1) // count(*)
+              AS BIGINT) AS micro_bits
+  FROM tok3 k
+  JOIN cnt3 c ON c.lang = k.lang AND c.w = k.w
+  JOIN tot3 t ON t.lang = k.lang
+  GROUP BY k.doc_id
+),
+s4 AS (
+  SELECT s.doc_id, s.n_tokens
+  FROM (
+    SELECT s3.doc_id, s3.n_tokens,
+           ntile(3) OVER (PARTITION BY s3.lang
+                          ORDER BY sc.micro_bits, s3.doc_id) AS tc
+    FROM s3 JOIN scored3 sc ON sc.doc_id = s3.doc_id
+  ) s WHERE s.tc <= 2
+),
+funnel AS (
+  SELECT 0 AS stage_idx, 'raw' AS stage,
+         CAST(count(*) AS BIGINT) AS docs,
+         CAST(sum(n_tokens) AS BIGINT) AS tokens FROM base
+  UNION ALL
+  SELECT 1, 'quality', CAST(count(*) AS BIGINT), CAST(sum(n_tokens) AS BIGINT) FROM s1
+  UNION ALL
+  SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT), CAST(sum(n_tokens) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'near_dedup', CAST(count(*) AS BIGINT), CAST(sum(n_tokens) AS BIGINT) FROM s3
+  UNION ALL
+  SELECT 4, 'ppl_filter', CAST(count(*) AS BIGINT), CAST(sum(n_tokens) AS BIGINT) FROM s4
+)
+SELECT f.stage_idx, f.stage, f.docs, f.tokens,
+       CAST(1000000 * f.docs // r.docs AS BIGINT) AS kept_docs_ppm,
+       CAST(1000000 * f.tokens // r.tokens AS BIGINT) AS kept_tokens_ppm
+FROM funnel f CROSS JOIN (SELECT docs, tokens FROM funnel WHERE stage_idx = 0) r
+""".format(
+    tok=f"regexp_extract_all(lower(text), '{TOKEN_RE}')",
+    shingles=duck_shingles(),
+)
+
+
+@register(
+    "curation_pipeline_e2e",
+    oracle=_PIPE_SQL,
+    doc="The full curation cascade as ONE query (FineWeb/RedPajama shape): "
+    "structural Gopher rules -> md5-canonical exact dedup -> source-"
+    "blocked 3-gram Jaccard near-dedup (integer dominance rule) -> CCNet "
+    "tail-tercile perplexity drop, each stage on the prior stage's "
+    "survivors — the release funnel sheet (docs/tokens/kept ppm per stage)",
+    tags=("ext", "curation", "dedup", "quality"),
+)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: each stage is a proven engine device on a shrinking
+    relation — the quality stage is pure codegen'd scan work; exact dedup
+    is one md5-keyed window min; near-dedup is the source-blocked pair
+    join (the dedup_ngram_jaccard cost class) expressed as a left-anti
+    dominance join; the LM stage re-fits on survivors via the Heaps-
+    bounded (lang, token) type table. Survivor sets are pinned with lazy
+    localCheckpoints so no stage re-derives its predecessors. At 100 TB
+    the near-dedup stage swaps to the MinHash-LSH keep-list
+    (dedup_keep_list) — the blocked all-pairs form here is the exact-
+    verification variant, linear in per-source pair count (measured
+    exponent 0.95 at x3)."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    tok_expr = f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        F.expr(f"CAST(size({tok_expr}) AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            f"aggregate(transform({tok_expr}, x -> CAST(length(x) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("total_chars"),
+        F.expr(
+            "CAST(length(text) - length(replace(text, '#', ''))"
+            " + (length(text) - length(replace(text, '...', ''))) div 3 AS BIGINT)"
+        ).alias("n_symbols"),
+        F.expr(
+            f"CAST(size(filter({tok_expr}, x -> x rlike '[a-z]')) AS BIGINT)"
+        ).alias("n_alpha"),
+    ).localCheckpoint(eager=False)  # raw stage feeds s1 AND the funnel row
+    s1 = base.filter(
+        F.expr(
+            "n_tokens BETWEEN 50 AND 100000"
+            " AND 3 * n_tokens <= total_chars AND total_chars <= 10 * n_tokens"
+            " AND 10 * n_symbols <= n_tokens"
+            " AND 5 * n_alpha >= 4 * n_tokens"
+        )
+    ).select("doc_id", "source", "lang", "text", "n_tokens")
+    canon = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    s2 = (
+        s1.withColumn("canon", canon)
+        .filter(F.col("doc_id") == F.col("canon"))
+        .drop("canon")
+        .localCheckpoint(eager=False)  # feeds both near-dedup join sides
+    )
+    sh2 = s2.withColumn("sh", F.expr(shingles_expr()))
+    dom = sh2.select(
+        F.col("source").alias("src_a"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    s3 = (
+        sh2.join(
+            dom,
+            (F.col("src_a") == F.col("source"))
+            & (F.col("doc_a") < F.col("doc_id"))
+            & F.expr(
+                "2 * size(array_intersect(sh_a, sh))"
+                " >= size(array_union(sh_a, sh))"
+            ),
+            "left_anti",
+        )
+        .select("doc_id", "lang", "text", "n_tokens")
+        .localCheckpoint(eager=False)  # feeds LM fit, scoring, funnel
+    )
+    tok3 = s3.select(
+        "doc_id", "lang", F.explode(F.expr(tok_expr)).alias("w")
+    ).localCheckpoint(eager=False)
+    cnt3 = tok3.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot3 = cnt3.groupBy("lang").agg(F.sum("c").cast("long").alias("t"))
+    scored3 = (
+        tok3.join(cnt3, ["lang", "w"])
+        .join(F.broadcast(tot3), "lang")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "CAST(1000000 * sum(length(bin(t div c)) - 1) div count(*)"
+                " AS BIGINT)"
+            ).alias("micro_bits")
+        )
+    )
+    tc = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy("micro_bits", "doc_id")
+    )
+    s4 = (
+        s3.join(scored3, "doc_id")
+        .withColumn("tc", tc)
+        .filter(F.col("tc") <= 2)
+        .select("doc_id", "n_tokens")
+    )
+
+    def stage_row(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("tokens"),
+        )
+
+    funnel = (
+        stage_row(0, "raw", base)
+        .unionByName(stage_row(1, "quality", s1))
+        .unionByName(stage_row(2, "exact_dedup", s2))
+        .unionByName(stage_row(3, "near_dedup", s3))
+        .unionByName(stage_row(4, "ppl_filter", s4))
+    )
+    raw = funnel.filter(F.col("stage_idx") == 0).select(
+        F.col("docs").alias("r_docs"), F.col("tokens").alias("r_tokens")
+    )
+    return funnel.crossJoin(F.broadcast(raw)).select(
+        "stage_idx",
+        "stage",
+        "docs",
+        "tokens",
+        F.expr("CAST(1000000 * docs div r_docs AS BIGINT)").alias("kept_docs_ppm"),
+        F.expr("CAST(1000000 * tokens div r_tokens AS BIGINT)").alias(
+            "kept_tokens_ppm"
+        ),
     )
