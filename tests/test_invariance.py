@@ -83,6 +83,13 @@ INVARIANT = [
     "maxsim_late_interaction",
     "kcl_lease_rebalance",
     "gini_concentration",
+    # round-6: SemDeDup's integer k-means + rank-ordered prune (float
+    # centroids or unordered pruning would drift per layout); the e2e
+    # cascade's md5-canonical and dominance stages; CCNet terciles over
+    # (micro_bits, doc_id) explicit total orders
+    "dedup_semantic_clusters",
+    "curation_pipeline_e2e",
+    "ccnet_perplexity_buckets",
 ]
 
 

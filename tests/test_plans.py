@@ -2027,3 +2027,44 @@ def test_semantic_dedup_broadcasts_centroids_no_cartesian(spark, sf_small):
     plan = plan_of(spark, sf_small, "dedup_semantic_clusters")
     assert "CartesianProduct" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_gopher_rules_single_codegen_scan(spark, sf_small):
+    """The quality battery must be pure scan+project work: no join, no
+    shuffle beyond parallel_scan's single deliberate round-robin (the
+    CPU-parallelism device for unsplittable small files — a no-op at real
+    scale). The ideal 100 TB filter stage."""
+    plan = plan_of(spark, sf_small, "gopher_quality_rules")
+    assert "Join" not in plan, plan
+    assert "RoundRobinPartitioning" in plan, plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, plan
+
+
+def test_dsir_buckets_broadcast_back(spark, sf_small):
+    """DSIR's 1024-row delta table must ride a broadcast back onto the
+    exploded bigram stream — a shuffle join on the bucket key would move
+    the whole token stream twice."""
+    plan = plan_of(spark, sf_small, "dsir_importance_weights")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pack_audit_single_window_pass(spark, sf_small):
+    """The budget sweep must ride ONE window cumsum over the 4x broadcast
+    cross join — one Window operator, no rangepartitioning beyond it, no
+    sort-merge joins."""
+    plan = plan_of(spark, sf_small, "pack_efficiency_audit")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Window") >= 1, plan
+
+
+def test_ccnet_window_partitions_by_lang(spark, sf_small):
+    """The tercile window must partition by language (a bounded dimension),
+    never a global sort."""
+    plan = plan_of(spark, sf_small, "ccnet_perplexity_buckets")
+    assert "CartesianProduct" not in plan, plan
+    import re as _re
+
+    m = _re.search(r"ntile.*?windowspecdefinition\((\w+)", plan)
+    assert m and m.group(1).startswith("lang"), plan
