@@ -327,3 +327,70 @@ def test_gopher_rules_match_python_model(spark, tmp_path_factory, docs):
     }
     want = {i: _gopher_model(t) for i, t in enumerate(texts)}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Packing-budget audit: independent Python greedy-cumsum model over the
+# same md5-shuffle order — bins, tail waste, straddles per budget.
+# ---------------------------------------------------------------------------
+def _pack_audit_model(docs):
+    """docs: list of (doc_id, source, n_tokens)."""
+    import hashlib
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.curation_queries import (
+        _PACK_AUDIT_BUDGETS,
+    )
+
+    def h(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+
+    out = {}
+    for b in _PACK_AUDIT_BUDGETS:
+        srcs = {}
+        for doc_id, source, n in docs:
+            srcs.setdefault(source, []).append((h(doc_id), doc_id, n))
+        n_bins = waste = straddles = total = n_docs = 0
+        for source, items in srcs.items():
+            cum = 0
+            for _, _, n in sorted(items):
+                prev = cum
+                cum += n
+                n_docs += 1
+                if n > 0 and (cum - n) // b < (cum - 1) // b:
+                    straddles += 1
+            total += cum
+            n_bins += (cum + b - 1) // b
+            waste += (b - cum % b) % b
+        out[b] = (
+            len(srcs), n_bins, total, waste, straddles,
+            10**6 * straddles // n_docs,
+        )
+    return out
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["s0", "s1", "s2"]), st.integers(0, 700)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_pack_audit_matches_python_model(spark, tmp_path_factory, docs):
+    tmpdir = str(tmp_path_factory.mktemp("pa"))
+    rows = [
+        (i, "w " * n, src)  # n whitespace-separated 'w' tokens
+        for i, (src, n) in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/documents.parquet")
+    got = {
+        r.budget: (
+            r.n_sources, r.n_bins, r.total_tokens, r.tail_waste_tokens,
+            r.straddling_docs, r.straddle_ppm,
+        )
+        for r in QUERIES["pack_efficiency_audit"].builder(spark, tmpdir).collect()
+    }
+    want = _pack_audit_model([(i, src, n) for i, (src, n) in enumerate(docs)])
+    assert got == want
