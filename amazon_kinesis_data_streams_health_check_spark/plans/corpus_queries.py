@@ -4969,3 +4969,115 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("dsir_weight_bits", F.lit(0)).cast("long").alias("dsir_weight_bits"),
         (F.coalesce("dsir_weight_bits", F.lit(0)) > 0).alias("target_leaning"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval-benchmark contamination check — the GPT-3 appendix-C / PaLM
+# methodology: a training document is contaminated if it shares any
+# 13-gram with the held-out evaluation set. The "benchmark" here is the
+# deterministic ~1% doc slice (md5 % 97 == 0) standing in for an external
+# eval set; the report is the per-source contamination sheet a release
+# runs before training.
+# ---------------------------------------------------------------------------
+_CONTAM_N = 13
+_CONTAM_MOD = 97
+
+_CONTAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, {_DUCK_TOK} AS t,
+         {duck_hash_uniform('doc_id')} % {_CONTAM_MOD} = 0 AS is_bench
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source, is_bench,
+         unnest(list_distinct({_duck_ngrams('t', _CONTAM_N)})) AS g
+  FROM tok
+),
+bench_grams AS MATERIALIZED (
+  SELECT DISTINCT g FROM grams WHERE is_bench
+),
+hits AS (
+  SELECT DISTINCT gr.doc_id
+  FROM grams gr JOIN bench_grams b ON b.g = gr.g
+  WHERE NOT gr.is_bench
+),
+train AS (
+  SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens
+  FROM tok WHERE NOT is_bench
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_train_docs,
+       CAST(sum(CASE WHEN t.n_tokens >= {_CONTAM_N} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_checkable_docs,
+       CAST(count(h.doc_id) AS BIGINT) AS n_contaminated,
+       CAST(1000000 * count(h.doc_id) // count(*) AS BIGINT)
+         AS contamination_ppm
+FROM train t LEFT JOIN hits h ON h.doc_id = t.doc_id
+GROUP BY t.source
+"""
+
+
+@register(
+    "eval_contamination_13gram",
+    oracle=_CONTAM_SQL,
+    doc=f"Benchmark-contamination check (the GPT-3/PaLM {_CONTAM_N}-gram "
+    "rule): per source, how many training docs share any 13-gram with the "
+    "deterministic ~1% eval slice — the decontamination sheet a release "
+    "runs before training; docs shorter than 13 tokens are reported as "
+    "uncheckable",
+    tags=("ext", "corpus", "dedup", "eval"),
+)
+def eval_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the benchmark's distinct 13-grams are bounded by the
+    EVAL SET size (tiny by construction — real benchmarks are thousands of
+    docs, not billions), so the contamination probe is one broadcast
+    semi-join against the exploded training grams; per-doc grams are
+    deduped before the explode. Nothing shuffles wider than the per-source
+    rollup."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        hash_uniform,
+    )
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.expr(_SPARK_TOK).alias("t"),
+        (hash_uniform("doc_id") % _CONTAM_MOD == 0).alias("is_bench"),
+    ).localCheckpoint(eager=False)  # feeds bench grams, train grams, rollup
+    grams = tok.select(
+        "doc_id",
+        "is_bench",
+        F.explode(
+            F.expr(f"array_distinct({_spark_ngrams('t', _CONTAM_N)})")
+        ).alias("g"),
+    )
+    bench_grams = grams.filter("is_bench").select("g").distinct()
+    hits = (
+        grams.filter(~F.col("is_bench"))
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    train = tok.filter(~F.col("is_bench")).select(
+        "doc_id", "source", F.expr("CAST(size(t) AS BIGINT)").alias("n_tokens")
+    )
+    return (
+        train.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train_docs"),
+            F.sum(
+                F.when(F.col("n_tokens") >= _CONTAM_N, 1).otherwise(0)
+            ).cast("long").alias("n_checkable_docs"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("long").alias(
+                "n_contaminated"
+            ),
+            F.expr(
+                "CAST(1000000 * sum(CASE WHEN hit THEN 1 ELSE 0 END)"
+                " div count(*) AS BIGINT)"
+            ).alias("contamination_ppm"),
+        )
+    )
