@@ -28,8 +28,13 @@ from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
     stratified_sample,
 )
 from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (
+    duck_band_union,
+    duck_minhash_cols,
     duck_shingles,
+    lsh_candidate_pairs,
     shingles_expr,
+    with_bands,
+    with_minhash,
     with_shingles,
 )
 from amazon_kinesis_data_streams_health_check_spark.operators.textstats import TOKEN_RE, duck_stop_list
@@ -2092,15 +2097,34 @@ s2 AS MATERIALIZED (
   FROM (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canon FROM s1)
   WHERE doc_id = canon
 ),
-sh2 AS (SELECT doc_id, source, lang, text, n_tokens,
+sh2 AS MATERIALIZED (SELECT doc_id, source, lang, text, n_tokens,
                {{shingles}} AS sh FROM s2),
+mh AS (
+  SELECT doc_id, sh,
+         {{minhash_cols}}
+  FROM sh2
+),
+bands AS (
+  {{band_union}}
+),
+cpairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x
+  JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              AND x.doc_id < y.doc_id
+),
+drops3 AS (
+  SELECT DISTINCT p.doc_b AS doc_id
+  FROM cpairs p
+  JOIN sh2 a ON a.doc_id = p.doc_a
+  JOIN sh2 b ON b.doc_id = p.doc_b
+  WHERE 2 * len(list_intersect(a.sh, b.sh))
+        >= len(list_distinct(a.sh || b.sh))
+),
 s3 AS MATERIALIZED (
-  SELECT b.doc_id, b.source, b.lang, b.text, b.n_tokens
-  FROM sh2 b
-  LEFT JOIN sh2 a ON a.source = b.source AND a.doc_id < b.doc_id
-      AND 2 * len(list_intersect(a.sh, b.sh))
-          >= len(list_distinct(a.sh || b.sh))
-  WHERE a.doc_id IS NULL
+  SELECT v.doc_id, v.source, v.lang, v.text, v.n_tokens
+  FROM sh2 v LEFT JOIN drops3 d ON d.doc_id = v.doc_id
+  WHERE d.doc_id IS NULL
 ),
 tok3 AS (SELECT doc_id, lang, unnest({{tok}}) AS w FROM s3),
 cnt3 AS MATERIALIZED (
@@ -2145,6 +2169,8 @@ FROM funnel f CROSS JOIN (SELECT docs, tokens FROM funnel WHERE stage_idx = 0) r
 """.format(
     tok=f"regexp_extract_all(lower(text), '{TOKEN_RE}')",
     shingles=duck_shingles(),
+    minhash_cols=duck_minhash_cols(),
+    band_union=duck_band_union(),
 )
 
 
@@ -2152,8 +2178,9 @@ FROM funnel f CROSS JOIN (SELECT docs, tokens FROM funnel WHERE stage_idx = 0) r
     "curation_pipeline_e2e",
     oracle=_PIPE_SQL,
     doc="The full curation cascade as ONE query (FineWeb/RedPajama shape): "
-    "structural Gopher rules -> md5-canonical exact dedup -> source-"
-    "blocked 3-gram Jaccard near-dedup (integer dominance rule) -> CCNet "
+    "structural Gopher rules -> md5-canonical exact dedup -> "
+    "MinHash-LSH near-dedup (candidates + exact integer Jaccard verify, "
+    "the FineWeb production shape) -> CCNet "
     "tail-tercile perplexity drop, each stage on the prior stage's "
     "survivors — the release funnel sheet (docs/tokens/kept ppm per stage)",
     tags=("ext", "curation", "dedup", "quality"),
@@ -2161,15 +2188,12 @@ FROM funnel f CROSS JOIN (SELECT docs, tokens FROM funnel WHERE stage_idx = 0) r
 def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: each stage is a proven engine device on a shrinking
     relation — the quality stage is pure codegen'd scan work; exact dedup
-    is one md5-keyed window min; near-dedup is the source-blocked pair
-    join (the dedup_ngram_jaccard cost class) expressed as a left-anti
-    dominance join; the LM stage re-fits on survivors via the Heaps-
+    is one md5-keyed window min; near-dedup is the PRODUCTION shape —
+    salted MinHash-LSH band candidates verified by exact integer Jaccard
+    dominance (drop the larger id of every verified pair), never an
+    all-pairs scan; the LM stage re-fits on survivors via the Heaps-
     bounded (lang, token) type table. Survivor sets are pinned with lazy
-    localCheckpoints so no stage re-derives its predecessors. At 100 TB
-    the near-dedup stage swaps to the MinHash-LSH keep-list
-    (dedup_keep_list) — the blocked all-pairs form here is the exact-
-    verification variant, linear in per-source pair count (measured
-    exponent 0.95 at x3)."""
+    localCheckpoints so no stage re-derives its predecessors."""
     from pyspark.sql import Window
 
     configure_session(spark)
@@ -2206,25 +2230,30 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         s1.withColumn("canon", canon)
         .filter(F.col("doc_id") == F.col("canon"))
         .drop("canon")
-        .localCheckpoint(eager=False)  # feeds both near-dedup join sides
     )
-    sh2 = s2.withColumn("sh", F.expr(shingles_expr()))
-    dom = sh2.select(
-        F.col("source").alias("src_a"),
-        F.col("doc_id").alias("doc_a"),
-        F.col("sh").alias("sh_a"),
+    # feeds the signature chain, BOTH verify sides, and the survivor set
+    sh2 = s2.withColumn("sh", F.expr(shingles_expr())).localCheckpoint(
+        eager=False
+    )
+    cpairs = lsh_candidate_pairs(
+        with_bands(with_minhash(sh2.select("doc_id", "sh")))
+    )
+    a = sh2.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh2.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    drops3 = (
+        cpairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(
+            F.expr(
+                "2 * size(array_intersect(sh_a, sh_b))"
+                " >= size(array_union(sh_a, sh_b))"
+            )
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
     )
     s3 = (
-        sh2.join(
-            dom,
-            (F.col("src_a") == F.col("source"))
-            & (F.col("doc_a") < F.col("doc_id"))
-            & F.expr(
-                "2 * size(array_intersect(sh_a, sh))"
-                " >= size(array_union(sh_a, sh))"
-            ),
-            "left_anti",
-        )
+        sh2.join(drops3, "doc_id", "left_anti")
         .select("doc_id", "lang", "text", "n_tokens")
         .localCheckpoint(eager=False)  # feeds LM fit, scoring, funnel
     )
