@@ -394,3 +394,71 @@ def test_pack_audit_matches_python_model(spark, tmp_path_factory, docs):
     }
     want = _pack_audit_model([(i, src, n) for i, (src, n) in enumerate(docs)])
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights: independent Python model — md5 bucket hashing,
+# Laplace-smoothed bucket counts, floor-log2 bit deltas, per-doc sums.
+# ---------------------------------------------------------------------------
+def _dsir_model(docs):
+    """docs: list of (doc_id, lang, token list)."""
+    import hashlib
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.corpus_queries import (
+        _DSIR_BUCKETS,
+        _DSIR_TARGET_LANG,
+    )
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % _DSIR_BUCKETS
+
+    grams = []
+    for doc_id, lang, toks in docs:
+        for a, b in zip(toks, toks[1:]):
+            grams.append((doc_id, lang, bucket(f"{a} {b}")))
+    c_r, c_t = {}, {}
+    for _, lang, bk in grams:
+        c_r[bk] = c_r.get(bk, 0) + 1
+        if lang == _DSIR_TARGET_LANG:
+            c_t[bk] = c_t.get(bk, 0) + 1
+    tot_r = sum(c_r.values()) + _DSIR_BUCKETS
+    tot_t = sum(c_t.values()) + _DSIR_BUCKETS
+    dbits = {
+        bk: len(bin(tot_r // (c_r[bk] + 1))) - 2
+            - (len(bin(tot_t // (c_t.get(bk, 0) + 1))) - 2)
+        for bk in c_r
+    }
+    out = {}
+    for doc_id, lang, toks in docs:
+        bks = [bucket(f"{a} {b}") for a, b in zip(toks, toks[1:])]
+        w = sum(dbits[bk] for bk in bks)
+        out[doc_id] = (lang, len(bks), w, w > 0)
+    return out
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "fr"]),
+            st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta"]), min_size=0, max_size=12),
+        ),
+        min_size=2,
+        max_size=16,
+    ).filter(lambda d: any(lang == "en" and len(t) >= 2 for lang, t in d))
+)
+def test_dsir_weights_match_python_model(spark, tmp_path_factory, docs):
+    tmpdir = str(tmp_path_factory.mktemp("dsir"))
+    rows = [
+        (i, " ".join(toks), lang, "src0")
+        for i, (lang, toks) in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/documents.parquet")
+    got = {
+        r.doc_id: (r.lang, r.n_bigrams, r.dsir_weight_bits, r.target_leaning)
+        for r in QUERIES["dsir_importance_weights"].builder(spark, tmpdir).collect()
+    }
+    want = _dsir_model([(i, lang, toks) for i, (lang, toks) in enumerate(docs)])
+    assert got == want
