@@ -5081,3 +5081,176 @@ def eval_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# algorithm): slide a w-window over the k-gram hash sequence and select
+# each window's RIGHTMOST MINIMUM; the selected (position, hash) set is a
+# position-local fingerprint with the guarantee that any shared substring
+# of >= w + k - 1 tokens shares at least one fingerprint, at expected
+# density 2/(w+1). Complements the repo's dedup family: MinHash is a
+# whole-doc set sketch, the suffix family is exact but global — winnowing
+# is the bounded-density LOCAL fingerprint plagiarism/clone detection
+# uses.
+# ---------------------------------------------------------------------------
+_WIN_K = 4  # k-gram width (tokens)
+_WIN_W = 5  # winnowing window (k-gram positions); guarantee t = w + k - 1 = 8
+
+
+def _win_duck_fps() -> str:
+    """DuckDB twin over a `hs` BIGINT-list column (same encoding:
+    position * 2^32 + hash as ONE BIGINT per fingerprint)."""
+    m = "len(hs)"
+    wlen = f"least({_WIN_W}, {m})"
+    sel = (
+        f"list_transform(range(1, greatest({m} - {_WIN_W} + 1, 1) + 1),"
+        f" j -> CAST(j - 1 + list_max(list_transform(range(1, {wlen} + 1),"
+        f" o -> CASE WHEN hs[j + o - 1]"
+        f" = list_min(hs[j : j + {wlen} - 1]) THEN o ELSE 0 END)) AS BIGINT)"
+        f" * 4294967296 + list_min(hs[j : j + {wlen} - 1]))"
+    )
+    return f"CASE WHEN {m} >= 1 THEN list_distinct({sel}) ELSE CAST([] AS BIGINT[]) END"
+
+
+_WINNOW_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, {_DUCK_TOK} AS t FROM documents
+),
+hashed AS (
+  SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens,
+         list_transform({_duck_ngrams('t', _WIN_K)},
+           g -> CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)) AS hs
+  FROM tok
+),
+fps AS MATERIALIZED (
+  SELECT doc_id, source, n_tokens, CAST(len(hs) AS BIGINT) AS n_kgrams,
+         {_win_duck_fps()} AS fp
+  FROM hashed
+),
+hash_docs AS (
+  SELECT v, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM (SELECT doc_id, unnest(list_distinct(list_transform(fp, x -> x % 4294967296))) AS v
+        FROM fps)
+  GROUP BY v
+),
+shared AS (
+  SELECT e.doc_id,
+         CAST(count(*) AS BIGINT) AS n_fp_hashes,
+         CAST(sum(CASE WHEN h.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_fp_hashes
+  FROM (SELECT doc_id, unnest(list_distinct(list_transform(fp, x -> x % 4294967296))) AS v
+        FROM fps) e
+  JOIN hash_docs h ON h.v = e.v
+  GROUP BY e.doc_id
+)
+SELECT f.doc_id, f.source, f.n_tokens, f.n_kgrams,
+       CAST(len(f.fp) AS BIGINT) AS n_fingerprints,
+       CASE WHEN f.n_kgrams = 0 THEN 0
+            ELSE CAST(1000000 * len(f.fp) // f.n_kgrams AS BIGINT)
+       END AS density_ppm,
+       coalesce(s.n_fp_hashes, 0) AS n_fp_hashes,
+       coalesce(s.n_shared_fp_hashes, 0) AS n_shared_fp_hashes
+FROM fps f LEFT JOIN shared s ON s.doc_id = f.doc_id
+"""
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=_WINNOW_SQL,
+    doc=f"Winnowing (Schleimer et al. 2003, MOSS): rightmost-minimum "
+    f"fingerprints over {_WIN_K}-gram hashes in {_WIN_W}-windows — any "
+    f"shared run of >= {_WIN_W + _WIN_K - 1} tokens shares a fingerprint "
+    "at expected density 2/(w+1); per doc the fingerprint count, density, "
+    "and how many of its fingerprint hashes appear in other docs (the "
+    "local clone-detection signal MinHash's whole-doc sketch cannot give)",
+    tags=("ext", "corpus", "dedup"),
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: fingerprint selection is a pure codegen'd higher-order
+    expression per row (O(n * w) with w = 5 — no explode of the k-gram
+    stream, no shuffle); only the DISTINCT fingerprint hashes explode into
+    the sharing aggregation, and winnowing's density guarantee bounds that
+    at ~2/(w+1) of the token stream. The sharing join is keyed on the
+    md5-uniform hash value."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    grams = _spark_ngrams("t", _WIN_K)
+    fps = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr(_SPARK_TOK).alias("t"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.expr("CAST(size(t) AS BIGINT)").alias("n_tokens"),
+            F.expr(
+                f"transform({grams},"
+                " g -> CAST(conv(substr(md5(g), 1, 8), 16, 10) AS BIGINT))"
+            ).alias("hs"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr("CAST(size(hs) AS BIGINT)").alias("n_kgrams"),
+            F.expr(_win_spark_fps_over_hs()).alias("fp"),
+        )
+        .localCheckpoint(eager=False)  # feeds the sharing agg AND final join
+    )
+    ex = fps.select(
+        "doc_id",
+        F.explode(
+            F.expr("array_distinct(transform(fp, x -> x % 4294967296L))")
+        ).alias("v"),
+    )
+    hash_docs = ex.groupBy("v").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    shared = (
+        ex.join(hash_docs, "v")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fp_hashes"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_fp_hashes"),
+        )
+    )
+    return fps.join(shared, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "n_kgrams",
+        F.expr("CAST(size(fp) AS BIGINT)").alias("n_fingerprints"),
+        F.expr(
+            "CASE WHEN n_kgrams = 0 THEN 0"
+            " ELSE CAST(1000000 * size(fp) div n_kgrams AS BIGINT) END"
+        ).alias("density_ppm"),
+        F.coalesce("n_fp_hashes", F.lit(0)).cast("long").alias("n_fp_hashes"),
+        F.coalesce("n_shared_fp_hashes", F.lit(0))
+        .cast("long")
+        .alias("n_shared_fp_hashes"),
+    )
+
+
+def _win_spark_fps_over_hs() -> str:
+    """Spark SQL fingerprint selection over a prebuilt `hs` column. Each
+    fingerprint is ONE BIGINT, position * 2^32 + hash (both < 2^32), so
+    distinct-set arithmetic works identically in both engines (DuckDB's
+    list_distinct cannot handle struct lists)."""
+    m = "size(hs)"
+    wlen = f"least({_WIN_W}, {m})"
+    sel = (
+        f"transform(sequence(1, greatest({m} - {_WIN_W} + 1, 1)),"
+        f" j -> CAST(j - 1 + array_max(transform(sequence(1, {wlen}),"
+        f" o -> if(element_at(hs, j + o - 1)"
+        f" = array_min(slice(hs, j, {wlen})), o, 0))) AS BIGINT)"
+        f" * 4294967296 + array_min(slice(hs, j, {wlen})))"
+    )
+    return (
+        f"CASE WHEN {m} >= 1 THEN array_distinct({sel})"
+        f" ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
