@@ -462,3 +462,112 @@ def test_dsir_weights_match_python_model(spark, tmp_path_factory, docs):
     }
     want = _dsir_model([(i, lang, toks) for i, (lang, toks) in enumerate(docs)])
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Winnowing: independent Python model of the rightmost-min window selection
+# plus the sharing rollup, and the MOSS guarantee asserted directly — two
+# docs sharing a >= w+k-1 token run must share a fingerprint hash.
+# ---------------------------------------------------------------------------
+def _winnow_model(docs):
+    """docs: list of (doc_id, source, token list)."""
+    import hashlib
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.corpus_queries import (
+        _WIN_K,
+        _WIN_W,
+    )
+
+    def fps(toks):
+        grams = [
+            " ".join(toks[i : i + _WIN_K])
+            for i in range(len(toks) - _WIN_K + 1)
+        ]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+        ]
+        m = len(hs)
+        if m == 0:
+            return [], 0
+        wlen = min(_WIN_W, m)
+        sel = []
+        for j in range(1, max(m - _WIN_W + 1, 1) + 1):
+            win = hs[j - 1 : j - 1 + wlen]
+            mn = min(win)
+            off = max(o + 1 for o, v in enumerate(win) if v == mn)
+            sel.append((j - 1 + off) * 2**32 + mn)
+        out, seen = [], set()
+        for e in sel:
+            if e not in seen:
+                seen.add(e)
+                out.append(e)
+        return out, m
+
+    per_doc = {}
+    for doc_id, source, toks in docs:
+        fp, m = fps(toks)
+        per_doc[doc_id] = (source, len(toks), m, fp)
+    hash_docs = {}
+    for doc_id, (_, _, _, fp) in per_doc.items():
+        for v in {e % 2**32 for e in fp}:
+            hash_docs.setdefault(v, set()).add(doc_id)
+    out = {}
+    for doc_id, (source, n, m, fp) in per_doc.items():
+        vs = {e % 2**32 for e in fp}
+        out[doc_id] = (
+            source, n, m, len(fp),
+            0 if m == 0 else 10**6 * len(fp) // m,
+            len(vs),
+            sum(1 for v in vs if len(hash_docs[v]) >= 2),
+        )
+    return out
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=24),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_winnowing_matches_python_model(spark, tmp_path_factory, docs):
+    tmpdir = str(tmp_path_factory.mktemp("win"))
+    rows = [(i, " ".join(t), "src0") for i, t in enumerate(docs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/documents.parquet")
+    got = {
+        r.doc_id: (
+            r.source, r.n_tokens, r.n_kgrams, r.n_fingerprints,
+            r.density_ppm, r.n_fp_hashes, r.n_shared_fp_hashes,
+        )
+        for r in QUERIES["winnowing_fingerprints"].builder(spark, tmpdir).collect()
+    }
+    want = _winnow_model([(i, "src0", t) for i, t in enumerate(docs)])
+    assert got == want
+
+
+def test_winnowing_moss_guarantee(spark, tmp_path_factory):
+    """Two docs sharing an 8-token run (w + k - 1 = 5 + 4 - 1) MUST share
+    a fingerprint hash — the Schleimer et al. detection guarantee."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.corpus_queries import (
+        _WIN_K,
+        _WIN_W,
+    )
+
+    run = [f"w{i}" for i in range(_WIN_W + _WIN_K - 1)]
+    doc_a = ["x1", "x2"] + run + ["x3"]
+    doc_b = ["y1"] + run + ["y2", "y3", "y4"]
+    doc_c = ["z" + str(i) for i in range(12)]  # no shared run
+    tmpdir = str(tmp_path_factory.mktemp("moss"))
+    rows = [(i, " ".join(t), "src0") for i, t in enumerate([doc_a, doc_b, doc_c])]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/documents.parquet")
+    got = {
+        r.doc_id: r.n_shared_fp_hashes
+        for r in QUERIES["winnowing_fingerprints"].builder(spark, tmpdir).collect()
+    }
+    assert got[0] >= 1 and got[1] >= 1, got
+    assert got[2] == 0, got
