@@ -40,6 +40,13 @@ def main() -> int:
         f"round-start OK: {len(ROTATION)} rotation slots all first-ever; "
         f"{len(backlog)} never-checked queries remain in the backlog."
     )
+    # Regenerate COVERAGE.md in the same step (round-5 verdict: the ledger
+    # goes stale every round because the driver drops CORRECTNESS after the
+    # snapshot — folding the regen here makes rotation and ledger one
+    # action).
+    import coverage_ledger
+
+    coverage_ledger.main()
     return 0
 
 
