@@ -32,8 +32,7 @@ MINHASH_PERMS = 12
 LSH_BANDS = 4
 LSH_ROWS = MINHASH_PERMS // LSH_BANDS
 
-#: SimHash: 32 bits (hex-digit parity of md5 — one bit per md5 hex digit),
-#: 64-bit fingerprints in 8 bands of 8 bits, candidate keys = CONCATENATED
+#: SimHash: 64-bit fingerprints in 8 bands of 8 bits, candidate keys = CONCATENATED
 #: BAND PAIRS (C(8,2) = 28 sixteen-bit composite keys per doc) — the Manku
 #: et al. 2007 (WWW, "Detecting near-duplicate web pages") block-permutation
 #: design. The round-5 config (32-bit sigs, 4 single bands of 8 bits) had a

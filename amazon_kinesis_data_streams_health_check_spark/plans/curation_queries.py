@@ -2150,21 +2150,26 @@ s4 AS (
   ) s WHERE s.tc <= 2
 ),
 funnel AS (
+  -- coalesce(sum(...), 0): an emptied stage must report 0 tokens (and so
+  -- kept_tokens_ppm 0), matching the Spark stage_row's coalesce — a bare
+  -- sum() over zero rows is NULL in DuckDB and would hash-diverge.
   SELECT 0 AS stage_idx, 'raw' AS stage,
          CAST(count(*) AS BIGINT) AS docs,
-         CAST(sum(n_tokens) AS BIGINT) AS tokens FROM base
+         CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS tokens FROM base
   UNION ALL
-  SELECT 1, 'quality', CAST(count(*) AS BIGINT), CAST(sum(n_tokens) AS BIGINT) FROM s1
+  SELECT 1, 'quality', CAST(count(*) AS BIGINT), CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s1
   UNION ALL
-  SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT), CAST(sum(n_tokens) AS BIGINT) FROM s2
+  SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT), CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s2
   UNION ALL
-  SELECT 3, 'near_dedup', CAST(count(*) AS BIGINT), CAST(sum(n_tokens) AS BIGINT) FROM s3
+  SELECT 3, 'near_dedup', CAST(count(*) AS BIGINT), CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s3
   UNION ALL
-  SELECT 4, 'ppl_filter', CAST(count(*) AS BIGINT), CAST(sum(n_tokens) AS BIGINT) FROM s4
+  SELECT 4, 'ppl_filter', CAST(count(*) AS BIGINT), CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s4
 )
 SELECT f.stage_idx, f.stage, f.docs, f.tokens,
-       CAST(1000000 * f.docs // r.docs AS BIGINT) AS kept_docs_ppm,
-       CAST(1000000 * f.tokens // r.tokens AS BIGINT) AS kept_tokens_ppm
+       CAST(CASE WHEN r.docs = 0 THEN NULL
+            ELSE 1000000 * f.docs // r.docs END AS BIGINT) AS kept_docs_ppm,
+       CAST(CASE WHEN r.tokens = 0 THEN NULL
+            ELSE 1000000 * f.tokens // r.tokens END AS BIGINT) AS kept_tokens_ppm
 FROM funnel f CROSS JOIN (SELECT docs, tokens FROM funnel WHERE stage_idx = 0) r
 """.format(
     tok=f"regexp_extract_all(lower(text), '{TOKEN_RE}')",

@@ -5184,14 +5184,24 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recall column is checked DATA: any value below 10^6 for h <= 6 is a
 # blocking bug surfaced by the oracle hash.
 # ---------------------------------------------------------------------------
-_SBR_SAMPLE_MOD = 4  # keep doc_ids with md5-uint32 % 4 == 0 (~25%)
+#: Sample-size TARGET for the all-pairs truth leg. The sampling mod is
+#: DERIVED from the corpus row count — mod = ceil(n / target) — so the
+#: sampled table (and hence the broadcast + O(sample^2) truth join) stays
+#: ~constant-size at every tier instead of growing with the corpus
+#: (round-6 ADVICE: the old fixed mod 4 made the audit quadratic again).
+_SBR_SAMPLE_TARGET = 1250
 _SBR_MAX_H = SIMHASH_MAX_HAMMING
 
 _SBR_SQL = f"""
-WITH toks AS (
+WITH smod AS (
+  SELECT greatest(1, (count(*) + {_SBR_SAMPLE_TARGET} - 1) // {_SBR_SAMPLE_TARGET})
+         AS m
+  FROM documents
+),
+toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
   FROM documents
-  WHERE {duck_hash_uniform('doc_id')} % {_SBR_SAMPLE_MOD} = 0
+  WHERE {duck_hash_uniform('doc_id')} % (SELECT m FROM smod) = 0
 ),
 votes AS (
   SELECT doc_id,
@@ -5230,7 +5240,8 @@ FROM t LEFT JOIN c ON c.hamming = t.hamming
     "simhash_blocking_recall",
     oracle=_SBR_SQL,
     doc="Blocking-recall audit for the Manku band-pair SimHash join: exact "
-    "all-pairs Hamming truth on a deterministic 25% doc sample vs the "
+    "all-pairs Hamming truth on a deterministic corpus-size-derived doc "
+    "sample (mod = ceil(n/target), bounded at every tier) vs the "
     "production candidate generator on the same sample, per Hamming value "
     "— recall_ppm must be 1000000 up to the pigeonhole bound (<= 6), and "
     "the hash-checked output proves it on real data, not just on paper",
@@ -5238,8 +5249,9 @@ FROM t LEFT JOIN c ON c.hamming = t.hamming
 )
 def simhash_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: the all-pairs truth leg runs ONLY on the md5-thinned
-    sample (the explicitly-thinned calibration stance — at 100 TB the mod
-    constant grows with the corpus so the sampled pair set stays bounded),
+    sample (the explicitly-thinned calibration stance — the mod is derived
+    from the corpus row count, mod = ceil(n / {_SBR_SAMPLE_TARGET}), so the
+    sampled pair set stays bounded at 100 TB),
     via a broadcast self-join on the sampled signature table; the
     candidate leg is the production salted band-pair join, also on the
     sample. Both legs fold to per-Hamming counts before the tiny
@@ -5249,8 +5261,22 @@ def simhash_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     configure_session(spark)
-    docs = parallel_scan(spark, sf_dir, "documents").filter(
-        hash_uniform("doc_id") % _SBR_SAMPLE_MOD == 0
+    all_docs = parallel_scan(spark, sf_dir, "documents")
+    # mod = ceil(n / target), computed as a broadcast 1-row aggregate (no
+    # driver collect): the sampled table stays ~_SBR_SAMPLE_TARGET rows at
+    # every tier, keeping the truth leg's broadcast and pair count bounded.
+    smod = all_docs.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(
+                f"(count(*) + {_SBR_SAMPLE_TARGET} - 1) div {_SBR_SAMPLE_TARGET}"
+            ),
+        ).alias("sample_mod")
+    )
+    docs = (
+        all_docs.crossJoin(F.broadcast(smod))
+        .filter(hash_uniform("doc_id") % F.col("sample_mod") == 0)
+        .drop("sample_mod")
     )
     sigs = simhash_signatures(docs).localCheckpoint(
         eager=False

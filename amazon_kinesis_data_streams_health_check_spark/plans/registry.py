@@ -31,16 +31,19 @@ _REGISTRY: dict[str, Query] = {}
 #: checks the FIRST 50 entries of ``queries()``; registration order is a
 #: byproduct of module import order, so the window is pinned here.
 #:
-#: Rotation policy (round 3 onward): the reference-parity healthcheck core
-#: and the LLM-pipeline block stay pinned every round (PINNED, 32 slots);
-#: the remaining 18 slots (ROTATION) cycle through queries that have never
-#: had a driver CORRECTNESS row, so cumulative driver coverage grows round
-#: over round. Everything rotated OUT keeps its green row from an earlier
-#: round and remains covered by the sf0.001/sf0.01 oracle-parity suites
-#: (tests/test_oracle_parity.py). Names not listed follow in registration
-#: order; a listed-but-unregistered name — and a ROTATION slot burned on an
-#: already-green query while never-checked ones remain — are errors caught
-#: by tests/test_registry.py against the CORRECTNESS_r*.json history.
+#: Rotation policy (round 7 onward, per the round-6 verdict item 1): only
+#: the reference-parity healthcheck core plus the two bench flagships stay
+#: pinned every round (PINNED, 10 slots) — the old 24-query LLM block had
+#: been driver-green 5-6 consecutive rounds and re-checking it bought
+#: nothing. The remaining 40 slots (ROTATION) cycle through queries that
+#: have never had a driver CORRECTNESS row, so cumulative driver coverage
+#: grows ~40/round against the 201-query backlog. Everything rotated OUT
+#: keeps its green row from an earlier round and remains covered by the
+#: sf0.001/sf0.01 oracle-parity suites (tests/test_oracle_parity.py).
+#: Names not listed follow in registration order; a listed-but-unregistered
+#: name — and a ROTATION slot burned on an already-green query while
+#: never-checked ones remain — are errors caught by tests/test_registry.py
+#: against the CORRECTNESS_r*.json history.
 PINNED: tuple[str, ...] = (
     # healthcheck core (reference parity) — pinned permanently
     "health_lag_alarm",
@@ -51,57 +54,67 @@ PINNED: tuple[str, ...] = (
     "alarm_nofm",
     "missing_periods",
     "alarm_transitions",
-    # LLM-pipeline: text / dedup / ANN / multimodal / sketches — pinned
+    # bench flagships — pinned so the driver always re-checks the two
+    # queries the per-round benchmark leans on hardest
     "text_quality",
-    "lang_id_confusion",
-    "doc_fingerprints",
-    "dedup_exact_summary",
-    "dedup_keep_list",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "embedding_near_dups",
-    "ann_topk_bruteforce",
-    "ann_lsh_bucketed",
-    "embedding_quantization",
-    "repetition_stats",
-    "substring_dup_frac",
-    "split_assign",
-    "knn_graph_lsh",
-    "hybrid_search",
-    "media_stats",
-    "media_features",
-    "media_frame_sample",
-    "sketch_rollup_merge",
-    "doc_chunks",
-    "tfidf_top_terms",
-    "inverted_index",
 )
 
-#: Round-6 rotation — 18 never-driver-checked queries (first-ever rows):
-#: the round-5 verdict's candidate list (its 22 names trimmed to the 18-slot
-#: window by deferring length_emd_drift and 3 overflow picks to round 7),
-#: carrying all FOUR streaming state-store twins so the window satisfies
-#: the standing >=4-streaming quota (round-5 verdict items 1 and 6).
+#: Round-7 rotation — 40 never-driver-checked queries (first-ever rows):
+#: six streaming state-store twins (standing >=4-streaming quota), the
+#: full never-checked dedup/contamination family, the curation cascade +
+#: Gopher/DSIR/CCNet block (incl. the two queries that took round-6 ADVICE
+#: fixes this round: curation_pipeline_e2e oracle coalesce,
+#: simhash_blocking_recall derived sample mod), the ANN recall-audit
+#: family, multimodal, and breadth picks (relational skew / lake merge /
+#: corpus stats).
 ROTATION: tuple[str, ...] = (
-    "dedup_exact_substring",  # suffix-array exact-substring dedup (Lee 2022)
-    "exact_substring_scrub",  # cut sheet: merged >=16-token dup intervals
-    "exact_substring_ingest_probe",  # persisted suffix index incremental probe
-    "unigram_lm_viterbi",  # SentencePiece unigram-LM hard-EM round 1
-    "unigram_lm_em2",  # second Viterbi EM round over refit costs
-    "isotonic_margin_fit",  # PAV isotonic calibration of NB margins
-    "isotonic_cosine_dup_curve",  # PAV cosine->dup-probability curve
-    "bradley_terry_rank",  # BT preference MLE, fixed-point integer MM
-    "funnel_absorbing_markov",  # absorbing-chain funnel conversion
-    "journey_markov_surprisal",  # per-user journey surprisal vs fitted chain
-    "domain_mw_reweight",  # DoReMi-style multiplicative-weights domains
-    "knn_label_propagation",  # community labels via Pregel-by-joins
-    "mmr_diversified_topk",  # MMR diversified retrieval
-    "pass_at_k_eval",  # unbiased hypergeometric pass@k
-    "streaming_journey_surprisal",  # streaming twin: journey surprisal state
-    "streaming_pack_assign",  # streaming twin: online sequence packing
-    "streaming_control_ensemble",  # streaming twin: control-chart ensemble
-    "streaming_rate_limit",  # streaming twin: token-bucket rate limiting
+    # streaming twins (6)
+    "streaming_late_data_audit",  # watermark late/dropped-row audit
+    "streaming_lease_rebalance",  # KCL lease steal/rebalance state
+    "streaming_novelty_ingest",  # per-batch novel-ngram rate vs history
+    "streaming_dedup_index_ingest",  # incremental exact-dup index probe
+    "streaming_sprt_monitor",  # sequential probability-ratio monitor
+    "streaming_quality_gate",  # streaming Gopher quality gate
+    # dedup / contamination family (12)
+    "dedup_containment",  # asymmetric containment dedup
+    "dedup_exact_groups",  # exact-hash group detail
+    "dedup_method_agreement",  # MinHash vs SimHash vs exact agreement
+    "dedup_semantic",  # eps-cosine semantic dup pairs
+    "dedup_semantic_clusters",  # SemDeDup k-means cluster prune
+    "dedup_survivorship_audit",  # survivor-pick policy audit
+    "dedup_threshold_pr_curve",  # Jaccard threshold precision/recall
+    "lsh_s_curve_validation",  # banding S-curve vs measured candidates
+    "contamination_check",  # train/eval n-gram overlap
+    "eval_contamination_13gram",  # GPT-3/PaLM 13-gram decontamination
+    "winnowing_fingerprints",  # Schleimer 2003 winnowing/MOSS
+    "simhash_blocking_recall",  # band-pair blocking recall audit
+    # curation block (8)
+    "gopher_quality_rules",  # Rae 2021 A1.1 rule battery
+    "curation_pipeline_e2e",  # FineWeb-style 4-stage cascade
+    "dsir_importance_weights",  # Xie 2023 hashed-bigram DSIR
+    "ccnet_perplexity_buckets",  # Wenzek 2020 per-lang terciles
+    "boilerplate_line_scrub",  # repeated-line boilerplate removal
+    "pii_redaction_stats",  # PII pattern redaction accounting
+    "token_budget_waterfill",  # per-source token water-filling
+    "leakage_safe_split",  # cluster-aware train/test split
+    # ANN recall audits (5)
+    "ann_ivf_recall",  # IVF probe recall vs brute truth
+    "ann_ivfpq_recall",  # IVF-PQ/ADC recall
+    "ann_matryoshka_recall",  # prefix-dim recall curve
+    "ann_pq_adc_recall",  # PQ asymmetric-distance recall
+    "retrieval_ndcg_mrr",  # nDCG@k + MRR integer-discount eval
+    # multimodal (3)
+    "media_phash_dedup",  # pHash hamming near-dup images
+    "media_resize",  # stub-decoder resize plumbing
+    "media_audio_windows",  # audio frame windowing stats
+    # breadth (6)
+    "source_containment_matrix",  # bench query: cross-source containment
+    "heldout_unigram_perplexity",  # heldout LM perplexity
+    "collocation_pmi",  # PMI collocation mining
+    "zipf_law_fit",  # Zipf rank-frequency fit
+    "skew_salted_join",  # salted skew-join audit
+    "lake_merge_upsert",  # MERGE upsert semantics
 )
 
 _PRIORITY: tuple[str, ...] = PINNED + ROTATION

@@ -54,6 +54,21 @@ BUILD_CONFS = {
 _SHIPPED_APPS: set[str] = set()
 
 
+def _default_driver_mem() -> str:
+    """Driver-heap default sized from the host: half of MemAvailable,
+    clamped to [2g, 24g]. 24g is right for the 128 GiB design box; a flat
+    24g on a 4 GiB container would just be an unservable -Xmx."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_gib = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(24, avail_gib // 2))}g"
+    except OSError:
+        pass
+    return "4g"
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Make this package importable on executor Python workers.
 
@@ -111,10 +126,13 @@ def get_spark(
     # Local mode puts ALL executor threads in the driver JVM, whose default
     # 1g heap starves 32 concurrent tasks at sf>=1.0 (observed: GCLocker
     # retry storms, then executor deaths that cascade into missing-shuffle-
-    # file errors). Size the heap like a real executor would be sized.
+    # file errors). Size the heap like a real executor would be sized —
+    # but from the HOST's available memory (round-6 ADVICE: a flat 24g
+    # default misbehaves on small containers), clamped to [2g, 24g].
     # Only effective if the JVM is not already running (getOrCreate reuse).
     builder = builder.config(
-        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        "spark.driver.memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
     )
     for k, v in BUILD_CONFS.items():
         builder = builder.config(k, v)

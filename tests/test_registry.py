@@ -41,11 +41,22 @@ def test_window_is_pinned_plus_rotation():
 
 
 def test_pinned_core_never_leaves_window():
-    # Reference-parity core + LLM-pipeline block: pinned permanently since
-    # the round-1 verdict; removing any of these is a policy change that
-    # must be deliberate.
-    assert "health_lag_alarm" in PINNED and "dedup_minhash_lsh" in PINNED
-    assert len(PINNED) == 32
+    # Round-7 policy (round-6 verdict item 1): pinned = the 8-query
+    # reference-parity core + the 2 bench flagships; everything else
+    # rotates. Changing this is a policy change that must be deliberate.
+    core = (
+        "health_lag_alarm",
+        "tracer_produce",
+        "consumer_metrics",
+        "first_record_parity",
+        "arn_parse",
+        "alarm_nofm",
+        "missing_periods",
+        "alarm_transitions",
+    )
+    assert all(n in PINNED for n in core)
+    assert "text_quality" in PINNED and "dedup_minhash_lsh" in PINNED
+    assert len(PINNED) == 10
 
 
 def test_rotation_slots_are_first_ever_driver_rows():
