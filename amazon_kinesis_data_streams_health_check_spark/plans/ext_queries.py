@@ -369,6 +369,92 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(sigs, max_hamming=SIMHASH_REPORT_HAMMING)
 
 
+# ---------------------------------------------------------------------------
+# SimHash at the FULL pigeonhole-lossless threshold (<= 6) with an exact
+# verify stage. dedup_simhash reports at the production <= 3 threshold
+# because on dense corpora the raw <= 6 pair set itself grows
+# ~quadratically (round-6 tier: output exponent 2.8 — bit-agreement by
+# chance, not duplication). The fix is the dedup_fuzzy_edit pattern: keep
+# candidate generation at <= 6 (lossless by 2-of-8 band pigeonhole), then
+# keep only pairs whose word-3-gram sets pass integer Jaccard dominance
+# 2*|I| >= |U| (J >= 1/2). Chance bit-agreement has near-zero shingle
+# overlap, so REPORTED pairs track true duplication (~linear); the verify
+# join runs over candidates only, never all-pairs.
+# ---------------------------------------------------------------------------
+_SIMHASH_VERIFIED_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+votes AS (
+  SELECT doc_id,
+         {_SIMHASH_VOTES}
+  FROM toks GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, {_SIMHASH_SIG} AS sig FROM votes
+),
+bands AS (
+  {_SIMHASH_BANDS_UNION}
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         CAST({_SIMHASH_HAMMING} AS BIGINT) AS hamming
+  FROM bands x
+  JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              AND x.doc_id < y.doc_id
+),
+tok AS (
+  SELECT doc_id, {duck_shingles()} AS sh FROM documents
+)
+SELECT p.doc_a, p.doc_b, p.hamming,
+       CAST(1000000 * len(list_intersect(ta.sh, tb.sh))
+            // len(list_distinct(ta.sh || tb.sh)) AS BIGINT) AS jaccard_ppm
+FROM pairs p
+JOIN tok ta ON ta.doc_id = p.doc_a
+JOIN tok tb ON tb.doc_id = p.doc_b
+WHERE p.hamming <= {SIMHASH_MAX_HAMMING}
+  AND 2 * len(list_intersect(ta.sh, tb.sh)) >= len(list_distinct(ta.sh || tb.sh))
+"""
+
+
+@register(
+    "dedup_simhash_verified",
+    oracle=_SIMHASH_VERIFIED_SQL,
+    doc=f"E1: SimHash near-dup pairs at the FULL lossless Hamming <= "
+    f"{SIMHASH_MAX_HAMMING} band-pair threshold, verified by exact "
+    "word-3-gram Jaccard dominance (2|I| >= |U|) so reported pairs stay "
+    "~linear on dense corpora (closes the r06 dedup_simhash output-growth "
+    "caveat; verify runs on candidates only, never all-pairs)",
+    tags=("ext", "dedup"),
+)
+def dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: salted band-pair self-join generates O(near-dup)
+    candidates; the shingle-set verify is a hash join of the candidate
+    list against the shingled corpus (two shuffles on doc id, both
+    candidate-bounded); integer ppm output keeps the hash oracle-exact."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    sigs = simhash_signatures(docs)
+    cand = simhash_near_pairs(sigs, max_hamming=SIMHASH_MAX_HAMMING)
+    shingled = with_shingles(docs).select("doc_id", "sh")
+    a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_i", F.expr("size(array_intersect(sh_a, sh_b))").cast("long"))
+        .withColumn("n_u", F.expr("size(array_union(sh_a, sh_b))").cast("long"))
+        .filter(F.col("n_i") * 2 >= F.col("n_u"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            F.expr("CAST(1000000 * n_i div n_u AS BIGINT)").alias("jaccard_ppm"),
+        )
+    )
+
+
 _NGRAM_JACCARD_THRESHOLD = 0.2
 
 _NGRAM_JACCARD_SQL = f"""

@@ -148,3 +148,39 @@ def test_semantic_dedup_keeps_member_closest_to_centroid(spark, tmp_path):
     assert len(pair_kept) == 1 and len(pair_dropped) == 1
     assert out[pair_kept[0]].centroid_sim > out[pair_dropped[0]].centroid_sim
     assert out[2].keep and out[10].keep and out[11].keep
+
+
+def test_simhash_verified_kills_chance_collisions_keeps_true_dups(spark, tmp_path):
+    """The r06 dedup_simhash caveat, as a model: short docs over a tiny
+    shared vocab collide at Hamming <= 6 BY CHANCE (bit agreement without
+    text overlap); the Jaccard-dominance verify must drop every such pair
+    while a planted true near-dup pair (one typo in ~60 tokens) survives
+    with its hamming + integer ppm intact."""
+    import itertools
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.ext_queries import (
+        dedup_simhash_verified,
+    )
+
+    base = "shared corpus sentence with mostly common tokens repeated often " * 10
+    rows = [(1, base), (2, base.replace("mostly", "mostlq", 1))]
+    # Dense chance-collision pool: 3-token docs from a 6-word vocab — many
+    # signature pairs land within Hamming 6 with near-zero shingle overlap.
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for i, combo in enumerate(itertools.permutations(vocab, 3)):
+        rows.append((100 + i, " ".join(combo)))
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.hamming, r.jaccard_ppm)
+        for r in dedup_simhash_verified(spark, sf).collect()
+    }
+    assert (1, 2) in got
+    h, ppm = got[(1, 2)]
+    assert h <= 6 and ppm >= 500_000
+    # No chance-collision pair may survive the verify unless its docs
+    # genuinely share >= half their shingles (permutations of the same
+    # 3 words share NO word-3-gram except identical ordering — excluded).
+    assert all(a < 100 for (a, b) in got), got
