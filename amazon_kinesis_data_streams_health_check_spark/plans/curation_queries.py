@@ -2072,7 +2072,9 @@ def pack_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _PIPE_STAGES = ("raw", "quality", "exact_dedup", "near_dedup", "ppl_filter")
 
-_PIPE_SQL = f"""
+#: Shared CTE prefix (stages 0-3): the streaming cascade twin's oracle is
+#: EXACTLY these CTEs + the 4-row funnel — one source of truth, zero drift.
+_PIPE_CTES = f"""
 WITH base AS (
   SELECT doc_id, source, lang, text,
          CAST(len({{tok}}) AS BIGINT) AS n_tokens,
@@ -2125,8 +2127,11 @@ s3 AS MATERIALIZED (
   SELECT v.doc_id, v.source, v.lang, v.text, v.n_tokens
   FROM sh2 v LEFT JOIN drops3 d ON d.doc_id = v.doc_id
   WHERE d.doc_id IS NULL
-),
-tok3 AS (SELECT doc_id, lang, unnest({{tok}}) AS w FROM s3),
+)
+"""
+
+_PIPE_SQL = (_PIPE_CTES + """,
+tok3 AS (SELECT doc_id, lang, unnest({tok}) AS w FROM s3),
 cnt3 AS MATERIALIZED (
   SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM tok3 GROUP BY lang, w
 ),
@@ -2171,7 +2176,7 @@ SELECT f.stage_idx, f.stage, f.docs, f.tokens,
        CAST(CASE WHEN r.tokens = 0 THEN NULL
             ELSE 1000000 * f.tokens // r.tokens END AS BIGINT) AS kept_tokens_ppm
 FROM funnel f CROSS JOIN (SELECT docs, tokens FROM funnel WHERE stage_idx = 0) r
-""".format(
+""").format(
     tok=f"regexp_extract_all(lower(text), '{TOKEN_RE}')",
     shingles=duck_shingles(),
     minhash_cols=duck_minhash_cols(),
@@ -2318,3 +2323,315 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_tokens_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING curation cascade (round-6 verdict item 7): the production shape
+# of FineWeb-style ingestion — a crawl feed arrives in micro-batches and
+# each batch's docs flow quality -> exact-dup-vs-history -> near-dup-vs-
+# history, with the dedup indexes PERSISTED in the snapshot lake and
+# maintained per batch (the streaming_dedup_index_ingest device, composed
+# with the streaming Gopher gate).
+#
+# Slicing invariance is the correctness claim: because the feed arrives in
+# ascending-doc_id order, "first arrival" == the batch cascade's
+# min(doc_id) canon, and "near-dups any earlier s2 survivor" == the batch
+# cascade's doc_a < doc_b band-collision drop — so the cumulative funnel
+# after the last batch is EXACTLY the batch twin's stage-0..3 relation,
+# whatever the chunking. The oracle is therefore the batch cascade's OWN
+# CTE prefix (_PIPE_CTES, one source of truth) + the 4-row funnel; the
+# model test re-drives with a different chunk count and pins equality.
+# The batch stage-4 (CCNet tercile drop) is deliberately absent: its LM is
+# fit on the FULL s3 survivor set, which no prefix-consistent streaming
+# operator can know mid-feed — release-time filtering stays batch.
+# ---------------------------------------------------------------------------
+_SCC_SQL = (_PIPE_CTES + """,
+funnel AS (
+  SELECT 0 AS stage_idx, 'raw' AS stage,
+         CAST(count(*) AS BIGINT) AS docs,
+         CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS tokens FROM base
+  UNION ALL
+  SELECT 1, 'quality', CAST(count(*) AS BIGINT), CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s1
+  UNION ALL
+  SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT), CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'near_dedup', CAST(count(*) AS BIGINT), CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s3
+)
+SELECT f.stage_idx, f.stage, f.docs, f.tokens,
+       CAST(CASE WHEN r.docs = 0 THEN NULL
+            ELSE 1000000 * f.docs // r.docs END AS BIGINT) AS kept_docs_ppm,
+       CAST(CASE WHEN r.tokens = 0 THEN NULL
+            ELSE 1000000 * f.tokens // r.tokens END AS BIGINT) AS kept_tokens_ppm
+FROM funnel f CROSS JOIN (SELECT docs, tokens FROM funnel WHERE stage_idx = 0) r
+""").format(
+    tok=f"regexp_extract_all(lower(text), '{TOKEN_RE}')",
+    shingles=duck_shingles(),
+    minhash_cols=duck_minhash_cols(),
+    band_union=duck_band_union(),
+)
+
+_SCC_TOK = f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"
+_SCC_QUALITY = (
+    "n_tokens BETWEEN 50 AND 100000"
+    " AND 3 * n_tokens <= total_chars AND total_chars <= 10 * n_tokens"
+    " AND 10 * n_symbols <= n_tokens"
+    " AND 5 * n_alpha >= 4 * n_tokens"
+)
+
+
+def _scc_base(df: DataFrame) -> DataFrame:
+    """The batch cascade's `base` projection, applied to a micro-batch."""
+    return df.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        F.expr(f"CAST(size({_SCC_TOK}) AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            f"aggregate(transform({_SCC_TOK}, x -> CAST(length(x) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("total_chars"),
+        F.expr(
+            "CAST(length(text) - length(replace(text, '#', ''))"
+            " + (length(text) - length(replace(text, '...', ''))) div 3 AS BIGINT)"
+        ).alias("n_symbols"),
+        F.expr(
+            f"CAST(size(filter({_SCC_TOK}, x -> x rlike '[a-z]')) AS BIGINT)"
+        ).alias("n_alpha"),
+    )
+
+
+def _scc_drive(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
+    """Drive the cascade over an ascending-doc_id file feed; return the
+    cumulative 4-row funnel (hash-equal to the batch stage-0..3 relation).
+
+    Scale shape: per batch, quality is codegen'd scan work on the BATCH;
+    the exact-dup probe is an anti-join against the persisted fingerprint
+    set on uniformly-distributed md5 keys; the near-dup probe joins the
+    batch's band rows against the persisted band index (cost scales with
+    the ingest, not the corpus) and the dominance verify touches
+    candidates only; index maintenance is three append-only lake commits.
+    Nothing ever re-LSHes history.
+    """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from pyspark.sql import Window
+
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_append,
+        snapshot_history,
+    )
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    # Ascending doc_id ranges (bounded 1-row control-plane collect): the
+    # feed's arrival order IS the batch cascade's min(doc_id) canon order.
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = int(hi) - int(lo) + 1
+    step = max(1, (span + n_chunks - 1) // n_chunks)
+    src_dir = _tf.mkdtemp(prefix="scc_src_")
+    seq = 0
+    for i in range(n_chunks):
+        chunk = docs.filter(
+            (F.col("doc_id") >= int(lo) + i * step)
+            & (F.col("doc_id") < int(lo) + (i + 1) * step)
+        )
+        part_dir = _tf.mkdtemp(prefix=f"scc_part{i}_")
+        chunk.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        parts = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))
+        if not parts:
+            continue
+        dst = _os.path.join(src_dir, f"b{seq}.parquet")
+        _shutil.move(parts[0], dst)
+        # Strictly increasing mtimes pin the FileStreamSource batch order.
+        _os.utime(dst, (1_600_000_000 + seq, 1_600_000_000 + seq))
+        seq += 1
+
+    fp_lake = _tf.mkdtemp(prefix="scc_fp_")
+    band_lake = _tf.mkdtemp(prefix="scc_bands_")
+    sh_lake = _tf.mkdtemp(prefix="scc_sh_")
+    stats_dir = _tf.mkdtemp(prefix="scc_stats_")
+
+    def _ingest(batch_df, batch_id: int) -> None:
+        base_b = _scc_base(batch_df).localCheckpoint(eager=False)
+        s1_b = (
+            base_b.filter(F.expr(_SCC_QUALITY))
+            .select("doc_id", "source", "lang", "text", "n_tokens")
+            .withColumn("fp", F.md5("text"))
+        )
+        have_hist = bool(snapshot_history(spark, fp_lake))
+        if have_hist:
+            hist_fp = read_snapshot(spark, fp_lake).select("fp")
+            s1_new = s1_b.join(hist_fp, "fp", "left_anti")
+        else:
+            s1_new = s1_b
+        canon = F.min("doc_id").over(Window.partitionBy("fp"))
+        s2_b = (
+            s1_new.withColumn("canon", canon)
+            .filter(F.col("doc_id") == F.col("canon"))
+            .drop("canon")
+        )
+        # feeds the signature chain, the verify legs, the funnel row, and
+        # BOTH index commits
+        sh2_b = s2_b.withColumn("sh", F.expr(shingles_expr())).localCheckpoint(
+            eager=False
+        )
+        banded_b = with_bands(
+            with_minhash(sh2_b.select("doc_id", "sh"))
+        ).localCheckpoint(eager=False)
+        bands_long_b = banded_b.select(
+            "doc_id",
+            F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(4)])).alias(
+                "band_idx", "band_key"
+            ),
+        ).withColumn("pband", F.concat(F.lit("b"), F.col("band_idx")))
+        # Candidates: within-batch LSH pairs (doc_a < doc_b) + batch bands
+        # probed against the persisted index (history doc_ids are all
+        # smaller by the ascending feed, so hist doc = doc_a always).
+        cand = lsh_candidate_pairs(banded_b).select("doc_a", "doc_b")
+        sh_a_pool = sh2_b.select("doc_id", "sh")
+        if have_hist:
+            index = read_snapshot(spark, band_lake)
+            histc = (
+                bands_long_b.alias("i")
+                .join(
+                    index.alias("h"),
+                    (F.col("h.band_idx") == F.col("i.band_idx"))
+                    & (F.col("h.band_key") == F.col("i.band_key")),
+                )
+                .select(
+                    F.col("h.doc_id").alias("doc_a"),
+                    F.col("i.doc_id").alias("doc_b"),
+                )
+                .distinct()
+            )
+            cand = cand.unionByName(histc).distinct()
+            sh_a_pool = sh_a_pool.unionByName(
+                read_snapshot(spark, sh_lake).select("doc_id", "sh")
+            )
+        a = sh_a_pool.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+        b = sh2_b.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+        drops = (
+            cand.join(a, "doc_a")
+            .join(b, "doc_b")
+            .filter(
+                F.expr(
+                    "2 * size(array_intersect(sh_a, sh_b))"
+                    " >= size(array_union(sh_a, sh_b))"
+                )
+            )
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        s3_b = sh2_b.join(drops, "doc_id", "left_anti")
+
+        def _agg(df, tag):
+            return df.agg(
+                F.count(F.lit(1)).cast("long").alias(f"{tag}_docs"),
+                F.coalesce(F.sum("n_tokens"), F.lit(0))
+                .cast("long")
+                .alias(f"{tag}_tokens"),
+            )
+
+        stats = (
+            _agg(base_b, "raw")
+            .crossJoin(_agg(s1_b, "q"))
+            .crossJoin(_agg(s2_b, "e"))
+            .crossJoin(_agg(s3_b, "nd"))
+        )
+        stats.write.mode("append").parquet(stats_dir)
+        # Index maintenance: three append-only commits per micro-batch.
+        snapshot_append(
+            spark,
+            s2_b.select("fp").withColumn("p", F.lit("all")),
+            fp_lake,
+            partition_col="p",
+        )
+        snapshot_append(spark, bands_long_b, band_lake, partition_col="pband")
+        snapshot_append(
+            spark,
+            sh2_b.select("doc_id", "sh").withColumn("p", F.lit("all")),
+            sh_lake,
+            partition_col="p",
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, source string, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", _tf.mkdtemp(prefix="scc_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    if q.isActive:  # pragma: no cover - defensive against a hung source
+        q.stop()
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        snapshot_history as _sh,
+    )
+
+    if len(_sh(spark, fp_lake)) != seq:
+        raise RuntimeError(
+            f"cascade drive incomplete: {len(_sh(spark, fp_lake))} of {seq} commits"
+        )
+
+    tot = spark.read.parquet(stats_dir).agg(
+        *[
+            F.sum(c).cast("long").alias(c)
+            for c in (
+                "raw_docs",
+                "raw_tokens",
+                "q_docs",
+                "q_tokens",
+                "e_docs",
+                "e_tokens",
+                "nd_docs",
+                "nd_tokens",
+            )
+        ]
+    )
+    funnel = tot.selectExpr(
+        "stack(4,"
+        " CAST(0 AS BIGINT), 'raw', raw_docs, raw_tokens,"
+        " CAST(1 AS BIGINT), 'quality', q_docs, q_tokens,"
+        " CAST(2 AS BIGINT), 'exact_dedup', e_docs, e_tokens,"
+        " CAST(3 AS BIGINT), 'near_dedup', nd_docs, nd_tokens"
+        ") AS (stage_idx, stage, docs, tokens)"
+    )
+    raw = funnel.filter(F.col("stage_idx") == 0).select(
+        F.col("docs").alias("r_docs"), F.col("tokens").alias("r_tokens")
+    )
+    return funnel.crossJoin(F.broadcast(raw)).select(
+        "stage_idx",
+        "stage",
+        "docs",
+        "tokens",
+        F.expr("CAST(1000000 * docs div r_docs AS BIGINT)").alias("kept_docs_ppm"),
+        F.expr("CAST(1000000 * tokens div r_tokens AS BIGINT)").alias(
+            "kept_tokens_ppm"
+        ),
+    )
+
+
+@register(
+    "streaming_curation_cascade",
+    oracle=_SCC_SQL,
+    doc="Streaming twin of curation_pipeline_e2e stages 0-3: a 4-chunk "
+    "ascending-doc_id crawl feed where each micro-batch runs quality -> "
+    "exact-dup-vs-history -> near-dup-vs-history against PERSISTED "
+    "fingerprint/band/shingle lake indexes (appended per batch); the "
+    "cumulative funnel value-hashes against the batch cascade's own "
+    "stage-0..3 SQL — slicing invariance pinned by the model test",
+    tags=("ext", "streaming", "curation", "dedup", "quality"),
+)
+def streaming_curation_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _scc_drive(spark, sf_dir, n_chunks=4)

@@ -118,3 +118,18 @@ def test_curriculum_order_is_phase_contiguous_permutation(spark, sf_small):
     top_phase, n = Counter(phases).most_common(1)[0]
     chars = [r.n_chars for r in ordered if r.phase == top_phase]
     assert n > 3 and chars != sorted(chars), "phase interior is not shuffled"
+
+
+def test_streaming_cascade_slicing_invariance(spark):
+    """The cumulative funnel must be identical whatever the feed chunking
+    (2-chunk vs 4-chunk drive) — the prefix-decomposability claim that
+    makes the batch cascade SQL a valid oracle for the streaming twin."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.curation_queries import (
+        _scc_drive,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    four = {tuple(r) for r in _scc_drive(spark, sf, n_chunks=4).collect()}
+    two = {tuple(r) for r in _scc_drive(spark, sf, n_chunks=2).collect()}
+    assert four == two
+    assert len(four) == 4
