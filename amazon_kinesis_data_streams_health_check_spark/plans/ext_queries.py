@@ -199,6 +199,7 @@ from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (  # 
     lsh_candidate_pairs,
     simhash_near_pairs,
     simhash_signatures,
+    simhash_signatures_centered,
     verified_jaccard,
     with_bands,
     with_minhash,
@@ -304,16 +305,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_jaccard(pairs, shingled)
 
 
-_SIMHASH_BANDS_UNION = "\n  UNION ALL\n  ".join(
-    f"SELECT doc_id, sig, {idx} AS band_idx, "
-    f"substr(sig, {i * SIMHASH_BAND_BITS + 1}, {SIMHASH_BAND_BITS})"
-    f" || substr(sig, {j * SIMHASH_BAND_BITS + 1}, {SIMHASH_BAND_BITS}) AS band_key FROM sigs"
-    for idx, (i, j) in enumerate(
-        (i, j)
-        for i in range(SIMHASH_BANDS)
-        for j in range(i + 1, SIMHASH_BANDS)
+def _simhash_bands_union(bands_per_key: int) -> str:
+    """DuckDB twin of simhash_near_pairs' C(8, b) composite-key explode —
+    one UNION ALL leg per unordered b-subset of the 8 bands."""
+    from itertools import combinations
+
+    return "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, sig, {idx} AS band_idx, "
+        + " || ".join(
+            f"substr(sig, {i * SIMHASH_BAND_BITS + 1}, {SIMHASH_BAND_BITS})"
+            for i in combo
+        )
+        + " AS band_key FROM sigs"
+        for idx, combo in enumerate(
+            combinations(range(SIMHASH_BANDS), bands_per_key)
+        )
     )
-)
+
+
+_SIMHASH_BANDS_UNION = _simhash_bands_union(2)
 _SIMHASH_VOTES = ",\n         ".join(
     f"sum(CASE WHEN ((instr('0123456789abcdef', substr(md5(tok), {i // 4 + 1}, 1)) - 1) // {1 << (i % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS v_{i}"
     for i in range(SIMHASH_BITS)
@@ -2101,31 +2111,68 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from the SimHash bands (cheap, already salted); the verify is exact
 # Levenshtein over a fixed text prefix.
 # ---------------------------------------------------------------------------
-_FUZZY_PREFIX = 80
-_FUZZY_MAX_EDITS = 20
-
-_FUZZY_EDIT_SQL = f"""
-WITH toks AS (
+def _duck_centered_sig_ctes(source: str = "documents") -> str:
+    """DuckDB twin of operators.dedup.simhash_signatures_centered: the
+    toks/raw/dr/cv/sigs CTE block ending in sigs(doc_id, sig). All-integer
+    centering v'_i = F * v_i - n_tokens * S_i (see the operator docstring
+    for the bias story)."""
+    s_tok = lambda i: (  # noqa: E731
+        "(CASE WHEN ((instr('0123456789abcdef', substr(md5(tok), "
+        f"{i // 4 + 1}, 1)) - 1) // {1 << (i % 4)}) % 2 = 1 THEN 1 ELSE -1 END)"
+    )
+    votes = ",\n         ".join(f"sum({s_tok(i)}) AS r_{i}" for i in range(SIMHASH_BITS))
+    drift = ",\n         ".join(f"sum({s_tok(i)}) AS s_{i}" for i in range(SIMHASH_BITS))
+    cvote = ",\n         ".join(
+        f"d.f0 * v.r_{i} - v.nt * d.s_{i} AS v_{i}" for i in range(SIMHASH_BITS)
+    )
+    sig = " || ".join(
+        f"(CASE WHEN v_{i} > 0 THEN '1' ELSE '0' END)" for i in range(SIMHASH_BITS)
+    )
+    return f"""toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
-  FROM documents
+  FROM {source}
 ),
-votes AS (
-  SELECT doc_id,
-         {_SIMHASH_VOTES}
+raw AS (
+  SELECT doc_id, count(*) AS nt,
+         {votes}
   FROM toks GROUP BY doc_id
 ),
-sigs AS (
-  SELECT doc_id, {_SIMHASH_SIG} AS sig FROM votes
+dr AS (
+  SELECT count(*) AS f0,
+         {drift}
+  FROM toks
 ),
+cv AS (SELECT v.doc_id, {cvote} FROM raw v CROSS JOIN dr d),
+sigs AS MATERIALIZED (SELECT doc_id, {sig} AS sig FROM cv)"""
+
+
+_FUZZY_PREFIX = 80
+_FUZZY_MAX_EDITS = 20
+#: Blocking config (round-7 sf1->sf10 tier lesson, two defects deep):
+#: (1) the b=2 16-bit composite keys that fixed the r05 saturation
+#: saturate again a decade later (500k docs: runtime exponent 1.26 while
+#: output stayed ~linear) — band TRIPLES give 24-bit keys (C(8,3) = 56
+#: tables), lossless to Hamming <= 5 by 3-of-8 pigeonhole; (2) wider keys
+#: alone did NOT fix it (still 1.34) because the RAW signature bits are
+#: corpus-biased (13/64 balanced on this vocab) and band buckets saturate
+#: broadly at ANY key width — fixed by the CENTERED signature
+#: (simhash_signatures_centered: 64/64 balanced, candidate mass down 570x
+#: at sf1.0). Recall vs the all-pairs edit truth is pinned ON DATA by
+#: fuzzy_blocking_recall below.
+_FUZZY_BLOCK_B = 3
+_FUZZY_BLOCK_HAMMING = SIMHASH_BANDS - _FUZZY_BLOCK_B
+
+_FUZZY_EDIT_SQL = f"""
+WITH {_duck_centered_sig_ctes()},
 bands AS (
-  {_SIMHASH_BANDS_UNION}
+  {_simhash_bands_union(_FUZZY_BLOCK_B)}
 ),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM bands x
   JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
               AND x.doc_id < y.doc_id
-  WHERE {_SIMHASH_HAMMING} <= {SIMHASH_MAX_HAMMING}
+  WHERE {_SIMHASH_HAMMING} <= {_FUZZY_BLOCK_HAMMING}
 ),
 pfx AS (
   SELECT doc_id, substr(text, 1, {_FUZZY_PREFIX}) AS p FROM documents
@@ -2143,9 +2190,12 @@ WHERE abs(length(pa.p) - length(pb.p)) <= {_FUZZY_MAX_EDITS}
 @register(
     "dedup_fuzzy_edit",
     oracle=_FUZZY_EDIT_SQL,
-    doc=f"E1: character-level fuzzy near-dup — SimHash-near blocking, exact "
-    f"Levenshtein verify on the {_FUZZY_PREFIX}-char prefix, keep pairs "
-    f"within {_FUZZY_MAX_EDITS} edits",
+    doc=f"E1: character-level fuzzy near-dup — CENTERED-SimHash band-triple "
+    f"blocking (24-bit keys, lossless to Hamming <= {_FUZZY_BLOCK_HAMMING}; "
+    "centering de-biases signature bits on boilerplate-heavy corpora), "
+    f"exact Levenshtein verify on the {_FUZZY_PREFIX}-char prefix, keep "
+    f"pairs within {_FUZZY_MAX_EDITS} edits; blocking recall pinned on "
+    "data by fuzzy_blocking_recall",
     tags=("ext", "dedup", "bench"),
 )
 def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2160,8 +2210,10 @@ def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # culls the band collisions BEFORE any quadratic string work); verify =
     # exact Levenshtein, guarded by the |len_a - len_b| <= d lower bound so
     # the DP only runs where it could possibly pass.
-    sigs = simhash_signatures(docs)
-    cand = simhash_near_pairs(sigs).select("doc_a", "doc_b")
+    sigs = simhash_signatures_centered(docs)
+    cand = simhash_near_pairs(
+        sigs, max_hamming=_FUZZY_BLOCK_HAMMING, bands_per_key=_FUZZY_BLOCK_B
+    ).select("doc_a", "doc_b")
     pfx = docs.select("doc_id", F.substring("text", 1, _FUZZY_PREFIX).alias("p"))
     pa = pfx.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"))
     pb = pfx.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"))
@@ -2181,6 +2233,130 @@ def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= _FUZZY_MAX_EDITS))
         .select("doc_a", "doc_b", "edit_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy-blocking recall audit: dedup_fuzzy_edit's SimHash gate is a
+# recall/cost trade (Manku ships k=3/64-bit for 8B docs); this query pins
+# the ACTUAL recall on data — all-pairs prefix-Levenshtein truth on a
+# deterministically thinned sample (mod = ceil(n/target), bounded at every
+# tier) vs the production centered-sig band-triple blocking on the SAME
+# sample. recall_ppm is checked output: a blocking regression (bias
+# returning, band misconfig) moves it and fails the oracle hash.
+# ---------------------------------------------------------------------------
+#: Same bounded-sample stance as simhash_blocking_recall's target (defined
+#: later in this module): mod = ceil(n / target) keeps the all-pairs truth
+#: leg ~constant-size at every tier.
+_FBR_SAMPLE_TARGET = 1250
+
+_FBR_SQL = f"""
+WITH smod AS (
+  SELECT greatest(1, (count(*) + {_FBR_SAMPLE_TARGET} - 1) // {_FBR_SAMPLE_TARGET})
+         AS m
+  FROM documents
+),
+samp AS MATERIALIZED (
+  SELECT * FROM documents
+  WHERE {duck_hash_uniform('doc_id')} % (SELECT m FROM smod) = 0
+),
+{_duck_centered_sig_ctes("samp")},
+bands AS (
+  {_simhash_bands_union(_FUZZY_BLOCK_B)}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x
+  JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              AND x.doc_id < y.doc_id
+  WHERE {{hamming}} <= {_FUZZY_BLOCK_HAMMING}
+),
+pfx AS (SELECT doc_id, substr(text, 1, {_FUZZY_PREFIX}) AS p FROM samp),
+truth AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pfx a JOIN pfx b ON a.doc_id < b.doc_id
+  WHERE abs(length(a.p) - length(b.p)) <= {_FUZZY_MAX_EDITS}
+    AND levenshtein(a.p, b.p) <= {_FUZZY_MAX_EDITS}
+)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST(count(*) AS BIGINT) AS n_found,
+       CAST(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN NULL
+            ELSE 1000000 * count(*) // (SELECT count(*) FROM truth)
+            END AS BIGINT) AS recall_ppm
+FROM truth t JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+""".format(hamming=_SIMHASH_HAMMING)
+
+
+@register(
+    "fuzzy_blocking_recall",
+    oracle=_FBR_SQL,
+    doc="Blocking-recall audit for dedup_fuzzy_edit's centered-SimHash "
+    "band-triple gate: exact all-pairs prefix-Levenshtein truth on a "
+    "corpus-size-derived md5 sample vs the production blocking on the "
+    "same sample — n_true / n_found / recall_ppm as hash-checked data "
+    "(the Manku-style gate is an explicit recall/cost trade; this keeps "
+    "the trade measured instead of assumed)",
+    tags=("ext", "dedup", "eval"),
+)
+def fuzzy_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the all-pairs truth leg runs ONLY on the bounded md5
+    sample (broadcast self-join, ~target^2/2 banded-Levenshtein pairs at
+    any tier); the blocking leg is the production centered-sig band-triple
+    join on the same sample. Centering drift is computed over the sample
+    as its own corpus — identically in both engines."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        hash_uniform,
+    )
+
+    configure_session(spark)
+    all_docs = parallel_scan(spark, sf_dir, "documents")
+    smod = all_docs.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(
+                f"(count(*) + {_FBR_SAMPLE_TARGET} - 1) div {_FBR_SAMPLE_TARGET}"
+            ),
+        ).alias("sample_mod")
+    )
+    samp = (
+        all_docs.crossJoin(F.broadcast(smod))
+        .filter(hash_uniform("doc_id") % F.col("sample_mod") == 0)
+        .drop("sample_mod")
+        .localCheckpoint(eager=False)  # feeds sigs, prefixes, and truth
+    )
+    cand = simhash_near_pairs(
+        simhash_signatures_centered(samp),
+        max_hamming=_FUZZY_BLOCK_HAMMING,
+        bands_per_key=_FUZZY_BLOCK_B,
+    ).select("doc_a", "doc_b")
+    pfx = samp.select("doc_id", F.substring("text", 1, _FUZZY_PREFIX).alias("p"))
+    a = pfx.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"))
+    b = pfx.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"))
+    truth = (
+        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.abs(F.length("pa") - F.length("pb")) <= F.lit(_FUZZY_MAX_EDITS)
+        )
+        .withColumn(
+            "ed", F.expr(f"levenshtein(pa, pb, {_FUZZY_MAX_EDITS})").cast("long")
+        )
+        .filter((F.col("ed") >= 0) & (F.col("ed") <= _FUZZY_MAX_EDITS))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)  # feeds the count AND the found-join
+    )
+    found = truth.join(cand, ["doc_a", "doc_b"])
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    return (
+        found.agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "n_true",
+            "n_found",
+            F.expr(
+                "CAST(CASE WHEN n_true = 0 THEN NULL"
+                " ELSE 1000000 * n_found div n_true END AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
     )
 
 
@@ -3199,7 +3375,7 @@ seeded AS (
          md5(CAST(vec_id AS VARCHAR)) AS h
   FROM q
 ),
-c0 AS (
+c0 AS MATERIALIZED (
   SELECT bucket AS j, q AS c
   FROM (SELECT bucket, q,
                row_number() OVER (PARTITION BY bucket ORDER BY h, vec_id) AS rn
@@ -3228,7 +3404,7 @@ u{t} AS (
   FROM (SELECT j, unnest(range(1, {_KM_D} + 1)) AS i, unnest(q) AS v FROM a{t})
   GROUP BY j, i
 ),
-c{t} AS (
+c{t} AS MATERIALIZED (
   SELECT prev.j,
          coalesce(upd.c, prev.c) AS c
   FROM c{t - 1} prev
@@ -4991,14 +5167,41 @@ def _sem_dot(a: str, b: str) -> str:
     )
 
 
-def _sem_oracle_sql() -> str:
+def _sem_k1(k: int) -> int:
+    """Coarse-level centroid count: smallest power of two with k1^2 >= k
+    (so both levels stay ~sqrt(k) wide) — identical formula in the SQL
+    twin's k1p CTE."""
+    k1 = 1
+    while k1 * k1 < k:
+        k1 <<= 1
+    return k1
+
+
+def _sem_lloyd_sql(where: str = "") -> str:
+    """The shared hierarchical-k-means CTE chain (round-7 sf1->sf10 tier
+    fix): coarse level — md5 seeding + _SEM_T exact integer Lloyd rounds
+    over k1 ~ sqrt(k) centroids; each vector's coarse cell g is then fixed
+    and a second seeded Lloyd chain fits k2 = k/k1 FINE centroids WITHIN each
+    cell (assignment joins on g, so per-round cost is n*(k1 + k2)*d
+    instead of the flat n*k*d that measured ~40x per decade at sf10).
+    Ends at CTE `fin` (vec_id, q, g, j2, dist, j = g*k2 + j2) — used by
+    the batch SemDeDup oracle and (restricted to the bootstrap half) the
+    streaming ingest oracle."""
     ks = ", ".join(f"({p})" for p in _SEM_KS)
+    # k1 domain: ALL powers of two from 1 (not _SEM_KS, which starts at 4 —
+    # Spark's _sem_k1 can return 1 or 2 for tiny corpora and the engines
+    # must agree bit-for-bit).
+    k1s = ", ".join(f"({1 << i})" for i in range(13))
+    dist = (
+        "CAST(list_sum(list_transform(range(1, {d} + 1),"
+        " i -> ({a}.q[i] - {c}.c[i]) * ({a}.q[i] - {c}.c[i]))) AS BIGINT)"
+    )
     head = f"""
-WITH q AS (
+WITH q AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * {_SEM_Q}) AS BIGINT)) AS q
-  FROM embeddings
+  FROM embeddings{where}
 ),
 np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
 kp AS (
@@ -5006,10 +5209,16 @@ kp AS (
   FROM (VALUES {ks}) t(p), np
   WHERE p * {_SEM_CAP} >= np.n OR p = {_SEM_KS[-1]}
 ),
+k1p AS (
+  SELECT CAST(min(p) AS BIGINT) AS k1
+  FROM (VALUES {k1s}) t(p), kp
+  WHERE p * p >= kp.k
+),
+k2p AS (SELECT CAST(kp.k // k1p.k1 AS BIGINT) AS k2 FROM kp, k1p),
 seeded AS (
   SELECT vec_id, q,
          CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
-           % (SELECT k FROM kp) AS bucket,
+           % (SELECT k1 FROM k1p) AS bucket,
          md5(CAST(vec_id AS VARCHAR)) AS h
   FROM q
 ),
@@ -5022,16 +5231,15 @@ c0 AS (
 )"""
     steps = []
     for t in range(1, _SEM_T + 1):
+        d_expr = dist.format(d=_SEM_D, a="q", c="c")
         steps.append(f""",
 a{t} AS (
   SELECT vec_id, q, j, dist
   FROM (
     SELECT q.vec_id, q.q, c.j,
-           CAST(list_sum(list_transform(range(1, {_SEM_D} + 1),
-             i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))) AS BIGINT) AS dist,
+           {d_expr} AS dist,
            row_number() OVER (PARTITION BY q.vec_id
-                              ORDER BY CAST(list_sum(list_transform(range(1, {_SEM_D} + 1),
-                                i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))) AS BIGINT), c.j) AS rn
+                              ORDER BY {d_expr}, c.j) AS rn
     FROM q CROSS JOIN c{t - 1} c
   ) WHERE rn = 1
 ),
@@ -5050,25 +5258,84 @@ c{t} AS (
     ON prev.j = upd.j
 )"""
         )
-    tail = f""",
-a4 AS (
-  SELECT vec_id, q, j, dist
+    d_c = dist.format(d=_SEM_D, a="q", c="c")
+    mid = f""",
+ga AS MATERIALIZED (
+  SELECT vec_id, q, j AS g
   FROM (
     SELECT q.vec_id, q.q, c.j,
-           CAST(list_sum(list_transform(range(1, {_SEM_D} + 1),
-             i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))) AS BIGINT) AS dist,
            row_number() OVER (PARTITION BY q.vec_id
-                              ORDER BY CAST(list_sum(list_transform(range(1, {_SEM_D} + 1),
-                                i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))) AS BIGINT), c.j) AS rn
+                              ORDER BY {d_c}, c.j) AS rn
     FROM q CROSS JOIN c{_SEM_T} c
   ) WHERE rn = 1
 ),
-r AS (
+seeded2 AS (
+  SELECT vec_id, q, g,
+         CAST(('0x' || substr(md5(CAST('f|' || CAST(vec_id AS VARCHAR) AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT k2 FROM k2p) AS b2,
+         md5(CAST(vec_id AS VARCHAR)) AS h
+  FROM ga
+),
+f0 AS MATERIALIZED (
+  SELECT g, b2 AS j2, q AS c
+  FROM (SELECT g, b2, q,
+               row_number() OVER (PARTITION BY g, b2 ORDER BY h, vec_id) AS rn
+        FROM seeded2)
+  WHERE rn = 1
+)"""
+    fsteps = []
+    for t in range(1, _SEM_T + 1):
+        d_expr = dist.format(d=_SEM_D, a="ga", c="f")
+        fsteps.append(f""",
+fa{t} AS (
+  SELECT vec_id, q, g, j2, dist
+  FROM (
+    SELECT ga.vec_id, ga.q, ga.g, f.j2,
+           {d_expr} AS dist,
+           row_number() OVER (PARTITION BY ga.vec_id
+                              ORDER BY {d_expr}, f.j2) AS rn
+    FROM ga JOIN f{t - 1} f ON f.g = ga.g
+  ) WHERE rn = 1
+),
+fu{t} AS (
+  SELECT g, j2, i AS d,
+         (CASE WHEN sum(v) >= 0 THEN 1 ELSE -1 END)
+           * (abs(CAST(sum(v) AS BIGINT)) // CAST(count(*) AS BIGINT)) AS val
+  FROM (SELECT g, j2, unnest(range(1, {_SEM_D} + 1)) AS i, unnest(q) AS v FROM fa{t})
+  GROUP BY g, j2, i
+),
+f{t} AS MATERIALIZED (
+  SELECT prev.g, prev.j2,
+         coalesce(upd.c, prev.c) AS c
+  FROM f{t - 1} prev
+  LEFT JOIN (SELECT g, j2, list(val ORDER BY d) AS c FROM fu{t} GROUP BY g, j2) upd
+    ON prev.g = upd.g AND prev.j2 = upd.j2
+)"""
+        )
+    d_f = dist.format(d=_SEM_D, a="ga", c="f")
+    tail = f""",
+fin AS MATERIALIZED (
+  SELECT vec_id, q, g, j2, dist,
+         g * (SELECT k2 FROM k2p) + j2 AS j
+  FROM (
+    SELECT ga.vec_id, ga.q, ga.g, f.j2,
+           {d_f} AS dist,
+           row_number() OVER (PARTITION BY ga.vec_id
+                              ORDER BY {d_f}, f.j2) AS rn
+    FROM ga JOIN f{_SEM_T} f ON f.g = ga.g
+  ) WHERE rn = 1
+)"""
+    return head + "".join(steps) + mid + "".join(fsteps) + tail
+
+
+def _sem_oracle_sql() -> str:
+    tail = f""",
+r AS MATERIALIZED (
   SELECT vec_id, q, j, dist,
          row_number() OVER (PARTITION BY j ORDER BY dist DESC, vec_id)
            AS c_rank,
          CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
-  FROM a4
+  FROM fin
 ),
 sz AS (SELECT j, CAST(count(*) AS BIGINT) AS cluster_size FROM r GROUP BY j),
 drops AS (
@@ -5087,52 +5354,55 @@ FROM r
 JOIN sz ON sz.j = r.j
 LEFT JOIN drops d ON d.vec_id = r.vec_id
 """
-    return head + "".join(steps) + tail
+    return _sem_lloyd_sql() + tail
 
 
-@register(
-    "dedup_semantic_clusters",
-    oracle=_sem_oracle_sql(),
-    doc="SemDeDup (Abbas et al. 2023): corpus-scaled exact-integer k-means "
-    "over the embeddings (k = smallest power of two with k*64 >= n, 3 "
-    "Lloyd rounds), then within each cluster drop every vector eps-cosine-"
-    "close (eps = 0.3, exact integer predicate) to a member ranked farther "
-    "from the centroid — per vector its cluster, cluster size, centroid-"
-    "distance rank, and keep flag; the semantic member of the dedup "
-    "family, catching paraphrases and re-encodings no lexical signal sees "
-    "(dedup_semantic is the label-blocked stand-in; this runs the REAL "
-    "fitted-k-means pipeline end to end, per the round-5 verdict item 7)",
-    tags=("ext", "embedding", "dedup", "similarity"),
-)
-def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: assignment is a BROADCAST join against the k-row
-    centroid table (k*d ints — 25 MB even at the paper's k = 50k) with the
-    argmin as a partial-aggregatable min(struct(dist, j)) — no shuffle
-    wider than one row per vector; each Lloyd update aggregates onto
-    k*d keys with map-side partial sums and only the k*d centroid ints
-    ever reach the driver (the PCA/k-means bounded-control-plane
-    contract). The within-cluster pair join keys on cluster id with
-    expected fan-out CAP^2 per cluster; k growing with n keeps the total
-    pair set ~linear (SemDeDup's own scaling stance), and a degenerate
-    giant cluster is AQE-skew-split territory, not a plan change.
-    Reference cost anchor: the reference repo has no embedding surface —
-    this extends SURVEY.md section 2.10's north-star scope."""
+def _sem_quantized(df: DataFrame) -> DataFrame:
+    """vec_id + the BIGINT-quantized embedding (the cross-engine-exact
+    representation every SemDeDup stage runs on)."""
+    return df.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_SEM_Q}) AS BIGINT))"
+        ).alias("q"),
+    )
+
+
+def _sem_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """Exact-integer argmin assignment: broadcast the k-row centroid table,
+    partial-aggregatable min(struct(dist, j)) — no shuffle wider than one
+    row per vector."""
+    scored = q.join(F.broadcast(cents)).select(
+        "vec_id",
+        "q",
+        "j",
+        F.expr(
+            "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("dist"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.min(F.struct("dist", "j")).alias("b"),
+        F.any_value("q").alias("q"),  # identical across the k copies
+    ).select(
+        "vec_id", "q", F.col("b.j").alias("j"), F.col("b.dist").alias("dist")
+    )
+
+
+def _sem_fit_centroids(
+    spark: SparkSession, q: DataFrame, k: int | None = None
+) -> DataFrame:
+    """kmeans_lloyd_exact fit (md5 seeding, _SEM_T sign-aware integer-mean
+    rounds) returning the k-row centroid table (j int, c array<bigint>).
+    Only k*d control-plane ints ever reach the driver per round."""
     from pyspark.sql import Window
 
     from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
         hash_uniform,
     )
 
-    configure_session(spark)
-    emb = parallel_scan(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        F.expr(
-            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_SEM_Q}) AS BIGINT))"
-        ).alias("q"),
-    ).localCheckpoint(eager=False)  # feeds count, seeding, T+1 assignment passes
-    k = _sem_k(q.count())
-
+    if k is None:
+        k = _sem_k(q.count())
     rn = F.row_number().over(
         Window.partitionBy("bucket").orderBy("h", "vec_id")
     )
@@ -5150,30 +5420,15 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids = {int(r.j): list(r.q) for r in c_rows}
 
-    def assign():
-        cents = spark.createDataFrame(
+    def mk_cents() -> DataFrame:
+        return spark.createDataFrame(
             [(j, centroids[j]) for j in sorted(centroids)],
             "j int, c array<bigint>",
-        )
-        scored = q.join(F.broadcast(cents)).select(
-            "vec_id",
-            "q",
-            "j",
-            F.expr(
-                "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)),"
-                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-            ).alias("dist"),
-        )
-        return scored.groupBy("vec_id").agg(
-            F.min(F.struct("dist", "j")).alias("b"),
-            F.any_value("q").alias("q"),  # identical across the k copies
-        ).select(
-            "vec_id", "q", F.col("b.j").alias("j"), F.col("b.dist").alias("dist")
         )
 
     for _ in range(_SEM_T):
         sums = (
-            assign()
+            _sem_assign(q, mk_cents())
             .select("j", F.expr("posexplode(q) AS (d, v)"))
             .groupBy("j", "d")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
@@ -5186,13 +5441,152 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) * (abs(r.s) // r.n)
         for j, c in upd.items():
             centroids[j] = c
+    return mk_cents()
+
+
+def _sem_assign_fine(ga: DataFrame, fine: DataFrame) -> DataFrame:
+    """Fine-level argmin WITHIN each coarse cell: broadcast the k-row
+    (g, j2, c) table, join on g (each vector compares only its own cell's
+    <= k2 centroids), min(struct(dist, j2)) tie-break — per-vector cost
+    k2*d instead of k*d."""
+    scored = ga.join(F.broadcast(fine), "g").select(
+        "vec_id",
+        "q",
+        "g",
+        "j2",
+        F.expr(
+            "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("dist"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.min(F.struct("dist", "j2")).alias("b"),
+        F.any_value("q").alias("q"),
+        F.any_value("g").alias("g"),  # constant across the cell's copies
+    ).select(
+        "vec_id", "q", "g", F.col("b.j2").alias("j2"), F.col("b.dist").alias("dist")
+    )
+
+
+def _sem_fit_hier(
+    spark: SparkSession, q: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """Hierarchical SemDeDup fit (round-7 sf1->sf10 tier fix): the flat
+    n*k*d assignment measured ~40x per decade at sf10 (k capped at 4096,
+    131G integer ops per pass at 500k vectors). Coarse level fits
+    k1 ~ sqrt(k) centroids with the flat machinery; each vector's cell g
+    is then FIXED and k2 = k/k1 fine centroids are fitted within cells
+    (seeded per (g, hash2 % k2), Lloyd updates grouped by (g, j2)) — per-
+    round cost n*(k1 + k2)*d, the paper's own coarse-quantizer (IVF)
+    stance. Returns (coarse, fine, ga, k2) where ga is the lazily-
+    checkpointed coarse assignment reused by callers."""
+    from pyspark.sql import Window
+
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        hash_uniform,
+    )
+
+    k = _sem_k(q.count())
+    k1 = _sem_k1(k)
+    k2 = k // k1
+    coarse = _sem_fit_centroids(spark, q, k=k1)
+    ga = (
+        _sem_assign(q, coarse)
+        .select("vec_id", "q", F.col("j").alias("g"))
+        .localCheckpoint(eager=False)  # feeds T Lloyd rounds + final assign
+    )
+    hu2 = hash_uniform("concat('f|', CAST(vec_id AS STRING))")
+    rn = F.row_number().over(Window.partitionBy("g", "b2").orderBy("h", "vec_id"))
+    f_rows = (
+        ga.select(
+            "vec_id",
+            "q",
+            "g",
+            (hu2 % k2).alias("b2"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("g", F.col("b2").alias("j2"), "q")
+        .collect()  # bounded: <= k rows of d control-plane ints
+    )
+    fine: dict[tuple[int, int], list[int]] = {
+        (int(r.g), int(r.j2)): list(r.q) for r in f_rows
+    }
+
+    def mk_fine() -> DataFrame:
+        return spark.createDataFrame(
+            [(g, j2, fine[(g, j2)]) for g, j2 in sorted(fine)],
+            "g int, j2 int, c array<bigint>",
+        )
+
+    for _ in range(_SEM_T):
+        sums = (
+            _sem_assign_fine(ga, mk_fine())
+            .select("g", "j2", F.expr("posexplode(q) AS (d, v)"))
+            .groupBy("g", "j2", "d")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: k * d rows of control-plane ints
+        )
+        upd: dict[tuple[int, int], list[int]] = {}
+        for r in sums:
+            upd.setdefault((int(r.g), int(r.j2)), [0] * _SEM_D)[r.d] = (
+                1 if r.s >= 0 else -1
+            ) * (abs(r.s) // r.n)
+        for gj, c in upd.items():
+            fine[gj] = c
+    return coarse, mk_fine(), ga, k2
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=_sem_oracle_sql(),
+    doc="SemDeDup (Abbas et al. 2023): corpus-scaled exact-integer "
+    "HIERARCHICAL k-means over the embeddings (k = smallest power of two "
+    "with k*64 >= n; coarse k1 ~ sqrt(k) cells, then k2 = k/k1 fine "
+    "centroids per cell, 3 Lloyd rounds each — the paper's IVF coarse-"
+    "quantizer stance), then within each cluster drop every vector eps-cosine-"
+    "close (eps = 0.3, exact integer predicate) to a member ranked farther "
+    "from the centroid — per vector its cluster, cluster size, centroid-"
+    "distance rank, and keep flag; the semantic member of the dedup "
+    "family, catching paraphrases and re-encodings no lexical signal sees "
+    "(dedup_semantic is the label-blocked stand-in; this runs the REAL "
+    "fitted-k-means pipeline end to end, per the round-5 verdict item 7)",
+    tags=("ext", "embedding", "dedup", "similarity"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape (round-7 sf1->sf10 redesign): assignment is TWO
+    broadcast joins — the k1-row coarse table, then the k-row fine table
+    restricted by the join on g to the vector's own cell — so per-vector
+    cost is (k1 + k2)*d = 2*sqrt(k)*d instead of the flat k*d that
+    measured ~40x per decade at sf10 (500k vectors x k=4096 x 64 dims =
+    131G integer ops PER PASS). The argmin stays a partial-aggregatable
+    min(struct); each Lloyd update aggregates onto at most k*d keys with
+    map-side partial sums and only k*d centroid ints ever reach the
+    driver (the PCA/k-means bounded-control-plane contract). The within-cluster pair join keys on cluster id with
+    expected fan-out CAP^2 per cluster; k growing with n keeps the total
+    pair set ~linear (SemDeDup's own scaling stance), and a degenerate
+    giant cluster is AQE-skew-split territory, not a plan change.
+    Reference cost anchor: the reference repo has no embedding surface —
+    this extends SURVEY.md section 2.10's north-star scope."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_SEM_Q}) AS BIGINT))"
+        ).alias("q"),
+    ).localCheckpoint(eager=False)  # feeds count, seeding, T+1 assignment passes
+    _coarse, fine, ga, k2 = _sem_fit_hier(spark, q)
 
     ranked = (
-        assign()
+        _sem_assign_fine(ga, fine)
         .select(
             "vec_id",
             "q",
-            "j",
+            (F.col("g").cast("long") * k2 + F.col("j2")).alias("j"),
             "dist",
             F.expr(
                 "aggregate(zip_with(q, q, (x, y) -> x * y),"
@@ -5545,3 +5939,259 @@ def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE CAST(1000000 div first_rel_rank AS BIGINT) END"
         ).alias("mrr_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING SemDeDup ingest: the semantic member of the continuous-ingest
+# dedup family (exact = streaming_dedup_index_ingest's fingerprint probe,
+# lexical = its MinHash band probe, semantic = THIS). Pinned 2-batch feed:
+# even vec_ids bootstrap the index — the full kmeans_lloyd_exact fit runs
+# on them and centroids + assigned members persist as lake commits; odd
+# vec_ids arrive as "today's crawl" and are broadcast-assigned to the
+# STORED centroids, then probed against the stored members of their own
+# cluster with the exact integer eps-cosine predicate. Report: one row per
+# new vector (cluster, historical cluster size, is_dup). The oracle is the
+# shared Lloyd CTE chain restricted to the bootstrap half + the probe in
+# SQL — hash-exact because every stage is the integer machinery.
+# ---------------------------------------------------------------------------
+def _sem_ingest_oracle_sql() -> str:
+    dist_c = (
+        "CAST(list_sum(list_transform(range(1, {d} + 1),"
+        " i -> (n.q[i] - c.c[i]) * (n.q[i] - c.c[i]))) AS BIGINT)"
+    ).format(d=_SEM_D)
+    dist_f = (
+        "CAST(list_sum(list_transform(range(1, {d} + 1),"
+        " i -> (ng.q[i] - f.c[i]) * (ng.q[i] - f.c[i]))) AS BIGINT)"
+    ).format(d=_SEM_D)
+    tail = f""",
+m AS MATERIALIZED (
+  SELECT vec_id, q, g, j2,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+  FROM fin
+),
+newq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {_SEM_Q}) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id % 2 = 1
+),
+ng AS (
+  SELECT vec_id, q, j AS g
+  FROM (
+    SELECT n.vec_id, n.q, c.j,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY {dist_c}, c.j) AS rn
+    FROM newq n CROSS JOIN c{_SEM_T} c
+  ) WHERE rn = 1
+),
+na AS MATERIALIZED (
+  SELECT vec_id, q, g, j2,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+  FROM (
+    SELECT ng.vec_id, ng.q, ng.g, f.j2,
+           row_number() OVER (PARTITION BY ng.vec_id
+                              ORDER BY {dist_f}, f.j2) AS rn
+    FROM ng JOIN f{_SEM_T} f ON f.g = ng.g
+  ) WHERE rn = 1
+),
+sz AS (SELECT g, j2, CAST(count(*) AS BIGINT) AS n_hist FROM m GROUP BY g, j2),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM na b JOIN m a ON a.g = b.g AND a.j2 = b.j2
+  WHERE {_sem_dot('a', 'b')} > 0
+    AND {_SEM_DEN} * {_sem_dot('a', 'b')} * {_sem_dot('a', 'b')}
+        >= {_SEM_NUM} * CAST(a.n2 AS HUGEINT) * CAST(b.n2 AS HUGEINT)
+)
+SELECT b.vec_id,
+       CAST(b.g AS BIGINT) AS cluster_g,
+       CAST(b.j2 AS BIGINT) AS cluster_f,
+       coalesce(sz.n_hist, 0) AS n_hist,
+       d.vec_id IS NOT NULL AS is_dup
+FROM na b
+LEFT JOIN sz ON sz.g = b.g AND sz.j2 = b.j2
+LEFT JOIN dups d ON d.vec_id = b.vec_id
+"""
+    return _sem_lloyd_sql(" WHERE vec_id % 2 = 0") + tail
+
+
+@register(
+    "streaming_semantic_ingest",
+    oracle=_sem_ingest_oracle_sql(),
+    doc="EXT streaming ingest, semantic member of the continuous-dedup "
+    "family: bootstrap batch fits SemDeDup's exact integer HIERARCHICAL "
+    "k-means (coarse cells + per-cell fine centroids) and persists both "
+    "centroid tables + assigned members to the lake; each later "
+    "micro-batch broadcast-assigns its vectors in two hops to the STORED "
+    "centroids and probes the stored members of its own (g, j2) cluster "
+    "with the exact integer eps-cosine predicate — per new vector its "
+    "cluster, the historical cluster size, and the is_dup verdict, "
+    "value-hashed against the batch SQL",
+    tags=("ext", "embedding", "dedup", "similarity", "lake", "streaming"),
+)
+def streaming_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the bootstrap fit is the batch query's bounded-control-
+    plane k-means (k*d ints to the driver per round); every later batch is
+    ONE broadcast join against the k-row stored centroid table (argmin as
+    map-side min(struct)) plus a cluster-keyed join against stored members
+    — cost scales with the ingest batch and the probed clusters' sizes,
+    never with the full history, and k growing with the bootstrap corpus
+    keeps expected cluster size ~constant (the SemDeDup stance). Index
+    maintenance is append-only lake commits; no vector is ever re-fit."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_append,
+        snapshot_history,
+    )
+
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src_dir = _tf.mkdtemp(prefix="semingest_src_")
+    for i in range(2):
+        part_dir = _tf.mkdtemp(prefix=f"semingest_part{i}_")
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        part = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = _os.path.join(src_dir, f"b{i}.parquet")
+        _shutil.move(part, dst)
+        _os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+
+    cent_lake = _tf.mkdtemp(prefix="semingest_cents_")
+    fine_lake = _tf.mkdtemp(prefix="semingest_fine_")
+    member_lake = _tf.mkdtemp(prefix="semingest_members_")
+    report_dir = _tf.mkdtemp(prefix="semingest_report_")
+
+    def _ingest(batch_df, batch_id: int) -> None:
+        q = _sem_quantized(batch_df).localCheckpoint(eager=False)
+        if not snapshot_history(spark, cent_lake):
+            # Bootstrap: hierarchical fit on this batch, persist coarse +
+            # fine centroid tables and the assigned members.
+            coarse, fine, ga, _k2 = _sem_fit_hier(spark, q)
+            members = _sem_assign_fine(ga, fine).select(
+                "q",
+                "g",
+                "j2",
+                F.expr(
+                    "aggregate(zip_with(q, q, (x, y) -> x * y),"
+                    " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+                ).alias("n2"),
+            )
+            snapshot_append(
+                spark,
+                coarse.withColumn("p", F.lit("all")),
+                cent_lake,
+                partition_col="p",
+            )
+            snapshot_append(
+                spark,
+                fine.withColumn("p", F.lit("all")),
+                fine_lake,
+                partition_col="p",
+            )
+            snapshot_append(
+                spark,
+                members.withColumn("pj", F.pmod(F.col("g"), F.lit(8))),
+                member_lake,
+                partition_col="pj",
+            )
+            return
+        # Ingest batch: two broadcast-assign hops against the STORED
+        # centroid tables, then probe the STORED members of the cell.
+        coarse = read_snapshot(spark, cent_lake).select("j", "c")
+        fine = read_snapshot(spark, fine_lake).select("g", "j2", "c")
+        ga_new = _sem_assign(q, coarse).select(
+            "vec_id", "q", F.col("j").alias("g")
+        )
+        na = _sem_assign_fine(ga_new, fine).select(
+            "vec_id",
+            "q",
+            "g",
+            "j2",
+            F.expr(
+                "aggregate(zip_with(q, q, (x, y) -> x * y),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("n2"),
+        ).localCheckpoint(eager=False)  # feeds sizes join AND the pair probe
+        m = read_snapshot(spark, member_lake)
+        sz = m.groupBy("g", "j2").agg(
+            F.count(F.lit(1)).cast("long").alias("n_hist")
+        )
+        a = m.select(
+            F.col("g").alias("ja_g"), F.col("j2").alias("ja_f"),
+            F.col("q").alias("qa"), F.col("n2").alias("na2"),
+        )
+        b = na.select(
+            "vec_id", F.col("g").alias("jb_g"), F.col("j2").alias("jb_f"),
+            F.col("q").alias("qb"), F.col("n2").alias("nb2"),
+        )
+        dot = (
+            "aggregate(zip_with(qa, qb, (x, y) -> x * y),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        dups = (
+            b.join(
+                a,
+                (F.col("ja_g") == F.col("jb_g")) & (F.col("ja_f") == F.col("jb_f")),
+            )
+            .withColumn("dot", F.expr(dot))
+            .filter(
+                (F.col("dot") > 0)
+                & (
+                    F.expr(
+                        f"CAST({_SEM_DEN} AS DECIMAL(38, 0))"
+                        " * CAST(dot AS DECIMAL(38, 0)) * CAST(dot AS DECIMAL(38, 0))"
+                    )
+                    >= F.expr(
+                        f"CAST({_SEM_NUM} AS DECIMAL(38, 0))"
+                        " * CAST(na2 AS DECIMAL(38, 0)) * CAST(nb2 AS DECIMAL(38, 0))"
+                    )
+                )
+            )
+            .select("vec_id")
+            .distinct()
+            .withColumn("hit", F.lit(True))
+        )
+        report = (
+            na.join(sz, ["g", "j2"], "left")
+            .join(dups, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.col("g").cast("long").alias("cluster_g"),
+                F.col("j2").cast("long").alias("cluster_f"),
+                F.coalesce("n_hist", F.lit(0)).cast("long").alias("n_hist"),
+                F.col("hit").isNotNull().alias("is_dup"),
+            )
+        )
+        report.write.mode("overwrite").parquet(report_dir)
+        # Maintenance: today's vectors join the member index.
+        snapshot_append(
+            spark,
+            na.select("q", "g", "j2", "n2").withColumn(
+                "pj", F.pmod(F.col("g"), F.lit(8))
+            ),
+            member_lake,
+            partition_col="pj",
+        )
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    qy = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", _tf.mkdtemp(prefix="semingest_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination(600)
+    if qy.isActive:  # pragma: no cover - defensive against a hung source
+        qy.stop()
+    if len(snapshot_history(spark, member_lake)) != 2:
+        raise RuntimeError("semantic ingest drive incomplete: expected 2 member commits")
+    return spark.read.parquet(report_dir)

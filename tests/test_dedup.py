@@ -184,3 +184,106 @@ def test_simhash_verified_kills_chance_collisions_keeps_true_dups(spark, tmp_pat
     # genuinely share >= half their shingles (permutations of the same
     # 3 words share NO word-3-gram except identical ordering — excluded).
     assert all(a < 100 for (a, b) in got), got
+
+
+def test_streaming_semantic_ingest_probe_vs_bootstrap(spark, tmp_path):
+    """Pinned 2-batch semantic ingest: even vecs bootstrap the index (one
+    vector per axis -> after Lloyd, centroids ARE the bootstrap vectors);
+    odd vecs probe it. A near-copy of a bootstrap vector must report
+    is_dup; an odd vector at cos 0.2 to every member of its assigned
+    cluster must not."""
+    import numpy as np
+    import pandas as pd
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.ext_queries import (
+        streaming_semantic_ingest,
+    )
+
+    d = 64
+    def axis(i, scale=100.0):
+        v = np.zeros(d, dtype="float32"); v[i] = scale; return v
+
+    rows = {0: axis(0), 2: axis(1), 4: axis(2), 6: axis(3)}  # bootstrap
+    dup = axis(0); dup[1] = 1.0                      # cos ~1 vs vec 0
+    lone = np.zeros(d, dtype="float32"); lone[0] = 20.0; lone[1] = -98.0
+    # lone: nearest centroid is axis0's (L2 80^2+98^2 < 20^2+198^2);
+    # cos(lone, vec0) = 20/100 = 0.2 < eps 0.3 -> not a dup
+    rows[1] = dup
+    rows[3] = lone
+    ids = sorted(rows)
+    pd.DataFrame(
+        {"vec_id": np.array(ids, dtype="int64"),
+         "embedding": [rows[i] for i in ids],
+         "label": np.zeros(len(ids), dtype="int32")}
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    out = {r.vec_id: r for r in streaming_semantic_ingest(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 3}
+    # Hierarchical k-means may co-locate several axis vectors in one
+    # (g, j2) cell (k1 = k2 = 2 at n = 4), so pin the verdicts, not the
+    # cell occupancy: the near-copy is a dup of its cell, the cos-0.2
+    # vector is not a dup of ANY member of its cell.
+    assert out[1].is_dup and out[1].n_hist >= 1
+    assert not out[3].is_dup and out[3].n_hist >= 1
+
+
+def test_band_triples_lossless_to_hamming_5(spark):
+    """b=3 (24-bit keys, 56 tables) must produce EXACTLY the b=2 pair set
+    at a gate of Hamming <= 5 — both are pigeonhole-lossless there, so any
+    divergence is a banding bug. Also pins the ValueError guard for a gate
+    beyond the pigeonhole bound."""
+    import pytest
+
+    from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (
+        simhash_near_pairs as snp,
+        simhash_signatures as ss,
+    )
+
+    docs = _skewed_docs(spark, n_dup=40, n_unique=25)
+    sigs = ss(docs)
+    two = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in snp(sigs, max_hamming=5, bands_per_key=2).collect()
+    }
+    three = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in snp(sigs, max_hamming=5, bands_per_key=3).collect()
+    }
+    assert three == two and len(two) >= 40 * 39 // 2
+    with pytest.raises(ValueError, match="lossless"):
+        snp(sigs, max_hamming=6, bands_per_key=3)
+
+
+def test_centered_sig_finds_typo_pair_through_fuzzy_query(spark, tmp_path):
+    """The centered-signature fuzzy query end-to-end: a planted one-typo
+    pair must be reported; unrelated docs must not pair with it. Also pins
+    bit de-biasing: on a boilerplate-heavy mini-corpus the centered sigs
+    of the typo pair stay within the <= 5 blocking gate."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.ext_queries import (
+        dedup_fuzzy_edit,
+    )
+
+    # High-diversity planted pair (60 word types x2): one changed token
+    # moves the centered signature ~2 bits — well inside the <= 5 gate.
+    # (A low-diversity doc quantizes the centered votes into few levels
+    # and a single typo can flip more bits; that recall frontier is what
+    # fuzzy_blocking_recall measures on real corpora.)
+    a = " ".join(f"word{j}" for j in range(60)) + " " + " ".join(
+        f"word{j}" for j in range(60)
+    )
+    b = a.replace("word30 ", "word30x ", 1)
+    rows = [(1, a), (2, b)]
+    # Boilerplate chaff (the bias source): many docs over a SMALL shared
+    # vocab — distinct from the pair's content, so the pair keeps signal
+    # against the corpus mean.
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    for i in range(30):
+        rows.append(
+            (100 + i, " ".join(vocab[(i + j) % 10] for j in range(40)))
+        )
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    got = {(r.doc_a, r.doc_b): r.edit_dist for r in dedup_fuzzy_edit(spark, sf).collect()}
+    assert (1, 2) in got and got[(1, 2)] <= 2  # typo is past the 80-char prefix
+    assert all(not ((x, y) != (1, 2) and (x in (1, 2) or y in (1, 2))) for x, y in got)

@@ -40,6 +40,12 @@ def main() -> None:
     ap.add_argument("--queries", default="")
     ap.add_argument("--samples", type=int, default=2)
     ap.add_argument("--sf1", default=SF1)
+    ap.add_argument(
+        "--base",
+        default=SF01,
+        help="lower tier dir (default sf0.1; pass /tmp/scale_tier/sf1.0 "
+        "to measure the sf1.0 -> sf10 second decade)",
+    )
     args = ap.parse_args()
 
     qs = all_queries()
@@ -57,14 +63,16 @@ def main() -> None:
     spark = get_spark(app_name="sf-tier-compare")
     spark.sparkContext.setLogLevel("ERROR")
 
+    base_label = os.path.basename(args.base.rstrip("/"))
+    hi_label = os.path.basename(args.sf1.rstrip("/"))
     # Warm the JVM/codegen caches on both dirs before timing anything.
-    for d in (SF01, args.sf1):
+    for d in (args.base, args.sf1):
         qs[names[0]].builder(spark, d).limit(1).collect()
 
     report: dict[str, dict] = {}
     for name in names:
         row: dict[str, dict | float] = {"sec": {}, "out_rows": {}}
-        for label, d in (("sf0.1", SF01), ("sf1.0", args.sf1)):
+        for label, d in ((base_label, args.base), (hi_label, args.sf1)):
             best, rows = float("inf"), -1
             for _ in range(max(1, args.samples)):
                 t0 = time.perf_counter()
@@ -74,8 +82,8 @@ def main() -> None:
             rows = qs[name].builder(spark, d).count()
             row["sec"][label] = round(best, 3)
             row["out_rows"][label] = rows
-        t1, t10 = row["sec"]["sf0.1"], row["sec"]["sf1.0"]
-        r1, r10 = row["out_rows"]["sf0.1"], row["out_rows"]["sf1.0"]
+        t1, t10 = row["sec"][base_label], row["sec"][hi_label]
+        r1, r10 = row["out_rows"][base_label], row["out_rows"][hi_label]
         row["runtime_exponent"] = round(math.log(t10 / t1) / math.log(10), 3)
         row["output_exponent"] = round(
             math.log(max(r10, 1) / max(r1, 1)) / math.log(10), 3
