@@ -324,6 +324,56 @@ def _simhash_bands_union(bands_per_key: int) -> str:
 
 
 _SIMHASH_BANDS_UNION = _simhash_bands_union(2)
+
+
+def _duck_centered_sig_ctes(source: str = "documents") -> str:
+    """DuckDB twin of operators.dedup.simhash_signatures_centered: the
+    toks/raw/dr/cv/sigs CTE block ending in sigs(doc_id, sig). All-integer
+    centering v'_i = F * v_i - n_tokens * S_i (see the operator docstring
+    for the bias story)."""
+    s_tok = lambda i: (  # noqa: E731
+        "(CASE WHEN ((instr('0123456789abcdef', substr(md5(tok), "
+        f"{i // 4 + 1}, 1)) - 1) // {1 << (i % 4)}) % 2 = 1 THEN 1 ELSE -1 END)"
+    )
+    votes = ",\n         ".join(f"sum({s_tok(i)}) AS r_{i}" for i in range(SIMHASH_BITS))
+    drift = ",\n         ".join(f"sum({s_tok(i)}) AS s_{i}" for i in range(SIMHASH_BITS))
+    cvote = ",\n         ".join(
+        f"d.f0 * v.r_{i} - v.nt * d.s_{i} AS v_{i}" for i in range(SIMHASH_BITS)
+    )
+    sig = " || ".join(
+        f"(CASE WHEN v_{i} > 0 THEN '1' ELSE '0' END)" for i in range(SIMHASH_BITS)
+    )
+    return f"""toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM {source}
+),
+raw AS (
+  SELECT doc_id, count(*) AS nt,
+         {votes}
+  FROM toks GROUP BY doc_id
+),
+dr AS (
+  SELECT count(*) AS f0,
+         {drift}
+  FROM toks
+),
+cv AS (SELECT v.doc_id, {cvote} FROM raw v CROSS JOIN dr d),
+sigs AS MATERIALIZED (SELECT doc_id, {sig} AS sig FROM cv)"""
+
+
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy-blocking recall audit: dedup_fuzzy_edit's SimHash gate is a
+# recall/cost trade (Manku ships k=3/64-bit for 8B docs); this query pins
+# the ACTUAL recall on data — all-pairs prefix-Levenshtein truth on a
+# deterministically thinned sample (mod = ceil(n/target), bounded at every
+# tier) vs the production centered-sig band-triple blocking on the SAME
+# sample. recall_ppm is checked output: a blocking regression (bias
+# returning, band misconfig) moves it and fails the oracle hash.
+# ---------------------------------------------------------------------------
+
+
 _SIMHASH_VOTES = ",\n         ".join(
     f"sum(CASE WHEN ((instr('0123456789abcdef', substr(md5(tok), {i // 4 + 1}, 1)) - 1) // {1 << (i % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS v_{i}"
     for i in range(SIMHASH_BITS)
@@ -392,18 +442,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join runs over candidates only, never all-pairs.
 # ---------------------------------------------------------------------------
 _SIMHASH_VERIFIED_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
-  FROM documents
-),
-votes AS (
-  SELECT doc_id,
-         {_SIMHASH_VOTES}
-  FROM toks GROUP BY doc_id
-),
-sigs AS (
-  SELECT doc_id, {_SIMHASH_SIG} AS sig FROM votes
-),
+WITH {_duck_centered_sig_ctes()},
 bands AS (
   {_SIMHASH_BANDS_UNION}
 ),
@@ -431,7 +470,7 @@ WHERE p.hamming <= {SIMHASH_MAX_HAMMING}
 @register(
     "dedup_simhash_verified",
     oracle=_SIMHASH_VERIFIED_SQL,
-    doc=f"E1: SimHash near-dup pairs at the FULL lossless Hamming <= "
+    doc=f"E1: CENTERED-SimHash near-dup pairs at the FULL lossless Hamming <= "
     f"{SIMHASH_MAX_HAMMING} band-pair threshold, verified by exact "
     "word-3-gram Jaccard dominance (2|I| >= |U|) so reported pairs stay "
     "~linear on dense corpora (closes the r06 dedup_simhash output-growth "
@@ -442,10 +481,14 @@ def dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: salted band-pair self-join generates O(near-dup)
     candidates; the shingle-set verify is a hash join of the candidate
     list against the shingled corpus (two shuffles on doc id, both
-    candidate-bounded); integer ppm output keeps the hash oracle-exact."""
+    candidate-bounded); integer ppm output keeps the hash oracle-exact.
+    Signatures are CENTERED (round-7): the raw-sig full-threshold config
+    hit the biased-bit band saturation at 500k docs (the measurement
+    itself crashed the sf10 tier run) — centering keeps the identical
+    2-of-8 pigeonhole guarantee on uniform keys."""
     configure_session(spark)
     docs = parallel_scan(spark, sf_dir, "documents")
-    sigs = simhash_signatures(docs)
+    sigs = simhash_signatures_centered(docs)
     cand = simhash_near_pairs(sigs, max_hamming=SIMHASH_MAX_HAMMING)
     shingled = with_shingles(docs).select("doc_id", "sh")
     a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -2111,41 +2154,6 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from the SimHash bands (cheap, already salted); the verify is exact
 # Levenshtein over a fixed text prefix.
 # ---------------------------------------------------------------------------
-def _duck_centered_sig_ctes(source: str = "documents") -> str:
-    """DuckDB twin of operators.dedup.simhash_signatures_centered: the
-    toks/raw/dr/cv/sigs CTE block ending in sigs(doc_id, sig). All-integer
-    centering v'_i = F * v_i - n_tokens * S_i (see the operator docstring
-    for the bias story)."""
-    s_tok = lambda i: (  # noqa: E731
-        "(CASE WHEN ((instr('0123456789abcdef', substr(md5(tok), "
-        f"{i // 4 + 1}, 1)) - 1) // {1 << (i % 4)}) % 2 = 1 THEN 1 ELSE -1 END)"
-    )
-    votes = ",\n         ".join(f"sum({s_tok(i)}) AS r_{i}" for i in range(SIMHASH_BITS))
-    drift = ",\n         ".join(f"sum({s_tok(i)}) AS s_{i}" for i in range(SIMHASH_BITS))
-    cvote = ",\n         ".join(
-        f"d.f0 * v.r_{i} - v.nt * d.s_{i} AS v_{i}" for i in range(SIMHASH_BITS)
-    )
-    sig = " || ".join(
-        f"(CASE WHEN v_{i} > 0 THEN '1' ELSE '0' END)" for i in range(SIMHASH_BITS)
-    )
-    return f"""toks AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
-  FROM {source}
-),
-raw AS (
-  SELECT doc_id, count(*) AS nt,
-         {votes}
-  FROM toks GROUP BY doc_id
-),
-dr AS (
-  SELECT count(*) AS f0,
-         {drift}
-  FROM toks
-),
-cv AS (SELECT v.doc_id, {cvote} FROM raw v CROSS JOIN dr d),
-sigs AS MATERIALIZED (SELECT doc_id, {sig} AS sig FROM cv)"""
-
-
 _FUZZY_PREFIX = 80
 _FUZZY_MAX_EDITS = 20
 #: Blocking config (round-7 sf1->sf10 tier lesson, two defects deep):
@@ -2236,15 +2244,6 @@ def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Fuzzy-blocking recall audit: dedup_fuzzy_edit's SimHash gate is a
-# recall/cost trade (Manku ships k=3/64-bit for 8B docs); this query pins
-# the ACTUAL recall on data — all-pairs prefix-Levenshtein truth on a
-# deterministically thinned sample (mod = ceil(n/target), bounded at every
-# tier) vs the production centered-sig band-triple blocking on the SAME
-# sample. recall_ppm is checked output: a blocking regression (bias
-# returning, band misconfig) moves it and fails the oracle hash.
-# ---------------------------------------------------------------------------
 #: Same bounded-sample stance as simhash_blocking_recall's target (defined
 #: later in this module): mod = ceil(n / target) keeps the all-pairs truth
 #: leg ~constant-size at every tier.
