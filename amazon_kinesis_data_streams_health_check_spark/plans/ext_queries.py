@@ -2169,6 +2169,23 @@ _FUZZY_MAX_EDITS = 20
 #: fuzzy_blocking_recall below.
 _FUZZY_BLOCK_B = 3
 _FUZZY_BLOCK_HAMMING = SIMHASH_BANDS - _FUZZY_BLOCK_B
+#: Adaptive banding width: b = 2 (28 tables) and b = 3 (56 tables) are BOTH
+#: lossless at the fixed Hamming <= 5 gate (2-of-8 and 3-of-8 pigeonhole;
+#: equality pinned by test_fuzzy_band_triples_equal_pairs_at_gate), so the
+#: REPORTED pair set is bit-identical either way and the choice is purely a
+#: cost knob. Manku's key-width law picks it: b = 2's 16-bit keyspace
+#: (65,536) saturates once expected bucket occupancy n / 2^16 passes ~1, so
+#: small corpora (sf <= ~0.1, n <= 65k) take the 28-table plan and larger
+#: tiers pay for the 24-bit keys that keep the self-join linear.
+_FUZZY_B2_MAX_DOCS = 1 << 16
+#: Corpus-count memo (sf_dir -> n_docs): the banding choice needs one
+#: metadata-only count per corpus, not one per query build (bench samples
+#: each query twice; the tier harness more).
+_FUZZY_NDOCS_CACHE: dict[str, int] = {}
+
+
+def _fuzzy_bands_for(n_docs: int) -> int:
+    return 2 if n_docs <= _FUZZY_B2_MAX_DOCS else _FUZZY_BLOCK_B
 
 _FUZZY_EDIT_SQL = f"""
 WITH {_duck_centered_sig_ctes()},
@@ -2198,8 +2215,8 @@ WHERE abs(length(pa.p) - length(pb.p)) <= {_FUZZY_MAX_EDITS}
 @register(
     "dedup_fuzzy_edit",
     oracle=_FUZZY_EDIT_SQL,
-    doc=f"E1: character-level fuzzy near-dup — CENTERED-SimHash band-triple "
-    f"blocking (24-bit keys, lossless to Hamming <= {_FUZZY_BLOCK_HAMMING}; "
+    doc=f"E1: character-level fuzzy near-dup — CENTERED-SimHash band blocking "
+    f"(corpus-size-adaptive b=2/3, both lossless to Hamming <= {_FUZZY_BLOCK_HAMMING}; "
     "centering de-biases signature bits on boilerplate-heavy corpora), "
     f"exact Levenshtein verify on the {_FUZZY_PREFIX}-char prefix, keep "
     f"pairs within {_FUZZY_MAX_EDITS} edits; blocking recall pinned on "
@@ -2219,8 +2236,15 @@ def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact Levenshtein, guarded by the |len_a - len_b| <= d lower bound so
     # the DP only runs where it could possibly pass.
     sigs = simhash_signatures_centered(docs)
+    # Metadata-only parquet count (memoized per corpus): picks the cheapest
+    # LOSSLESS banding for this size (output-invariant — see _fuzzy_bands_for).
+    n_docs = _FUZZY_NDOCS_CACHE.get(sf_dir)
+    if n_docs is None:
+        n_docs = _FUZZY_NDOCS_CACHE.setdefault(sf_dir, docs.count())
     cand = simhash_near_pairs(
-        sigs, max_hamming=_FUZZY_BLOCK_HAMMING, bands_per_key=_FUZZY_BLOCK_B
+        sigs,
+        max_hamming=_FUZZY_BLOCK_HAMMING,
+        bands_per_key=_fuzzy_bands_for(n_docs),
     ).select("doc_a", "doc_b")
     pfx = docs.select("doc_id", F.substring("text", 1, _FUZZY_PREFIX).alias("p"))
     pa = pfx.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"))
