@@ -5678,6 +5678,162 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Semantic blocking-recall audit — completes the blocking-audit family
+# (simhash_blocking_recall, fuzzy_blocking_recall, dedup_lsh_recall): unlike
+# Manku banding, SemDeDup's k-means cell blocking carries NO losslessness
+# guarantee — every eps-cosine pair whose members land in different cells is
+# silently never compared (the paper accepts this; the audit MEASURES it).
+# Ground truth is exact all-pairs integer eps-cosine on a corpus-size-derived
+# md5 sample; "found" is truth pairs co-located in one fitted (g, j2) cell of
+# the PRODUCTION full-corpus hierarchical fit.
+# ---------------------------------------------------------------------------
+_SEMBR_SAMPLE_TARGET = 1000
+#: eps^2 grid as rationals over _SEM_DEN (0.3^2, 0.35^2, 0.4^2): from the
+#: production SemDeDup operating point up toward the corpus's cos ceiling
+#: (~0.45) — recall must rise with the threshold; the curve shows where the
+#: cell blocking becomes trustworthy.
+_SEMBR_NUMS = (900, 1225, 1600)
+
+_SEMBR_SQL = (
+    _sem_lloyd_sql()
+    + f""",
+smod AS (
+  SELECT greatest(1, (count(*) + {_SEMBR_SAMPLE_TARGET} - 1) // {_SEMBR_SAMPLE_TARGET})
+         AS m
+  FROM embeddings
+),
+samp AS MATERIALIZED (
+  SELECT vec_id, q, j,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+  FROM fin
+  WHERE {duck_hash_uniform('vec_id')} % (SELECT m FROM smod) = 0
+),
+tr AS MATERIALIZED (
+  SELECT a.j = b.j AS same_cell,
+         {_sem_dot('a', 'b')} AS dot,
+         CAST(a.n2 AS HUGEINT) * CAST(b.n2 AS HUGEINT) AS nn
+  FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+  WHERE {_sem_dot('a', 'b')} > 0
+)
+SELECT CAST(e.num AS BIGINT) AS eps_sq_x10k,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(count(*) FILTER (same_cell) AS BIGINT) AS n_found,
+       CAST(1000000 * (count(*) FILTER (same_cell)) // count(*)
+            AS BIGINT) AS recall_ppm
+FROM tr JOIN (VALUES {", ".join(f"({n})" for n in _SEMBR_NUMS)}) e(num)
+  ON {_SEM_DEN} * dot * dot >= e.num * nn
+GROUP BY e.num
+"""
+)
+
+
+@register(
+    "semantic_blocking_recall",
+    oracle=_SEMBR_SQL,
+    doc="Blocking-recall audit for SemDeDup's k-means cell blocking: exact "
+    "all-pairs integer eps-cosine truth on a corpus-size-derived md5 vector "
+    "sample vs co-location in the production full-corpus hierarchical fit's "
+    "(g, j2) cells, as a recall CURVE over eps in {0.3, 0.35, 0.4} — k-means "
+    "blocking has NO pigeonhole guarantee (boundary-straddling pairs are "
+    "never compared), so its miss rate must be a measured curve, not an "
+    "assumption; completes the blocking-audit family alongside "
+    "simhash/fuzzy/LSH recall",
+    tags=("ext", "embedding", "dedup", "eval"),
+)
+def semantic_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the quadratic truth leg runs ONLY on the md5-thinned
+    sample (mod = ceil(n / target), so the broadcast self-join stays
+    ~constant-size at every tier — the calibration-thinning stance); the
+    blocking under audit is the REAL production fit over the FULL corpus
+    (two broadcast-join assignment hops, bounded control-plane Lloyd
+    updates), with cell ids riding the sampled rows — no extra pass over
+    the un-sampled corpus beyond the fit itself."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        hash_uniform,
+    )
+
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    q = _sem_quantized(emb).localCheckpoint(eager=False)  # count + fit + assign
+    _coarse, fine, ga, k2 = _sem_fit_hier(spark, q)
+    fin = _sem_assign_fine(ga, fine).select(
+        "vec_id",
+        "q",
+        (F.col("g").cast("long") * k2 + F.col("j2")).alias("j"),
+        F.expr(
+            "aggregate(zip_with(q, q, (x, y) -> x * y),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("n2"),
+    )
+    smod = emb.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(
+                f"(count(*) + {_SEMBR_SAMPLE_TARGET} - 1) div {_SEMBR_SAMPLE_TARGET}"
+            ),
+        ).alias("sample_mod")
+    )
+    samp = (
+        fin.crossJoin(F.broadcast(smod))
+        .filter(hash_uniform("vec_id") % F.col("sample_mod") == 0)
+        .select("vec_id", "q", "j", "n2")
+        .localCheckpoint(eager=False)  # feeds both sides of the pair join
+    )
+    x = samp.select(
+        F.col("vec_id").alias("va"),
+        F.col("q").alias("qa"),
+        F.col("j").alias("ja"),
+        F.col("n2").alias("na2"),
+    )
+    y = samp.select(
+        F.col("vec_id").alias("vb"),
+        F.col("q").alias("qb"),
+        F.col("j").alias("jb"),
+        F.col("n2").alias("nb2"),
+    )
+    dot = (
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    tr = (
+        x.join(F.broadcast(y), F.col("va") < F.col("vb"))
+        .withColumn("dot", F.expr(dot))
+        .filter(F.col("dot") > 0)
+        .select(
+            (F.col("ja") == F.col("jb")).alias("same_cell"),
+            F.expr(
+                "CAST(dot AS DECIMAL(38, 0)) * CAST(dot AS DECIMAL(38, 0))"
+            ).alias("dd"),
+            F.expr(
+                "CAST(na2 AS DECIMAL(38, 0)) * CAST(nb2 AS DECIMAL(38, 0))"
+            ).alias("nn"),
+        )
+    )
+    eps = spark.createDataFrame([(n,) for n in _SEMBR_NUMS], "num long")
+    return (
+        tr.join(
+            F.broadcast(eps),
+            F.expr(f"CAST({_SEM_DEN} AS DECIMAL(38, 0)) * dd")
+            >= F.col("num") * F.col("nn"),
+        )
+        .groupBy("num")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.count_if(F.col("same_cell")).cast("long").alias("n_found"),
+            F.expr(
+                "CAST(1000000 * count_if(same_cell) div count(*) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .select(
+            F.col("num").cast("long").alias("eps_sq_x10k"),
+            "n_true",
+            "n_found",
+            "recall_ppm",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash blocking-recall audit: does the 2-of-8 band-pair candidate
 # generation really lose nothing up to Hamming 6 (the pigeonhole claim),
 # and what does the collision tail look like above it? Ground truth is the
