@@ -47,7 +47,12 @@ from amazon_kinesis_data_streams_health_check_spark.operators.similarity import 
     with_sq_norm,
 )
 from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (
+    LSH_BANDS,
+    duck_band_union,
+    duck_minhash_cols,
     duck_shingles,
+    with_bands,
+    with_minhash,
     with_shingles,
 )
 from amazon_kinesis_data_streams_health_check_spark.operators.textstats import TOKEN_RE
@@ -5079,6 +5084,139 @@ def eval_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(1000000 * sum(CASE WHEN hit THEN 1 ELSE 0 END)"
                 " div count(*) AS BIGINT)"
             ).alias("contamination_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup benchmark decontamination — the FUZZY complement of the 13-gram
+# rule above (the Llama-2 / GPT-4 practice: exact n-gram overlap misses
+# reformatted or lightly-edited benchmark copies, so releases also run a
+# MinHash near-dup pass between the training corpus and the eval set).
+# Same deterministic ~1% eval slice; blocking = the production MinHash
+# band index of the EVAL side (bounded, broadcast), verify = exact integer
+# Jaccard dominance at tau = 0.5 on word-3-gram shingle sets.
+# ---------------------------------------------------------------------------
+_NDCON_SQL = f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, source, {duck_shingles('text', 3)} AS sh,
+         {duck_hash_uniform('doc_id')} % {_CONTAM_MOD} = 0 AS is_bench
+  FROM documents
+),
+mh AS MATERIALIZED (
+  SELECT doc_id, {duck_minhash_cols()} FROM sh
+),
+bands AS MATERIALIZED (
+  {duck_band_union()}
+),
+bench_bands AS MATERIALIZED (
+  SELECT b.band_idx, b.band_key, b.doc_id AS eval_id
+  FROM bands b JOIN sh f ON f.doc_id = b.doc_id
+  WHERE f.is_bench
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS train_id, e.eval_id
+  FROM bands b
+  JOIN sh f ON f.doc_id = b.doc_id AND NOT f.is_bench
+  JOIN bench_bands e ON e.band_idx = b.band_idx AND e.band_key = b.band_key
+),
+ver AS (
+  SELECT DISTINCT c.train_id
+  FROM cand c
+  JOIN sh t ON t.doc_id = c.train_id
+  JOIN sh e ON e.doc_id = c.eval_id
+  WHERE 2 * len(list_intersect(t.sh, e.sh))
+        >= len(t.sh) + len(e.sh) - len(list_intersect(t.sh, e.sh))
+),
+cd AS (SELECT DISTINCT train_id FROM cand),
+train AS (SELECT doc_id, source FROM sh WHERE NOT is_bench)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_train_docs,
+       CAST(count(c.train_id) AS BIGINT) AS n_candidate_docs,
+       CAST(count(v.train_id) AS BIGINT) AS n_flagged,
+       CAST(1000000 * count(v.train_id) // count(*) AS BIGINT) AS flagged_ppm
+FROM train t
+LEFT JOIN cd c ON c.train_id = t.doc_id
+LEFT JOIN ver v ON v.train_id = t.doc_id
+GROUP BY t.source
+"""
+
+
+@register(
+    "eval_decontamination_neardup",
+    oracle=_NDCON_SQL,
+    doc="Near-dup benchmark decontamination (the Llama-2/GPT-4 fuzzy "
+    "complement of the 13-gram rule): per source, training docs sharing a "
+    "MinHash LSH band with the deterministic ~1% eval slice, then verified "
+    "at exact word-3-gram Jaccard >= 0.5 (integer dominance test) — "
+    "catches reformatted benchmark copies exact n-gram overlap misses",
+    tags=("ext", "corpus", "dedup", "eval"),
+)
+def eval_decontamination_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the eval set is bounded by construction (real
+    benchmarks are thousands of docs), so its band index BROADCASTS and the
+    training side never shuffles — band explode is a narrow map, the probe
+    a broadcast hash join, and the exact-Jaccard verify touches only
+    candidate pairs (eval shingle sets ride the same broadcast). The only
+    exchange is the final per-source rollup."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    sh = (
+        with_shingles(docs)
+        .select(
+            "doc_id",
+            "source",
+            "sh",
+            (hash_uniform("doc_id") % _CONTAM_MOD == 0).alias("is_bench"),
+        )
+        .localCheckpoint(eager=False)  # feeds bands, verify sides, rollup
+    )
+    bands_long = with_bands(with_minhash(sh)).select(
+        "doc_id",
+        "is_bench",
+        F.posexplode(
+            F.array(*[F.col(f"band_{b}") for b in range(LSH_BANDS)])
+        ).alias("band_idx", "band_key"),
+    )
+    bench_bands = bands_long.filter("is_bench").select(
+        "band_idx", "band_key", F.col("doc_id").alias("eval_id")
+    )
+    cand = (
+        bands_long.filter(~F.col("is_bench"))
+        .join(F.broadcast(bench_bands), ["band_idx", "band_key"])
+        .select(F.col("doc_id").alias("train_id"), "eval_id")
+        .distinct()
+    )
+    tsh = sh.select(F.col("doc_id").alias("train_id"), F.col("sh").alias("sh_t"))
+    esh = sh.filter("is_bench").select(
+        F.col("doc_id").alias("eval_id"), F.col("sh").alias("sh_e")
+    )
+    ver = (
+        cand.join(tsh, "train_id")
+        .join(F.broadcast(esh), "eval_id")
+        .withColumn("isz", F.expr("size(array_intersect(sh_t, sh_e))"))
+        .filter(
+            F.col("isz") * 2 >= F.expr("size(sh_t)") + F.expr("size(sh_e)") - F.col("isz")
+        )
+        .select("train_id")
+        .distinct()
+        .withColumn("flagged", F.lit(True))
+    )
+    cd = cand.select("train_id").distinct().withColumn("is_cand", F.lit(True))
+    train = sh.filter(~F.col("is_bench")).select(
+        F.col("doc_id").alias("train_id"), "source"
+    )
+    return (
+        train.join(cd, "train_id", "left")
+        .join(ver, "train_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train_docs"),
+            F.count_if(F.col("is_cand")).cast("long").alias("n_candidate_docs"),
+            F.count_if(F.col("flagged")).cast("long").alias("n_flagged"),
+            F.expr(
+                "CAST(1000000 * count_if(flagged) div count(*) AS BIGINT)"
+            ).alias("flagged_ppm"),
         )
     )
 
