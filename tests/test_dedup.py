@@ -287,3 +287,45 @@ def test_centered_sig_finds_typo_pair_through_fuzzy_query(spark, tmp_path):
     got = {(r.doc_a, r.doc_b): r.edit_dist for r in dedup_fuzzy_edit(spark, sf).collect()}
     assert (1, 2) in got and got[(1, 2)] <= 2  # typo is past the 80-char prefix
     assert all(not ((x, y) != (1, 2) and (x in (1, 2) or y in (1, 2))) for x, y in got)
+
+
+def test_neardup_decontamination_flags_planted_eval_copy(spark, tmp_path):
+    """eval_decontamination_neardup end-to-end on a planted corpus: an
+    exact copy of an eval-slice doc must be flagged (identical minhash ->
+    all bands collide; Jaccard 1 passes the dominance verify); a
+    half-overlap doc (Jaccard < 0.5) and an unrelated doc must not be
+    flagged, whatever the banding does."""
+    import hashlib
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.corpus_queries import (
+        _CONTAM_MOD,
+        eval_decontamination_neardup,
+    )
+
+    def in_bench(i: int) -> bool:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % _CONTAM_MOD == 0
+
+    bench_id = next(i for i in range(1, 10_000) if in_bench(i))
+    train_ids = [i for i in range(1, 10_000) if not in_bench(i)][:3]
+    etext = " ".join(f"tok{j}" for j in range(80))
+    half = " ".join(f"tok{j}" for j in range(40)) + " " + " ".join(
+        f"other{j}" for j in range(80)
+    )
+    rows = [
+        (bench_id, "eval", etext),
+        (train_ids[0], "dup", etext),  # exact copy of the eval doc
+        (train_ids[1], "partial", half),  # 3-gram Jaccard well under 0.5
+        (train_ids[2], "clean", " ".join(f"zzz{j}" for j in range(80))),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, source string, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    got = {
+        r.source: (r.n_train_docs, r.n_candidate_docs, r.n_flagged)
+        for r in eval_decontamination_neardup(spark, sf).collect()
+    }
+    assert "eval" not in got  # the bench slice is not reported as training
+    assert got["dup"] == (1, 1, 1)
+    assert got["partial"][0] == 1 and got["partial"][2] == 0
+    assert got["clean"] == (1, 0, 0)

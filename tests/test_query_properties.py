@@ -167,60 +167,86 @@ def test_pareto_skyline_matches_brute_force(spark, tmp_path_factory, pts):
 
 # ---------------------------------------------------------------------------
 # SemDeDup (dedup_semantic_clusters): full-pipeline Python model — exact
-# integer k-means (md5 seeding, argmin with id tie-breaks, sign-aware
-# integer-mean updates) + rank-ordered eps-cosine pruning. Seeds chosen so
-# both k = 4 and k = 8 cluster-count branches are exercised.
+# integer HIERARCHICAL k-means (the round-7 sf10 redesign: coarse k1 ~
+# sqrt(k) cells with md5 seeding, then k2 = k/k1 fine centroids fitted
+# WITHIN each cell; argmin with id tie-breaks, sign-aware integer-mean
+# updates) + rank-ordered eps-cosine pruning. Seeds chosen so both the
+# k = 4 and k = 8 cluster-count branches are exercised.
 # ---------------------------------------------------------------------------
 def _sem_model(vecs: dict[int, list[float]]):
     import hashlib
 
     from amazon_kinesis_data_streams_health_check_spark.plans.ext_queries import (
-        _SEM_CAP,
         _SEM_DEN,
         _SEM_NUM,
         _SEM_Q,
         _SEM_T,
         _sem_k,
+        _sem_k1,
     )
 
     def rnd(x: float) -> int:  # HALF_UP like Spark/DuckDB round(), not banker's
         q = x * _SEM_Q
         return int(q + 0.5) if q >= 0 else -int(-q + 0.5)
 
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def imean(members: list[list[int]]) -> list[int]:
+        n = len(members)
+        return [
+            (1 if (s := sum(col)) >= 0 else -1) * (abs(s) // n)
+            for col in zip(*members)
+        ]
+
     q = {v: [rnd(x) for x in xs] for v, xs in vecs.items()}
     k = _sem_k(len(q))
-    seeds: dict[int, tuple] = {}
-    for v in q:
-        h = hashlib.md5(str(v).encode()).hexdigest()
-        b = int(h[:8], 16) % k
-        if b not in seeds or (h, v) < seeds[b][:2]:
-            seeds[b] = (h, v, list(q[v]))
-    cents = {b: c for b, (_, _, c) in seeds.items()}
+    k1 = _sem_k1(k)
+    k2 = k // k1
 
-    def assign():
-        out = {}
-        for v, qv in q.items():
-            best = min(
-                (sum((a - b) ** 2 for a, b in zip(qv, c)), j)
-                for j, c in cents.items()
-            )
-            out[v] = (best[1], best[0])
-        return out
+    def lloyd(members: dict[int, list[int]], keyer, seed_bucket):
+        """md5-seeded exact-integer Lloyd over the given id->vector map:
+        seed one centroid per bucket (min (md5(id), id) wins), then _SEM_T
+        assign/update rounds; returns the final assignment {id: (j, dist)}."""
+        seeds: dict[int, tuple] = {}
+        for v in members:
+            h = hashlib.md5(str(v).encode()).hexdigest()
+            b = seed_bucket(v)
+            if b not in seeds or (h, v) < seeds[b][:2]:
+                seeds[b] = (h, v, list(members[v]))
+        cents = {b: c for b, (_, _, c) in seeds.items()}
 
-    for _ in range(_SEM_T):
-        a = assign()
-        by_j: dict[int, list] = {}
-        for v, (j, _) in a.items():
-            by_j.setdefault(j, []).append(q[v])
-        for j, members in by_j.items():
-            n = len(members)
-            cents[j] = [
-                (1 if (s := sum(col)) >= 0 else -1) * (abs(s) // n)
-                for col in zip(*members)
-            ]
-    a = assign()
-    by_j = {}
-    for v, (j, dist) in a.items():
+        def assign():
+            out = {}
+            for v, qv in members.items():
+                best = min(
+                    (sum((a - b) ** 2 for a, b in zip(qv, c)), j)
+                    for j, c in cents.items()
+                )
+                out[v] = (best[1], best[0])
+            return out
+
+        for _ in range(_SEM_T):
+            a = assign()
+            by_j: dict[int, list] = {}
+            for v, (j, _) in a.items():
+                by_j.setdefault(j, []).append(members[v])
+            for j, ms in by_j.items():
+                cents[j] = imean(ms)
+        return assign()
+
+    # Coarse level: one Lloyd chain over the whole corpus, k1 buckets.
+    ga = {v: jd[0] for v, jd in lloyd(q, None, lambda v: h32(str(v)) % k1).items()}
+    # Fine level: an independent Lloyd chain WITHIN each coarse cell,
+    # seeded by the 'f|'-salted hash mod k2 (the builder's hu2).
+    fin: dict[int, tuple[int, int]] = {}
+    for g in sorted(set(ga.values())):
+        cell = {v: q[v] for v, gv in ga.items() if gv == g}
+        for v, (j2, dist) in lloyd(cell, None, lambda v: h32(f"f|{v}") % k2).items():
+            fin[v] = (g * k2 + j2, dist)
+
+    by_j: dict[int, list] = {}
+    for v, (j, dist) in fin.items():
         by_j.setdefault(j, []).append((v, dist))
     out = {}
     for j, members in by_j.items():
@@ -265,6 +291,75 @@ def test_semantic_dedup_matches_python_model(spark, tmp_path_factory, seed, n):
     }
     want = _sem_model({i: [float(x) for x in vecs[i]] for i in range(n)})
     assert got == want
+
+
+def test_semantic_blocking_recall_matches_python_model(spark, tmp_path_factory):
+    """semantic_blocking_recall full-model check: at n < sample target the
+    md5 sample mod is 1 (every vector sampled), so the per-eps true-pair
+    and found-pair counts are computable exactly in Python — truth from the
+    quantized integer cosine predicate, found from the hierarchical model's
+    cluster ids (_sem_model)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.ext_queries import (
+        _SEM_DEN,
+        _SEM_Q,
+        _SEMBR_NUMS,
+    )
+
+    rng = np.random.default_rng(21)
+    n = 50
+    centers = rng.normal(0, 1.0, size=(3, 64))
+    vecs = (
+        centers[rng.integers(0, 3, size=n)] + rng.normal(0, 0.25, size=(n, 64))
+    ).astype(np.float32)
+    tmpdir = str(tmp_path_factory.mktemp("sbr"))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float32())),
+                "label": pa.array([0] * n, pa.int32()),
+            }
+        ),
+        f"{tmpdir}/embeddings.parquet",
+    )
+
+    def rnd(x: float) -> int:
+        q = x * _SEM_Q
+        return int(q + 0.5) if q >= 0 else -int(-q + 0.5)
+
+    q = {i: [rnd(float(x)) for x in vecs[i]] for i in range(n)}
+    cluster = {
+        v: j for v, (j, _, _, _) in _sem_model(
+            {i: [float(x) for x in vecs[i]] for i in range(n)}
+        ).items()
+    }
+    n2 = {v: sum(x * x for x in qv) for v, qv in q.items()}
+    want = {}
+    for num in _SEMBR_NUMS:
+        true_pairs = [
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if (dot := sum(x * y for x, y in zip(q[a], q[b]))) > 0
+            and _SEM_DEN * dot * dot >= num * n2[a] * n2[b]
+        ]
+        if true_pairs:
+            found = sum(1 for a, b in true_pairs if cluster[a] == cluster[b])
+            want[num] = (
+                len(true_pairs),
+                found,
+                1_000_000 * found // len(true_pairs),
+            )
+    got = {
+        r.eps_sq_x10k: (r.n_true, r.n_found, r.recall_ppm)
+        for r in QUERIES["semantic_blocking_recall"].builder(spark, tmpdir).collect()
+    }
+    assert got == want
+    assert want  # the planted clusters must actually produce true pairs
 
 
 # ---------------------------------------------------------------------------
