@@ -5222,6 +5222,149 @@ def eval_decontamination_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming decontamination gate — the continuous-ingest twin of
+# eval_contamination_13gram. In production the benchmark set exists BEFORE
+# the crawl, so the eval 13-gram index is registered once as a lake
+# snapshot; every micro-batch of incoming training docs probes it
+# (broadcast semi-join) and appends its per-doc verdicts as a lake commit.
+# The flag is a pure function of (doc, static index) — batch slicing cannot
+# change it — so the cumulative sheet IS the batch twin's relation and
+# _CONTAM_SQL is the oracle verbatim.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_decontamination_gate",
+    oracle=_CONTAM_SQL,
+    doc="Streaming ingest-time benchmark decontamination: the eval slice's "
+    f"{_CONTAM_N}-gram index is persisted once (benchmarks predate the "
+    "crawl); each micro-batch of training docs probes it with a broadcast "
+    "semi-join and appends per-doc verdicts as atomic lake commits; the "
+    "cumulative per-source sheet value-hashes against the batch twin's SQL",
+    tags=("ext", "corpus", "dedup", "eval", "streaming", "lake"),
+)
+def streaming_decontamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: per batch the probe cost scales with the INGEST, not
+    the corpus — gram explode is a narrow map over the batch, the index is
+    bounded by the eval set (broadcast), and the verdict append is an
+    atomic manifest commit; nothing ever re-reads or re-tokenizes history.
+    The final rollup reads the verdict lake, not the stream lineage, so a
+    persistence bug changes the counts and fails the oracle hash."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_append,
+        snapshot_history,
+        snapshot_overwrite,
+    )
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    is_bench = hash_uniform("doc_id") % _CONTAM_MOD == 0
+
+    # Register the benchmark once: its distinct 13-grams become the gate's
+    # persisted index (read back through the manifest, never the lineage).
+    gram_lake = _tf.mkdtemp(prefix="decon_gate_grams_")
+    bench_grams = (
+        docs.filter(is_bench)
+        .select(F.expr(_SPARK_TOK).alias("t"))
+        .select(
+            F.explode(
+                F.expr(f"array_distinct({_spark_ngrams('t', _CONTAM_N)})")
+            ).alias("g")
+        )
+        .distinct()
+        .withColumn("p", F.lit("all"))
+    )
+    snapshot_overwrite(spark, bench_grams, gram_lake, partition_col="p")
+
+    # Two-chunk ascending feed of the training docs (mtimes pin the
+    # FileStreamSource batch order).
+    src_dir = _tf.mkdtemp(prefix="decon_gate_src_")
+    train = docs.filter(~is_bench)
+    for i in range(2):
+        part_dir = _tf.mkdtemp(prefix=f"decon_gate_part{i}_")
+        train.filter(F.pmod(F.col("doc_id"), F.lit(2)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        part = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = _os.path.join(src_dir, f"b{i}.parquet")
+        _shutil.move(part, dst)
+        _os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+
+    flags_lake = _tf.mkdtemp(prefix="decon_gate_flags_")
+
+    def _gate(batch_df, batch_id: int) -> None:
+        tok = batch_df.select(
+            "doc_id", "source", F.expr(_SPARK_TOK).alias("t")
+        ).localCheckpoint(eager=False)  # feeds the probe AND the verdicts
+        grams = tok.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"array_distinct({_spark_ngrams('t', _CONTAM_N)})")
+            ).alias("g"),
+        )
+        idx = read_snapshot(spark, gram_lake).select("g")
+        hits = (
+            grams.join(F.broadcast(idx), "g", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .withColumn("hit", F.lit(True))
+        )
+        verdicts = (
+            tok.select(
+                "doc_id",
+                "source",
+                F.expr("CAST(size(t) AS BIGINT)").alias("n_tokens"),
+            )
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                "source",
+                "n_tokens",
+                F.coalesce("hit", F.lit(False)).alias("hit"),
+            )
+            .withColumn("p", F.lit("all"))
+        )
+        snapshot_append(spark, verdicts, flags_lake, partition_col="p")
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", _tf.mkdtemp(prefix="decon_gate_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover - defensive against a hung source
+        q.stop()
+    if len(snapshot_history(spark, flags_lake)) != 2:
+        raise RuntimeError("gate drive incomplete: expected 2 verdict commits")
+    flags = read_snapshot(spark, flags_lake)
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train_docs"),
+        F.sum(
+            F.when(F.col("n_tokens") >= _CONTAM_N, 1).otherwise(0)
+        ).cast("long").alias("n_checkable_docs"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("long").alias(
+            "n_contaminated"
+        ),
+        F.expr(
+            "CAST(1000000 * sum(CASE WHEN hit THEN 1 ELSE 0 END)"
+            " div count(*) AS BIGINT)"
+        ).alias("contamination_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
 # algorithm): slide a w-window over the k-gram hash sequence and select
 # each window's RIGHTMOST MINIMUM; the selected (position, hash) set is a

@@ -329,3 +329,47 @@ def test_neardup_decontamination_flags_planted_eval_copy(spark, tmp_path):
     assert got["dup"] == (1, 1, 1)
     assert got["partial"][0] == 1 and got["partial"][2] == 0
     assert got["clean"] == (1, 0, 0)
+
+
+def test_streaming_decontamination_gate_planted(spark, tmp_path):
+    """The streaming gate on a planted corpus: a train doc sharing a full
+    13-gram with the registered eval doc is contaminated; a 12-token
+    overlap is not (the GPT-3 rule is exact-13); short docs count as
+    uncheckable."""
+    import hashlib
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.corpus_queries import (
+        _CONTAM_MOD,
+        streaming_decontamination_gate,
+    )
+
+    def in_bench(i: int) -> bool:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % _CONTAM_MOD == 0
+
+    bench_id = next(i for i in range(1, 10_000) if in_bench(i))
+    t0, t1, t2 = [i for i in range(1, 10_000) if not in_bench(i)][:3]
+    bench_text = " ".join(f"ev{j}" for j in range(20))
+    hit13 = " ".join(f"pre{j}" for j in range(5)) + " " + " ".join(
+        f"ev{j}" for j in range(13)
+    )
+    near12 = " ".join(f"pre{j}" for j in range(5)) + " " + " ".join(
+        f"ev{j}" for j in range(12)
+    ) + " unrelated tail tokens here to pad the doc out past thirteen"
+    rows = [
+        (bench_id, "eval", bench_text),
+        (t0, "hit", hit13),
+        (t1, "miss", near12),
+        (t2, "short", "tiny doc"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, source string, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    got = {
+        r.source: (r.n_train_docs, r.n_checkable_docs, r.n_contaminated)
+        for r in streaming_decontamination_gate(spark, sf).collect()
+    }
+    assert "eval" not in got
+    assert got["hit"] == (1, 1, 1)
+    assert got["miss"] == (1, 1, 0)
+    assert got["short"] == (1, 0, 0)
