@@ -2068,3 +2068,22 @@ def test_ccnet_window_partitions_by_lang(spark, sf_small):
 
     m = _re.search(r"ntile.*?windowspecdefinition\((\w+)", plan)
     assert m and m.group(1).startswith("lang"), plan
+
+
+def test_neardup_decontamination_broadcasts_eval_index(spark, sf_small):
+    """The decontamination probe must ride broadcasts of the bounded eval
+    side (band index + eval shingle sets) — a shuffle join on band keys
+    would move the full training band stream; a CartesianProduct anywhere
+    is a blocking bug."""
+    plan = plan_of(spark, sf_small, "eval_decontamination_neardup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_semantic_blocking_recall_no_cartesian(spark, sf_small):
+    """The audit's quadratic truth leg must be the broadcast theta-join on
+    the BOUNDED md5 sample (BroadcastNestedLoop over ~target rows), never a
+    CartesianProduct over unbroadcast sides, and nothing may global-sort."""
+    plan = plan_of(spark, sf_small, "semantic_blocking_recall")
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
