@@ -2171,7 +2171,7 @@ _FUZZY_BLOCK_B = 3
 _FUZZY_BLOCK_HAMMING = SIMHASH_BANDS - _FUZZY_BLOCK_B
 #: Adaptive banding width: b = 2 (28 tables) and b = 3 (56 tables) are BOTH
 #: lossless at the fixed Hamming <= 5 gate (2-of-8 and 3-of-8 pigeonhole;
-#: equality pinned by test_fuzzy_band_triples_equal_pairs_at_gate), so the
+#: equality pinned by test_band_triples_lossless_to_hamming_5), so the
 #: REPORTED pair set is bit-identical either way and the choice is purely a
 #: cost knob. Manku's key-width law picks it: b = 2's 16-bit keyspace
 #: (65,536) saturates once expected bucket occupancy n / 2^16 passes ~1, so

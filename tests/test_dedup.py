@@ -373,3 +373,16 @@ def test_streaming_decontamination_gate_planted(spark, tmp_path):
     assert got["hit"] == (1, 1, 1)
     assert got["miss"] == (1, 1, 0)
     assert got["short"] == (1, 0, 0)
+
+
+def test_fuzzy_adaptive_banding_threshold():
+    """The banding width flips from 28 to 56 tables exactly where b=2's
+    16-bit keyspace reaches expected occupancy 1 (Manku's key-width law)."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.ext_queries import (
+        _FUZZY_B2_MAX_DOCS,
+        _fuzzy_bands_for,
+    )
+
+    assert _FUZZY_B2_MAX_DOCS == 1 << 16
+    assert _fuzzy_bands_for(_FUZZY_B2_MAX_DOCS) == 2
+    assert _fuzzy_bands_for(_FUZZY_B2_MAX_DOCS + 1) == 3
