@@ -5535,3 +5535,208 @@ def _win_spark_fps_over_hs() -> str:
         f"CASE WHEN {m} >= 1 THEN array_distinct({sel})"
         f" ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter exact-dedup FPR audit (the Dolma production design: doc-level
+# exact dedup at trillion-token scale is done against a FIXED-memory Bloom
+# filter, trading a bounded false-positive rate for never holding the key
+# set; Soldaini et al. 2024 section 4.1). The audit makes that trade a
+# MEASURED quantity instead of an assumption: build the filter from one
+# deterministic half of the corpus, probe the other half, and score the
+# flags against exact-match truth — per (bits-per-key, hash-count) config a
+# measured fill ratio, FPR, and the structural no-false-negative invariant.
+# ---------------------------------------------------------------------------
+#: (cfg_id, bits-per-key multiplier, hash count) — k ~= m/n * ln 2 rounded
+#: to the nearest odd, i.e. each config sits near its own optimal k.
+_BLOOM_CFGS: tuple[tuple[int, int, int], ...] = ((1, 4, 3), (2, 8, 5), (3, 16, 7))
+_BLOOM_MAXK = 7
+
+_BLOOM_CFG_VALUES = ", ".join(f"({c}, {m}, {k})" for c, m, k in _BLOOM_CFGS)
+
+#: position of key `tk` under hash j in an m_bits-bit filter (48-bit md5
+#: prefix, exact in BIGINT, modulo the filter width).
+_BLOOM_POS_SPARK = (
+    "CAST(conv(substr(md5(concat(CAST(j AS STRING), ':', tk)), 1, 12),"
+    " 16, 10) AS BIGINT) % m_bits"
+)
+
+_BLOOM_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, md5(text) AS tk,
+         {duck_hash_uniform('doc_id')} % 2 AS side
+  FROM documents
+),
+bk AS MATERIALIZED (SELECT DISTINCT tk FROM base WHERE side = 0),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n_build FROM bk),
+cfgm AS MATERIALIZED (
+  SELECT cfg_id, m_mult, k,
+         GREATEST(m_mult * n_build, 1) AS m_bits, n_build
+  FROM (VALUES {_BLOOM_CFG_VALUES}) AS c(cfg_id, m_mult, k), nb
+),
+js AS (SELECT unnest(range(0, {_BLOOM_MAXK})) AS j),
+bpos AS MATERIALIZED (
+  SELECT DISTINCT c.cfg_id,
+         CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || b.tk), 1, 12))
+              AS BIGINT) % c.m_bits AS pos
+  FROM bk b, cfgm c, js j
+  WHERE j.j < c.k
+),
+probe AS MATERIALIZED (SELECT doc_id, tk FROM base WHERE side = 1),
+ppos AS (
+  SELECT p.doc_id, c.cfg_id,
+         CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || p.tk), 1, 12))
+              AS BIGINT) % c.m_bits AS pos
+  FROM probe p, cfgm c, js j
+  WHERE j.j < c.k
+),
+hit AS (
+  SELECT pp.doc_id, pp.cfg_id,
+         CAST(count(*) AS BIGINT) AS npos,
+         CAST(count(bp.pos) AS BIGINT) AS nhit
+  FROM ppos pp LEFT JOIN bpos bp
+    ON bp.cfg_id = pp.cfg_id AND bp.pos = pp.pos
+  GROUP BY pp.doc_id, pp.cfg_id
+),
+truth AS (
+  SELECT p.doc_id, (b.tk IS NOT NULL) AS is_dup
+  FROM probe p LEFT JOIN bk b ON b.tk = p.tk
+),
+bits AS (
+  SELECT cfg_id, CAST(count(*) AS BIGINT) AS bits_set FROM bpos GROUP BY cfg_id
+)
+SELECT c.m_mult, c.k, c.m_bits,
+       c.n_build AS n_build_keys,
+       COALESCE(bits.bits_set, 0) AS bits_set,
+       CAST(1000000 * COALESCE(bits.bits_set, 0) // c.m_bits AS BIGINT)
+         AS fill_ppm,
+       CAST(count(*) AS BIGINT) AS n_probe,
+       CAST(count_if(t.is_dup) AS BIGINT) AS true_dups,
+       CAST(count_if(h.npos = h.nhit) AS BIGINT) AS flagged,
+       CAST(count_if(h.npos = h.nhit AND NOT t.is_dup) AS BIGINT) AS false_pos,
+       CAST(count_if(t.is_dup AND h.npos > h.nhit) AS BIGINT) AS missed,
+       CASE WHEN count_if(NOT t.is_dup) = 0 THEN 0
+            ELSE CAST(1000000 * count_if(h.npos = h.nhit AND NOT t.is_dup)
+                      // count_if(NOT t.is_dup) AS BIGINT) END AS fpr_ppm
+FROM hit h
+JOIN truth t ON t.doc_id = h.doc_id
+JOIN cfgm c ON c.cfg_id = h.cfg_id
+LEFT JOIN bits ON bits.cfg_id = h.cfg_id
+GROUP BY c.m_mult, c.k, c.m_bits, c.n_build, bits.bits_set
+"""
+
+
+@register(
+    "bloom_dedup_fpr_audit",
+    oracle=_BLOOM_SQL,
+    doc="Bloom-filter exact-dedup FPR audit (Dolma's fixed-memory doc-level "
+    "dedup design): build the k-hash filter from the deterministic md5-half "
+    "of the corpus, probe the other half, and score flags against "
+    "exact-match truth — per (bits-per-key, k) config the measured fill "
+    "ratio, false-positive rate, and the no-false-negative invariant",
+    tags=("ext", "corpus", "dedup"),
+)
+def bloom_dedup_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the filter IS bounded state — `bpos` can never exceed
+    m_bits rows whatever the corpus does (that memory bound is the entire
+    reason Dolma dedups trillions of tokens against one), so it broadcasts
+    and the probe side is a narrow map + broadcast hash join; the per-doc
+    all-k-present check partial-aggregates in place (the k position rows of
+    a doc are born co-partitioned), leaving one exchange for the per-config
+    rollup. Build-side distinct is the only corpus-sized shuffle and is
+    capped at min(k * n_build, m_bits) rows."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.md5("text").alias("tk"),
+        (hash_uniform("doc_id") % 2).alias("side"),
+    )
+    bk = (
+        base.filter("side = 0")
+        .select("tk")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds bpos, nb, and the truth join
+    )
+    nb = bk.agg(F.count(F.lit(1)).cast("long").alias("n_build"))
+    cfg = spark.createDataFrame(
+        list(_BLOOM_CFGS), "cfg_id long, m_mult long, k long"
+    )
+    cfgm = cfg.crossJoin(F.broadcast(nb)).withColumn(
+        "m_bits", F.greatest(F.col("m_mult") * F.col("n_build"), F.lit(1))
+    )
+    js = F.explode(F.expr(f"sequence(0, {_BLOOM_MAXK - 1})")).alias("j")
+    bpos = (
+        bk.crossJoin(F.broadcast(cfgm))
+        .select("cfg_id", "m_bits", "k", "tk", js)
+        .filter("j < k")
+        .select("cfg_id", F.expr(_BLOOM_POS_SPARK).alias("pos"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the bit count AND the probe join
+    )
+    probe = base.filter("side = 1").select("doc_id", "tk")
+    ppos = (
+        probe.crossJoin(F.broadcast(cfgm))
+        .select("doc_id", "cfg_id", "m_bits", "k", "tk", js)
+        .filter("j < k")
+        .select("doc_id", "cfg_id", F.expr(_BLOOM_POS_SPARK).alias("pos"))
+    )
+    hit = (
+        ppos.join(
+            F.broadcast(bpos.withColumn("present", F.lit(True))),
+            ["cfg_id", "pos"],
+            "left",
+        )
+        .groupBy("doc_id", "cfg_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("npos"),
+            F.count("present").cast("long").alias("nhit"),
+        )
+    )
+    truth = (
+        probe.join(bk.withColumn("dup", F.lit(True)), "tk", "left")
+        .select("doc_id", F.coalesce("dup", F.lit(False)).alias("is_dup"))
+    )
+    bits = bpos.groupBy("cfg_id").agg(
+        F.count(F.lit(1)).cast("long").alias("bits_set")
+    )
+    return (
+        hit.join(truth, "doc_id")
+        .groupBy("cfg_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probe"),
+            F.count_if(F.col("is_dup")).cast("long").alias("true_dups"),
+            F.count_if(F.col("npos") == F.col("nhit"))
+            .cast("long")
+            .alias("flagged"),
+            F.count_if((F.col("npos") == F.col("nhit")) & ~F.col("is_dup"))
+            .cast("long")
+            .alias("false_pos"),
+            F.count_if(F.col("is_dup") & (F.col("npos") > F.col("nhit")))
+            .cast("long")
+            .alias("missed"),
+            F.expr(
+                "CASE WHEN count_if(NOT is_dup) = 0 THEN 0"
+                " ELSE CAST(1000000 * count_if(npos = nhit AND NOT is_dup)"
+                " div count_if(NOT is_dup) AS BIGINT) END"
+            ).alias("fpr_ppm"),
+        )
+        .join(F.broadcast(bits), "cfg_id", "left")
+        .join(F.broadcast(cfgm), "cfg_id")
+        .select(
+            "m_mult",
+            "k",
+            "m_bits",
+            F.col("n_build").alias("n_build_keys"),
+            F.coalesce("bits_set", F.lit(0)).cast("long").alias("bits_set"),
+            F.expr(
+                "CAST(1000000 * coalesce(bits_set, 0) div m_bits AS BIGINT)"
+            ).alias("fill_ppm"),
+            "n_probe",
+            "true_dups",
+            "flagged",
+            "false_pos",
+            "missed",
+            "fpr_ppm",
+        )
+    )

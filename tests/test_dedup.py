@@ -386,3 +386,70 @@ def test_fuzzy_adaptive_banding_threshold():
     assert _FUZZY_B2_MAX_DOCS == 1 << 16
     assert _fuzzy_bands_for(_FUZZY_B2_MAX_DOCS) == 2
     assert _fuzzy_bands_for(_FUZZY_B2_MAX_DOCS + 1) == 3
+
+
+def test_bloom_dedup_fpr_audit_full_model(spark, tmp_path):
+    """bloom_dedup_fpr_audit vs an independent pure-Python Bloom filter on a
+    planted corpus: same md5 position hashes, same md5 half-split — every
+    output cell must match the model exactly, a planted cross-half exact
+    dup must be flagged with missed = 0 (Bloom filters have no false
+    negatives), and flagged - true_dups must equal false_pos."""
+    import hashlib
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.corpus_queries import (
+        _BLOOM_CFGS,
+        bloom_dedup_fpr_audit,
+    )
+
+    def side(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 2
+
+    build_ids = [i for i in range(1, 10_000) if side(i) == 0][:40]
+    probe_ids = [i for i in range(1, 10_000) if side(i) == 1][:40]
+    rows = [(i, f"build doc {i} " + "w " * (i % 7)) for i in build_ids]
+    rows += [(i, f"probe doc {i} " + "x " * (i % 5)) for i in probe_ids[:-1]]
+    # planted cross-half exact dup: last probe doc copies a build doc's text
+    rows.append((probe_ids[-1], rows[0][1]))
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+
+    texts = dict(rows)
+    build_keys = {hashlib.md5(texts[i].encode()).hexdigest() for i in build_ids}
+
+    def positions(tk: str, m_bits: int, k: int) -> set[int]:
+        return {
+            int(hashlib.md5(f"{j}:{tk}".encode()).hexdigest()[:12], 16) % m_bits
+            for j in range(k)
+        }
+
+    model = {}
+    for _, m_mult, k in _BLOOM_CFGS:
+        m_bits = m_mult * len(build_keys)
+        filt = set()
+        for tk in build_keys:
+            filt |= positions(tk, m_bits, k)
+        flagged = false_pos = true_dups = 0
+        for i in probe_ids:
+            tk = hashlib.md5(texts[i].encode()).hexdigest()
+            is_dup = tk in build_keys
+            hit = positions(tk, m_bits, k) <= filt
+            flagged += hit
+            true_dups += is_dup
+            false_pos += hit and not is_dup
+        model[m_mult] = (m_bits, len(filt), flagged, true_dups, false_pos)
+
+    got = {r.m_mult: r for r in bloom_dedup_fpr_audit(spark, sf).collect()}
+    assert set(got) == set(m for _, m, _ in _BLOOM_CFGS)
+    for m_mult, (m_bits, bits_set, flagged, true_dups, false_pos) in model.items():
+        r = got[m_mult]
+        assert (r.m_bits, r.bits_set) == (m_bits, bits_set)
+        assert (r.flagged, r.true_dups, r.false_pos) == (
+            flagged,
+            true_dups,
+            false_pos,
+        )
+        assert r.missed == 0  # no false negatives, structurally
+        assert r.flagged - r.true_dups == r.false_pos
+        assert r.true_dups == 1  # the planted cross-half copy

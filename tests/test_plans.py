@@ -2087,3 +2087,15 @@ def test_semantic_blocking_recall_no_cartesian(spark, sf_small):
     plan = plan_of(spark, sf_small, "semantic_blocking_recall")
     assert "CartesianProduct" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_bloom_dedup_fpr_audit_broadcasts_filter(spark, sf_small):
+    """The Bloom filter's position set is bounded by m_bits rows — the
+    entire point of the design — so the probe must ride a BroadcastHashJoin
+    against it; a CartesianProduct anywhere (the config/scalar cross-joins
+    must stay broadcast nested loops over literal-sized sides) or a global
+    sort is a blocking bug."""
+    plan = plan_of(spark, sf_small, "bloom_dedup_fpr_audit")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
