@@ -5740,3 +5740,200 @@ def bloom_dedup_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fpr_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level contamination accounting. eval_contamination_13gram answers
+# "WHICH training docs share any 13-gram with the benchmark slice"; this
+# answers "HOW MUCH of them" — the GPT-3 appendix-C / PaLM analysis that
+# splits flagged docs into lightly-touched vs mostly-copied ("dirty") by
+# the token mass their contaminated spans cover. Matched 13-gram START
+# positions per doc are condensed by gaps-and-islands into maximal runs
+# (longest shared span = run length + 12) and merged coverage intervals
+# ([p, p+12] windows overlap while gaps < 13), same idiom as
+# dup_span_stats but against the bounded eval-gram index.
+# ---------------------------------------------------------------------------
+_CSPAN_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, {_DUCK_TOK} AS t,
+         {duck_hash_uniform('doc_id')} % {_CONTAM_MOD} = 0 AS is_bench
+  FROM documents
+),
+g AS MATERIALIZED (
+  SELECT doc_id, source, is_bench, CAST(len(t) AS BIGINT) AS n_tokens,
+         {_duck_ngrams('t', _CONTAM_N)} AS gs
+  FROM tok
+),
+bench_grams AS MATERIALIZED (
+  SELECT DISTINCT unnest(gs) AS bg FROM g WHERE is_bench
+),
+pos AS (
+  SELECT doc_id, unnest(range(1, len(gs) + 1)) AS pos, unnest(gs) AS gr
+  FROM g WHERE NOT is_bench
+),
+mpos AS (
+  SELECT doc_id, pos FROM pos WHERE gr IN (SELECT bg FROM bench_grams)
+),
+marks AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w != 1
+              THEN 1 ELSE 0 END AS run_flag,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w >= {_CONTAM_N}
+              THEN 1 ELSE 0 END AS cov_flag
+  FROM mpos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+ids AS (
+  SELECT doc_id, pos,
+         sum(run_flag) OVER w AS run_id,
+         sum(cov_flag) OVER w AS cov_id
+  FROM marks WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING)
+),
+runs AS (
+  SELECT doc_id, run_id, count(*) AS run_len FROM ids GROUP BY doc_id, run_id
+),
+docs_run AS (
+  SELECT doc_id, CAST(max(run_len) + {_CONTAM_N - 1} AS BIGINT) AS max_span
+  FROM runs GROUP BY doc_id
+),
+covs AS (
+  SELECT doc_id, cov_id, min(pos) AS lo, max(pos) AS hi
+  FROM ids GROUP BY doc_id, cov_id
+),
+docs_cov AS (
+  SELECT doc_id, CAST(sum(hi - lo + {_CONTAM_N}) AS BIGINT) AS covered
+  FROM covs GROUP BY doc_id
+),
+train AS (SELECT doc_id, source, n_tokens FROM g WHERE NOT is_bench)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_train_docs,
+       CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(count(r.doc_id) AS BIGINT) AS n_contaminated,
+       CAST(COALESCE(max(r.max_span), 0) AS BIGINT) AS max_span_tokens,
+       CAST(COALESCE(sum(c.covered), 0) AS BIGINT) AS contaminated_tokens,
+       CASE WHEN sum(t.n_tokens) = 0 THEN 0
+            ELSE CAST(1000000 * COALESCE(sum(c.covered), 0) // sum(t.n_tokens)
+                      AS BIGINT) END AS contaminated_token_ppm,
+       CAST(count_if(c.covered IS NOT NULL AND 2 * c.covered >= t.n_tokens)
+            AS BIGINT) AS n_dirty_docs
+FROM train t
+LEFT JOIN docs_run r ON r.doc_id = t.doc_id
+LEFT JOIN docs_cov c ON c.doc_id = t.doc_id
+GROUP BY t.source
+"""
+
+
+@register(
+    "contamination_span_stats",
+    oracle=_CSPAN_SQL,
+    doc=f"Span-level benchmark-contamination accounting (the GPT-3 "
+    f"appendix-C analysis behind the {_CONTAM_N}-gram rule): per source, "
+    "the longest contiguous token span shared with the eval slice, the "
+    "exact token mass covered by merged contaminated spans, and how many "
+    "flagged docs are 'dirty' (over half their tokens contaminated) vs "
+    "lightly touched",
+    tags=("ext", "corpus", "dedup", "eval"),
+)
+def contamination_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the eval slice's gram set is bounded by the BENCHMARK
+    size, so position matching is a broadcast left-semi join over the
+    narrow positional explode — span text never shuffles, only (doc_id,
+    pos) pairs of MATCHED grams survive into the windows, and those
+    partitions are bounded by document length. One exchange for the
+    per-source rollup; no self-join, no global sort."""
+    from pyspark.sql import Window
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr(_SPARK_TOK).alias("t"),
+            (hash_uniform("doc_id") % _CONTAM_MOD == 0).alias("is_bench"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "is_bench",
+            F.expr("CAST(size(t) AS BIGINT)").alias("n_tokens"),
+            F.expr(_spark_ngrams("t", _CONTAM_N)).alias("gs"),
+        )
+        .localCheckpoint(eager=False)  # feeds bench index, positions, rollup
+    )
+    bench = (
+        g.filter("is_bench")
+        .select(F.explode(F.expr("array_distinct(gs)")).alias("gr"))
+        .distinct()
+    )
+    pos = (
+        g.filter(~F.col("is_bench"))
+        .select("doc_id", F.expr("posexplode(gs) AS (p0, gr)"))
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "gr")
+    )
+    mpos = pos.join(F.broadcast(bench), "gr", "leftsemi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("pos").over(w)
+    ids = (
+        mpos.withColumn(
+            "run_flag",
+            F.when(prev.isNull() | (F.col("pos") - prev != 1), 1).otherwise(0),
+        )
+        .withColumn(
+            "cov_flag",
+            F.when(
+                prev.isNull() | (F.col("pos") - prev >= _CONTAM_N), 1
+            ).otherwise(0),
+        )
+        .withColumn("run_id", F.sum("run_flag").over(wsum))
+        .withColumn("cov_id", F.sum("cov_flag").over(wsum))
+    ).localCheckpoint(eager=False)  # feeds the run- and coverage-side aggs
+    docs_run = (
+        ids.groupBy("doc_id", "run_id")
+        .agg(F.count("*").alias("run_len"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("run_len") + F.lit(_CONTAM_N - 1))
+            .cast("long")
+            .alias("max_span")
+        )
+    )
+    docs_cov = (
+        ids.groupBy("doc_id", "cov_id")
+        .agg(F.min("pos").alias("lo"), F.max("pos").alias("hi"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("hi") - F.col("lo") + F.lit(_CONTAM_N))
+            .cast("long")
+            .alias("covered")
+        )
+    )
+    train = g.filter(~F.col("is_bench")).select("doc_id", "source", "n_tokens")
+    return (
+        train.join(docs_run, "doc_id", "left")
+        .join(docs_cov, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.count("max_span").cast("long").alias("n_contaminated"),
+            F.coalesce(F.max("max_span"), F.lit(0))
+            .cast("long")
+            .alias("max_span_tokens"),
+            F.coalesce(F.sum("covered"), F.lit(0))
+            .cast("long")
+            .alias("contaminated_tokens"),
+            F.expr(
+                "CASE WHEN sum(n_tokens) = 0 THEN 0"
+                " ELSE CAST(1000000 * coalesce(sum(covered), 0)"
+                " div sum(n_tokens) AS BIGINT) END"
+            ).alias("contaminated_token_ppm"),
+            F.count_if(
+                F.col("covered").isNotNull()
+                & (F.lit(2) * F.col("covered") >= F.col("n_tokens"))
+            )
+            .cast("long")
+            .alias("n_dirty_docs"),
+        )
+    )

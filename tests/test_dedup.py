@@ -453,3 +453,67 @@ def test_bloom_dedup_fpr_audit_full_model(spark, tmp_path):
         assert r.missed == 0  # no false negatives, structurally
         assert r.flagged - r.true_dups == r.false_pos
         assert r.true_dups == 1  # the planted cross-half copy
+
+
+def test_contamination_span_stats_planted(spark, tmp_path):
+    """contamination_span_stats span arithmetic on planted overlaps with a
+    40-token eval doc: a 20-token embedded copy reports span 20 / coverage
+    20; an exact-13 copy reports 13; a 12-token overlap is clean (the rule
+    is exact-13); two disjoint 13-token copies merge to coverage 26 but max
+    span 13; a doc with >half its tokens copied is counted dirty."""
+    import hashlib
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.corpus_queries import (
+        _CONTAM_MOD,
+        contamination_span_stats,
+    )
+
+    def in_bench(i: int) -> bool:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % _CONTAM_MOD == 0
+
+    bench_id = next(i for i in range(1, 10_000) if in_bench(i))
+    tids = [i for i in range(1, 10_000) if not in_bench(i)][:5]
+    b = [f"b{j}" for j in range(40)]
+
+    def words(*parts):
+        return " ".join(w for p in parts for w in p)
+
+    n = lambda tag, c: [f"{tag}{j}" for j in range(c)]
+    rows = [
+        (bench_id, "eval", words(b)),
+        # 3 noise + b5..b24 (20-token copy) + 2 noise -> span 20, covered 20
+        (tids[0], "copy20", words(n("p", 3), b[5:25], n("q", 2))),
+        # 3 noise + exactly 13 copied + 14 noise -> span 13, not dirty
+        (tids[1], "exact13", words(n("r", 3), b[10:23], n("s", 14))),
+        # 12-token overlap: below the exact-13 rule -> clean
+        (tids[2], "only12", words(n("u", 3), b[10:22], n("v", 14))),
+        # two disjoint 13-token copies, 13-noise gap -> covered 26, max 13
+        (tids[3], "twospans", words(n("x", 5), b[0:13], n("y", 13), b[20:33], n("z", 10))),
+        # 4 noise + 16 copied of 20 tokens -> covered 16, 2*16 >= 20: dirty
+        (tids[4], "dirty", words(n("w", 4), b[0:16])),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, source string, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    got = {r.source: r for r in contamination_span_stats(spark, sf).collect()}
+    assert "eval" not in got
+    exp = {
+        # source: (docs, tokens, contaminated, max_span, covered, dirty)
+        "copy20": (1, 25, 1, 20, 20, 1),
+        "exact13": (1, 30, 1, 13, 13, 0),
+        "only12": (1, 29, 0, 0, 0, 0),
+        "twospans": (1, 54, 1, 13, 26, 0),
+        "dirty": (1, 20, 1, 16, 16, 1),
+    }
+    for src, (docs, tokens, contam, span, covered, dirty) in exp.items():
+        r = got[src]
+        assert (
+            r.n_train_docs,
+            r.total_tokens,
+            r.n_contaminated,
+            r.max_span_tokens,
+            r.contaminated_tokens,
+            r.n_dirty_docs,
+        ) == (docs, tokens, contam, span, covered, dirty), src
+        assert r.contaminated_token_ppm == 1_000_000 * covered // tokens, src

@@ -2099,3 +2099,14 @@ def test_bloom_dedup_fpr_audit_broadcasts_filter(spark, sf_small):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_contamination_span_stats_broadcasts_eval_grams(spark, sf_small):
+    """Span matching must ride a broadcast of the bounded eval-gram index
+    over the narrow positional explode — a shuffle join on gram strings
+    would move the full training gram stream; a CartesianProduct anywhere
+    is a blocking bug; the per-doc windows must not induce a global sort."""
+    plan = plan_of(spark, sf_small, "contamination_span_stats")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
