@@ -5937,3 +5937,258 @@ def contamination_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dirty_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bloom-dedup ingest — the production twin of
+# bloom_dedup_fpr_audit (Dolma runs its Bloom filter exactly this way: one
+# fixed-size filter, every incoming doc probed then inserted). Semantics
+# are FIRST-SETTER, which makes the result batch-slicing-invariant: doc d
+# is flagged iff every one of its k bit positions was first set by some
+# doc with a smaller doc_id — within a micro-batch the within-batch
+# min(doc_id) per position plays history, across batches the persisted
+# position index does (the ascending feed guarantees history ids are
+# smaller). The oracle is the same relation computed globally: min(doc_id)
+# per position, flag iff all k firsts precede the doc. Exact-match truth
+# (earliest doc per text key) rides alongside for FP accounting, as in the
+# batch audit.
+# ---------------------------------------------------------------------------
+_SBLOOM_MULT = 16  # filter bits per corpus doc (sized once, up front)
+_SBLOOM_K = 5
+
+_SBLOOM_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, source, md5(text) AS tk FROM documents
+),
+nb AS (SELECT GREATEST({_SBLOOM_MULT} * count(*), 1) AS m_bits FROM base),
+pos AS MATERIALIZED (
+  SELECT b.doc_id,
+         CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || b.tk), 1, 12))
+              AS BIGINT) % nb.m_bits AS pos
+  FROM base b, nb, (SELECT unnest(range(0, {_SBLOOM_K})) AS j) j
+),
+firstset AS (SELECT pos, min(doc_id) AS first_doc FROM pos GROUP BY pos),
+flags AS (
+  SELECT p.doc_id,
+         CAST(count(*) AS BIGINT) AS npos,
+         CAST(count_if(f.first_doc < p.doc_id) AS BIGINT) AS nprior
+  FROM pos p JOIN firstset f ON f.pos = p.pos
+  GROUP BY p.doc_id
+),
+truth AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY tk) < doc_id AS is_dup
+  FROM base
+)
+SELECT b.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count_if(t.is_dup) AS BIGINT) AS true_dups,
+       CAST(count_if(fl.npos = fl.nprior) AS BIGINT) AS flagged,
+       CAST(count_if(fl.npos = fl.nprior AND NOT t.is_dup) AS BIGINT)
+         AS false_pos,
+       CAST(count_if(t.is_dup AND fl.npos > fl.nprior) AS BIGINT) AS missed,
+       CASE WHEN count_if(NOT t.is_dup) = 0 THEN 0
+            ELSE CAST(1000000 * count_if(fl.npos = fl.nprior AND NOT t.is_dup)
+                      // count_if(NOT t.is_dup) AS BIGINT) END AS fpr_ppm
+FROM base b
+JOIN flags fl ON fl.doc_id = b.doc_id
+JOIN truth t ON t.doc_id = b.doc_id
+GROUP BY b.source
+"""
+
+
+def _sbloom_drive(spark: SparkSession, sf_dir: str, n_chunks: int = 3) -> DataFrame:
+    """Drive the Bloom ingest over an ascending-doc_id file feed; return the
+    cumulative per-source verdict sheet (hash-equal to the global
+    first-setter relation whatever the slicing).
+
+    Scale shape: per batch the probe joins the BATCH's k position rows
+    against the persisted index — cost scales with the ingest; the index
+    itself can never exceed m_bits rows (the fixed-memory property that IS
+    the design), and maintenance appends only positions never seen before,
+    so total index writes over the stream's life are also bounded by
+    m_bits. The exact-truth key lake rides the same pattern for FP
+    accounting. Nothing ever re-hashes history."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_append,
+        snapshot_history,
+    )
+
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    # Size the filter once, up front (metadata-only count) — production
+    # fixes filter capacity before the crawl; the oracle derives the same
+    # m_bits from the corpus it replays.
+    m_bits = max(_SBLOOM_MULT * docs.count(), 1)
+    pos_expr = (
+        "CAST(conv(substr(md5(concat(CAST(j AS STRING), ':', tk)), 1, 12),"
+        f" 16, 10) AS BIGINT) % {m_bits}"
+    )
+
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = int(hi) - int(lo) + 1
+    step = max(1, (span + n_chunks - 1) // n_chunks)
+    src_dir = _tf.mkdtemp(prefix="sbloom_src_")
+    seq = 0
+    for i in range(n_chunks):
+        chunk = docs.filter(
+            (F.col("doc_id") >= int(lo) + i * step)
+            & (F.col("doc_id") < int(lo) + (i + 1) * step)
+        )
+        part_dir = _tf.mkdtemp(prefix=f"sbloom_part{i}_")
+        chunk.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        parts = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))
+        if not parts:
+            continue
+        dst = _os.path.join(src_dir, f"b{seq}.parquet")
+        _shutil.move(parts[0], dst)
+        # Strictly increasing mtimes pin the FileStreamSource batch order.
+        _os.utime(dst, (1_600_000_000 + seq, 1_600_000_000 + seq))
+        seq += 1
+
+    pos_lake = _tf.mkdtemp(prefix="sbloom_pos_")
+    tk_lake = _tf.mkdtemp(prefix="sbloom_tk_")
+    verdict_lake = _tf.mkdtemp(prefix="sbloom_verdicts_")
+
+    def _ingest(batch_df, batch_id: int) -> None:
+        tkdf = batch_df.select(
+            "doc_id", "source", F.md5("text").alias("tk")
+        ).localCheckpoint(eager=False)  # feeds positions, truth, verdicts
+        bpos = (
+            tkdf.select(
+                "doc_id",
+                "tk",
+                F.explode(F.expr(f"sequence(0, {_SBLOOM_K - 1})")).alias("j"),
+            )
+            .select("doc_id", F.expr(pos_expr).alias("pos"))
+            .localCheckpoint(eager=False)  # feeds probe AND maintenance
+        )
+        batch_first = bpos.groupBy("pos").agg(
+            F.min("doc_id").alias("batch_first")
+        )
+        tk_first = tkdf.groupBy("tk").agg(F.min("doc_id").alias("tk_first"))
+        if snapshot_history(spark, pos_lake):
+            hist = read_snapshot(spark, pos_lake).select("pos", "first_doc")
+            hist_tk = read_snapshot(spark, tk_lake).select(
+                "tk", F.lit(True).alias("seen")
+            )
+        else:  # bootstrap: empty filter, empty key set
+            hist = spark.createDataFrame([], "pos bigint, first_doc bigint")
+            hist_tk = spark.createDataFrame([], "tk string, seen boolean")
+        first = (
+            batch_first.join(hist, "pos", "left")
+            .select(
+                "pos",
+                F.least(F.col("first_doc"), F.col("batch_first")).alias("fd"),
+                F.col("first_doc").isNull().alias("is_new"),
+            )
+            .localCheckpoint(eager=False)  # feeds the flag join AND the commit
+        )
+        flags = (
+            bpos.join(first, "pos")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("npos"),
+                F.count_if(F.col("fd") < F.col("doc_id"))
+                .cast("long")
+                .alias("nprior"),
+            )
+        )
+        truth = (
+            tkdf.join(tk_first, "tk")
+            .join(hist_tk, "tk", "left")
+            .select(
+                "doc_id",
+                (
+                    F.coalesce("seen", F.lit(False))
+                    | (F.col("tk_first") < F.col("doc_id"))
+                ).alias("is_dup"),
+            )
+        )
+        verdicts = (
+            tkdf.select("doc_id", "source")
+            .join(flags, "doc_id")
+            .join(truth, "doc_id")
+            .select(
+                "doc_id",
+                "source",
+                (F.col("npos") == F.col("nprior")).alias("flagged"),
+                (F.col("npos") > F.col("nprior")).alias("has_unset"),
+                "is_dup",
+            )
+            .withColumn("p", F.lit("all"))
+        )
+        snapshot_append(spark, verdicts, verdict_lake, partition_col="p")
+        # Filter maintenance: only never-seen positions enter the index, so
+        # its row count (and lifetime write volume) is capped at m_bits.
+        new_pos = (
+            first.filter("is_new")
+            .select("pos", F.col("fd").alias("first_doc"))
+            .withColumn("p", F.lit("all"))
+        )
+        snapshot_append(spark, new_pos, pos_lake, partition_col="p")
+        new_tk = (
+            tk_first.join(hist_tk, "tk", "left_anti")
+            .select("tk")
+            .withColumn("p", F.lit("all"))
+        )
+        snapshot_append(spark, new_tk, tk_lake, partition_col="p")
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", _tf.mkdtemp(prefix="sbloom_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover - defensive against a hung source
+        q.stop()
+    if len(snapshot_history(spark, verdict_lake)) != seq:
+        raise RuntimeError(
+            f"ingest drive incomplete: expected {seq} verdict commits"
+        )
+    v = read_snapshot(spark, verdict_lake)
+    return v.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_if(F.col("is_dup")).cast("long").alias("true_dups"),
+        F.count_if(F.col("flagged")).cast("long").alias("flagged"),
+        F.count_if(F.col("flagged") & ~F.col("is_dup"))
+        .cast("long")
+        .alias("false_pos"),
+        F.count_if(F.col("is_dup") & F.col("has_unset"))
+        .cast("long")
+        .alias("missed"),
+        F.expr(
+            "CASE WHEN count_if(NOT is_dup) = 0 THEN 0"
+            " ELSE CAST(1000000 * count_if(flagged AND NOT is_dup)"
+            " div count_if(NOT is_dup) AS BIGINT) END"
+        ).alias("fpr_ppm"),
+    )
+
+
+@register(
+    "streaming_bloom_ingest",
+    oracle=_SBLOOM_SQL,
+    doc="Streaming Bloom-dedup ingest (Dolma's filter run as a continuous "
+    "crawl gate): each micro-batch probes the persisted fixed-size position "
+    "index, flags docs whose k bits were all first set by earlier docs "
+    "(first-setter semantics — batch-slicing-invariant), appends per-doc "
+    "verdicts plus only never-seen positions as lake commits; the "
+    "cumulative sheet value-hashes against the global first-setter SQL "
+    "with exact-match truth for FP accounting",
+    tags=("ext", "corpus", "dedup", "streaming", "lake"),
+)
+def streaming_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sbloom_drive(spark, sf_dir, n_chunks=3)

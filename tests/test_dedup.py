@@ -517,3 +517,34 @@ def test_contamination_span_stats_planted(spark, tmp_path):
             r.n_dirty_docs,
         ) == (docs, tokens, contam, span, covered, dirty), src
         assert r.contaminated_token_ppm == 1_000_000 * covered // tokens, src
+
+
+def test_streaming_bloom_ingest_slicing_invariance(spark, tmp_path):
+    """First-setter semantics make the Bloom ingest verdicts a pure
+    function of the corpus: driving the same planted corpus as 2 chunks
+    and as 3 chunks must produce identical sheets; the planted later exact
+    dup must be flagged AND counted as a true dup with missed = 0 (Bloom
+    filters have no false negatives, and the dup's setter precedes it in
+    the ascending feed even when both land in the same micro-batch)."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.corpus_queries import (
+        _sbloom_drive,
+    )
+
+    rows = [(i, "uniq", f"unique doc {i} " + "t " * (i % 9)) for i in range(1, 61)]
+    dup_text = rows[2][2]
+    rows.append((61, "dup", dup_text))  # exact copy of doc 3, arrives last
+    rows.append((62, "dup", dup_text))  # and a same-batch copy of doc 61
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, source string, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    two = {r.source: r.asDict() for r in _sbloom_drive(spark, sf, n_chunks=2).collect()}
+    three = {r.source: r.asDict() for r in _sbloom_drive(spark, sf, n_chunks=3).collect()}
+    assert two == three
+    assert two["dup"]["n_docs"] == 2
+    assert two["dup"]["true_dups"] == 2
+    assert two["dup"]["flagged"] == 2
+    assert two["dup"]["missed"] == 0
+    assert two["uniq"]["true_dups"] == 0
+    assert two["uniq"]["missed"] == 0
+    assert two["uniq"]["false_pos"] == two["uniq"]["flagged"]
