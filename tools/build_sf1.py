@@ -99,14 +99,27 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/scale_tier/sf1.0")
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument(
+        "--tables",
+        default="",
+        help="comma list to build a PARTIAL tier (e.g. 'documents,embeddings'"
+        " for corpus-query decades where in-memory TPC-H tiling would not"
+        " fit); default builds every table",
+    )
     args = ap.parse_args()
+    only = {t for t in args.tables.split(",") if t} or None
+    want = lambda t: only is None or t in only  # noqa: E731
 
     os.makedirs(args.out, exist_ok=True)
     for t in ("region", "nation"):
+        if not want(t):
+            continue
         shutil.copy(os.path.join(SRC_SF, f"{t}.parquet"), args.out)
         print(f"{t}: copied")
 
     for name in ("customer", "supplier", "part", "orders", "lineitem"):
+        if not want(name):
+            continue
         tbl = tile_table(name, args.mult)
         pq.write_table(tbl, os.path.join(args.out, f"{name}.parquet"))
         print(f"{name}: {tbl.num_rows} rows ({args.mult} shifted replicas)")
@@ -117,6 +130,12 @@ def main() -> None:
         ("events", gen_events, N_EVENTS),
         ("embeddings", gen_embeddings, N_VECS),
     ):
+        if not want(name):
+            # NOTE: skipping advances nothing — later tables in a partial
+            # build draw from an earlier rng stream position than in a full
+            # build. Same distribution family, different draw; fine for
+            # cross-tier exponent measurement, not for row-level diffing.
+            continue
         df = gen(base * args.mult, rng)
         pq.write_table(
             pa.Table.from_pandas(df, preserve_index=False),
