@@ -5548,7 +5548,11 @@ def _win_spark_fps_over_hs() -> str:
 # measured fill ratio, FPR, and the structural no-false-negative invariant.
 # ---------------------------------------------------------------------------
 #: (cfg_id, bits-per-key multiplier, hash count) — k ~= m/n * ln 2 rounded
-#: to the nearest odd, i.e. each config sits near its own optimal k.
+#: to the nearest odd, capped at _BLOOM_MAXK=7: the 4- and 8-bits-per-key
+#: configs sit near their optima (2.77, 5.55), while the 16-bits-per-key
+#: config runs below its ~11-hash optimum by design (7 hashes keep the
+#: per-doc probe cost flat; its measured FPR is scored against the SAME
+#: k=7 theory curve, so the audit stays apples-to-apples).
 _BLOOM_CFGS: tuple[tuple[int, int, int], ...] = ((1, 4, 3), (2, 8, 5), (3, 16, 7))
 _BLOOM_MAXK = 7
 
@@ -5637,10 +5641,16 @@ GROUP BY c.m_mult, c.k, c.m_bits, c.n_build, bits.bits_set
     tags=("ext", "corpus", "dedup"),
 )
 def bloom_dedup_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: the filter IS bounded state — `bpos` can never exceed
-    m_bits rows whatever the corpus does (that memory bound is the entire
-    reason Dolma dedups trillions of tokens against one), so it broadcasts
-    and the probe side is a narrow map + broadcast hash join; the per-doc
+    """Scale shape: the filter IS bounded state — `bpos` is capped at
+    m_bits rows (the memory bound is the entire reason Dolma dedups
+    trillions of tokens against one). Note the cap itself is
+    corpus-proportional here: this AUDIT sizes m_bits = m_mult * n_build
+    per config so every tier measures the same bits-per-key operating
+    points, which means the broadcast grows linearly with the corpus and a
+    production run at the top tiers would instead pre-size m_bits to a
+    fixed constant (Dolma's stance) and accept the FPR the fill ratio
+    implies. Given that sizing, bpos broadcasts and the probe side is a
+    narrow map + broadcast hash join; the per-doc
     all-k-present check partial-aggregates in place (the k position rows of
     a doc are born co-partitioned), leaving one exchange for the per-config
     rollup. Build-side distinct is the only corpus-sized shuffle and is
@@ -6033,6 +6043,12 @@ def _sbloom_drive(spark: SparkSession, sf_dir: str, n_chunks: int = 3) -> DataFr
     )
 
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:  # empty corpus: no chunks to feed, no verdicts to emit
+        return spark.createDataFrame(
+            [],
+            "source string, n_docs bigint, true_dups bigint, flagged bigint,"
+            " false_pos bigint, missed bigint, fpr_ppm bigint",
+        )
     span = int(hi) - int(lo) + 1
     step = max(1, (span + n_chunks - 1) // n_chunks)
     src_dir = _tf.mkdtemp(prefix="sbloom_src_")

@@ -60,61 +60,63 @@ PINNED: tuple[str, ...] = (
     "dedup_minhash_lsh",
 )
 
-#: Round-7 rotation — 40 never-driver-checked queries (first-ever rows):
-#: six streaming state-store twins (standing >=4-streaming quota), the
-#: full never-checked dedup/contamination family, the curation cascade +
-#: Gopher/DSIR/CCNet block (incl. the two queries that took round-6 ADVICE
-#: fixes this round: curation_pipeline_e2e oracle coalesce,
-#: simhash_blocking_recall derived sample mod), the ANN recall-audit
-#: family, multimodal, and breadth picks (relational skew / lake merge /
-#: corpus stats).
+#: Round-8 rotation — 40 never-driver-checked queries (first-ever rows):
+#: the 10 round-7 additions named in the handoff (incl. the two sf100
+#: redesign targets dedup_simhash_verified / streaming_curation_cascade,
+#: which land this round with the 128-bit / adaptive-banding fixes), 4
+#: more streaming twins (8 streaming total, quota >=4 met with margin),
+#: and breadth picks across the healthcheck-metrics, relational, ANN,
+#: corpus-stats, behavior, and lake families from COVERAGE.md's
+#: 171-query never-checked pool.
 ROTATION: tuple[str, ...] = (
-    # streaming twins (6)
-    "streaming_late_data_audit",  # watermark late/dropped-row audit
-    "streaming_lease_rebalance",  # KCL lease steal/rebalance state
-    "streaming_novelty_ingest",  # per-batch novel-ngram rate vs history
-    "streaming_dedup_index_ingest",  # incremental exact-dup index probe
-    "streaming_sprt_monitor",  # sequential probability-ratio monitor
-    "streaming_quality_gate",  # streaming Gopher quality gate
-    # dedup / contamination family (12)
-    "dedup_containment",  # asymmetric containment dedup
-    "dedup_exact_groups",  # exact-hash group detail
-    "dedup_method_agreement",  # MinHash vs SimHash vs exact agreement
-    "dedup_semantic",  # eps-cosine semantic dup pairs
-    "dedup_semantic_clusters",  # SemDeDup k-means cluster prune
-    "dedup_survivorship_audit",  # survivor-pick policy audit
-    "dedup_threshold_pr_curve",  # Jaccard threshold precision/recall
-    "lsh_s_curve_validation",  # banding S-curve vs measured candidates
-    "contamination_check",  # train/eval n-gram overlap
-    "eval_contamination_13gram",  # GPT-3/PaLM 13-gram decontamination
-    "winnowing_fingerprints",  # Schleimer 2003 winnowing/MOSS
-    "simhash_blocking_recall",  # band-pair blocking recall audit
-    # curation block (8)
-    "gopher_quality_rules",  # Rae 2021 A1.1 rule battery
-    "curation_pipeline_e2e",  # FineWeb-style 4-stage cascade
-    "dsir_importance_weights",  # Xie 2023 hashed-bigram DSIR
-    "ccnet_perplexity_buckets",  # Wenzek 2020 per-lang terciles
-    "boilerplate_line_scrub",  # repeated-line boilerplate removal
-    "pii_redaction_stats",  # PII pattern redaction accounting
-    "token_budget_waterfill",  # per-source token water-filling
-    "leakage_safe_split",  # cluster-aware train/test split
-    # ANN recall audits (5)
-    "ann_ivf_recall",  # IVF probe recall vs brute truth
-    "ann_ivfpq_recall",  # IVF-PQ/ADC recall
-    "ann_matryoshka_recall",  # prefix-dim recall curve
-    "ann_pq_adc_recall",  # PQ asymmetric-distance recall
-    "retrieval_ndcg_mrr",  # nDCG@k + MRR integer-discount eval
-    # multimodal (3)
-    "media_phash_dedup",  # pHash hamming near-dup images
-    "media_resize",  # stub-decoder resize plumbing
-    "media_audio_windows",  # audio frame windowing stats
-    # breadth (6)
-    "source_containment_matrix",  # bench query: cross-source containment
-    "heldout_unigram_perplexity",  # heldout LM perplexity
-    "collocation_pmi",  # PMI collocation mining
-    "zipf_law_fit",  # Zipf rank-frequency fit
-    "skew_salted_join",  # salted skew-join audit
-    "lake_merge_upsert",  # MERGE upsert semantics
+    # round-7 handoff candidates (10; 4 streaming)
+    "dedup_simhash_verified",  # centered-SimHash full-threshold + verify
+    "streaming_curation_cascade",  # per-batch FineWeb cascade vs history
+    "streaming_semantic_ingest",  # SemDeDup bootstrap-fit + batch assign
+    "semantic_blocking_recall",  # k-means cell blocking recall audit
+    "fuzzy_blocking_recall",  # Manku band blocking recall audit
+    "eval_decontamination_neardup",  # Llama-2/GPT-4 fuzzy decontam rule
+    "streaming_decontamination_gate",  # ingest-time eval-gram probe
+    "bloom_dedup_fpr_audit",  # Dolma fixed-memory Bloom FPR audit
+    "contamination_span_stats",  # GPT-3 appx-C span accounting
+    "streaming_bloom_ingest",  # first-setter Bloom crawl gate
+    # streaming extras (4)
+    "streaming_put_sink",  # streaming Kinesis put-sink roundtrip
+    "streaming_corpus_quality",  # per-batch corpus quality rollup
+    "streaming_trending_terms",  # windowed trending-term extraction
+    "streaming_hysteresis_alarm",  # two-threshold streaming alarm
+    # healthcheck / metrics (7)
+    "metric_gap_interpolation",  # gap fill over period grid
+    "composite_alarm",  # AND/OR alarm-rule composition
+    "slo_burn_rate_alarm",  # multi-window SLO burn rate
+    "hysteresis_alarm",  # two-threshold batch alarm
+    "ewma_control_chart",  # EWMA control limits
+    "kinesis_cost_units",  # shard-hour / PUT-payload cost model
+    "consumer_iterator_age",  # iterator-age percentile audit
+    # relational (5)
+    "revenue_cube",  # CUBE grouping
+    "revenue_grouping_sets",  # GROUPING SETS
+    "dq_violations",  # data-quality rule violations
+    "lineitem_corr_exact",  # exact Pearson corr via integer sums
+    "market_basket_rules",  # association rules support/confidence
+    # ANN / embedding (4)
+    "ann_lsh_recall",  # LSH-bucket recall vs brute truth
+    "ann_ivf_flat",  # IVF-Flat top-k search
+    "sketch_heavy_hitters",  # misra-gries style heavy hitters
+    "incremental_minhash_index",  # incremental band-index maintenance
+    # corpus / mining (4)
+    "vocab_stats",  # corpus vocabulary statistics
+    "heaps_law_fit",  # Heaps vocab-growth law fit
+    "rrf_fusion_search",  # reciprocal-rank-fusion retrieval
+    "filter_agreement_kappa",  # Cohen kappa between quality filters
+    # behavior (3)
+    "funnel_stages",  # ordered funnel stage conversion
+    "session_concurrency",  # interval-overlap concurrency
+    "kaplan_meier_survival",  # KM survival estimate
+    # lake (3)
+    "lake_bucketed_join",  # bucketed co-located join
+    "lake_time_travel_asof",  # snapshot as-of read
+    "cdc_apply_changelog",  # CDC changelog apply
 )
 
 _PRIORITY: tuple[str, ...] = PINNED + ROTATION

@@ -548,3 +548,22 @@ def test_streaming_bloom_ingest_slicing_invariance(spark, tmp_path):
     assert two["uniq"]["true_dups"] == 0
     assert two["uniq"]["missed"] == 0
     assert two["uniq"]["false_pos"] == two["uniq"]["flagged"]
+
+
+def test_streaming_bloom_ingest_empty_corpus(spark, tmp_path):
+    """An empty documents table short-circuits to an empty verdict sheet
+    with the production schema instead of raising int(None) on the doc_id
+    span (round-7 ADVICE)."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.corpus_queries import (
+        _sbloom_drive,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame([], "doc_id long, source string, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = _sbloom_drive(spark, sf, n_chunks=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "source", "n_docs", "true_dups", "flagged", "false_pos", "missed", "fpr_ppm",
+    ]
