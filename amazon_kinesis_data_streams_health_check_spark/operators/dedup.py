@@ -46,6 +46,20 @@ SIMHASH_BITS = 64
 SIMHASH_BANDS = 8
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 
+#: WIDE signature width for the fuzzy/verified dedup family (round-8, the
+#: sf100 third-decade fix): md5 yields exactly 128 independent bits, so the
+#: signature can widen to 128 with no extra hashing. Keeping the SAME 8-band
+#: structure widens each band 8 -> 16 bits: band-pair keys go 16 -> 32 bits
+#: (28 tables) and band-triple keys 24 -> 48 bits (56 tables) — Manku's
+#: key-width law satisfied through ~2^24 docs (b=2, 8 bits of headroom) and
+#: ~2^40 docs (b=3) where the 64-bit family's 24-bit keys saturated at 5M
+#: (measured: the sf100 tier run crashed on chance collisions ~56*n^2/2^24).
+#: The pigeonhole guarantee is per-BAND, so the lossless Hamming gates are
+#: unchanged (<= 8 - b); a fixed gate over twice the bits is an angularly
+#: tighter blocking threshold — an explicit recall/cost trade measured on
+#: data by fuzzy_blocking_recall, never assumed.
+SIMHASH_WIDE_BITS = 128
+
 #: With composite 2-of-B band keys, any pair within Hamming distance B-2
 #: leaves at least two bands untouched (pigeonhole) — their pair key is an
 #: exact candidate match, so banding is lossless at this threshold.
@@ -221,8 +235,14 @@ def verified_jaccard(pairs: DataFrame, shingled: DataFrame, id_col: str = "doc_i
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-doc 64-bit SimHash as a '0'/'1' string.
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Per-doc ``bits``-bit SimHash as a '0'/'1' string (64 or 128; md5 has
+    exactly 128 bits to give).
 
     Bit i's vote is bit (i % 4) of md5(token)'s hex digit (i // 4), summed
     +1/-1 over tokens WITH multiplicity (explode -> groupBy: one shuffle on
@@ -240,22 +260,25 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
                 1,
             ).otherwise(-1)
         ).alias(f"v_{i}")
-        for i in range(SIMHASH_BITS)
+        for i in range(bits)
     ]
     agg = toks.groupBy(id_col).agg(*votes)
     sig = F.concat(
         *[
             F.when(F.col(f"v_{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(SIMHASH_BITS)
+            for i in range(bits)
         ]
     )
     return agg.select(F.col(id_col), sig.alias("sig"))
 
 
 def simhash_signatures_centered(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """Per-doc 64-bit CENTERED SimHash (round-7 sf10 tier fix): the raw
+    """Per-doc ``bits``-bit CENTERED SimHash (round-7 sf10 tier fix): the raw
     majority-vote signature has corpus-level bit bias on low-entropy /
     boilerplate-heavy corpora (measured on the driver corpus: only 13/64
     bits balanced, ~40 bits effective entropy — band buckets saturate
@@ -288,7 +311,7 @@ def simhash_signatures_centered(
                 1,
             ).otherwise(-1)
         )
-        for i in range(SIMHASH_BITS)
+        for i in range(bits)
     ]
     raw = toks.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("nt"),
@@ -305,7 +328,7 @@ def simhash_signatures_centered(
                 F.col("f0") * F.col(f"r_{i}") - F.col("nt") * F.col(f"s_{i}") > 0,
                 F.lit("1"),
             ).otherwise(F.lit("0"))
-            for i in range(SIMHASH_BITS)
+            for i in range(bits)
         ]
     )
     return cv.select(F.col(id_col), sig.alias("sig"))
@@ -317,22 +340,25 @@ def simhash_near_pairs(
     max_hamming: int = SIMHASH_MAX_HAMMING,
     salt: int = BAND_SALT,
     bands_per_key: int = 2,
+    sig_bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Band-COMBO join (Manku et al. 2007) then exact Hamming filter.
 
     Each doc emits C(8, b) composite keys — one per unordered b-subset of
-    the 8 eight-bit bands (b = ``bands_per_key``). Any pair within Hamming
-    distance ``SIMHASH_BANDS - b`` flips bits in at most 8 - b bands,
-    leaving >= b bands equal, so the composite key of SOME b-subset
-    matches exactly (pigeonhole) — banding is lossless up to that
-    threshold, enforced below. The key-width/corpus-size law (the r06/r07
-    tier lesson, and Manku's own design rule): composite keys must stay
-    comfortably wider than log2(n) or every bucket saturates and the
-    self-join goes quadratic — b = 2 (16-bit keys, 28 tables) held to
-    ~5*10^4 docs but measured exponent 1.26 at 5*10^5; b = 3 (24-bit
-    keys, 56 tables) buys another ~256x of headroom at a gate of <= 5.
-    Residual hot keys (empty docs, boilerplate) are handled by the salted
-    join either way.
+    the 8 bands of ``sig_bits / 8`` bits (b = ``bands_per_key``). Any pair
+    within Hamming distance ``SIMHASH_BANDS - b`` flips bits in at most
+    8 - b bands, leaving >= b bands equal, so the composite key of SOME
+    b-subset matches exactly (pigeonhole) — banding is lossless up to that
+    threshold, enforced below. The key-width/corpus-size law (the
+    r06/r07/r08 tier lesson, and Manku's own design rule): composite keys
+    must stay comfortably wider than log2(n) or every bucket saturates and
+    the self-join goes quadratic — on 64-bit sigs, b = 2 (16-bit keys, 28
+    tables) held to ~5*10^4 docs but measured exponent 1.26 at 5*10^5, and
+    b = 3 (24-bit keys) saturated a decade later at 5*10^6; the 128-bit
+    wide signature (``sig_bits = SIMHASH_WIDE_BITS``) doubles every key
+    width at the SAME table counts (b=2 -> 32-bit keys to ~2^24 docs,
+    b=3 -> 48-bit keys to ~2^40). Residual hot keys (empty docs,
+    boilerplate) are handled by the salted join either way.
     """
     from itertools import combinations
 
@@ -341,24 +367,31 @@ def simhash_near_pairs(
             f"banding with {bands_per_key} bands/key is only lossless to "
             f"Hamming {SIMHASH_BANDS - bands_per_key}, gate is {max_hamming}"
         )
-    # Carry the signature as two 32-bit integers through the join: the
-    # exact Hamming verify is then two XOR + popcounts per candidate pair
-    # instead of 64 per-character string compares — the verify runs over
+    # Carry the signature as 32-bit integer words through the join: the
+    # exact Hamming verify is then sig_bits/32 XOR + popcounts per candidate
+    # pair instead of per-character string compares — the verify runs over
     # O(pairs) rows (millions at scale), so constant factors dominate.
     # (A single 64-bit conv() would overflow BIGINT for sigs with the top
     # bit set — conv returns a STRING holding the unsigned value.)
+    band_bits = sig_bits // SIMHASH_BANDS
+    n_words = sig_bits // 32
+    word_cols = tuple(f"sig_w{w}" for w in range(n_words))
     combos = list(combinations(range(SIMHASH_BANDS), bands_per_key))
     bands = sigs.select(
         F.col(id_col),
-        F.expr("cast(conv(substr(sig, 1, 32), 2, 10) as bigint)").alias("sig_hi"),
-        F.expr("cast(conv(substr(sig, 33, 32), 2, 10) as bigint)").alias("sig_lo"),
+        *[
+            F.expr(f"cast(conv(substr(sig, {w * 32 + 1}, 32), 2, 10) as bigint)").alias(
+                f"sig_w{w}"
+            )
+            for w in range(n_words)
+        ],
         F.posexplode(
             F.array(
                 *[
                     F.expr(
                         "concat("
                         + ", ".join(
-                            f"substr(sig, {i * SIMHASH_BAND_BITS + 1}, {SIMHASH_BAND_BITS})"
+                            f"substr(sig, {i * band_bits + 1}, {band_bits})"
                             for i in combo
                         )
                         + ")"
@@ -368,17 +401,109 @@ def simhash_near_pairs(
             )
         ).alias("band_idx", "band_key"),
     )
-    pairs = _salted_band_self_join(
-        bands, id_col, extra_cols=("sig_hi", "sig_lo"), salt=salt
+    pairs = _salted_band_self_join(bands, id_col, extra_cols=word_cols, salt=salt)
+    hamming = sum(
+        (F.expr(f"bit_count(sig_w{w}_a ^ sig_w{w}_b)") for w in range(1, n_words)),
+        F.expr("bit_count(sig_w0_a ^ sig_w0_b)"),
     )
     return (
-        pairs.withColumn(
-            "hamming",
-            (
-                F.expr("bit_count(sig_hi_a ^ sig_hi_b)")
-                + F.expr("bit_count(sig_lo_a ^ sig_lo_b)")
-            ).cast("long"),
+        pairs.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+#: Half-split wide banding (round-8, the sf100 fix for the fuzzy family).
+#: The 128-bit signature is 16 bands of 8 bits in two halves of 8 bands.
+#: Keys are 4-band combos WITHIN a half: C(8,4) * 2 = 140 tables of 32-bit
+#: keys. Losslessness: h <= 9 dirty bits dirty at most 9 bands; split
+#: across two halves, one half has <= 4 dirty bands (pigeonhole), so >= 4
+#: of its 8 bands are clean and some 4-combo key matches exactly.
+#: Generally: keys of k bands per half are lossless to 2*(8-k)+1.
+#:
+#: Why this shape and not plain C(8, b) combos over 8 wide bands: the gate
+#: must SCALE with signature width to keep the same angular threshold
+#: (measured on the driver corpus: true prefix-edit near-dup pairs sit at
+#: 128-bit Hamming ~2x their 64-bit Hamming; a fixed <= 5 gate on 128 bits
+#: drops blocking recall from 92% to 28%). Gate <= 9 on 128 bits ~= the
+#: r07 production <= 5 on 64 bits (measured 80% vs 92% on the same truth
+#: sample — the remaining loss is the high-mutation frontier that
+#: fuzzy_blocking_recall keeps measured). Direct combos at gate 9 need
+#: b <= 16 - 9 = 7 single-8-bit-band... any b-of-16 with b >= 4 costs
+#: C(16, b) >= 1820 tables; the half-split covering gets 32-bit keys at
+#: 140. An adversarial hitting-set bound shows ~(4/3)^9 ~= 13 tables is
+#: the floor for 32-bit keys at this gate, so 140 structured tables is the
+#: practical optimum an oracle-expressible design reaches.
+SIMHASH_WIDE_BANDS = 16
+SIMHASH_WIDE_BAND_BITS = SIMHASH_WIDE_BITS // SIMHASH_WIDE_BANDS
+SIMHASH_WIDE_KEY_BANDS = 4
+SIMHASH_WIDE_MAX_HAMMING = 2 * (SIMHASH_WIDE_BANDS // 2 - SIMHASH_WIDE_KEY_BANDS) + 1
+
+
+def wide_band_combos() -> list[tuple[int, ...]]:
+    """The 140 half-split band combos as absolute band indices (0..15):
+    every 4-subset of bands 0..7, then every 4-subset of bands 8..15."""
+    from itertools import combinations
+
+    half = SIMHASH_WIDE_BANDS // 2
+    return [
+        tuple(h * half + i for i in combo)
+        for h in range(2)
+        for combo in combinations(range(half), SIMHASH_WIDE_KEY_BANDS)
+    ]
+
+
+def simhash_wide_near_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = SIMHASH_WIDE_MAX_HAMMING,
+    salt: int = BAND_SALT,
+) -> DataFrame:
+    """Half-split banded self-join over 128-bit signatures, then exact
+    Hamming filter — see the SIMHASH_WIDE_* block comment for the design.
+
+    Scale shape: 140 keys/doc explode (narrow, codegen'd), salted band
+    self-join on 32-bit uniformly-distributed keys (chance-collision mass
+    ~140 * n^2 / 2^33 — single-digit thousands at 5M docs where the
+    64-bit family's 24-bit keys generated ~8*10^7), XOR+popcount Hamming
+    verify on candidates only.
+    """
+    if max_hamming > SIMHASH_WIDE_MAX_HAMMING:
+        raise ValueError(
+            f"half-split wide banding is only lossless to Hamming "
+            f"{SIMHASH_WIDE_MAX_HAMMING}, gate is {max_hamming}"
         )
+    bb = SIMHASH_WIDE_BAND_BITS
+    n_words = SIMHASH_WIDE_BITS // 32
+    word_cols = tuple(f"sig_w{w}" for w in range(n_words))
+    bands = sigs.select(
+        F.col(id_col),
+        *[
+            F.expr(f"cast(conv(substr(sig, {w * 32 + 1}, 32), 2, 10) as bigint)").alias(
+                f"sig_w{w}"
+            )
+            for w in range(n_words)
+        ],
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        "concat("
+                        + ", ".join(f"substr(sig, {i * bb + 1}, {bb})" for i in combo)
+                        + ")"
+                    )
+                    for combo in wide_band_combos()
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    pairs = _salted_band_self_join(bands, id_col, extra_cols=word_cols, salt=salt)
+    hamming = sum(
+        (F.expr(f"bit_count(sig_w{w}_a ^ sig_w{w}_b)") for w in range(1, n_words)),
+        F.expr("bit_count(sig_w0_a ^ sig_w0_b)"),
+    )
+    return (
+        pairs.withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

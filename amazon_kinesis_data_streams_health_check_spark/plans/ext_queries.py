@@ -209,6 +209,11 @@ from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (  # 
     SIMHASH_BAND_BITS,
     SIMHASH_MAX_HAMMING,
     SIMHASH_REPORT_HAMMING,
+    SIMHASH_WIDE_BITS,
+    SIMHASH_WIDE_BAND_BITS,
+    SIMHASH_WIDE_MAX_HAMMING,
+    simhash_wide_near_pairs,
+    wide_band_combos,
     _salted_band_self_join,
     jaccard_allpairs_pairs,
 )
@@ -326,7 +331,35 @@ def _simhash_bands_union(bands_per_key: int) -> str:
 _SIMHASH_BANDS_UNION = _simhash_bands_union(2)
 
 
-def _duck_centered_sig_ctes(source: str = "documents") -> str:
+def _simhash_wide_bands_union() -> str:
+    """DuckDB twin of simhash_wide_near_pairs' half-split 140-key explode —
+    one UNION ALL leg per 4-band combo within each 8-band half (see the
+    SIMHASH_WIDE_* design comment in operators/dedup.py)."""
+    bb = SIMHASH_WIDE_BAND_BITS
+    return "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, sig, {idx} AS band_idx, "
+        + " || ".join(f"substr(sig, {i * bb + 1}, {bb})" for i in combo)
+        + " AS band_key FROM sigs"
+        for idx, combo in enumerate(wide_band_combos())
+    )
+
+
+def _simhash_hamming(bits: int) -> str:
+    """Per-character Hamming distance between x.sig and y.sig in DuckDB.
+    Terms are grouped into parenthesized chunks of 32: a flat 128-term
+    ``+`` chain binds left-recursively and exceeds DuckDB's 128-deep
+    binder recursion limit."""
+    terms = [
+        f"(CASE WHEN substr(x.sig, {i + 1}, 1) <> substr(y.sig, {i + 1}, 1) THEN 1 ELSE 0 END)"
+        for i in range(bits)
+    ]
+    chunks = [
+        "(" + " + ".join(terms[i : i + 32]) + ")" for i in range(0, bits, 32)
+    ]
+    return " + ".join(chunks)
+
+
+def _duck_centered_sig_ctes(source: str = "documents", bits: int = SIMHASH_BITS) -> str:
     """DuckDB twin of operators.dedup.simhash_signatures_centered: the
     toks/raw/dr/cv/sigs CTE block ending in sigs(doc_id, sig). All-integer
     centering v'_i = F * v_i - n_tokens * S_i (see the operator docstring
@@ -335,14 +368,16 @@ def _duck_centered_sig_ctes(source: str = "documents") -> str:
         "(CASE WHEN ((instr('0123456789abcdef', substr(md5(tok), "
         f"{i // 4 + 1}, 1)) - 1) // {1 << (i % 4)}) % 2 = 1 THEN 1 ELSE -1 END)"
     )
-    votes = ",\n         ".join(f"sum({s_tok(i)}) AS r_{i}" for i in range(SIMHASH_BITS))
-    drift = ",\n         ".join(f"sum({s_tok(i)}) AS s_{i}" for i in range(SIMHASH_BITS))
+    votes = ",\n         ".join(f"sum({s_tok(i)}) AS r_{i}" for i in range(bits))
+    drift = ",\n         ".join(f"sum({s_tok(i)}) AS s_{i}" for i in range(bits))
     cvote = ",\n         ".join(
-        f"d.f0 * v.r_{i} - v.nt * d.s_{i} AS v_{i}" for i in range(SIMHASH_BITS)
+        f"d.f0 * v.r_{i} - v.nt * d.s_{i} AS v_{i}" for i in range(bits)
     )
-    sig = " || ".join(
-        f"(CASE WHEN v_{i} > 0 THEN '1' ELSE '0' END)" for i in range(SIMHASH_BITS)
-    )
+    # Variadic concat(): a ||-chain of 128 CASE terms binds left-recursively
+    # and exceeds DuckDB's 128-deep binder recursion limit.
+    sig = "concat(" + ", ".join(
+        f"(CASE WHEN v_{i} > 0 THEN '1' ELSE '0' END)" for i in range(bits)
+    ) + ")"
     return f"""toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
   FROM {source}
@@ -430,25 +465,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash at the FULL pigeonhole-lossless threshold (<= 6) with an exact
-# verify stage. dedup_simhash reports at the production <= 3 threshold
-# because on dense corpora the raw <= 6 pair set itself grows
-# ~quadratically (round-6 tier: output exponent 2.8 — bit-agreement by
-# chance, not duplication). The fix is the dedup_fuzzy_edit pattern: keep
-# candidate generation at <= 6 (lossless by 2-of-8 band pigeonhole), then
-# keep only pairs whose word-3-gram sets pass integer Jaccard dominance
-# 2*|I| >= |U| (J >= 1/2). Chance bit-agreement has near-zero shingle
-# overlap, so REPORTED pairs track true duplication (~linear); the verify
-# join runs over candidates only, never all-pairs.
+# SimHash at the FULL pigeonhole-lossless threshold with an exact verify
+# stage. dedup_simhash reports at the production <= 3 threshold because on
+# dense corpora the raw loose-gate pair set itself grows ~quadratically
+# (round-6 tier: output exponent 2.8 — bit-agreement by chance, not
+# duplication). The fix is the dedup_fuzzy_edit pattern: generate
+# candidates at the full lossless gate, then keep only pairs whose
+# word-3-gram sets pass integer Jaccard dominance 2*|I| >= |U| (J >= 1/2).
+# Chance bit-agreement has near-zero shingle overlap, so REPORTED pairs
+# track true duplication (~linear); the verify join runs over candidates
+# only, never all-pairs.
+#
+# Round-8: signatures widened 64 -> 128 bits with half-split 4-of-8-band
+# keys (32-bit keys, 140 tables, lossless to Hamming <= 9) — the 64-bit
+# config's 16-bit band-pair keys saturated at the sf100 tier (chance
+# collisions ~28 * n^2 / 2^16 GC-thrashed the verify at 5M docs). Gate
+# <= 9 on 128 bits ~= the old <= 6 on 64 angularly, so reported semantics
+# track the same near-dup operating point on twice the bits.
 # ---------------------------------------------------------------------------
 _SIMHASH_VERIFIED_SQL = f"""
-WITH {_duck_centered_sig_ctes()},
+WITH {_duck_centered_sig_ctes(bits=SIMHASH_WIDE_BITS)},
 bands AS (
-  {_SIMHASH_BANDS_UNION}
+  {_simhash_wide_bands_union()}
 ),
 pairs AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         CAST({_SIMHASH_HAMMING} AS BIGINT) AS hamming
+         CAST({_simhash_hamming(SIMHASH_WIDE_BITS)} AS BIGINT) AS hamming
   FROM bands x
   JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
               AND x.doc_id < y.doc_id
@@ -462,7 +504,7 @@ SELECT p.doc_a, p.doc_b, p.hamming,
 FROM pairs p
 JOIN tok ta ON ta.doc_id = p.doc_a
 JOIN tok tb ON tb.doc_id = p.doc_b
-WHERE p.hamming <= {SIMHASH_MAX_HAMMING}
+WHERE p.hamming <= {SIMHASH_WIDE_MAX_HAMMING}
   AND 2 * len(list_intersect(ta.sh, tb.sh)) >= len(list_distinct(ta.sh || tb.sh))
 """
 
@@ -470,26 +512,27 @@ WHERE p.hamming <= {SIMHASH_MAX_HAMMING}
 @register(
     "dedup_simhash_verified",
     oracle=_SIMHASH_VERIFIED_SQL,
-    doc=f"E1: CENTERED-SimHash near-dup pairs at the FULL lossless Hamming <= "
-    f"{SIMHASH_MAX_HAMMING} band-pair threshold, verified by exact "
-    "word-3-gram Jaccard dominance (2|I| >= |U|) so reported pairs stay "
-    "~linear on dense corpora (closes the r06 dedup_simhash output-growth "
-    "caveat; verify runs on candidates only, never all-pairs)",
+    doc=f"E1: CENTERED wide-SimHash ({SIMHASH_WIDE_BITS}-bit) near-dup pairs "
+    f"at the FULL lossless Hamming <= {SIMHASH_WIDE_MAX_HAMMING} half-split "
+    "band threshold, verified by exact word-3-gram Jaccard dominance "
+    "(2|I| >= |U|) so reported pairs stay ~linear on dense corpora (closes "
+    "the r06 dedup_simhash output-growth caveat; verify runs on candidates "
+    "only, never all-pairs)",
     tags=("ext", "dedup"),
 )
 def dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: salted band-pair self-join generates O(near-dup)
-    candidates; the shingle-set verify is a hash join of the candidate
+    """Scale shape: salted half-split band self-join generates O(near-dup)
+    candidates (32-bit keys: chance-collision mass ~140 * n^2 / 2^33 stays
+    negligible through ~10^8 docs where the r07 16-bit band-pair keys
+    exploded at 5M); the shingle-set verify is a hash join of the candidate
     list against the shingled corpus (two shuffles on doc id, both
     candidate-bounded); integer ppm output keeps the hash oracle-exact.
-    Signatures are CENTERED (round-7): the raw-sig full-threshold config
-    hit the biased-bit band saturation at 500k docs (the measurement
-    itself crashed the sf10 tier run) — centering keeps the identical
-    2-of-8 pigeonhole guarantee on uniform keys."""
+    Signatures are CENTERED (round-7): raw-sig bits are corpus-biased on
+    boilerplate-heavy corpora and saturate band buckets at any key width."""
     configure_session(spark)
     docs = parallel_scan(spark, sf_dir, "documents")
-    sigs = simhash_signatures_centered(docs)
-    cand = simhash_near_pairs(sigs, max_hamming=SIMHASH_MAX_HAMMING)
+    sigs = simhash_signatures_centered(docs, bits=SIMHASH_WIDE_BITS)
+    cand = simhash_wide_near_pairs(sigs, max_hamming=SIMHASH_WIDE_MAX_HAMMING)
     shingled = with_shingles(docs).select("doc_id", "sh")
     a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -2156,48 +2199,31 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _FUZZY_PREFIX = 80
 _FUZZY_MAX_EDITS = 20
-#: Blocking config (round-7 sf1->sf10 tier lesson, two defects deep):
-#: (1) the b=2 16-bit composite keys that fixed the r05 saturation
-#: saturate again a decade later (500k docs: runtime exponent 1.26 while
-#: output stayed ~linear) — band TRIPLES give 24-bit keys (C(8,3) = 56
-#: tables), lossless to Hamming <= 5 by 3-of-8 pigeonhole; (2) wider keys
-#: alone did NOT fix it (still 1.34) because the RAW signature bits are
-#: corpus-biased (13/64 balanced on this vocab) and band buckets saturate
-#: broadly at ANY key width — fixed by the CENTERED signature
-#: (simhash_signatures_centered: 64/64 balanced, candidate mass down 570x
-#: at sf1.0). Recall vs the all-pairs edit truth is pinned ON DATA by
-#: fuzzy_blocking_recall below.
-_FUZZY_BLOCK_B = 3
-_FUZZY_BLOCK_HAMMING = SIMHASH_BANDS - _FUZZY_BLOCK_B
-#: Adaptive banding width: b = 2 (28 tables) and b = 3 (56 tables) are BOTH
-#: lossless at the fixed Hamming <= 5 gate (2-of-8 and 3-of-8 pigeonhole;
-#: equality pinned by test_band_triples_lossless_to_hamming_5), so the
-#: REPORTED pair set is bit-identical either way and the choice is purely a
-#: cost knob. Manku's key-width law picks it: b = 2's 16-bit keyspace
-#: (65,536) saturates once expected bucket occupancy n / 2^16 passes ~1, so
-#: small corpora (sf <= ~0.1, n <= 65k) take the 28-table plan and larger
-#: tiers pay for the 24-bit keys that keep the self-join linear.
-_FUZZY_B2_MAX_DOCS = 1 << 16
-#: Corpus-count memo (sf_dir -> n_docs): the banding choice needs one
-#: metadata-only count per corpus, not one per query build (bench samples
-#: each query twice; the tier harness more).
-_FUZZY_NDOCS_CACHE: dict[str, int] = {}
-
-
-def _fuzzy_bands_for(n_docs: int) -> int:
-    return 2 if n_docs <= _FUZZY_B2_MAX_DOCS else _FUZZY_BLOCK_B
+#: Blocking config, round-8 (third redesign, each forced by a measured
+#: tier defect — the full history lives on simhash_wide_near_pairs'
+#: design comment in operators/dedup.py): 128-bit CENTERED signatures,
+#: half-split 4-of-8-band keys (140 tables, 32-bit keys), gate at the
+#: full lossless Hamming <= 9 — angularly ~= the r07 production <= 5 on
+#: 64 bits (measured truth-pair recall 80% vs 92% on the same sample; the
+#: r07 24-bit triple keys saturated at the 5M-doc sf100 tier). One fixed
+#: config at every corpus size: the 32-bit keyspace holds to ~10^8 docs,
+#: so the r07 corpus-size-adaptive band-width knob (which traded table
+#: count against key width on the narrow 64-bit signature) has nothing
+#: left to adapt. Recall vs the all-pairs edit truth stays pinned ON DATA
+#: by fuzzy_blocking_recall below.
+_FUZZY_BLOCK_HAMMING = SIMHASH_WIDE_MAX_HAMMING
 
 _FUZZY_EDIT_SQL = f"""
-WITH {_duck_centered_sig_ctes()},
+WITH {_duck_centered_sig_ctes(bits=SIMHASH_WIDE_BITS)},
 bands AS (
-  {_simhash_bands_union(_FUZZY_BLOCK_B)}
+  {_simhash_wide_bands_union()}
 ),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM bands x
   JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
               AND x.doc_id < y.doc_id
-  WHERE {_SIMHASH_HAMMING} <= {_FUZZY_BLOCK_HAMMING}
+  WHERE {_simhash_hamming(SIMHASH_WIDE_BITS)} <= {_FUZZY_BLOCK_HAMMING}
 ),
 pfx AS (
   SELECT doc_id, substr(text, 1, {_FUZZY_PREFIX}) AS p FROM documents
@@ -2215,37 +2241,32 @@ WHERE abs(length(pa.p) - length(pb.p)) <= {_FUZZY_MAX_EDITS}
 @register(
     "dedup_fuzzy_edit",
     oracle=_FUZZY_EDIT_SQL,
-    doc=f"E1: character-level fuzzy near-dup — CENTERED-SimHash band blocking "
-    f"(corpus-size-adaptive b=2/3, both lossless to Hamming <= {_FUZZY_BLOCK_HAMMING}; "
-    "centering de-biases signature bits on boilerplate-heavy corpora), "
+    doc=f"E1: character-level fuzzy near-dup — CENTERED {SIMHASH_WIDE_BITS}-bit "
+    f"SimHash half-split band blocking (32-bit keys, lossless to Hamming <= "
+    f"{_FUZZY_BLOCK_HAMMING}; centering de-biases signature bits on "
+    "boilerplate-heavy corpora), "
     f"exact Levenshtein verify on the {_FUZZY_PREFIX}-char prefix, keep "
     f"pairs within {_FUZZY_MAX_EDITS} edits; blocking recall pinned on "
     "data by fuzzy_blocking_recall",
     tags=("ext", "dedup", "bench"),
 )
 def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: candidates come from the salted SimHash band self-join
-    (never all-pairs); the O(prefix^2) Levenshtein DP runs only on candidate
-    pairs and only over a fixed-width prefix, so verify cost is bounded per
-    pair regardless of document length. Prefixes ride the candidate pair
-    via two doc_id-keyed joins — full text never enters the band shuffle."""
+    """Scale shape: candidates come from the salted half-split wide-band
+    self-join (never all-pairs); the O(prefix^2) Levenshtein DP runs only
+    on candidate pairs and only over a fixed-width prefix, so verify cost
+    is bounded per pair regardless of document length. Prefixes ride the
+    candidate pair via two doc_id-keyed joins — full text never enters the
+    band shuffle."""
     configure_session(spark)
     docs = parallel_scan(spark, sf_dir, "documents")
     # Candidates = SimHash-near pairs (the cheap XOR+popcount Hamming gate
     # culls the band collisions BEFORE any quadratic string work); verify =
     # exact Levenshtein, guarded by the |len_a - len_b| <= d lower bound so
     # the DP only runs where it could possibly pass.
-    sigs = simhash_signatures_centered(docs)
-    # Metadata-only parquet count (memoized per corpus): picks the cheapest
-    # LOSSLESS banding for this size (output-invariant — see _fuzzy_bands_for).
-    n_docs = _FUZZY_NDOCS_CACHE.get(sf_dir)
-    if n_docs is None:
-        n_docs = _FUZZY_NDOCS_CACHE.setdefault(sf_dir, docs.count())
-    cand = simhash_near_pairs(
-        sigs,
-        max_hamming=_FUZZY_BLOCK_HAMMING,
-        bands_per_key=_fuzzy_bands_for(n_docs),
-    ).select("doc_a", "doc_b")
+    sigs = simhash_signatures_centered(docs, bits=SIMHASH_WIDE_BITS)
+    cand = simhash_wide_near_pairs(sigs, max_hamming=_FUZZY_BLOCK_HAMMING).select(
+        "doc_a", "doc_b"
+    )
     pfx = docs.select("doc_id", F.substring("text", 1, _FUZZY_PREFIX).alias("p"))
     pa = pfx.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"))
     pb = pfx.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"))
@@ -2283,9 +2304,9 @@ samp AS MATERIALIZED (
   SELECT * FROM documents
   WHERE {duck_hash_uniform('doc_id')} % (SELECT m FROM smod) = 0
 ),
-{_duck_centered_sig_ctes("samp")},
+{_duck_centered_sig_ctes("samp", bits=SIMHASH_WIDE_BITS)},
 bands AS (
-  {_simhash_bands_union(_FUZZY_BLOCK_B)}
+  {_simhash_wide_bands_union()}
 ),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -2307,14 +2328,14 @@ SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
             ELSE 1000000 * count(*) // (SELECT count(*) FROM truth)
             END AS BIGINT) AS recall_ppm
 FROM truth t JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
-""".format(hamming=_SIMHASH_HAMMING)
+""".format(hamming=_simhash_hamming(SIMHASH_WIDE_BITS))
 
 
 @register(
     "fuzzy_blocking_recall",
     oracle=_FBR_SQL,
-    doc="Blocking-recall audit for dedup_fuzzy_edit's centered-SimHash "
-    "band-triple gate: exact all-pairs prefix-Levenshtein truth on a "
+    doc="Blocking-recall audit for dedup_fuzzy_edit's centered wide-SimHash "
+    "half-split band gate: exact all-pairs prefix-Levenshtein truth on a "
     "corpus-size-derived md5 sample vs the production blocking on the "
     "same sample — n_true / n_found / recall_ppm as hash-checked data "
     "(the Manku-style gate is an explicit recall/cost trade; this keeps "
@@ -2324,8 +2345,8 @@ FROM truth t JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
 def fuzzy_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: the all-pairs truth leg runs ONLY on the bounded md5
     sample (broadcast self-join, ~target^2/2 banded-Levenshtein pairs at
-    any tier); the blocking leg is the production centered-sig band-triple
-    join on the same sample. Centering drift is computed over the sample
+    any tier); the blocking leg is the production centered wide-sig
+    half-split band join on the same sample. Centering drift is computed over the sample
     as its own corpus — identically in both engines."""
     from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
         hash_uniform,
@@ -2347,10 +2368,9 @@ def fuzzy_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("sample_mod")
         .localCheckpoint(eager=False)  # feeds sigs, prefixes, and truth
     )
-    cand = simhash_near_pairs(
-        simhash_signatures_centered(samp),
+    cand = simhash_wide_near_pairs(
+        simhash_signatures_centered(samp, bits=SIMHASH_WIDE_BITS),
         max_hamming=_FUZZY_BLOCK_HAMMING,
-        bands_per_key=_FUZZY_BLOCK_B,
     ).select("doc_a", "doc_b")
     pfx = samp.select("doc_id", F.substring("text", 1, _FUZZY_PREFIX).alias("p"))
     a = pfx.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"))

@@ -375,17 +375,75 @@ def test_streaming_decontamination_gate_planted(spark, tmp_path):
     assert got["short"] == (1, 0, 0)
 
 
-def test_fuzzy_adaptive_banding_threshold():
-    """The banding width flips from 28 to 56 tables exactly where b=2's
-    16-bit keyspace reaches expected occupancy 1 (Manku's key-width law)."""
-    from amazon_kinesis_data_streams_health_check_spark.plans.ext_queries import (
-        _FUZZY_B2_MAX_DOCS,
-        _fuzzy_bands_for,
+def test_wide_band_combo_structure():
+    """The half-split covering design's structural invariants: 140 combos
+    (C(8,4) per half), every combo confined to one half, 32-bit keys, and
+    the pigeonhole gate 2*(8-4)+1 = 9."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (
+        SIMHASH_WIDE_BAND_BITS,
+        SIMHASH_WIDE_BITS,
+        SIMHASH_WIDE_KEY_BANDS,
+        SIMHASH_WIDE_MAX_HAMMING,
+        wide_band_combos,
     )
 
-    assert _FUZZY_B2_MAX_DOCS == 1 << 16
-    assert _fuzzy_bands_for(_FUZZY_B2_MAX_DOCS) == 2
-    assert _fuzzy_bands_for(_FUZZY_B2_MAX_DOCS + 1) == 3
+    combos = wide_band_combos()
+    assert len(combos) == 140 and len(set(combos)) == 140
+    assert SIMHASH_WIDE_BITS == 128 and SIMHASH_WIDE_BAND_BITS == 8
+    assert SIMHASH_WIDE_KEY_BANDS * SIMHASH_WIDE_BAND_BITS == 32
+    assert SIMHASH_WIDE_MAX_HAMMING == 9
+    for combo in combos:
+        assert len(combo) == SIMHASH_WIDE_KEY_BANDS
+        halves = {i // 8 for i in combo}
+        assert len(halves) == 1, combo  # never straddles the split
+
+
+def test_wide_banding_lossless_to_hamming_9(spark):
+    """simhash_wide_near_pairs must return EXACTLY the brute-force
+    Hamming <= 9 pair set (half-split pigeonhole: <= 9 dirty bands leave
+    one half with >= 4 clean bands, so some 4-band key matches), and the
+    ValueError guard must fire past the pigeonhole bound."""
+    import itertools
+
+    import pytest
+
+    from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (
+        SIMHASH_WIDE_BITS,
+        simhash_signatures_centered,
+        simhash_wide_near_pairs,
+    )
+
+    # Mutation ladder: doc 0 is the 400-token base; doc k replaces k tokens
+    # (one replaced token moves the centered sig ~8 bits on this corpus),
+    # walking signature Hamming through and past the <= 9 gate. Plus the
+    # skewed duplicate class to exercise the salted join.
+    base = [f"tok{j}" for j in range(400)]
+    rows = []
+    for k in range(12):
+        toks = list(base)
+        for m in range(k):
+            toks[m * 30] = f"mut{k}_{m}"
+        rows.append((k, " ".join(toks)))
+    for i in range(40):
+        rows.append((100 + i, "the quick brown fox jumps over the lazy dog again"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = simhash_signatures_centered(docs, bits=SIMHASH_WIDE_BITS).localCheckpoint()
+    sig_by_id = {r.doc_id: r.sig for r in sigs.collect()}
+    brute = {
+        (a, b, sum(ca != cb for ca, cb in zip(sig_by_id[a], sig_by_id[b])))
+        for a, b in itertools.combinations(sorted(sig_by_id), 2)
+    }
+    brute9 = {(a, b, h) for a, b, h in brute if h <= 9}
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_wide_near_pairs(sigs).collect()
+    }
+    assert got == brute9
+    # the ladder must actually probe the gate from both sides
+    assert any(6 <= h <= 9 for _, _, h in brute9), sorted(h for *_, h in brute)
+    assert any(h > 9 for *_, h in brute)
+    with pytest.raises(ValueError, match="lossless"):
+        simhash_wide_near_pairs(sigs, max_hamming=10)
 
 
 def test_bloom_dedup_fpr_audit_full_model(spark, tmp_path):
