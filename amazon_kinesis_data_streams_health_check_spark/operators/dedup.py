@@ -170,33 +170,61 @@ def with_shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("sh", F.expr(shingles_expr(text_col)))
 
 
-def with_minhash(df: DataFrame) -> DataFrame:
+#: Corpus-size-adaptive MinHash banding (round-8, the cascade's sf100 fix).
+#: Chance band-collision mass is ~bands * n^2 * Jbar^rows (Jbar = typical
+#: cross-pair Jaccard), so ROWS must grow ~log n to keep candidates linear
+#: — the lexical variant of Manku's key-width law, and exactly why FineWeb
+#: ships (14 bands, 8 rows) at web scale while toy corpora run (4, 3).
+#: The S-curve threshold J* = (1/b)^(1/r) stays roughly flat across the
+#: ladder (0.63 / 0.69 / 0.72), so the semantic operating point drifts
+#: mildly strict while chance collisions drop by Jbar^3 then Jbar^2 more.
+#: Measured on the r07 sf100 tier: the fixed (4, 3) config's band keys over
+#: the synthetic corpus's ~30k-shingle space saturated at 5M docs.
+LSH_CONFIG_LADDER: tuple[tuple[int, int, int], ...] = (
+    (1 << 16, LSH_BANDS, LSH_ROWS),  # <= 65k docs: (4, 3), J* ~ 0.63
+    (1 << 22, 9, 6),  # <= 4.2M docs: J* ~ 0.69
+    (1 << 62, 14, 8),  # beyond: FineWeb production, J* ~ 0.72
+)
+
+
+def lsh_config_for(n_docs: int) -> tuple[int, int]:
+    """(bands, rows) for a corpus of ``n_docs`` documents."""
+    for cap, bands, rows in LSH_CONFIG_LADDER:
+        if n_docs <= cap:
+            return bands, rows
+    raise ValueError(f"corpus too large for the LSH ladder: {n_docs}")
+
+
+def with_minhash(df: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
     """mh_j = lexicographic min of md5('<j>|' || shingle) — one column per
     permutation. Narrow, codegen'd; no shuffle."""
     return df.withColumns(
         {
             f"mh_{j}": F.expr(f"array_min(transform(sh, s -> md5(concat('{j}|', s))))")
-            for j in range(MINHASH_PERMS)
+            for j in range(perms)
         }
     )
 
 
-def with_bands(df: DataFrame) -> DataFrame:
+def with_bands(df: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> DataFrame:
     """band_b = md5(concat of that band's minhash rows)."""
     return df.withColumns(
         {
             f"band_{b}": F.expr(
                 "md5(concat("
-                + ", ".join(f"mh_{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+                + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
                 + "))"
             )
-            for b in range(LSH_BANDS)
+            for b in range(bands)
         }
     )
 
 
 def lsh_candidate_pairs(
-    banded: DataFrame, id_col: str = "doc_id", salt: int = BAND_SALT
+    banded: DataFrame,
+    id_col: str = "doc_id",
+    salt: int = BAND_SALT,
+    bands: int = LSH_BANDS,
 ) -> DataFrame:
     """Docs sharing >=1 band -> distinct (doc_a < doc_b) candidate pairs.
 
@@ -206,7 +234,7 @@ def lsh_candidate_pairs(
     """
     bands_long = banded.select(
         F.col(id_col),
-        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(LSH_BANDS)])).alias(
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
             "band_idx", "band_key"
         ),
     )
@@ -520,18 +548,22 @@ def duck_shingles(text_col: str = "text", n: int = 3) -> str:
     )
 
 
-def duck_minhash_cols() -> str:
+def duck_minhash_cols(perms: int = MINHASH_PERMS) -> str:
     return ",\n         ".join(
         f"list_min(list_transform(sh, s -> md5('{j}|' || s))) AS mh_{j}"
-        for j in range(MINHASH_PERMS)
+        for j in range(perms)
     )
 
 
-def duck_band_union() -> str:
+def duck_band_union(
+    bands: int = LSH_BANDS, rows: int = LSH_ROWS, src: str = "mh"
+) -> str:
     selects = []
-    for b in range(LSH_BANDS):
-        key = " || ".join(f"mh_{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
-        selects.append(f"SELECT doc_id, {b} AS band_idx, md5({key}) AS band_key FROM mh")
+    for b in range(bands):
+        key = " || ".join(f"mh_{b * rows + r}" for r in range(rows))
+        selects.append(
+            f"SELECT doc_id, {b} AS band_idx, md5({key}) AS band_key FROM {src}"
+        )
     return "\n  UNION ALL\n  ".join(selects)
 
 

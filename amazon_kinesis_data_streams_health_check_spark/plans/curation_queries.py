@@ -28,10 +28,12 @@ from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
     stratified_sample,
 )
 from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (
+    LSH_CONFIG_LADDER,
     duck_band_union,
     duck_minhash_cols,
     duck_shingles,
     lsh_candidate_pairs,
+    lsh_config_for,
     shingles_expr,
     with_bands,
     with_minhash,
@@ -2072,6 +2074,48 @@ def pack_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _PIPE_STAGES = ("raw", "quality", "exact_dedup", "near_dedup", "ppl_filter")
 
+
+#: Corpus-count memo (sf_dir -> n_docs): the banding ladder needs one
+#: metadata-only count per corpus, not one per query build.
+_CORPUS_NDOCS_CACHE: dict[str, int] = {}
+
+
+def _corpus_ndocs(docs: DataFrame, sf_dir: str) -> int:
+    n = _CORPUS_NDOCS_CACHE.get(sf_dir)
+    if n is None:
+        n = _CORPUS_NDOCS_CACHE.setdefault(sf_dir, docs.count())
+    return n
+
+
+def _duck_adaptive_bands(src: str = "sh2") -> str:
+    """DuckDB twin of the corpus-size-adaptive MinHash banding ladder
+    (operators.dedup.lsh_config_for): one gated mh/bands CTE chain per
+    ladder rung, with each rung's source filtered by the RAW corpus count
+    so exactly one rung is non-empty (the filter runs before the minhash
+    projections — the inactive rungs' md5 work never executes). Ends in
+    bands(doc_id, band_idx, band_key)."""
+    chains, legs = [], []
+    prev_cap = 0
+    for cap, bands_n, rows_n in LSH_CONFIG_LADDER:
+        tag = f"c{cap}"
+        gate = f"(SELECT n FROM csz) > {prev_cap} AND (SELECT n FROM csz) <= {cap}"
+        if prev_cap == 0:
+            gate = f"(SELECT n FROM csz) <= {cap}"
+        chains.append(
+            f"mh_{tag} AS (\n  SELECT doc_id,\n         "
+            + duck_minhash_cols(bands_n * rows_n)
+            + f"\n  FROM {src} WHERE {gate}\n)"
+        )
+        legs.append(duck_band_union(bands_n, rows_n, src=f"mh_{tag}"))
+        prev_cap = cap
+    return (
+        "csz AS (SELECT count(*) AS n FROM documents),\n"
+        + ",\n".join(chains)
+        + ",\nbands AS (\n  "
+        + "\n  UNION ALL\n  ".join(legs)
+        + "\n)"
+    )
+
 #: Shared CTE prefix (stages 0-3): the streaming cascade twin's oracle is
 #: EXACTLY these CTEs + the 4-row funnel — one source of truth, zero drift.
 _PIPE_CTES = f"""
@@ -2101,14 +2145,7 @@ s2 AS MATERIALIZED (
 ),
 sh2 AS MATERIALIZED (SELECT doc_id, source, lang, text, n_tokens,
                {{shingles}} AS sh FROM s2),
-mh AS (
-  SELECT doc_id, sh,
-         {{minhash_cols}}
-  FROM sh2
-),
-bands AS (
-  {{band_union}}
-),
+{{adaptive_bands}},
 cpairs AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM bands x
@@ -2179,8 +2216,7 @@ FROM funnel f CROSS JOIN (SELECT docs, tokens FROM funnel WHERE stage_idx = 0) r
 """).format(
     tok=f"regexp_extract_all(lower(text), '{TOKEN_RE}')",
     shingles=duck_shingles(),
-    minhash_cols=duck_minhash_cols(),
-    band_union=duck_band_union(),
+    adaptive_bands=_duck_adaptive_bands(),
 )
 
 
@@ -2245,8 +2281,18 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh2 = s2.withColumn("sh", F.expr(shingles_expr())).localCheckpoint(
         eager=False
     )
+    # Corpus-size-adaptive banding (metadata-only count, memoized): rows
+    # per band grow ~log n so chance band collisions stay linear — see
+    # LSH_CONFIG_LADDER. Derived from the RAW corpus size (pre-sizing, the
+    # production stance), identically in the oracle's csz gate.
+    bands_n, rows_n = lsh_config_for(_corpus_ndocs(docs, sf_dir))
     cpairs = lsh_candidate_pairs(
-        with_bands(with_minhash(sh2.select("doc_id", "sh")))
+        with_bands(
+            with_minhash(sh2.select("doc_id", "sh"), perms=bands_n * rows_n),
+            bands=bands_n,
+            rows=rows_n,
+        ),
+        bands=bands_n,
     )
     a = sh2.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh2.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -2366,8 +2412,7 @@ FROM funnel f CROSS JOIN (SELECT docs, tokens FROM funnel WHERE stage_idx = 0) r
 """).format(
     tok=f"regexp_extract_all(lower(text), '{TOKEN_RE}')",
     shingles=duck_shingles(),
-    minhash_cols=duck_minhash_cols(),
-    band_union=duck_band_union(),
+    adaptive_bands=_duck_adaptive_bands(),
 )
 
 _SCC_TOK = f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"
@@ -2430,6 +2475,10 @@ def _scc_drive(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame
     docs = parallel_scan(spark, sf_dir, "documents").select(
         "doc_id", "source", "lang", "text"
     )
+    # Banding config is PRE-SIZED once for the whole feed from the corpus
+    # it will replay (the Bloom-filter stance: capacity precedes the
+    # crawl) — a per-batch choice would break slicing invariance.
+    bands_n, rows_n = lsh_config_for(_corpus_ndocs(docs, sf_dir))
     # Ascending doc_id ranges (bounded 1-row control-plane collect): the
     # feed's arrival order IS the batch cascade's min(doc_id) canon order.
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
@@ -2483,18 +2532,20 @@ def _scc_drive(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame
             eager=False
         )
         banded_b = with_bands(
-            with_minhash(sh2_b.select("doc_id", "sh"))
+            with_minhash(sh2_b.select("doc_id", "sh"), perms=bands_n * rows_n),
+            bands=bands_n,
+            rows=rows_n,
         ).localCheckpoint(eager=False)
         bands_long_b = banded_b.select(
             "doc_id",
-            F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(4)])).alias(
-                "band_idx", "band_key"
-            ),
+            F.posexplode(
+                F.array(*[F.col(f"band_{b}") for b in range(bands_n)])
+            ).alias("band_idx", "band_key"),
         ).withColumn("pband", F.concat(F.lit("b"), F.col("band_idx")))
         # Candidates: within-batch LSH pairs (doc_a < doc_b) + batch bands
         # probed against the persisted index (history doc_ids are all
         # smaller by the ascending feed, so hist doc = doc_a always).
-        cand = lsh_candidate_pairs(banded_b).select("doc_a", "doc_b")
+        cand = lsh_candidate_pairs(banded_b, bands=bands_n).select("doc_a", "doc_b")
         sh_a_pool = sh2_b.select("doc_id", "sh")
         if have_hist:
             index = read_snapshot(spark, band_lake)

@@ -375,6 +375,86 @@ def test_streaming_decontamination_gate_planted(spark, tmp_path):
     assert got["short"] == (1, 0, 0)
 
 
+def test_lsh_config_ladder():
+    """The corpus-size-adaptive MinHash ladder: rung boundaries, rows
+    growing with corpus size (chance band collisions ~ b * n^2 * Jbar^r
+    need r ~ log n), and a roughly flat S-curve threshold J* = (1/b)^(1/r)
+    so the semantic operating point doesn't lurch between rungs."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (
+        LSH_CONFIG_LADDER,
+        lsh_config_for,
+    )
+
+    assert lsh_config_for(1) == (4, 3)
+    assert lsh_config_for(1 << 16) == (4, 3)
+    assert lsh_config_for((1 << 16) + 1) == (9, 6)
+    assert lsh_config_for(1 << 22) == (9, 6)
+    assert lsh_config_for((1 << 22) + 1) == (14, 8)
+    js = [(1 / b) ** (1 / r) for _, b, r in LSH_CONFIG_LADDER]
+    assert all(0.6 <= j <= 0.75 for j in js), js
+    rows = [r for _, _, r in LSH_CONFIG_LADDER]
+    assert rows == sorted(set(rows)), rows
+
+
+def test_lsh_upper_rung_configs_cross_engine(spark):
+    """The (9,6) and (14,8) rungs never fire at the sf0.001/sf0.01 oracle
+    tiers (both corpora are <= 65k docs), so pin their cross-engine
+    equality directly: Spark band candidates under each config must equal
+    DuckDB's twin SQL pair set on a planted corpus, and the planted
+    near-dup pair must collide under every rung (its Jaccard ~0.97 is
+    above every rung's threshold)."""
+    import duckdb
+
+    from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (
+        LSH_CONFIG_LADDER,
+        duck_band_union,
+        duck_minhash_cols,
+        duck_shingles,
+        lsh_candidate_pairs,
+        with_bands,
+        with_minhash,
+        with_shingles,
+    )
+
+    # High-Jaccard planted pair (~0.95: one token of 60 distinct changed)
+    # so collision is near-certain under every rung's S-curve, including
+    # the strictest (14, 8) threshold J* ~ 0.72.
+    base_txt = " ".join(f"word{j}" for j in range(60))
+    rows = [(1, base_txt), (2, base_txt.replace("word30 ", "word30x ", 1))]
+    for i in range(30):
+        rows.append((100 + i, f"standalone doc {i} about topic {i * 13} " * 4))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    for _, bands_n, rows_n in LSH_CONFIG_LADDER:
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in lsh_candidate_pairs(
+                with_bands(
+                    with_minhash(with_shingles(docs), perms=bands_n * rows_n),
+                    bands=bands_n,
+                    rows=rows_n,
+                ),
+                bands=bands_n,
+            ).collect()
+        }
+        sql = f"""
+        WITH sh2 AS (SELECT doc_id, {duck_shingles()} AS sh FROM documents),
+        mh AS (SELECT doc_id, {duck_minhash_cols(bands_n * rows_n)} FROM sh2),
+        bands AS ({duck_band_union(bands_n, rows_n)})
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x
+        JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+                    AND x.doc_id < y.doc_id
+        """
+        want = {(int(a), int(b)) for a, b in con.execute(sql).fetchall()}
+        assert got == want, (bands_n, rows_n)
+        assert (1, 2) in got, (bands_n, rows_n)
+
+
 def test_wide_band_combo_structure():
     """The half-split covering design's structural invariants: 140 combos
     (C(8,4) per half), every combo confined to one half, 32-bit keys, and
