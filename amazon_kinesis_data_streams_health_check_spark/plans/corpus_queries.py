@@ -59,6 +59,7 @@ from amazon_kinesis_data_streams_health_check_spark.operators.textstats import T
 from amazon_kinesis_data_streams_health_check_spark.plans.registry import register
 from amazon_kinesis_data_streams_health_check_spark.session import configure_session
 from amazon_kinesis_data_streams_health_check_spark.sources.tables import (
+    corpus_count,
     load_table,
     parallel_scan,
 )
@@ -4986,11 +4987,33 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _CONTAM_N = 13
 _CONTAM_MOD = 97
+#: Bounded-benchmark slice (round-8): a FIXED 1/97 fraction made the
+#: "bounded broadcast" eval-gram index grow linearly with the corpus
+#: (measured ~4M grams at the 5M-doc sf100 tier — exponent 1.24 on
+#: contamination_span_stats). Real benchmarks are constant-size, so the
+#: slice mod is now DERIVED: mod = greatest(97, ceil(n / 512)) caps the
+#: eval slice at ~512 docs at every tier while leaving sf <= 0.1 outputs
+#: bit-identical (their ceil(n/512) < 97). Same formula in both engines.
+_CONTAM_EVAL_TARGET = 512
+
+
+def _contam_eval_mod(n_docs: int) -> int:
+    return max(
+        _CONTAM_MOD,
+        (n_docs + _CONTAM_EVAL_TARGET - 1) // _CONTAM_EVAL_TARGET,
+    )
+
+
+#: DuckDB twin of _contam_eval_mod over the documents view.
+_CONTAM_DUCK_MOD = (
+    f"(SELECT greatest({_CONTAM_MOD}, (count(*) + {_CONTAM_EVAL_TARGET - 1})"
+    f" // {_CONTAM_EVAL_TARGET}) FROM documents)"
+)
 
 _CONTAM_SQL = f"""
 WITH tok AS (
   SELECT doc_id, source, {_DUCK_TOK} AS t,
-         {duck_hash_uniform('doc_id')} % {_CONTAM_MOD} = 0 AS is_bench
+         {duck_hash_uniform('doc_id')} % {_CONTAM_DUCK_MOD} = 0 AS is_bench
   FROM documents
 ),
 grams AS (
@@ -5049,7 +5072,7 @@ def eval_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.expr(_SPARK_TOK).alias("t"),
-        (hash_uniform("doc_id") % _CONTAM_MOD == 0).alias("is_bench"),
+        (hash_uniform("doc_id") % F.lit(_contam_eval_mod(corpus_count(spark, sf_dir))) == 0).alias("is_bench"),
     ).localCheckpoint(eager=False)  # feeds bench grams, train grams, rollup
     grams = tok.select(
         "doc_id",
@@ -5100,7 +5123,7 @@ def eval_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NDCON_SQL = f"""
 WITH sh AS MATERIALIZED (
   SELECT doc_id, source, {duck_shingles('text', 3)} AS sh,
-         {duck_hash_uniform('doc_id')} % {_CONTAM_MOD} = 0 AS is_bench
+         {duck_hash_uniform('doc_id')} % {_CONTAM_DUCK_MOD} = 0 AS is_bench
   FROM documents
 ),
 mh AS MATERIALIZED (
@@ -5167,7 +5190,7 @@ def eval_decontamination_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             "sh",
-            (hash_uniform("doc_id") % _CONTAM_MOD == 0).alias("is_bench"),
+            (hash_uniform("doc_id") % F.lit(_contam_eval_mod(corpus_count(spark, sf_dir))) == 0).alias("is_bench"),
         )
         .localCheckpoint(eager=False)  # feeds bands, verify sides, rollup
     )
@@ -5264,7 +5287,11 @@ def streaming_decontamination_gate(spark: SparkSession, sf_dir: str) -> DataFram
     docs = parallel_scan(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    is_bench = hash_uniform("doc_id") % _CONTAM_MOD == 0
+    is_bench = (
+        hash_uniform("doc_id")
+        % F.lit(_contam_eval_mod(corpus_count(spark, sf_dir)))
+        == 0
+    )
 
     # Register the benchmark once: its distinct 13-grams become the gate's
     # persisted index (read back through the manifest, never the lineage).
@@ -5766,7 +5793,7 @@ def bloom_dedup_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CSPAN_SQL = f"""
 WITH tok AS (
   SELECT doc_id, source, {_DUCK_TOK} AS t,
-         {duck_hash_uniform('doc_id')} % {_CONTAM_MOD} = 0 AS is_bench
+         {duck_hash_uniform('doc_id')} % {_CONTAM_DUCK_MOD} = 0 AS is_bench
   FROM documents
 ),
 g AS MATERIALIZED (
@@ -5860,7 +5887,7 @@ def contamination_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             F.expr(_SPARK_TOK).alias("t"),
-            (hash_uniform("doc_id") % _CONTAM_MOD == 0).alias("is_bench"),
+            (hash_uniform("doc_id") % F.lit(_contam_eval_mod(corpus_count(spark, sf_dir))) == 0).alias("is_bench"),
         )
         .select(
             "doc_id",

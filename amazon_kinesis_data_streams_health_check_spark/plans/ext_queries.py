@@ -1422,15 +1422,26 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONTAM_NGRAM = 8
 _CONTAM_EVAL_MOD = 23
 _CONTAM_MIN_SHARED = 2
+#: Bounded-benchmark slice (round-8, same law as corpus_queries' _CONTAM
+#: family): a fixed 1/23 fraction grows the eval side linearly with the
+#: corpus; mod = greatest(23, ceil(n / 2176)) caps the slice at ~2176 docs
+#: while leaving sf <= 0.1 outputs bit-identical (5000/2176 rounds below
+#: 23). Real benchmarks are constant-size.
+_CONTAM_EVAL_TARGET = 2176
+
+_CONTAM_DUCK_MOD = (
+    f"(SELECT greatest({_CONTAM_EVAL_MOD}, (count(*) + {_CONTAM_EVAL_TARGET - 1})"
+    f" // {_CONTAM_EVAL_TARGET}) FROM documents)"
+)
 
 _CONTAM_SQL = f"""
 WITH ev AS (
   SELECT doc_id AS eval_id, unnest({duck_shingles('text', _CONTAM_NGRAM)}) AS g
-  FROM documents WHERE doc_id % {_CONTAM_EVAL_MOD} = 0
+  FROM documents WHERE doc_id % {_CONTAM_DUCK_MOD} = 0
 ),
 tr AS (
   SELECT doc_id AS train_id, unnest({duck_shingles('text', _CONTAM_NGRAM)}) AS g
-  FROM documents WHERE doc_id % {_CONTAM_EVAL_MOD} <> 0
+  FROM documents WHERE doc_id % {_CONTAM_DUCK_MOD} <> 0
 )
 SELECT train_id, eval_id, count(*) AS shared_ngrams
 FROM tr JOIN ev USING (g)
@@ -1439,12 +1450,20 @@ HAVING count(*) >= {_CONTAM_MIN_SHARED}
 """
 
 
+def _contam_eval_mod(n_docs: int) -> int:
+    return max(
+        _CONTAM_EVAL_MOD,
+        (n_docs + _CONTAM_EVAL_TARGET - 1) // _CONTAM_EVAL_TARGET,
+    )
+
+
 @register(
     "contamination_check",
     oracle=_CONTAM_SQL,
     doc=f"EXT/E1: benchmark decontamination — training docs sharing >= "
     f"{_CONTAM_MIN_SHARED} word-{_CONTAM_NGRAM}-grams with the held-out eval "
-    f"slice (doc_id % {_CONTAM_EVAL_MOD} == 0), the pre-training leakage scan",
+    "slice (doc_id % derived mod == 0, slice capped at ~2176 docs at every "
+    "tier), the pre-training leakage scan",
     tags=("ext", "dedup"),
 )
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1453,13 +1472,18 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     one narrow pass over training text, partial-aggregated counts on
     (train_id, eval_id). Shingles are distinct per doc (shingles_expr), so
     count(*) counts distinct shared n-grams."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.tables import (
+        corpus_count,
+    )
+
     configure_session(spark)
     docs = parallel_scan(spark, sf_dir, "documents")
     sh = shingles_expr("text", _CONTAM_NGRAM)
-    ev = docs.filter(F.col("doc_id") % _CONTAM_EVAL_MOD == 0).select(
+    emod = _contam_eval_mod(corpus_count(spark, sf_dir))
+    ev = docs.filter(F.col("doc_id") % emod == 0).select(
         F.col("doc_id").alias("eval_id"), F.explode(F.expr(sh)).alias("g")
     )
-    tr = docs.filter(F.col("doc_id") % _CONTAM_EVAL_MOD != 0).select(
+    tr = docs.filter(F.col("doc_id") % emod != 0).select(
         F.col("doc_id").alias("train_id"), F.explode(F.expr(sh)).alias("g")
     )
     return (

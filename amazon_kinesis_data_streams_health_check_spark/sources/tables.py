@@ -77,6 +77,22 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in use}
 
 
+#: Row-count memo: (sf_dir, name) -> n. Testdata is immutable, so counts are
+#: process-lifetime stable; parquet count() is metadata-bounded (row-group
+#: stats), and corpus-size-derived config (LSH ladder rungs, bounded eval
+#: slices) needs one count per corpus, not one per query build.
+_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def corpus_count(spark: SparkSession, sf_dir: str, name: str = "documents") -> int:
+    """Memoized row count of one testdata table."""
+    key = (sf_dir, name)
+    n = _COUNT_CACHE.get(key)
+    if n is None:
+        n = _COUNT_CACHE.setdefault(key, load_table(spark, sf_dir, name).count())
+    return n
+
+
 def parallel_scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """``load_table`` + repartition when the scan under-parallelizes.
 

@@ -375,6 +375,25 @@ def test_streaming_decontamination_gate_planted(spark, tmp_path):
     assert got["short"] == (1, 0, 0)
 
 
+def test_contam_eval_mod_bounded():
+    """The derived benchmark-slice mod: bit-identical to the old fixed
+    fraction through sf0.1 corpora, then caps the eval slice (and so the
+    broadcast gram index) at ~target docs at every larger tier."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.corpus_queries import (
+        _contam_eval_mod as corpus_mod,
+    )
+    from amazon_kinesis_data_streams_health_check_spark.plans.ext_queries import (
+        _contam_eval_mod as ext_mod,
+    )
+
+    for n in (500, 5000):  # sf0.001 .. sf0.1 corpora: outputs unchanged
+        assert corpus_mod(n) == 97, n
+        assert ext_mod(n) == 23, n
+    for n in (500_000, 5_000_000, 50_000_000):  # sf1.0 .. sf1000
+        assert n // corpus_mod(n) <= 512, (n, corpus_mod(n))
+        assert n // ext_mod(n) <= 2176, (n, ext_mod(n))
+
+
 def test_lsh_config_ladder():
     """The corpus-size-adaptive MinHash ladder: rung boundaries, rows
     growing with corpus size (chance band collisions ~ b * n^2 * Jbar^r
