@@ -5395,8 +5395,9 @@ fin AS MATERIALIZED (
     return head + "".join(steps) + mid + "".join(fsteps) + tail
 
 
-def _sem_oracle_sql() -> str:
-    tail = f""",
+#: The within-cluster rank + eps-cosine prune tail over a `fin` CTE
+#: (vec_id, q, j, dist) — shared by the full-fit and sampled-fit oracles.
+_SEM_PRUNE_TAIL = f""",
 r AS MATERIALIZED (
   SELECT vec_id, q, j, dist,
          row_number() OVER (PARTITION BY j ORDER BY dist DESC, vec_id)
@@ -5421,7 +5422,197 @@ FROM r
 JOIN sz ON sz.j = r.j
 LEFT JOIN drops d ON d.vec_id = r.vec_id
 """
-    return _sem_lloyd_sql() + tail
+
+
+def _sem_oracle_sql() -> str:
+    return _sem_lloyd_sql() + _SEM_PRUNE_TAIL
+
+
+#: Sampled-fit target: fit points per centroid. k still scales with the
+#: FULL corpus (SemDeDup's stance), but the Lloyd chains only ever see
+#: ~k * 16 vectors — the FAISS train-on-sample stance that bounds the
+#: by-design-superlinear fit (k = n/64 until the 4096 cap; past the cap
+#: the fit sample is a CONSTANT ~65k vectors whatever the corpus does).
+#: 16/centroid is deliberately small-but-sane (FAISS warns below ~39);
+#: semantic_blocking_recall_sampled keeps the quality cost measured.
+_SEMS_PER_CENT = 16
+
+
+def _sems_mod(n: int, k: int) -> int:
+    target = k * _SEMS_PER_CENT
+    return max(1, (n + target - 1) // target)
+
+
+def _sem_sampled_sql() -> str:
+    """The SAMPLED-fit hierarchical chain: identical Lloyd machinery to
+    _sem_lloyd_sql but fitted on a corpus-size-derived md5 sample (qf);
+    the full corpus is then assigned in the same two broadcast hops
+    against the fitted tables, with the coarse table restricted to cells
+    that own fine centroids (a cell with zero sample members after the
+    final coarse assignment has no fine table — restricting the argmin
+    domain to covered cells keeps every full-corpus vector assigned, the
+    FAISS empty-cell-drop stance; when the sample IS the corpus this
+    restriction is a no-op because every chosen cell is covered by its
+    choosers). Ends at fin (vec_id, q, g, j2, dist, j)."""
+    ks = ", ".join(f"({p})" for p in _SEM_KS)
+    k1s = ", ".join(f"({1 << i})" for i in range(13))
+    dist = (
+        "CAST(list_sum(list_transform(range(1, {d} + 1),"
+        " i -> ({a}.q[i] - {c}.c[i]) * ({a}.q[i] - {c}.c[i]))) AS BIGINT)"
+    )
+    head = f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {_SEM_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+kp AS (
+  SELECT CAST(min(p) AS BIGINT) AS k
+  FROM (VALUES {ks}) t(p), np
+  WHERE p * {_SEM_CAP} >= np.n OR p = {_SEM_KS[-1]}
+),
+k1p AS (
+  SELECT CAST(min(p) AS BIGINT) AS k1
+  FROM (VALUES {k1s}) t(p), kp
+  WHERE p * p >= kp.k
+),
+k2p AS (SELECT CAST(kp.k // k1p.k1 AS BIGINT) AS k2 FROM kp, k1p),
+sfmod AS (
+  SELECT greatest(1, (np.n + kp.k * {_SEMS_PER_CENT} - 1)
+                     // (kp.k * {_SEMS_PER_CENT})) AS m
+  FROM np, kp
+),
+qf AS MATERIALIZED (
+  SELECT vec_id, q FROM q
+  WHERE {duck_hash_uniform('vec_id')} % (SELECT m FROM sfmod) = 0
+),
+seeded AS (
+  SELECT vec_id, q,
+         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT k1 FROM k1p) AS bucket,
+         md5(CAST(vec_id AS VARCHAR)) AS h
+  FROM qf
+),
+c0 AS (
+  SELECT bucket AS j, q AS c
+  FROM (SELECT bucket, q,
+               row_number() OVER (PARTITION BY bucket ORDER BY h, vec_id) AS rn
+        FROM seeded)
+  WHERE rn = 1
+)"""
+    steps = []
+    for t in range(1, _SEM_T + 1):
+        d_expr = dist.format(d=_SEM_D, a="qf", c="c")
+        steps.append(f""",
+a{t} AS (
+  SELECT vec_id, q, j, dist
+  FROM (
+    SELECT qf.vec_id, qf.q, c.j,
+           {d_expr} AS dist,
+           row_number() OVER (PARTITION BY qf.vec_id
+                              ORDER BY {d_expr}, c.j) AS rn
+    FROM qf CROSS JOIN c{t - 1} c
+  ) WHERE rn = 1
+),
+u{t} AS (
+  SELECT j, i AS d,
+         (CASE WHEN sum(v) >= 0 THEN 1 ELSE -1 END)
+           * (abs(CAST(sum(v) AS BIGINT)) // CAST(count(*) AS BIGINT)) AS val
+  FROM (SELECT j, unnest(range(1, {_SEM_D} + 1)) AS i, unnest(q) AS v FROM a{t})
+  GROUP BY j, i
+),
+c{t} AS (
+  SELECT prev.j,
+         coalesce(upd.c, prev.c) AS c
+  FROM c{t - 1} prev
+  LEFT JOIN (SELECT j, list(val ORDER BY d) AS c FROM u{t} GROUP BY j) upd
+    ON prev.j = upd.j
+)"""
+        )
+    d_c = dist.format(d=_SEM_D, a="qf", c="c")
+    mid = f""",
+gaf AS MATERIALIZED (
+  SELECT vec_id, q, j AS g
+  FROM (
+    SELECT qf.vec_id, qf.q, c.j,
+           row_number() OVER (PARTITION BY qf.vec_id
+                              ORDER BY {d_c}, c.j) AS rn
+    FROM qf CROSS JOIN c{_SEM_T} c
+  ) WHERE rn = 1
+),
+seeded2 AS (
+  SELECT vec_id, q, g,
+         CAST(('0x' || substr(md5(CAST('f|' || CAST(vec_id AS VARCHAR) AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT k2 FROM k2p) AS b2,
+         md5(CAST(vec_id AS VARCHAR)) AS h
+  FROM gaf
+),
+f0 AS MATERIALIZED (
+  SELECT g, b2 AS j2, q AS c
+  FROM (SELECT g, b2, q,
+               row_number() OVER (PARTITION BY g, b2 ORDER BY h, vec_id) AS rn
+        FROM seeded2)
+  WHERE rn = 1
+)"""
+    fsteps = []
+    for t in range(1, _SEM_T + 1):
+        d_expr = dist.format(d=_SEM_D, a="gaf", c="f")
+        fsteps.append(f""",
+fa{t} AS (
+  SELECT vec_id, q, g, j2, dist
+  FROM (
+    SELECT gaf.vec_id, gaf.q, gaf.g, f.j2,
+           {d_expr} AS dist,
+           row_number() OVER (PARTITION BY gaf.vec_id
+                              ORDER BY {d_expr}, f.j2) AS rn
+    FROM gaf JOIN f{t - 1} f ON f.g = gaf.g
+  ) WHERE rn = 1
+),
+fu{t} AS (
+  SELECT g, j2, i AS d,
+         (CASE WHEN sum(v) >= 0 THEN 1 ELSE -1 END)
+           * (abs(CAST(sum(v) AS BIGINT)) // CAST(count(*) AS BIGINT)) AS val
+  FROM (SELECT g, j2, unnest(range(1, {_SEM_D} + 1)) AS i, unnest(q) AS v FROM fa{t})
+  GROUP BY g, j2, i
+),
+f{t} AS MATERIALIZED (
+  SELECT prev.g, prev.j2,
+         coalesce(upd.c, prev.c) AS c
+  FROM f{t - 1} prev
+  LEFT JOIN (SELECT g, j2, list(val ORDER BY d) AS c FROM fu{t} GROUP BY g, j2) upd
+    ON prev.g = upd.g AND prev.j2 = upd.j2
+)"""
+        )
+    d_full = dist.format(d=_SEM_D, a="q", c="c")
+    d_f = dist.format(d=_SEM_D, a="ga", c="f")
+    tail = f""",
+cfin AS MATERIALIZED (
+  SELECT c.j, c.c FROM c{_SEM_T} c
+  WHERE c.j IN (SELECT DISTINCT g FROM f{_SEM_T})
+),
+ga AS MATERIALIZED (
+  SELECT vec_id, q, j AS g
+  FROM (
+    SELECT q.vec_id, q.q, c.j,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {d_full}, c.j) AS rn
+    FROM q CROSS JOIN cfin c
+  ) WHERE rn = 1
+),
+fin AS MATERIALIZED (
+  SELECT vec_id, q, g, j2, dist,
+         g * (SELECT k2 FROM k2p) + j2 AS j
+  FROM (
+    SELECT ga.vec_id, ga.q, ga.g, f.j2,
+           {d_f} AS dist,
+           row_number() OVER (PARTITION BY ga.vec_id
+                              ORDER BY {d_f}, f.j2) AS rn
+    FROM ga JOIN f{_SEM_T} f ON f.g = ga.g
+  ) WHERE rn = 1
+)"""
+    return head + "".join(steps) + mid + "".join(fsteps) + tail
 
 
 def _sem_quantized(df: DataFrame) -> DataFrame:
@@ -5562,6 +5753,20 @@ def _sem_fit_hier(
         .select("vec_id", "q", F.col("j").alias("g"))
         .localCheckpoint(eager=False)  # feeds T Lloyd rounds + final assign
     )
+    return coarse, _sem_fit_fine(spark, ga, k2), ga, k2
+
+
+def _sem_fit_fine(spark: SparkSession, ga: DataFrame, k2: int) -> DataFrame:
+    """The fine-level Lloyd chain of the hierarchical fit: seed k2 fine
+    centroids per coarse cell from ga's members, run _SEM_T exact integer
+    rounds grouped by (g, j2); returns the (g, j2, c) fine centroid table
+    (<= k rows of control-plane ints)."""
+    from pyspark.sql import Window
+
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        hash_uniform,
+    )
+
     hu2 = hash_uniform("concat('f|', CAST(vec_id AS STRING))")
     rn = F.row_number().over(Window.partitionBy("g", "b2").orderBy("h", "vec_id"))
     f_rows = (
@@ -5602,7 +5807,7 @@ def _sem_fit_hier(
             ) * (abs(r.s) // r.n)
         for gj, c in upd.items():
             fine[gj] = c
-    return coarse, mk_fine(), ga, k2
+    return mk_fine()
 
 
 @register(
@@ -5636,8 +5841,6 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     giant cluster is AQE-skew-split territory, not a plan change.
     Reference cost anchor: the reference repo has no embedding surface —
     this extends SURVEY.md section 2.10's north-star scope."""
-    from pyspark.sql import Window
-
     configure_session(spark)
     emb = parallel_scan(spark, sf_dir, "embeddings")
     q = emb.select(
@@ -5647,9 +5850,17 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q"),
     ).localCheckpoint(eager=False)  # feeds count, seeding, T+1 assignment passes
     _coarse, fine, ga, k2 = _sem_fit_hier(spark, q)
+    return _sem_rank_prune(_sem_assign_fine(ga, fine), k2)
+
+
+def _sem_rank_prune(fin: DataFrame, k2: int) -> DataFrame:
+    """The SemDeDup within-cluster rank + eps-cosine prune over a fine
+    assignment (vec_id, q, g, j2, dist) — the Spark twin of
+    _SEM_PRUNE_TAIL, shared by the full-fit and sampled-fit queries."""
+    from pyspark.sql import Window
 
     ranked = (
-        _sem_assign_fine(ga, fine)
+        fin
         .select(
             "vec_id",
             "q",
@@ -5738,9 +5949,9 @@ _SEMBR_SAMPLE_TARGET = 1000
 #: cell blocking becomes trustworthy.
 _SEMBR_NUMS = (900, 1225, 1600)
 
-_SEMBR_SQL = (
-    _sem_lloyd_sql()
-    + f""",
+#: The recall-curve tail over a `fin` CTE — shared by the full-fit and
+#: sampled-fit blocking-recall audits.
+_SEMBR_TAIL = f""",
 smod AS (
   SELECT greatest(1, (count(*) + {_SEMBR_SAMPLE_TARGET} - 1) // {_SEMBR_SAMPLE_TARGET})
          AS m
@@ -5768,7 +5979,8 @@ FROM tr JOIN (VALUES {", ".join(f"({n})" for n in _SEMBR_NUMS)}) e(num)
   ON {_SEM_DEN} * dot * dot >= e.num * nn
 GROUP BY e.num
 """
-)
+
+_SEMBR_SQL = _sem_lloyd_sql() + _SEMBR_TAIL
 
 
 @register(
@@ -5792,15 +6004,110 @@ def semantic_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (two broadcast-join assignment hops, bounded control-plane Lloyd
     updates), with cell ids riding the sampled rows — no extra pass over
     the un-sampled corpus beyond the fit itself."""
-    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
-        hash_uniform,
-    )
-
     configure_session(spark)
     emb = parallel_scan(spark, sf_dir, "embeddings")
     q = _sem_quantized(emb).localCheckpoint(eager=False)  # count + fit + assign
     _coarse, fine, ga, k2 = _sem_fit_hier(spark, q)
-    fin = _sem_assign_fine(ga, fine).select(
+    return _sembr_measure(spark, emb, _sembr_fin(ga, fine, k2))
+
+
+def _sem_fit_hier_sampled(
+    spark: SparkSession, q: DataFrame, n: int
+) -> tuple[DataFrame, DataFrame, int]:
+    """Sampled-fit hierarchical SemDeDup (the FAISS train-on-sample
+    stance): k still scales with the FULL corpus, but both Lloyd chains
+    see only the ~k*16-vector md5 sample, so the fit cost is bounded by a
+    constant once k hits its cap while the full corpus rides the same two
+    linear broadcast-assignment hops. The coarse argmin domain for the
+    full corpus is restricted to cells that own fine centroids (a coarse
+    cell with zero sample members after the final coarse pass has no fine
+    table; dropping empty cells is FAISS's own stance, and when the
+    sample is the whole corpus the restriction is a no-op). Returns
+    (fine, ga, k2) with ga the full-corpus coarse assignment."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        hash_uniform,
+    )
+
+    k = _sem_k(n)
+    k1 = _sem_k1(k)
+    k2 = k // k1
+    qf = q.filter(
+        hash_uniform("vec_id") % F.lit(_sems_mod(n, k)) == 0
+    ).localCheckpoint(eager=False)  # feeds seeding + T+1 fit passes
+    coarse = _sem_fit_centroids(spark, qf, k=k1)
+    gaf = (
+        _sem_assign(qf, coarse)
+        .select("vec_id", "q", F.col("j").alias("g"))
+        .localCheckpoint(eager=False)  # feeds T fine rounds + coverage
+    )
+    fine = _sem_fit_fine(spark, gaf, k2)
+    coarse_cov = coarse.join(
+        fine.select(F.col("g").alias("j")).distinct(), "j", "left_semi"
+    )
+    ga = _sem_assign(q, coarse_cov).select("vec_id", "q", F.col("j").alias("g"))
+    return fine, ga, k2
+
+
+@register(
+    "dedup_semantic_sampled",
+    oracle=_sem_sampled_sql() + _SEM_PRUNE_TAIL,
+    doc="SemDeDup with a SAMPLED fit (verdict-scoped r08 variant): k scales "
+    "with the full corpus per the paper, but the hierarchical k-means is "
+    f"fitted on a corpus-derived md5 sample of ~{_SEMS_PER_CENT} vectors "
+    "per centroid (FAISS's train-on-sample stance) — the by-design-"
+    "superlinear fit becomes a bounded constant past the k cap while the "
+    "full corpus is assigned via the same two broadcast hops; same "
+    "cluster/rank/eps-prune output sheet as dedup_semantic_clusters",
+    tags=("ext", "embedding", "dedup", "similarity"),
+)
+def dedup_semantic_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: identical to dedup_semantic_clusters' assignment path
+    (two broadcast argmin hops, bounded control-plane Lloyd updates, the
+    within-cluster CAP^2-fan-out prune) — but the Lloyd chains run on the
+    bounded fit sample, so the FIT leg's per-round cost is sample*(k1+k2)*d
+    = a constant once k caps, where the full fit measured superlinear by
+    design (k = n/64 growth)."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.tables import (
+        corpus_count,
+    )
+
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    q = _sem_quantized(emb).localCheckpoint(eager=False)  # sample + assign
+    n = corpus_count(spark, sf_dir, "embeddings")
+    fine, ga, k2 = _sem_fit_hier_sampled(spark, q, n)
+    return _sem_rank_prune(_sem_assign_fine(ga, fine), k2)
+
+
+@register(
+    "semantic_blocking_recall_sampled",
+    oracle=_sem_sampled_sql() + _SEMBR_TAIL,
+    doc="Blocking-recall audit for the SAMPLED SemDeDup fit "
+    "(dedup_semantic_sampled): the same exact all-pairs eps-cosine truth "
+    "sample scored against co-location in the sample-fitted (g, j2) cells "
+    "— measures what the train-on-sample shortcut costs in recall next to "
+    "semantic_blocking_recall's full-fit curve",
+    tags=("ext", "embedding", "dedup", "eval"),
+)
+def semantic_blocking_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the fit leg is the bounded sampled fit; the truth leg
+    is the same md5-thinned constant-size broadcast self-join as the
+    full-fit audit."""
+    from amazon_kinesis_data_streams_health_check_spark.sources.tables import (
+        corpus_count,
+    )
+
+    configure_session(spark)
+    emb = parallel_scan(spark, sf_dir, "embeddings")
+    q = _sem_quantized(emb).localCheckpoint(eager=False)
+    n = corpus_count(spark, sf_dir, "embeddings")
+    fine, ga, k2 = _sem_fit_hier_sampled(spark, q, n)
+    return _sembr_measure(spark, emb, _sembr_fin(ga, fine, k2))
+
+
+def _sembr_fin(ga: DataFrame, fine: DataFrame, k2: int) -> DataFrame:
+    """Fine assignment projected to (vec_id, q, j, n2) for the recall legs."""
+    return _sem_assign_fine(ga, fine).select(
         "vec_id",
         "q",
         (F.col("g").cast("long") * k2 + F.col("j2")).alias("j"),
@@ -5809,6 +6116,16 @@ def semantic_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         ).alias("n2"),
     )
+
+
+def _sembr_measure(spark: SparkSession, emb: DataFrame, fin: DataFrame) -> DataFrame:
+    """The shared recall-curve measurement (Spark twin of _SEMBR_TAIL):
+    md5-thinned truth sample, broadcast all-pairs integer eps-cosine,
+    co-location scored per eps rung."""
+    from amazon_kinesis_data_streams_health_check_spark.operators.curation import (
+        hash_uniform,
+    )
+
     smod = emb.agg(
         F.greatest(
             F.lit(1).cast("long"),

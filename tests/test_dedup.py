@@ -115,6 +115,56 @@ def test_fuzzy_edit_finds_typo_pair_and_skips_distinct_docs(spark):
     assert all(3 not in p for p in got)
 
 
+def test_sampled_semantic_fit_properties(spark, tmp_path):
+    """dedup_semantic_sampled: (a) when the derived sample mod is 1 (tiny
+    corpus, n <= k * 16) the sampled fit IS the full fit and the output
+    must equal dedup_semantic_clusters row-for-row; (b) on a corpus large
+    enough to activate sampling, a planted exact-duplicate vector pair
+    must still land in one cell and never BOTH survive the eps prune
+    (each may additionally be eps-close to higher-ranked members of the
+    dense random cluster, so both-dropped is legitimate)."""
+    import numpy as np
+    import pandas as pd
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.ext_queries import (
+        _sem_k,
+        _sems_mod,
+        dedup_semantic_clusters,
+        dedup_semantic_sampled,
+    )
+
+    d = 64
+    rng = np.random.default_rng(7)
+
+    def write(sf, n, planted_pair):
+        vecs = rng.normal(size=(n, d)).astype("float32") * 50
+        if planted_pair:
+            vecs[1] = vecs[0] * 1.02  # cos ~1: an exact-ish re-encoding
+        pd.DataFrame(
+            {"vec_id": np.arange(n, dtype="int64"),
+             "embedding": list(vecs),
+             "label": np.zeros(n, dtype="int32")}
+        ).to_parquet(f"{sf}/embeddings.parquet")
+
+    # (a) mod = 1 regime: n = 60 -> k = 4 (_SEM_KS floor), target 64 >= n
+    sf_a = str(tmp_path / "a"); (tmp_path / "a").mkdir()
+    assert _sems_mod(60, _sem_k(60)) == 1
+    write(sf_a, 60, planted_pair=False)
+    full = sorted(map(tuple, dedup_semantic_clusters(spark, sf_a).collect()))
+    samp = sorted(map(tuple, dedup_semantic_sampled(spark, sf_a).collect()))
+    assert samp == full and len(full) == 60
+
+    # (b) active-sampling regime: n = 600 -> k = 16, target 256, mod 3
+    sf_b = str(tmp_path / "b"); (tmp_path / "b").mkdir()
+    assert _sems_mod(600, _sem_k(600)) > 1
+    write(sf_b, 600, planted_pair=True)
+    out = {r.vec_id: r for r in dedup_semantic_sampled(spark, sf_b).collect()}
+    assert len(out) == 600
+    assert out[0].cluster == out[1].cluster
+    assert not (out[0].keep and out[1].keep)  # the pair can't both survive
+    assert any(r.keep for r in out.values())  # and the prune isn't vacuous
+
+
 def test_semantic_dedup_keeps_member_closest_to_centroid(spark, tmp_path):
     """A planted near-dup pair inside one cluster: the member nearer the
     (quantized) centroid survives, the other is dropped, and untouched

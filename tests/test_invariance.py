@@ -90,6 +90,9 @@ INVARIANT = [
     "dedup_semantic_clusters",
     "curation_pipeline_e2e",
     "ccnet_perplexity_buckets",
+    # round-8: the sampled-fit SemDeDup twin (same total-order guarantees
+    # as the full fit; the md5 sample is layout-independent by key)
+    "dedup_semantic_sampled",
 ]
 
 
