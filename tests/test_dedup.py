@@ -65,6 +65,29 @@ def test_salted_join_shuffles_on_salt_bucket(spark):
     assert any("_salt" in p for p in parts), plan
 
 
+def test_wide_band_join_shuffles_on_salt_bucket(spark):
+    """The 128-bit half-split band self-join keeps the salted-join scale
+    contract: the pair-join exchange includes the salt bucket and the
+    plan contains no CartesianProduct."""
+    import re
+
+    from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (
+        SIMHASH_WIDE_BITS,
+        simhash_signatures_centered,
+        simhash_wide_near_pairs,
+    )
+
+    docs = _skewed_docs(spark, n_dup=10, n_unique=5)
+    sigs = simhash_signatures_centered(docs, bits=SIMHASH_WIDE_BITS)
+    df = simhash_wide_near_pairs(sigs, salt=8)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan, plan
+    parts = re.findall(r"hashpartitioning\([^)]*\)", plan)
+    assert any("_salt" in p for p in parts), plan
+
+
 def test_phash_prefix_probes_ignore_tail_edits(spark):
     """The fixed-stride probes cover only the payload prefix: two docs that
     share the first _PHASH_MIN_BYTES bytes but diverge afterwards must hash
