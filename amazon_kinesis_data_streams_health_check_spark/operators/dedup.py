@@ -95,6 +95,7 @@ def _salted_band_self_join(
     extra_cols: tuple[str, ...] = (),
     salt: int = BAND_SALT,
     hot_threshold: int = HOT_BAND_THRESHOLD,
+    cache_input: bool = True,
 ) -> DataFrame:
     """Self-join band rows on (band_idx, band_key) into (doc_a < doc_b) pairs,
     spreading each HOT band key over ``salt`` shuffle buckets.
@@ -113,9 +114,14 @@ def _salted_band_self_join(
     x, y = bands_long, bands_long
     keys = ["band_idx", "band_key"]
     if salt > 1:
-        # Pin the band rows once: the hot-count pass plus both join legs
-        # would otherwise re-derive the signature chain three times.
-        bands_long = bands_long.localCheckpoint(eager=False)
+        # Pin the band rows once so the hot-count pass plus both join legs
+        # don't re-derive the upstream chain three times — UNLESS the
+        # caller pinned a narrower upstream itself (cache_input=False: the
+        # SimHash paths checkpoint the n-row signature table and let the
+        # ~140x-wider band explode recompute from it; materializing the
+        # exploded band rows is what filled the disk at the sf100 tier).
+        if cache_input:
+            bands_long = bands_long.localCheckpoint(eager=False)
         hot = (
             bands_long.groupBy("band_idx", "band_key")
             .agg(F.count(F.lit(1)).alias("_n"))
@@ -325,9 +331,13 @@ def simhash_signatures_centered(
     the raw :func:`simhash_signatures` stays the corpus-independent,
     streaming-friendly family default.
     """
+    # NOT checkpointed (round-8 sf100 tier fix): the per-doc and drift aggs
+    # each re-derive the explode — two cheap codegen scans of the parquet —
+    # where materializing the exploded token stream is O(corpus tokens) of
+    # executor disk (the sf100 tier run filled the disk through it).
     toks = df.select(
         F.col(id_col), F.explode(F.expr(_tok(text_col))).alias("tok")
-    ).localCheckpoint(eager=False)  # feeds the per-doc AND the drift agg
+    )
     s_cols = [
         F.sum(
             F.when(
@@ -405,6 +415,11 @@ def simhash_near_pairs(
     n_words = sig_bits // 32
     word_cols = tuple(f"sig_w{w}" for w in range(n_words))
     combos = list(combinations(range(SIMHASH_BANDS), bands_per_key))
+    # Pin the n-row signature table (narrow) and let the C(8,b)x-wider band
+    # explode recompute from it per join leg — round-8 sf100 tier fix: the
+    # salted join's default input checkpoint materialized the exploded band
+    # rows to executor disk.
+    sigs = sigs.localCheckpoint(eager=False)
     bands = sigs.select(
         F.col(id_col),
         *[
@@ -429,7 +444,9 @@ def simhash_near_pairs(
             )
         ).alias("band_idx", "band_key"),
     )
-    pairs = _salted_band_self_join(bands, id_col, extra_cols=word_cols, salt=salt)
+    pairs = _salted_band_self_join(
+        bands, id_col, extra_cols=word_cols, salt=salt, cache_input=False
+    )
     hamming = sum(
         (F.expr(f"bit_count(sig_w{w}_a ^ sig_w{w}_b)") for w in range(1, n_words)),
         F.expr("bit_count(sig_w0_a ^ sig_w0_b)"),
@@ -504,6 +521,9 @@ def simhash_wide_near_pairs(
     bb = SIMHASH_WIDE_BAND_BITS
     n_words = SIMHASH_WIDE_BITS // 32
     word_cols = tuple(f"sig_w{w}" for w in range(n_words))
+    # Pin the n-row signature table, recompute the 140x band explode from
+    # it per leg (see simhash_near_pairs — the sf100 disk lesson).
+    sigs = sigs.localCheckpoint(eager=False)
     bands = sigs.select(
         F.col(id_col),
         *[
@@ -525,7 +545,9 @@ def simhash_wide_near_pairs(
             )
         ).alias("band_idx", "band_key"),
     )
-    pairs = _salted_band_self_join(bands, id_col, extra_cols=word_cols, salt=salt)
+    pairs = _salted_band_self_join(
+        bands, id_col, extra_cols=word_cols, salt=salt, cache_input=False
+    )
     hamming = sum(
         (F.expr(f"bit_count(sig_w{w}_a ^ sig_w{w}_b)") for w in range(1, n_words)),
         F.expr("bit_count(sig_w0_a ^ sig_w0_b)"),
