@@ -405,22 +405,57 @@ def simhash_near_pairs(
             f"banding with {bands_per_key} bands/key is only lossless to "
             f"Hamming {SIMHASH_BANDS - bands_per_key}, gate is {max_hamming}"
         )
-    # Carry the signature as 32-bit integer words through the join: the
-    # exact Hamming verify is then sig_bits/32 XOR + popcounts per candidate
-    # pair instead of per-character string compares — the verify runs over
-    # O(pairs) rows (millions at scale), so constant factors dominate.
-    # (A single 64-bit conv() would overflow BIGINT for sigs with the top
-    # bit set — conv returns a STRING holding the unsigned value.)
-    band_bits = sig_bits // SIMHASH_BANDS
-    n_words = sig_bits // 32
-    word_cols = tuple(f"sig_w{w}" for w in range(n_words))
     combos = list(combinations(range(SIMHASH_BANDS), bands_per_key))
-    # Pin the n-row signature table (narrow) and let the C(8,b)x-wider band
-    # explode recompute from it per join leg — round-8 sf100 tier fix: the
-    # salted join's default input checkpoint materialized the exploded band
-    # rows to executor disk.
+    return _sig_banded_pairs(
+        sigs, id_col, max_hamming, salt, combos, sig_bits // SIMHASH_BANDS, sig_bits
+    )
+
+
+def _sig_banded_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    max_hamming: int,
+    salt: int,
+    combos: list[tuple[int, ...]],
+    band_bits: int,
+    sig_bits: int,
+) -> DataFrame:
+    """Shared banded-pair pipeline over '0'/'1' signature strings.
+
+    Scale shape (round-8 sf100 disk lesson, second iteration): the band
+    explode carries ONLY (id, band_idx, 8-byte BIGINT key) — composite
+    keys are <= 48 bits so conv(key, 2, 10) fits BIGINT exactly — so the
+    self-join's two shuffle legs stay as narrow as possible (the first
+    iteration shipped 4 signature words plus a 32-char string key per
+    band row and filled a 250 GB disk at 5M docs x 140 keys). Signatures
+    ride a pinned n-row table and are joined back onto the DISTINCT pair
+    set (orders of magnitude smaller than the band rows) for the
+    XOR+popcount Hamming verify.
+    """
+    n_words = sig_bits // 32
+    # Pin the n-row signature table (narrow); the band explode and the
+    # verify word table both recompute from it.
     sigs = sigs.localCheckpoint(eager=False)
     bands = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        "cast(conv(concat("
+                        + ", ".join(
+                            f"substr(sig, {i * band_bits + 1}, {band_bits})"
+                            for i in combo
+                        )
+                        + "), 2, 10) as bigint)"
+                    )
+                    for combo in combos
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    pairs = _salted_band_self_join(bands, id_col, salt=salt, cache_input=False)
+    sigw = sigs.select(
         F.col(id_col),
         *[
             F.expr(f"cast(conv(substr(sig, {w * 32 + 1}, 32), 2, 10) as bigint)").alias(
@@ -428,31 +463,23 @@ def simhash_near_pairs(
             )
             for w in range(n_words)
         ],
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(
-                        "concat("
-                        + ", ".join(
-                            f"substr(sig, {i * band_bits + 1}, {band_bits})"
-                            for i in combo
-                        )
-                        + ")"
-                    )
-                    for combo in combos
-                ]
-            )
-        ).alias("band_idx", "band_key"),
     )
-    pairs = _salted_band_self_join(
-        bands, id_col, extra_cols=word_cols, salt=salt, cache_input=False
+    wa = sigw.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"sig_w{w}").alias(f"sig_w{w}_a") for w in range(n_words)],
+    )
+    wb = sigw.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"sig_w{w}").alias(f"sig_w{w}_b") for w in range(n_words)],
     )
     hamming = sum(
         (F.expr(f"bit_count(sig_w{w}_a ^ sig_w{w}_b)") for w in range(1, n_words)),
         F.expr("bit_count(sig_w0_a ^ sig_w0_b)"),
     )
     return (
-        pairs.withColumn("hamming", hamming.cast("long"))
+        pairs.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
@@ -507,55 +534,26 @@ def simhash_wide_near_pairs(
     """Half-split banded self-join over 128-bit signatures, then exact
     Hamming filter — see the SIMHASH_WIDE_* block comment for the design.
 
-    Scale shape: 140 keys/doc explode (narrow, codegen'd), salted band
-    self-join on 32-bit uniformly-distributed keys (chance-collision mass
-    ~140 * n^2 / 2^33 — single-digit thousands at 5M docs where the
-    64-bit family's 24-bit keys generated ~8*10^7), XOR+popcount Hamming
-    verify on candidates only.
+    Scale shape: 140 keys/doc explode of bare (id, band_idx, BIGINT key)
+    rows, salted band self-join on 32-bit uniformly-distributed keys
+    (chance-collision mass ~140 * n^2 / 2^33 — single-digit thousands at
+    5M docs where the 64-bit family's 24-bit keys generated ~8*10^7),
+    then signatures joined back onto the distinct pair set for the
+    XOR+popcount Hamming verify (see _sig_banded_pairs).
     """
     if max_hamming > SIMHASH_WIDE_MAX_HAMMING:
         raise ValueError(
             f"half-split wide banding is only lossless to Hamming "
             f"{SIMHASH_WIDE_MAX_HAMMING}, gate is {max_hamming}"
         )
-    bb = SIMHASH_WIDE_BAND_BITS
-    n_words = SIMHASH_WIDE_BITS // 32
-    word_cols = tuple(f"sig_w{w}" for w in range(n_words))
-    # Pin the n-row signature table, recompute the 140x band explode from
-    # it per leg (see simhash_near_pairs — the sf100 disk lesson).
-    sigs = sigs.localCheckpoint(eager=False)
-    bands = sigs.select(
-        F.col(id_col),
-        *[
-            F.expr(f"cast(conv(substr(sig, {w * 32 + 1}, 32), 2, 10) as bigint)").alias(
-                f"sig_w{w}"
-            )
-            for w in range(n_words)
-        ],
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(
-                        "concat("
-                        + ", ".join(f"substr(sig, {i * bb + 1}, {bb})" for i in combo)
-                        + ")"
-                    )
-                    for combo in wide_band_combos()
-                ]
-            )
-        ).alias("band_idx", "band_key"),
-    )
-    pairs = _salted_band_self_join(
-        bands, id_col, extra_cols=word_cols, salt=salt, cache_input=False
-    )
-    hamming = sum(
-        (F.expr(f"bit_count(sig_w{w}_a ^ sig_w{w}_b)") for w in range(1, n_words)),
-        F.expr("bit_count(sig_w0_a ^ sig_w0_b)"),
-    )
-    return (
-        pairs.withColumn("hamming", hamming.cast("long"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+    return _sig_banded_pairs(
+        sigs,
+        id_col,
+        max_hamming,
+        salt,
+        wide_band_combos(),
+        SIMHASH_WIDE_BAND_BITS,
+        SIMHASH_WIDE_BITS,
     )
 
 
