@@ -5370,7 +5370,8 @@ def streaming_decontamination_gate(spark: SparkSession, sf_dir: str) -> DataFram
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # Hang guard only — sf100 tier batches legitimately exceed 300s.
+    q.awaitTermination(3600)
     if q.isActive:  # pragma: no cover - defensive against a hung source
         q.stop()
     if len(snapshot_history(spark, flags_lake)) != 2:
@@ -6195,7 +6196,8 @@ def _sbloom_drive(spark: SparkSession, sf_dir: str, n_chunks: int = 3) -> DataFr
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # Hang guard only — sf100 tier batches legitimately exceed 300s.
+    q.awaitTermination(3600)
     if q.isActive:  # pragma: no cover - defensive against a hung source
         q.stop()
     if len(snapshot_history(spark, verdict_lake)) != seq:

@@ -2623,7 +2623,10 @@ def _scc_drive(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    # Hang guard only — never a throughput bound. At the sf100 tier (5M
+    # docs) the four micro-batches legitimately exceed the old 600s cap;
+    # the completion check below raises on any truncated drive.
+    q.awaitTermination(3600)
     if q.isActive:  # pragma: no cover - defensive against a hung source
         q.stop()
     from amazon_kinesis_data_streams_health_check_spark.sources.snapshots import (

@@ -6729,7 +6729,8 @@ def streaming_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    qy.awaitTermination(600)
+    # Hang guard only — sf100 tier batches legitimately exceed 600s.
+    qy.awaitTermination(3600)
     if qy.isActive:  # pragma: no cover - defensive against a hung source
         qy.stop()
     if len(snapshot_history(spark, member_lake)) != 2:

@@ -1,0 +1,70 @@
+"""Assemble docs/SCALE_TIER_r08.json from the decade measurement JSONs.
+
+Inputs (written by tools/sf_tier_compare.py runs this round):
+  /tmp/tier_r8_d1.json  — sf0.1  -> sf1.0  (12 changed queries)
+  /tmp/tier_r8_d2.json  — sf1.0  -> sf10   (same 12)
+  /tmp/tier_r8_d3.json  — sf10   -> sf100  (corpus-only subset)
+
+Usage: python tools/assemble_tier_r08.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+NOTES: dict[str, dict[str, str]] = {
+    # decade -> query -> note (attached to the row verbatim)
+    "first_decade": {
+        "contamination_check": "exponent tracks output growth (20 -> 87 rows); the probe itself is the bounded broadcast gram join",
+        "dedup_semantic_sampled": "output-proportional: k = n/64 grows the cluster listing 10x per decade by design",
+    },
+    "second_decade": {},
+    "third_decade": {},
+}
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+def rows(report: dict, decade: str) -> dict:
+    out = {}
+    for name, row in sorted(report.items()):
+        r = dict(row)
+        note = NOTES.get(decade, {}).get(name)
+        if note:
+            r["note"] = note
+        out[name] = r
+    return out
+
+
+def main() -> None:
+    d1 = load("/tmp/tier_r8_d1.json")
+    d2 = load("/tmp/tier_r8_d2.json")
+    d3 = load("/tmp/tier_r8_d3.json")
+    doc = {
+        "round": 8,
+        "tiers": {
+            "first_decade": "sf0.1 -> sf1.0 (/root/testdata/sf0.1 vs build_sf1 --mult 10)",
+            "second_decade": "sf1.0 -> sf10 (build_sf1 --mult 100: 60M lineitem / 500k docs / 200k vecs, 1.6 GB)",
+            "third_decade": "sf10 -> sf100 (build_sf1 --mult 1000 --tables documents,embeddings: corpus-only, 5M docs / 2M vectors)",
+        },
+        "queries_measured": "every query whose semantics or plan changed in round 8: the 128-bit wide-SimHash family (dedup_fuzzy_edit, dedup_simhash_verified, fuzzy_blocking_recall), the adaptive-banding cascade (curation_pipeline_e2e, streaming_curation_cascade), the bounded _CONTAM batch (contamination_check, eval_contamination_13gram, eval_decontamination_neardup, contamination_span_stats, streaming_decontamination_gate), and the new sampled-fit SemDeDup pair (dedup_semantic_sampled, semantic_blocking_recall_sampled)",
+        "first_decade": rows(d1["report"], "first_decade"),
+        "second_decade": rows(d2["report"], "second_decade"),
+        "third_decade": rows(d3["report"], "third_decade"),
+        "third_decade_method": "sf10 (mult=100, full) -> sf100 (mult=1000, corpus-only partial tier), best-of-2, SPARK_GRAFT_DRIVER_MEM=64g (the 24g clamp GC-thrashes at this tier; one JVM simulates 32 executors' heaps)",
+    }
+    out = os.path.join(REPO, "docs", "SCALE_TIER_r08.json")
+    with open(out, "w") as f:
+        json.dump(doc, f, indent=1)
+        f.write("\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

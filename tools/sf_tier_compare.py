@@ -71,29 +71,14 @@ def main() -> None:
 
     report: dict[str, dict] = {}
     for name in names:
-        row: dict[str, dict | float] = {"sec": {}, "out_rows": {}}
-        for label, d in ((base_label, args.base), (hi_label, args.sf1)):
-            best, rows = float("inf"), -1
-            for _ in range(max(1, args.samples)):
-                t0 = time.perf_counter()
-                df = qs[name].builder(spark, d)
-                df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            rows = qs[name].builder(spark, d).count()
-            row["sec"][label] = round(best, 3)
-            row["out_rows"][label] = rows
-        t1, t10 = row["sec"][base_label], row["sec"][hi_label]
-        r1, r10 = row["out_rows"][base_label], row["out_rows"][hi_label]
-        row["runtime_exponent"] = round(math.log(t10 / t1) / math.log(10), 3)
-        row["output_exponent"] = round(
-            math.log(max(r10, 1) / max(r1, 1)) / math.log(10), 3
-        )
-        report[name] = row
-        print(
-            f"{name}: {t1:.2f}s -> {t10:.2f}s  exp={row['runtime_exponent']}"
-            f"  rows {r1} -> {r10}",
-            file=sys.stderr,
-        )
+        try:
+            _measure(spark, qs, name, args, base_label, hi_label, report)
+        except Exception as e:  # record and keep measuring the rest
+            report[name] = {
+                "status": "error",
+                "error": f"{type(e).__name__}: {e}"[:400],
+            }
+            print(f"{name}: ERROR {type(e).__name__}: {e}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -105,6 +90,32 @@ def main() -> None:
         )
     )
     spark.stop()
+
+
+def _measure(spark, qs, name, args, base_label, hi_label, report) -> None:
+    row: dict[str, dict | float] = {"sec": {}, "out_rows": {}}
+    for label, d in ((base_label, args.base), (hi_label, args.sf1)):
+        best, rows = float("inf"), -1
+        for _ in range(max(1, args.samples)):
+            t0 = time.perf_counter()
+            df = qs[name].builder(spark, d)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        rows = qs[name].builder(spark, d).count()
+        row["sec"][label] = round(best, 3)
+        row["out_rows"][label] = rows
+    t1, t10 = row["sec"][base_label], row["sec"][hi_label]
+    r1, r10 = row["out_rows"][base_label], row["out_rows"][hi_label]
+    row["runtime_exponent"] = round(math.log(t10 / t1) / math.log(10), 3)
+    row["output_exponent"] = round(
+        math.log(max(r10, 1) / max(r1, 1)) / math.log(10), 3
+    )
+    report[name] = row
+    print(
+        f"{name}: {t1:.2f}s -> {t10:.2f}s  exp={row['runtime_exponent']}"
+        f"  rows {r1} -> {r10}",
+        file=sys.stderr,
+    )
 
 
 if __name__ == "__main__":
