@@ -5781,6 +5781,224 @@ def bloom_dedup_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Production-shaped fixed-memory Bloom dedup (round-8 verdict item 3: the
+# FPR AUDIT above deliberately sizes m_bits = m_mult * n_build per tier so
+# every tier measures the same bits-per-key operating points — which makes
+# its broadcast corpus-proportional. This is the variant whose memory is
+# genuinely CONSTANT: m_bits is pre-sized ONCE for the target corpus
+# (Dolma's production stance — Soldaini et al. 2024 section 4.1 sizes the
+# filter from the expected document count before the run starts) and the
+# measured FPR is whatever the fill ratio implies at each tier. The filter
+# is a packed bitmap — positions fold into 63-bit words (bit 63 is unused:
+# DuckDB's `<<` raises on 1 << 63, and the sign bit buys nothing) — so the
+# broadcast state is capped at ceil(m_bits / 63) (word_idx, word) rows
+# (~17 MB at the 2^26 sizing) NO MATTER how many documents are ingested.
+# ---------------------------------------------------------------------------
+#: Pre-sized filter width: 2^26 bits ~= 8 bits/key at an ~8M-key target
+#: corpus (the sf100 tier's 5M docs sit inside that capacity), fixed at
+#: every tier. k = 5 is near-optimal for that design point (m/n * ln 2
+#: ~= 5.5) and keeps the per-doc probe cost at five hashes.
+_BLOOMP_M_BITS = 1 << 26
+_BLOOMP_K = 5
+
+_BLOOMP_SQL = f"""
+WITH base AS (
+  SELECT doc_id, md5(text) AS tk,
+         {duck_hash_uniform('doc_id')} % 2 AS side
+  FROM documents
+),
+bk AS MATERIALIZED (SELECT DISTINCT tk FROM base WHERE side = 0),
+js AS (SELECT unnest(range(0, {_BLOOMP_K})) AS j),
+bpos AS (
+  SELECT CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || b.tk), 1, 12))
+              AS BIGINT) % {_BLOOMP_M_BITS} AS pos
+  FROM bk b, js j
+),
+words AS MATERIALIZED (
+  SELECT pos // 63 AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % 63 AS INTEGER)) AS word
+  FROM bpos GROUP BY pos // 63
+),
+probe AS MATERIALIZED (SELECT doc_id, tk FROM base WHERE side = 1),
+ppos AS (
+  SELECT p.doc_id,
+         CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || p.tk), 1, 12))
+              AS BIGINT) % {_BLOOMP_M_BITS} AS pos
+  FROM probe p, js j
+),
+hit AS (
+  SELECT pp.doc_id, CAST(count(*) AS BIGINT) AS npos,
+         CAST(count_if(w.word IS NOT NULL AND
+              (w.word & (1::BIGINT << CAST(pp.pos % 63 AS INTEGER))) != 0)
+              AS BIGINT) AS nhit
+  FROM ppos pp LEFT JOIN words w ON w.word_idx = pp.pos // 63
+  GROUP BY pp.doc_id
+),
+truth AS (
+  SELECT p.doc_id, (b.tk IS NOT NULL) AS is_dup
+  FROM probe p LEFT JOIN bk b ON b.tk = p.tk
+),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n_build_keys FROM bk),
+wstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS words_present,
+         CAST(COALESCE(sum(bit_count(word)), 0) AS BIGINT) AS bits_set
+  FROM words
+)
+SELECT CAST({_BLOOMP_M_BITS} AS BIGINT) AS m_bits,
+       CAST({_BLOOMP_K} AS BIGINT) AS k,
+       (SELECT n_build_keys FROM nb) AS n_build_keys,
+       (SELECT words_present FROM wstats) AS words_present,
+       (SELECT bits_set FROM wstats) AS bits_set,
+       CAST(1000000 * (SELECT bits_set FROM wstats) // {_BLOOMP_M_BITS}
+            AS BIGINT) AS fill_ppm,
+       CAST(count(*) AS BIGINT) AS n_probe,
+       CAST(count_if(t.is_dup) AS BIGINT) AS true_dups,
+       CAST(count_if(h.npos = h.nhit) AS BIGINT) AS flagged,
+       CAST(count_if(h.npos = h.nhit AND NOT t.is_dup) AS BIGINT) AS false_pos,
+       CAST(count_if(t.is_dup AND h.npos > h.nhit) AS BIGINT) AS missed,
+       CASE WHEN count_if(NOT t.is_dup) = 0 THEN 0
+            ELSE CAST(1000000 * count_if(h.npos = h.nhit AND NOT t.is_dup)
+                      // count_if(NOT t.is_dup) AS BIGINT) END AS fpr_ppm
+FROM hit h
+JOIN truth t ON t.doc_id = h.doc_id
+"""
+
+
+@register(
+    "bloom_dedup_presized",
+    oracle=_BLOOMP_SQL,
+    doc="Fixed-memory Bloom exact-dedup at a PRE-SIZED operating point "
+    "(Dolma's production stance: m_bits chosen once for the target corpus, "
+    "never resized): build a 2^26-bit / 5-hash packed-bitmap filter from "
+    "the deterministic md5-half of the corpus, probe the other half, and "
+    "report the measured fill ratio and FPR that sizing implies at this "
+    "tier — the filter state is capped at ceil(m_bits/63) words regardless "
+    "of corpus size",
+    tags=("ext", "corpus", "dedup"),
+)
+def bloom_dedup_presized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the companion `bloom_dedup_fpr_audit` sizes its filter
+    per-tier (same bits-per-key everywhere) so its broadcast grows with the
+    corpus; HERE m_bits is the constant 2^26 and positions fold into 63-bit
+    words before the build-side aggregation, so the broadcast filter is
+    capped at ceil(2^26 / 63) ~= 1.07M (word_idx, word) rows (~17 MB) at
+    EVERY corpus size — the memory bound that lets Dolma dedup trillions of
+    tokens on one box. Build side: one distinct over build keys, one
+    partial-aggregating groupBy on the uniform word index (rows cap at the
+    word count, map-side combine does the packing). Probe side: narrow
+    5-hash map + broadcast hash join on word_idx + per-doc partial agg;
+    the only corpus-sized shuffles are the build-key distinct and the
+    per-doc rollup, both on uniform keys. No corpus-proportional state
+    anywhere — this is the variant that clears the audit's documented
+    corpus-proportional-broadcast caveat."""
+    configure_session(spark)
+    docs = parallel_scan(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.md5("text").alias("tk"),
+        (hash_uniform("doc_id") % 2).alias("side"),
+    )
+    bk = (
+        base.filter("side = 0")
+        .select("tk")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds words, n_build, and truth
+    )
+    pos_expr = (
+        "CAST(conv(substr(md5(concat(CAST(j AS STRING), ':', tk)), 1, 12),"
+        f" 16, 10) AS BIGINT) % {_BLOOMP_M_BITS}"
+    )
+    js = F.explode(F.expr(f"sequence(0, {_BLOOMP_K - 1})")).alias("j")
+    words = (
+        bk.select("tk", js)
+        .select(F.expr(pos_expr).alias("pos"))
+        .groupBy(F.expr("pos div 63").alias("word_idx"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT)))"
+            ).alias("word")
+        )
+        .localCheckpoint(eager=False)  # feeds the bit stats AND the probe join
+    )
+    probe = base.filter("side = 1").select("doc_id", "tk")
+    ppos = (
+        probe.select("doc_id", "tk", js)
+        .select("doc_id", F.expr(pos_expr).alias("pos"))
+        .select(
+            "doc_id",
+            "pos",
+            F.expr("pos div 63").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").alias(
+                "mask"
+            ),
+        )
+    )
+    hit = (
+        ppos.join(F.broadcast(words), "word_idx", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("npos"),
+            F.count_if(
+                F.col("word").isNotNull()
+                & (F.col("word").bitwiseAND(F.col("mask")) != 0)
+            )
+            .cast("long")
+            .alias("nhit"),
+        )
+    )
+    truth = (
+        probe.join(bk.withColumn("dup", F.lit(True)), "tk", "left")
+        .select("doc_id", F.coalesce("dup", F.lit(False)).alias("is_dup"))
+    )
+    nb = bk.agg(F.count(F.lit(1)).cast("long").alias("n_build_keys"))
+    wstats = words.agg(
+        F.count(F.lit(1)).cast("long").alias("words_present"),
+        F.expr("CAST(coalesce(sum(bit_count(word)), 0) AS BIGINT)").alias(
+            "bits_set"
+        ),
+    )
+    return (
+        hit.join(truth, "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probe"),
+            F.count_if(F.col("is_dup")).cast("long").alias("true_dups"),
+            F.count_if(F.col("npos") == F.col("nhit"))
+            .cast("long")
+            .alias("flagged"),
+            F.count_if((F.col("npos") == F.col("nhit")) & ~F.col("is_dup"))
+            .cast("long")
+            .alias("false_pos"),
+            F.count_if(F.col("is_dup") & (F.col("npos") > F.col("nhit")))
+            .cast("long")
+            .alias("missed"),
+            F.expr(
+                "CASE WHEN count_if(NOT is_dup) = 0 THEN 0"
+                " ELSE CAST(1000000 * count_if(npos = nhit AND NOT is_dup)"
+                " div count_if(NOT is_dup) AS BIGINT) END"
+            ).alias("fpr_ppm"),
+        )
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(wstats))
+        .select(
+            F.lit(_BLOOMP_M_BITS).cast("long").alias("m_bits"),
+            F.lit(_BLOOMP_K).cast("long").alias("k"),
+            "n_build_keys",
+            "words_present",
+            "bits_set",
+            F.expr(
+                f"CAST(1000000 * bits_set div {_BLOOMP_M_BITS} AS BIGINT)"
+            ).alias("fill_ppm"),
+            "n_probe",
+            "true_dups",
+            "flagged",
+            "false_pos",
+            "missed",
+            "fpr_ppm",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Span-level contamination accounting. eval_contamination_13gram answers
 # "WHICH training docs share any 13-gram with the benchmark slice"; this
 # answers "HOW MUCH of them" — the GPT-3 appendix-C / PaLM analysis that

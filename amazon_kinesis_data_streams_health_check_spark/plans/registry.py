@@ -60,63 +60,65 @@ PINNED: tuple[str, ...] = (
     "dedup_minhash_lsh",
 )
 
-#: Round-8 rotation — 40 never-driver-checked queries (first-ever rows):
-#: the 10 round-7 additions named in the handoff (incl. the two sf100
-#: redesign targets dedup_simhash_verified / streaming_curation_cascade,
-#: which land this round with the 128-bit / adaptive-banding fixes), 4
-#: more streaming twins (8 streaming total, quota >=4 met with margin),
-#: and breadth picks across the healthcheck-metrics, relational, ANN,
-#: corpus-stats, behavior, and lake families from COVERAGE.md's
-#: 171-query never-checked pool.
+#: Round-9 rotation — 40 slots, 39 never-driver-checked + 1 new this
+#: round (round-8 verdict item 1: burn down the 133-query backlog; the
+#: judge named the lake family, the Kinesis-ops family, the streaming
+#: SCD2/fanin/lease rows, and the statistics block as the biggest
+#: untouched clusters — all four are covered below). Streaming quota >=4
+#: met (5 streaming-tagged). `dedup_semantic_sampled` /
+#: `semantic_blocking_recall_sampled` are the round-8 registrations whose
+#: sf100 tier rows the judge asked for this round (item 2);
+#: `bloom_dedup_presized` is the new fixed-memory production Bloom
+#: variant that clears the audit's corpus-proportional-broadcast weak
+#: (item 3).
 ROTATION: tuple[str, ...] = (
-    # round-7 handoff candidates (10; 4 streaming)
-    "dedup_simhash_verified",  # centered-SimHash full-threshold + verify
-    "streaming_curation_cascade",  # per-batch FineWeb cascade vs history
-    "streaming_semantic_ingest",  # SemDeDup bootstrap-fit + batch assign
-    "semantic_blocking_recall",  # k-means cell blocking recall audit
-    "fuzzy_blocking_recall",  # Manku band blocking recall audit
-    "eval_decontamination_neardup",  # Llama-2/GPT-4 fuzzy decontam rule
-    "streaming_decontamination_gate",  # ingest-time eval-gram probe
-    "bloom_dedup_fpr_audit",  # Dolma fixed-memory Bloom FPR audit
-    "contamination_span_stats",  # GPT-3 appx-C span accounting
-    "streaming_bloom_ingest",  # first-setter Bloom crawl gate
-    # streaming extras (4)
-    "streaming_put_sink",  # streaming Kinesis put-sink roundtrip
-    "streaming_corpus_quality",  # per-batch corpus quality rollup
-    "streaming_trending_terms",  # windowed trending-term extraction
-    "streaming_hysteresis_alarm",  # two-threshold streaming alarm
-    # healthcheck / metrics (7)
-    "metric_gap_interpolation",  # gap fill over period grid
-    "composite_alarm",  # AND/OR alarm-rule composition
-    "slo_burn_rate_alarm",  # multi-window SLO burn rate
-    "hysteresis_alarm",  # two-threshold batch alarm
-    "ewma_control_chart",  # EWMA control limits
-    "kinesis_cost_units",  # shard-hour / PUT-payload cost model
-    "consumer_iterator_age",  # iterator-age percentile audit
-    # relational (5)
-    "revenue_cube",  # CUBE grouping
-    "revenue_grouping_sets",  # GROUPING SETS
-    "dq_violations",  # data-quality rule violations
-    "lineitem_corr_exact",  # exact Pearson corr via integer sums
-    "market_basket_rules",  # association rules support/confidence
-    # ANN / embedding (4)
-    "ann_lsh_recall",  # LSH-bucket recall vs brute truth
-    "ann_ivf_flat",  # IVF-Flat top-k search
-    "sketch_heavy_hitters",  # misra-gries style heavy hitters
-    "incremental_minhash_index",  # incremental band-index maintenance
-    # corpus / mining (4)
-    "vocab_stats",  # corpus vocabulary statistics
-    "heaps_law_fit",  # Heaps vocab-growth law fit
-    "rrf_fusion_search",  # reciprocal-rank-fusion retrieval
-    "filter_agreement_kappa",  # Cohen kappa between quality filters
-    # behavior (3)
-    "funnel_stages",  # ordered funnel stage conversion
-    "session_concurrency",  # interval-overlap concurrency
-    "kaplan_meier_survival",  # KM survival estimate
-    # lake (3)
-    "lake_bucketed_join",  # bucketed co-located join
-    "lake_time_travel_asof",  # snapshot as-of read
-    "cdc_apply_changelog",  # CDC changelog apply
+    # streaming (5; quota >= 4)
+    "streaming_enriched_events",  # stream-dim enrich per microbatch
+    "streaming_scd2_enrich",  # SCD2 dimension join in-stream
+    "streaming_fanin_union",  # multi-stream fan-in union
+    "event_disorder_profile",  # out-of-orderness profile
+    "watermark_policy_tradeoff",  # lateness-vs-completeness sweep
+    # kinesis ops (9)
+    "kcl_lease_rebalance",  # KCL lease table rebalance
+    "kcl_lease_scale_out",  # lease redistribution on scale-out
+    "checkpoint_interval_tradeoff",  # replay-cost vs checkpoint rate
+    "kinesis_kpl_produce_roundtrip",  # KPL aggregate wire roundtrip
+    "shard_throughput_audit",  # per-shard throughput limits
+    "retention_expiry_risk",  # records at retention-expiry risk
+    "consumer_fanout_lag",  # fan-out consumer lag comparison
+    "shard_iterator_semantics",  # iterator-type read semantics
+    "producer_retry_dedup",  # producer retry idempotency audit
+    # lake (11)
+    "lake_zorder_scan",  # z-order interleave scan pruning
+    "lake_schema_evolution",  # schema add/rename evolution read
+    "lake_partition_evolution",  # partition-spec evolution read
+    "lake_vacuum_orphan_audit",  # orphan file vacuum audit
+    "lake_branch_workflow",  # branch/merge snapshot workflow
+    "lake_metadata_counts",  # metadata-only count pushdown
+    "lake_partition_backfill",  # partition backfill reconciliation
+    "lake_replica_divergence",  # replica snapshot divergence
+    "lake_write_constraints",  # write-time constraint enforcement
+    "ann_index_tombstones",  # ANN index tombstone compaction
+    "lake_clustering_depth",  # clustering-depth file audit
+    # statistics block (7)
+    "forecast_backtest",  # rolling-origin forecast backtest
+    "sprt_sequential_test",  # Wald SPRT sequential test
+    "embedding_drift_psi",  # PSI drift over embedding dims
+    "sample_size_power_calc",  # power analysis sample sizing
+    "seasonality_decomposition",  # trend/seasonal/residual decomposition
+    "pass_at_k_bootstrap_ci",  # pass@k bootstrap CI
+    "conformal_lag_bound",  # conformal prediction lag bound
+    # timeseries / core (5)
+    "metric_anomaly_flags",  # robust-z anomaly flags
+    "seasonal_baseline_flags",  # seasonal-baseline deviation flags
+    "acf_by_lag",  # autocorrelation by lag
+    "alarm_flappiness",  # alarm flap-rate audit
+    "approx_quantile_contract",  # approx-vs-exact quantile contract
+    # sampled SemDeDup pair (r08 registrations; sf100 rows this round)
+    "dedup_semantic_sampled",  # FAISS train-on-sample SemDeDup
+    "semantic_blocking_recall_sampled",  # sampled-fit cell recall audit
+    # new this round: fixed-memory production Bloom (verdict item 3)
+    "bloom_dedup_presized",  # pre-sized packed-bitmap Bloom dedup
 )
 
 _PRIORITY: tuple[str, ...] = PINNED + ROTATION

@@ -685,6 +685,80 @@ def test_bloom_dedup_fpr_audit_full_model(spark, tmp_path):
         assert r.true_dups == 1  # the planted cross-half copy
 
 
+def test_bloom_dedup_presized_full_model(spark, tmp_path):
+    """bloom_dedup_presized vs an independent pure-Python Bloom model on a
+    planted corpus: same md5 position hashes, same md5 half-split, same
+    63-bit word packing — every output cell must match, the planted
+    cross-half exact dup must be flagged with missed = 0, and the filter
+    sizing must be the CONSTANT 2^26 / k=5 regardless of corpus size (the
+    whole point of the variant: `words_present` is structurally capped at
+    ceil(m_bits / 63) ~= 1.07M rows at every tier, so the broadcast filter
+    never grows with the corpus)."""
+    import hashlib
+
+    from amazon_kinesis_data_streams_health_check_spark.plans.corpus_queries import (
+        _BLOOMP_K,
+        _BLOOMP_M_BITS,
+        bloom_dedup_presized,
+    )
+
+    def side(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 2
+
+    build_ids = [i for i in range(1, 10_000) if side(i) == 0][:40]
+    probe_ids = [i for i in range(1, 10_000) if side(i) == 1][:40]
+    rows = [(i, f"build doc {i} " + "w " * (i % 7)) for i in build_ids]
+    rows += [(i, f"probe doc {i} " + "x " * (i % 5)) for i in probe_ids[:-1]]
+    # planted cross-half exact dup: last probe doc copies a build doc's text
+    rows.append((probe_ids[-1], rows[0][1]))
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+
+    texts = dict(rows)
+    build_keys = {hashlib.md5(texts[i].encode()).hexdigest() for i in build_ids}
+
+    def positions(tk: str) -> set[int]:
+        return {
+            int(hashlib.md5(f"{j}:{tk}".encode()).hexdigest()[:12], 16)
+            % _BLOOMP_M_BITS
+            for j in range(_BLOOMP_K)
+        }
+
+    filt: set[int] = set()
+    for tk in build_keys:
+        filt |= positions(tk)
+    words: dict[int, int] = {}
+    for p in filt:
+        words[p // 63] = words.get(p // 63, 0) | (1 << (p % 63))
+    flagged = false_pos = true_dups = 0
+    for i in probe_ids:
+        tk = hashlib.md5(texts[i].encode()).hexdigest()
+        is_dup = tk in build_keys
+        hit = positions(tk) <= filt
+        flagged += hit
+        true_dups += is_dup
+        false_pos += hit and not is_dup
+
+    r = bloom_dedup_presized(spark, sf).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert (r.m_bits, r.k) == (_BLOOMP_M_BITS, _BLOOMP_K)  # constant sizing
+    assert r.n_build_keys == len(build_keys)
+    assert (r.words_present, r.bits_set) == (len(words), len(filt))
+    assert r.words_present <= -(-_BLOOMP_M_BITS // 63)  # structural cap
+    assert sum(w.bit_count() for w in words.values()) == r.bits_set
+    assert (r.flagged, r.true_dups, r.false_pos) == (
+        flagged,
+        true_dups,
+        false_pos,
+    )
+    assert r.missed == 0  # no false negatives, structurally
+    assert r.flagged - r.true_dups == r.false_pos
+    assert r.true_dups == 1  # the planted cross-half copy
+
+
 def test_contamination_span_stats_planted(spark, tmp_path):
     """contamination_span_stats span arithmetic on planted overlaps with a
     40-token eval doc: a 20-token embedded copy reports span 20 / coverage
