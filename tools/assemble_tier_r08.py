@@ -1,9 +1,14 @@
 """Assemble docs/SCALE_TIER_r08.json from the decade measurement JSONs.
 
 Inputs (written by tools/sf_tier_compare.py runs this round):
-  /tmp/tier_r8_d1.json  — sf0.1  -> sf1.0  (12 changed queries)
-  /tmp/tier_r8_d2.json  — sf1.0  -> sf10   (same 12)
-  /tmp/tier_r8_d3.json  — sf10   -> sf100  (corpus-only subset)
+  /tmp/tier_r8_d1.json   — sf0.1  -> sf1.0  (12 changed queries)
+  /tmp/tier_r8_d2.json   — sf1.0  -> sf10   (same 12)
+  /tmp/tier_r8_d3c.json  — sf10   -> sf100  (corpus-only subset; the d3/d3b
+                           runs were stopped/killed partway — their rows are
+                           recovered in D3_RECOVERED below). If d3c is
+                           missing, the recovered rows are used alone and the
+                           output is stamped third_decade_inputs="recovered
+                           stderr rows only" plus a stderr warning.
 
 Usage: python tools/assemble_tier_r08.py
 """
@@ -77,12 +82,21 @@ D3_RECOVERED: dict[str, dict] = {
 
 
 def main() -> None:
+    import sys
+
     d1 = load("/tmp/tier_r8_d1.json")
     d2 = load("/tmp/tier_r8_d2.json")
     try:
         d3 = load("/tmp/tier_r8_d3c.json")
+        d3_inputs = "live /tmp/tier_r8_d3c.json + recovered stderr rows from the stopped d3/d3b runs"
     except (OSError, json.JSONDecodeError):
         d3 = {"report": {}}
+        d3_inputs = "recovered stderr rows only (/tmp/tier_r8_d3c.json missing)"
+        print(
+            "WARNING: /tmp/tier_r8_d3c.json not found — third decade is the "
+            "hardcoded D3_RECOVERED rows, no live measurement data",
+            file=sys.stderr,
+        )
     d3["report"] = {**D3_RECOVERED, **d3["report"]}
     doc = {
         "round": 8,
@@ -95,7 +109,8 @@ def main() -> None:
         "first_decade": rows(d1["report"], "first_decade"),
         "second_decade": rows(d2["report"], "second_decade"),
         "third_decade": rows(d3["report"], "third_decade"),
-        "third_decade_method": "sf10 (mult=100, full) -> sf100 (mult=1000, corpus-only partial tier), best-of-2, SPARK_GRAFT_DRIVER_MEM=64g (the 24g clamp GC-thrashes at this tier; one JVM simulates 32 executors' heaps)",
+        "third_decade_method": "sf10 (mult=100, full) -> sf100 (mult=1000, corpus-only partial tier), best-of-1 (the fuzzy-family sf100 legs run ~30 min each; lower decades are best-of-2), SPARK_GRAFT_DRIVER_MEM=64g (the 24g clamp GC-thrashes at this tier; one JVM simulates 32 executors' heaps)",
+        "third_decade_inputs": d3_inputs,
     }
     out = os.path.join(REPO, "docs", "SCALE_TIER_r08.json")
     with open(out, "w") as f:

@@ -93,15 +93,24 @@ def main() -> None:
 
 
 def _measure(spark, qs, name, args, base_label, hi_label, report) -> None:
+    # Row counts ride the timed runs via CollectMetrics (Observation) —
+    # re-building and re-executing the plan just to count would roughly
+    # double wall-clock per query at the sf100 tier (~30 min legs).
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     row: dict[str, dict | float] = {"sec": {}, "out_rows": {}}
     for label, d in ((base_label, args.base), (hi_label, args.sf1)):
         best, rows = float("inf"), -1
         for _ in range(max(1, args.samples)):
+            obs = Observation()
             t0 = time.perf_counter()
             df = qs[name].builder(spark, d)
-            df.write.format("noop").mode("overwrite").save()
+            df.observe(obs, F.count(F.lit(1)).alias("rows")).write.format(
+                "noop"
+            ).mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
-        rows = qs[name].builder(spark, d).count()
+            rows = obs.get["rows"]
         row["sec"][label] = round(best, 3)
         row["out_rows"][label] = rows
     t1, t10 = row["sec"][base_label], row["sec"][hi_label]
