@@ -759,6 +759,29 @@ def test_bloom_dedup_presized_full_model(spark, tmp_path):
     assert r.true_dups == 1  # the planted cross-half copy
 
 
+def test_bloom_presized_probe_is_broadcast_join(spark, tmp_path):
+    """bloom_dedup_presized's scale contract in the plan: the probe side
+    joins the packed filter via BroadcastHashJoin (the filter is the
+    constant-capped word table — shuffling probes against it would spend a
+    corpus-sized exchange on constant state), and no CartesianProduct
+    appears anywhere."""
+    from amazon_kinesis_data_streams_health_check_spark.plans.corpus_queries import (
+        bloom_dedup_presized,
+    )
+
+    rows = [(i, f"doc {i} text") for i in range(1, 60)]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    df = bloom_dedup_presized(spark, sf)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_contamination_span_stats_planted(spark, tmp_path):
     """contamination_span_stats span arithmetic on planted overlaps with a
     40-token eval doc: a 20-token embedded copy reports span 20 / coverage
