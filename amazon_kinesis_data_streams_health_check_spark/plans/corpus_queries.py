@@ -5677,7 +5677,9 @@ def bloom_dedup_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     points, which means the broadcast grows linearly with the corpus and a
     production run at the top tiers would instead pre-size m_bits to a
     fixed constant (Dolma's stance) and accept the FPR the fill ratio
-    implies. Given that sizing, bpos broadcasts and the probe side is a
+    implies — that production variant exists as the companion
+    `bloom_dedup_presized` below (constant 2^26-bit packed-word filter,
+    broadcast capped at ~1.07M rows at every corpus size). Given that sizing, bpos broadcasts and the probe side is a
     narrow map + broadcast hash join; the per-doc
     all-k-present check partial-aggregates in place (the k position rows of
     a doc are born co-partitioned), leaving one exchange for the per-config
