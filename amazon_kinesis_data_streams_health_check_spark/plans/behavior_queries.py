@@ -1025,10 +1025,15 @@ def decayed_activity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # Two-phase top-K: orderBy + limit plans as TakeOrderedAndProject
+    # (per-partition top-K, driver merge) instead of shuffling EVERY user
+    # into one partition to be row_number'ed — the ordering is total
+    # (user_id tiebreak), so ranking the K winners is bit-identical.
     w = Window.orderBy(F.desc("decayed_score"), "user_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _DECAY_TOP_K)
+        scored.orderBy(F.desc("decayed_score"), "user_id")
+        .limit(_DECAY_TOP_K)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
     )
 
 

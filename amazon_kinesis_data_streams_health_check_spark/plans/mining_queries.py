@@ -1472,10 +1472,16 @@ def ts_motif_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.ds").alias("ds_b"),
         dist2.cast("long").alias("dist2"),
     )
-    w = Window.orderBy("dist2", "stream_a", "ds_a", "stream_b", "ds_b")
+    # Two-phase top-K (TakeOrderedAndProject): the candidate pair set is
+    # corpus-scaled, so it must never be shuffled whole into one partition
+    # just to be numbered — the ordering is total, so ranking only the K
+    # winners is bit-identical.
+    order = [F.col("dist2"), "stream_a", "ds_a", "stream_b", "ds_b"]
+    w = Window.orderBy(*order)
     return (
-        cand.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _MOTIF_TOP_K)
+        cand.orderBy(*order)
+        .limit(_MOTIF_TOP_K)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
     )
 
 
@@ -1750,9 +1756,12 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exp_t = spark.sql(
         f"SELECT d, exp_micro FROM VALUES {exp_rows} AS t(d, exp_micro)"
     )
+    # Broadcast the OBSERVED side: a left-outer join cannot build its left
+    # (preserved) side, so a broadcast hint there is silently ignored and
+    # the join degrades to a shuffle — obs is the <= 9-row digit rollup,
+    # the legal and correct side to ship.
     return (
-        F.broadcast(exp_t)
-        .join(obs, "d", "left")
+        exp_t.join(F.broadcast(obs), "d", "left")
         .crossJoin(F.broadcast(n))
         .select(
             "d",
@@ -2090,10 +2099,16 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tok.groupBy("term").agg(
         F.countDistinct("doc_id").cast("long").alias("dfreq")
     )
+    # Rank range [10, 12] over the corpus-scaled vocabulary: take the top
+    # 12 distributed (TakeOrderedAndProject), then number that bounded set
+    # — the (dfreq, term) ordering is total, so this is bit-identical to
+    # row_number'ing the whole vocabulary in one partition.
     w = Window.orderBy(F.desc("dfreq"), "term")
     qterms = (
-        df.withColumn("r", F.row_number().over(w))
-        .filter((F.col("r") >= 10) & (F.col("r") <= 12))
+        df.orderBy(F.desc("dfreq"), "term")
+        .limit(12)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") >= 10)
         .select("term", "dfreq")
     )
     tf = (
@@ -2122,6 +2137,10 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(tf_expr).alias("tf_milli"),
         )
     )
+    # Same two-phase top-K as qterms: the scored doc set (every doc hitting
+    # a query term) is corpus-scaled; TakeOrderedAndProject keeps the
+    # ranking distributed and the total (score, doc_id) order makes
+    # numbering the K winners bit-identical.
     w_rank = Window.orderBy(F.desc("bm25_microish"), "doc_id")
     return (
         scored.groupBy("doc_id")
@@ -2131,8 +2150,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bm25_microish"),
             F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
         )
+        .orderBy(F.desc("bm25_microish"), "doc_id")
+        .limit(_BM25_TOP_K)
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))
-        .filter(F.col("rank") <= _BM25_TOP_K)
     )
 
 

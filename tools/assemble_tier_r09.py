@@ -3,6 +3,10 @@
 Inputs (written by tools/sf_tier_compare.py runs this round):
   /tmp/tier_r9_d1.json — sf0.1 -> sf1.0, bloom_dedup_presized (best-of-2)
   /tmp/tier_r9_d2.json — sf1.0 -> sf10,  bloom_dedup_presized (best-of-2)
+  /tmp/tier_r9_d1b.json / d2b.json — same decades for the four queries
+      whose PLANS changed in the late-round single-partition sweep
+      (bm25_topk, ts_motif_search, decayed_activity_rank -> two-phase
+      TakeOrderedAndProject top-K; benford_audit -> legal broadcast side)
   /tmp/tier_r9_d3.json — sf10  -> sf100, the round-8 verdict item-2 rows
                          (contamination_span_stats, dedup_semantic_sampled,
                          dedup_simhash_verified) + bloom_dedup_presized
@@ -27,6 +31,10 @@ NOTES: dict[str, dict[str, str]] = {
     # decade -> query -> note (attached to the row verbatim)
     "first_decade": {
         "bloom_dedup_presized": "pre-sized 2^26-bit filter: broadcast word table is constant-capped, probe cost per doc is five hashes — runtime is scan-dominated",
+        "bm25_topk": "plan changed: both global row_number rankings (qterm dfreq range, doc score top-K) converted to TakeOrderedAndProject two-phase top-K — zero single-partition exchanges remain; output bit-identical (total orderings)",
+        "ts_motif_search": "plan changed: candidate-pair top-K via TakeOrderedAndProject instead of numbering the corpus-scaled pair set in one partition",
+        "decayed_activity_rank": "plan changed: per-user top-K via TakeOrderedAndProject instead of shuffling every user into one partition",
+        "benford_audit": "plan changed: broadcast hint moved to the legal (build-right) side of the left-outer join — was silently ignored before",
     },
     "second_decade": {},
     "third_decade": {
@@ -61,6 +69,8 @@ def main() -> None:
     d1 = load("/tmp/tier_r9_d1.json")
     d2 = load("/tmp/tier_r9_d2.json")
     d3 = load("/tmp/tier_r9_d3.json")
+    d1["report"].update(load("/tmp/tier_r9_d1b.json")["report"])
+    d2["report"].update(load("/tmp/tier_r9_d2b.json")["report"])
     doc = {
         "round": 9,
         "tiers": {
@@ -69,11 +79,12 @@ def main() -> None:
             "third_decade": "sf10 -> sf100 (build_sf1 --mult 1000, corpus-only: 5M docs / 2M vectors)",
         },
         "queries_measured": "the one new round-9 query (bloom_dedup_presized, "
-        "all three decades) plus the three sf100 rows the round-8 verdict "
-        "scoped but round 8 did not record: contamination_span_stats "
-        "(bounded _CONTAM batch), dedup_semantic_sampled (sampled-fit "
-        "assignment path), and dedup_simhash_verified's own third-decade "
-        "row (r08 shipped only the shared-path argument)",
+        "all three decades), the three sf100 rows the round-8 verdict "
+        "scoped but round 8 did not record (contamination_span_stats, "
+        "dedup_semantic_sampled assignment path, dedup_simhash_verified's "
+        "own row), and both lower decades for the four queries whose plans "
+        "changed in the single-partition sweep (bm25_topk, ts_motif_search, "
+        "decayed_activity_rank, benford_audit)",
         "first_decade": rows(d1["report"], "first_decade"),
         "second_decade": rows(d2["report"], "second_decade"),
         "third_decade": rows(d3["report"], "third_decade"),
