@@ -31,10 +31,10 @@ NOTES: dict[str, dict[str, str]] = {
     # decade -> query -> note (attached to the row verbatim)
     "first_decade": {
         "bloom_dedup_presized": "pre-sized 2^26-bit filter: broadcast word table is constant-capped, probe cost per doc is five hashes — runtime is scan-dominated",
-        "bm25_topk": "plan changed: both global row_number rankings (qterm dfreq range, doc score top-K) converted to TakeOrderedAndProject two-phase top-K — zero single-partition exchanges remain; output bit-identical (total orderings)",
-        "ts_motif_search": "plan changed: candidate-pair top-K via TakeOrderedAndProject instead of numbering the corpus-scaled pair set in one partition",
-        "decayed_activity_rank": "plan changed: per-user top-K via TakeOrderedAndProject instead of shuffling every user into one partition",
-        "benford_audit": "plan changed: broadcast hint moved to the legal (build-right) side of the left-outer join — was silently ignored before",
+        "bm25_topk": "code changed (plan equivalent): the rank-then-filter idiom was ALREADY rewritten to TakeOrderedAndProject by InferWindowGroupLimit — now the top-K is explicit (orderBy+limit) so the distributed plan no longer depends on the rewrite rule's applicability conditions; outputs bit-identical",
+        "ts_motif_search": "code changed (plan equivalent): explicit TakeOrderedAndProject top-K, same plan the optimizer already inferred",
+        "decayed_activity_rank": "code changed (plan equivalent): explicit TakeOrderedAndProject top-K, same plan the optimizer already inferred",
+        "benford_audit": "broadcast hint moved to the legal build-right side of the left-outer join (the old hint was dropped with a HintErrorLogger warning; both sides are 9-row rollups, so AQE rescued it anyway — hygiene)",
     },
     "second_decade": {},
     "third_decade": {
