@@ -76,8 +76,6 @@ SIMHASH_MAX_HAMMING = SIMHASH_BANDS - 2
 #: sf0.1 -> sf1.0); <= 3 is the published near-DUPLICATE operating point.
 SIMHASH_REPORT_HAMMING = 3
 
-_HEX = "0123456789abcdef"
-
 #: Salt width for the band self-joins: caps per-reducer pair generation of a
 #: giant duplicate class at ~m^2/BAND_SALT. 1 disables salting.
 BAND_SALT = 8
@@ -161,6 +159,52 @@ def _salted_band_self_join(
 
 def _tok(text_col: str) -> str:
     return f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)"
+
+
+# ---------------------------------------------------------------------------
+# SimHash vote arithmetic over md5 WORDS (round-9 optimization).
+#
+# Bit i of a token's md5 is bit (i % 4) of hex digit (i // 4). The original
+# expressions re-derived that per bit with string ops
+# (instr(HEX, substr(md5(tok), ...)) div 2^k % 2 — up to 128 substr+instr
+# per token, and md5(tok) itself repeated unless codegen CSE catches it).
+# Parsing the digest ONCE into four 32-bit integer words (8 hex chars each,
+# so conv()'s unsigned value always fits a signed BIGINT exactly) turns
+# every per-bit vote into a shiftright+AND — bit-identical values, integer
+# cost. Word k holds hex digits 8k+1..8k+8 with digit 8k+1 most
+# significant, so bit i lives in word i//32 at shift 4*(7 - (i//4) % 8)
+# + i%4.
+# ---------------------------------------------------------------------------
+def _md5_word_cols(n_words: int) -> list[F.Column]:
+    """w0..w{n-1}: consecutive 8-hex-char windows of md5(tok) as BIGINTs."""
+    return [
+        F.expr(f"cast(conv(substr(md5(tok), {8 * k + 1}, 8), 16, 10) as bigint)").alias(
+            f"w{k}"
+        )
+        for k in range(n_words)
+    ]
+
+
+def _md5_bit(i: int) -> str:
+    """SQL expr for bit i (0/1) of the parsed md5 words of one token."""
+    shift = 4 * (7 - (i // 4) % 8) + (i % 4)
+    return f"(shiftright(w{i // 4 // 8}, {shift}) & 1)"
+
+
+def _simhash_raw_counts(
+    df: DataFrame, text_col: str, id_col: str, bits: int
+) -> DataFrame:
+    """Per-doc token count ``nt`` and per-bit one-vote counts ``b_0..b_{bits-1}``
+    (sum over tokens WITH multiplicity of md5-bit i). The signed vote of the
+    original formulation is recoverable as v_i = 2*b_i - nt, so every
+    signature below is bit-identical to the string-op original."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.expr(_tok(text_col))).alias("tok")
+    ).select(F.col(id_col), *_md5_word_cols(bits // 32))
+    return toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("nt"),
+        *[F.sum(F.expr(_md5_bit(i))).alias(f"b_{i}") for i in range(bits)],
+    )
 
 
 def shingles_expr(text_col: str = "text", n: int = 3) -> str:
@@ -280,30 +324,20 @@ def simhash_signatures(
 
     Bit i's vote is bit (i % 4) of md5(token)'s hex digit (i // 4), summed
     +1/-1 over tokens WITH multiplicity (explode -> groupBy: one shuffle on
-    doc_id, partial-aggregated map-side).
+    doc_id, partial-aggregated map-side). Round-9: votes ride the parsed
+    md5 words (see _md5_word_cols) — sign(v_i) = sign(2*b_i - nt) — instead
+    of 128 string ops per token; signatures are bit-identical.
     """
-    toks = df.select(F.col(id_col), F.explode(F.expr(_tok(text_col))).alias("tok"))
-    votes = [
-        F.sum(
-            F.when(
-                F.expr(
-                    f"((instr('{_HEX}', substr(md5(tok), {i // 4 + 1}, 1)) - 1)"
-                    f" div {1 << (i % 4)}) % 2"
-                )
-                == 1,
-                1,
-            ).otherwise(-1)
-        ).alias(f"v_{i}")
-        for i in range(bits)
-    ]
-    agg = toks.groupBy(id_col).agg(*votes)
+    raw = _simhash_raw_counts(df, text_col, id_col, bits)
     sig = F.concat(
         *[
-            F.when(F.col(f"v_{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            F.when(2 * F.col(f"b_{i}") > F.col("nt"), F.lit("1")).otherwise(
+                F.lit("0")
+            )
             for i in range(bits)
         ]
     )
-    return agg.select(F.col(id_col), sig.alias("sig"))
+    return raw.select(F.col(id_col), sig.alias("sig"))
 
 
 def simhash_signatures_centered(
@@ -331,45 +365,91 @@ def simhash_signatures_centered(
     the raw :func:`simhash_signatures` stays the corpus-independent,
     streaming-friendly family default.
     """
-    # NOT checkpointed (round-8 sf100 tier fix): the per-doc and drift aggs
-    # each re-derive the explode — two cheap codegen scans of the parquet —
-    # where materializing the exploded token stream is O(corpus tokens) of
-    # executor disk (the sf100 tier run filled the disk through it).
-    toks = df.select(
-        F.col(id_col), F.explode(F.expr(_tok(text_col))).alias("tok")
-    )
-    s_cols = [
-        F.sum(
-            F.when(
-                F.expr(
-                    f"((instr('{_HEX}', substr(md5(tok), {i // 4 + 1}, 1)) - 1)"
-                    f" div {1 << (i % 4)}) % 2"
-                )
-                == 1,
-                1,
-            ).otherwise(-1)
-        )
-        for i in range(bits)
-    ]
-    raw = toks.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("nt"),
-        *[c.alias(f"r_{i}") for i, c in enumerate(s_cols)],
-    )
-    drift = toks.agg(
-        F.count(F.lit(1)).alias("f0"),
-        *[c.alias(f"s_{i}") for i, c in enumerate(s_cols)],
+    # Round-9 restructure: ONE pass over the token stream builds the per-doc
+    # bit-count table ``raw`` (n_docs rows x bits+1 BIGINTs — pinned with a
+    # lazy localCheckpoint), and the corpus drift folds from ``raw`` by
+    # linearity (S_i = sum over docs of per-doc vote sums; F = sum of nt) —
+    # the original's second full tokenize+explode scan is gone. The round-8
+    # rule still holds: the EXPLODED token stream (O(corpus tokens)) is
+    # never materialized — only the per-doc rollup is, which at 5M docs is
+    # ~5 GB against the 250 GB token stream that filled the sf100 disk.
+    # Sign identity: with b_i the one-vote count, r_i = 2*b_i - nt and
+    # S_i = 2*B_i - F, so F*r_i - nt*S_i = 2*(F*b_i - nt*B_i) — the centered
+    # bit below is bit-identical to the original (ties -> "0" either way).
+    raw = _simhash_raw_counts(df, text_col, id_col, bits)
+    raw = raw.localCheckpoint(eager=False)  # feeds the drift agg AND the signs
+    drift = raw.agg(
+        F.sum("nt").alias("f0"),
+        *[F.sum(f"b_{i}").alias(f"s_{i}") for i in range(bits)],
     )
     cv = raw.crossJoin(F.broadcast(drift))
     sig = F.concat(
         *[
             F.when(
-                F.col("f0") * F.col(f"r_{i}") - F.col("nt") * F.col(f"s_{i}") > 0,
+                F.col("f0") * F.col(f"b_{i}") - F.col("nt") * F.col(f"s_{i}") > 0,
                 F.lit("1"),
             ).otherwise(F.lit("0"))
             for i in range(bits)
         ]
     )
     return cv.select(F.col(id_col), sig.alias("sig"))
+
+
+def _fold_sign_words(pred, bits: int) -> list[F.Column]:
+    """Fold per-bit sign predicates into 32-bit signature words ``sw0..``
+    (bit i of the signature = bit 31 - i%32 of word i//32, matching the
+    MSB-first '0'/'1' string layout exactly)."""
+    cols = []
+    for k in range(bits // 32):
+        w = None
+        for t in range(32):
+            term = F.when(pred(32 * k + t), F.lit(1 << (31 - t))).otherwise(F.lit(0))
+            w = term if w is None else w + term
+        cols.append(w.cast("long").alias(f"sw{k}"))
+    return cols
+
+
+def simhash_words(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """:func:`simhash_signatures` as (id, sw0..sw{bits//32-1}) 32-bit words —
+    the band/Hamming consumers' native form (round-9): no 128-char string is
+    built or re-parsed, and every downstream band key / XOR-popcount works on
+    the words directly. Bit-identical to the string signature."""
+    raw = _simhash_raw_counts(df, text_col, id_col, bits)
+    return raw.select(
+        F.col(id_col),
+        *_fold_sign_words(lambda i: 2 * F.col(f"b_{i}") > F.col("nt"), bits),
+    )
+
+
+def simhash_words_centered(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """:func:`simhash_signatures_centered` as 32-bit words — see
+    :func:`simhash_words`. Same one-pass raw-counts + drift-by-linearity
+    shape as the string builder; same bits."""
+    raw = _simhash_raw_counts(df, text_col, id_col, bits)
+    raw = raw.localCheckpoint(eager=False)  # feeds the drift agg AND the signs
+    drift = raw.agg(
+        F.sum("nt").alias("f0"),
+        *[F.sum(f"b_{i}").alias(f"s_{i}") for i in range(bits)],
+    )
+    cv = raw.crossJoin(F.broadcast(drift))
+    return cv.select(
+        F.col(id_col),
+        *_fold_sign_words(
+            lambda i: F.col("f0") * F.col(f"b_{i}") - F.col("nt") * F.col(f"s_{i}")
+            > 0,
+            bits,
+        ),
+    )
 
 
 def simhash_near_pairs(
@@ -433,44 +513,59 @@ def _sig_banded_pairs(
     XOR+popcount Hamming verify.
     """
     n_words = sig_bits // 32
-    # Pin the n-row signature table (narrow); the band explode and the
-    # verify word table both recompute from it.
-    sigs = sigs.localCheckpoint(eager=False)
-    bands = sigs.select(
+    # Round-9: parse the '0'/'1' signature string into 32-bit words ONCE and
+    # pin the (id, sw0..sw{n-1}) table — narrower than the string it replaces
+    # (8-16 BIGINTs' worth of bits vs a 64/128-char string), and every
+    # downstream consumer (140-key band explode x2 join legs, the hot-key
+    # count pass, the Hamming verify) now works in shiftright/AND integer
+    # ops instead of re-running substr+conv string parses per band per leg.
+    # Band keys keep the exact numeric value of the old
+    # conv(concat(substr...), 2, 10) (bytes fold MSB-first), so the join
+    # key space, salt behavior, and pair set are bit-identical.
+    if "sw0" in sigs.columns:  # already in word form (simhash_words*)
+        sigw = sigs.select(
+            F.col(id_col), *[F.col(f"sw{w}") for w in range(n_words)]
+        )
+    else:
+        sigw = sigs.select(
+            F.col(id_col),
+            *[
+                F.expr(
+                    f"cast(conv(substr(sig, {w * 32 + 1}, 32), 2, 10) as bigint)"
+                ).alias(f"sw{w}")
+                for w in range(n_words)
+            ],
+        )
+    sigw = sigw.localCheckpoint(eager=False)
+
+    mask = (1 << band_bits) - 1
+
+    def _band(i: int) -> str:
+        """Band i (band_bits wide) extracted from the signature words."""
+        o = i * band_bits
+        return f"(shiftright(sw{o // 32}, {32 - o % 32 - band_bits}) & {mask})"
+
+    def _key(combo: tuple[int, ...]) -> str:
+        parts = [
+            f"shiftleft({_band(i)}, {band_bits * (len(combo) - 1 - t)})"
+            for t, i in enumerate(combo)
+        ]
+        return "cast((" + " + ".join(parts) + ") as bigint)"
+
+    bands = sigw.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(
-                        "cast(conv(concat("
-                        + ", ".join(
-                            f"substr(sig, {i * band_bits + 1}, {band_bits})"
-                            for i in combo
-                        )
-                        + "), 2, 10) as bigint)"
-                    )
-                    for combo in combos
-                ]
-            )
-        ).alias("band_idx", "band_key"),
+        F.posexplode(F.array(*[F.expr(_key(combo)) for combo in combos])).alias(
+            "band_idx", "band_key"
+        ),
     )
     pairs = _salted_band_self_join(bands, id_col, salt=salt, cache_input=False)
-    sigw = sigs.select(
-        F.col(id_col),
-        *[
-            F.expr(f"cast(conv(substr(sig, {w * 32 + 1}, 32), 2, 10) as bigint)").alias(
-                f"sig_w{w}"
-            )
-            for w in range(n_words)
-        ],
-    )
     wa = sigw.select(
         F.col(id_col).alias("doc_a"),
-        *[F.col(f"sig_w{w}").alias(f"sig_w{w}_a") for w in range(n_words)],
+        *[F.col(f"sw{w}").alias(f"sig_w{w}_a") for w in range(n_words)],
     )
     wb = sigw.select(
         F.col(id_col).alias("doc_b"),
-        *[F.col(f"sig_w{w}").alias(f"sig_w{w}_b") for w in range(n_words)],
+        *[F.col(f"sw{w}").alias(f"sig_w{w}_b") for w in range(n_words)],
     )
     hamming = sum(
         (F.expr(f"bit_count(sig_w{w}_a ^ sig_w{w}_b)") for w in range(1, n_words)),

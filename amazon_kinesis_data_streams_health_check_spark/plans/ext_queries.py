@@ -200,6 +200,8 @@ from amazon_kinesis_data_streams_health_check_spark.operators.dedup import (  # 
     simhash_near_pairs,
     simhash_signatures,
     simhash_signatures_centered,
+    simhash_words,
+    simhash_words_centered,
     verified_jaccard,
     with_bands,
     with_minhash,
@@ -460,7 +462,7 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {SIMHASH_REPORT_HAMMING
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
     docs = parallel_scan(spark, sf_dir, "documents")
-    sigs = simhash_signatures(docs)
+    sigs = simhash_words(docs)
     return simhash_near_pairs(sigs, max_hamming=SIMHASH_REPORT_HAMMING)
 
 
@@ -531,7 +533,7 @@ def dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate-heavy corpora and saturate band buckets at any key width."""
     configure_session(spark)
     docs = parallel_scan(spark, sf_dir, "documents")
-    sigs = simhash_signatures_centered(docs, bits=SIMHASH_WIDE_BITS)
+    sigs = simhash_words_centered(docs, bits=SIMHASH_WIDE_BITS)
     cand = simhash_wide_near_pairs(sigs, max_hamming=SIMHASH_WIDE_MAX_HAMMING)
     shingled = with_shingles(docs).select("doc_id", "sh")
     a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -2287,7 +2289,7 @@ def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # culls the band collisions BEFORE any quadratic string work); verify =
     # exact Levenshtein, guarded by the |len_a - len_b| <= d lower bound so
     # the DP only runs where it could possibly pass.
-    sigs = simhash_signatures_centered(docs, bits=SIMHASH_WIDE_BITS)
+    sigs = simhash_words_centered(docs, bits=SIMHASH_WIDE_BITS)
     cand = simhash_wide_near_pairs(sigs, max_hamming=_FUZZY_BLOCK_HAMMING).select(
         "doc_a", "doc_b"
     )
@@ -2393,7 +2395,7 @@ def fuzzy_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # feeds sigs, prefixes, and truth
     )
     cand = simhash_wide_near_pairs(
-        simhash_signatures_centered(samp, bits=SIMHASH_WIDE_BITS),
+        simhash_words_centered(samp, bits=SIMHASH_WIDE_BITS),
         max_hamming=_FUZZY_BLOCK_HAMMING,
     ).select("doc_a", "doc_b")
     pfx = samp.select("doc_id", F.substring("text", 1, _FUZZY_PREFIX).alias("p"))
@@ -6298,13 +6300,11 @@ def simhash_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hash_uniform("doc_id") % F.col("sample_mod") == 0)
         .drop("sample_mod")
     )
-    sigs = simhash_signatures(docs).localCheckpoint(
+    sigs = simhash_words(docs).localCheckpoint(
         eager=False
     )  # feeds the truth self-join AND the band-pair candidates
     ints = sigs.select(
-        "doc_id",
-        F.expr("cast(conv(substr(sig, 1, 32), 2, 10) as bigint)").alias("hi"),
-        F.expr("cast(conv(substr(sig, 33, 32), 2, 10) as bigint)").alias("lo"),
+        "doc_id", F.col("sw0").alias("hi"), F.col("sw1").alias("lo")
     )
     x = ints.select(
         F.col("doc_id").alias("doc_a"), F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a")

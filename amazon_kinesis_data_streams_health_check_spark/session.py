@@ -33,6 +33,15 @@ RUNTIME_CONFS = {
     # timestamp predicate pushdown; sources/tables.restore_timestamp stays
     # as the fallback for deployments where this conf is immutable.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Whole-stage codegen gives up on plans with more than maxFields (100)
+    # fields, silently dropping the SimHash vote aggregations (129 columns)
+    # and every other wide operator to interpreted expression evaluation —
+    # measured 2.2x slower on the signature aggregate at sf0.1 (guide
+    # section 1/4: keep the hot path in codegen). 256 covers the widest
+    # operator in the engine (the 128-bit centered-signature sign
+    # projection, 131 fields) with headroom; the value is a property of the
+    # query shapes, not of the deployment size.
+    "spark.sql.codegen.maxFields": "256",
 }
 
 #: Build-time confs for sessions we own (tests, bench).
