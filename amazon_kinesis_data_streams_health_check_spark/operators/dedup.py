@@ -197,13 +197,18 @@ def _simhash_raw_counts(
     """Per-doc token count ``nt`` and per-bit one-vote counts ``b_0..b_{bits-1}``
     (sum over tokens WITH multiplicity of md5-bit i). The signed vote of the
     original formulation is recoverable as v_i = 2*b_i - nt, so every
-    signature below is bit-identical to the string-op original."""
+    signature below is bit-identical to the string-op original.
+
+    Wide projections/aggregations are built as SQL STRINGS (one py4j call
+    per column, parsed JVM-side) — building them as Column-object trees
+    cost ~8 s of py4j round trips PER QUERY BUILD at bits=128 (measured:
+    23k gateway messages for one dedup_fuzzy_edit plan)."""
     toks = df.select(
         F.col(id_col), F.explode(F.expr(_tok(text_col))).alias("tok")
     ).select(F.col(id_col), *_md5_word_cols(bits // 32))
     return toks.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("nt"),
-        *[F.sum(F.expr(_md5_bit(i))).alias(f"b_{i}") for i in range(bits)],
+        F.expr("count(1) as nt"),
+        *[F.expr(f"sum({_md5_bit(i)}) as b_{i}") for i in range(bits)],
     )
 
 
@@ -329,15 +334,7 @@ def simhash_signatures(
     of 128 string ops per token; signatures are bit-identical.
     """
     raw = _simhash_raw_counts(df, text_col, id_col, bits)
-    sig = F.concat(
-        *[
-            F.when(2 * F.col(f"b_{i}") > F.col("nt"), F.lit("1")).otherwise(
-                F.lit("0")
-            )
-            for i in range(bits)
-        ]
-    )
-    return raw.select(F.col(id_col), sig.alias("sig"))
+    return raw.selectExpr(id_col, _sig_string_expr(_RAW_SIGN, bits) + " as sig")
 
 
 def simhash_signatures_centered(
@@ -376,37 +373,55 @@ def simhash_signatures_centered(
     # Sign identity: with b_i the one-vote count, r_i = 2*b_i - nt and
     # S_i = 2*B_i - F, so F*r_i - nt*S_i = 2*(F*b_i - nt*B_i) — the centered
     # bit below is bit-identical to the original (ties -> "0" either way).
+    cv = _centered_counts(df, text_col, id_col, bits)
+    return cv.selectExpr(id_col, _sig_string_expr(_CENTERED_SIGN, bits) + " as sig")
+
+
+def _centered_counts(
+    df: DataFrame, text_col: str, id_col: str, bits: int
+) -> DataFrame:
+    """raw per-doc bit counts x broadcast corpus drift — the shared input of
+    both centered-signature forms (string and words)."""
     raw = _simhash_raw_counts(df, text_col, id_col, bits)
     raw = raw.localCheckpoint(eager=False)  # feeds the drift agg AND the signs
     drift = raw.agg(
-        F.sum("nt").alias("f0"),
-        *[F.sum(f"b_{i}").alias(f"s_{i}") for i in range(bits)],
+        F.expr("sum(nt) as f0"),
+        *[F.expr(f"sum(b_{i}) as s_{i}") for i in range(bits)],
     )
-    cv = raw.crossJoin(F.broadcast(drift))
-    sig = F.concat(
-        *[
-            F.when(
-                F.col("f0") * F.col(f"b_{i}") - F.col("nt") * F.col(f"s_{i}") > 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for i in range(bits)
-        ]
-    )
-    return cv.select(F.col(id_col), sig.alias("sig"))
+    return raw.crossJoin(F.broadcast(drift))
 
 
-def _fold_sign_words(pred, bits: int) -> list[F.Column]:
+#: Per-bit sign predicates as SQL-string templates. _RAW_SIGN is the plain
+#: majority vote (v_i = 2*b_i - nt > 0); _CENTERED_SIGN subtracts the
+#: corpus-frequency drift (see simhash_signatures_centered). Both are the
+#: algebraic halves of the original +-1 formulations — bit-identical.
+_RAW_SIGN = "2 * b_{i} > nt"
+_CENTERED_SIGN = "f0 * b_{i} - nt * s_{i} > 0"
+
+
+def _sig_string_expr(sign_tpl: str, bits: int) -> str:
+    """concat(CASE WHEN <sign_0> THEN '1' ELSE '0' END, ...) as ONE SQL
+    string — built Python-side so the whole projection is a single py4j
+    call instead of ~5 gateway round trips per bit."""
+    return "concat(" + ", ".join(
+        f"case when {sign_tpl.format(i=i)} then '1' else '0' end"
+        for i in range(bits)
+    ) + ")"
+
+
+def _sign_word_exprs(sign_tpl: str, bits: int) -> list[str]:
     """Fold per-bit sign predicates into 32-bit signature words ``sw0..``
     (bit i of the signature = bit 31 - i%32 of word i//32, matching the
-    MSB-first '0'/'1' string layout exactly)."""
-    cols = []
+    MSB-first '0'/'1' string layout exactly). SQL strings, one per word."""
+    exprs = []
     for k in range(bits // 32):
-        w = None
-        for t in range(32):
-            term = F.when(pred(32 * k + t), F.lit(1 << (31 - t))).otherwise(F.lit(0))
-            w = term if w is None else w + term
-        cols.append(w.cast("long").alias(f"sw{k}"))
-    return cols
+        terms = " + ".join(
+            f"(case when {sign_tpl.format(i=32 * k + t)} then {1 << (31 - t)}L"
+            " else 0L end)"
+            for t in range(32)
+        )
+        exprs.append(f"cast(({terms}) as bigint) as sw{k}")
+    return exprs
 
 
 def simhash_words(
@@ -420,10 +435,7 @@ def simhash_words(
     built or re-parsed, and every downstream band key / XOR-popcount works on
     the words directly. Bit-identical to the string signature."""
     raw = _simhash_raw_counts(df, text_col, id_col, bits)
-    return raw.select(
-        F.col(id_col),
-        *_fold_sign_words(lambda i: 2 * F.col(f"b_{i}") > F.col("nt"), bits),
-    )
+    return raw.selectExpr(id_col, *_sign_word_exprs(_RAW_SIGN, bits))
 
 
 def simhash_words_centered(
@@ -435,21 +447,8 @@ def simhash_words_centered(
     """:func:`simhash_signatures_centered` as 32-bit words — see
     :func:`simhash_words`. Same one-pass raw-counts + drift-by-linearity
     shape as the string builder; same bits."""
-    raw = _simhash_raw_counts(df, text_col, id_col, bits)
-    raw = raw.localCheckpoint(eager=False)  # feeds the drift agg AND the signs
-    drift = raw.agg(
-        F.sum("nt").alias("f0"),
-        *[F.sum(f"b_{i}").alias(f"s_{i}") for i in range(bits)],
-    )
-    cv = raw.crossJoin(F.broadcast(drift))
-    return cv.select(
-        F.col(id_col),
-        *_fold_sign_words(
-            lambda i: F.col("f0") * F.col(f"b_{i}") - F.col("nt") * F.col(f"s_{i}")
-            > 0,
-            bits,
-        ),
-    )
+    cv = _centered_counts(df, text_col, id_col, bits)
+    return cv.selectExpr(id_col, *_sign_word_exprs(_CENTERED_SIGN, bits))
 
 
 def simhash_near_pairs(
@@ -552,11 +551,11 @@ def _sig_banded_pairs(
         ]
         return "cast((" + " + ".join(parts) + ") as bigint)"
 
-    bands = sigw.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[F.expr(_key(combo)) for combo in combos])).alias(
-            "band_idx", "band_key"
-        ),
+    bands = sigw.selectExpr(
+        id_col,
+        "posexplode(array("
+        + ", ".join(_key(combo) for combo in combos)
+        + ")) as (band_idx, band_key)",
     )
     pairs = _salted_band_self_join(bands, id_col, salt=salt, cache_input=False)
     wa = sigw.select(
