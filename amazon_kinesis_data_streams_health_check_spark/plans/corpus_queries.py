@@ -1917,15 +1917,19 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer division, so the floor-log2 bits are exact in both engines."""
     configure_session(spark)
     docs = parallel_scan(spark, sf_dir, "documents")
-    bg = docs.select(
+    # Tokenize ONCE into a projected array column before the bigram lambda:
+    # inlining the regexp_extract_all into size()/element_at() re-runs the
+    # regex per reference (measured 1.5x slower on this explode at sf0.1 —
+    # codegen does not CSE across the lambda boundary).
+    bg = docs.select("doc_id", F.expr(_SPARK_TOK).alias("t")).select(
         "doc_id",
         F.explode(
             F.expr(
-                f"if(size({_SPARK_TOK}) >= 2,"
-                f" transform(sequence(1, size({_SPARK_TOK}) - 1),"
-                f" i -> concat_ws(' ', element_at({_SPARK_TOK}, i),"
-                f" element_at({_SPARK_TOK}, i + 1))),"
-                f" cast(array() as array<string>))"
+                "if(size(t) >= 2,"
+                " transform(sequence(1, size(t) - 1),"
+                " i -> concat_ws(' ', element_at(t, i),"
+                " element_at(t, i + 1))),"
+                " cast(array() as array<string>))"
             )
         ).alias("g"),
     ).localCheckpoint(eager=False)  # feeds the count pass AND the scoring pass
@@ -3561,15 +3565,19 @@ def _sfx_scores(spark: SparkSession, sf_dir: str):
 
     tok, sfx = _sfx_suffixes(spark, sf_dir)
     w = Window.partitionBy("anchor").orderBy("ext", "doc_id", "p")
+    # Round-9: token-LCP is symmetric, so lcp(ext_i, ext_{i+1}) is exactly
+    # the NEXT row's lcp-with-prev — compute the zip_with LCP once per
+    # adjacent pair and fetch the other side with lead() over the same
+    # window (same partitioning and ordering: no extra exchange or sort,
+    # one more WindowExec pass over sorted rows). Halves the zip_with
+    # evaluations and drops the lead(ext) 32-token array from the window
+    # buffers. greatest() ignores the NULL lead on each group's last row,
+    # matching the old "no next neighbor -> 0" (lcp values are >= 0).
     sc = (
         sfx.withColumn("pe", F.lag("ext").over(w))
-        .withColumn("ne", F.lead("ext").over(w))
-        .selectExpr(
-            "doc_id",
-            "CAST(p AS BIGINT) AS p",
-            f"greatest({_spark_lcp('ext', 'pe')}, {_spark_lcp('ext', 'ne')})"
-            " AS maxdup",
-        )
+        .withColumn("lcpp", F.expr(f"CAST({_spark_lcp('ext', 'pe')} AS BIGINT)"))
+        .withColumn("maxdup", F.greatest("lcpp", F.lead("lcpp").over(w)))
+        .selectExpr("doc_id", "CAST(p AS BIGINT) AS p", "maxdup")
     )
     return tok, sc
 
