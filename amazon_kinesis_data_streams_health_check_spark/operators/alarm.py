@@ -78,7 +78,7 @@ def with_period_grid(
     The grid is ``periods x keys`` rows — small at any data scale; the join
     keys are the aggregated metric keys, so AQE broadcast-joins it.
 
-    ``metrics`` is consumed three times (bounds, key list, the grid join).
+    ``metrics`` is consumed twice (the bounds/keys header, the grid join).
     Without materialization Catalyst's RemoveRedundantAggregates rewrites the
     min/max/distinct-over-aggregate branches into aggregates over the RAW
     input, tripling the scan of the big table. A lazy ``localCheckpoint``
@@ -89,20 +89,30 @@ def with_period_grid(
     cached relations for the session lifetime.
     """
     metrics = metrics.localCheckpoint(eager=False)
-    bounds = metrics.agg(
-        F.min("window_start").alias("lo"), F.max("window_start").alias("hi")
-    )
     iv = F.expr(f"interval {period}")
-    periods = bounds.select(
-        F.explode(F.sequence(F.col("lo"), F.col("hi"), iv)).alias("window_start")
+    # Bounds AND the key list in ONE aggregate over the pinned metrics
+    # (round-9: the separate bounds-agg + distinct-keys pair cost two jobs
+    # and two broadcast builds where one of each suffices; the key set is
+    # bounded by the same keys-x-periods contract that makes the grid small,
+    # so collect_set stays a scalar-sized single row, never a data-scale
+    # structure). Both explodes unnest from that single row.
+    hdr = metrics.agg(
+        F.min("window_start").alias("lo"),
+        F.max("window_start").alias("hi"),
+        F.collect_set(key_col).alias("_ks"),
     )
-    keys = metrics.select(key_col).distinct()
     # The sequence-explode starts from a single row, so the raw grid is one
     # partition; repartition by key so the downstream per-key window-function
     # tail distributes (AQE re-coalesces when the grid really is tiny). The
     # broadcast grid-metrics join preserves this partitioning.
     grid = (
-        periods.crossJoin(F.broadcast(keys))
+        hdr.select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"), iv)).alias(
+                "window_start"
+            ),
+            "_ks",
+        )
+        .select("window_start", F.explode("_ks").alias(key_col))
         .repartition(F.col(key_col))
         .select(
             key_col,
