@@ -60,65 +60,64 @@ PINNED: tuple[str, ...] = (
     "dedup_minhash_lsh",
 )
 
-#: Round-9 rotation — 40 slots, 39 never-driver-checked + 1 new this
-#: round (round-8 verdict item 1: burn down the 133-query backlog; the
-#: judge named the lake family, the Kinesis-ops family, the streaming
-#: SCD2/fanin/lease rows, and the statistics block as the biggest
-#: untouched clusters — all four are covered below). Streaming quota >=4
-#: met (5 streaming-tagged). `dedup_semantic_sampled` /
-#: `semantic_blocking_recall_sampled` are the round-8 registrations whose
-#: sf100 tier rows the judge asked for this round (item 2);
-#: `bloom_dedup_presized` is the new fixed-memory production Bloom
-#: variant that clears the audit's corpus-proportional-broadcast weak
-#: (item 3).
+#: Round-10 rotation — 40 never-driver-checked slots (standing policy:
+#: burn down the backlog; 94 never-checked remained after round 9). Picks
+#: span the biggest untouched clusters — the healthcheck/timeseries tail,
+#: the relational block, curation/pack economics, the similarity/ANN
+#: family (touched by this optimization round, so driver rows are
+#:  highest-value), textpipe, corpus quality, behavior, and mining —
+#: and deliberately include the three queries the round-9 plan-hygiene
+#: commit (5e24df3) touched (`decayed_activity_rank`, `ts_motif_search`,
+#: `benford_audit`) so their restructures get first-ever driver rows.
 ROTATION: tuple[str, ...] = (
-    # streaming (5; quota >= 4)
-    "streaming_enriched_events",  # stream-dim enrich per microbatch
-    "streaming_scd2_enrich",  # SCD2 dimension join in-stream
-    "streaming_fanin_union",  # multi-stream fan-in union
-    "event_disorder_profile",  # out-of-orderness profile
-    "watermark_policy_tradeoff",  # lateness-vs-completeness sweep
-    # kinesis ops (9)
-    "kcl_lease_rebalance",  # KCL lease table rebalance
-    "kcl_lease_scale_out",  # lease redistribution on scale-out
-    "checkpoint_interval_tradeoff",  # replay-cost vs checkpoint rate
-    "kinesis_kpl_produce_roundtrip",  # KPL aggregate wire roundtrip
-    "shard_throughput_audit",  # per-shard throughput limits
-    "retention_expiry_risk",  # records at retention-expiry risk
-    "consumer_fanout_lag",  # fan-out consumer lag comparison
-    "shard_iterator_semantics",  # iterator-type read semantics
-    "producer_retry_dedup",  # producer retry idempotency audit
-    # lake (11)
-    "lake_zorder_scan",  # z-order interleave scan pruning
-    "lake_schema_evolution",  # schema add/rename evolution read
-    "lake_partition_evolution",  # partition-spec evolution read
-    "lake_vacuum_orphan_audit",  # orphan file vacuum audit
-    "lake_branch_workflow",  # branch/merge snapshot workflow
-    "lake_metadata_counts",  # metadata-only count pushdown
-    "lake_partition_backfill",  # partition backfill reconciliation
-    "lake_replica_divergence",  # replica snapshot divergence
-    "lake_write_constraints",  # write-time constraint enforcement
-    "ann_index_tombstones",  # ANN index tombstone compaction
-    "lake_clustering_depth",  # clustering-depth file audit
-    # statistics block (7)
-    "forecast_backtest",  # rolling-origin forecast backtest
-    "sprt_sequential_test",  # Wald SPRT sequential test
-    "embedding_drift_psi",  # PSI drift over embedding dims
-    "sample_size_power_calc",  # power analysis sample sizing
-    "seasonality_decomposition",  # trend/seasonal/residual decomposition
-    "pass_at_k_bootstrap_ci",  # pass@k bootstrap CI
-    "conformal_lag_bound",  # conformal prediction lag bound
-    # timeseries / core (5)
-    "metric_anomaly_flags",  # robust-z anomaly flags
-    "seasonal_baseline_flags",  # seasonal-baseline deviation flags
-    "acf_by_lag",  # autocorrelation by lag
-    "alarm_flappiness",  # alarm flap-rate audit
-    "approx_quantile_contract",  # approx-vs-exact quantile contract
-    # sampled SemDeDup pair (r08 registrations; sf100 rows this round)
-    "dedup_semantic_sampled",  # FAISS train-on-sample SemDeDup
-    "semantic_blocking_recall_sampled",  # sampled-fit cell recall audit
-    # new this round: fixed-memory production Bloom (verdict item 3)
-    "bloom_dedup_presized",  # pre-sized packed-bitmap Bloom dedup
+    # healthcheck / core timeseries (5)
+    "holt_forecast_daily",  # Holt double-exponential forecast
+    "rate_limit_audit",  # throttle/rate-limit breach audit
+    "stream_correlation_matrix",  # cross-stream metric correlation
+    "control_chart_ensemble",  # combined control-chart flags
+    "shadow_pipeline_diff",  # shadow-vs-primary output diff
+    # relational (10)
+    "revenue_moving_window",  # sliding-window revenue
+    "json_shred_roundtrip",  # JSON shred/rebuild roundtrip
+    "lineitem_measures_unpivot",  # measure unpivot (stack)
+    "event_time_histogram",  # event-time bucket histogram
+    "user_first_last_events",  # per-user first/last event
+    "sql_surface_revenue",  # SQL-surface revenue rollup
+    "order_reconciliation",  # order-vs-lineitem reconciliation
+    "sketch_set_intersection",  # theta-sketch set intersection
+    "incremental_join_maintenance",  # incremental join-view delta
+    "weighted_median_price",  # weighted median by part
+    # curation / pack economics (5)
+    "padded_batch_waste",  # padding waste per batch policy
+    "prefix_cache_hit_estimate",  # prefix-cache hit estimator
+    "context_truncation_loss",  # context-window truncation loss
+    "mixture_temperature_reweight",  # mixture temperature reweight
+    "pack_efficiency_audit",  # sequence-packing efficiency
+    # similarity / ANN (5)
+    "ann_ivf",  # IVF cell assignment + probe
+    "embedding_centroids",  # k-means centroid summary
+    "ann_quantized_recall",  # scalar-quantized recall audit
+    "ann_pq_codes",  # product-quantizer code assignment
+    "retrieval_ndcg",  # retrieval NDCG eval
+    # textpipe (3)
+    "denylist_scrub",  # denylist scrub pass
+    "length_quartiles",  # doc-length quartiles
+    "doc_length_rankings",  # doc-length rank table
+    # corpus quality (5)
+    "table_profile",  # column-profile audit
+    "skipgram_pairs",  # skip-gram pair extraction
+    "source_overlap_jaccard",  # per-source doc-hash overlap
+    "adaptive_quality_filter",  # per-source adaptive quality gate
+    "doc_surprisal_score",  # unigram surprisal per doc
+    # behavior (4)
+    "rolling_active_users",  # rolling active-user counts
+    "event_transition_matrix",  # event-type transition matrix
+    "funnel_attribution",  # funnel conversion attribution
+    "decayed_activity_rank",  # r09-touched: TakeOrdered rank shape
+    # mining (3)
+    "market_basket_lift",  # basket lift matrix
+    "benford_audit",  # r09-touched: broadcast-hint fix
+    "ts_motif_search",  # r09-touched: TakeOrdered rank shape
 )
 
 _PRIORITY: tuple[str, ...] = PINNED + ROTATION
