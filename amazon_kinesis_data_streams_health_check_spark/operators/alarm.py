@@ -96,10 +96,21 @@ def with_period_grid(
     # bounded by the same keys-x-periods contract that makes the grid small,
     # so collect_set stays a scalar-sized single row, never a data-scale
     # structure). Both explodes unnest from that single row.
+    #
+    # Keys ride inside a struct because collect_set silently drops NULL
+    # scalars (round-9 ADVICE): the pre-round-9 ``distinct()`` kept a
+    # NULL-key grid row (all-missing periods for records with a NULL
+    # dimension -> ALARM under treat_missing='breaching'), and
+    # ``struct(isnull, key)`` is never NULL itself, so that row survives
+    # the single-aggregate form too.
     hdr = metrics.agg(
         F.min("window_start").alias("lo"),
         F.max("window_start").alias("hi"),
-        F.collect_set(key_col).alias("_ks"),
+        F.collect_set(
+            F.struct(
+                F.col(key_col).isNull().alias("n"), F.col(key_col).alias("k")
+            )
+        ).alias("_ks"),
     )
     # The sequence-explode starts from a single row, so the raw grid is one
     # partition; repartition by key so the downstream per-key window-function
@@ -112,7 +123,8 @@ def with_period_grid(
             ),
             "_ks",
         )
-        .select("window_start", F.explode("_ks").alias(key_col))
+        .select("window_start", F.explode("_ks").alias("_kk"))
+        .select("window_start", F.col("_kk.k").alias(key_col))
         .repartition(F.col(key_col))
         .select(
             key_col,

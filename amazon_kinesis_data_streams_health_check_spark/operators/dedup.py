@@ -556,6 +556,21 @@ def _sig_banded_pairs(
 
     mask = (1 << band_bits) - 1
 
+    # Each band must lie within ONE 32-bit signature word: a band straddling
+    # a word boundary would make the shiftright count below negative, and
+    # Java shift semantics (count masked mod 64) would yield silently wrong
+    # band keys (round-9 ADVICE). True for every current caller (band_bits
+    # 8 or 16 divides 32) — enforced so a future config can't regress it.
+    for combo in combos:
+        for i in combo:
+            o = i * band_bits
+            if o % 32 + band_bits > 32:
+                raise ValueError(
+                    f"band {i} (band_bits={band_bits}) straddles a 32-bit "
+                    f"signature word boundary; word-local extraction would "
+                    f"be silently wrong"
+                )
+
     def _band(i: int) -> str:
         """Band i (band_bits wide) extracted from the signature words."""
         o = i * band_bits

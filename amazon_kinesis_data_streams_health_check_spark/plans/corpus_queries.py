@@ -4647,7 +4647,15 @@ def source_containment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     second corpus-scale shuffle (a pre-aggregation ``distinct``) with it."""
     configure_session(spark)
     docs = parallel_scan(spark, sf_dir, "documents")
-    sets = (
+    # Round-10: pin COMBOS (distinct source-sets, hundreds of rows), not the
+    # per-shingle SETS relation (~|distinct shingles| rows). Same two
+    # exchanges either way, but the checkpoint materializes a tiny relation
+    # instead of a corpus-scale one, and per-source sizes fold from the
+    # counted combos by linearity (n_shingles(src) = sum of cnt over combos
+    # containing src — exactly the old explode-the-sets count), so the
+    # second corpus-scale consumer scan AND its checkpoint are gone
+    # (guide section 2: fewer materializations on the serial path).
+    combos = (
         with_shingles(docs)
         .select(
             "source",
@@ -4655,16 +4663,14 @@ def source_containment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("s")
         .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
-        .localCheckpoint(eager=False)  # feeds sizes AND the combo count
+        .groupBy("srcs")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)  # feeds sizes AND the pair fold
     )
-    sizes = (
-        sets.select(F.explode("srcs").alias("source"))
+    sizes = F.broadcast(
+        combos.select(F.explode("srcs").alias("source"), "cnt")
         .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"))
-    )
-    sizes = F.broadcast(sizes.localCheckpoint(eager=False))
-    combos = sets.groupBy("srcs").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+        .agg(F.sum("cnt").cast("long").alias("n_shingles"))
     )
     pairs = (
         combos.select("cnt", F.explode("srcs").alias("source_a"), "srcs")

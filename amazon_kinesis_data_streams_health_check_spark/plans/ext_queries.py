@@ -2293,7 +2293,13 @@ def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = simhash_wide_near_pairs(sigs, max_hamming=_FUZZY_BLOCK_HAMMING).select(
         "doc_a", "doc_b"
     )
-    pfx = docs.select("doc_id", F.substring("text", 1, _FUZZY_PREFIX).alias("p"))
+    # Prefix legs read via load_table, NOT parallel_scan: they only take an
+    # 80-char substring per row before being broadcast, so the round-robin
+    # repartition parallel_scan adds for CPU-heavy pipelines is a pure extra
+    # exchange of the full text column here (round-10; guide section 2.4).
+    pfx = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, _FUZZY_PREFIX).alias("p")
+    )
     pa = pfx.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"))
     pb = pfx.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"))
     return (

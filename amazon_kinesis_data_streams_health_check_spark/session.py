@@ -37,10 +37,13 @@ RUNTIME_CONFS = {
     # fields, silently dropping the SimHash vote aggregations (129 columns)
     # and every other wide operator to interpreted expression evaluation —
     # measured 2.2x slower on the signature aggregate at sf0.1 (guide
-    # section 1/4: keep the hot path in codegen). 256 covers the widest
-    # operator in the engine (the 128-bit centered-signature sign
-    # projection, 131 fields) with headroom; the value is a property of the
-    # query shapes, not of the deployment size.
+    # section 1/4: keep the hot path in codegen). 256 covers the hot
+    # aggregates/projections at bits=128 (129-131 fields). Known carve-out
+    # (round-9 ADVICE): the centered-signature crossJoin stage outputs
+    # raw(130) + drift(129) = 259 fields, so that single broadcast-join
+    # stage still evaluates interpreted at bits=128; raising the cap to 512
+    # was measured (round 10) at no bench delta — the join stage folds
+    # n_docs rows once, not the token stream — so 256 stays.
     "spark.sql.codegen.maxFields": "256",
 }
 

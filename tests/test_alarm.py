@@ -126,3 +126,18 @@ def test_transitions_only_filter(spark):
     df = spark.createDataFrame(rows, SCHEMA)
     alerts = alarm_pipeline(df)
     assert transitions_only(alerts).count() == 1
+
+
+def test_null_key_rows_keep_a_grid_row(spark):
+    # Round-9 ADVICE: collect_set(key) silently dropped NULL dimension keys
+    # from the period grid, where the pre-round-9 distinct() kept them (a
+    # NULL-key stream gets all-missing-period rows -> ALARM under
+    # treat_missing='breaching' because the grid join never matches NULL).
+    # The struct-wrapped key set restores that behavior.
+    out = _alerts(spark, [_m(0, 0.5), _m(1, 0.5), _m(0, 9.9, None)])
+    # NULL-key rows surface as their own grid key with NULL max_lag
+    # (the equi-join cannot match NULL), evaluated as missing-breaching.
+    assert (None, 0) in out and (None, 1) in out
+    assert out[(None, 0)].state == "ALARM"
+    assert out[(None, 0)].max_lag is None
+    assert out[("s", 0)].state == "OK"

@@ -1,6 +1,17 @@
-"""The correctness gate, run locally: every registered query with an oracle
-must match DuckDB exactly at sf0.001 (fast) — the driver repeats this at
-sf0.01."""
+"""The correctness gate, run locally.
+
+Round-10 split (round-9 verdict item 1: the driver's default pytest run
+truncated at ~92% — the full 363-query sf0.001 parity sweep no longer fits
+the driver's test budget):
+
+- DEFAULT suite: a stratified parity SAMPLE at sf0.001 — the 50-query
+  driver window (exactly what the driver re-checks at sf0.01), every
+  bench-tagged query, and the alphabetically-first oracle query of every
+  registry tag, so each operator family keeps a default-suite parity row.
+- ``-m parity_full``: sf0.001 parity for EVERY registered query (the old
+  default; run explicitly before a round ends).
+- ``-m slow``: the sf0.01 sweep, replicating the driver's own tier.
+"""
 
 from __future__ import annotations
 
@@ -13,8 +24,27 @@ QUERIES = all_queries()
 WITH_ORACLE = sorted(n for n, q in QUERIES.items() if q.oracle is not None)
 ROWS_ONLY = sorted(n for n, q in QUERIES.items() if q.oracle is None)
 
+#: Stratified default sample: driver window + bench + one query per tag.
+_window = [n for n in list(QUERIES)[:50] if QUERIES[n].oracle is not None]
+_bench = [n for n in WITH_ORACLE if "bench" in QUERIES[n].tags]
+_tag_rep = []
+_seen_tags = {t for n in (_window + _bench) for t in QUERIES[n].tags}
+for n in WITH_ORACLE:
+    missing = [t for t in QUERIES[n].tags if t not in _seen_tags]
+    if missing:
+        _tag_rep.append(n)
+        _seen_tags.update(missing)
+SAMPLE = sorted(set(_window) | set(_bench) | set(_tag_rep))
 
-@pytest.mark.parametrize("name", WITH_ORACLE)
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_oracle_parity_sample(spark, sf_small, name):
+    q = QUERIES[name]
+    compare(q.builder(spark, sf_small), q.oracle, sf_small)
+
+
+@pytest.mark.parity_full
+@pytest.mark.parametrize("name", sorted(set(WITH_ORACLE) - set(SAMPLE)))
 def test_oracle_parity_small(spark, sf_small, name):
     q = QUERIES[name]
     compare(q.builder(spark, sf_small), q.oracle, sf_small)
