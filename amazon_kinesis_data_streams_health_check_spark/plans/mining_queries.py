@@ -352,9 +352,10 @@ def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     work too). Each round: one narrow pair-explode over the vocab, one
     uniform pair-keyed weighted count, a top-1 TakeOrdered (tiny), and the
     1-row winner BROADCAST back for a narrow replace pass. K rounds = K
-    such steps in one lazy DAG; the vocab is localCheckpoint-pinned each
-    round so Catalyst doesn't re-derive round r-1 for each of round r's
-    three consumers. No driver-side collect anywhere."""
+    such steps in one lazy DAG; the corpus-derived round-0 vocab is
+    localCheckpoint-pinned once and each round's 1-row winner is pinned,
+    so re-deriving round r-1 for round r's consumers replays only cheap
+    broadcast-replace maps. No driver-side collect anywhere."""
     configure_session(spark)
     bests, vocabs = _spark_bpe_chain(spark, sf_dir)
     out_parts = []
@@ -406,7 +407,18 @@ def _spark_bpe_chain(spark: SparkSession, sf_dir: str):
     vocabs: dict[int, DataFrame] = {}
     vocabs[0] = vocab
     for rnd in range(1, _BPE_ROUNDS + 1):
-        vocab = vocab.localCheckpoint(eager=False)
+        if rnd == 1:
+            # Pin ONLY the corpus-derived round-0 vocabulary. Later rounds
+            # are narrow broadcast-replace maps over this pin: replaying
+            # round r-1's replace chain per consumer costs O(rounds) cheap
+            # string maps on the Heaps-bounded type table, while pinning
+            # every round cost a serial toRdd job barrier per round at
+            # build time (round-10 A/B: 1.60 -> 1.45s; guide section 2 —
+            # fewer jobs on the serial critical path). The 1-row winner
+            # pins below stay: without them the round-r replay re-derives
+            # every earlier round's TakeOrdered winner and the chain blows
+            # up (measured 2.1s).
+            vocab = vocab.localCheckpoint(eager=False)
         vocabs[rnd - 1] = vocab
         pairs = (
             vocab.select(F.expr(_BPE_SYMS).alias("syms"), "n")
@@ -4018,6 +4030,28 @@ _UG_MAXLEN = 6  # longest candidate piece in characters
 _UG_REL_PPK = 25  # keep a piece iff 1000 * weight >= 25 * candidate mass
 
 
+def _ug_total_from_types(types) -> "DataFrame":
+    """Candidate mass ``sum(n) over cand`` folded from the TYPE table by a
+    closed form (round-10; guide section 2 — drop a full pass over the
+    largest relation). A word of length L explodes into
+    ``sum_{{p=1..L}} min(M, L - p + 1)`` candidate rows, which is
+    ``M*L - M*(M-1)/2`` for ``L >= M`` and ``L*(L+1)/2`` otherwise, so the
+    cand-wide total is exactly ``sum(n * f(length(word)))`` over types —
+    bit-identical to aggregating the exploded table."""
+    m = _UG_MAXLEN
+    return types.agg(
+        F.sum(
+            F.expr(
+                f"n * (CASE WHEN length(word) >= {m}"
+                f" THEN {m} * length(word) - {m * (m - 1) // 2}"
+                f" ELSE length(word) * (length(word) + 1) div 2 END)"
+            )
+        )
+        .cast("long")
+        .alias("total")
+    )
+
+
 def _ug_spark_fold(word: str = "word", om: str = "om") -> str:
     """The Viterbi DP as a single SQL ``aggregate`` fold: acc[k+1] holds
     the encoded best state for the k-char prefix; step j minimizes over
@@ -4159,8 +4193,8 @@ def unigram_lm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c"),
     ).select("word", "n", "c.*")
-    cand = cand.localCheckpoint(eager=False)  # feeds tot, vocab AND pc
-    tot = cand.agg(F.sum("n").cast("long").alias("total"))
+    cand = cand.localCheckpoint(eager=False)  # feeds vocab AND pc
+    tot = _ug_total_from_types(types)
     vocab = (
         cand.groupBy("sub")
         .agg(F.sum("n").cast("long").alias("seed_weight"))
@@ -4376,7 +4410,7 @@ def unigram_lm_em2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c"),
     ).select("word", "n", "c.*")
     cand = cand.localCheckpoint(eager=False)
-    tot = cand.agg(F.sum("n").cast("long").alias("total"))
+    tot = _ug_total_from_types(types)
     vocab = (
         cand.groupBy("sub")
         .agg(F.sum("n").cast("long").alias("seed_weight"))
